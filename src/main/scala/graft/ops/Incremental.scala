@@ -1,0 +1,71 @@
+package graft.ops
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental-replication operators — the reference's sync window
+  * machinery (reference: outreach_etl.py:111-229) as declarative Spark.
+  *
+  * The reference's replication contract is a tumbling 1-day window on
+  * `updatedAt` with offset managed by cron (SURVEY.md §2.10). Here the
+  * window is a pushed-down predicate: Catalyst sends the range filter
+  * to the parquet/DSv2 scan (`PushedFilters` in explain), which at
+  * 100 TB on a date-partitioned layout becomes partition pruning —
+  * only the day's files are read at all.
+  */
+object Incremental {
+
+  /** Closed date/timestamp range filter on `tsCol` — the reference's
+    * `filter[updatedAt]=lo..hi` pushed to the source
+    * (reference: outreach_etl.py:115-117,164-166).
+    */
+  def windowFilter(df: DataFrame, tsCol: String, lo: Column, hi: Column): DataFrame =
+    df.filter(col(tsCol).between(lo, hi))
+
+  /** Replication window resolution (reference: outreach_etl.py:223-229):
+    * "full"        → [startDate, today - 1 day]
+    * "previous_day"→ [today - 1 day, today - 1 day]
+    * `today` is injected for testability (the reference reads the
+    * wall clock inline, which is untestable).
+    */
+  def replicationWindow(replicationType: String, startDate: LocalDate,
+                        today: LocalDate): (LocalDate, LocalDate) = {
+    val yesterday = today.minusDays(1)
+    replicationType match {
+      case "full"         => (startDate, yesterday)
+      case "previous_day" => (yesterday, yesterday)
+      case other => throw new IllegalArgumentException(
+        s"unknown replication_type '$other' (expected full | previous_day)")
+    }
+  }
+
+  /** Expand a date window into one row per day — the reference's
+    * per-day chunking when a window exceeds the API's 10 000-row
+    * pagination cap (reference: outreach_etl.py:157-166). In Spark the
+    * day list is `sequence(lo, hi, 1 day)` + `explode`, and each day
+    * naturally becomes its own scan partition.
+    */
+  def dayExpansion(lo: Column, hi: Column): Column =
+    explode(sequence(lo, hi, expr("interval 1 day")))
+
+  /** Latest-row dedup: keep the newest record per key — the upsert the
+    * reference defers to BigQuery (SURVEY.md §2.8). `tieBreak` makes
+    * the pick total-order deterministic when timestamps collide.
+    *
+    * One shuffle on the key; at scale this is the canonical
+    * window-dedup and AQE handles key skew. For streaming the same
+    * semantics come from `dropDuplicates` + watermark
+    * (graft.streaming.IncrementalStream).
+    */
+  def dedupLatest(df: DataFrame, keys: Seq[String], tsCol: String,
+                  tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val ordering = (col(tsCol).desc +: tieBreak.map(col(_).desc))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,362 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.{Conform, Flatten, Incremental}
+
+/** Oracle-checked queries realizing the reference's operator surface
+  * (SURVEY.md §2) over the driver's star-schema testdata.
+  *
+  * Conventions for DuckDB-oracle determinism (SURVEY.md §7.4):
+  *  - every query ends in a total-order sort;
+  *  - float aggregates rounded (2-4 dp) in BOTH engines;
+  *  - timestamps surfaced as `unix_micros` BIGINT (Spark) =
+  *    `epoch_us` (DuckDB) to dodge ns-vs-us parquet precision;
+  *  - result column names aliased identically on both sides.
+  */
+object ReferenceQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---------------------------------------------------------------- S2/2.4
+  /** Incremental replication window: closed range filter on the event
+    * timestamp, newest-first sort — the reference's
+    * `filter[updatedAt]=lo..hi` + `sort=-updatedAt`
+    * (reference: outreach_etl.py:115-117). Filter is pushed to the
+    * parquet scan (PushedFilters), at scale = partition pruning.
+    */
+  def incrementalWindow(s: SparkSession, dir: String): DataFrame =
+    Incremental.windowFilter(t(s, dir, "events"), "ts",
+        to_timestamp(lit("2024-01-10 00:00:00")),
+        to_timestamp(lit("2024-01-20 00:00:00")))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), round(col("value"), 4).as("value_r"))
+      .orderBy(col("ts_us").desc, col("event_id"))
+
+  // ------------------------------------------------------------------- P1
+  /** JSON flatten: parse the dynamic `props` JSON payload and flatten
+    * to underscore columns (reference: flatten_json etl_tools.py:177-193).
+    */
+  def flattenProps(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Flatten.flattenJsonColumn(t(s, dir, "events"), "props", schema)
+      .select(col("event_id"), col("props_k"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- P3/P5/P6
+  /** Conform pipeline: cast-from-schema + prefix rename + column drop
+    * (reference: etl_tools.py:45-61, outreach_etl.py:105-107,215-216).
+    * Declared schema casts l_quantity to long (safe: generator emits
+    * integral quantities) and the ship date to DATE; `l_` prefix is
+    * stripped reference-style; tax/discount are dropped.
+    */
+  def conformCast(s: SparkSession, dir: String): DataFrame = {
+    val declared = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", LongType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_shipdate", DateType)))
+    val conformed = Conform.castFromSchema(t(s, dir, "lineitem"), declared)
+    Conform.renameReplace(conformed, "l_", "")
+      .orderBy(col("orderkey"), col("linenumber"))
+  }
+
+  // ------------------------------------------------------------------- U1
+  /** Union-accumulate: page-wise vertical union by name with missing
+    * columns → NULL (reference: pd.concat outreach_etl.py:154,183,212).
+    * Two "pages" with different column sets union into the superset.
+    */
+  def unionAccumulate(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value_r"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"))
+    Conform.unionAccumulate(Seq(clicks, views))
+      .orderBy(col("event_id"))
+  }
+
+  // ------------------------------------------------------------------ §2.8
+  /** Latest-row dedup per key — the window-function upsert the
+    * reference defers to BigQuery (SURVEY.md §2.8).
+    */
+  def dedupLatest(s: SparkSession, dir: String): DataFrame =
+    Incremental.dedupLatest(t(s, dir, "events"),
+        Seq("user_id"), "ts", tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("user_id"))
+
+  // ------------------------------------------------------------------ §2.6
+  /** Rollup-count recompute: the pre-aggregated analytics columns the
+    * reference's data model carries (clickCount/openCount/… —
+    * schemas/sequences.json:6-83) recomputed as a real hash aggregate.
+    * Partial (map-side) aggregation halves the shuffle at scale.
+    */
+  def aggRollupCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("event_type"))
+
+  /** TPC-H Q1-shaped aggregate over lineitem. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ------------------------------------------------------------------ §2.7
+  /** FK equi-join chain (mailings→prospects→accounts analog,
+    * reference: schemas/mailings.json:140-169): fact lineitem joined
+    * to orders then the small customer dim, broadcast-hinted — no
+    * shuffle of the fact for the dim side at scale.
+    */
+  def joinFk(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+  }
+
+  /** Left-semi join: customers having orders (EXISTS). */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti join: customers with no high-value order (NOT EXISTS).
+    * The filter on the right side keeps the result non-degenerate at
+    * every scale factor.
+    */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  // ------------------------------------------------------------------ §2.5
+  /** Top-k with pushed-down limit: TakeOrderedAndProject, no global
+    * sort — per-partition top-k then merge on the driver
+    * (reference: page[limit] + server sort, outreach_etl.py:115-116).
+    */
+  def topkOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price_r"))
+      .orderBy(col("price_r").desc, col("o_orderkey"))
+      .limit(100)
+
+  // ------------------------------------------------------------------ §2.9
+  /** Day-bucketed histogram (contactHistogram analog,
+    * reference: schemas/prospects.json:44-115): date_trunc + count.
+    */
+  def dayHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** Day-list expansion: sequence + explode over a per-group date range
+    * (reference: the per-day chunk loop, outreach_etl.py:159-160).
+    */
+  def dayExpansion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      .select(col("user_id"),
+        Incremental.dayExpansion(col("lo"), col("hi")).as("day"))
+      .orderBy(col("user_id"), col("day"))
+
+  // ------------------------------------------------------------------ §2.8
+  /** Running windowed aggregate per key (capability parity: window
+    * frames over the incremental stream).
+    */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("running_value", round(sum(col("value")).over(w), 2))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // ------------------------------------------------------------------ §2.3
+  /** Set ops the reference lacks (∅ in SURVEY §2.3) but a complete
+    * engine provides: users who clicked but never purchased.
+    */
+  def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.filter(col("event_type") === "click").select(col("user_id"))
+      .except(ev.filter(col("event_type") === "error" &&
+          col("ts") > to_timestamp(lit("2024-01-25 00:00:00")))
+        .select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  /** Intersect: users who both clicked and purchased. */
+  def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.filter(col("event_type") === "click").select(col("user_id"))
+      .intersect(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  // ------------------------------------------------------------------ §2.6
+  /** Multi-dimensional rollup (grouping-sets family — ∅ in the
+    * reference, first-class here). NULL group markers replaced with
+    * sentinel strings so both engines order identically.
+    */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "incremental_window" -> (incrementalWindow _),
+    "flatten_props" -> (flattenProps _),
+    "conform_cast" -> (conformCast _),
+    "union_accumulate" -> (unionAccumulate _),
+    "dedup_latest" -> (dedupLatest _),
+    "agg_rollup_counts" -> (aggRollupCounts _),
+    "q1_agg" -> (q1Agg _),
+    "join_fk" -> (joinFk _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "topk_orders" -> (topkOrders _),
+    "day_histogram" -> (dayHistogram _),
+    "day_expansion" -> (dayExpansion _),
+    "window_running" -> (windowRunning _),
+    "set_except" -> (setExcept _),
+    "set_intersect" -> (setIntersect _),
+    "agg_cube" -> (aggCube _))
+
+  val oracle: Map[String, String] = Map(
+    "incremental_window" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+         round(value, 4) AS value_r
+         FROM events
+         WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                      AND TIMESTAMP '2024-01-20 00:00:00'
+         ORDER BY ts_us DESC, event_id""",
+    "flatten_props" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+         FROM events ORDER BY event_id""",
+    "conform_cast" ->
+      """SELECT l_orderkey AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+         l_quantity AS quantity, l_returnflag AS returnflag,
+         CAST(l_shipdate AS DATE) AS shipdate
+         FROM lineitem ORDER BY orderkey, linenumber""",
+    "union_accumulate" ->
+      """SELECT event_id, user_id, round(value, 4) AS value_r
+         FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT event_id, user_id, NULL AS value_r
+         FROM events WHERE event_type = 'view'
+         ORDER BY event_id""",
+    "dedup_latest" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us
+         FROM events
+         QUALIFY row_number() OVER
+           (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         ORDER BY user_id""",
+    "agg_rollup_counts" ->
+      """SELECT event_type, count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         round(sum(value), 2) AS sum_value,
+         round(avg(value), 4) AS avg_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "join_fk" ->
+      """SELECT c_mktsegment, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment, o_orderpriority
+         ORDER BY c_mktsegment, o_orderpriority""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 450000)
+         ORDER BY c_custkey""",
+    "topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price_r
+         FROM orders ORDER BY price_r DESC, o_orderkey LIMIT 100""",
+    "day_histogram" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+         FROM events GROUP BY day, event_type ORDER BY day, event_type""",
+    "day_expansion" ->
+      """SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+         FROM (SELECT user_id, CAST(min(ts) AS DATE) AS lo,
+                      CAST(max(ts) AS DATE) AS hi
+               FROM events GROUP BY user_id)
+         ORDER BY user_id, day""",
+    "window_running" ->
+      """SELECT user_id, event_id,
+         round(sum(value) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_value
+         FROM events ORDER BY user_id, event_id""",
+    "set_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         EXCEPT
+         SELECT user_id FROM events
+         WHERE event_type = 'error' AND ts > TIMESTAMP '2024-01-25 00:00:00'
+         ORDER BY user_id""",
+    "set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id""",
+    "agg_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""")
+}
