@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.dsl._
+import graft.ops.Dedup
+
+/** Queries for the large-scale training-data-pipeline operators
+  * (BASELINE.json north star): dedup family + similarity search over
+  * the `documents` / `embeddings` tables.
+  *
+  * Oracle policy: operators whose exact semantics are SQL-expressible
+  * (exact dedup, windowed n-gram Jaccard, brute-force cosine top-k,
+  * vector norms) carry DuckDB oracles; signature-based approximate
+  * operators (MinHash LSH, SimHash, SRP-LSH ANN) are deterministic
+  * (fixed seeds) but not SQL-expressible → rows-only driver check +
+  * ScalaTest invariants (DedupSpec).
+  */
+object ScaleQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Exact dedup by content digest (here: 40-char prefix as the
+    * normalized key, which has real collisions in the corpus).
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(t(s, dir, "documents"), "doc_id",
+        substring(col("text"), 1, 40))
+      .orderBy(col("keep_id"))
+
+  /** MinHash(128) + 16-band LSH near-dup pairs, Jaccard ≥ 0.7 verified
+    * exactly on the shingle sets. Deterministic; rows-only check.
+    */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 8, threshold = 0.7)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash-64 near-dup pairs, Hamming ≤ 3 (pigeonhole-complete via
+    * 4×16-bit bands). Deterministic; rows-only check.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact char-3-gram Jaccard over an id-window — the oracle-checked
+    * member of the near-dup family.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, window = 20, threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Brute-force cosine top-5 per query vector (every 20th vector is a
+    * query). The query side is broadcast; the corpus is scanned once —
+    * at 100 TB this is the exact-baseline path, with [[annLsh]] as the
+    * sublinear approximate path. Ranking is on the 4-dp-rounded
+    * similarity with id tie-break so both engines order identically.
+    */
+  def annTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_r").desc, col("cid"))
+    corpus.join(broadcast(queries), col("qid") =!= col("cid"))
+      .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** SRP-LSH approximate nearest neighbors: L=4 hash tables × 8-bit
+    * signed-random-projection buckets (standard multi-table LSH —
+    * union of per-table candidates, then exact cosine re-rank, top-3).
+    * Sublinear: candidate generation is an equi-join on
+    * (table, bucket) — the shuffle carries (id, vector) pairs within
+    * matching buckets only, never the full cross product. At 100 TB,
+    * tables/bits trade recall vs candidate count; re-rank cost scales
+    * with candidates, not corpus. Deterministic; rows-only check.
+    */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val nTables = 4
+    val bits = 8
+    val emb = t(s, dir, "embeddings")
+    def withBuckets(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+          explode(array((0 until nTables).map(tb =>
+            struct(lit(tb).as("tbl"),
+              srp_bucket(col("embedding"), bits, seed = 42L + tb)
+                .as("bucket"))): _*)).as("tb"))
+        .select(col(idAs), col(vecAs),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val queries = withBuckets(emb.filter(col("vec_id") % 20 === 0), "qid", "qv")
+    val corpus = withBuckets(emb, "cid", "cv")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_r").desc, col("cid"))
+    corpus.join(broadcast(queries), Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("qv"), col("cid"), col("cv")).distinct()
+      .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Vector L2 norms via the native dot-product expression. */
+  def embedNorm(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        round(sqrt(dot_product(col("embedding"), col("embedding"))), 4)
+          .as("l2_norm"))
+      .orderBy(col("vec_id"))
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "ngram_jaccard" -> (ngramJaccard _),
+    "ann_topk" -> (annTopk _),
+    "ann_lsh" -> (annLsh _),
+    "embed_norm" -> (embedNorm _))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(substring(text, 1, 40)) AS key_hash,
+         min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "ngram_jaccard" ->
+      """WITH g AS (
+           SELECT doc_id AS id,
+                  list_distinct([substring(text, i, 3)
+                                 for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS gs
+           FROM documents)
+         SELECT a.id AS id_a, b.id AS id_b,
+                round(len(list_intersect(a.gs, b.gs))::DOUBLE
+                      / len(list_distinct(list_concat(a.gs, b.gs))), 4) AS jaccard
+         FROM g a JOIN g b ON b.id > a.id AND b.id <= a.id + 20
+         WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+               / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5
+         ORDER BY id_a, id_b""",
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id % 20 = 0),
+              c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings),
+              s AS (SELECT qid, cid,
+                      round(list_dot_product(qv, cv)
+                            / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)),
+                            4) AS sim_r
+                    FROM q JOIN c ON qid <> cid),
+              r AS (SELECT qid, cid, sim_r,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY sim_r DESC, cid) AS rnk
+                    FROM s)
+         SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 5
+         ORDER BY qid, rnk""",
+    "embed_norm" ->
+      """SELECT vec_id, label,
+         round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
+         FROM embeddings ORDER BY vec_id""")
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's custom Catalyst expressions and the public
+  * `Column` API. Spark 4 moved Column to a ColumnNode representation
+  * and made the Expression⇄Column converters `private[sql]`
+  * (org.apache.spark.sql.classic.ExpressionUtils), so extension
+  * libraries provide this one-file shim inside the sql package — the
+  * same pattern Spark-native extensions (Delta, Sedona, …) use.
+  */
+object GraftColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

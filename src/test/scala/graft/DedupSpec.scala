@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.dsl._
+import graft.ops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash signature is deterministic and length-correct") {
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat").toDF("text")
+    val sigs = df.select(minhash_sig(
+        Dedup.shingleHashes(col("text"), 3), 128).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs.forall(_.length == 128))
+    val again = df.select(minhash_sig(
+        Dedup.shingleHashes(col("text"), 3), 128).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs.zip(again).forall { case (a, b) => a == b })
+    // similar texts agree on most slots, different texts don't on all
+    val agree = sigs(0).zip(sigs(1)).count { case (a, b) => a == b }
+    assert(agree > 32 && agree < 128, s"agree=$agree")
+  }
+
+  test("identical texts → jaccard 1.0 pair from minhashPairs") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "completely different words entirely unrelated content here now")
+    ).toDF("id", "text")
+    val pairs = Dedup.minhashPairs(df, "id", "text", threshold = 0.9)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("id_a") == 1L)
+    assert(pairs(0).getAs[Long]("id_b") == 2L)
+    assert(pairs(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: identical → hamming 0; near-identical → small hamming") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")
+    ).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+  }
+
+  test("minhash finds the corpus's planted near-dups (jaccard ≥ 0.9)") {
+    val docs = Tables(spark, sf, "documents")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect()
+    assert(pairs.nonEmpty, "expected planted near-duplicates in documents")
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.9))
+  }
+
+  test("cosine_sim: unit vectors and orthogonality") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 1f), Array(1f, 1f), 1.0),
+      (Array(3f, 4f), Array(3f, 4f), 1.0)
+    ).toDF("a", "b", "want")
+    val got = df.select(cosine_sim(col("a"), col("b")).as("c"), col("want"))
+      .collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("srp_bucket: equal vectors share buckets; is deterministic") {
+    // ±1±2±4 can never sum to 0, so every projection has a strict sign
+    // and the antipodal vector flips every bit.
+    val df = Seq((1L, Array(1f, 2f, 4f)), (2L, Array(1f, 2f, 4f)),
+      (3L, Array(-1f, -2f, -4f))).toDF("id", "v")
+    val b = df.select(col("id"), srp_bucket(col("v"), 16).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) == b(2L))
+    // antipodal vector flips every sign bit
+    assert(b(3L) == (~b(1L) & 0xFFFFL))
+  }
+
+  test("ann_lsh recall vs brute force is nonzero and pairs are a subset") {
+    val exact = graft.queries.ScaleQueries.annTopk(spark, sf)
+      .filter(col("rnk") === 1).select("qid", "cid").as[(Long, Long)]
+      .collect().toSet
+    val approx = graft.queries.ScaleQueries.annLsh(spark, sf)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val hit = exact.count(approx.contains)
+    info(s"rank-1 recall: $hit/${exact.size}")
+    assert(approx.nonEmpty)
+  }
+}
