@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * Everything here is a narrow per-row projection built from codegen'd
+  * built-ins (regexp/length/HOFs) — no UDFs, no shuffle; at 100 TB
+  * these pipeline into the scan stage. Only fingerprinting fans out
+  * (explode), and that output is (doc, fp) pairs made for a subsequent
+  * groupBy-on-fp join, which is the actual dedup shuffle.
+  */
+object TextOps {
+
+  /** Whitespace token count (empty tokens excluded). */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword proxy count: alnum runs + isolated non-alnum,
+    * non-space chars — the standard cheap pre-tokenizer estimate.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Non-whitespace character count. */
+  def contentChars(text: Column): Column =
+    length(regexp_replace(text, "\\s", ""))
+
+  /** Punctuation ratio over all characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,;:!?]", "")))
+      .cast("double") / greatest(length(text), lit(1))
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are stopwords — a fluency signal. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    size(filter(toks, t => t.isInCollection(Stopwords))).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Composite quality score in [0,1]: length saturation + low
+    * punctuation + stopword fluency. Weights are heuristic; the point
+    * is the wiring (all codegen'd scalar math over the scan).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    lit(0.4) * lenScore +
+      lit(0.3) * (lit(1.0) - punctRatio(text)) +
+      lit(0.3) * least(stopwordRatio(text) * 5.0, lit(1.0))
+  }
+
+  /** Marker words per language for the n-gram-free language-ID
+    * heuristic. Deliberately tiny: language ID at corpus scale is a
+    * cheap scan-stage filter, not a model.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das", "nicht"),
+    "es" -> Seq("el", "la", "que", "los", "una", "por"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans"))
+
+  /** Predicted language: arg-max of marker-word hits with a fixed
+    * priority order (declaration order) on ties — deterministic and
+    * expressible in ANSI SQL for the oracle.
+    */
+  def langId(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers)))
+    }
+    // lang_i wins if its score >= every later score and > every earlier
+    // (strictly-greater vs earlier = first-declared wins ties)
+    val cases = scores.zipWithIndex.map { case ((lang, s), i) =>
+      val beatsEarlier = scores.take(i).map { case (_, s2) => s > s2 }
+      val beatsLater = scores.drop(i + 1).map { case (_, s2) => s >= s2 }
+      val cond = (beatsEarlier ++ beatsLater)
+        .foldLeft(lit(true))((a, b) => a && b)
+      (cond, lit(lang))
+    }
+    cases.foldRight(lit("und"): Column) { case ((cond, lang), acc) =>
+      when(cond, lang).otherwise(acc)
+    }
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    * k-gram rolling hashes, min per sliding window of w, distinct.
+    * Returns (id, fp) pairs — exploded so a groupBy on fp finds
+    * cross-document shared fingerprints (the near-dup/cluster join).
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8, w: Int = 4): DataFrame = {
+    val kgrams = expr(
+      s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+        s"i -> xxhash64(substring($textCol, i, $k)))")
+    val winMins = expr(
+      s"transform(sequence(0, greatest(size(__kg) - $w, 0)), " +
+        s"j -> array_min(slice(__kg, j + 1, $w)))")
+    df.select(col(idCol).as("id"), kgrams.as("__kg"))
+      .select(col("id"), explode(array_distinct(winMins)).as("fp"))
+  }
+}

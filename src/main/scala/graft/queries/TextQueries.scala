@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Multimodal, TextOps}
+
+/** Text-analysis + multimodal-plumbing queries over `documents`. */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Per-document token/char statistics (whitespace + BPE-ish regex
+    * token counts, punctuation and stopword ratios).
+    */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+      TextOps.contentChars(col("text")).as("n_content_chars"),
+      round(TextOps.punctRatio(col("text")), 4).as("punct_ratio_r"),
+      round(TextOps.stopwordRatio(col("text")), 4).as("stopword_ratio_r"))
+      .orderBy(col("doc_id"))
+
+  /** Composite quality score per document. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      round(TextOps.qualityScore(col("text")), 4).as("quality_r"))
+      .orderBy(col("doc_id"))
+
+  /** Heuristic language ID vs the labeled `lang` column. */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** Winnowing fingerprints (rows-only: xxhash64 isn't in DuckDB).
+    * Output is the exploded (doc, fp) pair set a dedup join consumes.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowingFingerprints(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("id"), col("fp"))
+
+  /** Multimodal metadata extraction: documents as opaque binary
+    * payloads → per-partition decode (stubbed codec) → typed metadata.
+    */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(
+      t(s, dir, "documents"), "doc_id", "text", "image")
+    Multimodal.decodeStub(s, media).toDF()
+      .withColumn("mean_val", round(col("mean_val"), 3))
+      .orderBy(col("media_id"))
+  }
+
+  /** Multimodal feature extraction (stubbed model): payload → fixed-
+    * width embedding; surfaced as (id, dim, l2) so the check is
+    * deterministic. Rows-only (stub hashing isn't SQL-expressible).
+    */
+  def multimodalEmbed(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl._
+    val media = Multimodal.asMediaTable(
+      t(s, dir, "documents"), "doc_id", "text", "image")
+    Multimodal.embedStub(s, media, dim = 16)
+      .select(col("media_id"), size(col("embedding")).as("dim"),
+        round(sqrt(dot_product(col("embedding"), col("embedding"))), 4)
+          .as("l2_norm"))
+      .orderBy(col("media_id"))
+  }
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "quality_score" -> (qualityScore _),
+    "lang_id" -> (langId _),
+    "fingerprint" -> (fingerprint _),
+    "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_embed" -> (multimodalEmbed _))
+
+  private val tokSql =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
+  private def markerCount(markers: Seq[String]): String =
+    s"len(list_filter($tokSql, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+           length(regexp_replace(text, '\s', '', 'g')) AS n_content_chars,
+           round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                 / greatest(length(text), 1), 4) AS punct_ratio_r,
+           round(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0),
+                                 x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+                 / greatest(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)), 1),
+                 4) AS stopword_ratio_r
+         FROM documents ORDER BY doc_id""",
+    "quality_score" ->
+      """WITH s AS (
+           SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tok,
+             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+               / greatest(length(text), 1) AS punct,
+             len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0),
+                             x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+               / greatest(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)), 1) AS stop
+           FROM documents)
+         SELECT doc_id,
+           round(0.4 * least(n_tok / 100.0, 1.0)
+               + 0.3 * (1.0 - punct)
+               + 0.3 * least(stop * 5.0, 1.0), 4) AS quality_r
+         FROM s ORDER BY doc_id""",
+    "lang_id" -> {
+      val sEn = markerCount(TextOps.LangMarkers(0)._2)
+      val sDe = markerCount(TextOps.LangMarkers(1)._2)
+      val sEs = markerCount(TextOps.LangMarkers(2)._2)
+      val sFr = markerCount(TextOps.LangMarkers(3)._2)
+      s"""WITH s AS (SELECT doc_id, lang,
+             $sEn AS s_en, $sDe AS s_de, $sEs AS s_es, $sFr AS s_fr
+           FROM documents)
+         SELECT doc_id, lang,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
+             WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+             ELSE 'und'
+           END AS lang_pred
+         FROM s ORDER BY doc_id"""
+    },
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 256 AS INTEGER) AS width,
+           CAST(64 + (octet_length(encode(text)) * 7) % 256 AS INTEGER) AS height,
+           round((octet_length(encode(text)) % 1000) / 1000.0, 3) AS mean_val
+         FROM documents ORDER BY media_id""")
+}

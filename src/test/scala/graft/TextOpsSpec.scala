@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Multimodal, TextOps}
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq("Hello, world! This is a test.").toDF("text")
+    val r = df.select(
+      TextOps.tokenCount(col("text")).as("ws"),
+      TextOps.bpeTokenCount(col("text")).as("bpe")).collect()(0)
+    assert(r.getAs[Int]("ws") == 6)
+    // Hello , world ! This is a test . → 9
+    assert(r.getAs[Int]("bpe") == 9)
+  }
+
+  test("quality score is in [0,1] and favors fluent text") {
+    val df = Seq(
+      ("f", "the cat sat on the mat and it is a good day " * 4),
+      ("g", "!!! ??? ,,, ;;; ... !!!")).toDF("id", "text")
+    val m = df.select(col("id"), TextOps.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(m("f") > m("g"))
+  }
+
+  test("langId picks the marker-dominant language, en wins ties") {
+    val df = Seq(
+      ("den", "the cat and the dog of the house"),
+      ("dde", "der hund und die katze ist nicht hier"),
+      ("des", "el perro que la casa los gatos una"),
+      ("dfr", "le chien les chats des maisons est une"),
+      ("tie", "zzz yyy xxx")).toDF("id", "text")
+    val m = df.select(col("id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("den") == "en"); assert(m("dde") == "de")
+    assert(m("des") == "es"); assert(m("dfr") == "fr")
+    assert(m("tie") == "en") // all scores 0 → first priority wins
+  }
+
+  test("winnowing fingerprints: identical docs share all fps; stable") {
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (2L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (3L, "totally different content string here padded out")).toDF("id", "t")
+    val fps = TextOps.winnowingFingerprints(df, "id", "t")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("multimodal: decode stub is deterministic, plumbing preserves ids") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
+    assert(media.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val meta = Multimodal.decodeStub(spark, media).collect()
+    assert(meta.length == docs.count())
+    meta.foreach { m =>
+      assert(m.width == (64 + m.n_bytes % 256).toInt)
+      assert(m.height == (64 + (m.n_bytes * 7) % 256).toInt)
+    }
+  }
+
+  test("multimodal: embed stub emits fixed-dim vectors composable with ANN") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(10)
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
+    val emb = Multimodal.embedStub(spark, media, dim = 8)
+    val rows = emb.collect()
+    assert(rows.forall(_.getSeq[Float](1).length == 8))
+    // deterministic across evaluations
+    val again = Multimodal.embedStub(spark, media, dim = 8).collect()
+    assert(rows.map(_.getSeq[Float](1)).toSeq == again.map(_.getSeq[Float](1)).toSeq)
+  }
+
+  test("frameSamplePlan explodes stride-sampled frame indices") {
+    val media = Seq((1L, "x")).toDF("media_id", "payload")
+    val frames = Multimodal.frameSamplePlan(media, nFrames = 10, stride = 3)
+      .collect().map(_.getInt(1)).toSeq
+    assert(frames == Seq(0, 3, 6, 9))
+  }
+}
