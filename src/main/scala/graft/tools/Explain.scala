@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Plan-audit tool: prints `explain("formatted")` for queries so scan
+  * pushdown (`PushedFilters`, `ReadSchema`), broadcast choices, and
+  * whole-stage codegen spans can be reviewed.
+  *
+  * Usage: runMain graft.tools.Explain [sfDir] [queryName ...]
+  *   - no query names → all queries
+  *   - special name "jsonapi" → the DSv2 source demo with a pushed
+  *     updatedAt range filter
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = args.drop(1).toSeq
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (names.contains("jsonapi")) {
+      val df = spark.read.format("graft.sources.JsonApiSource")
+        .option("resource", "prospects")
+        .option("path", "src/test/resources/jsonapi/prospects").load()
+        .filter(col("attributes_updatedAt") >= "2019-06-02")
+        .select("id", "attributes_firstName", "attributes_updatedAt")
+      println("== jsonapi ==")
+      df.show(20, truncate = false)
+      df.explain("formatted")
+    }
+
+    val wanted =
+      if (names.filterNot(_ == "jsonapi").isEmpty && !names.contains("jsonapi"))
+        SparkEntry.queries.keys.toSeq.sorted
+      else names.filterNot(_ == "jsonapi")
+    wanted.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        println(s"\n== $name ==")
+        fn(spark, sfDir).explain("formatted")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.IncrementalStream
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming dedup + daily counts match the batch equivalents") {
+    val tmp = Files.createTempDirectory("graft-stream").toFile
+    val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+
+    // stage the events table as an "arriving" file drop, with planted
+    // duplicates (the reference's window re-pull behavior)
+    val events = Tables(spark, sf, "events")
+    events.write.mode("overwrite").parquet(inDir.getAbsolutePath)
+    events.limit(100).write.mode("append").parquet(inDir.getAbsolutePath)
+
+    val schema = spark.read.parquet(inDir.getAbsolutePath).schema
+    val stream = IncrementalStream.readAppendStream(
+      spark, inDir.getAbsolutePath, schema)
+
+    val deduped = IncrementalStream.dedupWithinWatermark(
+      stream, "ts", "2 days", Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("dedup_out").count()
+    assert(got == events.count(), "dup rows must collapse to one per key")
+
+    val daily = IncrementalStream.dailyCounts(stream, "ts", "event_type")
+    val q2 = daily.writeStream.format("memory").queryName("daily_out")
+      .outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    // append mode only emits windows the watermark has passed; with
+    // duplicated input the emitted counts must match batch counts of
+    // the duplicated input for those days
+    val emitted = spark.table("daily_out")
+    val batch = spark.read.parquet(inDir.getAbsolutePath)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val mismatches = emitted.as("e")
+      .join(batch.as("b"),
+        col("e.day") === col("b.day") &&
+          col("e.event_type") === col("b.event_type"))
+      .filter(col("e.n") =!= col("b.n"))
+    assert(mismatches.count() == 0)
+
+    val ckpt = new java.io.File(tmp, "ckpt")
+    val out = new java.io.File(tmp, "out")
+    val q3 = IncrementalStream.runAvailableNow(
+      IncrementalStream.dedupWithinWatermark(stream, "ts", "2 days",
+        Seq("event_id")),
+      out.getAbsolutePath, ckpt.getAbsolutePath)
+    q3.awaitTermination()
+    assert(spark.read.parquet(out.getAbsolutePath).count() == events.count())
+  }
+}
