@@ -21,15 +21,25 @@ object Tables {
   val requiredConf: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // TIMESTAMP(NANOS) columns arrive as nano-epoch longs under
-    // nanosAsLong; restore TimestampType with integral division (a
-    // double-precision `/` would lose bits on 1.7e18-scale nanos).
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    restoreNanos(raw(spark, sfDir, name))
+
+  /** Read without the nanos→timestamp restoration — for scans that
+    * want to push predicates onto the raw nano-epoch long (parquet
+    * row-group/page pruning), then convert after filtering
+    * (see [[graft.ops.Incremental.windowFilterNanos]]).
+    */
+  def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Restore TIMESTAMP(NANOS) columns (read as nano-epoch longs under
+    * nanosAsLong) to TimestampType with integral division (a
+    * double-precision `/` would lose bits on 1.7e18-scale nanos).
+    */
+  def restoreNanos(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         d.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
       case (d, _) => d
     }
-  }
 }

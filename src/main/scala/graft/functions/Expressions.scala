@@ -66,6 +66,87 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Sorted distinct word-n-gram shingle hashes of a string — the
+  * tokenize→shingle→hash→distinct→sort pipeline as one native kernel
+  * call (see [[Kernels.shingleSet]]).
+  */
+case class ShingleSetExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.shingleSet(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleSet($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleSetExpr =
+    copy(child = c)
+  override def prettyName: String = "shingle_set"
+}
+
+/** Sorted distinct char-n-gram hashes of a string (byte-windowed). */
+case class CharNgramSetExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.charNgramSet(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.charNgramSet($c, $n)")
+  override protected def withNewChildInternal(c: Expression): CharNgramSetExpr =
+    copy(child = c)
+  override def prettyName: String = "char_ngram_set"
+}
+
+/** Winnowing fingerprint set (sorted distinct window-min hashes). */
+case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.winnow(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowExpr =
+    copy(child = c)
+  override def prettyName: String = "winnow_fps"
+}
+
+/** Per-token hashes (document order) of a string — feeds SimHash. */
+case class TokenHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.tokenHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.tokenHashes($c)")
+  override protected def withNewChildInternal(c: Expression): TokenHashesExpr =
+    copy(child = c)
+  override def prettyName: String = "token_hashes"
+}
+
+/** Intersection size of two sorted distinct arrays (long or string
+  * elements) by linear merge — the pairwise-similarity hot kernel.
+  * Feed it `array_sort(array_distinct(...))` columns; unsorted input
+  * silently undercounts.
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private lazy val isString: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == StringType
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (isString)
+      Kernels.sortedIntersectCountString(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      Kernels.sortedIntersectCountLong(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isString) "sortedIntersectCountString" else "sortedIntersectCountLong"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.$m($a, $b)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCountExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
+}
+
 /** Signed-random-projection LSH bucket id for an array<float>. */
 case class SrpBucketExpr(child: Expression, bits: Int, seed: Long)
     extends UnaryExpression {
@@ -104,4 +185,27 @@ object dsl {
   def srp_bucket(c: Column, bits: Int, seed: Long = DefaultSeed): Column =
     ExpressionUtils.column(
       SrpBucketExpr(ExpressionUtils.expression(c), bits, seed))
+
+  def shingle_set(text: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleSetExpr(ExpressionUtils.expression(text), n))
+
+  def token_hashes(text: Column): Column =
+    ExpressionUtils.column(TokenHashesExpr(ExpressionUtils.expression(text)))
+
+  def char_ngram_set(text: Column, n: Int): Column =
+    ExpressionUtils.column(CharNgramSetExpr(ExpressionUtils.expression(text), n))
+
+  def winnow_fps(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowExpr(ExpressionUtils.expression(text), k, w))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCountExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Jaccard of two sorted distinct arrays: |∩| / (|a| + |b| − |∩|). */
+  def sorted_jaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{size => asize}
+    val inter = sorted_intersect_count(a, b).cast("double")
+    inter / (asize(a) + asize(b) - inter)
+  }
 }

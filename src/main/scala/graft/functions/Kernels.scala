@@ -101,6 +101,175 @@ object Kernels {
     s
   }
 
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  /** Hash of one lowercased alnum token span in `bytes` [from, until). */
+  @inline private def tokenHash(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) {
+      var b = bytes(i)
+      if (b >= 'A' && b <= 'Z') b = (b + 32).toByte // ascii lowercase
+      h = (h ^ (b & 0xffL)) * FnvPrime
+      i += 1
+    }
+    mix64(h)
+  }
+
+  @inline private def isAlnum(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')
+
+  /** Per-token hashes of a UTF8 string, tokenized on non-alphanumeric
+    * ASCII runs (the kernel form of `split(lower(text), "\\W+")` +
+    * per-token hash — one pass over the bytes, no string allocation).
+    */
+  def tokenHashes(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && !isAlnum(bytes(i))) i += 1
+      val start = i
+      while (i < n && isAlnum(bytes(i))) i += 1
+      if (i > start) out.add(tokenHash(bytes, start, i))
+    }
+    val arr = new Array[Long](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Sorted distinct hashes of word `n`-gram shingles — the whole
+    * tokenize→shingle→hash→distinct→sort pipeline in one allocation-
+    * light pass (replaces an interpreted HOF chain measured ~1 ms/row;
+    * this kernel is ~µs/row). Shorter-than-n documents hash their full
+    * token sequence as a single shingle.
+    */
+  def shingleSet(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val toks = tokenHashes(s)
+    val nt = toks.numElements()
+    val nsh = if (nt >= n) nt - n + 1 else 1
+    val out = new Array[Long](nsh)
+    var i = 0
+    while (i < nsh) {
+      var acc = FnvOffset
+      var k = 0
+      val m = if (nt >= n) n else nt
+      while (k < m) { acc = mix64(acc ^ toks.getLong(i + k)); k += 1 }
+      out(i) = acc
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted array
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, math.max(w, 0)))
+  }
+
+  /** Sorted distinct hashes of character `n`-grams (byte-windowed;
+    * equivalent to char n-grams for ASCII text). Same one-pass shape
+    * as [[shingleSet]].
+    */
+  def charNgramSet(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val ng = if (len >= n) len - n + 1 else 1
+    val out = new Array[Long](ng)
+    var i = 0
+    while (i < ng) {
+      var h = FnvOffset
+      var k = 0
+      val m = if (len >= n) n else len
+      while (k < m) { h = (h ^ (bytes(i + k) & 0xffL)) * FnvPrime; k += 1 }
+      out(i) = mix64(h)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling
+    * k-gram hashes, minimum per sliding window of `w`, distinct mins —
+    * all in one pass over the bytes.
+    */
+  def winnow(s: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val nk = if (len >= k) len - k + 1 else 1
+    val kh = new Array[Long](nk)
+    var i = 0
+    while (i < nk) {
+      var h = FnvOffset
+      var j = 0
+      val m = if (len >= k) k else len
+      while (j < m) { h = (h ^ (bytes(i + j) & 0xffL)) * FnvPrime; j += 1 }
+      kh(i) = mix64(h)
+      i += 1
+    }
+    val nw = if (nk >= w) nk - w + 1 else 1
+    val mins = new Array[Long](nw)
+    i = 0
+    while (i < nw) {
+      var min = Long.MaxValue
+      var j = 0
+      val m = if (nk >= w) w else nk
+      while (j < m) { if (kh(i + j) < min) min = kh(i + j); j += 1 }
+      mins(i) = min
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var wr = 0
+    i = 0
+    while (i < mins.length) {
+      if (wr == 0 || mins(i) != mins(wr - 1)) { mins(wr) = mins(i); wr += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, wr))
+  }
+
+  /** Intersection size of two SORTED, DISTINCT long arrays via linear
+    * merge — replaces ArrayIntersect's boxed hash-set evaluation in
+    * pairwise similarity joins (O(m+n), zero allocation).
+    */
+  def sortedIntersectCountLong(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Intersection size of two SORTED, DISTINCT string arrays (binary
+    * UTF8 order — the same order array_sort uses for StringType).
+    */
+  def sortedIntersectCountString(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Random-hyperplane LSH bucket for a float vector: `bits` sign bits,
     * hyperplane components drawn from fixed SplitMix64 streams (Gaussian
     * via Box-Muller is unnecessary — sign of a symmetric ±1 projection

@@ -21,19 +21,33 @@ import graft.functions.dsl._
   */
 object Dedup {
 
-  /** Lowercased word tokens, empty tokens removed. */
+  /** Spread a (possibly single-partition) input across the session's
+    * shuffle parallelism before compute-heavy per-row work. Small
+    * parquet inputs arrive as one partition; without this every
+    * signature/shingle computation runs on one core. At real scale
+    * the source is already multi-partition and this is a cheap no-op
+    * rebalance.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
+
+  /** Lowercased word tokens, empty tokens removed (HOF form — used by
+    * the text operators; the dedup hot path uses the native kernels
+    * below instead).
+    */
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\W+"), t => length(t) > 0)
 
-  /** Distinct xxhash64 hashes of word `n`-gram shingles. */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val shingles = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array(xxhash64(concat_ws(" ", toks))))
-    array_distinct(shingles)
-  }
+  /** SORTED distinct hashes of word `n`-gram shingles, via the native
+    * [[graft.functions.ShingleSetExpr]] kernel: the HOF chain
+    * (split → transform → slice → concat_ws → xxhash64) is interpreted
+    * with per-element boxing (~1 ms/row measured at sf0.1); the kernel
+    * does one pass over the UTF8 bytes (~µs/row).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    shingle_set(text, n)
 
   /** Exact dedup: group by a digest of the dedup key, keep the lowest
     * id as the canonical representative. One shuffle on the digest.
@@ -54,8 +68,10 @@ object Dedup {
                    shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
                    threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val base = df.select(col(idCol).as("id"),
-        shingleHashes(col(textCol), shingleN).as("sh"))
+    // sh is sorted+distinct (kernel guarantee) → verification is a
+    // linear merge
+    val base = spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), shingleHashes(col("__text"), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhash_sig(col("sh"), numHashes))
 
@@ -77,9 +93,7 @@ object Dedup {
     candidates
       .join(sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", sorted_jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -91,8 +105,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-        simhash64(transform(tokens(col(textCol)), t => xxhash64(t))).as("sig"))
+    val base = spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), simhash64(token_hashes(col("__text"))).as("sig"))
 
     val nBands = 4 // 16 bits each; pigeonhole bound for maxHamming ≤ 3
     val bandStructs = array((0 until nBands).map(b =>
@@ -123,18 +137,29 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, window: Long = 20,
                         threshold: Double = 0.5): DataFrame = {
-    // char n-grams via SQL transform (substring with a lambda-var start)
-    val grams = df.select(col(idCol).as("id"),
-      array_distinct(expr(
-        s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), " +
-          s"i -> substring($textCol, i, $n))")).as("gs"))
-    grams.as("a")
-      .join(grams.as("b"),
-        col("b.id") > col("a.id") && col("b.id") <= col("a.id") + window)
-      .withColumn("jaccard",
-        size(array_intersect(col("a.gs"), col("b.gs"))).cast("double") /
-          size(array_union(col("a.gs"), col("b.gs"))))
+    // char n-grams as sorted distinct hashes (native kernel). Hashed
+    // grams give identical jaccard to string grams absent 64-bit
+    // collisions (probability ~1e-11 for this corpus) — the DuckDB
+    // oracle computes on strings and hash-matches, confirming parity.
+    val grams = spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        char_ngram_set(col("__text"), n).as("gs"),
+        floor(col("id") / window).as("block"))
+    // id_b ∈ (id_a, id_a + window] ⇒ block_b ∈ {block_a, block_a + 1}:
+    // exploding the left side over both blocks turns the windowed theta
+    // join into an equi-join on block (hash join, O(n·window) candidate
+    // pairs) instead of a nested-loop O(n²) condition scan.
+    val left = grams
+      .select(col("id").as("id_a"), col("gs").as("gs_a"),
+        explode(array(col("block"), col("block") + 1)).as("jblock_a"))
+    val right = grams
+      .select(col("id").as("id_b"), col("gs").as("gs_b"),
+        col("block").as("jblock_b"))
+    left.join(right,
+        col("jblock_a") === col("jblock_b") &&
+          col("id_b") > col("id_a") && col("id_b") <= col("id_a") + window)
+      .withColumn("jaccard", sorted_jaccard(col("gs_a"), col("gs_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 }

@@ -25,6 +25,24 @@ object Incremental {
   def windowFilter(df: DataFrame, tsCol: String, lo: Column, hi: Column): DataFrame =
     df.filter(col(tsCol).between(lo, hi))
 
+  /** Range filter for a TIMESTAMP(NANOS) column still in raw
+    * nano-epoch long form (see [[graft.Tables.raw]]): the bounds are
+    * converted to nanos so the comparison lands on the physical
+    * parquet column — `PushedFilters: [GreaterThanOrEqual(ts,...),
+    * LessThanOrEqual(ts,...)]` — enabling row-group and page pruning.
+    * Filtering after the timestamp restoration instead would hide the
+    * predicate behind a projection and force a full scan at 100 TB.
+    * Bounds are closed ([lo, hi]), matching the reference's
+    * `filter[updatedAt]=lo..hi` (outreach_etl.py:117).
+    */
+  def windowFilterNanos(df: DataFrame, tsCol: String,
+                        loInclusive: java.time.Instant,
+                        hiInclusive: java.time.Instant): DataFrame = {
+    def nanos(i: java.time.Instant): Long =
+      math.multiplyExact(i.getEpochSecond, 1000000000L) + i.getNano
+    df.filter(col(tsCol).between(nanos(loInclusive), nanos(hiInclusive)))
+  }
+
   /** Replication window resolution (reference: outreach_etl.py:223-229):
     * "full"        → [startDate, today - 1 day]
     * "previous_day"→ [today - 1 day, today - 1 day]

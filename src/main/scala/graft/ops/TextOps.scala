@@ -94,13 +94,8 @@ object TextOps {
     */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 8, w: Int = 4): DataFrame = {
-    val kgrams = expr(
-      s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
-        s"i -> xxhash64(substring($textCol, i, $k)))")
-    val winMins = expr(
-      s"transform(sequence(0, greatest(size(__kg) - $w, 0)), " +
-        s"j -> array_min(slice(__kg, j + 1, $w)))")
-    df.select(col(idCol).as("id"), kgrams.as("__kg"))
-      .select(col("id"), explode(array_distinct(winMins)).as("fp"))
+    import graft.functions.dsl.winnow_fps
+    Dedup.spread(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(winnow_fps(col(textCol), k, w)).as("fp"))
   }
 }

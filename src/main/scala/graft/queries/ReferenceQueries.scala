@@ -29,13 +29,18 @@ object ReferenceQueries {
     * (reference: outreach_etl.py:115-117). Filter is pushed to the
     * parquet scan (PushedFilters), at scale = partition pruning.
     */
-  def incrementalWindow(s: SparkSession, dir: String): DataFrame =
-    Incremental.windowFilter(t(s, dir, "events"), "ts",
-        to_timestamp(lit("2024-01-10 00:00:00")),
-        to_timestamp(lit("2024-01-20 00:00:00")))
+  def incrementalWindow(s: SparkSession, dir: String): DataFrame = {
+    // filter on the raw nano column so the range reaches the parquet
+    // scan (row-group pruning), then restore TimestampType
+    val raw = Incremental.windowFilterNanos(
+      Tables.raw(s, dir, "events"), "ts",
+      java.time.Instant.parse("2024-01-10T00:00:00Z"),
+      java.time.Instant.parse("2024-01-20T00:00:00Z"))
+    Tables.restoreNanos(raw)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), round(col("value"), 4).as("value_r"))
       .orderBy(col("ts_us").desc, col("event_id"))
+  }
 
   // ------------------------------------------------------------------- P1
   /** JSON flatten: parse the dynamic `props` JSON payload and flatten

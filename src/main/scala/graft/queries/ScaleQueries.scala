@@ -68,7 +68,8 @@ object ScaleQueries {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val corpus = graft.ops.Dedup.spread(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("cv")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim_r").desc, col("cid"))
     corpus.join(broadcast(queries), col("qid") =!= col("cid"))
@@ -92,21 +93,26 @@ object ScaleQueries {
     val nTables = 4
     val bits = 8
     val emb = t(s, dir, "embeddings")
-    def withBuckets(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+    // only (id, table, bucket) flows through the LSH join and the
+    // candidate distinct — vectors join back once per unique candidate
+    def buckets(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
           explode(array((0 until nTables).map(tb =>
             struct(lit(tb).as("tbl"),
               srp_bucket(col("embedding"), bits, seed = 42L + tb)
                 .as("bucket"))): _*)).as("tb"))
-        .select(col(idAs), col(vecAs),
-          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val queries = withBuckets(emb.filter(col("vec_id") % 20 === 0), "qid", "qv")
-    val corpus = withBuckets(emb, "cid", "cv")
+        .select(col(idAs), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val queries = buckets(emb.filter(col("vec_id") % 20 === 0), "qid")
+    val corpus = buckets(graft.ops.Dedup.spread(emb), "cid")
+    val candidates = corpus.join(broadcast(queries), Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid")).distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim_r").desc, col("cid"))
-    corpus.join(broadcast(queries), Seq("tbl", "bucket"))
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("qv"), col("cid"), col("cv")).distinct()
+    candidates
+      .join(broadcast(vecs.select(col("vec_id").as("qid"), col("embedding").as("qv"))), "qid")
+      .join(vecs.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid")
       .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
