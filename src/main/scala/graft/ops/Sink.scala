@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-load sinks — the reference's BigQuery
+  * `load_table_from_dataframe` (K1, etl_tools.py:67-77; table name
+  * `{table}_{endpoint}` built at outreach_etl.py:217, default load
+  * semantics = append) re-expressed as Spark writers.
+  *
+  * Scale design:
+  *  - append/overwrite are committed via Spark's file commit protocol
+  *    (atomic rename per task attempt) — task retries can't duplicate
+  *    rows the way the reference's retry loop does
+  *    (bug at outreach_etl.py:152-155, SURVEY.md §2.12);
+  *  - date-partitioned layout (`ds=YYYY-MM-DD` directories) is what
+  *    turns the incremental window filter into partition pruning at
+  *    100 TB;
+  *  - re-running a window is idempotent with dynamic partition
+  *    overwrite: only the re-pulled days are replaced, concurrent
+  *    other-day writers are untouched — the exactly-once upsert the
+  *    reference defers to BigQuery.
+  */
+object Sink {
+
+  /** Reference table naming: `{table}_{endpoint}`
+    * (outreach_etl.py:217).
+    */
+  def tableName(base: String, endpoint: String): String = s"${base}_$endpoint"
+
+  /** Plain append load — the reference's default BigQuery semantics. */
+  def appendLoad(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** Full overwrite load (the reference's full-history replication
+    * target state).
+    */
+  def overwriteLoad(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Date-partitioned incremental load: derive `ds` from `tsCol` and
+    * overwrite ONLY the partitions present in this batch (dynamic
+    * partition overwrite), so re-pulling a replication window is
+    * idempotent instead of duplicating (the at-least-once → exactly-
+    * once upgrade over the reference).
+    */
+  def partitionedWindowLoad(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("ds", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .partitionBy("ds")
+      .parquet(path)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{OutreachPipeline, Sink}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def fixture: String =
+    getClass.getResource("/jsonapi/prospects").getPath
+
+  private def cfg(out: String) = OutreachPipeline.SyncConfig(
+    resource = "prospects",
+    pagesDir = fixture,
+    outDir = out,
+    replicationType = "full",
+    startDate = LocalDate.of(2019, 1, 1),
+    today = LocalDate.of(2019, 7, 1))
+
+  test("end-to-end sync: source → window → conform → dedup → sink") {
+    val tmp = Files.createTempDirectory("graft-sync").toString
+    val out = OutreachPipeline.sync(spark, cfg(tmp))
+    assert(out.endsWith("outreach_prospects"))
+    val loaded = spark.read.parquet(out)
+    // prefix strip applied (P6), ids all present, ds partition column
+    assert(loaded.columns.contains("firstName"))
+    assert(loaded.columns.contains("ds"))
+    assert(!loaded.columns.exists(_.startsWith("attributes_")))
+    assert(loaded.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // declared-but-absent columns ride as typed NULLs
+    assert(loaded.schema.fieldNames.contains("addressCity"))
+  }
+
+  test("window re-run is idempotent (dynamic partition overwrite)") {
+    val tmp = Files.createTempDirectory("graft-sync2").toString
+    OutreachPipeline.sync(spark, cfg(tmp))
+    val first = spark.read.parquet(s"$tmp/outreach_prospects").count()
+    OutreachPipeline.sync(spark, cfg(tmp)) // re-pull same window
+    val second = spark.read.parquet(s"$tmp/outreach_prospects").count()
+    assert(first == second, "re-pulled window must not duplicate rows")
+  }
+
+  test("previous_day window filters to the day's records only") {
+    val tmp = Files.createTempDirectory("graft-sync3").toString
+    // record 2 was updated 2019-06-03 → previous_day of 2019-06-04
+    val c = cfg(tmp).copy(replicationType = "previous_day",
+      today = LocalDate.of(2019, 6, 4))
+    val df = OutreachPipeline.conformed(spark, c)
+    assert(df.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("append vs overwrite load semantics") {
+    val tmp = Files.createTempDirectory("graft-sink").toString
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sink.appendLoad(df, s"$tmp/t")
+    Sink.appendLoad(df, s"$tmp/t")
+    assert(spark.read.parquet(s"$tmp/t").count() == 4) // append keeps dups
+    Sink.overwriteLoad(df, s"$tmp/t")
+    assert(spark.read.parquet(s"$tmp/t").count() == 2)
+  }
+}
