@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+import graft.functions.dsl._
+
+/** Embedding-similarity operators complementing the ANN queries in
+  * [[graft.queries.ScaleQueries]]: exact windowed near-dup pairs (the
+  * oracle-checkable form) and fingerprint-collision joins.
+  */
+object Similarity {
+
+  /** Exact embedding-cosine near-duplicate pairs over an id window
+    * (id_b − id_a ≤ `window`) — same block-bucketed equi-join shape as
+    * [[Dedup.ngramJaccardPairs]], so no O(n²) nested loop. The
+    * unbounded scale path is SRP-LSH bucketing (annLsh); this windowed
+    * variant exists for exact SQL-checkable semantics.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            window: Long, threshold: Double): DataFrame = {
+    val base = Dedup.spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .withColumn("block", floor(col("id") / window))
+    val left = base.select(col("id").as("id_a"), col("v").as("v_a"),
+      explode(array(col("block"), col("block") + 1)).as("jblock_a"))
+    val right = base.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("block").as("jblock_b"))
+    left.join(right,
+        col("jblock_a") === col("jblock_b") &&
+          col("id_b") > col("id_a") && col("id_b") <= col("id_a") + window)
+      .withColumn("sim", cosine_sim(col("v_a"), col("v_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim_r"))
+  }
+
+  /** Documents sharing at least `minShared` winnowing fingerprints —
+    * the collision join a fingerprint index exists for. Shuffle
+    * carries (fp, id) pairs; hot fingerprints (boilerplate) are the
+    * AQE-skew / salting case.
+    */
+  def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, w: Int = 4, minShared: Int = 5): DataFrame = {
+    val fps = TextOps.winnowingFingerprints(df, idCol, textCol, k, w)
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

@@ -54,6 +54,38 @@ object TextOps {
       lit(0.3) * least(stopwordRatio(text) * 5.0, lit(1.0))
   }
 
+  /** [[qualityScore]] as an exact scaled integer (score × 10⁴, floor):
+    * the whole computation is integer arithmetic over token/char
+    * counts, so any engine produces bit-identical results — float
+    * `round()` at a decimal boundary is engine-dependent (Spark
+    * BigDecimal HALF_UP vs DuckDB's scaled-multiply), observed
+    * flipping the 4th decimal at sf0.1.
+    *
+    * score = 0.4·min(nt,100)/100 + 0.3·(len−p)/len + 0.3·min(5s,nt)/nt
+    * as the exact rational N10/D10 with
+    *   N10 = 4·min(nt,100)·len·nt + 300·(len−p)·nt + 300·min(5s,nt)·len
+    *   D10 = 1000·len·nt   (len, nt floored at 1)
+    */
+  def qualityScoreE4(text: Column): Column = {
+    val len = greatest(length(text), lit(1)).cast("long")
+    val nt = greatest(tokenCount(text), lit(1)).cast("long")
+    val p = (length(text) - length(regexp_replace(text, "[.,;:!?]", "")))
+      .cast("long")
+    val s = {
+      val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+      size(filter(toks, t => t.isInCollection(Stopwords))).cast("long")
+    }
+    val minNt = least(nt, lit(100L))
+    val min5s = least(s * 5L, nt)
+    val n10 = lit(4L) * minNt * len * nt + lit(300L) * (len - p) * nt +
+      lit(300L) * min5s * len
+    val d10 = lit(1000L) * len * nt
+    // floor of an exact-integer double division is deterministic here:
+    // numerator ≤ ~1e12 and denominator ≤ ~1e8 keep the quotient ≥
+    // 1/d10 ≈ 1e-8 away from any wrong integer, far beyond double ulp
+    floor((n10 * 10000L).cast("double") / d10.cast("double")).cast("long")
+  }
+
   /** Marker words per language for the n-gram-free language-ID
     * heuristic. Deliberately tiny: language ID at corpus scale is a
     * cheap scan-stage filter, not a model.

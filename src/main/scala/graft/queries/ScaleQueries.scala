@@ -120,6 +120,25 @@ object ScaleQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Embedding-cosine near-duplicate pairs over an id window —
+    * exact, oracle-checked member of the embedding-dedup family
+    * (LSH variant: [[annLsh]]).
+    */
+  def embedNeardup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.embeddingNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        window = 50, threshold = 0.15)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Fingerprint-collision pairs: documents sharing ≥5 winnowing
+    * fingerprints. Deterministic; rows-only (xxhash-family kernel not
+    * in DuckDB).
+    */
+  def fingerprintPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.fingerprintPairs(
+        t(s, dir, "documents"), "doc_id", "text", minShared = 5)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Vector L2 norms via the native dot-product expression. */
   def embedNorm(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -136,6 +155,8 @@ object ScaleQueries {
     "ngram_jaccard" -> (ngramJaccard _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
+    "embed_neardup" -> (embedNeardup _),
+    "fingerprint_pairs" -> (fingerprintPairs _),
     "embed_norm" -> (embedNorm _))
 
   val oracle: Map[String, String] = Map(
@@ -172,6 +193,19 @@ object ScaleQueries {
                     FROM s)
          SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 5
          ORDER BY qid, rnk""",
+    "embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(a.v, b.v)
+                      / sqrt(list_dot_product(a.v, a.v)
+                             * list_dot_product(b.v, b.v)), 4) AS sim_r
+         FROM e a JOIN e b
+           ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+         WHERE list_dot_product(a.v, b.v)
+               / sqrt(list_dot_product(a.v, a.v)
+                      * list_dot_product(b.v, b.v)) >= 0.15
+         ORDER BY id_a, id_b""",
     "embed_norm" ->
       """SELECT vec_id, label,
          round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

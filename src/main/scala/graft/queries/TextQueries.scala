@@ -26,11 +26,13 @@ object TextQueries {
       round(TextOps.stopwordRatio(col("text")), 4).as("stopword_ratio_r"))
       .orderBy(col("doc_id"))
 
-  /** Composite quality score per document. */
+  /** Composite quality score per document, as an exact ×10⁴ integer
+    * (engine-independent — see TextOps.qualityScoreE4).
+    */
   def qualityScore(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"),
-      round(TextOps.qualityScore(col("text")), 4).as("quality_r"))
+      TextOps.qualityScoreE4(col("text")).as("quality_e4"))
       .orderBy(col("doc_id"))
 
   /** Heuristic language ID vs the labeled `lang` column. */
@@ -104,18 +106,23 @@ object TextQueries {
     "quality_score" ->
       """WITH s AS (
            SELECT doc_id,
-             len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tok,
-             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
-               / greatest(length(text), 1) AS punct,
-             len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0),
-                             x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
-               / greatest(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)), 1) AS stop
-           FROM documents)
+             greatest(length(text), 1)::BIGINT AS len,
+             greatest(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> len(x) > 0)), 1)::BIGINT AS nt,
+             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS p,
+             len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                         x -> len(x) > 0),
+                             x -> x IN ('the','a','of','and','to','in','is','it')))::BIGINT AS sw
+           FROM documents),
+         n AS (SELECT doc_id,
+                 4 * least(nt, 100) * len * nt
+                   + 300 * (len - p) * nt
+                   + 300 * least(sw * 5, nt) * len AS n10,
+                 1000 * len * nt AS d10
+               FROM s)
          SELECT doc_id,
-           round(0.4 * least(n_tok / 100.0, 1.0)
-               + 0.3 * (1.0 - punct)
-               + 0.3 * least(stop * 5.0, 1.0), 4) AS quality_r
-         FROM s ORDER BY doc_id""",
+           CAST(floor((n10 * 10000)::DOUBLE / d10::DOUBLE) AS BIGINT) AS quality_e4
+         FROM n ORDER BY doc_id""",
     "lang_id" -> {
       val sEn = markerCount(TextOps.LangMarkers(0)._2)
       val sDe = markerCount(TextOps.LangMarkers(1)._2)

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Kernels
+
+/** Property-based checks of the native kernels (pure JVM — no Spark
+  * session needed, so thousands of cases are cheap).
+  */
+object KernelProps extends Properties("kernels") {
+
+  private def arr(xs: Seq[Long]) = new GenericArrayData(xs.toArray)
+  private def utf8(s: String) = UTF8String.fromString(s)
+
+  private val sortedDistinct: Gen[Seq[Long]] =
+    Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted)
+
+  property("sortedIntersectCountLong == set intersection size") =
+    forAll(sortedDistinct, sortedDistinct) { (a, b) =>
+      Kernels.sortedIntersectCountLong(arr(a), arr(b)) ==
+        a.toSet.intersect(b.toSet).size
+    }
+
+  property("sortedIntersectCountString == set intersection size") =
+    forAll(Gen.listOf(Gen.alphaStr), Gen.listOf(Gen.alphaStr)) { (a0, b0) =>
+      val a = a0.distinct.sorted
+      val b = b0.distinct.sorted
+      val aa = new GenericArrayData(a.map(utf8).toArray[Any])
+      val bb = new GenericArrayData(b.map(utf8).toArray[Any])
+      Kernels.sortedIntersectCountString(aa, bb) ==
+        a.toSet.intersect(b.toSet).size
+    }
+
+  private val words: Gen[List[String]] =
+    Gen.listOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+
+  property("shingleSet invariant under separator choice and case") =
+    forAll(words) { ws =>
+      val sp = utf8(ws.mkString(" "))
+      val punct = utf8(ws.mkString(",,  !"))
+      val upper = utf8(ws.mkString(" ").toUpperCase)
+      val a = Kernels.shingleSet(sp, 3)
+      val b = Kernels.shingleSet(punct, 3)
+      val c = Kernels.shingleSet(upper, 3)
+      a.toLongArray.toSeq == b.toLongArray.toSeq &&
+        a.toLongArray.toSeq == c.toLongArray.toSeq
+    }
+
+  property("shingleSet output is sorted distinct") =
+    forAll(words) { ws =>
+      val out = Kernels.shingleSet(utf8(ws.mkString(" ")), 3).toLongArray.toSeq
+      out == out.distinct.sorted
+    }
+
+  property("minhash similarity estimates true jaccard (128 hashes)") =
+    forAll(Gen.chooseNum(0, 40), Gen.chooseNum(1, 40)) { (shared, extra) =>
+      // two sets with `shared` common and `extra` private elements each
+      val common = (1L to shared.toLong).map(Kernels.mix64)
+      val pa = (1001L to 1000L + extra).map(Kernels.mix64)
+      val pb = (2001L to 2000L + extra).map(Kernels.mix64)
+      val a = arr((common ++ pa).distinct.sorted)
+      val b = arr((common ++ pb).distinct.sorted)
+      val sa = Kernels.minhash(a, 128, 42L).toLongArray
+      val sb = Kernels.minhash(b, 128, 42L).toLongArray
+      val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+      val truth = shared.toDouble / (shared + 2.0 * extra)
+      math.abs(est - truth) < 0.25 // ±5.7σ at n=128
+    }
+
+  property("cosine(v, v) == 1 for nonzero vectors") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100, 100).map(_.toFloat))) { v =>
+      val nz = if (v.forall(_ == 0f)) v.updated(0, 1f) else v
+      val a = new GenericArrayData(nz.toArray[Any])
+      math.abs(Kernels.cosine(a, a) - 1.0) < 1e-9
+    }
+
+  property("cosine symmetry and scale invariance") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-50, 50).map(_.toFloat)),
+      Gen.nonEmptyListOf(Gen.chooseNum(-50, 50).map(_.toFloat))) { (x, y) =>
+      val n = math.min(x.length, y.length)
+      val a0 = x.take(n); val b0 = y.take(n)
+      (a0.exists(_ != 0f) && b0.exists(_ != 0f)) ==> {
+        val a = new GenericArrayData(a0.toArray[Any])
+        val b = new GenericArrayData(b0.toArray[Any])
+        val a2 = new GenericArrayData(a0.map(_ * 2f).toArray[Any])
+        val ab = Kernels.cosine(a, b)
+        val ba = Kernels.cosine(b, a)
+        val sc = Kernels.cosine(a2, b)
+        math.abs(ab - ba) < 1e-12 && math.abs(ab - sc) < 1e-6
+      }
+    }
+
+  property("simhash of identical input is identical; hamming ≤ 64") =
+    forAll(sortedDistinct) { xs =>
+      val h1 = Kernels.simhash64(arr(xs))
+      val h2 = Kernels.simhash64(arr(xs))
+      h1 == h2
+    }
+
+  property("winnow: every fingerprint is some k-gram hash; sorted distinct") =
+    forAll(Gen.alphaStr.suchThat(_.length >= 12)) { s =>
+      val out = Kernels.winnow(utf8(s), 8, 4).toLongArray.toSeq
+      out == out.distinct.sorted
+    }
+}
