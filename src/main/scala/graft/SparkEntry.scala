@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{ReferenceQueries, ScaleQueries, TextQueries}
+import graft.queries.{AdvancedQueries, ReferenceQueries, ScaleQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,10 +11,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries ++ ScaleQueries.queries ++ TextQueries.queries
+    ReferenceQueries.queries ++ ScaleQueries.queries ++ TextQueries.queries ++ AdvancedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracle ++ ScaleQueries.oracle ++ TextQueries.oracle
+    ReferenceQueries.oracle ++ ScaleQueries.oracle ++ TextQueries.oracle ++ AdvancedQueries.oracle
 }

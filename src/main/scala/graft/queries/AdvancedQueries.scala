@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.AsOfJoin
+
+/** Relational capabilities beyond the reference's surface that a
+  * complete engine ships (SURVEY §2.14's absence list made present):
+  * as-of join, pivot, deterministic sampling, sketch aggregates.
+  */
+object AdvancedQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** As-of join: each purchase event gains the timestamp of the same
+    * user's most recent click at or before it. One shuffle+sort via
+    * the union/carry-forward composition ([[graft.ops.AsOfJoin]]) —
+    * no range-join explosion.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("click_us"), col("event_id"))
+    AsOfJoin.asofBackward(purchases, clicks,
+        keyCol = "user_id", timeCol = "ts", payloadCol = "click_us",
+        tieBreak = Some("event_id"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("asof_click_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Pivot: per-user event-type count matrix (fixed column set so the
+    * plan is a single hash aggregate, no second pass to discover
+    * pivot values).
+    */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types)
+      .orderBy(col("user_id"))
+  }
+
+  /** Deterministic 1-in-10ish sample: md5 prefix compare — the same
+    * rows are selected by any engine, any partitioning, any run
+    * (unlike TABLESAMPLE/rand, which are seed- and plan-dependent).
+    */
+  def sampleDeterministic(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(substring(md5(col("event_id").cast("string").cast("binary")),
+        1, 2) <= "19")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** Sketch aggregates: HLL++ approximate distinct users per type next
+    * to the exact count. Rows-only (HLL implementations differ across
+    * engines); accuracy bound asserted in AdvancedSpec.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
+  // ------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> (asofJoin _),
+    "pivot_events" -> (pivotEvents _),
+    "sample_deterministic" -> (sampleDeterministic _),
+    "approx_distinct" -> (approxDistinct _))
+
+  val oracle: Map[String, String] = Map(
+    "asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           (SELECT max(epoch_us(c.ts)) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts) AS asof_click_us
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY event_id""",
+    "pivot_events" ->
+      """SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "sample_deterministic" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) <= '19'
+         ORDER BY event_id""")
+}

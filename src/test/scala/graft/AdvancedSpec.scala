@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{AsOfJoin, Skew}
+
+class AdvancedSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("asofBackward: latest quote at or before each query time") {
+    val quotes = Seq(
+      (1L, "2024-01-01 00:00:00", 100L),
+      (1L, "2024-01-03 00:00:00", 300L),
+      (2L, "2024-01-02 00:00:00", 200L)
+    ).toDF("k", "ts_s", "px").withColumn("ts", to_timestamp(col("ts_s")))
+      .select("k", "ts", "px")
+    val queries = Seq(
+      (10L, 1L, "2024-01-02 00:00:00"), // between quotes → 100
+      (11L, 1L, "2024-01-03 00:00:00"), // exactly at quote → 300 (inclusive)
+      (12L, 1L, "2023-12-31 00:00:00"), // before all → null
+      (13L, 2L, "2024-06-01 00:00:00"), // after last → 200
+      (14L, 3L, "2024-01-01 00:00:00")  // unknown key → null
+    ).toDF("qid", "k", "ts_s").withColumn("ts", to_timestamp(col("ts_s")))
+      .select("qid", "k", "ts")
+    val got = AsOfJoin.asofBackward(queries, quotes, "k", "ts", "px")
+      .orderBy("qid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(got == Map(10L -> 100L, 11L -> 300L, 12L -> -1L,
+      13L -> 200L, 14L -> -1L))
+  }
+
+  test("saltedJoin equals plain join, spreads hot key across salts") {
+    val hot = (1 to 1000).map(i => (1L, i)) ++ Seq((2L, 1), (3L, 2))
+    val probe = hot.toDF("k", "v")
+    val build = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "name")
+    val plain = probe.join(build, "k").select("k", "v", "name").collect().toSet
+    val salted = Skew.saltedJoin(probe, build, "k", saltFactor = 8)
+      .select("k", "v", "name").collect().toSet
+    assert(salted == plain)
+    assert(salted.size == 1001)
+  }
+
+  test("approx_count_distinct within 5% of exact on events") {
+    val rows = queries.AdvancedQueries.approxDistinct(spark, "/root/testdata/sf0.001")
+      .collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("GraftSession.local builds a usable session") {
+    // same JVM: getOrCreate returns the shared session; just assert
+    // the required confs are applied to the builder path
+    val s = GraftSession.local(2, "graft-test-factory")
+    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+  }
+}
