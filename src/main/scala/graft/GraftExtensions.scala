@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions registration: exposes the native graft
+  * expressions to SQL (`spark.sql("SELECT cosine_sim(a, b) …")`), so
+  * the engine's function surface is reachable from pure-SQL callers,
+  * not only the Scala DSL.
+  *
+  * Usage:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)           // Scala
+  *   // or spark.sql.extensions=graft.GraftExtensions  (config)
+  * }}}
+  */
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** name → expression builder for every SQL-exposed graft function. */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> ((args: Seq[Expression]) =>
+      CosineSimExpr(args(0), args(1))),
+    "dot_product" -> ((args: Seq[Expression]) =>
+      DotProductExpr(args(0), args(1))),
+    "simhash64" -> ((args: Seq[Expression]) => SimHash64Expr(args(0))),
+    "token_hashes" -> ((args: Seq[Expression]) => TokenHashesExpr(args(0))),
+    "minhash_sig" -> ((args: Seq[Expression]) => MinHashSigExpr(args(0),
+      intArg(args(1), "numHashes"),
+      if (args.length > 2) intArg(args(2), "seed").toLong
+      else dsl.DefaultSeed)),
+    "shingle_set" -> ((args: Seq[Expression]) =>
+      ShingleSetExpr(args(0), intArg(args(1), "n"))),
+    "char_ngram_set" -> ((args: Seq[Expression]) =>
+      CharNgramSetExpr(args(0), intArg(args(1), "n"))),
+    "winnow_fps" -> ((args: Seq[Expression]) =>
+      WinnowExpr(args(0), intArg(args(1), "k"), intArg(args(2), "w"))),
+    "srp_bucket" -> ((args: Seq[Expression]) =>
+      SrpBucketExpr(args(0), intArg(args(1), "bits"),
+        if (args.length > 2) intArg(args(2), "seed").toLong
+        else dsl.DefaultSeed)),
+    "sorted_intersect_count" -> ((args: Seq[Expression]) =>
+      SortedIntersectCountExpr(args(0), args(1))))
+
+  /** Register on an already-running session (new sessions: prefer
+    * `.withExtensions(new GraftExtensions)` or the
+    * `spark.sql.extensions` config).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlFunctions.foreach { case (name, b) =>
+      org.apache.spark.sql.graftshim.GraftColumnShim.registerFunction(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], name, b)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.sqlFunctions.foreach { case (name, b) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), b))
+    }
+}

@@ -64,9 +64,16 @@ object Dedup {
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, exact distinct.
     */
+  /** `maxBucketSize` caps LSH bucket membership: a bucket with more
+    * than this many docs (shared boilerplate) would contribute
+    * O(bucket²) candidate pairs; production dedup drops or routes
+    * such buckets to a dedicated clustering pass. Default is high
+    * enough to be inactive on the test corpus.
+    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
-                   threshold: Double = 0.7): DataFrame = {
+                   threshold: Double = 0.7,
+                   maxBucketSize: Int = 10000): DataFrame = {
     val numHashes = bands * rowsPerBand
     // sh is sorted+distinct (kernel guarantee) → verification is a
     // linear merge
@@ -81,8 +88,16 @@ object Dedup {
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
           .as(Seq("band_idx", "band_hash")))
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
+    // prune pathological buckets before the self-join (O(bucket²) guard)
+    val bucketSizes = banded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
+    val pruned = banded.join(bucketSizes, Seq("band_idx", "band_hash"))
+
+    val candidates = pruned.as("a")
+      .join(pruned.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))

@@ -14,4 +14,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an EXISTING session (the
+    * FunctionRegistry is `private[sql]`; new sessions should use
+    * `graft.GraftExtensions` instead).
+    */
+  def registerFunction(spark: org.apache.spark.sql.classic.SparkSession,
+                       name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
 }

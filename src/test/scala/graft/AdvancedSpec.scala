@@ -54,6 +54,27 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL surface: graft functions callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+                simhash64(token_hashes('hello world')) AS sh,
+                size(shingle_set('a b c d e', 3)) AS ns,
+                sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS ic
+      """).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getInt(2) == 3)
+    assert(r.getInt(3) == 2)
+    // dedup over SQL end-to-end: shingle jaccard of near-identical texts
+    val j = spark.sql(
+      """SELECT sorted_intersect_count(a, b) / CAST(size(a) + size(b)
+                 - sorted_intersect_count(a, b) AS DOUBLE) AS jac
+         FROM (SELECT shingle_set('the quick brown fox jumps high', 3) AS a,
+                      shingle_set('the quick brown fox jumps low', 3) AS b)
+      """).collect()(0).getDouble(0)
+    assert(j > 0.3 && j < 1.0)
+  }
+
   test("GraftSession.local builds a usable session") {
     // same JVM: getOrCreate returns the shared session; just assert
     // the required confs are applied to the builder path
