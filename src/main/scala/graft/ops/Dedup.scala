@@ -76,11 +76,15 @@ object Dedup {
                    maxBucketSize: Int = 10000): DataFrame = {
     val numHashes = bands * rowsPerBand
     // sh is sorted+distinct (kernel guarantee) → verification is a
-    // linear merge
+    // linear merge. The signature table feeds three consumers (band
+    // explode + both sides of the verification join); persist it so
+    // text is shingled once, not three times — at scale this is the
+    // "materialize the signature table" step of any LSH pipeline.
     val base = spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), shingleHashes(col("__text"), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhash_sig(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band key = murmur3 over the band's slice of the signature
     val banded = base.select(col("id"),

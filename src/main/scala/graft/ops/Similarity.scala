@@ -38,10 +38,23 @@ object Similarity {
     * carries (fp, id) pairs; hot fingerprints (boilerplate) are the
     * AQE-skew / salting case.
     */
+  /** `maxDocsPerFp` drops fingerprints shared by more than that many
+    * documents before the self-join: a boilerplate k-gram appearing in
+    * thousands of docs contributes O(docs²) pairs while carrying no
+    * discrimination signal — the inverted-index stop-list, same idea
+    * as [[Dedup.minhashPairs]]'s bucket cap.
+    */
   def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
-                       k: Int = 8, w: Int = 4, minShared: Int = 5): DataFrame = {
+                       k: Int = 8, w: Int = 4, minShared: Int = 5,
+                       maxDocsPerFp: Int = 50): DataFrame = {
     val fps = TextOps.winnowingFingerprints(df, idCol, textCol, k, w)
-    fps.as("a").join(fps.as("b"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") <= maxDocsPerFp)
+      .drop("__docs")
+    val pruned = fps.join(rare, Seq("fp"))
+    pruned.as("a").join(pruned.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
