@@ -54,7 +54,7 @@ object AsOfJoin {
       .withColumn("__payload", col(payloadCol))
 
     val unioned = l.select(
-      (leftCols.map(col) :+ col("__side") :+ col("__payload")): _*)
+      (leftCols.map(col) :+ col("__side") :+ col("__payload")).toSeq: _*)
       .unionByName(r, allowMissingColumns = true)
 
     val ordering: Seq[Column] =
@@ -66,6 +66,6 @@ object AsOfJoin {
     unioned
       .withColumn(out, last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select((leftCols.map(col) :+ col(out)): _*)
+      .select((leftCols.map(col) :+ col(out)).toSeq: _*)
   }
 }

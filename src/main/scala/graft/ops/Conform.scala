@@ -35,7 +35,7 @@ object Conform {
     val extras =
       if (strict) Array.empty[org.apache.spark.sql.Column]
       else df.columns.filterNot(schema.fieldNames.contains).map(col)
-    df.select(declared ++ extras: _*)
+    df.select((declared ++ extras).toSeq: _*)
   }
 
   /** Bulk rename: replace `target` anywhere in every column name
@@ -45,7 +45,7 @@ object Conform {
     */
   def renameReplace(df: DataFrame, target: String,
                     replacement: String = ""): DataFrame =
-    df.toDF(df.columns.map(_.replace(target, replacement)): _*)
+    df.toDF(df.columns.map(_.replace(target, replacement)).toSeq: _*)
 
   /** Drop columns if present (reference: outreach_etl.py:105-107 pops
     * bodyHtml/bodyText from mailings pages). With parquet + column

@@ -24,7 +24,7 @@ object Skew {
     require(saltFactor > 0)
     // deterministic salt from row content spreads a hot key evenly
     val salted = probe.withColumn("__salt",
-      pmod(xxhash64(probe.columns.map(col): _*), lit(saltFactor)))
+      pmod(xxhash64(probe.columns.map(col).toSeq: _*), lit(saltFactor)))
     val replicated = build
       .withColumn("__salt0", explode(sequence(lit(0), lit(saltFactor - 1))))
       .withColumn("__salt", col("__salt0").cast("long"))

@@ -71,14 +71,38 @@ object AdvancedQueries {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
 
+  /** Time-range self-join: same-user event pairs within 6 hours —
+    * banded equi-join ([[graft.ops.RangeJoin]]), no nested loop.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val sixHoursUs = 6L * 3600 * 1000000
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+    graft.ops.RangeJoin.selfPairsWithin(ev, Seq("user_id"), "ts_us",
+        window = sixHoursUs, carryCols = Seq("event_id"))
+      .select(col("user_id"), col("event_id_a"), col("event_id_b"),
+        (col("ts_us_b") - col("ts_us_a")).as("gap_us"))
+      .orderBy(col("user_id"), col("event_id_a"), col("event_id_b"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_join" -> (rangeJoin _),
     "asof_join" -> (asofJoin _),
     "pivot_events" -> (pivotEvents _),
     "sample_deterministic" -> (sampleDeterministic _),
     "approx_distinct" -> (approxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "range_join" ->
+      """SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND epoch_us(b.ts) > epoch_us(a.ts)
+          AND epoch_us(b.ts) <= epoch_us(a.ts) + 21600000000
+         ORDER BY a.user_id, event_id_a, event_id_b""",
     "asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
            (SELECT max(epoch_us(c.ts)) FROM events c

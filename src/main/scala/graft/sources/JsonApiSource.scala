@@ -190,7 +190,7 @@ object JsonApiFlatten {
     val out = mutable.LinkedHashMap.empty[String, JsonNode]
     def walk(n: JsonNode, prefix: String): Unit =
       if (n.isObject) {
-        n.fields().asScala.foreach { e =>
+        n.properties().asScala.foreach { e =>
           walk(e.getValue,
             if (prefix.isEmpty) e.getKey else s"${prefix}_${e.getKey}")
         }
