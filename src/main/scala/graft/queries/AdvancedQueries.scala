@@ -86,8 +86,25 @@ object AdvancedQueries {
       .orderBy(col("user_id"), col("event_id_a"), col("event_id_b"))
   }
 
+  /** Custom typed UDAF: SpaceSaving top-3 event types per user
+    * (capacity 32 ≥ 5 distinct types ⇒ exact, hence oracle-checkable;
+    * at true scale the capacity bound is what keeps per-group state
+    * constant).
+    */
+  def topkFreq(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKFreq.topk_freq
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(topk_freq(col("event_type"), k = 3, capacity = 32).as("items"))
+      .select(col("user_id"), posexplode(col("items")).as(Seq("pos", "it")))
+      .select(col("user_id"), (col("pos") + 1).as("rnk"),
+        col("it.item").as("etype"), col("it.cnt").as("cnt"))
+      .orderBy(col("user_id"), col("rnk"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_freq" -> (topkFreq _),
     "range_join" -> (rangeJoin _),
     "asof_join" -> (asofJoin _),
     "pivot_events" -> (pivotEvents _),
@@ -95,6 +112,13 @@ object AdvancedQueries {
     "approx_distinct" -> (approxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "topk_freq" ->
+      """SELECT user_id, rnk, event_type AS etype, n AS cnt FROM (
+           SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rnk
+           FROM events GROUP BY user_id, event_type)
+         WHERE rnk <= 3 ORDER BY user_id, rnk""",
     "range_join" ->
       """SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b,
            epoch_us(b.ts) - epoch_us(a.ts) AS gap_us

@@ -102,7 +102,16 @@ object ScaleQueries {
               srp_bucket(col("embedding"), bits, seed = 42L + tb)
                 .as("bucket"))): _*)).as("tb"))
         .select(col(idAs), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val queries = buckets(emb.filter(col("vec_id") % 20 === 0), "qid")
+    // multi-probe: each query also probes the `bits` single-bit-flip
+    // neighbor buckets of its own — recall of near-boundary neighbors
+    // without more tables (probe count scales the candidate set, not
+    // the corpus-side index)
+    def probed(df: DataFrame): DataFrame =
+      df.select(col("qid"), col("tbl"),
+        explode(array((Seq(col("bucket")) ++
+          (0 until bits).map(b => col("bucket").bitwiseXOR(lit(1L << b)))): _*))
+          .as("bucket"))
+    val queries = probed(buckets(emb.filter(col("vec_id") % 20 === 0), "qid"))
     val corpus = buckets(graft.ops.Dedup.spread(emb), "cid")
     val candidates = corpus.join(broadcast(queries), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))

@@ -75,6 +75,24 @@ class AdvancedSpec extends AnyFunSuite {
     assert(j > 0.3 && j < 1.0)
   }
 
+  test("TopKFreq sketch: capacity-bounded state, exact when capacity suffices") {
+    val agg = new functions.TopKFreq(2, 3)
+    // stream with 5 distinct items through capacity 3: state never
+    // exceeds capacity, heavy hitter survives
+    val items = Seq.fill(50)("hot") ++ Seq("a", "b", "c", "d") ++
+      Seq.fill(20)("warm")
+    val buf = items.foldLeft(agg.zero)(agg.reduce)
+    assert(buf.size <= 3)
+    val top = agg.finish(buf)
+    assert(top.head.item == "hot" && top.head.cnt >= 50)
+    assert(top(1).item == "warm")
+    // merge associativity on split streams (exact case)
+    val (l, r) = items.splitAt(25)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged).head.item == "hot")
+  }
+
   test("GraftSession.local builds a usable session") {
     // same JVM: getOrCreate returns the shared session; just assert
     // the required confs are applied to the builder path

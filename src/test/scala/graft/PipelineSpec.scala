@@ -55,6 +55,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("partitioned sink layout enables partition pruning on read") {
+    val tmp = Files.createTempDirectory("graft-prune").toString
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    ops.Sink.partitionedWindowLoad(events, "ts", s"$tmp/events")
+    val back = spark.read.parquet(s"$tmp/events")
+      .filter(col("ds") === "2024-01-05")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    // only the one day's directory is read
+    val expected = events
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05").count()
+    assert(back.count() == expected && expected > 0)
+  }
+
   test("append vs overwrite load semantics") {
     val tmp = Files.createTempDirectory("graft-sink").toString
     import spark.implicits._
