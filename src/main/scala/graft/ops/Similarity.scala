@@ -38,6 +38,55 @@ object Similarity {
     * carries (fp, id) pairs; hot fingerprints (boilerplate) are the
     * AQE-skew / salting case.
     */
+  /** IVF-style approximate nearest neighbors: a deterministic coarse
+    * quantizer (every `centroidEvery`-th vector serves as a centroid —
+    * a training-free stand-in for k-means that keeps the pipeline
+    * deterministic), inverted lists built by assigning each corpus
+    * vector to its nearest centroid, and queries probing the
+    * `nprobe` nearest lists.
+    *
+    * Scale shape: centroids broadcast (small); list assignment is one
+    * scan of the corpus; the probe join is an equi-join on list id, so
+    * per query only `nprobe` lists are re-ranked — sublinear like
+    * [[graft.queries.ScaleQueries.annLsh]] but with data-adaptive
+    * partitioning instead of random projections.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, centroidEvery: Int = 97,
+              nprobe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val centroids = emb.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_v"))
+
+    def nearestLists(df: DataFrame, idAs: String, vAs: String,
+                     n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("__csim").desc, col("centroid_id"))
+      df.join(broadcast(centroids))
+        .withColumn("__csim", cosine_sim(col(vAs), col("centroid_v")))
+        .withColumn("__crnk", row_number().over(w))
+        .filter(col("__crnk") <= n)
+        .select(col(idAs), col(vAs), col("centroid_id"))
+    }
+
+    val lists = nearestLists(
+      Dedup.spread(emb.select(col(idCol).as("cid"), col(vecCol).as("cv"))),
+      "cid", "cv", 1)
+    val probes = nearestLists(
+      emb.filter(queryPred).select(col(idCol).as("qid"), col(vecCol).as("qv")),
+      "qid", "qv", nprobe)
+
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_r").desc, col("cid"))
+    lists.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
+  }
+
   /** `maxDocsPerFp` drops fingerprints shared by more than that many
     * documents before the self-join: a boilerplate k-gram appearing in
     * thousands of docs contributes O(docs²) pairs while carrying no

@@ -129,6 +129,15 @@ object ScaleQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** IVF-style ANN: deterministic coarse quantizer + inverted lists +
+    * nprobe search ([[graft.ops.Similarity.ivfTopK]]). Rows-only.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.ivfTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", queryPred = col("vec_id") % 20 === 0,
+        k = 3, centroidEvery = 97, nprobe = 3)
+      .orderBy(col("qid"), col("rnk"))
+
   /** Embedding-cosine near-duplicate pairs over an id window —
     * exact, oracle-checked member of the embedding-dedup family
     * (LSH variant: [[annLsh]]).
@@ -164,6 +173,7 @@ object ScaleQueries {
     "ngram_jaccard" -> (ngramJaccard _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "embed_neardup" -> (embedNeardup _),
     "fingerprint_pairs" -> (fingerprintPairs _),
     "embed_norm" -> (embedNorm _))

@@ -85,6 +85,17 @@ class DedupSpec extends AnyFunSuite {
     assert(b(3L) == (~b(1L) & 0xFFFFL))
   }
 
+  test("ann_ivf recall vs brute force") {
+    val exact = graft.queries.ScaleQueries.annTopk(spark, sf)
+      .filter(col("rnk") === 1).select("qid", "cid").as[(Long, Long)]
+      .collect().toSet
+    val approx = graft.queries.ScaleQueries.annIvf(spark, sf)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val hit = exact.count(approx.contains)
+    info(s"ivf rank-1 recall: $hit/${exact.size}")
+    assert(approx.nonEmpty)
+  }
+
   test("ann_lsh recall vs brute force is nonzero and pairs are a subset") {
     val exact = graft.queries.ScaleQueries.annTopk(spark, sf)
       .filter(col("rnk") === 1).select("qid", "cid").as[(Long, Long)]
