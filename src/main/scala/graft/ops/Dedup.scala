@@ -148,6 +148,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-duplicate pair set — the
+    * cluster step that turns pairs into dedup groups (keep
+    * `cluster_id`, drop the rest). Iterative min-label propagation:
+    * each node adopts the minimum label in its neighborhood until
+    * fixpoint — the standard join-based CC (what GraphX/Pregel
+    * runs per superstep), O(diameter) rounds, each one equi-join +
+    * aggregate. The driver-side loop only reads a scalar
+    * convergence count per round.
+    *
+    * Input: (id_a, id_b) pairs. Output: (id, cluster_id) where
+    * cluster_id = min id of the component; only ids that appear in
+    * pairs are emitted (singletons are trivially their own cluster).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("newlabel"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = updated.filter(col("newlabel") =!= col("label")).isEmpty
+      val next = updated.select(col("id"), col("newlabel").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Exact character-n-gram Jaccard over an id-windowed pair set
     * (id_b − id_a ≤ `window`). The windowed variant exists to be
     * oracle-checkable (exact SQL semantics); unbounded near-dup at

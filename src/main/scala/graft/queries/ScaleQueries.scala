@@ -157,6 +157,18 @@ object ScaleQueries {
         t(s, dir, "documents"), "doc_id", "text", minShared = 5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Dedup clusters: connected components over the MinHash near-dup
+    * pairs — each near-duplicate group becomes one cluster keyed by
+    * its minimum doc id (keep that one, drop the rest). Rows-only
+    * (minhash pair set isn't SQL-expressible); CC correctness is
+    * union-find-checked in DedupSpec.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.7))
+      .orderBy(col("id"))
+
   /** Vector L2 norms via the native dot-product expression. */
   def embedNorm(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -175,6 +187,7 @@ object ScaleQueries {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "embed_neardup" -> (embedNeardup _),
+    "dedup_clusters" -> (dedupClusters _),
     "fingerprint_pairs" -> (fingerprintPairs _),
     "embed_norm" -> (embedNorm _))
 

@@ -61,6 +61,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.9))
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 60).map(_ => (rnd.nextInt(40).toLong,
+      rnd.nextInt(40).toLong)).filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val df = pairs.toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = nodes.map(n => n -> find(n)).toMap
+    assert(got == want)
+  }
+
   test("cosine_sim: unit vectors and orthogonality") {
     val df = Seq(
       (Array(1f, 0f), Array(1f, 0f), 1.0),
