@@ -178,17 +178,21 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val updated = labels
+      // one materialization per round: the convergence flag rides along
+      // as a column and is read off the same cached frame
+      val next = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), col("label"),
+        .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("newlabel"))
+            .as("newlabel"),
+          (coalesce(col("nlabel"), col("label")) < col("label"))
+            .cast("long").as("__chg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = updated.filter(col("newlabel") =!= col("label")).isEmpty
-      val next = updated.select(col("id"), col("newlabel").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changes = next.agg(sum(col("__chg"))).first().getLong(0)
+      converged = changes == 0L
+      val relabeled = next.select(col("id"), col("newlabel").as("label"))
       labels.unpersist()
-      labels = next
+      labels = relabeled
       iter += 1
     }
     labels.select(col("id"), col("label").as("cluster_id"))
