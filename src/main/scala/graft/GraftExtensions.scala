@@ -30,12 +30,14 @@ object GraftExtensions {
   /** name → expression builder for every SQL-exposed graft function. */
   val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> ((args: Seq[Expression]) =>
-      CosineSimExpr(args(0), args(1))),
+      CosineSimExpr(dsl.asFloatArray(args(0)), dsl.asFloatArray(args(1)))),
     "dot_product" -> ((args: Seq[Expression]) =>
-      DotProductExpr(args(0), args(1))),
-    "simhash64" -> ((args: Seq[Expression]) => SimHash64Expr(args(0))),
+      DotProductExpr(dsl.asFloatArray(args(0)), dsl.asFloatArray(args(1)))),
+    "simhash64" -> ((args: Seq[Expression]) =>
+      SimHash64Expr(dsl.asLongArray(args(0)))),
     "token_hashes" -> ((args: Seq[Expression]) => TokenHashesExpr(args(0))),
-    "minhash_sig" -> ((args: Seq[Expression]) => MinHashSigExpr(args(0),
+    "minhash_sig" -> ((args: Seq[Expression]) => MinHashSigExpr(
+      dsl.asLongArray(args(0)),
       intArg(args(1), "numHashes"),
       if (args.length > 2) intArg(args(2), "seed").toLong
       else dsl.DefaultSeed)),
@@ -46,7 +48,7 @@ object GraftExtensions {
     "winnow_fps" -> ((args: Seq[Expression]) =>
       WinnowExpr(args(0), intArg(args(1), "k"), intArg(args(2), "w"))),
     "srp_bucket" -> ((args: Seq[Expression]) =>
-      SrpBucketExpr(args(0), intArg(args(1), "bits"),
+      SrpBucketExpr(dsl.asFloatArray(args(0)), intArg(args(1), "bits"),
         if (args.length > 2) intArg(args(2), "seed").toLong
         else dsl.DefaultSeed)),
     "sorted_intersect_count" -> ((args: Seq[Expression]) =>

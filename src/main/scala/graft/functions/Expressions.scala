@@ -167,24 +167,39 @@ case class SrpBucketExpr(child: Expression, bits: Int, seed: Long)
 object dsl {
   val DefaultSeed = 42L
 
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+
+  /** The expressions read ArrayData with typed getters, so a
+    * wrong-typed child (e.g. SQL's default array<double> literals)
+    * would yield garbage; inserting a Cast makes the analyzer coerce
+    * or fail loudly instead.
+    */
+  private[graft] def asFloatArray(e: Expression): Expression =
+    Cast(e, ArrayType(FloatType))
+  private[graft] def asLongArray(e: Expression): Expression =
+    Cast(e, ArrayType(LongType))
+
   def minhash_sig(c: Column, numHashes: Int, seed: Long = DefaultSeed): Column =
     ExpressionUtils.column(
-      MinHashSigExpr(ExpressionUtils.expression(c), numHashes, seed))
+      MinHashSigExpr(asLongArray(ExpressionUtils.expression(c)), numHashes, seed))
 
   def simhash64(c: Column): Column =
-    ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(c)))
+    ExpressionUtils.column(SimHash64Expr(asLongArray(ExpressionUtils.expression(c))))
 
   def cosine_sim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimExpr(
-      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+      asFloatArray(ExpressionUtils.expression(a)),
+      asFloatArray(ExpressionUtils.expression(b))))
 
   def dot_product(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductExpr(
-      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+      asFloatArray(ExpressionUtils.expression(a)),
+      asFloatArray(ExpressionUtils.expression(b))))
 
   def srp_bucket(c: Column, bits: Int, seed: Long = DefaultSeed): Column =
     ExpressionUtils.column(
-      SrpBucketExpr(ExpressionUtils.expression(c), bits, seed))
+      SrpBucketExpr(asFloatArray(ExpressionUtils.expression(c)), bits, seed))
 
   def shingle_set(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleSetExpr(ExpressionUtils.expression(text), n))

@@ -118,20 +118,30 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature, pigeonhole-banded
-    * candidate generation (4 × 16-bit bands ⇒ every pair with Hamming
-    * distance ≤ 3 shares at least one exact band), verified with
-    * `bit_count(xor) <= maxHamming`.
+    * candidate generation (maxHamming+1 bands ⇒ every pair with
+    * Hamming distance ≤ maxHamming shares at least one exact band, so
+    * candidate generation is complete for the requested radius),
+    * verified with `bit_count(xor) <= maxHamming`.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val base = spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), simhash64(token_hashes(col("__text"))).as("sig"))
 
-    val nBands = 4 // 16 bits each; pigeonhole bound for maxHamming ≤ 3
-    val bandStructs = array((0 until nBands).map(b =>
+    // pigeonhole: maxHamming+1 bands guarantee any pair with Hamming
+    // distance ≤ maxHamming agrees on at least one full band; band
+    // widths split the 64 bits as evenly as possible
+    val nBands = maxHamming + 1
+    require(nBands <= 64, "maxHamming must be < 64")
+    val widths = Array.tabulate(nBands)(b => 64 / nBands +
+      (if (b < 64 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandStructs = array((0 until nBands).map { b =>
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
       struct(lit(b).as("band_idx"),
-        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))
-          .as("band_val"))): _*)
+        shiftrightunsigned(col("sig"), offsets(b)).bitwiseAND(lit(mask))
+          .as("band_val"))
+    }: _*)
     val banded = base
       .select(col("id"), col("sig"), explode(bandStructs).as("band"))
       .select(col("id"), col("sig"),
@@ -170,7 +180,7 @@ object Dedup {
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var persisted: Option[DataFrame] = None
 
     var converged = false
     var iter = 0
@@ -190,11 +200,15 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val changes = next.agg(sum(col("__chg"))).first().getLong(0)
       converged = changes == 0L
-      val relabeled = next.select(col("id"), col("newlabel").as("label"))
-      labels.unpersist()
-      labels = relabeled
+      // unpersist the frame that was actually cached last round (a
+      // projection of it would be a no-op unpersist)
+      persisted.foreach(_.unpersist())
+      persisted = Some(next)
+      labels = next.select(col("id"), col("newlabel").as("label"))
       iter += 1
     }
+    // labels is a projection over the last persisted round; collect the
+    // result shape and release the iteration caches
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -68,14 +68,15 @@ object TextOps {
     */
   def qualityScoreE4(text: Column): Column = {
     val len = greatest(length(text), lit(1)).cast("long")
-    val nt = greatest(tokenCount(text), lit(1)).cast("long")
+    val tc = tokenCount(text).cast("long") // true count: 0 for blank docs
+    val nt = greatest(tc, lit(1)) // floored only as a denominator
     val p = (length(text) - length(regexp_replace(text, "[.,;:!?]", "")))
       .cast("long")
     val s = {
       val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
       size(filter(toks, t => t.isInCollection(Stopwords))).cast("long")
     }
-    val minNt = least(nt, lit(100L))
+    val minNt = least(tc, lit(100L))
     val min5s = least(s * 5L, nt)
     val n10 = lit(4L) * minNt * len * nt + lit(300L) * (len - p) * nt +
       lit(300L) * min5s * len
@@ -110,8 +111,10 @@ object TextOps {
     val cases = scores.zipWithIndex.map { case ((lang, s), i) =>
       val beatsEarlier = scores.take(i).map { case (_, s2) => s > s2 }
       val beatsLater = scores.drop(i + 1).map { case (_, s2) => s >= s2 }
+      // a language needs at least one marker hit — zero evidence is
+      // 'und', not the first-declared language
       val cond = (beatsEarlier ++ beatsLater)
-        .foldLeft(lit(true))((a, b) => a && b)
+        .foldLeft(s > 0)((a, b) => a && b)
       (cond, lit(lang))
     }
     cases.foldRight(lit("und"): Column) { case ((cond, lang), acc) =>

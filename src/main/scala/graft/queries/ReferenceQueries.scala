@@ -211,7 +211,9 @@ object ReferenceQueries {
 
   // ------------------------------------------------------------------ §2.3
   /** Set ops the reference lacks (∅ in SURVEY §2.3) but a complete
-    * engine provides: users who clicked but never purchased.
+    * engine provides: users who clicked, minus users with a late-
+    * window error event (the filters keep both sides non-degenerate
+    * at every scale factor).
     */
   def setExcept(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")

@@ -107,6 +107,8 @@ object TextQueries {
       """WITH s AS (
            SELECT doc_id,
              greatest(length(text), 1)::BIGINT AS len,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> len(x) > 0))::BIGINT AS tc,
              greatest(len(list_filter(regexp_split_to_array(text, '\s+'),
                                       x -> len(x) > 0)), 1)::BIGINT AS nt,
              (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS p,
@@ -115,7 +117,7 @@ object TextQueries {
                              x -> x IN ('the','a','of','and','to','in','is','it')))::BIGINT AS sw
            FROM documents),
          n AS (SELECT doc_id,
-                 4 * least(nt, 100) * len * nt
+                 4 * least(tc, 100) * len * nt
                    + 300 * (len - p) * nt
                    + 300 * least(sw * 5, nt) * len AS n10,
                  1000 * len * nt AS d10
@@ -133,7 +135,7 @@ object TextQueries {
            FROM documents)
          SELECT doc_id, lang,
            CASE
-             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
              WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
              WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
              WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'

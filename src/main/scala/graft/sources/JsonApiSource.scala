@@ -281,7 +281,13 @@ object JsonApiFilters {
           java.lang.Long.compare(n.asLong(), value.toString.toLong)
         case Some(DoubleType) =>
           java.lang.Double.compare(n.asDouble(), value.toString.toDouble)
-        case _ => n.asText().compareTo(value.toString)
+        case _ =>
+          // binary UTF-8 order, matching Spark's UTF8String collation
+          // (Java String.compareTo is UTF-16 code-unit order and
+          // disagrees beyond the BMP)
+          org.apache.spark.unsafe.types.UTF8String.fromString(n.asText())
+            .compareTo(
+              org.apache.spark.unsafe.types.UTF8String.fromString(value.toString))
       }
     }
 }

@@ -16,8 +16,11 @@ import graft.SparkEntry
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = args.drop(1).toSeq
+    // the sfDir argument is a path; any non-path argument (including a
+    // leading "jsonapi") is a query name
+    val (dirs, names0) = args.toSeq.partition(_.startsWith("/"))
+    val sfDir = dirs.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = names0
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -29,18 +29,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m("f") > m("g"))
   }
 
-  test("langId picks the marker-dominant language, en wins ties") {
+  test("langId picks the marker-dominant language; no evidence → und") {
     val df = Seq(
       ("den", "the cat and the dog of the house"),
       ("dde", "der hund und die katze ist nicht hier"),
       ("des", "el perro que la casa los gatos una"),
       ("dfr", "le chien les chats des maisons est une"),
-      ("tie", "zzz yyy xxx")).toDF("id", "text")
+      ("non", "zzz yyy xxx"),
+      ("tie", "the der zzz")).toDF("id", "text") // en/de tie → en (priority)
     val m = df.select(col("id"), TextOps.langId(col("text")).as("l"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(m("den") == "en"); assert(m("dde") == "de")
     assert(m("des") == "es"); assert(m("dfr") == "fr")
-    assert(m("tie") == "en") // all scores 0 → first priority wins
+    assert(m("non") == "und") // zero marker hits → undetermined
+    assert(m("tie") == "en")
   }
 
   test("winnowing fingerprints: identical docs share all fps; stable") {
