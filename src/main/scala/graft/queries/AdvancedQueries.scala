@@ -86,6 +86,18 @@ object AdvancedQueries {
       .orderBy(col("user_id"), col("event_id_a"), col("event_id_b"))
   }
 
+  /** Unpivot (melt): the per-user type-count matrix back to long form
+    * — inverse of [[pivotEvents]], zero-shuffle over its input.
+    */
+  def unpivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    pivotEvents(s, dir)
+      .unpivot(Array(col("user_id")), types.map(col).toArray,
+        "event_type", "n")
+      .filter(col("n") > 0)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Custom typed UDAF: SpaceSaving top-3 event types per user
     * (capacity 32 ≥ 5 distinct types ⇒ exact, hence oracle-checkable;
     * at true scale the capacity bound is what keeps per-group state
@@ -105,6 +117,7 @@ object AdvancedQueries {
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "topk_freq" -> (topkFreq _),
+    "unpivot_events" -> (unpivotEvents _),
     "range_join" -> (rangeJoin _),
     "asof_join" -> (asofJoin _),
     "pivot_events" -> (pivotEvents _),
@@ -112,6 +125,11 @@ object AdvancedQueries {
     "approx_distinct" -> (approxDistinct _))
 
   val oracle: Map[String, String] = Map(
+    "unpivot_events" ->
+      """SELECT user_id, event_type, count(*) AS n
+         FROM events GROUP BY user_id, event_type
+         HAVING count(*) > 0
+         ORDER BY user_id, event_type""",
     "topk_freq" ->
       """SELECT user_id, rnk, event_type AS etype, n AS cnt FROM (
            SELECT user_id, event_type, count(*) AS n,
