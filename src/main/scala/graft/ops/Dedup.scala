@@ -33,6 +33,19 @@ object Dedup {
     if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
   }
 
+  /** Eagerly compute `df` into executor-local storage and truncate its
+    * lineage (`localCheckpoint`). Used to pin the SMALL output of a
+    * pipeline stage (candidate pairs, cluster labels) so the LARGE
+    * upstream cache (signature/fingerprint tables over the full corpus)
+    * can be released immediately instead of leaking for the session —
+    * the round-2 bench regression was exactly such leaked
+    * MEMORY_AND_DISK frames piling up. On a multi-tenant cluster swap
+    * `localCheckpoint` for a reliable `checkpoint` dir (localCheckpoint
+    * partitions die with their executor); the blocks here are reclaimed
+    * by the ContextCleaner once the frame is unreferenced.
+    */
+  def materialize(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+
   /** Lowercased word tokens, empty tokens removed (HOF form — used by
     * the text operators; the dedup hot path uses the native kernels
     * below instead).
@@ -109,12 +122,18 @@ object Dedup {
       .distinct()
 
     val sets = base.select(col("id"), col("sh"))
-    candidates
+    val pairs = candidates
       .join(sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
       .withColumn("jaccard", sorted_jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // pin the small pair set, then release the corpus-sized signature
+    // cache — returning a plan that still referenced `base` would leak
+    // it for the whole session (it has no later unpersist point)
+    val out = materialize(pairs)
+    base.unpersist()
+    out
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature, pigeonhole-banded
@@ -160,56 +179,162 @@ object Dedup {
 
   /** Connected components over a near-duplicate pair set — the
     * cluster step that turns pairs into dedup groups (keep
-    * `cluster_id`, drop the rest). Iterative min-label propagation:
-    * each node adopts the minimum label in its neighborhood until
-    * fixpoint — the standard join-based CC (what GraphX/Pregel
-    * runs per superstep), O(diameter) rounds, each one equi-join +
-    * aggregate. The driver-side loop only reads a scalar
-    * convergence count per round.
+    * `cluster_id`, drop the rest).
+    *
+    * Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each
+    * round rewrites the edge set so nodes point at ever-smaller
+    * neighborhood minima; the graph contracts to per-component stars in
+    * O(log²-ish) rounds — in practice a handful — independent of
+    * component DIAMETER. The previous min-label-propagation loop here
+    * needed O(diameter) rounds (each a join+agg+action) and showed 4.7×
+    * run-to-run wall-time variance at sf0.1; star contraction runs the
+    * same equi-join/aggregate primitives but converges
+    * diameter-independently, which is what survives chain-shaped
+    * near-dup clusters at 100 TB.
+    *
+    * Each round is groupBy(min) + equi-join on the current edge set;
+    * every round's edge set is persisted, the convergence probe is one
+    * (count, hash-sum) aggregate on it, and the previous round is
+    * unpersisted immediately — nothing leaks past the call (the final
+    * label set is pinned via [[materialize]] and all iteration caches
+    * are released before returning).
+    *
+    * Once the (geometrically shrinking) edge frontier fits
+    * `localFinishEdges`, the remainder is collected and finished with
+    * driver-side union-find: each distributed round is a fixed
+    * plan-compile + job-scheduling cost (~seconds) regardless of data
+    * size, so paying O(log n) more rounds to contract a graph that
+    * already fits in one task is pure overhead. The collect is BOUNDED
+    * by the threshold — never corpus-proportional — and the distributed
+    * rounds above it are the 100 TB path (a billion-edge near-dup graph
+    * never crosses the threshold and runs star rounds to fixpoint).
     *
     * Input: (id_a, id_b) pairs. Output: (id, cluster_id) where
     * cluster_id = min id of the component; only ids that appear in
     * pairs are emitted (singletons are trivially their own cluster).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          localFinishEdges: Long = 100000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val spark = pairs.sparkSession
+    val idType = pairs.schema.head.dataType
+
+    // bounded driver-side coda: union-find with min-root merging (the
+    // smaller root wins, so every root is its component's min id)
+    def localFinish(rows: Array[(Long, Long)]): DataFrame = {
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      rows.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      parent.keys.toSeq.sorted.map(k => (k, find(k)))
+        .toDF("id", "cluster_id")
+        .select(col("id").cast(idType).as("id"),
+          col("cluster_id").cast(idType).as("cluster_id"))
+    }
+
+    // large-star: every node attaches its strictly-LARGER neighbors to
+    // the minimum of its closed neighborhood. Operates on symmetric
+    // (src,dst); emits (v, m) for v ∈ N(u), v > u, m = min(N(u) ∪ {u}).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src"))
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      // no distinct here: duplicates are bounded by |sym| and the
+      // round's closing small-star distinct removes them — one fewer
+      // shuffle per round
+      sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+    }
+
+    // small-star: orient each edge large→small, then every node
+    // attaches itself and its (all smaller) neighbors to their minimum.
+    def smallStar(e: DataFrame): DataFrame = {
+      val canon = e.select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val withMin = canon.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val nbrs = canon.join(withMin, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      nbrs.union(withMin.select(col("src"), col("m").as("dst"))).distinct()
+    }
+
+    // fingerprint of an edge set for the fixpoint test: cardinality +
+    // order-independent hash-sum, read in ONE aggregate per round
+    // (decimal accumulator: ANSI mode makes sum(long) throw on overflow)
+    def probe(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).first()
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+
+    // initial edge set is NOT persisted/probed: round 1 reads it once
+    // (twice narrowly, for the symmetric union) straight off the
+    // materialized pair set — convergence compares consecutive ROUND
+    // signatures, so the fixpoint needs one confirming round rather
+    // than an extra up-front materialization job
+    var edges = pairs
+      .select(col("id_b").as("src"), col("id_a").as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // small-graph short-circuit: one truncated collect (bounded by the
+    // threshold — `limit` stops the fetch, so a huge edge set ships at
+    // most threshold+1 rows to the driver, not the full set)
+    if (localFinishEdges > 0) {
+      val head = edges
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .limit((localFinishEdges + 1).toInt).collect()
+      if (head.length <= localFinishEdges)
+        return localFinish(head.map(r => (r.getLong(0), r.getLong(1))))
+    }
+
     var persisted: Option[DataFrame] = None
-
+    var sig: Option[(Long, BigDecimal)] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      // one materialization per round: the convergence flag rides along
-      // as a column and is read off the same cached frame
-      val next = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("newlabel"),
-          (coalesce(col("nlabel"), col("label")) < col("label"))
-            .cast("long").as("__chg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changes = next.agg(sum(col("__chg"))).first().getLong(0)
-      converged = changes == 0L
-      // unpersist the frame that was actually cached last round (a
-      // projection of it would be a no-op unpersist)
+      val t0 = System.nanoTime()
+      val next = smallStar(largeStar(edges)).persist(StorageLevel.MEMORY_AND_DISK)
+      val nsig = probe(next)      // also materializes `next`
       persisted.foreach(_.unpersist())
       persisted = Some(next)
-      labels = next.select(col("id"), col("newlabel").as("label"))
+      edges = next
+      converged = sig.contains(nsig) || nsig._1 == 0L
+      sig = Some(nsig)
       iter += 1
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(s"[graft.cc] round $iter edges=${nsig._1} " +
+          s"converged=$converged ms=${(System.nanoTime() - t0) / 1000000}")
+      // the frontier only shrinks: as soon as it fits the local budget,
+      // finish there instead of paying more driver-synchronized rounds
+      if (!converged && localFinishEdges > 0 && nsig._1 <= localFinishEdges) {
+        val rest = edges.select(col("src").cast("long"), col("dst").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        persisted.foreach(_.unpersist())
+        return localFinish(rest)
+      }
     }
-    // labels is a projection over the last persisted round; collect the
-    // result shape and release the iteration caches
-    labels.select(col("id"), col("label").as("cluster_id"))
+    // at fixpoint `edges` is per-component stars (child → root); roots
+    // appear only on the dst side and label themselves
+    val labels = edges.select(col("src").as("id"), col("dst").as("cluster_id"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("cluster_id")))
+      .distinct()
+    val out = materialize(labels)
+    persisted.foreach(_.unpersist())
+    out
   }
 
   /** Exact character-n-gram Jaccard over an id-windowed pair set

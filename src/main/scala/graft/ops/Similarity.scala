@@ -103,10 +103,14 @@ object Similarity {
       .filter(col("__docs") <= maxDocsPerFp)
       .drop("__docs")
     val pruned = fps.join(rare, Seq("fp"))
-    pruned.as("a").join(pruned.as("b"),
+    val pairs = pruned.as("a").join(pruned.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    // pin the small pair set, release the corpus-sized fingerprint cache
+    val out = graft.ops.Dedup.materialize(pairs)
+    fps.unpersist()
+    out
   }
 }

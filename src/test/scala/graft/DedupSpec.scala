@@ -67,8 +67,14 @@ class DedupSpec extends AnyFunSuite {
       rnd.nextInt(40).toLong)).filter(p => p._1 != p._2)
       .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
     val df = pairs.toDF("id_a", "id_b")
+    // exercise BOTH paths: the bounded driver-side union-find coda and
+    // the distributed large-star/small-star rounds (forced via
+    // localFinishEdges = 0)
     val got = Dedup.connectedComponents(df).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotDistributed =
+      Dedup.connectedComponents(df, localFinishEdges = 0L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // brute-force union-find
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
@@ -82,6 +88,7 @@ class DedupSpec extends AnyFunSuite {
     val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
     val want = nodes.map(n => n -> find(n)).toMap
     assert(got == want)
+    assert(gotDistributed == want)
   }
 
   test("cosine_sim: unit vectors and orthogonality") {
