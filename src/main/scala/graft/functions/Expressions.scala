@@ -147,6 +147,29 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** Ids of the `n` nearest codebook centroids by cosine (scan-stage IVF
+  * list assignment — see [[Kernels.nearestCentroids]]). `cents`/`ids`
+  * are foldable codebook literals, so codegen references them as
+  * constants; only `vec` varies per row.
+  */
+case class NearestCentroidsExpr(vec: Expression, cents: Expression,
+                                ids: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = vec
+  override def second: Expression = cents
+  override def third: Expression = ids
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any, c: Any, i: Any): Any =
+    Kernels.nearestCentroids(v.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], i.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, c, i) => s"graft.functions.Kernels.nearestCentroids($v, $c, $i, $n)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): NearestCentroidsExpr = copy(vec = f, cents = s, ids = t)
+  override def prettyName: String = "nearest_centroids"
+}
+
 /** Signed-random-projection LSH bucket id for an array<float>. */
 case class SrpBucketExpr(child: Expression, bits: Int, seed: Long)
     extends UnaryExpression {
@@ -196,6 +219,15 @@ object dsl {
     ExpressionUtils.column(DotProductExpr(
       asFloatArray(ExpressionUtils.expression(a)),
       asFloatArray(ExpressionUtils.expression(b))))
+
+  /** `cents` must be an array<array<float>> literal, `ids` a parallel
+    * array<long> literal (the IVF codebook).
+    */
+  def nearest_centroids(v: Column, cents: Column, ids: Column, n: Int): Column =
+    ExpressionUtils.column(NearestCentroidsExpr(
+      asFloatArray(ExpressionUtils.expression(v)),
+      Cast(ExpressionUtils.expression(cents), ArrayType(ArrayType(FloatType))),
+      asLongArray(ExpressionUtils.expression(ids)), n))
 
   def srp_bucket(c: Column, bits: Int, seed: Long = DefaultSeed): Column =
     ExpressionUtils.column(

@@ -270,6 +270,44 @@ object Kernels {
     c
   }
 
+  /** Ids of the `n` nearest centroids to `v` by cosine similarity
+    * (ties → smaller id first), over a LITERAL codebook
+    * (array<array<float>> + parallel array<long> of ids). One pass, no
+    * allocation beyond the n-slot result — this is IVF list assignment
+    * as a scan-stage argmax instead of a corpus×centroids join + window
+    * (which shuffles and sorts n×|codebook| rows to keep one). NaN
+    * similarities (zero-norm or dim-mismatch vectors) are skipped.
+    */
+  def nearestCentroids(v: ArrayData, cents: ArrayData, ids: ArrayData,
+                       n: Int): ArrayData = {
+    val m = cents.numElements()
+    val k = math.min(n, m)
+    if (k <= 0) return new GenericArrayData(new Array[Long](0))
+    val topSim = new Array[Double](k)
+    val topId = new Array[Long](k)
+    var filled = 0
+    var i = 0
+    while (i < m) {
+      val s = cosine(v, cents.getArray(i))
+      if (!java.lang.Double.isNaN(s)) {
+        val id = ids.getLong(i)
+        // insertion position in (sim desc, id asc) order
+        var pos = filled
+        while (pos > 0 && (topSim(pos - 1) < s ||
+            (topSim(pos - 1) == s && topId(pos - 1) > id))) pos -= 1
+        if (pos < k) {
+          var j = math.min(filled, k - 1)
+          while (j > pos) { topSim(j) = topSim(j - 1); topId(j) = topId(j - 1); j -= 1 }
+          topSim(pos) = s
+          topId(pos) = id
+          if (filled < k) filled += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(topId, filled))
+  }
+
   /** Random-hyperplane LSH bucket for a float vector: `bits` sign bits,
     * hyperplane components drawn from fixed SplitMix64 streams (Gaussian
     * via Box-Muller is unnecessary — sign of a symmetric ±1 projection

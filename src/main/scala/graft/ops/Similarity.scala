@@ -41,45 +41,49 @@ object Similarity {
   /** IVF-style approximate nearest neighbors: a deterministic coarse
     * quantizer (every `centroidEvery`-th vector serves as a centroid —
     * a training-free stand-in for k-means that keeps the pipeline
-    * deterministic), inverted lists built by assigning each corpus
-    * vector to its nearest centroid, and queries probing the
-    * `nprobe` nearest lists.
+    * deterministic, capped at `maxCentroids`), inverted lists built by
+    * assigning each corpus vector to its nearest centroid, and queries
+    * probing the `nprobe` nearest lists.
     *
-    * Scale shape: centroids broadcast (small); list assignment is one
-    * scan of the corpus; the probe join is an equi-join on list id, so
-    * per query only `nprobe` lists are re-ranked — sublinear like
-    * [[graft.queries.ScaleQueries.annLsh]] but with data-adaptive
-    * partitioning instead of random projections.
+    * Scale shape: the codebook is collected once via a distributed
+    * top-`maxCentroids` (bounded — this is the "train the quantizer"
+    * step every IVF index has; a codebook is small BY DESIGN, e.g.
+    * 2^12..2^16 entries, never corpus-proportional) and embedded as a
+    * literal, so list assignment is a scan-stage argmax
+    * ([[graft.functions.Kernels.nearestCentroids]]) with ZERO shuffle
+    * between the corpus scan and its list id — previously this was a
+    * corpus×centroids broadcast join + row_number window, i.e. a full
+    * shuffle+sort of n×|codebook| rows. The probe join is an equi-join
+    * on list id, so per query only `nprobe` lists are re-ranked.
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, centroidEvery: Int = 97,
-              nprobe: Int = 3): DataFrame = {
+              nprobe: Int = 3, maxCentroids: Int = 1 << 14): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    val centroids = emb.filter(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_v"))
+    // distributed TakeOrdered: the driver receives at most maxCentroids
+    // (id, vector) rows regardless of corpus size
+    val codebook = emb.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).cast("long").as("centroid_id"),
+        col(vecCol).cast("array<float>").as("centroid_v"))
+      .orderBy(col("centroid_id")).limit(maxCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centsLit = typedLit(codebook.map(_._2).toSeq)
+    val idsLit = typedLit(codebook.map(_._1).toSeq)
+    def nearest(v: Column, n: Int): Column =
+      nearest_centroids(v, centsLit, idsLit, n)
 
-    def nearestLists(df: DataFrame, idAs: String, vAs: String,
-                     n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idAs))
-        .orderBy(col("__csim").desc, col("centroid_id"))
-      df.join(broadcast(centroids))
-        .withColumn("__csim", cosine_sim(col(vAs), col("centroid_v")))
-        .withColumn("__crnk", row_number().over(w))
-        .filter(col("__crnk") <= n)
-        .select(col(idAs), col(vAs), col("centroid_id"))
-    }
-
-    val lists = nearestLists(
-      Dedup.spread(emb.select(col(idCol).as("cid"), col(vecCol).as("cv"))),
-      "cid", "cv", 1)
-    val probes = nearestLists(
-      emb.filter(queryPred).select(col(idCol).as("qid"), col(vecCol).as("qv")),
-      "qid", "qv", nprobe)
+    val lists = Dedup.spread(
+        emb.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+      .withColumn("centroid_id", try_element_at(nearest(col("cv"), 1), lit(1)))
+    val probes = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("centroid_id", explode(nearest(col("qv"), nprobe)))
 
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim_r").desc, col("cid"))
-    lists.join(broadcast(probes), Seq("centroid_id"))
+    lists.join(Hints.maybeBroadcast(probes), Seq("centroid_id"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
       .withColumn("rnk", row_number().over(w))

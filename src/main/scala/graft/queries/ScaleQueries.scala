@@ -59,8 +59,12 @@ object ScaleQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   /** Brute-force cosine top-5 per query vector (every 20th vector is a
-    * query). The query side is broadcast; the corpus is scanned once —
-    * at 100 TB this is the exact-baseline path, with [[annLsh]] as the
+    * query). The corpus is scanned with the query side broadcast in
+    * BOUNDED chunks ([[graft.ops.Hints.chunkedBroadcastThetaJoin]]):
+    * under the size bound this is one BroadcastNestedLoopJoin (the
+    * sf0.1 plan); past it the query set — which grows with the corpus
+    * — is hash-chunked so no single broadcast scales with the data. At
+    * 100 TB this is the exact-baseline path, with [[annLsh]] as the
     * sublinear approximate path. Ranking is on the 4-dp-rounded
     * similarity with id tie-break so both engines order identically.
     */
@@ -72,7 +76,8 @@ object ScaleQueries {
       emb.select(col("vec_id").as("cid"), col("embedding").as("cv")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim_r").desc, col("cid"))
-    corpus.join(broadcast(queries), col("qid") =!= col("cid"))
+    graft.ops.Hints.chunkedBroadcastThetaJoin(corpus, queries,
+        chunkKey = col("qid"), cond = col("qid") =!= col("cid"))
       .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
@@ -111,16 +116,22 @@ object ScaleQueries {
         explode(array((Seq(col("bucket")) ++
           (0 until bits).map(b => col("bucket").bitwiseXOR(lit(1L << b)))): _*))
           .as("bucket"))
+    // query-side frames are gated, not unconditionally broadcast: both
+    // grow with the corpus (5% of vectors), so past the size bound the
+    // planner falls back to a shuffle hash join on the equi-keys —
+    // correct at any scale, broadcast-fast while they fit
     val queries = probed(buckets(emb.filter(col("vec_id") % 20 === 0), "qid"))
     val corpus = buckets(graft.ops.Dedup.spread(emb), "cid")
-    val candidates = corpus.join(broadcast(queries), Seq("tbl", "bucket"))
+    val candidates = corpus
+      .join(graft.ops.Hints.maybeBroadcast(queries), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid")).distinct()
     val vecs = emb.select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim_r").desc, col("cid"))
     candidates
-      .join(broadcast(vecs.select(col("vec_id").as("qid"), col("embedding").as("qv"))), "qid")
+      .join(graft.ops.Hints.maybeBroadcast(
+        vecs.select(col("vec_id").as("qid"), col("embedding").as("qv"))), "qid")
       .join(vecs.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid")
       .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
       .withColumn("rnk", row_number().over(w))
