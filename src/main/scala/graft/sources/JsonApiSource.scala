@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
-import java.util.{Map => JMap}
+import java.util.{Map => JMap, OptionalLong}
 
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
@@ -10,7 +10,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -19,20 +19,41 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 connector for JSON:API page envelopes — the
   * reference's paginated REST scan (S1-S4, outreach_etl.py:73-109,
-  * 130-213) re-expressed as a Spark source. Instead of a driver-side
-  * accumulate loop, each fetched page (a JSON file with the
-  * `{data, meta, links}` envelope the reference consumes at
-  * outreach_etl.py:102-136) becomes one [[InputPartition]], so pages
-  * scan in parallel across executors — the reference's per-day chunk
-  * split (outreach_etl.py:157-166) is exactly this partitioning.
+  * 130-213) re-expressed as a Spark source.
+  *
+  * Two page sources:
+  *  - `path`: a directory of page-envelope files (each page one
+  *    `{data, meta, links}` JSON file) — one [[InputPartition]] per
+  *    file, pages scan in parallel across executors.
+  *  - `url`: live HTTP. The DRIVER fetches page 1 once (that also
+  *    yields `meta.count`, outreach_etl.py:120, reported to the
+  *    planner via [[SupportsReportStatistics]]), then:
+  *      * if `links.next` is a page-number / offset cursor, the
+  *        remaining page URLs are extrapolated from `meta.count` and
+  *        fetched in PARALLEL — one partition per page;
+  *      * if the cursor is opaque, a single partition walks the
+  *        `links.next` chain sequentially (an opaque cursor is
+  *        inherently sequential — the reference's loop at
+  *        outreach_etl.py:141-155 is too).
+  *    Requests carry `Authorization: Bearer` from [[JsonApiToken]] —
+  *    an expiry-honoring token cache (the reference refetches the
+  *    token on EVERY request because its `token_expires` global is
+  *    never assigned, outreach_etl.py:53/70; here `expires_in` from
+  *    the token response actually drives reuse) — and are retried a
+  *    BOUNDED number of times with backoff (the reference's bare
+  *    `while complete == None: try/except` retries forever on a
+  *    permanent error, outreach_etl.py:141-149).
   *
   * Pushdown surface (mirrors what the reference pushes into the API
   * query string at outreach_etl.py:115-117):
   *  - filters on `attributes_updatedAt` (the `filter[updatedAt]=lo..hi`
-  *    range) and on any flat string/long column, evaluated inside the
-  *    reader — rows never reach Spark;
+  *    range — also serialized onto the HTTP query string) and on any
+  *    flat column, evaluated inside the reader;
   *  - required-column pruning (only requested columns are converted);
-  *  - limit pushdown (reader stops parsing early).
+  *  - limit pushdown (reader stops parsing early);
+  *  - top-N pushdown (`sort=-updatedAt`, outreach_etl.py:115): each
+  *    partition returns only its local top N (partial pushdown —
+  *    Spark's TakeOrderedAndProject merges partitions).
   *
   * Records are flattened with the reference's underscore convention
   * (flatten_json, etl_tools.py:177-193) against the declared schema
@@ -43,6 +64,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * {{{
   *   spark.read.format("graft.sources.JsonApiSource")
   *     .option("path", pagesDir).option("resource", "prospects").load()
+  *   spark.read.format("graft.sources.JsonApiSource")
+  *     .option("url", "http://host/api/prospects")
+  *     .option("tokenUrl", "http://host/oauth/token")
+  *     .option("clientId", id).option("clientSecret", sec)
+  *     .option("refreshToken", tok)
+  *     .option("resource", "prospects").load()
   * }}}
   */
 class JsonApiSource extends TableProvider {
@@ -51,7 +78,7 @@ class JsonApiSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new JsonApiTable(schema, properties.get("path"))
+    new JsonApiTable(schema, JsonApiOptions.fromMap(properties.asScala.toMap))
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -68,24 +95,170 @@ object JsonApiSource {
   }
 }
 
-class JsonApiTable(tableSchema: StructType, path: String)
+/** All reader options, serializable so executors can re-create HTTP
+  * clients/token state from it.
+  */
+case class JsonApiOptions(path: Option[String], url: Option[String],
+                          tokenUrl: Option[String], clientId: String,
+                          clientSecret: String, refreshToken: String,
+                          pageLimit: Int, maxRetries: Int) {
+  require(path.isDefined || url.isDefined,
+    "one of options 'path' (page files) or 'url' (live HTTP) is required")
+}
+
+object JsonApiOptions {
+  def fromMap(m: Map[String, String]): JsonApiOptions = {
+    val lower = m.map { case (k, v) => k.toLowerCase -> v }
+    JsonApiOptions(
+      path = lower.get("path"),
+      url = lower.get("url"),
+      tokenUrl = lower.get("tokenurl"),
+      clientId = lower.getOrElse("clientid", ""),
+      clientSecret = lower.getOrElse("clientsecret", ""),
+      refreshToken = lower.getOrElse("refreshtoken", ""),
+      pageLimit = lower.getOrElse("pagelimit", "100").toInt,
+      maxRetries = lower.getOrElse("maxretries", "3").toInt)
+  }
+}
+
+/** Bounded-retry HTTP GET/POST over `java.net.HttpURLConnection` (no
+  * external client dependency). 5xx and connection errors retry with
+  * linear backoff up to `maxRetries` total attempts, then throw —
+  * never the reference's unbounded retry loop. 4xx fail immediately
+  * (retrying an auth/param error is useless).
+  */
+object JsonApiHttp {
+  def get(url: String, headers: Map[String, String], maxRetries: Int): String =
+    withRetry(url, maxRetries) {
+      val conn = java.net.URI.create(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        conn.setRequestMethod("GET")
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(30000)
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        readResponse(conn)
+      } finally conn.disconnect()
+    }
+
+  def post(url: String, headers: Map[String, String], maxRetries: Int): String =
+    withRetry(url, maxRetries) {
+      val conn = java.net.URI.create(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        conn.setRequestMethod("POST")
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(30000)
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        conn.setDoOutput(true)
+        conn.getOutputStream.close() // empty body; params ride the URL
+        readResponse(conn)
+      } finally conn.disconnect()
+    }
+
+  /** Retryable server/connection failure. */
+  final class Retryable(msg: String) extends RuntimeException(msg)
+
+  private def readResponse(conn: java.net.HttpURLConnection): String = {
+    val code = conn.getResponseCode
+    if (code >= 500)
+      throw new Retryable(s"HTTP $code from ${conn.getURL}")
+    if (code >= 400)
+      throw new java.io.IOException(s"HTTP $code from ${conn.getURL}")
+    val in = conn.getInputStream
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def withRetry(url: String, maxRetries: Int)(body: => String): String = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < maxRetries) {
+      attempt += 1
+      try return body
+      catch {
+        case e @ (_: Retryable | _: java.net.ConnectException |
+                  _: java.net.SocketTimeoutException) =>
+          lastErr = e
+          if (attempt < maxRetries) Thread.sleep(100L * attempt)
+      }
+    }
+    throw new java.io.IOException(
+      s"request to $url failed after $maxRetries attempts", lastErr)
+  }
+}
+
+/** Per-JVM OAuth2 token cache keyed by (tokenUrl, clientId). The
+  * refresh-token grant (reference get_access_token,
+  * outreach_etl.py:55-72) is POSTed only when no token is cached or
+  * the cached one is within `SafetyMarginMs` of the `expires_in`
+  * deadline — fixing the reference bug where `token_expires` is
+  * computed but never assigned to the global, so every request pays a
+  * token round-trip.
+  */
+object JsonApiToken {
+  private val SafetyMarginMs = 100 * 1000L
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (String, Long)]()
+
+  def bearer(opts: JsonApiOptions): Map[String, String] =
+    opts.tokenUrl match {
+      case None => Map.empty
+      case Some(turl) =>
+        Map("Authorization" -> s"Bearer ${token(turl, opts)}",
+          "Content-Type" -> "application/vnd.api+json")
+    }
+
+  private def token(turl: String, opts: JsonApiOptions): String = {
+    val key = (turl, opts.clientId)
+    val now = System.currentTimeMillis()
+    val cached = cache.get(key)
+    if (cached != null && now < cached._2 - SafetyMarginMs) cached._1
+    else key.synchronized {
+      val again = cache.get(key)
+      if (again != null && now < again._2 - SafetyMarginMs) again._1
+      else {
+        val q = Seq(
+          "client_id" -> opts.clientId,
+          "client_secret" -> opts.clientSecret,
+          "grant_type" -> "refresh_token",
+          "refresh_token" -> opts.refreshToken)
+          .map { case (k, v) => k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }
+          .mkString("&")
+        val body = JsonApiHttp.post(s"$turl?$q", Map.empty, opts.maxRetries)
+        val json = new ObjectMapper().readTree(body)
+        val tok = json.path("access_token").asText()
+        val expiresIn = json.path("expires_in").asLong(7200L)
+        cache.put(key, (tok, now + expiresIn * 1000L))
+        tok
+      }
+    }
+  }
+
+  /** Test hook: drop all cached tokens. */
+  def clear(): Unit = cache.clear()
+}
+
+class JsonApiTable(tableSchema: StructType, opts: JsonApiOptions)
     extends Table with SupportsRead {
-  override def name(): String = s"jsonapi($path)"
+  override def name(): String =
+    s"jsonapi(${opts.path.orElse(opts.url).getOrElse("")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonApiScanBuilder(tableSchema,
-      Option(options.get("path")).getOrElse(path))
+    new JsonApiScanBuilder(tableSchema, opts)
 }
 
-class JsonApiScanBuilder(fullSchema: StructType, path: String)
+class JsonApiScanBuilder(fullSchema: StructType, opts: JsonApiOptions)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = Int.MaxValue
+  private var topN: Option[PushedTopN] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rest) = filters.partition(JsonApiFilters.supported)
@@ -99,72 +272,282 @@ class JsonApiScanBuilder(fullSchema: StructType, path: String)
 
   override def pushLimit(l: Int): Boolean = { limit = l; true }
 
+  /** Single flat-column orderings are pushed; each partition emits only
+    * its local top N. Partial pushdown: Spark still merges with a
+    * global TakeOrderedAndProject, so multi-partition order is safe.
+    */
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    val ok = orders.length == 1 && (orders(0).expression() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        fullSchema.fieldNames.contains(nr.fieldNames()(0))
+      case _ => false
+    })
+    if (ok) {
+      val nr = orders(0).expression().asInstanceOf[NamedReference]
+      topN = Some(PushedTopN(nr.fieldNames()(0),
+        orders(0).direction() == SortDirection.DESCENDING,
+        orders(0).nullOrdering().toString == "NULLS_LAST", l))
+    }
+    ok
+  }
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
-    new JsonApiScan(path, fullSchema, required, pushed, limit)
+    new JsonApiScan(opts, fullSchema, required, pushed, limit, topN)
 }
 
-class JsonApiScan(path: String, fullSchema: StructType,
-                  required: StructType, filters: Array[Filter], limit: Int)
-    extends Scan with Batch {
+/** Pushed per-partition top-N: order column, direction, null placement,
+  * and N.
+  */
+case class PushedTopN(column: String, desc: Boolean, nullsLast: Boolean, n: Int)
+
+class JsonApiScan(opts: JsonApiOptions, fullSchema: StructType,
+                  required: StructType, filters: Array[Filter], limit: Int,
+                  topN: Option[PushedTopN])
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"jsonapi path=$path pushed=${filters.mkString(",")} limit=$limit"
+    s"jsonapi ${opts.path.orElse(opts.url).getOrElse("")} " +
+      s"pushed=${filters.mkString(",")} limit=$limit " +
+      topN.map(t => s"pushedTopN=${if (t.desc) "-" else ""}${t.column},${t.n}")
+        .getOrElse("")
 
-  /** One partition per page file — pages scan in parallel, the way the
-    * reference's per-day/page loop is sequential (SURVEY.md §3.3).
+  /** The reference serializes the updatedAt range and sort onto the
+    * API query string (outreach_etl.py:115-117); we rebuild that from
+    * the PUSHED operators, so server-side filtering mirrors the plan.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+  private def queryString: String = {
+    def str(v: Any): String = v match {
+      case t: java.sql.Timestamp => t.toInstant.toString
+      case other => other.toString
+    }
+    var lo: Option[String] = None
+    var hi: Option[String] = None
+    def walk(f: Filter): Unit = f match {
+      case GreaterThan("attributes_updatedAt", v) => lo = Some(str(v))
+      case GreaterThanOrEqual("attributes_updatedAt", v) => lo = Some(str(v))
+      case LessThan("attributes_updatedAt", v) => hi = Some(str(v))
+      case LessThanOrEqual("attributes_updatedAt", v) => hi = Some(str(v))
+      case And(l, r) => walk(l); walk(r)
+      case _ => ()
+    }
+    filters.foreach(walk)
+    val parts = Seq("page[limit]" -> opts.pageLimit.toString) ++
+      (if (lo.isDefined || hi.isDefined)
+        Seq("filter[updatedAt]" -> s"${lo.getOrElse("")}..${hi.getOrElse("")}")
+      else Nil) ++
+      topN.collect { case t if t.column == "attributes_updatedAt" =>
+        "sort" -> s"${if (t.desc) "-" else ""}updatedAt"
+      }
+    parts.map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+        java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("&")
+  }
+
+  private def firstPageUrl: String =
+    opts.url.get + (if (opts.url.get.contains("?")) "&" else "?") + queryString
+
+  /** Driver-side page-1 fetch for HTTP mode (memoized — used by both
+    * statistics and partition planning; its body is embedded in the
+    * first partition so executors don't refetch it).
+    */
+  private lazy val firstPage: Option[(JsonNode, String)] = opts.url.map { _ =>
+    val body = JsonApiHttp.get(firstPageUrl, JsonApiToken.bearer(opts),
+      opts.maxRetries)
+    (new ObjectMapper().readTree(body), body)
+  }
+
+  /** `meta.count` (outreach_etl.py:120/186) lets the planner size this
+    * source for join-strategy choices (broadcast vs shuffle). File
+    * mode reads the first page file's envelope; HTTP mode reuses the
+    * page-1 fetch.
+    */
+  override def estimateStatistics(): Statistics = {
+    val count: Option[Long] = opts.url match {
+      case Some(_) =>
+        firstPage.map(_._1.path("meta").path("count").asLong(-1L))
+          .filter(_ >= 0L)
+      case None =>
+        pageFiles.headOption.flatMap { f =>
+          val meta = new ObjectMapper().readTree(f).path("meta").path("count")
+          if (meta.isNumber) Some(meta.asLong()) else None
+        }
+    }
+    val rowWidth = fullSchema.defaultSize.toLong
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        count.map(c => OptionalLong.of(c * rowWidth))
+          .getOrElse(OptionalLong.empty())
+      override def numRows(): OptionalLong =
+        count.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+    }
+  }
+
+  private def pageFiles: Array[java.io.File] = {
+    val dir = new java.io.File(opts.path.getOrElse(""))
+    Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".json"))
       .sortBy(_.getName)
-    files.map(f => JsonApiInputPartition(f.getAbsolutePath): InputPartition)
+  }
+
+  /** One partition per page. File mode lists the directory; HTTP mode
+    * extrapolates page URLs from the page-1 cursor when it is numeric
+    * (`page=2` style page numbers or `page[offset]=N` offsets), else
+    * falls back to a single sequential cursor-chain partition.
+    */
+  override def planInputPartitions(): Array[InputPartition] = opts.url match {
+    case None =>
+      pageFiles.map(f =>
+        JsonApiFilePartition(f.getAbsolutePath): InputPartition)
+    case Some(_) =>
+      val (root, body) = firstPage.get
+      val count = root.path("meta").path("count").asLong(-1L)
+      val next = root.path("links").path("next")
+      if (!next.isTextual || count < 0L)
+        Array(JsonApiUrlPartition(firstPageUrl, Some(body)))
+      else JsonApiCursor.extrapolate(next.asText(), count, opts.pageLimit) match {
+        case Some(urls) =>
+          (JsonApiUrlPartition(firstPageUrl, Some(body)) +:
+            urls.map(u => JsonApiUrlPartition(u, None))).toArray
+        case None =>
+          Array(JsonApiChainPartition(firstPageUrl, Some(body)))
+      }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonApiReaderFactory(fullSchema, required, filters, limit)
+    new JsonApiReaderFactory(opts, fullSchema, required, filters, limit, topN)
 }
 
-case class JsonApiInputPartition(file: String) extends InputPartition
-
-class JsonApiReaderFactory(fullSchema: StructType, required: StructType,
-                           filters: Array[Filter], limit: Int)
-    extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new JsonApiPartitionReader(
-      p.asInstanceOf[JsonApiInputPartition].file,
-      fullSchema, required, filters, limit)
-}
-
-/** Parses one page envelope, flattens `data[]` records, applies pushed
-  * filters, converts only required columns to Catalyst values.
+/** Cursor-URL extrapolation: if `links.next` differs from page 1 only
+  * by a numeric `page`/`page[number]`/`page[offset]` parameter, all
+  * remaining page URLs are derivable from `meta.count` — pages then
+  * fetch in parallel. Opaque cursors return None.
   */
-class JsonApiPartitionReader(file: String, fullSchema: StructType,
-                             required: StructType, filters: Array[Filter],
-                             limit: Int)
+object JsonApiCursor {
+  private val NumberParam =
+    """([?&](?:page|page%5Bnumber%5D|page\[number\])=)(\d+)""".r
+  private val OffsetParam =
+    """([?&](?:page%5Boffset%5D|page\[offset\])=)(\d+)""".r
+
+  /** URLs for pages 2..lastPage (page 1 is already fetched). */
+  def extrapolate(nextUrl: String, count: Long, pageLimit: Int): Option[Seq[String]] = {
+    val lastPage = math.ceil(count.toDouble / pageLimit).toLong
+    NumberParam.findFirstMatchIn(nextUrl) match {
+      case Some(m) if m.group(2).toLong == 2L =>
+        Some((2L to lastPage).map(p =>
+          NumberParam.replaceFirstIn(nextUrl,
+            java.util.regex.Matcher.quoteReplacement(m.group(1)) + p)))
+      case _ =>
+        OffsetParam.findFirstMatchIn(nextUrl) match {
+          case Some(m) if m.group(2).toLong == pageLimit.toLong =>
+            Some((2L to lastPage).map(p =>
+              OffsetParam.replaceFirstIn(nextUrl,
+                java.util.regex.Matcher.quoteReplacement(m.group(1)) +
+                  (p - 1) * pageLimit)))
+          case _ => None
+        }
+    }
+  }
+}
+
+case class JsonApiFilePartition(file: String) extends InputPartition
+case class JsonApiUrlPartition(url: String, preloaded: Option[String])
+    extends InputPartition
+case class JsonApiChainPartition(startUrl: String, preloaded: Option[String])
+    extends InputPartition
+
+class JsonApiReaderFactory(opts: JsonApiOptions, fullSchema: StructType,
+                           required: StructType, filters: Array[Filter],
+                           limit: Int, topN: Option[PushedTopN])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val mapper = new ObjectMapper()
+    val pages: Iterator[JsonNode] = p match {
+      case JsonApiFilePartition(file) =>
+        Iterator(mapper.readTree(new java.io.File(file)))
+      case JsonApiUrlPartition(url, preloaded) =>
+        Iterator(mapper.readTree(preloaded.getOrElse(
+          JsonApiHttp.get(url, JsonApiToken.bearer(opts), opts.maxRetries))))
+      case JsonApiChainPartition(startUrl, preloaded) =>
+        // lazily walk links.next until it disappears
+        new Iterator[JsonNode] {
+          private var nextUrl: Option[String] = Some(startUrl)
+          private var first = preloaded
+          override def hasNext: Boolean = nextUrl.isDefined
+          override def next(): JsonNode = {
+            val url = nextUrl.get
+            val body = first match {
+              case Some(b) => first = None; b
+              case None =>
+                JsonApiHttp.get(url, JsonApiToken.bearer(opts), opts.maxRetries)
+            }
+            val root = mapper.readTree(body)
+            val link = root.path("links").path("next")
+            nextUrl = if (link.isTextual) Some(link.asText()) else None
+            root
+          }
+        }
+    }
+    new JsonApiPageReader(pages, fullSchema, required, filters, limit, topN)
+  }
+}
+
+/** Parses page envelopes, flattens `data[]` records, applies pushed
+  * filters, keeps only the pushed top-N (when present), converts only
+  * required columns to Catalyst values.
+  */
+class JsonApiPageReader(pages: Iterator[JsonNode], fullSchema: StructType,
+                        required: StructType, filters: Array[Filter],
+                        limit: Int, topN: Option[PushedTopN])
     extends PartitionReader[InternalRow] {
 
-  private val records: Iterator[Map[String, JsonNode]] = {
-    val root = new ObjectMapper().readTree(new java.io.File(file))
+  private val raw: Iterator[Map[String, JsonNode]] = pages.flatMap { root =>
     val data = root.path("data")
     if (data.isArray) data.elements().asScala.map(JsonApiFlatten.flatten)
     else Iterator.empty
+  }.filter(rec => filters.forall(f => JsonApiFilters.eval(f, rec, fullSchema)))
+
+  /** With pushed top-N the partition's matches are buffered, sorted on
+    * the order column in the declared type's order, and truncated to N
+    * before conversion — the scan emits N rows, not the page set.
+    */
+  private val records: Iterator[Map[String, JsonNode]] = topN match {
+    case None => raw
+    case Some(t) =>
+      val dt = fullSchema.fields.find(_.name == t.column).map(_.dataType)
+        .getOrElse(StringType)
+      def key(rec: Map[String, JsonNode]): Option[Any] =
+        rec.get(t.column).map(JsonApiFlatten.convert(_, dt))
+      val ord = new Ordering[Option[Any]] {
+        def compare(a: Option[Any], b: Option[Any]): Int = (a, b) match {
+          case (None, None) => 0
+          case (None, _) => if (t.nullsLast) 1 else -1
+          case (_, None) => if (t.nullsLast) -1 else 1
+          case (Some(x), Some(y)) =>
+            val c = (x, y) match {
+              case (l: Long, r: Long) => java.lang.Long.compare(l, r)
+              case (l: Double, r: Double) => java.lang.Double.compare(l, r)
+              case (l: Boolean, r: Boolean) => java.lang.Boolean.compare(l, r)
+              case (l: UTF8String, r: UTF8String) => l.compareTo(r)
+              case (l, r) => l.toString.compareTo(r.toString)
+            }
+            if (t.desc) -c else c
+        }
+      }
+      raw.toSeq.sortBy(key)(ord).take(t.n).iterator
   }
 
   private var current: InternalRow = _
   private var emitted = 0
 
   override def next(): Boolean = {
-    while (emitted < limit && records.hasNext) {
-      val rec = records.next()
-      if (filters.forall(f => JsonApiFilters.eval(f, rec, fullSchema))) {
-        current = toRow(rec)
-        emitted += 1
-        return true
-      }
-    }
-    false
+    if (emitted < limit && records.hasNext) {
+      current = toRow(records.next())
+      emitted += 1
+      true
+    } else false
   }
 
   override def get(): InternalRow = current

@@ -76,4 +76,171 @@ class SourceSpec extends AnyFunSuite {
     assert(!s.fieldNames.contains("attributes_bodyHtml"))
     assert(!s.fieldNames.contains("attributes_bodyText"))
   }
+
+  test("topN pushdown: per-partition top-N reaches the scan") {
+    val df = read(fixture("prospects"))
+      .select("id", "attributes_updatedAt")
+      .orderBy(col("attributes_updatedAt").desc)
+      .limit(2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedTopN=-attributes_updatedAt,2"), plan)
+    // partial pushdown: Spark's global TakeOrderedAndProject still merges
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L, 2L))
+  }
+
+  // ----------------------------------------------------------------- HTTP
+
+  /** Mock JSON:API server (JDK HttpServer): bearer-auth'd paginated
+    * prospects (5 records, page size 2), an OAuth2 token endpoint, a
+    * configurable cursor style, and per-URL first-attempt 500s in
+    * flaky mode.
+    */
+  private class MockApi(cursorStyle: String, flaky: Boolean = false) {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val tokenCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val getCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val attempts =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private val server =
+      HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+
+    private def record(i: Int): String =
+      s"""{"id": $i, "type": "prospect", "attributes": {
+         |  "firstName": "P$i", "clickCount": ${i * 10},
+         |  "updatedAt": "2019-06-0${i}T00:00:00Z"}}""".stripMargin
+
+    private def pageJson(page: Int): String = {
+      val ids = ((page - 1) * 2 + 1) to math.min(page * 2, 5)
+      val next =
+        if (page >= 3) ""
+        else if (cursorStyle == "page")
+          s""","next": "$base/api/prospects?page=${page + 1}""""
+        else s""","next": "$base/api/prospects?cursor=c${page + 1}""""
+      s"""{"data": [${ids.map(record).mkString(",")}],
+         |"meta": {"count": 5},
+         |"links": {"self": "x"$next}}""".stripMargin
+    }
+
+    private def query(ex: HttpExchange): Map[String, String] =
+      Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+        .filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+
+    private def send(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+    server.createContext("/oauth/token", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = query(ex)
+        if (ex.getRequestMethod != "POST" ||
+            q.get("grant_type") != Some("refresh_token") ||
+            q.get("client_id") != Some("cid"))
+          send(ex, 400, """{"error":"bad request"}""")
+        else {
+          val n = tokenCalls.incrementAndGet()
+          send(ex, 200, s"""{"access_token":"tok-$n","expires_in":7200}""")
+        }
+      }
+    })
+    server.createContext("/api/prospects", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        getCalls.incrementAndGet()
+        val url = ex.getRequestURI.toString
+        if (flaky && attempts.add(url)) { send(ex, 500, "boom"); return }
+        if (Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .forall(!_.startsWith("Bearer tok-"))) {
+          send(ex, 401, """{"error":"unauthorized"}""")
+          return
+        }
+        val q = query(ex)
+        val page = q.get("page").orElse(q.get("cursor").map(_.drop(1)))
+          .map(_.toInt).getOrElse(1)
+        send(ex, 200, pageJson(page))
+      }
+    })
+    server.createContext("/api/dead", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = send(ex, 500, "dead")
+    })
+    server.start()
+    def base: String =
+      s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  private def readHttp(api: MockApi): DataFrame =
+    spark.read.format("graft.sources.JsonApiSource")
+      .option("resource", "prospects")
+      .option("url", s"${api.base}/api/prospects")
+      .option("tokenUrl", s"${api.base}/oauth/token")
+      .option("clientId", "cid").option("clientSecret", "sec")
+      .option("refreshToken", "ref")
+      .option("pageLimit", "2")
+      .load()
+
+  test("http: numeric cursor chain is extrapolated into parallel page partitions") {
+    graft.sources.JsonApiToken.clear()
+    val api = new MockApi("page")
+    try {
+      val df = readHttp(api).select("id", "attributes_firstName")
+      assert(df.rdd.getNumPartitions == 3) // ceil(5/2) pages
+      assert(df.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSeq ==
+        (1 to 5).map(i => (i.toLong, s"P$i")))
+      // token fetched ONCE for planning + 3 partition reads (the
+      // reference refetches per request — its expiry cache never engages)
+      assert(api.tokenCalls.get() == 1, s"token calls: ${api.tokenCalls.get()}")
+    } finally api.stop()
+  }
+
+  test("http: opaque cursor falls back to a sequential chain partition") {
+    graft.sources.JsonApiToken.clear()
+    val api = new MockApi("opaque")
+    try {
+      val df = readHttp(api).select("id")
+      assert(df.rdd.getNumPartitions == 1)
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+        (1L to 5L))
+    } finally api.stop()
+  }
+
+  test("http: 5xx responses retry with bound, then succeed") {
+    graft.sources.JsonApiToken.clear()
+    val api = new MockApi("page", flaky = true)
+    try {
+      // every URL 500s once then succeeds; maxRetries=3 absorbs it
+      assert(readHttp(api).count() == 5)
+    } finally api.stop()
+  }
+
+  test("http: permanent failure stops after maxRetries attempts (no infinite loop)") {
+    graft.sources.JsonApiToken.clear()
+    val api = new MockApi("page")
+    try {
+      val e = intercept[Exception] {
+        graft.sources.JsonApiHttp.get(s"${api.base}/api/dead", Map.empty, 3)
+      }
+      assert(e.getMessage.contains("after 3 attempts"), e.getMessage)
+    } finally api.stop()
+  }
+
+  test("http: meta.count is reported as scan statistics") {
+    graft.sources.JsonApiToken.clear()
+    val api = new MockApi("page")
+    try {
+      val df = readHttp(api)
+      val scan = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head
+      assert(scan.computeStats().rowCount.contains(BigInt(5)),
+        scan.computeStats().toString)
+    } finally api.stop()
+  }
 }
