@@ -180,6 +180,20 @@ object ScaleQueries {
           threshold = 0.7))
       .orderBy(col("id"))
 
+  /** Connected components over the EXACT (oracle-checked) windowed
+    * n-gram Jaccard pair set — the oracle-checkable member of the CC
+    * family: DuckDB recomputes the same pairs and closes them with a
+    * recursive CTE, so the cluster assignment itself is value-checked
+    * (dedup_clusters stays rows-only because its minhash pair set is
+    * not SQL-expressible).
+    */
+  def ccExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, window = 20, threshold = 0.5)
+          .select(col("id_a"), col("id_b")))
+      .orderBy(col("id"))
+
   /** Vector L2 norms via the native dot-product expression. */
   def embedNorm(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -199,6 +213,7 @@ object ScaleQueries {
     "ann_ivf" -> (annIvf _),
     "embed_neardup" -> (embedNeardup _),
     "dedup_clusters" -> (dedupClusters _),
+    "cc_exact" -> (ccExact _),
     "fingerprint_pairs" -> (fingerprintPairs _),
     "embed_norm" -> (embedNorm _))
 
@@ -249,6 +264,24 @@ object ScaleQueries {
                / sqrt(list_dot_product(a.v, a.v)
                       * list_dot_product(b.v, b.v)) >= 0.15
          ORDER BY id_a, id_b""",
+    "cc_exact" ->
+      """WITH RECURSIVE g AS (
+           SELECT doc_id AS id,
+                  list_distinct([substring(text, i, 3)
+                                 for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS gs
+           FROM documents),
+         p AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM g a JOIN g b ON b.id > a.id AND b.id <= a.id + 20
+           WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+                 / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT w.id, e2.dst FROM reach w JOIN e e2 ON w.r = e2.src)
+         SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
     "embed_norm" ->
       """SELECT vec_id, label,
          round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
