@@ -147,6 +147,42 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** [format, width, height, bitDepth] parsed from real media container
+  * header bytes (PNG/JPEG/BMP/GIF) — [[Kernels.parseMediaHeader]];
+  * scan-stage, no codec. Unrecognized/corrupt → [0,0,0,0].
+  */
+case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.parseMediaHeader(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.parseMediaHeader($c)")
+  override protected def withNewChildInternal(c: Expression): MediaHeaderExpr =
+    copy(child = c)
+  override def prettyName: String = "media_header"
+}
+
+/** Synthesize minimal valid container header bytes for (format, w, h)
+  * — [[Kernels.makeMediaHeader]]; the generator half of the
+  * parse round-trip.
+  */
+case class MakeMediaHeaderExpr(format: Expression, w: Expression, h: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = format
+  override def second: Expression = w
+  override def third: Expression = h
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(f: Any, a: Any, b: Any): Any =
+    Kernels.makeMediaHeader(f.asInstanceOf[Int], a.asInstanceOf[Int],
+      b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (f, a, b) => s"graft.functions.Kernels.makeMediaHeader($f, $a, $b)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): MakeMediaHeaderExpr = copy(format = f, w = s, h = t)
+  override def prettyName: String = "make_media_header"
+}
+
 /** Ids of the `n` nearest codebook centroids by cosine (scan-stage IVF
   * list assignment — see [[Kernels.nearestCentroids]]). `cents`/`ids`
   * are foldable codebook literals, so codegen references them as
@@ -244,6 +280,19 @@ object dsl {
 
   def winnow_fps(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowExpr(ExpressionUtils.expression(text), k, w))
+
+  /** [format, width, height, bit_depth] longs from container header
+    * bytes; use `try_element_at` to project fields.
+    */
+  def media_header(payload: Column): Column =
+    ExpressionUtils.column(MediaHeaderExpr(
+      Cast(ExpressionUtils.expression(payload), org.apache.spark.sql.types.BinaryType)))
+
+  def make_media_header(format: Column, w: Column, h: Column): Column =
+    ExpressionUtils.column(MakeMediaHeaderExpr(
+      Cast(ExpressionUtils.expression(format), org.apache.spark.sql.types.IntegerType),
+      Cast(ExpressionUtils.expression(w), org.apache.spark.sql.types.IntegerType),
+      Cast(ExpressionUtils.expression(h), org.apache.spark.sql.types.IntegerType)))
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCountExpr(

@@ -270,6 +270,119 @@ object Kernels {
     c
   }
 
+  // ------------------------------------------------------------------
+  // Media container headers: parse + synthesize. Pure byte-level JVM
+  // work — no codec library; dimensions live in the container header
+  // (PNG IHDR, JPEG SOFn, BMP BITMAPINFOHEADER, GIF logical screen
+  // descriptor), so width/height/bit-depth extraction needs no decode.
+  // ------------------------------------------------------------------
+
+  /** Media format codes returned by [[parseMediaHeader]]. */
+  val FmtUnknown = 0L; val FmtPng = 1L; val FmtJpeg = 2L
+  val FmtBmp = 3L; val FmtGif = 4L
+
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  @inline private def be32(b: Array[Byte], i: Int): Long =
+    ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3))
+  @inline private def be16(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 8) | u8(b, i + 1)
+  @inline private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24))
+  @inline private def le16(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+
+  /** [format, width, height, bitDepth] from real container header
+    * bytes; [0,0,0,0] for unrecognized/truncated/corrupt payloads
+    * (never throws — a 100 TB media crawl always contains garbage).
+    */
+  def parseMediaHeader(b: Array[Byte]): ArrayData = {
+    def out(f: Long, w: Long, h: Long, d: Long) =
+      new GenericArrayData(Array(f, w, h, d))
+    if (b == null || b.length < 10) return out(FmtUnknown, 0, 0, 0)
+    // PNG: 8-byte signature, IHDR chunk first (len+type at 8..15,
+    // width/height BE at 16/20, bit depth at 24)
+    if (b.length >= 25 &&
+        u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a &&
+        u8(b, 7) == 0x0a &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      return out(FmtPng, be32(b, 16), be32(b, 20), u8(b, 24).toLong)
+    // JPEG: FFD8 then marker segments; dims are in the first SOFn
+    // (C0..CF except C4/C8/CC): precision(1) height(2 BE) width(2 BE)
+    if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
+      var i = 2
+      while (i + 3 < b.length && u8(b, i) == 0xff) {
+        val marker = u8(b, i + 1)
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+        else if (marker == 0xd9 || marker == 0xda) return out(FmtJpeg, 0, 0, 0)
+        else {
+          val len = be16(b, i + 2)
+          if (len < 2) return out(FmtJpeg, 0, 0, 0)
+          if (marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            if (i + 9 < b.length)
+              return out(FmtJpeg, be16(b, i + 7).toLong,
+                be16(b, i + 5).toLong, u8(b, i + 4).toLong)
+            return out(FmtJpeg, 0, 0, 0)
+          }
+          i += 2 + len
+        }
+      }
+      return out(FmtJpeg, 0, 0, 0)
+    }
+    // BMP: "BM" + 12-byte file header, BITMAPINFOHEADER width/height
+    // LE at 18/22 (height may be negative = top-down), bpp at 28
+    if (b(0) == 'B' && b(1) == 'M' && b.length >= 30)
+      return out(FmtBmp, le32(b, 18), math.abs(le32(b, 22).toInt).toLong,
+        le16(b, 28).toLong)
+    // GIF: "GIF87a"/"GIF89a" + logical screen w/h LE at 6/8
+    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      return out(FmtGif, le16(b, 6).toLong, le16(b, 8).toLong,
+        ((u8(b, 10) & 0x07) + 1).toLong)
+    out(FmtUnknown, 0, 0, 0)
+  }
+
+  /** Minimal VALID container header bytes for (format, w, h) — the
+    * synthesis side of the round-trip (tests + the DuckDB-checkable
+    * header query). Formats: 1 PNG (depth 8), 2 JPEG (JFIF APP0 +
+    * SOF0, depth 8), 3 BMP (24bpp), 4 GIF89a (depth 8).
+    */
+  def makeMediaHeader(format: Int, w: Int, h: Int): Array[Byte] = format match {
+    case 1 =>
+      val b = java.nio.ByteBuffer.allocate(26)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+        .put(8.toByte).put(2.toByte)
+      b.array()
+    case 2 =>
+      val b = java.nio.ByteBuffer.allocate(2 + 18 + 13)
+      b.put(0xff.toByte).put(0xd8.toByte)                       // SOI
+      b.put(0xff.toByte).put(0xe0.toByte).putShort(16.toShort)  // APP0
+        .put("JFIF".getBytes).put(new Array[Byte](10))
+      b.put(0xff.toByte).put(0xc0.toByte).putShort(11.toShort)  // SOF0
+        .put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+        .put(3.toByte)
+      b.array()
+    case 3 =>
+      val b = java.nio.ByteBuffer.allocate(54)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1.toShort)
+        .putShort(24.toShort)
+      b.array()
+    case 4 =>
+      val b = java.nio.ByteBuffer.allocate(13)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort)
+        .put(0xf7.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    case _ => Array.emptyByteArray
+  }
+
   /** Ids of the `n` nearest centroids to `v` by cosine similarity
     * (ties → smaller id first), over a LITERAL codebook
     * (array<array<float>> + parallel array<long> of ids). One pass, no

@@ -43,6 +43,26 @@ object Multimodal {
       lit(kind).as("kind"),
       col(payloadCol).cast(BinaryType).as("payload"))
 
+  /** REAL container-header metadata: format/width/height/bit-depth
+    * parsed from the payload's PNG IHDR / JPEG SOFn / BMP
+    * BITMAPINFOHEADER / GIF screen-descriptor bytes in the scan stage
+    * (codegen'd [[graft.functions.MediaHeaderExpr]] — dimensions live
+    * in container headers, so no codec is needed for them; only
+    * pixel-level statistics still require the stubbed decoder below).
+    * Unrecognized payloads → format_code 0, dims 0.
+    */
+  def headerMeta(media: DataFrame): DataFrame = {
+    import graft.functions.dsl._
+    media.select(col("media_id"), col("kind"),
+        coalesce(length(col("payload")), lit(0)).cast(LongType).as("n_bytes"),
+        media_header(col("payload")).as("__h"))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        try_element_at(col("__h"), lit(1)).as("format_code"),
+        try_element_at(col("__h"), lit(2)).as("width"),
+        try_element_at(col("__h"), lit(3)).as("height"),
+        try_element_at(col("__h"), lit(4)).as("bit_depth"))
+  }
+
   /** STUB decode — deterministic fake dimensions/statistics derived
     * from payload size (`???`-equivalent for the codec call, which
     * would be e.g. ImageIO/ffmpeg here). Runs as a per-partition

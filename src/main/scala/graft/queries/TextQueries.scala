@@ -75,6 +75,32 @@ object TextQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Media header round-trip: synthesize REAL container header bytes
+    * (PNG/JPEG/BMP/GIF rotating by doc id, dims derived from the id),
+    * then parse format/width/height/bit-depth back out of the bytes
+    * with the scan-stage header parser. DuckDB recomputes the expected
+    * values arithmetically, so the byte-level parse is value-checked:
+    * parse ∘ synthesize = identity on every row. (MultimodalSpec
+    * additionally cross-checks the parser against javax.imageio-encoded
+    * real images.)
+    */
+  def multimodalHeader(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl._
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        make_media_header(pmod(col("doc_id"), lit(4)) + 1,
+          pmod(col("doc_id"), lit(512)) + 16,
+          pmod(col("doc_id") * 3, lit(512)) + 16).as("payload"))
+      .select(col("doc_id").as("media_id"),
+        media_header(col("payload")).as("__h"))
+      .select(col("media_id"),
+        try_element_at(col("__h"), lit(1)).as("format_code"),
+        try_element_at(col("__h"), lit(2)).as("width"),
+        try_element_at(col("__h"), lit(3)).as("height"),
+        try_element_at(col("__h"), lit(4)).as("bit_depth"))
+      .orderBy(col("media_id"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
@@ -82,7 +108,8 @@ object TextQueries {
     "lang_id" -> (langId _),
     "fingerprint" -> (fingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
-    "multimodal_embed" -> (multimodalEmbed _))
+    "multimodal_embed" -> (multimodalEmbed _),
+    "multimodal_header" -> (multimodalHeader _))
 
   private val tokSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -143,6 +170,13 @@ object TextQueries {
            END AS lang_pred
          FROM s ORDER BY doc_id"""
     },
+    "multimodal_header" ->
+      """SELECT doc_id AS media_id,
+           doc_id % 4 + 1 AS format_code,
+           doc_id % 512 + 16 AS width,
+           (doc_id * 3) % 512 + 16 AS height,
+           CASE doc_id % 4 + 1 WHEN 3 THEN 24 ELSE 8 END AS bit_depth
+         FROM documents ORDER BY media_id""",
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
            octet_length(encode(text)) AS n_bytes,

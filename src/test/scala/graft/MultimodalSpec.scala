@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Kernels
+import graft.functions.dsl._
+
+/** Media container-header parsing: synthesize→parse round-trip, a
+  * cross-check against REAL codec bytes (javax.imageio encodes actual
+  * images; the parser must read their headers), and garbage safety.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def parse(b: Array[Byte]): Seq[Long] = {
+    val a = Kernels.parseMediaHeader(b)
+    (0 until a.numElements()).map(a.getLong)
+  }
+
+  test("parse inverts the synthesized header for every format") {
+    val depths = Map(1 -> 8L, 2 -> 8L, 3 -> 24L, 4 -> 8L)
+    for (fmt <- 1 to 4; (w, h) <- Seq((16, 16), (640, 480), (513, 27)))
+      assert(parse(Kernels.makeMediaHeader(fmt, w, h)) ==
+        Seq(fmt.toLong, w.toLong, h.toLong, depths(fmt)),
+        s"fmt=$fmt w=$w h=$h")
+  }
+
+  test("parser reads headers written by a real codec (javax.imageio)") {
+    import java.awt.image.BufferedImage
+    val fmtCodes = Map("png" -> 1L, "jpg" -> 2L, "bmp" -> 3L, "gif" -> 4L)
+    for ((fmtName, code) <- fmtCodes; (w, h) <- Seq((31, 17), (128, 64))) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(1, 1, 0x336699)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmtName, out),
+        s"no JDK writer for $fmtName")
+      val parsed = parse(out.toByteArray)
+      assert(parsed(0) == code && parsed(1) == w && parsed(2) == h,
+        s"$fmtName $w x $h -> $parsed")
+    }
+  }
+
+  test("garbage, truncated, and null payloads are safe") {
+    assert(parse(Array[Byte](1, 2, 3)) == Seq(0L, 0L, 0L, 0L))
+    assert(parse("not an image at all".getBytes) == Seq(0L, 0L, 0L, 0L))
+    assert(parse(Kernels.makeMediaHeader(1, 100, 100).take(12)) ==
+      Seq(0L, 0L, 0L, 0L))
+    // JPEG SOI + APP segment but no SOF → recognized, dims 0
+    assert(parse(Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x00, 0x00,
+      0xff, 0xd9).map(_.toByte)) == Seq(2L, 0L, 0L, 0L))
+    // null payload → null out (expression-level null handling)
+    import spark.implicits._
+    val row = Seq((1L, null: Array[Byte])).toDF("id", "payload")
+      .select(media_header(col("payload"))).collect().head
+    assert(row.isNullAt(0))
+  }
+
+  test("headerMeta extracts real dimensions through the DataFrame API") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image", Kernels.makeMediaHeader(1, 800, 600)),
+      (2L, "image", Kernels.makeMediaHeader(3, 320, 200)),
+      (3L, "image", "junk".getBytes))
+      .toDF("media_id", "kind", "payload")
+    val got = graft.ops.Multimodal.headerMeta(media)
+      .orderBy("media_id")
+      .select("format_code", "width", "height")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 800L, 600L), (3L, 320L, 200L), (0L, 0L, 0L)))
+  }
+}
