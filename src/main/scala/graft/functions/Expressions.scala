@@ -147,6 +147,36 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** [n_lines, n_distinct_lines, dup_line_chars, total_line_chars] —
+  * within-document repetition signal ([[Kernels.lineStats]]).
+  */
+case class LineStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.lineStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.lineStats($c)")
+  override protected def withNewChildInternal(c: Expression): LineStatsExpr =
+    copy(child = c)
+  override def prettyName: String = "line_stats"
+}
+
+/** [n_grams, n_distinct_grams, top_gram_count] — word n-gram
+  * repetition signal ([[Kernels.ngramRepStats]]).
+  */
+case class NgramRepStatsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.ngramRepStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.ngramRepStats($c, $n)")
+  override protected def withNewChildInternal(c: Expression): NgramRepStatsExpr =
+    copy(child = c)
+  override def prettyName: String = "ngram_rep_stats"
+}
+
 /** [format, width, height, bitDepth] parsed from real media container
   * header bytes (PNG/JPEG/BMP/GIF) — [[Kernels.parseMediaHeader]];
   * scan-stage, no codec. Unrecognized/corrupt → [0,0,0,0].
@@ -280,6 +310,14 @@ object dsl {
 
   def winnow_fps(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowExpr(ExpressionUtils.expression(text), k, w))
+
+  /** [n_lines, n_distinct_lines, dup_line_chars, total_line_chars]. */
+  def line_stats(text: Column): Column =
+    ExpressionUtils.column(LineStatsExpr(ExpressionUtils.expression(text)))
+
+  /** [n_grams, n_distinct_grams, top_gram_count] for word n-grams. */
+  def ngram_rep_stats(text: Column, n: Int): Column =
+    ExpressionUtils.column(NgramRepStatsExpr(ExpressionUtils.expression(text), n))
 
   /** [format, width, height, bit_depth] longs from container header
     * bytes; use `try_element_at` to project fields.

@@ -270,6 +270,57 @@ object Kernels {
     c
   }
 
+  /** Within-document repetition statistics (the Gopher/C4-style
+    * boilerplate signal): over non-empty '\n'-separated lines, returns
+    * [n_lines, n_distinct_lines, dup_line_chars, total_line_chars]
+    * where dup_line_chars counts the characters of every occurrence
+    * BEYOND the first of each repeated line. Exact string comparison
+    * (not hashes) and codepoint character counts, so a SQL engine
+    * reproduces the numbers bit-for-bit.
+    */
+  def lineStats(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val counts = new java.util.HashMap[String, Long]()
+    var nLines = 0L
+    var totalChars = 0L
+    var dupChars = 0L
+    val it = s.toString.split("\n", -1).iterator
+    while (it.hasNext) {
+      val line = it.next()
+      if (line.nonEmpty) {
+        val chars = line.codePointCount(0, line.length).toLong
+        nLines += 1
+        totalChars += chars
+        val prev = counts.merge(line, 1L, (a, b) => a + b)
+        if (prev > 1L) dupChars += chars
+      }
+    }
+    new GenericArrayData(
+      Array(nLines, counts.size.toLong, dupChars, totalChars))
+  }
+
+  /** Word n-gram repetition signal (the Gopher "duplicate/top n-gram
+    * fraction" boilerplate filters): over whitespace tokens, returns
+    * [n_grams, n_distinct_grams, top_gram_count]. Exact string grams
+    * (not hashes) so a SQL engine reproduces the counts bit-for-bit;
+    * duplicate-occurrence count = n_grams − n_distinct_grams.
+    */
+  def ngramRepStats(s: org.apache.spark.unsafe.types.UTF8String,
+                    n: Int): ArrayData = {
+    val toks = s.toString.split("\\s+").filter(_.nonEmpty)
+    val counts = new java.util.HashMap[String, Long]()
+    var nGrams = 0L
+    var top = 0L
+    var i = 0
+    while (i + n <= toks.length) {
+      val gram = toks.slice(i, i + n).mkString(" ")
+      nGrams += 1
+      val c = counts.merge(gram, 1L, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericArrayData(Array(nGrams, counts.size.toLong, top))
+  }
+
   // ------------------------------------------------------------------
   // Media container headers: parse + synthesize. Pure byte-level JVM
   // work — no codec library; dimensions live in the container header

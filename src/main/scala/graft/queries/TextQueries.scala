@@ -101,6 +101,25 @@ object TextQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Within-document repetition (Gopher/C4-style boilerplate signal):
+    * word 2-gram totals, distinct counts, duplicate occurrences, and
+    * the top gram's count, as exact integers (one codegen'd scan-stage
+    * kernel pass per document — no explode/groupBy shuffle; the
+    * whole-corpus signal is a linear scan at any scale).
+    */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl._
+    t(s, dir, "documents")
+      .select(col("doc_id"), ngram_rep_stats(col("text"), 2).as("__r"))
+      .select(col("doc_id"),
+        try_element_at(col("__r"), lit(1)).as("n_grams"),
+        try_element_at(col("__r"), lit(2)).as("n_distinct"),
+        (try_element_at(col("__r"), lit(1)) -
+          try_element_at(col("__r"), lit(2))).as("n_dup"),
+        try_element_at(col("__r"), lit(3)).as("top_count"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
@@ -109,7 +128,8 @@ object TextQueries {
     "fingerprint" -> (fingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_embed" -> (multimodalEmbed _),
-    "multimodal_header" -> (multimodalHeader _))
+    "multimodal_header" -> (multimodalHeader _),
+    "repetition_stats" -> (repetitionStats _))
 
   private val tokSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -170,6 +190,29 @@ object TextQueries {
            END AS lang_pred
          FROM s ORDER BY doc_id"""
     },
+    "repetition_stats" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> len(x) > 0) AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  [toks[i] || ' ' || toks[i + 1]
+                   for i in range(1, len(toks))] AS grams
+           FROM t),
+         u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         c AS (SELECT doc_id, gram, count(*) AS cnt FROM u GROUP BY 1, 2),
+         s AS (SELECT doc_id, sum(cnt) AS n_grams, count(*) AS n_distinct,
+                      sum(cnt) - count(*) AS n_dup, max(cnt) AS top_count
+               FROM c GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(s.n_grams, 0) AS n_grams,
+                coalesce(s.n_distinct, 0) AS n_distinct,
+                coalesce(s.n_dup, 0) AS n_dup,
+                coalesce(s.top_count, 0) AS top_count
+         FROM documents d LEFT JOIN s USING (doc_id)
+         ORDER BY doc_id""",
     "multimodal_header" ->
       """SELECT doc_id AS media_id,
            doc_id % 4 + 1 AS format_code,

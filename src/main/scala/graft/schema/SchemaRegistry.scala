@@ -44,14 +44,28 @@ object SchemaRegistry {
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, StructType]
 
+  /** Resources the reference's URL dispatch routes but ships no schema
+    * for — requesting one would crash the reference mid-sync
+    * (create_dF_from_schema can't find schemas/accounts.json); here
+    * the dispatch fails eagerly with an actionable message instead.
+    */
+  val ExtensionResources: Set[String] = Set("accounts", "opportunities")
+
   /** Declared StructType for a resource; columns in file (sorted)
     * order, all nullable.
     */
   def schemaFor(resource: String): StructType =
     cache.getOrElseUpdate(resource, {
+      if (ExtensionResources(resource))
+        throw new IllegalArgumentException(
+          s"resource '$resource' is a declared extension point: the " +
+            s"reference routes it (outreach_etl.py:81-84) but ships no " +
+            s"schema file; add graft/schemas/$resource.json to enable it")
       val path = s"/graft/schemas/$resource.json"
       val in = getClass.getResourceAsStream(path)
-      require(in != null, s"no schema resource for '$resource' at $path")
+      require(in != null,
+        s"unknown resource '$resource' (no schema at $path); " +
+          s"supported: ${Resources.mkString(", ")}")
       val text = Using.resource(Source.fromInputStream(in, "UTF-8"))(_.mkString)
       StructType(parseFlatJson(text).map { case (name, t) =>
         StructField(name, sparkType(t), nullable = true)

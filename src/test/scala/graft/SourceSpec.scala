@@ -30,6 +30,17 @@ class SourceSpec extends AnyFunSuite {
     assert(p.fields.forall(_.nullable))
   }
 
+  test("extension-point resources fail eagerly with an actionable message") {
+    val e = intercept[IllegalArgumentException] {
+      SchemaRegistry.schemaFor("accounts")
+    }
+    assert(e.getMessage.contains("extension point"), e.getMessage)
+    val u = intercept[IllegalArgumentException] {
+      SchemaRegistry.schemaFor("nonsense")
+    }
+    assert(u.getMessage.contains("supported: prospects"), u.getMessage)
+  }
+
   test("jsonapi source: pages scan in parallel partitions, flatten applied") {
     val df = read(fixture("prospects"))
     assert(df.rdd.getNumPartitions == 2) // one per page file

@@ -85,4 +85,28 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(_.getInt(1)).toSeq
     assert(frames == Seq(0, 3, 6, 9))
   }
+
+  test("lineStats: duplicate-line counts and character fractions") {
+    def ls(s: String): Seq[Long] = {
+      val a = graft.functions.Kernels.lineStats(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (0 until a.numElements()).map(a.getLong)
+    }
+    // 4 non-empty lines, "dup" twice: 1 dup occurrence of 3 chars / 13
+    assert(ls("dup\nab\n\ndup\nhello") == Seq(4L, 3L, 3L, 13L))
+    assert(ls("") == Seq(0L, 0L, 0L, 0L))
+    assert(ls("one line only") == Seq(1L, 1L, 0L, 13L))
+  }
+
+  test("ngramRepStats: 2-gram totals, distincts, top count") {
+    def rs(s: String): Seq[Long] = {
+      val a = graft.functions.Kernels.ngramRepStats(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 2)
+      (0 until a.numElements()).map(a.getLong)
+    }
+    // grams: "a b","b a","a b","b c" → 4 total, 3 distinct, top=2
+    assert(rs("a b a b c") == Seq(4L, 3L, 2L))
+    assert(rs("solo") == Seq(0L, 0L, 0L))
+    assert(rs("x y") == Seq(1L, 1L, 1L))
+  }
 }
