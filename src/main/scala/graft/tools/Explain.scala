@@ -39,6 +39,17 @@ object Explain {
       println("== jsonapi ==")
       df.show(20, truncate = false)
       df.explain("formatted")
+
+      // TopN pushdown: sort+limit reaches the scan (pushedTopN=...),
+      // Spark's TakeOrderedAndProject still merges partitions
+      val topn = spark.read.format("graft.sources.JsonApiSource")
+        .option("resource", "prospects")
+        .option("path", "src/test/resources/jsonapi/prospects").load()
+        .select("id", "attributes_updatedAt")
+        .orderBy(col("attributes_updatedAt").desc)
+        .limit(2)
+      println("== jsonapi topN ==")
+      topn.explain("formatted")
     }
 
     val wanted =
