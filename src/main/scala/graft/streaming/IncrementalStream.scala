@@ -49,6 +49,54 @@ object IncrementalStream {
       .agg(count(lit(1)).as("n"))
       .select(col("day_window.start").as("day"), col(typeCol), col("n"))
 
+  /** Streaming canonical dedup with KEEP-MIN-ID semantics — the
+    * streaming form of [[graft.ops.Dedup.exactDedup]]. `dropDuplicates`
+    * keeps whichever duplicate ARRIVES first (micro-batch order, not
+    * deterministic across runs); canonical dedup must keep the same
+    * representative the batch operator picks (the minimum id), so this
+    * holds per-digest state via `flatMapGroupsWithState` and re-emits
+    * `(key_digest, keep_id, n_copies)` whenever a group changes
+    * (Update output mode; downstream upserts by digest).
+    *
+    * Scale: state is one (long, long) per DISTINCT digest — the same
+    * cardinality the batch groupBy shuffles — partitioned by digest
+    * across executors and checkpointed. Pass `stateTtl` (with an
+    * upstream watermark on event time) to evict idle digests via
+    * event-time timeout, bounding state for unbounded streams; dedup
+    * is then exact within the TTL horizon, the same contract as
+    * [[dedupWithinWatermark]].
+    */
+  def canonicalDedupStream(stream: DataFrame, idCol: String,
+                           digestCol: String,
+                           stateTtlMs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (stateTtlMs.isDefined)
+      GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    stream
+      .select(col(digestCol).cast("string").as("digest"),
+        col(idCol).cast("long").as("id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long)](
+        OutputMode.Update(), timeoutConf) { (digest, rows, state) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val ids = rows.map(_._2).toArray
+          val (prevMin, prevN) = state.getOption.getOrElse((Long.MaxValue, 0L))
+          val next = (math.min(prevMin, ids.min), prevN + ids.length)
+          state.update(next)
+          stateTtlMs.foreach(ttl =>
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl))
+          Iterator((digest, next._1, next._2))
+        }
+      }
+      .toDF("key_digest", "keep_id", "n_copies")
+  }
+
   /** Run a streaming frame to a parquet sink with checkpointing,
     * processing everything currently available (the cron-run
     * equivalent: one `Trigger.AvailableNow` invocation per schedule

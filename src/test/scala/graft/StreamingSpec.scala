@@ -62,4 +62,41 @@ class StreamingSpec extends AnyFunSuite {
     q3.awaitTermination()
     assert(spark.read.parquet(out.getAbsolutePath).count() == events.count())
   }
+
+  test("streaming canonical dedup keeps the batch representative (min id)") {
+    val tmp = Files.createTempDirectory("graft-cdedup").toFile
+    val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+
+    // documents with planted duplicate content prefixes; write the
+    // HIGH ids first so arrival order disagrees with canonical order —
+    // dropDuplicates would keep the wrong representative
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), md5(substring(col("text"), 1, 40).cast("binary"))
+        .as("key_hash"))
+    docs.orderBy(col("doc_id").desc)
+      .write.mode("overwrite").parquet(inDir.getAbsolutePath)
+    docs.limit(50).write.mode("append").parquet(inDir.getAbsolutePath)
+
+    val schema = spark.read.parquet(inDir.getAbsolutePath).schema
+    val stream = IncrementalStream.readAppendStream(
+      spark, inDir.getAbsolutePath, schema)
+    val q = IncrementalStream
+      .canonicalDedupStream(stream, "doc_id", "key_hash")
+      .writeStream.format("memory").queryName("cdedup_out")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+
+    // update-mode re-emissions: keep_id decreases monotonically per
+    // digest and n_copies increases, so min/max give the final state
+    val got = spark.table("cdedup_out")
+      .groupBy("key_digest")
+      .agg(min("keep_id").as("keep_id"), max("n_copies").as("n_copies"))
+    // batch-side truth, same grouping semantics as Dedup.exactDedup
+    // (the digest here is precomputed, so group on it directly)
+    val want = spark.read.parquet(inDir.getAbsolutePath)
+      .groupBy(col("key_hash").as("key_digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "streaming canonical dedup must equal batch exactDedup")
+  }
 }
