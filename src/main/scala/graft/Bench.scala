@@ -22,9 +22,17 @@ object Bench {
     } catch { case _: Throwable => () }
     // optional comma-separated query filter for targeted timing runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // optional per-query warm-up repeats before the timed run
+    // (diagnostics). Default 1 = driver contract unchanged.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+        var i = 1
+        while (i < repeat) {
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          i += 1
+        }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -52,7 +52,20 @@ object GraftExtensions {
         if (args.length > 2) intArg(args(2), "seed").toLong
         else dsl.DefaultSeed)),
     "sorted_intersect_count" -> ((args: Seq[Expression]) =>
-      SortedIntersectCountExpr(args(0), args(1))))
+      SortedIntersectCountExpr(args(0), args(1))),
+    "nearest_centroids" -> ((args: Seq[Expression]) =>
+      NearestCentroidsExpr(dsl.asFloatArray(args(0)), args(1), args(2),
+        intArg(args(3), "n"))),
+    "media_header" -> ((args: Seq[Expression]) => MediaHeaderExpr(args(0))),
+    "make_media_header" -> ((args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.IntegerType
+      MakeMediaHeaderExpr(Cast(args(0), IntegerType),
+        Cast(args(1), IntegerType), Cast(args(2), IntegerType))
+    }),
+    "line_stats" -> ((args: Seq[Expression]) => LineStatsExpr(args(0))),
+    "ngram_rep_stats" -> ((args: Seq[Expression]) =>
+      NgramRepStatsExpr(args(0), intArg(args(1), "n"))))
 
   /** Register on an already-running session (new sessions: prefer
     * `.withExtensions(new GraftExtensions)` or the

@@ -73,6 +73,13 @@ class AdvancedSpec extends AnyFunSuite {
                       shingle_set('the quick brown fox jumps low', 3) AS b)
       """).collect()(0).getDouble(0)
     assert(j > 0.3 && j < 1.0)
+    // round-3 functions: media header round-trip + repetition stats
+    val m = spark.sql(
+      """SELECT media_header(make_media_header(1, 320, 240)) AS h,
+                ngram_rep_stats('a b a b c', 2) AS r
+      """).collect()(0)
+    assert(m.getSeq[Long](0) == Seq(1L, 320L, 240L, 8L))
+    assert(m.getSeq[Long](1) == Seq(4L, 3L, 2L))
   }
 
   test("TopKFreq sketch: capacity-bounded state, exact when capacity suffices") {
