@@ -91,6 +91,26 @@ object TextOps {
     * heuristic. Deliberately tiny: language ID at corpus scale is a
     * cheap scan-stage filter, not a model.
     */
+  /** PII patterns kept in the RE2 ∩ java.util.regex common dialect so
+    * the DuckDB oracle evaluates the SAME expressions (no lookbehind,
+    * no backrefs).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Redact emails/phones (the pre-training scrub pass). Built-in
+    * codegen'd `regexp_replace` — a linear scan-stage projection at
+    * any scale, like the other text signals.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
+  /** Redaction counts (what a scrub report aggregates). */
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(EmailRe)), regexp_count(text, lit(PhoneRe)))
+
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a", "is"),
     "de" -> Seq("der", "die", "und", "ist", "das", "nicht"),

@@ -120,6 +120,48 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PII scrub: plant synthetic emails/phones derived from the doc id
+    * into the text, redact them, report the clean text + redaction
+    * counts. The oracle rebuilds the same planted text and runs the
+    * same common-dialect regexes, so the scrub output is value-checked
+    * character-for-character.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("text"), lit(" contact u"), col("doc_id"),
+      lit("@example.com or 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val (nEmails, nPhones) = TextOps.piiCounts(raw)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.scrubPii(raw).as("clean"),
+        nEmails.as("n_emails"), nPhones.as("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality-weighted deterministic sampling (data mixing: upsample
+    * high-quality documents): keep a document iff its md5-uniform
+    * draw falls below a threshold proportional to its exact-integer
+    * quality score — deterministic across engines, plans, and
+    * partitionings (same md5-prefix trick as `sample_deterministic`,
+    * with a per-row threshold instead of a constant).
+    */
+  def qualitySample(s: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.qualityScoreE4(col("text"))
+    // threshold in [0,255]: quality_e4/10^4 scaled to the 256-value
+    // first-hex-byte space; compare as equal-length hex strings
+    // (q*256 ≤ 2.56e6 is exactly representable in double, so the
+    // floor-of-ratio is exact integer division)
+    val thrHex = lpad(lower(hex(
+      least(floor((q * 256) / 10000).cast("int"), lit(255)))), 2, "0")
+    t(s, dir, "documents")
+      .select(col("doc_id"), q.as("quality_e4"),
+        substring(md5(col("text").cast("binary")), 1, 2).as("draw"),
+        thrHex.as("thr"))
+      .filter(col("draw") < col("thr"))
+      .select(col("doc_id"), col("quality_e4"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
@@ -129,7 +171,9 @@ object TextQueries {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_embed" -> (multimodalEmbed _),
     "multimodal_header" -> (multimodalHeader _),
-    "repetition_stats" -> (repetitionStats _))
+    "repetition_stats" -> (repetitionStats _),
+    "pii_scrub" -> (piiScrub _),
+    "quality_sample" -> (qualitySample _))
 
   private val tokSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -190,6 +234,48 @@ object TextQueries {
            END AS lang_pred
          FROM s ORDER BY doc_id"""
     },
+    "pii_scrub" ->
+      """WITH r AS (
+           SELECT doc_id,
+                  text || ' contact u' || doc_id || '@example.com or 555-' ||
+                    lpad((doc_id % 10000)::VARCHAR, 4, '0') AS raw
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean,
+           len(regexp_extract_all(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(raw, '\b\d{3}-\d{4}\b')) AS n_phones
+         FROM r ORDER BY doc_id""",
+    "quality_sample" ->
+      """WITH s AS (
+           SELECT doc_id, text,
+             greatest(length(text), 1)::BIGINT AS len,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> len(x) > 0))::BIGINT AS tc,
+             greatest(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> len(x) > 0)), 1)::BIGINT AS nt,
+             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS p,
+             len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                         x -> len(x) > 0),
+                             x -> x IN ('the','a','of','and','to','in','is','it')))::BIGINT AS sw
+           FROM documents),
+         n AS (SELECT doc_id, text,
+                 4 * least(tc, 100) * len * nt
+                   + 300 * (len - p) * nt
+                   + 300 * least(sw * 5, nt) * len AS n10,
+                 1000 * len * nt AS d10
+               FROM s),
+         q AS (SELECT doc_id, text,
+                 CAST(floor((n10 * 10000)::DOUBLE / d10::DOUBLE) AS BIGINT)
+                   AS quality_e4
+               FROM n)
+         SELECT doc_id, quality_e4 FROM q
+         WHERE substring(md5(text), 1, 2) <
+               lpad(lower(to_hex(least((quality_e4 * 256) // 10000, 255))), 2, '0')
+         ORDER BY doc_id""",
     "repetition_stats" ->
       """WITH t AS (
            SELECT doc_id,
