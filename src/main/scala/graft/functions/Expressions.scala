@@ -177,6 +177,23 @@ case class NgramRepStatsExpr(child: Expression, n: Int) extends UnaryExpression 
   override def prettyName: String = "ngram_rep_stats"
 }
 
+/** Token-window chunks of a string ([[Kernels.chunkTokens]]) —
+  * array<string>, one element per training-sequence window.
+  */
+case class ChunkTokensExpr(child: Expression, chunk: Int, step: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.chunkTokens(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], chunk, step)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.chunkTokens($c, $chunk, $step)")
+  override protected def withNewChildInternal(c: Expression): ChunkTokensExpr =
+    copy(child = c)
+  override def prettyName: String = "chunk_tokens"
+}
+
 /** [format, width, height, bitDepth] parsed from real media container
   * header bytes (PNG/JPEG/BMP/GIF) — [[Kernels.parseMediaHeader]];
   * scan-stage, no codec. Unrecognized/corrupt → [0,0,0,0].
@@ -318,6 +335,10 @@ object dsl {
   /** [n_grams, n_distinct_grams, top_gram_count] for word n-grams. */
   def ngram_rep_stats(text: Column, n: Int): Column =
     ExpressionUtils.column(NgramRepStatsExpr(ExpressionUtils.expression(text), n))
+
+  /** Token windows of `chunk` tokens every `step` tokens. */
+  def chunk_tokens(text: Column, chunk: Int, step: Int): Column =
+    ExpressionUtils.column(ChunkTokensExpr(ExpressionUtils.expression(text), chunk, step))
 
   /** [format, width, height, bit_depth] longs from container header
     * bytes; use `try_element_at` to project fields.

@@ -321,6 +321,27 @@ object Kernels {
     new GenericArrayData(Array(nGrams, counts.size.toLong, top))
   }
 
+  /** Token-window chunking (training-sequence prep): whitespace
+    * tokens re-joined into windows of `chunk` tokens starting every
+    * `step` tokens (overlap = chunk − step). One kernel pass instead
+    * of an interpreted sequence/slice/concat HOF chain (~1 ms/row);
+    * empty text → no chunks.
+    */
+  def chunkTokens(s: org.apache.spark.unsafe.types.UTF8String,
+                  chunk: Int, step: Int): ArrayData = {
+    val toks = s.toString.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty)
+      return new GenericArrayData(new Array[Any](0))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < toks.length) {
+      out += org.apache.spark.unsafe.types.UTF8String.fromString(
+        toks.slice(i, math.min(i + chunk, toks.length)).mkString(" "))
+      i += step
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   // ------------------------------------------------------------------
   // Media container headers: parse + synthesize. Pure byte-level JVM
   // work — no codec library; dimensions live in the container header

@@ -49,6 +49,23 @@ object AdvancedQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Salted skew join under the correctness gate: events (probe,
+    * 10k rows over 150 hot user keys — exactly the shape AQE skew
+    * splitting targets) salted ×8 against the replicated customer dim,
+    * then aggregated per market segment. The oracle is the PLAIN join:
+    * salting must be result-invariant, only the shuffle layout changes.
+    */
+  def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val probe = t(s, dir, "events")
+      .select(col("user_id").as("c_custkey"), col("value"))
+    val build = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.ops.Skew.saltedJoin(probe, build, "c_custkey", saltFactor = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Deterministic 1-in-10ish sample: md5 prefix compare — the same
     * rows are selected by any engine, any partitioning, any run
     * (unlike TABLESAMPLE/rand, which are seed- and plan-dependent).
@@ -122,7 +139,8 @@ object AdvancedQueries {
     "asof_join" -> (asofJoin _),
     "pivot_events" -> (pivotEvents _),
     "sample_deterministic" -> (sampleDeterministic _),
-    "approx_distinct" -> (approxDistinct _))
+    "approx_distinct" -> (approxDistinct _),
+    "skew_join" -> (skewJoin _))
 
   val oracle: Map[String, String] = Map(
     "unpivot_events" ->
@@ -163,5 +181,10 @@ object AdvancedQueries {
     "sample_deterministic" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) <= '19'
-         ORDER BY event_id""")
+         ORDER BY event_id""",
+    "skew_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+           round(sum(e.value), 2) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
 }

@@ -162,6 +162,25 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Training-sequence chunking: 64-token windows every 48 tokens
+    * (16-token overlap), exploded to one row per chunk — the dataset
+    * prep step that turns documents into model sequences. The chunk
+    * text itself is value-checked against a DuckDB list-comprehension
+    * oracle. Narrow op: kernel + posexplode in the scan stage, no
+    * shuffle until the final presentation sort.
+    */
+  def chunkTokensQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl._
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(chunk_tokens(col("text"), 64, 48))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(split(col("chunk_text"), "\\s+")).cast("long").as("n_chunk_tokens"),
+        col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
@@ -173,7 +192,8 @@ object TextQueries {
     "multimodal_header" -> (multimodalHeader _),
     "repetition_stats" -> (repetitionStats _),
     "pii_scrub" -> (piiScrub _),
-    "quality_sample" -> (qualitySample _))
+    "quality_sample" -> (qualitySample _),
+    "chunk_tokens" -> (chunkTokensQ _))
 
   private val tokSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -234,6 +254,23 @@ object TextQueries {
            END AS lang_pred
          FROM s ORDER BY doc_id"""
     },
+    "chunk_tokens" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> len(x) > 0) AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  [array_to_string(toks[s : least(s + 63, len(toks))], ' ')
+                   for s in range(1, len(toks) + 1, 48)] AS chunks
+           FROM t WHERE len(toks) > 0)
+         SELECT doc_id,
+                unnest(range(0, len(chunks)))::BIGINT AS chunk_idx,
+                len(regexp_split_to_array(unnest(chunks), '\s+'))::BIGINT
+                  AS n_chunk_tokens,
+                unnest(chunks) AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx""",
     "pii_scrub" ->
       """WITH r AS (
            SELECT doc_id,
