@@ -65,7 +65,9 @@ object GraftExtensions {
     }),
     "line_stats" -> ((args: Seq[Expression]) => LineStatsExpr(args(0))),
     "ngram_rep_stats" -> ((args: Seq[Expression]) =>
-      NgramRepStatsExpr(args(0), intArg(args(1), "n"))))
+      NgramRepStatsExpr(args(0), intArg(args(1), "n"))),
+    "chunk_tokens" -> ((args: Seq[Expression]) =>
+      ChunkTokensExpr(args(0), intArg(args(1), "chunk"), intArg(args(2), "step"))))
 
   /** Register on an already-running session (new sessions: prefer
     * `.withExtensions(new GraftExtensions)` or the

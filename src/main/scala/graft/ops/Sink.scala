@@ -51,4 +51,22 @@ object Sink {
       .mode(SaveMode.Overwrite)
       .partitionBy("ds")
       .parquet(path)
+
+  /** Bucketed catalog table: rows hash-clustered (and sorted) by
+    * `key` into `buckets` files per partition. Two tables bucketed the
+    * same way join with ZERO Exchange — the shuffle is paid ONCE at
+    * write time and amortized over every subsequent join/aggregation
+    * on the key, the standard layout for a 100 TB fact table that is
+    * joined daily (SinkSpec asserts the Exchange-free SortMergeJoin
+    * plan). Bucketing requires the catalog (`saveAsTable`) — plain
+    * `parquet(path)` writes lose the bucket metadata.
+    */
+  def bucketedSave(df: DataFrame, table: String, key: String,
+                   buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

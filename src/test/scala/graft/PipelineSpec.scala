@@ -79,4 +79,29 @@ class PipelineSpec extends AnyFunSuite {
     Sink.overwriteLoad(df, s"$tmp/t")
     assert(spark.read.parquet(s"$tmp/t").count() == 2)
   }
+
+  test("bucketed tables join with zero Exchange (shuffle paid once at write)") {
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val users = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    Sink.bucketedSave(events, "b_events", "user_id", buckets = 4)
+    Sink.bucketedSave(users, "b_users", "user_id", buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join must co-locate — bucketing makes
+      // that free; an unbucketed plan would show two Exchanges here
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_events")
+        .join(spark.table("b_users"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() == events.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_events")
+      spark.sql("DROP TABLE IF EXISTS b_users")
+    }
+  }
 }
