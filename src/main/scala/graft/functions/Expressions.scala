@@ -177,6 +177,21 @@ case class NgramRepStatsExpr(child: Expression, n: Int) extends UnaryExpression 
   override def prettyName: String = "ngram_rep_stats"
 }
 
+/** Exact-integer quality score ×10⁴ ([[Kernels.qualityE4]]) — one
+  * codegen'd byte pass per document.
+  */
+case class QualityE4Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.qualityE4(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.qualityE4($c)")
+  override protected def withNewChildInternal(c: Expression): QualityE4Expr =
+    copy(child = c)
+  override def prettyName: String = "quality_e4"
+}
+
 /** Token-window chunks of a string ([[Kernels.chunkTokens]]) —
   * array<string>, one element per training-sequence window.
   */
@@ -339,6 +354,10 @@ object dsl {
   /** Token windows of `chunk` tokens every `step` tokens. */
   def chunk_tokens(text: Column, chunk: Int, step: Int): Column =
     ExpressionUtils.column(ChunkTokensExpr(ExpressionUtils.expression(text), chunk, step))
+
+  /** Exact-integer quality score ×10⁴ (one-pass kernel). */
+  def quality_e4(text: Column): Column =
+    ExpressionUtils.column(QualityE4Expr(ExpressionUtils.expression(text)))
 
   /** [format, width, height, bit_depth] longs from container header
     * bytes; use `try_element_at` to project fields.

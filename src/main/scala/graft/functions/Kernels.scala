@@ -321,6 +321,73 @@ object Kernels {
     new GenericArrayData(Array(nGrams, counts.size.toLong, top))
   }
 
+  @inline private def isAsciiWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** The 8 quality-score stopwords (must stay in sync with
+    * graft.ops.TextOps.Stopwords and the quality_score DuckDB oracle).
+    */
+  @inline private def isStopword(bytes: Array[Byte], from: Int, until: Int): Boolean = {
+    val len = until - from
+    if (len < 1 || len > 3) return false
+    @inline def lc(i: Int): Int = {
+      val b = bytes(from + i) & 0xff
+      if (b >= 'A' && b <= 'Z') b + 32 else b
+    }
+    len match {
+      case 1 => lc(0) == 'a'
+      case 2 =>
+        val a = lc(0); val b = lc(1)
+        (a == 'o' && b == 'f') || (a == 't' && b == 'o') ||
+          (a == 'i' && (b == 'n' || b == 's' || b == 't'))
+      case _ =>
+        val a = lc(0); val b = lc(1); val c = lc(2)
+        (a == 't' && b == 'h' && c == 'e') ||
+          (a == 'a' && b == 'n' && c == 'd')
+    }
+  }
+
+  /** Exact-integer quality score ×10⁴ in ONE byte pass — the codegen
+    * replacement for the interpreted split/filter/isInCollection HOF
+    * chain (same integer math as the DuckDB oracle):
+    *   score = 0.4·min(tc,100)/100 + 0.3·(len−p)/len + 0.3·min(5s,nt)/nt
+    *   N10 = 4·min(tc,100)·len·nt + 300·(len−p)·nt + 300·min(5s,nt)·len
+    *   D10 = 1000·len·nt, result = N10·10⁴ / D10 (long division =
+    *   floor for non-negative operands).
+    * len counts codepoints (non-continuation bytes), tokens split on
+    * ASCII whitespace (Java \s), punctuation set [.,;:!?].
+    */
+  def qualityE4(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var chars = 0L; var punct = 0L; var tokens = 0L; var stop = 0L
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if ((b & 0xc0) != 0x80) chars += 1
+      if (b == '.' || b == ',' || b == ';' || b == ':' || b == '!' || b == '?')
+        punct += 1
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      while (i < n && isAsciiWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isAsciiWs(bytes(i))) i += 1
+      if (i > start) {
+        tokens += 1
+        if (isStopword(bytes, start, i)) stop += 1
+      }
+    }
+    val len = math.max(chars, 1L)
+    val tc = tokens
+    val nt = math.max(tc, 1L)
+    val n10 = 4L * math.min(tc, 100L) * len * nt +
+      300L * (len - punct) * nt + 300L * math.min(stop * 5L, nt) * len
+    val d10 = 1000L * len * nt
+    n10 * 10000L / d10
+  }
+
   /** Token-window chunking (training-sequence prep): whitespace
     * tokens re-joined into windows of `chunk` tokens starting every
     * `step` tokens (overlap = chunk − step). One kernel pass instead

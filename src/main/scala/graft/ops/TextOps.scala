@@ -66,26 +66,13 @@ object TextOps {
     *   N10 = 4·min(nt,100)·len·nt + 300·(len−p)·nt + 300·min(5s,nt)·len
     *   D10 = 1000·len·nt   (len, nt floored at 1)
     */
-  def qualityScoreE4(text: Column): Column = {
-    val len = greatest(length(text), lit(1)).cast("long")
-    val tc = tokenCount(text).cast("long") // true count: 0 for blank docs
-    val nt = greatest(tc, lit(1)) // floored only as a denominator
-    val p = (length(text) - length(regexp_replace(text, "[.,;:!?]", "")))
-      .cast("long")
-    val s = {
-      val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-      size(filter(toks, t => t.isInCollection(Stopwords))).cast("long")
-    }
-    val minNt = least(tc, lit(100L))
-    val min5s = least(s * 5L, nt)
-    val n10 = lit(4L) * minNt * len * nt + lit(300L) * (len - p) * nt +
-      lit(300L) * min5s * len
-    val d10 = lit(1000L) * len * nt
-    // floor of an exact-integer double division is deterministic here:
-    // numerator ≤ ~1e12 and denominator ≤ ~1e8 keep the quotient ≥
-    // 1/d10 ≈ 1e-8 away from any wrong integer, far beyond double ulp
-    floor((n10 * 10000L).cast("double") / d10.cast("double")).cast("long")
-  }
+  def qualityScoreE4(text: Column): Column =
+    // one-pass codegen kernel (graft.functions.Kernels.qualityE4) —
+    // the equivalent HOF chain (split/filter/isInCollection ×2) is
+    // INTERPRETED and was re-evaluated per referencing operator, which
+    // made the quality-thresholded sampling filter ~13× slower than
+    // this scan; the kernel computes the identical integer math
+    graft.functions.dsl.quality_e4(text)
 
   /** Marker words per language for the n-gram-free language-ID
     * heuristic. Deliberately tiny: language ID at corpus scale is a
