@@ -67,7 +67,8 @@ object GraftExtensions {
     "ngram_rep_stats" -> ((args: Seq[Expression]) =>
       NgramRepStatsExpr(args(0), intArg(args(1), "n"))),
     "chunk_tokens" -> ((args: Seq[Expression]) =>
-      ChunkTokensExpr(args(0), intArg(args(1), "chunk"), intArg(args(2), "step"))))
+      ChunkTokensExpr(args(0), intArg(args(1), "chunk"), intArg(args(2), "step"))),
+    "quality_e4" -> ((args: Seq[Expression]) => QualityE4Expr(args(0))))
 
   /** Register on an already-running session (new sessions: prefer
     * `.withExtensions(new GraftExtensions)` or the
