@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -64,6 +65,29 @@ object AdvancedQueries {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("c_mktsegment"))
+  }
+
+  /** Sessionization: events grouped into per-user sessions split at
+    * >30-minute gaps — lag + running-sum window composition (one
+    * shuffle on user_id serves both windows and the final aggregate).
+    * Computed on integer epoch-MICROsecond longs (the engine-parity
+    * granularity — DuckDB truncates the nano parquet column to µs, so
+    * both sides divide to µs first) with event_id tie-break for
+    * duplicate timestamps.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60L * 1000000L
+    val e = Tables.raw(s, dir, "events")
+      .select(col("user_id"), expr("ts DIV 1000").as("tsu"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    e.withColumn("new_sess",
+        when(lag(col("tsu"), 1).over(w).isNull ||
+          col("tsu") - lag(col("tsu"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tsu")).as("start_us"), max(col("tsu")).as("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
   }
 
   /** Deterministic 1-in-10ish sample: md5 prefix compare — the same
@@ -140,7 +164,8 @@ object AdvancedQueries {
     "pivot_events" -> (pivotEvents _),
     "sample_deterministic" -> (sampleDeterministic _),
     "approx_distinct" -> (approxDistinct _),
-    "skew_join" -> (skewJoin _))
+    "skew_join" -> (skewJoin _),
+    "sessionize" -> (sessionize _))
 
   val oracle: Map[String, String] = Map(
     "unpivot_events" ->
@@ -182,6 +207,23 @@ object AdvancedQueries {
       """SELECT event_id, user_id, event_type FROM events
          WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) <= '19'
          ORDER BY event_id""",
+    "sessionize" ->
+      """WITH f AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tsu,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         s AS (
+           SELECT user_id, tsu,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY tsu, event_id) AS session_id
+           FROM f)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(tsu) AS start_us, max(tsu) AS end_us
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
     "skew_join" ->
       """SELECT c.c_mktsegment, count(*) AS n,
            round(sum(e.value), 2) AS sum_value

@@ -181,6 +181,45 @@ object TextQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Corpus vocabulary: top-100 tokens by frequency (count desc, token
+    * asc tie-break) with dense rank — explode → partial+final
+    * hash-aggregate → TakeOrdered; the shuffle carries (token, partial
+    * count), never raw text.
+    */
+  def corpusVocab(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(s, dir, "documents")
+      .select(explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(100)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+  }
+
+  /** TF-IDF top terms: 3 highest-scoring tokens per document, with the
+    * idf surrogate kept in EXACT integer arithmetic
+    * (score_e6 = tf·10⁶ div df — a log() would be libm-dependent
+    * across engines). Plan shape: explode → (doc,token) aggregate →
+    * document-frequency aggregate → equi-join on token → per-doc top-n
+    * window.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfc"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score_e6", expr("tf * 1000000 DIV dfc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("dfc"),
+        col("score_e6"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
@@ -193,7 +232,9 @@ object TextQueries {
     "repetition_stats" -> (repetitionStats _),
     "pii_scrub" -> (piiScrub _),
     "quality_sample" -> (qualitySample _),
-    "chunk_tokens" -> (chunkTokensQ _))
+    "chunk_tokens" -> (chunkTokensQ _),
+    "corpus_vocab" -> (corpusVocab _),
+    "tfidf_top_terms" -> (tfidfTopTerms _))
 
   private val tokSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -254,6 +295,32 @@ object TextQueries {
            END AS lang_pred
          FROM s ORDER BY doc_id"""
     },
+    "corpus_vocab" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                     x -> len(x) > 0)) AS token
+           FROM documents),
+         c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+         top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100)
+         SELECT token, n,
+                row_number() OVER (ORDER BY n DESC, token) AS rank
+         FROM top ORDER BY n DESC, token""",
+    "tfidf_top_terms" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                     x -> len(x) > 0)) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         d AS (SELECT token, count(*) AS dfc FROM tf GROUP BY 1),
+         j AS (SELECT tf.doc_id, tf.token, tf.tf, d.dfc,
+                      (tf.tf * 1000000) // d.dfc AS score_e6
+               FROM tf JOIN d USING (token)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score_e6 DESC, token) AS rank
+               FROM j)
+         SELECT doc_id, token, tf, dfc, score_e6, rank
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
     "chunk_tokens" ->
       """WITH t AS (
            SELECT doc_id,
