@@ -177,6 +177,19 @@ case class NgramRepStatsExpr(child: Expression, n: Int) extends UnaryExpression 
   override def prettyName: String = "ngram_rep_stats"
 }
 
+/** Lowercased word tokens as array<string> ([[Kernels.tokensLower]]). */
+case class TokensLowerExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.tokensLower(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.tokensLower($c)")
+  override protected def withNewChildInternal(c: Expression): TokensLowerExpr =
+    copy(child = c)
+  override def prettyName: String = "tokens_lower"
+}
+
 /** Exact-integer quality score ×10⁴ ([[Kernels.qualityE4]]) — one
   * codegen'd byte pass per document.
   */
@@ -358,6 +371,10 @@ object dsl {
   /** Exact-integer quality score ×10⁴ (one-pass kernel). */
   def quality_e4(text: Column): Column =
     ExpressionUtils.column(QualityE4Expr(ExpressionUtils.expression(text)))
+
+  /** Lowercased `\w+` word tokens (one-pass kernel). */
+  def tokens_lower(text: Column): Column =
+    ExpressionUtils.column(TokensLowerExpr(ExpressionUtils.expression(text)))
 
   /** [format, width, height, bit_depth] longs from container header
     * bytes; use `try_element_at` to project fields.

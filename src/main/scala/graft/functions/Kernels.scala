@@ -298,6 +298,39 @@ object Kernels {
       Array(nLines, counts.size.toLong, dupChars, totalChars))
   }
 
+  /** Lowercased word tokens as strings — the kernel form of
+    * `filter(split(lower(text), "\\W+"), len > 0)` (ASCII `\w` = word
+    * chars, multi-byte UTF-8 bytes are separators exactly like Java's
+    * default non-Unicode `\W`). One byte pass; feeds explode-based
+    * vocabulary/TF-IDF aggregations without the interpreted HOF chain.
+    */
+  def tokensLower(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    @inline def isWord(b: Byte): Boolean =
+      (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+        (b >= '0' && b <= '9') || b == '_'
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < n) {
+      while (i < n && !isWord(bytes(i))) i += 1
+      val start = i
+      while (i < n && isWord(bytes(i))) i += 1
+      if (i > start) {
+        val tok = new Array[Byte](i - start)
+        var j = start
+        while (j < i) {
+          var b = bytes(j)
+          if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+          tok(j - start) = b
+          j += 1
+        }
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(tok))
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Word n-gram repetition signal (the Gopher "duplicate/top n-gram
     * fraction" boilerplate filters): over whitespace tokens, returns
     * [n_grams, n_distinct_grams, top_gram_count]. Exact string grams

@@ -46,12 +46,12 @@ object Dedup {
     */
   def materialize(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
 
-  /** Lowercased word tokens, empty tokens removed (HOF form — used by
-    * the text operators; the dedup hot path uses the native kernels
-    * below instead).
+  /** Lowercased word tokens, empty tokens removed — the native kernel
+    * form of `filter(split(lower(text), "\\W+"), len > 0)` (the HOF
+    * chain is interpreted with per-element boxing; this is one byte
+    * pass feeding the explode-based vocabulary/TF-IDF aggregations).
     */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\W+"), t => length(t) > 0)
+  def tokens(text: Column): Column = tokens_lower(text)
 
   /** SORTED distinct hashes of word `n`-gram shingles, via the native
     * [[graft.functions.ShingleSetExpr]] kernel: the HOF chain
