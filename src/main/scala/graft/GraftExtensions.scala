@@ -53,10 +53,20 @@ object GraftExtensions {
         else dsl.DefaultSeed)),
     "sorted_intersect_count" -> ((args: Seq[Expression]) =>
       SortedIntersectCountExpr(args(0), args(1))),
-    "nearest_centroids" -> ((args: Seq[Expression]) =>
-      NearestCentroidsExpr(dsl.asFloatArray(args(0)), args(1), args(2),
-        intArg(args(3), "n"))),
-    "media_header" -> ((args: Seq[Expression]) => MediaHeaderExpr(args(0))),
+    "nearest_centroids" -> ((args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      // same coercions the dsl applies — SQL literals default to
+      // array<double>/array<int>, which the kernel's typed getters
+      // would misread
+      NearestCentroidsExpr(dsl.asFloatArray(args(0)),
+        Cast(args(1), ArrayType(ArrayType(FloatType))),
+        dsl.asLongArray(args(2)), intArg(args(3), "n"))
+    }),
+    "media_header" -> ((args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      MediaHeaderExpr(Cast(args(0), org.apache.spark.sql.types.BinaryType))
+    }),
     "make_media_header" -> ((args: Seq[Expression]) => {
       import org.apache.spark.sql.catalyst.expressions.Cast
       import org.apache.spark.sql.types.IntegerType

@@ -210,6 +210,9 @@ case class QualityE4Expr(child: Expression) extends UnaryExpression {
   */
 case class ChunkTokensExpr(child: Expression, chunk: Int, step: Int)
     extends UnaryExpression {
+  require(chunk > 0 && step > 0,
+    s"chunk_tokens needs chunk > 0 and step > 0 (got $chunk, $step) — " +
+      "a non-positive step would never advance the window")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     Kernels.chunkTokens(

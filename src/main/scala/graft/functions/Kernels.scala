@@ -305,7 +305,10 @@ object Kernels {
     * vocabulary/TF-IDF aggregations without the interpreted HOF chain.
     */
   def tokensLower(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-    val bytes = s.getBytes
+    // Unicode lowercase FIRST (same as Spark's lower()): characters
+    // like U+212A lowercase to ASCII 'k' and must join tokens, which
+    // per-byte ASCII lowering would miss
+    val bytes = s.toLowerCase.getBytes
     val n = bytes.length
     @inline def isWord(b: Byte): Boolean =
       (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
@@ -316,17 +319,9 @@ object Kernels {
       while (i < n && !isWord(bytes(i))) i += 1
       val start = i
       while (i < n && isWord(bytes(i))) i += 1
-      if (i > start) {
-        val tok = new Array[Byte](i - start)
-        var j = start
-        while (j < i) {
-          var b = bytes(j)
-          if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
-          tok(j - start) = b
-          j += 1
-        }
-        out.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(tok))
-      }
+      if (i > start)
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, start, i)))
     }
     new GenericArrayData(out.toArray)
   }
@@ -418,7 +413,12 @@ object Kernels {
     val n10 = 4L * math.min(tc, 100L) * len * nt +
       300L * (len - punct) * nt + 300L * math.min(stop * 5L, nt) * len
     val d10 = 1000L * len * nt
-    n10 * 10000L / d10
+    // floor of the DOUBLE quotient, exactly like the replaced HOF
+    // implementation and the DuckDB oracle ((n10*10000)::DOUBLE / d10)
+    // — exact long division could differ by 1 from the oracle when the
+    // double numerator rounds (n10·10⁴ > 2^53 on multi-MB docs), and
+    // the double product also cannot overflow the way n10 * 10000L can
+    math.floor(n10.toDouble * 10000.0 / d10.toDouble).toLong
   }
 
   /** Token-window chunking (training-sequence prep): whitespace

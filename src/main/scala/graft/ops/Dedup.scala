@@ -290,10 +290,21 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
+    // the local coda works on long ids; non-integral id types (string
+    // keys etc.) stay on the distributed path, which handles any
+    // orderable type via greatest/least
+    val integralIds = idType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+
     // small-graph short-circuit: one truncated collect (bounded by the
     // threshold — `limit` stops the fetch, so a huge edge set ships at
     // most threshold+1 rows to the driver, not the full set)
-    if (localFinishEdges > 0) {
+    if (localFinishEdges > 0 && integralIds) {
       val head = edges
         .select(col("src").cast("long"), col("dst").cast("long"))
         .limit((localFinishEdges + 1).toInt).collect()
@@ -320,7 +331,8 @@ object Dedup {
           s"converged=$converged ms=${(System.nanoTime() - t0) / 1000000}")
       // the frontier only shrinks: as soon as it fits the local budget,
       // finish there instead of paying more driver-synchronized rounds
-      if (!converged && localFinishEdges > 0 && nsig._1 <= localFinishEdges) {
+      if (!converged && localFinishEdges > 0 && integralIds &&
+          nsig._1 <= localFinishEdges) {
         val rest = edges.select(col("src").cast("long"), col("dst").cast("long"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
         persisted.foreach(_.unpersist())

@@ -214,7 +214,10 @@ object JsonApiToken {
     val now = System.currentTimeMillis()
     val cached = cache.get(key)
     if (cached != null && now < cached._2 - SafetyMarginMs) cached._1
-    else key.synchronized {
+    // lock the shared object, NOT `key`: the tuple is allocated per
+    // call, so synchronizing on it would let every cold-cache thread
+    // pass the double-check and fetch its own token
+    else this.synchronized {
       val again = cache.get(key)
       if (again != null && now < again._2 - SafetyMarginMs) again._1
       else {
@@ -286,7 +289,9 @@ class JsonApiScanBuilder(fullSchema: StructType, opts: JsonApiOptions)
       val nr = orders(0).expression().asInstanceOf[NamedReference]
       topN = Some(PushedTopN(nr.fieldNames()(0),
         orders(0).direction() == SortDirection.DESCENDING,
-        orders(0).nullOrdering().toString == "NULLS_LAST", l))
+        orders(0).nullOrdering() ==
+          org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_LAST,
+        l))
     }
     ok
   }
@@ -405,9 +410,19 @@ class JsonApiScan(opts: JsonApiOptions, fullSchema: StructType,
       val (root, body) = firstPage.get
       val count = root.path("meta").path("count").asLong(-1L)
       val next = root.path("links").path("next")
-      if (!next.isTextual || count < 0L)
+      // the EFFECTIVE page size is what the server actually returned —
+      // a server that caps page[limit] below our request would
+      // otherwise make the extrapolation under-count pages and
+      // silently drop records
+      val pageSize =
+        if (root.path("data").isArray) root.path("data").size() else 0
+      if (!next.isTextual)
         Array(JsonApiUrlPartition(firstPageUrl, Some(body)))
-      else JsonApiCursor.extrapolate(next.asText(), count, opts.pageLimit) match {
+      else if (count < 0L || pageSize <= 0)
+        // a next cursor with no trustworthy count/page-size math:
+        // walk the chain — sequential but lossless
+        Array(JsonApiChainPartition(firstPageUrl, Some(body)))
+      else JsonApiCursor.extrapolate(next.asText(), count, pageSize) match {
         case Some(urls) =>
           (JsonApiUrlPartition(firstPageUrl, Some(body)) +:
             urls.map(u => JsonApiUrlPartition(u, None))).toArray
@@ -509,9 +524,10 @@ class JsonApiPageReader(pages: Iterator[JsonNode], fullSchema: StructType,
     else Iterator.empty
   }.filter(rec => filters.forall(f => JsonApiFilters.eval(f, rec, fullSchema)))
 
-  /** With pushed top-N the partition's matches are buffered, sorted on
-    * the order column in the declared type's order, and truncated to N
-    * before conversion — the scan emits N rows, not the page set.
+  /** With pushed top-N the partition keeps a BOUNDED N-element heap on
+    * the order column (never the whole page set — a cursor-chain
+    * partition may span an entire collection), emitting its local top
+    * N in order. O(n log N) work, O(N) memory.
     */
   private val records: Iterator[Map[String, JsonNode]] = topN match {
     case None => raw
@@ -536,7 +552,19 @@ class JsonApiPageReader(pages: Iterator[JsonNode], fullSchema: StructType,
             if (t.desc) -c else c
         }
       }
-      raw.toSeq.sortBy(key)(ord).take(t.n).iterator
+      // head = WORST kept element (ord is ascending-best, and
+      // PriorityQueue dequeues the maximum of its ordering)
+      type Entry = (Option[Any], Map[String, JsonNode])
+      val entryOrd: Ordering[Entry] = Ordering.by[Entry, Option[Any]](_._1)(ord)
+      val heap = scala.collection.mutable.PriorityQueue.empty[Entry](entryOrd)
+      raw.foreach { rec =>
+        val k = key(rec)
+        if (heap.size < t.n) heap.enqueue((k, rec))
+        else if (ord.compare(k, heap.head._1) < 0) {
+          heap.dequeue(); heap.enqueue((k, rec))
+        }
+      }
+      heap.dequeueAll.toSeq.reverse.map((e: Entry) => e._2).iterator
   }
 
   private var current: InternalRow = _

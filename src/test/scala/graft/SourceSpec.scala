@@ -100,6 +100,26 @@ class SourceSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L, 2L))
   }
 
+  test("topN pushdown respects null ordering (desc => nulls last)") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonapi-nulls").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "page1.json").toPath,
+      """{"data": [
+        |  {"id": 1, "type": "prospect", "attributes": {"firstName": "N"}},
+        |  {"id": 2, "type": "prospect",
+        |   "attributes": {"updatedAt": "2019-06-01T00:00:00Z"}},
+        |  {"id": 3, "type": "prospect",
+        |   "attributes": {"updatedAt": "2019-06-05T00:00:00Z"}}
+        |], "meta": {"count": 3}, "links": {}}""".stripMargin)
+    // desc default = NULLS LAST: the null-updatedAt record must NOT
+    // displace real values from the partition's local top-2
+    val got = read(dir.getAbsolutePath)
+      .select("id", "attributes_updatedAt")
+      .orderBy(col("attributes_updatedAt").desc)
+      .limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 2L), got)
+  }
+
   // ----------------------------------------------------------------- HTTP
 
   /** Mock JSON:API server (JDK HttpServer): bearer-auth'd paginated
