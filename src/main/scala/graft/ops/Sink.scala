@@ -52,6 +52,32 @@ object Sink {
       .partitionBy("ds")
       .parquet(path)
 
+  /** Compact a parquet directory to ~`targetBytes` output files — the
+    * small-files remedy every incremental sink needs at scale (each
+    * AvailableNow tick / window re-pull appends task-count files; a
+    * year of 15-minute ticks is ~35k files per partition, and file
+    * listing + per-file open costs dominate reads long before data
+    * size does). Sizes the repartition from the directory's actual
+    * on-disk bytes, writes to a sibling temp dir, then swaps —
+    * readers either see the old layout or the new one.
+    *
+    * Returns the number of files written.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L << 20): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    spark.read.parquet(path)
+      .repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    require(fs.rename(tmp, hPath), s"compaction swap failed for $path")
+    n
+  }
+
   /** Bucketed catalog table: rows hash-clustered (and sorted) by
     * `key` into `buckets` files per partition. Two tables bucketed the
     * same way join with ZERO Exchange — the shuffle is paid ONCE at

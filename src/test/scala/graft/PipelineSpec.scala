@@ -80,6 +80,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/t").count() == 2)
   }
 
+  test("compact collapses a small-files directory without changing data") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toFile
+    val out = s"$tmp/t"
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    events.repartition(24).write.parquet(out) // 24 tiny files
+    def files = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = files
+    assert(before >= 24, s"precondition: $before")
+    val checksum = spark.read.parquet(out)
+      .agg(sum(hash(col("event_id"), col("user_id"))), count(lit(1)))
+      .collect()(0)
+    Sink.compact(spark, out) // tiny data -> 1 target file
+    assert(files == 1, s"after: $files")
+    val after = spark.read.parquet(out)
+      .agg(sum(hash(col("event_id"), col("user_id"))), count(lit(1)))
+      .collect()(0)
+    assert(after == checksum)
+  }
+
   test("bucketed tables join with zero Exchange (shuffle paid once at write)") {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_id"), col("user_id"), col("value"))
