@@ -199,19 +199,22 @@ object TextQueries {
   /** TF-IDF top terms: 3 highest-scoring tokens per document, with the
     * idf surrogate kept in EXACT integer arithmetic
     * (score_e6 = tf·10⁶ div df — a log() would be libm-dependent
-    * across engines). Plan shape: explode → (doc,token) aggregate →
-    * document-frequency aggregate → equi-join on token → per-doc top-n
-    * window.
+    * across engines). Plan shape: ONE corpus explode → (doc,token)
+    * aggregate → document frequency as a count window over the tf
+    * table (tf rows are unique per (doc,token), so count-over-token IS
+    * df; a separate groupBy branch would re-explode the whole corpus
+    * because the two aggregation subtrees can't share an exchange) →
+    * per-doc top-n window. Every post-explode shuffle carries the
+    * compact (doc, token, tf) table, never text.
     */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = t(s, dir, "documents")
       .select(col("doc_id"), explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfc"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_e6").desc, col("token"))
-    tf.join(dfreq, "token")
+    tf.withColumn("dfc", count(lit(1)).over(Window.partitionBy(col("token"))))
       .withColumn("score_e6", expr("tf * 1000000 DIV dfc"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
