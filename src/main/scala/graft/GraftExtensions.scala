@@ -92,9 +92,13 @@ object GraftExtensions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.sqlFunctions.foreach { case (name, b) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), b))
     }
+    // scale safety net: strip broadcast() hints whose estimated size
+    // exceeds graft.broadcast.demoteBytes (see the rule's scaladoc)
+    e.injectOptimizerRule(graft.plans.DemoteOversizedBroadcasts)
+  }
 }

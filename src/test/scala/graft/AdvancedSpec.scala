@@ -82,6 +82,33 @@ class AdvancedSpec extends AnyFunSuite {
     assert(m.getSeq[Long](1) == Seq(4L, 3L, 2L))
   }
 
+  test("DemoteOversizedBroadcasts strips hints past the size bound") {
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.DemoteOversizedBroadcasts(spark))
+    try {
+      // disable auto-broadcast so the HINT alone decides the strategy
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = Tables(spark, "/root/testdata/sf0.001", "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      def planOf(demoteBytes: String): String = {
+        spark.conf.set("graft.broadcast.demoteBytes", demoteBytes)
+        t.as("a").join(broadcast(t.as("b")), "o_orderkey")
+          .queryExecution.executedPlan.toString
+      }
+      // bound far above the table: hint honored
+      assert(planOf((1L << 40).toString).contains("BroadcastHashJoin"))
+      // bound below the table: hint demoted, planner falls back
+      val demoted = planOf("1024")
+      assert(!demoted.contains("BroadcastHashJoin"), demoted)
+      assert(demoted.contains("SortMergeJoin"), demoted)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      spark.conf.unset("graft.broadcast.demoteBytes")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("TopKFreq sketch: capacity-bounded state, exact when capacity suffices") {
     val agg = new functions.TopKFreq(2, 3)
     // stream with 5 distinct items through capacity 3: state never
