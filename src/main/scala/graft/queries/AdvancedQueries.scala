@@ -90,6 +90,27 @@ object AdvancedQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** 7-day moving sum per user — the RANGE-frame sliding window (vs
+    * `window_running`'s ROWS frame): frame = [tsu − 7d, tsu] on integer
+    * epoch-µs. Summation runs in DECIMAL so the result is
+    * order-independent (double addition is associative-sensitive and
+    * would hash-differ between engines); the exact decimal is cast to
+    * double once at the end. Equal-timestamp rows are frame PEERS in
+    * both engines, so ties need no extra keying.
+    */
+  def movingSum7d(s: SparkSession, dir: String): DataFrame = {
+    val sevenDaysUs = 7L * 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+      .rangeBetween(-sevenDaysUs, 0)
+    Tables.raw(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("tsu"), col("value"))
+      .withColumn("mv7",
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("tsu"), col("mv7"))
+      .orderBy(col("user_id"), col("tsu"), col("event_id"))
+  }
+
   /** Deterministic 1-in-10ish sample: md5 prefix compare — the same
     * rows are selected by any engine, any partitioning, any run
     * (unlike TABLESAMPLE/rand, which are seed- and plan-dependent).
@@ -165,7 +186,8 @@ object AdvancedQueries {
     "sample_deterministic" -> (sampleDeterministic _),
     "approx_distinct" -> (approxDistinct _),
     "skew_join" -> (skewJoin _),
-    "sessionize" -> (sessionize _))
+    "sessionize" -> (sessionize _),
+    "moving_sum_7d" -> (movingSum7d _))
 
   val oracle: Map[String, String] = Map(
     "unpivot_events" ->
@@ -207,6 +229,13 @@ object AdvancedQueries {
       """SELECT event_id, user_id, event_type FROM events
          WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) <= '19'
          ORDER BY event_id""",
+    "moving_sum_7d" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS tsu,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS mv7
+         FROM events ORDER BY user_id, tsu, event_id""",
     "sessionize" ->
       """WITH f AS (
            SELECT user_id, event_id, epoch_us(ts) AS tsu,
