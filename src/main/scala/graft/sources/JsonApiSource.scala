@@ -156,11 +156,23 @@ object JsonApiHttp {
       } finally conn.disconnect()
     }
 
-  /** Retryable server/connection failure. */
-  final class Retryable(msg: String) extends RuntimeException(msg)
+  /** Retryable server/connection failure; `delayMs` > 0 carries a
+    * server-requested pause (429 Retry-After, capped at 30 s).
+    */
+  final class Retryable(msg: String, val delayMs: Long = 0L)
+      extends RuntimeException(msg)
 
   private def readResponse(conn: java.net.HttpURLConnection): String = {
     val code = conn.getResponseCode
+    if (code == 429) {
+      // rate limited: honor Retry-After (seconds) within a sane cap —
+      // the realistic steady state of a paginated API sync
+      val after = Option(conn.getHeaderField("Retry-After"))
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+        .getOrElse(1L)
+      throw new Retryable(s"HTTP 429 from ${conn.getURL}",
+        math.min(math.max(after, 0L), 30L) * 1000L)
+    }
     if (code >= 500)
       throw new Retryable(s"HTTP $code from ${conn.getURL}")
     if (code >= 400)
@@ -180,7 +192,13 @@ object JsonApiHttp {
         case e @ (_: Retryable | _: java.net.ConnectException |
                   _: java.net.SocketTimeoutException) =>
           lastErr = e
-          if (attempt < maxRetries) Thread.sleep(100L * attempt)
+          if (attempt < maxRetries) {
+            val serverDelay = e match {
+              case r: Retryable => r.delayMs
+              case _ => 0L
+            }
+            Thread.sleep(math.max(100L * attempt, serverDelay))
+          }
       }
     }
     throw new java.io.IOException(

@@ -200,6 +200,13 @@ class SourceSpec extends AnyFunSuite {
     server.createContext("/api/dead", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = send(ex, 500, "dead")
     })
+    server.createContext("/api/limited", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        if (attempts.add("limited")) {
+          ex.getResponseHeaders.set("Retry-After", "0")
+          send(ex, 429, """{"error":"rate limited"}""")
+        } else send(ex, 200, """{"ok": true}""")
+    })
     server.start()
     def base: String =
       s"http://127.0.0.1:${server.getAddress.getPort}"
@@ -259,6 +266,15 @@ class SourceSpec extends AnyFunSuite {
         graft.sources.JsonApiHttp.get(s"${api.base}/api/dead", Map.empty, 3)
       }
       assert(e.getMessage.contains("after 3 attempts"), e.getMessage)
+    } finally api.stop()
+  }
+
+  test("http: 429 rate limit honors Retry-After and succeeds on retry") {
+    val api = new MockApi("page")
+    try {
+      val body = graft.sources.JsonApiHttp.get(
+        s"${api.base}/api/limited", Map.empty, 3)
+      assert(body.contains("ok"))
     } finally api.stop()
   }
 
