@@ -53,26 +53,19 @@ object GraftExtensions {
         else dsl.DefaultSeed)),
     "sorted_intersect_count" -> ((args: Seq[Expression]) =>
       SortedIntersectCountExpr(args(0), args(1))),
-    "nearest_centroids" -> ((args: Seq[Expression]) => {
-      import org.apache.spark.sql.catalyst.expressions.Cast
-      import org.apache.spark.sql.types.{ArrayType, FloatType}
-      // same coercions the dsl applies — SQL literals default to
-      // array<double>/array<int>, which the kernel's typed getters
-      // would misread
+    // coercions come from the same dsl helpers the Column API uses, so
+    // the two call paths can't drift (SQL literals default to
+    // array<double>/array<int>, which the kernels' typed getters would
+    // misread)
+    "nearest_centroids" -> ((args: Seq[Expression]) =>
       NearestCentroidsExpr(dsl.asFloatArray(args(0)),
-        Cast(args(1), ArrayType(ArrayType(FloatType))),
-        dsl.asLongArray(args(2)), intArg(args(3), "n"))
-    }),
-    "media_header" -> ((args: Seq[Expression]) => {
-      import org.apache.spark.sql.catalyst.expressions.Cast
-      MediaHeaderExpr(Cast(args(0), org.apache.spark.sql.types.BinaryType))
-    }),
-    "make_media_header" -> ((args: Seq[Expression]) => {
-      import org.apache.spark.sql.catalyst.expressions.Cast
-      import org.apache.spark.sql.types.IntegerType
-      MakeMediaHeaderExpr(Cast(args(0), IntegerType),
-        Cast(args(1), IntegerType), Cast(args(2), IntegerType))
-    }),
+        dsl.asFloatMatrix(args(1)), dsl.asLongArray(args(2)),
+        intArg(args(3), "n"))),
+    "media_header" -> ((args: Seq[Expression]) =>
+      MediaHeaderExpr(dsl.asBinary(args(0)))),
+    "make_media_header" -> ((args: Seq[Expression]) =>
+      MakeMediaHeaderExpr(dsl.asInt(args(0)), dsl.asInt(args(1)),
+        dsl.asInt(args(2)))),
     "line_stats" -> ((args: Seq[Expression]) => LineStatsExpr(args(0))),
     "ngram_rep_stats" -> ((args: Seq[Expression]) =>
       NgramRepStatsExpr(args(0), intArg(args(1), "n"))),

@@ -316,6 +316,12 @@ object dsl {
     Cast(e, ArrayType(FloatType))
   private[graft] def asLongArray(e: Expression): Expression =
     Cast(e, ArrayType(LongType))
+  private[graft] def asFloatMatrix(e: Expression): Expression =
+    Cast(e, ArrayType(ArrayType(FloatType)))
+  private[graft] def asBinary(e: Expression): Expression =
+    Cast(e, org.apache.spark.sql.types.BinaryType)
+  private[graft] def asInt(e: Expression): Expression =
+    Cast(e, org.apache.spark.sql.types.IntegerType)
 
   def minhash_sig(c: Column, numHashes: Int, seed: Long = DefaultSeed): Column =
     ExpressionUtils.column(
@@ -340,7 +346,7 @@ object dsl {
   def nearest_centroids(v: Column, cents: Column, ids: Column, n: Int): Column =
     ExpressionUtils.column(NearestCentroidsExpr(
       asFloatArray(ExpressionUtils.expression(v)),
-      Cast(ExpressionUtils.expression(cents), ArrayType(ArrayType(FloatType))),
+      asFloatMatrix(ExpressionUtils.expression(cents)),
       asLongArray(ExpressionUtils.expression(ids)), n))
 
   def srp_bucket(c: Column, bits: Int, seed: Long = DefaultSeed): Column =
@@ -384,13 +390,13 @@ object dsl {
     */
   def media_header(payload: Column): Column =
     ExpressionUtils.column(MediaHeaderExpr(
-      Cast(ExpressionUtils.expression(payload), org.apache.spark.sql.types.BinaryType)))
+      asBinary(ExpressionUtils.expression(payload))))
 
   def make_media_header(format: Column, w: Column, h: Column): Column =
     ExpressionUtils.column(MakeMediaHeaderExpr(
-      Cast(ExpressionUtils.expression(format), org.apache.spark.sql.types.IntegerType),
-      Cast(ExpressionUtils.expression(w), org.apache.spark.sql.types.IntegerType),
-      Cast(ExpressionUtils.expression(h), org.apache.spark.sql.types.IntegerType)))
+      asInt(ExpressionUtils.expression(format)),
+      asInt(ExpressionUtils.expression(w)),
+      asInt(ExpressionUtils.expression(h))))
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCountExpr(

@@ -305,9 +305,11 @@ object Kernels {
     * vocabulary/TF-IDF aggregations without the interpreted HOF chain.
     */
   def tokensLower(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-    // Unicode lowercase FIRST (same as Spark's lower()): characters
-    // like U+212A lowercase to ASCII 'k' and must join tokens, which
-    // per-byte ASCII lowering would miss
+    // Unicode lowercase FIRST via UTF8String.toLowerCase — the SAME
+    // call Spark's lower() makes, so the kernel matches lower()+split
+    // semantics in every JVM locale (U+212A → ASCII 'k' joins tokens;
+    // any residual locale sensitivity, e.g. tr-TR dotted-I, is shared
+    // with Spark's own lower() and so cannot diverge from it)
     val bytes = s.toLowerCase.getBytes
     val n = bytes.length
     @inline def isWord(b: Byte): Boolean =

@@ -57,24 +57,77 @@ object Sink {
     * AvailableNow tick / window re-pull appends task-count files; a
     * year of 15-minute ticks is ~35k files per partition, and file
     * listing + per-file open costs dominate reads long before data
-    * size does). Sizes the repartition from the directory's actual
-    * on-disk bytes, writes to a sibling temp dir, then swaps —
-    * readers either see the old layout or the new one.
+    * size does).
     *
-    * Returns the number of files written.
+    * Safety properties (a maintenance op that can lose data is worse
+    * than small files):
+    *  - hive-partitioned layouts (`ds=.../...`) are detected from the
+    *    directory structure and REWRITTEN PARTITIONED, so dynamic
+    *    partition overwrite and partition pruning keep working;
+    *  - single-writer assumption is ENFORCED, not assumed: the file
+    *    set is snapshotted first and the swap aborts if it changed
+    *    during the rewrite (a concurrent appender's files would
+    *    otherwise be deleted without having been compacted);
+    *  - the swap is crash-recoverable: the old directory is renamed
+    *    aside before the new one is installed, and deleted only after
+    *    — at every step a complete copy exists on disk (temp paths are
+    *    built as SIBLINGS via the parent Path, immune to trailing
+    *    slashes).
+    *
+    * Returns the target file count.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L << 20): Int = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def dataFiles(p: Path): Set[String] = {
+      val it = fs.listFiles(p, true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_")) out += f.getPath.toString
+      }
+      out.toSet
+    }
+
+    // hive partition columns, read off the `name=value` directory
+    // levels (no catalog needed for a path-based sink)
+    def partitionCols(p: Path): Seq[String] = {
+      val dirs = fs.listStatus(p).filter(_.isDirectory)
+        .filterNot(_.getPath.getName.startsWith("_"))
+      dirs.headOption.map(_.getPath.getName).filter(_.contains("=")) match {
+        case Some(kv) => kv.split("=", 2)(0) +:
+          partitionCols(dirs.head.getPath)
+        case None => Seq.empty
+      }
+    }
+
+    val snapshot = dataFiles(hPath)
     val bytes = fs.getContentSummary(hPath).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
-    spark.read.parquet(path)
-      .repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hPath, true)
-    require(fs.rename(tmp, hPath), s"compaction swap failed for $path")
+    val parts = partitionCols(hPath)
+    val tmp = new Path(hPath.getParent, hPath.getName + "__compacting")
+    fs.delete(tmp, true)
+    val df = spark.read.parquet(hPath.toString)
+    val writer =
+      (if (parts.nonEmpty) df.repartition(n, parts.map(col): _*)
+       else df.repartition(n))
+        .write.mode(SaveMode.Overwrite)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .parquet(tmp.toString)
+
+    require(dataFiles(hPath) == snapshot,
+      s"aborting compaction of $path: directory changed during rewrite " +
+        "(concurrent writer?) — compacted copy left at " + tmp)
+    val aside = new Path(hPath.getParent, hPath.getName + "__precompact")
+    fs.delete(aside, true)
+    require(fs.rename(hPath, aside), s"compaction: failed to move $hPath aside")
+    require(fs.rename(tmp, hPath),
+      s"compaction: failed to install $tmp (original preserved at $aside)")
+    fs.delete(aside, true)
     n
   }
 

@@ -30,6 +30,16 @@ case class DemoteOversizedBroadcasts(spark: org.apache.spark.sql.SparkSession)
   private def maxBytes: BigInt = BigInt(
     spark.conf.get("graft.broadcast.demoteBytes", (1L << 30).toString).toLong)
 
+  /** The marker Catalyst assigns to relations with NO statistics
+    * (spark.sql.defaultSizeInBytes, default Long.MaxValue). A hint on
+    * an unknown-size relation is precisely the case users write
+    * broadcast() for — demoting it would invert the feature — so
+    * unknown sizes are skipped, only KNOWN-oversized ones demoted.
+    */
+  private def unknownSize: BigInt = BigInt(
+    spark.conf.get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString)
+      .toLong)
+
   private def isBroadcastHint(h: HintInfo): Boolean =
     h.strategy.contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST)
 
@@ -38,7 +48,8 @@ case class DemoteOversizedBroadcasts(spark: org.apache.spark.sql.SparkSession)
   // node's JoinHint — so the demotion matches Joins, not ResolvedHint
   private def demote(side: Option[HintInfo], child: LogicalPlan,
                      which: String): Option[HintInfo] = side match {
-    case Some(h) if isBroadcastHint(h) && child.stats.sizeInBytes > maxBytes =>
+    case Some(h) if isBroadcastHint(h) && child.stats.sizeInBytes > maxBytes &&
+        child.stats.sizeInBytes < unknownSize =>
       logWarning(s"demoting $which broadcast hint: estimated " +
         s"${child.stats.sizeInBytes} B exceeds graft.broadcast.demoteBytes=" +
         s"$maxBytes B — falling back to planner join selection")

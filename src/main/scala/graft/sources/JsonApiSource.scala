@@ -218,6 +218,11 @@ object JsonApiToken {
   private val SafetyMarginMs = 100 * 1000L
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), (String, Long)]()
+  // one lock PER key: token fetches block concurrent callers of the
+  // same credential (that's the point) but never unrelated endpoints —
+  // a global lock would hold head-of-line across network I/O
+  private val locks = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Object]()
 
   def bearer(opts: JsonApiOptions): Map[String, String] =
     opts.tokenUrl match {
@@ -232,10 +237,10 @@ object JsonApiToken {
     val now = System.currentTimeMillis()
     val cached = cache.get(key)
     if (cached != null && now < cached._2 - SafetyMarginMs) cached._1
-    // lock the shared object, NOT `key`: the tuple is allocated per
-    // call, so synchronizing on it would let every cold-cache thread
-    // pass the double-check and fetch its own token
-    else this.synchronized {
+    // lock a SHARED per-key monitor (a fresh tuple would give no
+    // mutual exclusion; a global lock would serialize unrelated keys
+    // across network I/O)
+    else locks.computeIfAbsent(key, _ => new Object).synchronized {
       val again = cache.get(key)
       if (again != null && now < again._2 - SafetyMarginMs) again._1
       else {

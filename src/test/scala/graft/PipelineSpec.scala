@@ -101,6 +101,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(after == checksum)
   }
 
+  test("compact preserves hive-partitioned layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-p").toFile
+    val out = s"$tmp/t"
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("value"))
+      .repartition(8)
+    Sink.partitionedWindowLoad(events, "ts", out)
+    def dsDirs = new java.io.File(out).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("ds="))
+    val before = dsDirs
+    assert(before > 1, s"precondition: $before partitions")
+    val checksum = spark.read.parquet(out)
+      .agg(sum(hash(col("event_id"), col("ds"))), count(lit(1))).collect()(0)
+    Sink.compact(spark, out)
+    assert(dsDirs == before, "partition directories must survive compaction")
+    val after = spark.read.parquet(out)
+      .agg(sum(hash(col("event_id"), col("ds"))), count(lit(1))).collect()(0)
+    assert(after == checksum)
+    // dynamic-partition idempotency still works on the compacted layout
+    val oneDay = spark.read.parquet(out)
+      .select(col("ds").cast("string").as("ds")).distinct()
+      .orderBy(col("ds")).limit(1).collect()(0).getString(0)
+    val redo = events.withColumn("ds", date_format(col("ts"), "yyyy-MM-dd"))
+      .filter(col("ds") === oneDay).drop("ds")
+    Sink.partitionedWindowLoad(redo, "ts", out)
+    val again = spark.read.parquet(out)
+      .agg(sum(hash(col("event_id"), col("ds"))), count(lit(1))).collect()(0)
+    assert(again == checksum, "window re-pull after compaction must not duplicate")
+  }
+
   test("bucketed tables join with zero Exchange (shuffle paid once at write)") {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_id"), col("user_id"), col("value"))
