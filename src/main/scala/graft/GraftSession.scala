@@ -19,6 +19,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions) // SQL fns + broadcast safety net
     Tables.requiredConf.foldLeft(
       b.config("spark.sql.session.timeZone", "UTC")
     ) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
