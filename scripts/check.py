@@ -37,6 +37,16 @@ def main(sf_dir, out_dir):
             if gcols != ecols:
                 print(f"FAIL {name}: columns {gcols} != {ecols}")
                 continue
+            # The driver's hash is TYPE-sensitive (e.g. DuckDB bare
+            # sum(BIGINT) -> HUGEINT vs Spark BIGINT hash-fails even
+            # when the values match), so compare declared types too.
+            gtypes = dict(zip(got.columns, (str(t) for t in got.types)))
+            etypes = dict(zip(exp.columns, (str(t) for t in exp.types)))
+            tdiff = {c: (gtypes[c], etypes[c])
+                     for c in gcols if gtypes[c] != etypes[c]}
+            if tdiff:
+                print(f"FAIL {name}: column types spark!=duck {tdiff}")
+                continue
             grows = got.select(*gcols).fetchall()
             erows = exp.select(*ecols).fetchall()
             if len(grows) != len(erows):

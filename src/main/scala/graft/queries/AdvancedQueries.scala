@@ -198,8 +198,9 @@ object AdvancedQueries {
     "topk_freq" ->
       """SELECT user_id, rnk, event_type AS etype, n AS cnt FROM (
            SELECT user_id, event_type, count(*) AS n,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY count(*) DESC, event_type) AS rnk
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY count(*) DESC, event_type)
+                  AS INTEGER) AS rnk
            FROM events GROUP BY user_id, event_type)
          WHERE rnk <= 3 ORDER BY user_id, rnk""",
     "range_join" ->
@@ -246,8 +247,9 @@ object AdvancedQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
          s AS (
            SELECT user_id, tsu,
-             sum(new_sess) OVER (PARTITION BY user_id
-                                 ORDER BY tsu, event_id) AS session_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY tsu, event_id)
+                  AS BIGINT) AS session_id
            FROM f)
          SELECT user_id, session_id, count(*) AS n_events,
                 min(tsu) AS start_us, max(tsu) AS end_us

@@ -246,8 +246,9 @@ object ScaleQueries {
                             4) AS sim_r
                     FROM q JOIN c ON qid <> cid),
               r AS (SELECT qid, cid, sim_r,
-                      row_number() OVER (PARTITION BY qid
-                                         ORDER BY sim_r DESC, cid) AS rnk
+                      CAST(row_number() OVER (PARTITION BY qid
+                                              ORDER BY sim_r DESC, cid)
+                           AS INTEGER) AS rnk
                     FROM s)
          SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 5
          ORDER BY qid, rnk""",

@@ -247,10 +247,10 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "text_stats" ->
       """SELECT doc_id,
-           length(text) AS n_chars_m,
-           len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
-           length(regexp_replace(text, '\s', '', 'g')) AS n_content_chars,
+           CAST(length(text) AS INTEGER) AS n_chars_m,
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+           CAST(length(regexp_replace(text, '\s', '', 'g')) AS INTEGER) AS n_content_chars,
            round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
                  / greatest(length(text), 1), 4) AS punct_ratio_r,
            round(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0),
@@ -306,7 +306,8 @@ object TextQueries {
          c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
          top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100)
          SELECT token, n,
-                row_number() OVER (ORDER BY n DESC, token) AS rank
+                CAST(row_number() OVER (ORDER BY n DESC, token)
+                     AS INTEGER) AS rank
          FROM top ORDER BY n DESC, token""",
     "tfidf_top_terms" ->
       """WITH tok AS (
@@ -319,8 +320,8 @@ object TextQueries {
          j AS (SELECT tf.doc_id, tf.token, tf.tf, d.dfc,
                       (tf.tf * 1000000) // d.dfc AS score_e6
                FROM tf JOIN d USING (token)),
-         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-                           ORDER BY score_e6 DESC, token) AS rank
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score_e6 DESC, token) AS INTEGER) AS rank
                FROM j)
          SELECT doc_id, token, tf, dfc, score_e6, rank
          FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
@@ -352,9 +353,9 @@ object TextQueries {
              regexp_replace(raw,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean,
-           len(regexp_extract_all(raw,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-           len(regexp_extract_all(raw, '\b\d{3}-\d{4}\b')) AS n_phones
+           CAST(len(regexp_extract_all(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{4}\b')) AS INTEGER) AS n_phones
          FROM r ORDER BY doc_id""",
     "quality_sample" ->
       """WITH s AS (
@@ -396,8 +397,10 @@ object TextQueries {
            FROM t),
          u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
          c AS (SELECT doc_id, gram, count(*) AS cnt FROM u GROUP BY 1, 2),
-         s AS (SELECT doc_id, sum(cnt) AS n_grams, count(*) AS n_distinct,
-                      sum(cnt) - count(*) AS n_dup, max(cnt) AS top_count
+         s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+                      count(*) AS n_distinct,
+                      CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup,
+                      max(cnt) AS top_count
                FROM c GROUP BY doc_id)
          SELECT d.doc_id,
                 coalesce(s.n_grams, 0) AS n_grams,
@@ -411,7 +414,8 @@ object TextQueries {
            doc_id % 4 + 1 AS format_code,
            doc_id % 512 + 16 AS width,
            (doc_id * 3) % 512 + 16 AS height,
-           CASE doc_id % 4 + 1 WHEN 3 THEN 24 ELSE 8 END AS bit_depth
+           CAST(CASE doc_id % 4 + 1 WHEN 3 THEN 24 ELSE 8 END
+                AS BIGINT) AS bit_depth
          FROM documents ORDER BY media_id""",
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
