@@ -339,6 +339,19 @@ object Dedup {
         return localFinish(rest)
       }
     }
+    // A non-converged edge set can hold several parents per node, so
+    // labeling from it would emit conflicting cluster_id rows — a
+    // silently wrong answer. Refuse instead: the caller either raises
+    // maxIter (star contraction needs O(log n) rounds) or lowers the
+    // problem size.
+    if (!converged) {
+      persisted.foreach(_.unpersist())
+      throw new IllegalStateException(
+        s"connectedComponents did not reach fixpoint after $maxIter " +
+          s"rounds (frontier=${sig.map(_._1).getOrElse(-1L)} edges); " +
+          "raise maxIter — labeling a non-converged edge set would " +
+          "produce ambiguous cluster assignments")
+    }
     // at fixpoint `edges` is per-component stars (child → root); roots
     // appear only on the dst side and label themselves
     val labels = edges.select(col("src").as("id"), col("dst").as("cluster_id"))

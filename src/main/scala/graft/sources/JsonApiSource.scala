@@ -141,7 +141,8 @@ object JsonApiHttp {
       } finally conn.disconnect()
     }
 
-  def post(url: String, headers: Map[String, String], maxRetries: Int): String =
+  def post(url: String, headers: Map[String, String], maxRetries: Int,
+           body: Option[String] = None): String =
     withRetry(url, maxRetries) {
       val conn = java.net.URI.create(url).toURL.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
@@ -151,7 +152,10 @@ object JsonApiHttp {
         conn.setReadTimeout(30000)
         headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
         conn.setDoOutput(true)
-        conn.getOutputStream.close() // empty body; params ride the URL
+        val out = conn.getOutputStream
+        try body.foreach(b =>
+          out.write(b.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        finally out.close()
         readResponse(conn)
       } finally conn.disconnect()
     }
@@ -162,6 +166,21 @@ object JsonApiHttp {
   final class Retryable(msg: String, val delayMs: Long = 0L)
       extends RuntimeException(msg)
 
+  /** Deliberate 4xx response — a definitive server answer, never
+    * retried (distinct from the transient I/O failures withRetry
+    * absorbs).
+    */
+  final class ClientError(msg: String) extends java.io.IOException(msg)
+
+  /** Query strings can carry credentials (tokens, signed params);
+    * exception messages keep only scheme/host/path.
+    */
+  private def scrub(url: Any): String = {
+    val s = String.valueOf(url)
+    val i = s.indexOf('?')
+    if (i < 0) s else s.substring(0, i)
+  }
+
   private def readResponse(conn: java.net.HttpURLConnection): String = {
     val code = conn.getResponseCode
     if (code == 429) {
@@ -170,13 +189,13 @@ object JsonApiHttp {
       val after = Option(conn.getHeaderField("Retry-After"))
         .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
         .getOrElse(1L)
-      throw new Retryable(s"HTTP 429 from ${conn.getURL}",
+      throw new Retryable(s"HTTP 429 from ${scrub(conn.getURL)}",
         math.min(math.max(after, 0L), 30L) * 1000L)
     }
     if (code >= 500)
-      throw new Retryable(s"HTTP $code from ${conn.getURL}")
+      throw new Retryable(s"HTTP $code from ${scrub(conn.getURL)}")
     if (code >= 400)
-      throw new java.io.IOException(s"HTTP $code from ${conn.getURL}")
+      throw new ClientError(s"HTTP $code from ${scrub(conn.getURL)}")
     val in = conn.getInputStream
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     finally in.close()
@@ -189,8 +208,13 @@ object JsonApiHttp {
       attempt += 1
       try return body
       catch {
-        case e @ (_: Retryable | _: java.net.ConnectException |
-                  _: java.net.SocketTimeoutException) =>
+        // a 4xx is a definitive answer, not a transient fault
+        case e: ClientError => throw e
+        // everything else I/O-shaped is fair game for the bounded
+        // retry: connect/read timeouts, connection resets
+        // (SocketException), DNS blips (UnknownHostException),
+        // premature EOF while streaming the response body
+        case e @ (_: Retryable | _: java.io.IOException) =>
           lastErr = e
           if (attempt < maxRetries) {
             val serverDelay = e match {
@@ -202,7 +226,7 @@ object JsonApiHttp {
       }
     }
     throw new java.io.IOException(
-      s"request to $url failed after $maxRetries attempts", lastErr)
+      s"request to ${scrub(url)} failed after $maxRetries attempts", lastErr)
   }
 }
 
@@ -244,14 +268,19 @@ object JsonApiToken {
       val again = cache.get(key)
       if (again != null && now < again._2 - SafetyMarginMs) again._1
       else {
-        val q = Seq(
+        // RFC 6749 §4.1.3: the grant rides the form-encoded POST body,
+        // never the URL — query strings end up in server access logs
+        // and in exception messages
+        val form = Seq(
           "client_id" -> opts.clientId,
           "client_secret" -> opts.clientSecret,
           "grant_type" -> "refresh_token",
           "refresh_token" -> opts.refreshToken)
           .map { case (k, v) => k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }
           .mkString("&")
-        val body = JsonApiHttp.post(s"$turl?$q", Map.empty, opts.maxRetries)
+        val body = JsonApiHttp.post(turl,
+          Map("Content-Type" -> "application/x-www-form-urlencoded"),
+          opts.maxRetries, Some(form))
         val json = new ObjectMapper().readTree(body)
         val tok = json.path("access_token").asText()
         val expiresIn = json.path("expires_in").asLong(7200L)
@@ -446,10 +475,21 @@ class JsonApiScan(opts: JsonApiOptions, fullSchema: StructType,
         // walk the chain — sequential but lossless
         Array(JsonApiChainPartition(firstPageUrl, Some(body)))
       else JsonApiCursor.extrapolate(next.asText(), count, pageSize) match {
-        case Some(urls) =>
-          (JsonApiUrlPartition(firstPageUrl, Some(body)) +:
-            urls.map(u => JsonApiUrlPartition(u, None))).toArray
-        case None =>
+        case Some(urls) if urls.nonEmpty =>
+          // meta.count can be stale-low (server still serves
+          // links.next past the computed lastPage), so the LAST
+          // extrapolated page walks the cursor chain onward: with an
+          // accurate count the chain stops after one page, with a
+          // lying one the read degrades to sequential continuation
+          // instead of silently dropping the tail
+          val head = JsonApiUrlPartition(firstPageUrl, Some(body))
+          val mid = urls.init.map(u => JsonApiUrlPartition(u, None))
+          val tail = JsonApiChainPartition(urls.last, None)
+          ((head +: mid) :+ tail).toArray[InputPartition]
+        case _ =>
+          // opaque cursor, or count claims page 1 is the only page
+          // while a next cursor exists — walk the chain: sequential
+          // but lossless
           Array(JsonApiChainPartition(firstPageUrl, Some(body)))
       }
   }

@@ -91,6 +91,19 @@ class DedupSpec extends AnyFunSuite {
     assert(gotDistributed == want)
   }
 
+  test("connectedComponents fails loudly when maxIter is exhausted") {
+    // a 6-node chain needs more than one star round; with maxIter = 1
+    // (and the local coda disabled) the loop cannot even observe a
+    // fixpoint, and labeling the non-converged edge set would emit
+    // ambiguous cluster ids — the contract is to refuse instead
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1, localFinishEdges = 0L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+  }
+
   test("cosine_sim: unit vectors and orthogonality") {
     val df = Seq(
       (Array(1f, 0f), Array(1f, 0f), 1.0),

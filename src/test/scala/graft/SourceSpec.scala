@@ -127,7 +127,8 @@ class SourceSpec extends AnyFunSuite {
     * configurable cursor style, and per-URL first-attempt 500s in
     * flaky mode.
     */
-  private class MockApi(cursorStyle: String, flaky: Boolean = false) {
+  private class MockApi(cursorStyle: String, flaky: Boolean = false,
+                        staleCount: Boolean = false) {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val tokenCalls = new java.util.concurrent.atomic.AtomicInteger(0)
     val getCalls = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -149,17 +150,20 @@ class SourceSpec extends AnyFunSuite {
           s""","next": "$base/api/prospects?page=${page + 1}""""
         else s""","next": "$base/api/prospects?cursor=c${page + 1}""""
       s"""{"data": [${ids.map(record).mkString(",")}],
-         |"meta": {"count": 5},
+         |"meta": {"count": ${if (staleCount) 3 else 5}},
          |"links": {"self": "x"$next}}""".stripMargin
     }
 
-    private def query(ex: HttpExchange): Map[String, String] =
-      Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+    private def parseForm(raw: String): Map[String, String] =
+      raw.split("&")
         .filter(_.contains("=")).map { kv =>
           val Array(k, v) = kv.split("=", 2)
           java.net.URLDecoder.decode(k, "UTF-8") ->
             java.net.URLDecoder.decode(v, "UTF-8")
         }.toMap
+
+    private def query(ex: HttpExchange): Map[String, String] =
+      parseForm(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
 
     private def send(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes("UTF-8")
@@ -170,10 +174,15 @@ class SourceSpec extends AnyFunSuite {
 
     server.createContext("/oauth/token", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        val q = query(ex)
+        // RFC 6749: the grant must arrive in the form-encoded body;
+        // reject any credential on the query string
+        val form = parseForm(new String(
+          ex.getRequestBody.readAllBytes(), "UTF-8"))
         if (ex.getRequestMethod != "POST" ||
-            q.get("grant_type") != Some("refresh_token") ||
-            q.get("client_id") != Some("cid"))
+            ex.getRequestURI.getRawQuery != null ||
+            form.get("grant_type") != Some("refresh_token") ||
+            form.get("client_id") != Some("cid") ||
+            form.get("client_secret") != Some("sec"))
           send(ex, 400, """{"error":"bad request"}""")
         else {
           val n = tokenCalls.incrementAndGet()
@@ -275,6 +284,32 @@ class SourceSpec extends AnyFunSuite {
       val body = graft.sources.JsonApiHttp.get(
         s"${api.base}/api/limited", Map.empty, 3)
       assert(body.contains("ok"))
+    } finally api.stop()
+  }
+
+  test("http: stale-low meta.count degrades to chain continuation, not loss") {
+    graft.sources.JsonApiToken.clear()
+    // server claims count=3 (lastPage=2) but serves links.next past it;
+    // the last extrapolated page must walk the chain to pages 3+
+    val api = new MockApi("page", staleCount = true)
+    try {
+      val got = readHttp(api).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (1L to 5L), got.mkString(","))
+    } finally api.stop()
+  }
+
+  test("http: exception messages never carry the query string") {
+    graft.sources.JsonApiToken.clear()
+    val api = new MockApi("page")
+    try {
+      val e = intercept[Exception] {
+        graft.sources.JsonApiHttp.get(
+          s"${api.base}/api/dead?client_secret=s3kr1t-marker", Map.empty, 2)
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(!msgs.contains("s3kr1t-marker"), msgs)
+      assert(msgs.contains("/api/dead"), msgs)
     } finally api.stop()
   }
 
