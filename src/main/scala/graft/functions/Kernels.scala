@@ -533,13 +533,18 @@ object Kernels {
         .put(8.toByte).put(2.toByte)
       b.array()
     case 2 =>
-      val b = java.nio.ByteBuffer.allocate(2 + 18 + 13)
+      val b = java.nio.ByteBuffer.allocate(2 + 18 + 2 + 17)
       b.put(0xff.toByte).put(0xd8.toByte)                       // SOI
       b.put(0xff.toByte).put(0xe0.toByte).putShort(16.toShort)  // APP0
         .put("JFIF".getBytes).put(new Array[Byte](10))
-      b.put(0xff.toByte).put(0xc0.toByte).putShort(11.toShort)  // SOF0
+      // SOF0 len = 8 + 3 components x 3 bytes; standard YCbCr 4:2:0
+      // specs so strict external decoders accept the frame header
+      b.put(0xff.toByte).put(0xc0.toByte).putShort(17.toShort)  // SOF0
         .put(8.toByte).putShort(h.toShort).putShort(w.toShort)
         .put(3.toByte)
+        .put(1.toByte).put(0x22.toByte).put(0.toByte)           // Y
+        .put(2.toByte).put(0x11.toByte).put(1.toByte)           // Cb
+        .put(3.toByte).put(0x11.toByte).put(1.toByte)           // Cr
       b.array()
     case 3 =>
       val b = java.nio.ByteBuffer.allocate(54)

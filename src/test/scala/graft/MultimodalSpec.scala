@@ -41,6 +41,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("synthesized JPEG SOF0 declares lengths a strict decoder accepts") {
+    // walk the segment chain the way an external decoder does: every
+    // declared segment length must be fully present, and the SOF0
+    // component count must match the encoded component specs
+    // (len = 8 + 3 * nComp)
+    val b = Kernels.makeMediaHeader(2, 640, 480)
+    assert((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+    var i = 2
+    var sawSof = false
+    while (i + 4 <= b.length) {
+      assert((b(i) & 0xff) == 0xff, s"expected marker at $i")
+      val marker = b(i + 1) & 0xff
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      assert(i + 2 + len <= b.length,
+        s"segment 0x${marker.toHexString} declares $len but buffer ends")
+      if (marker == 0xc0) {
+        sawSof = true
+        val nComp = b(i + 9) & 0xff
+        assert(len == 8 + 3 * nComp, s"SOF0 len=$len nComp=$nComp")
+      }
+      i += 2 + len
+    }
+    assert(sawSof && i == b.length, s"sof=$sawSof end=$i len=${b.length}")
+  }
+
   test("garbage, truncated, and null payloads are safe") {
     assert(parse(Array[Byte](1, 2, 3)) == Seq(0L, 0L, 0L, 0L))
     assert(parse("not an image at all".getBytes) == Seq(0L, 0L, 0L, 0L))
