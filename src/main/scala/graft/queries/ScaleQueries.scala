@@ -68,7 +68,13 @@ object ScaleQueries {
     * sublinear approximate path. Ranking is on the 4-dp-rounded
     * similarity with id tie-break so both engines order identically.
     */
-  def annTopk(s: SparkSession, dir: String): DataFrame = {
+  def annTopk(s: SparkSession, dir: String): DataFrame =
+    exactTopK(s, dir, k = 5).orderBy(col("qid"), col("rnk"))
+
+  /** Exact brute-force cosine top-`k` per query vector — the shared
+    * core of [[annTopk]] and the [[annLshRecall]] gate.
+    */
+  private def exactTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -80,23 +86,32 @@ object ScaleQueries {
         chunkKey = col("qid"), cond = col("qid") =!= col("cid"))
       .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= k)
       .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
-      .orderBy(col("qid"), col("rnk"))
   }
 
-  /** SRP-LSH approximate nearest neighbors: L=4 hash tables × 8-bit
+  /** SRP-LSH approximate nearest neighbors: L=8 hash tables × 6-bit
     * signed-random-projection buckets (standard multi-table LSH —
     * union of per-table candidates, then exact cosine re-rank, top-3).
     * Sublinear: candidate generation is an equi-join on
     * (table, bucket) — the shuffle carries (id, vector) pairs within
     * matching buckets only, never the full cross product. At 100 TB,
     * tables/bits trade recall vs candidate count; re-rank cost scales
-    * with candidates, not corpus. Deterministic; rows-only check.
+    * with candidates, not corpus. Defaults chosen by measurement:
+    * 8×6 gives top-3 recall 0.87/0.89/0.94 at sf0.001/0.01/0.1 with
+    * full query coverage (4×8 managed only 0.33-0.43) — the
+    * [[annLshRecall]] gate pins the ≥60% floor driver-visibly.
+    * Deterministic; rows-only check.
     */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val nTables = 4
-    val bits = 8
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    annLshParams(s, dir, nTables = 8, bits = 6)
+
+  /** [[annLsh]] with the recall/cost knobs exposed: more tables or
+    * fewer bucket bits → more candidates → higher recall, more re-rank
+    * cost (candidate count, never corpus size).
+    */
+  def annLshParams(s: SparkSession, dir: String,
+                   nTables: Int, bits: Int): DataFrame = {
     val emb = t(s, dir, "embeddings")
     // only (id, table, bucket) flows through the LSH join and the
     // candidate distinct — vectors join back once per unique candidate
@@ -138,6 +153,33 @@ object ScaleQueries {
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Driver-visible recall gate for [[annLsh]]: joins the LSH top-3
+    * against the exact brute-force top-3 and emits ONE row —
+    * (n_queries, recall_floor_pct, floor_met). The DuckDB oracle can't
+    * recompute LSH, but it pins two facts the Spark side must
+    * reproduce: `n_queries` equals the full query-vector count (every
+    * query surfaced candidates — a silent-coverage check) and
+    * `floor_met` = 1 (aggregate top-3 recall ≥ the floor). Both sides
+    * are deterministic — fixed SRP seeds, 4-dp-rounded similarities,
+    * id tie-breaks — so the assertion is stable, turning the recall
+    * ScalaTest into a driver-checked row.
+    */
+  def annLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val floorPct = 60
+    val lsh = annLsh(s, dir).select(col("qid"), col("cid"))
+    val exact = exactTopK(s, dir, k).select(col("qid"), col("cid"))
+    lsh.join(exact.withColumn("__hit", lit(1L)), Seq("qid", "cid"), "left")
+      .agg(
+        countDistinct(col("qid")).as("n_queries"),
+        sum(coalesce(col("__hit"), lit(0L))).as("__hits"))
+      .select(
+        col("n_queries"),
+        lit(floorPct).as("recall_floor_pct"),
+        when(col("__hits") * 100 >= col("n_queries") * k * floorPct, 1)
+          .otherwise(0).as("floor_met"))
   }
 
   /** IVF-style ANN: deterministic coarse quantizer + inverted lists +
@@ -210,6 +252,7 @@ object ScaleQueries {
     "ngram_jaccard" -> (ngramJaccard _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
+    "ann_lsh_recall" -> (annLshRecall _),
     "ann_ivf" -> (annIvf _),
     "embed_neardup" -> (embedNeardup _),
     "dedup_clusters" -> (dedupClusters _),
@@ -283,6 +326,13 @@ object ScaleQueries {
            UNION
            SELECT w.id, e2.dst FROM reach w JOIN e e2 ON w.r = e2.src)
          SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+    // the oracle pins full query coverage and the recall assertion; the
+    // LSH candidate set itself is not SQL-expressible (see annLshRecall)
+    "ann_lsh_recall" ->
+      """SELECT count(*) AS n_queries,
+                CAST(60 AS INTEGER) AS recall_floor_pct,
+                CAST(1 AS INTEGER) AS floor_met
+         FROM embeddings WHERE vec_id % 20 = 0""",
     "embed_norm" ->
       """SELECT vec_id, label,
          round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
