@@ -101,6 +101,21 @@ object TextQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Video frame-sampling plan: documents as opaque "video" payloads →
+    * [[graft.ops.Multimodal.frameSamplePlan]] explodes every 3rd frame
+    * index of the first 16 frames into per-frame rows — the rows a
+    * frame decoder (stubbed in this container) would consume one
+    * partition-batch at a time. The sampled index set is arithmetic,
+    * so DuckDB value-checks the exploded plan exactly.
+    */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(
+      t(s, dir, "documents"), "doc_id", "text", "video")
+    Multimodal.frameSamplePlan(media, nFrames = 16, stride = 3)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** Within-document repetition (Gopher/C4-style boilerplate signal):
     * word 2-gram totals, distinct counts, duplicate occurrences, and
     * the top gram's count, as exact integers (one codegen'd scan-stage
@@ -232,6 +247,7 @@ object TextQueries {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_embed" -> (multimodalEmbed _),
     "multimodal_header" -> (multimodalHeader _),
+    "multimodal_frames" -> (multimodalFrames _),
     "repetition_stats" -> (repetitionStats _),
     "pii_scrub" -> (piiScrub _),
     "quality_sample" -> (qualitySample _),
@@ -417,6 +433,9 @@ object TextQueries {
            CAST(CASE doc_id % 4 + 1 WHEN 3 THEN 24 ELSE 8 END
                 AS BIGINT) AS bit_depth
          FROM documents ORDER BY media_id""",
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id, unnest(range(0, 16, 3)) AS frame_idx
+         FROM documents ORDER BY media_id, frame_idx""",
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
            octet_length(encode(text)) AS n_bytes,
