@@ -166,12 +166,24 @@ object ScaleQueries {
     * id tie-breaks — so the assertion is stable, turning the recall
     * ScalaTest into a driver-checked row.
     */
-  def annLshRecall(s: SparkSession, dir: String): DataFrame = {
-    val k = 3
-    val floorPct = 60
-    val lsh = annLsh(s, dir).select(col("qid"), col("cid"))
-    val exact = exactTopK(s, dir, k).select(col("qid"), col("cid"))
-    lsh.join(exact.withColumn("__hit", lit(1L)), Seq("qid", "cid"), "left")
+  def annLshRecall(s: SparkSession, dir: String): DataFrame =
+    recallGate(annLsh(s, dir), exactTopK(s, dir, k = 3), k = 3, floorPct = 60)
+
+  /** Driver-visible recall gate for [[annIvf]] — same contract as
+    * [[annLshRecall]]. The 60% floor holds with margin at every test
+    * SF (measured top-3 recall 1.0/1.0/0.787 at sf0.001/0.01/0.1).
+    */
+  def annIvfRecall(s: SparkSession, dir: String): DataFrame =
+    recallGate(annIvf(s, dir), exactTopK(s, dir, k = 3), k = 3, floorPct = 60)
+
+  /** Shared recall-gate core: join an approximate top-k result against
+    * the exact one and emit (n_queries, recall_floor_pct, floor_met).
+    */
+  private def recallGate(approx: DataFrame, exact: DataFrame,
+                         k: Int, floorPct: Int): DataFrame =
+    approx.select(col("qid"), col("cid"))
+      .join(exact.select(col("qid"), col("cid")).withColumn("__hit", lit(1L)),
+        Seq("qid", "cid"), "left")
       .agg(
         countDistinct(col("qid")).as("n_queries"),
         sum(coalesce(col("__hit"), lit(0L))).as("__hits"))
@@ -180,15 +192,24 @@ object ScaleQueries {
         lit(floorPct).as("recall_floor_pct"),
         when(col("__hits") * 100 >= col("n_queries") * k * floorPct, 1)
           .otherwise(0).as("floor_met"))
-  }
 
   /** IVF-style ANN: deterministic coarse quantizer + inverted lists +
-    * nprobe search ([[graft.ops.Similarity.ivfTopK]]). Rows-only.
+    * nprobe search ([[graft.ops.Similarity.ivfTopK]]). Rows-only;
+    * recall driver-gated by [[annIvfRecall]].
+    *
+    * Tuning is measurement-driven: the synthetic embeddings have weak
+    * cluster structure, so true neighbors spread across inverted lists
+    * and a FIXED nprobe collapses as the list count grows with the
+    * corpus (old 97/3 config: top-3 recall 0.63 → 0.37 from sf0.001 to
+    * sf0.1). 149/7 holds 1.0/1.0/0.787 across the SFs. At 100 TB the
+    * operative rule is that nprobe must track nlist (probe a roughly
+    * constant list fraction) unless the embedding space is genuinely
+    * clustered — both are knobs on [[graft.ops.Similarity.ivfTopK]].
     */
   def annIvf(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.ivfTopK(t(s, dir, "embeddings"),
         "vec_id", "embedding", queryPred = col("vec_id") % 20 === 0,
-        k = 3, centroidEvery = 97, nprobe = 3)
+        k = 3, centroidEvery = 149, nprobe = 7)
       .orderBy(col("qid"), col("rnk"))
 
   /** Embedding-cosine near-duplicate pairs over an id window —
@@ -254,6 +275,7 @@ object ScaleQueries {
     "ann_lsh" -> (annLsh _),
     "ann_lsh_recall" -> (annLshRecall _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivf_recall" -> (annIvfRecall _),
     "embed_neardup" -> (embedNeardup _),
     "dedup_clusters" -> (dedupClusters _),
     "cc_exact" -> (ccExact _),
@@ -329,6 +351,11 @@ object ScaleQueries {
     // the oracle pins full query coverage and the recall assertion; the
     // LSH candidate set itself is not SQL-expressible (see annLshRecall)
     "ann_lsh_recall" ->
+      """SELECT count(*) AS n_queries,
+                CAST(60 AS INTEGER) AS recall_floor_pct,
+                CAST(1 AS INTEGER) AS floor_met
+         FROM embeddings WHERE vec_id % 20 = 0""",
+    "ann_ivf_recall" ->
       """SELECT count(*) AS n_queries,
                 CAST(60 AS INTEGER) AS recall_floor_pct,
                 CAST(1 AS INTEGER) AS floor_met

@@ -150,13 +150,16 @@ class DedupSpec extends AnyFunSuite {
     assert(approx.nonEmpty)
   }
 
-  test("ann_lsh_recall gate: full query coverage and recall floor met") {
+  test("ann_lsh_recall / ann_ivf_recall gates: full coverage, floor met") {
     val nQueries = graft.Tables(spark, sf, "embeddings")
       .filter(col("vec_id") % 20 === 0).count()
-    val row = graft.queries.ScaleQueries.annLshRecall(spark, sf).collect()
-    assert(row.length == 1)
-    assert(row(0).getAs[Long]("n_queries") == nQueries)
-    assert(row(0).getAs[Int]("recall_floor_pct") == 60)
-    assert(row(0).getAs[Int]("floor_met") == 1)
+    for (gate <- Seq(graft.queries.ScaleQueries.annLshRecall _,
+                     graft.queries.ScaleQueries.annIvfRecall _)) {
+      val row = gate(spark, sf).collect()
+      assert(row.length == 1)
+      assert(row(0).getAs[Long]("n_queries") == nQueries)
+      assert(row(0).getAs[Int]("recall_floor_pct") == 60)
+      assert(row(0).getAs[Int]("floor_met") == 1)
+    }
   }
 }
