@@ -369,14 +369,34 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, window: Long = 20,
-                        threshold: Double = 0.5): DataFrame = {
-    // char n-grams as sorted distinct hashes (native kernel). Hashed
-    // grams give identical jaccard to string grams absent 64-bit
-    // collisions (probability ~1e-11 for this corpus) — the DuckDB
-    // oracle computes on strings and hash-matches, confirming parity.
+                        threshold: Double = 0.5): DataFrame =
+    windowedJaccardPairs(df, idCol, textCol, char_ngram_set(_, n),
+      window, threshold)
+
+  /** Exact word-`n`-shingle Jaccard over an id-windowed pair set —
+    * the same set semantics [[minhashPairs]] approximates, so joining
+    * the two yields a ground-truth LSH recall measurement
+    * ([[graft.queries.ScaleQueries.dedupMinhashRecall]]).
+    */
+  def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, window: Long = 20,
+                          threshold: Double = 0.7): DataFrame =
+    windowedJaccardPairs(df, idCol, textCol, shingle_set(_, n),
+      window, threshold)
+
+  /** Shared windowed exact-Jaccard core: `gram` maps the text column
+    * to a sorted distinct hash set (native kernel). Hashed grams give
+    * identical jaccard to string grams absent 64-bit collisions
+    * (probability ~1e-11 for this corpus) — the DuckDB oracles compute
+    * on strings and hash-match, confirming parity.
+    */
+  private def windowedJaccardPairs(df: DataFrame, idCol: String,
+                                   textCol: String, gram: Column => Column,
+                                   window: Long,
+                                   threshold: Double): DataFrame = {
     val grams = spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"),
-        char_ngram_set(col("__text"), n).as("gs"),
+        gram(col("__text")).as("gs"),
         floor(col("id") / window).as("block"))
     // id_b ∈ (id_a, id_a + window] ⇒ block_b ∈ {block_a, block_a + 1}:
     // exploding the left side over both blocks turns the windowed theta

@@ -193,6 +193,38 @@ object ScaleQueries {
         when(col("__hits") * 100 >= col("n_queries") * k * floorPct, 1)
           .otherwise(0).as("floor_met"))
 
+  /** Driver-visible recall gate for [[dedupMinhash]]: ground truth is
+    * the exact word-3-shingle Jaccard ≥ 0.7 pair set over an id window
+    * ([[Dedup.shingleJaccardPairs]] — the same set semantics the
+    * MinHash signatures approximate, and cheap enough to enumerate
+    * within the window). Every windowed MinHash pair is exact-verified
+    * ≥ 0.7 by construction (precision 1), so the open question LSH
+    * banding leaves — and this gate pins — is recall. The oracle
+    * recomputes `n_exact_pairs` from raw text in SQL (a real value
+    * check of the shingle/Jaccard kernels) and asserts `floor_met`.
+    */
+  def dedupMinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val window = 20L
+    val floorPct = 80
+    val docs = t(s, dir, "documents")
+    val exact = Dedup.shingleJaccardPairs(docs, "doc_id", "text",
+        n = 3, window = window, threshold = 0.7)
+      .select(col("id_a"), col("id_b"))
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 8, threshold = 0.7)
+      .filter(col("id_b") - col("id_a") <= window)
+      .select(col("id_a"), col("id_b"))
+    exact.join(mh.withColumn("__hit", lit(1L)), Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_exact_pairs"),
+        sum(coalesce(col("__hit"), lit(0L))).as("__hits"))
+      .select(
+        col("n_exact_pairs"),
+        lit(floorPct).as("recall_floor_pct"),
+        when(col("__hits") * 100 >= col("n_exact_pairs") * floorPct, 1)
+          .otherwise(0).as("floor_met"))
+  }
+
   /** IVF-style ANN: deterministic coarse quantizer + inverted lists +
     * nprobe search ([[graft.ops.Similarity.ivfTopK]]). Rows-only;
     * recall driver-gated by [[annIvfRecall]].
@@ -269,6 +301,7 @@ object ScaleQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "dedup_simhash" -> (dedupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
     "ann_topk" -> (annTopk _),
@@ -355,6 +388,29 @@ object ScaleQueries {
                 CAST(60 AS INTEGER) AS recall_floor_pct,
                 CAST(1 AS INTEGER) AS floor_met
          FROM embeddings WHERE vec_id % 20 = 0""",
+    // n_exact_pairs is recomputed from raw text in SQL (string
+    // shingles; the kernel's hashed shingles give identical jaccard
+    // absent 64-bit collisions) — a value check of the shingle and
+    // jaccard kernels; floor_met pins LSH banding recall (measured 1.0
+    // at every test SF for this corpus's j ≥ 0.7 pair distribution)
+    "dedup_minhash_recall" ->
+      """WITH tk AS (
+           SELECT doc_id AS id,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         sh AS (
+           SELECT id, CASE WHEN len(t) >= 3
+                    THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                        for i in range(1, len(t) - 1)])
+                    ELSE [array_to_string(t, ' ')] END AS gs
+           FROM tk)
+         SELECT count(*) AS n_exact_pairs,
+                CAST(80 AS INTEGER) AS recall_floor_pct,
+                CAST(1 AS INTEGER) AS floor_met
+         FROM sh a JOIN sh b ON b.id > a.id AND b.id <= a.id + 20
+         WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+               / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7""",
     "ann_ivf_recall" ->
       """SELECT count(*) AS n_queries,
                 CAST(60 AS INTEGER) AS recall_floor_pct,

@@ -162,4 +162,11 @@ class DedupSpec extends AnyFunSuite {
       assert(row(0).getAs[Int]("floor_met") == 1)
     }
   }
+
+  test("dedup_minhash_recall gate: exact pairs found and floor met") {
+    val row = graft.queries.ScaleQueries.dedupMinhashRecall(spark, sf).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("n_exact_pairs") > 0)
+    assert(row(0).getAs[Int]("floor_met") == 1)
+  }
 }
