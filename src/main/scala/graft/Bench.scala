@@ -28,28 +28,39 @@ object Bench {
     // >2x spread are named in "noisy", so a reader can tell noise from
     // regression without rerunning.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
+    // A failed run's duration is meaningless (a fast throw would win
+    // the best-of-N min and report a broken query as a speedup), so
+    // runs are timed only when they complete; queries with zero
+    // completed runs report -1 and are named in "failed".
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-        val times = (1 to repeat).map { _ =>
+        val times = (1 to repeat).flatMap { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            None
+          }
         }
         name -> times
       }
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
-    val qs = results.map { case (k, ts) => s""""$k":${r3(ts.min)}""" }
+    def best(ts: Seq[Double]): Double = if (ts.isEmpty) -1.0 else r3(ts.min)
+    val qs = results.map { case (k, ts) => s""""$k":${best(ts)}""" }
       .mkString("{", ",", "}")
     val samples = results
       .map { case (k, ts) => s""""$k":[${ts.map(r3).mkString(",")}]""" }
       .mkString("{", ",", "}")
     val noisy = results
       .collect { case (k, ts)
-        if ts.max > 2 * ts.min && ts.max - ts.min > 0.25 => s""""$k"""" }
+        if ts.nonEmpty && ts.max > 2 * ts.min && ts.max - ts.min > 0.25 =>
+          s""""$k"""" }
       .mkString("[", ",", "]")
-    val total = r3(results.map(_._2.min).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"samples":$samples,"noisy":$noisy,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, ts) if ts.isEmpty => s""""$k"""" }
+      .mkString("[", ",", "]")
+    val total = r3(results.flatMap(_._2.minOption).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"samples":$samples,"noisy":$noisy,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

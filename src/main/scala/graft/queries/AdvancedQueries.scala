@@ -146,8 +146,11 @@ object AdvancedQueries {
         count(lit(1)).as("n_groups"),
         sum(when(abs(col("approx_users") - col("exact_users")) * 100
                    <= col("exact_users") * 5, 0L).otherwise(1L)).as("__viol"))
+      // sum over zero groups is NULL: coalesce so an empty input
+      // passes vacuously instead of NULL-failing the gate
       .select(col("n_groups"), lit(5).as("err_bound_pct"),
-        when(col("__viol") === 0, 1).otherwise(0).as("all_within"))
+        when(coalesce(col("__viol"), lit(0L)) === 0, 1)
+          .otherwise(0).as("all_within"))
 
   /** Time-range self-join: same-user event pairs within 6 hours —
     * banded equi-join ([[graft.ops.RangeJoin]]), no nested loop.

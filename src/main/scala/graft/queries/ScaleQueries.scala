@@ -167,17 +167,35 @@ object ScaleQueries {
     * ScalaTest into a driver-checked row.
     */
   def annLshRecall(s: SparkSession, dir: String): DataFrame =
-    recallGate(annLsh(s, dir), exactTopK(s, dir, k = 3), k = 3, floorPct = 60)
+    recallGate(annLsh(s, dir), exactGroundTruth(s, dir, k = 3),
+      k = 3, floorPct = 60)
 
   /** Driver-visible recall gate for [[annIvf]] — same contract as
     * [[annLshRecall]]. The 60% floor holds with margin at every test
     * SF (measured top-3 recall 1.0/1.0/0.787 at sf0.001/0.01/0.1).
     */
   def annIvfRecall(s: SparkSession, dir: String): DataFrame =
-    recallGate(annIvf(s, dir), exactTopK(s, dir, k = 3), k = 3, floorPct = 60)
+    recallGate(annIvf(s, dir), exactGroundTruth(s, dir, k = 3),
+      k = 3, floorPct = 60)
+
+  /** The exact brute-force scan is the most expensive join in the
+    * suite and BOTH ANN recall gates need the same k=3 ground truth,
+    * so it is computed once per (session, dataset) and pinned via
+    * localCheckpoint — the materialized table is tiny (|queries|·k
+    * rows), only the scan that builds it is big. `ann_topk` itself
+    * stays uncached: it IS the headline exact query being timed.
+    */
+  private val exactCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), DataFrame]()
+  private def exactGroundTruth(s: SparkSession, dir: String, k: Int): DataFrame =
+    exactCache.computeIfAbsent((System.identityHashCode(s), dir, k),
+      _ => graft.ops.Dedup.materialize(exactTopK(s, dir, k)))
 
   /** Shared recall-gate core: join an approximate top-k result against
     * the exact one and emit (n_queries, recall_floor_pct, floor_met).
+    * `sum` over zero rows is NULL, so the hit count is coalesced after
+    * the aggregate too — an empty input passes vacuously (0 ≥ 0)
+    * instead of emitting a NULL-poisoned 0.
     */
   private def recallGate(approx: DataFrame, exact: DataFrame,
                          k: Int, floorPct: Int): DataFrame =
@@ -190,7 +208,8 @@ object ScaleQueries {
       .select(
         col("n_queries"),
         lit(floorPct).as("recall_floor_pct"),
-        when(col("__hits") * 100 >= col("n_queries") * k * floorPct, 1)
+        when(coalesce(col("__hits"), lit(0L)) * 100
+               >= col("n_queries") * k * floorPct, 1)
           .otherwise(0).as("floor_met"))
 
   /** Driver-visible recall gate for [[dedupMinhash]]: ground truth is
@@ -221,7 +240,10 @@ object ScaleQueries {
       .select(
         col("n_exact_pairs"),
         lit(floorPct).as("recall_floor_pct"),
-        when(col("__hits") * 100 >= col("n_exact_pairs") * floorPct, 1)
+        // post-aggregate coalesce: sum over zero rows is NULL and an
+        // empty exact pair set must pass vacuously, not NULL-fail
+        when(coalesce(col("__hits"), lit(0L)) * 100
+               >= col("n_exact_pairs") * floorPct, 1)
           .otherwise(0).as("floor_met"))
   }
 

@@ -130,7 +130,7 @@ object JsonApiOptions {
 object JsonApiHttp {
   def get(url: String, headers: Map[String, String], maxRetries: Int): String =
     withRetry(url, maxRetries) {
-      val conn = java.net.URI.create(url).toURL.openConnection()
+      val conn = parseUrl(url).openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       try {
         conn.setRequestMethod("GET")
@@ -144,7 +144,7 @@ object JsonApiHttp {
   def post(url: String, headers: Map[String, String], maxRetries: Int,
            body: Option[String] = None): String =
     withRetry(url, maxRetries) {
-      val conn = java.net.URI.create(url).toURL.openConnection()
+      val conn = parseUrl(url).openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       try {
         conn.setRequestMethod("POST")
@@ -171,6 +171,19 @@ object JsonApiHttp {
     * absorbs).
     */
   final class ClientError(msg: String) extends java.io.IOException(msg)
+
+  /** URI.create/toURL embed the FULL raw URL (query string included)
+    * in their exception messages — exactly what `scrub` exists to keep
+    * out of logs — so malformed URLs are re-thrown scrubbed. A URL
+    * that doesn't parse never improves with retries → ClientError.
+    */
+  private def parseUrl(url: String): java.net.URL =
+    try java.net.URI.create(url).toURL
+    catch {
+      case e @ (_: IllegalArgumentException | _: java.net.MalformedURLException) =>
+        throw new ClientError(
+          s"malformed URL ${scrub(url)} (${e.getClass.getSimpleName})")
+    }
 
   /** Query strings can carry credentials (tokens, signed params);
     * exception messages keep only scheme/host/path.
@@ -549,19 +562,39 @@ class JsonApiReaderFactory(opts: JsonApiOptions, fullSchema: StructType,
         Iterator(mapper.readTree(preloaded.getOrElse(
           JsonApiHttp.get(url, JsonApiToken.bearer(opts), opts.maxRetries))))
       case JsonApiChainPartition(startUrl, preloaded) =>
-        // lazily walk links.next until it disappears
+        // lazily walk links.next until it disappears. The walk must
+        // TERMINATE even against a pathological server: a next URL
+        // already visited is a cycle (refetching would duplicate rows
+        // — fail loudly, the read can't be lossless), and a long run
+        // of consecutive data-less pages that still advertise next is
+        // a server loop in different clothes (a few empties mid-chain
+        // are tolerated — sparse pages exist after deletes).
         new Iterator[JsonNode] {
           private var nextUrl: Option[String] = Some(startUrl)
           private var first = preloaded
+          private val seen = scala.collection.mutable.HashSet[String]()
+          private var emptyStreak = 0
           override def hasNext: Boolean = nextUrl.isDefined
           override def next(): JsonNode = {
             val url = nextUrl.get
+            if (!seen.add(url))
+              throw new IllegalStateException(
+                "links.next cycle detected while walking page chain " +
+                  s"(${seen.size} pages fetched); refusing to refetch")
             val body = first match {
               case Some(b) => first = None; b
               case None =>
                 JsonApiHttp.get(url, JsonApiToken.bearer(opts), opts.maxRetries)
             }
             val root = mapper.readTree(body)
+            val data = root.path("data")
+            emptyStreak =
+              if (data.isArray && data.size() == 0) emptyStreak + 1 else 0
+            if (emptyStreak >= 100)
+              throw new IllegalStateException(
+                "100 consecutive empty pages with a live links.next " +
+                  s"while walking page chain (${seen.size} pages fetched); " +
+                  "server is looping")
             val link = root.path("links").path("next")
             nextUrl = if (link.isTextual) Some(link.asText()) else None
             root

@@ -128,7 +128,8 @@ class SourceSpec extends AnyFunSuite {
     * flaky mode.
     */
   private class MockApi(cursorStyle: String, flaky: Boolean = false,
-                        staleCount: Boolean = false) {
+                        staleCount: Boolean = false,
+                        cycle: Boolean = false) {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val tokenCalls = new java.util.concurrent.atomic.AtomicInteger(0)
     val getCalls = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -145,7 +146,9 @@ class SourceSpec extends AnyFunSuite {
     private def pageJson(page: Int): String = {
       val ids = ((page - 1) * 2 + 1) to math.min(page * 2, 5)
       val next =
-        if (page >= 3) ""
+        if (cycle && page >= 2) // buggy server: page 2 links back to itself
+          s""","next": "$base/api/prospects?cursor=c2""""
+        else if (page >= 3) ""
         else if (cursorStyle == "page")
           s""","next": "$base/api/prospects?page=${page + 1}""""
         else s""","next": "$base/api/prospects?cursor=c${page + 1}""""
@@ -244,6 +247,19 @@ class SourceSpec extends AnyFunSuite {
       // token fetched ONCE for planning + 3 partition reads (the
       // reference refetches per request — its expiry cache never engages)
       assert(api.tokenCalls.get() == 1, s"token calls: ${api.tokenCalls.get()}")
+    } finally api.stop()
+  }
+
+  test("http: links.next cycle fails loudly instead of looping forever") {
+    graft.sources.JsonApiToken.clear()
+    val api = new MockApi("opaque", cycle = true)
+    try {
+      val ex = intercept[Exception] { readHttp(api).select("id").collect() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("cycle")),
+        s"expected a cycle error, got: ${messages(ex).mkString(" | ")}")
     } finally api.stop()
   }
 
