@@ -97,6 +97,72 @@ object IncrementalStream {
       .toDF("key_digest", "keep_id", "n_copies")
   }
 
+  /** Streaming gap-based sessionization — the streaming form of the
+    * batch `sessionize` query ([[graft.queries.AdvancedQueries]]): a
+    * quiet gap > `gapMs` starts a new session. Emits one row per
+    * CLOSED session — closed either by a later event beyond the gap or
+    * by the event-time timeout once the watermark passes
+    * `end + gap` — in Append mode (closed sessions are final, never
+    * retracted). Output matches the batch columns:
+    * (user_id, session_id, n_events, start_us, end_us).
+    *
+    * Scale: state per user is one open session (4 longs), partitioned
+    * by user across executors and checkpointed; a closed-marker row
+    * per seen user persists so per-user `session_id` numbering stays
+    * monotone across idle periods (state is bounded by distinct users,
+    * the same cardinality the batch window shuffles). Out-of-order
+    * events inside a micro-batch are sorted before processing; events
+    * later than the watermark horizon are dropped by the watermark,
+    * the standard streaming-sessionization contract.
+    */
+  def sessionizeStream(stream: DataFrame, userCol: String, tsCol: String,
+                       gapMs: Long, watermark: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    // state: (session_id counter, start_us, end_us, n_events);
+    // n_events == 0 marks "no open session" (idle user, counter kept)
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("user_id"),
+        unix_micros(col(tsCol)).as("ts_us"), col(tsCol).as("__ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long),
+                              (Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state) =>
+        val gapUs = gapMs * 1000L
+        if (state.hasTimedOut) {
+          // watermark passed end + gap with no newer event: the open
+          // session is final. Keep the counter (idle marker) so later
+          // sessions continue the numbering.
+          val (idx, start, end, n) = state.get
+          state.update((idx, 0L, 0L, 0L))
+          if (n > 0L) Iterator((user, idx, n, start, end)) else Iterator.empty
+        } else {
+          val ts = rows.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          var (idx, start, end, n) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L))
+          val closed = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long)]
+          for (t <- ts) {
+            if (n == 0L) { idx += 1; start = t; end = t; n = 1L }
+            else if (t - end > gapUs) {
+              closed += ((user, idx, n, start, end))
+              idx += 1; start = t; end = t; n = 1L
+            } else { end = math.max(end, t); n += 1L }
+          }
+          state.update((idx, start, end, n))
+          // fire once the watermark passes the open session's gap edge
+          state.setTimeoutTimestamp(end / 1000L + gapMs)
+          closed.iterator
+        }
+      }
+      .toDF("user_id", "session_id", "n_events", "start_us", "end_us")
+  }
+
   /** Run a streaming frame to a parquet sink with checkpointing,
     * processing everything currently available (the cron-run
     * equivalent: one `Trigger.AvailableNow` invocation per schedule

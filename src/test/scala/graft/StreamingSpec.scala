@@ -63,6 +63,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out.getAbsolutePath).count() == events.count())
   }
 
+  test("streaming sessionization emits closed sessions with batch semantics") {
+    val tmp = Files.createTempDirectory("graft-sess").toFile
+    val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+
+    // base offset keeps event times off epoch 0: the initial watermark
+    // IS 0, and the stateful late-row filter drops rows at/before it
+    val baseMs = 86400000L
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    import spark.implicits._
+    // user 1: two sessions (0-10 min, then 60-70 min; 30-min gap);
+    // user 2: one event, closed only by the event-time timeout once
+    // the watermark (driven by user 1's later events) passes 0 + gap
+    Seq((1L, ts(0)), (1L, ts(10)), (2L, ts(0)))
+      .toDF("user_id", "ts").write.mode("overwrite")
+      .parquet(inDir.getAbsolutePath)
+    Seq((1L, ts(60)), (1L, ts(70)))
+      .toDF("user_id", "ts").write.mode("append")
+      .parquet(inDir.getAbsolutePath)
+
+    val schema = spark.read.parquet(inDir.getAbsolutePath).schema
+    val stream = IncrementalStream.readAppendStream(
+      spark, inDir.getAbsolutePath, schema)
+    val q = IncrementalStream
+      .sessionizeStream(stream, "user_id", "ts",
+        gapMs = 30 * 60000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sess_out")
+      .select("user_id", "session_id", "n_events", "start_us", "end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // user 1's open second session (60-70) must NOT be emitted: the
+    // watermark (70 - 10 = 60 min) hasn't passed its gap edge (100)
+    val baseUs = baseMs * 1000L
+    assert(got == Set(
+      (1L, 1L, 2L, baseUs, baseUs + 10L * 60000000L),
+      (2L, 1L, 1L, baseUs, baseUs)),
+      s"got: $got")
+  }
+
   test("streaming canonical dedup keeps the batch representative (min id)") {
     val tmp = Files.createTempDirectory("graft-cdedup").toFile
     val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
