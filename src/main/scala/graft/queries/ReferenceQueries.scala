@@ -143,6 +143,58 @@ object ReferenceQueries {
       .orderBy(col("c_mktsegment"), col("o_orderpriority"))
   }
 
+  /** TPC-H q3-shaped shipping-priority query: selective filters on
+    * the segment dim and BOTH date columns, 3-table join, per-order
+    * revenue rollup, top 10. The plan to want (and get): customer
+    * filter broadcast into orders, that join broadcast into the
+    * lineitem scan when it fits, partial+final aggregate, then
+    * TakeOrderedAndProject — the full sort never materializes. Revenue
+    * is rounded on both engines; ties broken on l_orderkey.
+    */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1997-01-01"
+    t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      .join(t(s, dir, "orders").filter(col("o_orderdate") < cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H q5-shaped regional supplier volume: 6-table join where the
+    * customer and supplier must share a nation. All four dims
+    * (customer, supplier, nation, region) are broadcast — the two fact
+    * tables meet in the one shuffle join on l_orderkey; at 100 TB
+    * that single fact-fact exchange is the only data movement that
+    * scales with the data.
+    */
+  def q5RegionVolume(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1998-01-01"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region"))
+          .filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
   /** Left-semi join: customers having orders (EXISTS). */
   def joinSemi(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
@@ -256,6 +308,8 @@ object ReferenceQueries {
     "agg_rollup_counts" -> (aggRollupCounts _),
     "q1_agg" -> (q1Agg _),
     "join_fk" -> (joinFk _),
+    "q3_shipping" -> (q3Shipping _),
+    "q5_region_volume" -> (q5RegionVolume _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "topk_orders" -> (topkOrders _),
@@ -320,6 +374,31 @@ object ReferenceQueries {
          JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment, o_orderpriority
          ORDER BY c_mktsegment, o_orderpriority""",
+    "q3_shipping" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+           o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate > TIMESTAMP '1997-01-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_region_volume" ->
+      """SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
