@@ -116,6 +116,23 @@ object TextQueries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Pure-SQL function surface: the same native kernels reached
+    * through `spark.sql(...)` text — [[graft.GraftExtensions]]
+    * registration is the operator under test here (every other query
+    * exercises the Column DSL path). DuckDB recomputes each kernel's
+    * set cardinality from raw text, so the SQL path is value-checked
+    * end-to-end, not just resolvable.
+    */
+  def sqlSurface(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    t(s, dir, "documents").createOrReplaceTempView("graft_documents")
+    s.sql("""SELECT doc_id,
+                    size(token_hashes(text)) AS n_tokens,
+                    size(shingle_set(text, 3)) AS n_shingles,
+                    size(char_ngram_set(text, 3)) AS n_ngrams
+             FROM graft_documents ORDER BY doc_id""")
+  }
+
   /** Within-document repetition (Gopher/C4-style boilerplate signal):
     * word 2-gram totals, distinct counts, duplicate occurrences, and
     * the top gram's count, as exact integers (one codegen'd scan-stage
@@ -248,6 +265,7 @@ object TextQueries {
     "multimodal_embed" -> (multimodalEmbed _),
     "multimodal_header" -> (multimodalHeader _),
     "multimodal_frames" -> (multimodalFrames _),
+    "sql_surface" -> (sqlSurface _),
     "repetition_stats" -> (repetitionStats _),
     "pii_scrub" -> (piiScrub _),
     "quality_sample" -> (qualitySample _),
@@ -436,6 +454,22 @@ object TextQueries {
     "multimodal_frames" ->
       """SELECT doc_id AS media_id, unnest(range(0, 16, 3)) AS frame_idx
          FROM documents ORDER BY media_id, frame_idx""",
+    "sql_surface" ->
+      """WITH tk AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0) AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(CASE WHEN len(t) >= 3
+                THEN len(list_distinct([array_to_string(t[i:i+2], ' ')
+                                        for i in range(1, len(t) - 1)]))
+                ELSE 1 END AS INTEGER) AS n_shingles,
+           CAST(len(list_distinct([substring(text, i, 3)
+                for i in range(1, greatest(length(text) - 2, 1) + 1)]))
+                AS INTEGER) AS n_ngrams
+         FROM tk ORDER BY doc_id""",
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
            octet_length(encode(text)) AS n_bytes,
