@@ -415,4 +415,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Benchmark decontamination (train/test overlap removal): for every
+    * corpus document, count the distinct word `n`-gram shingles it
+    * shares with ANY benchmark document, and flag it contaminated when
+    * the count reaches `minShared` — the n-gram-overlap filter used to
+    * scrub evaluation sets out of pretraining corpora.
+    *
+    * Scale shape: the benchmark side (eval suites) is tiny next to a
+    * training corpus, so its distinct gram set is broadcast when it
+    * fits ([[Hints.maybeBroadcast]]) — the corpus-side scan stays
+    * shuffle-free through the join; the only corpus-wide shuffle
+    * carries compact (id, partial count) pairs for the per-document
+    * aggregate. Grams are 64-bit shingle hashes (scan-stage kernel),
+    * so the join key is 8 bytes, never text. Documents with fewer than
+    * `n` tokens cannot form a full shingle and are excluded from both
+    * sides (their kernel output would be a degenerate catch-all gram).
+    *
+    * Returns one row per corpus document that has ≥ `n` tokens:
+    * (id, n_shared, contaminated 0/1).
+    */
+  def benchmarkOverlap(corpus: DataFrame, bench: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 3, minShared: Long = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+        .filter(size(token_hashes(col("__text"))) >= n)
+        .select(col("id"), explode(shingle_set(col("__text"), n)).as("g"))
+    val benchGrams = Hints.maybeBroadcast(grams(bench).select(col("g")).distinct())
+    val shared = grams(corpus)
+      .join(benchGrams, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+    corpus
+      .filter(size(token_hashes(col(textCol))) >= n)
+      .select(col(idCol).as("id"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared)
+          .cast("int").as("contaminated"))
+  }
 }

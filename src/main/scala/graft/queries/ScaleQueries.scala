@@ -49,6 +49,24 @@ object ScaleQueries {
         maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Benchmark decontamination: documents with `doc_id % 20 == 0` play
+    * the held-out benchmark; every other document is corpus. A corpus
+    * document is contaminated when it shares ≥ 5 distinct word
+    * 3-gram shingles with the benchmark set. Oracle-checked: DuckDB
+    * recomputes the gram overlap on raw strings (the Spark side joins
+    * on 64-bit shingle hashes — identical counts absent collisions,
+    * same parity bet the jaccard oracles confirm).
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.benchmarkOverlap(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", n = 3, minShared = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact char-3-gram Jaccard over an id-window — the oracle-checked
     * member of the near-dup family.
     */
@@ -324,6 +342,7 @@ object ScaleQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
+    "decontaminate" -> (decontaminate _),
     "dedup_simhash" -> (dedupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
     "ann_topk" -> (annTopk _),
@@ -342,6 +361,28 @@ object ScaleQueries {
       """SELECT md5(substring(text, 1, 40)) AS key_hash,
          min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "decontaminate" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS gs
+           FROM tk WHERE len(t) >= 3),
+         bg AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % 20 = 0),
+         cg AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id % 20 != 0),
+         c AS (SELECT doc_id, count(*) AS n_shared
+               FROM cg JOIN bg USING (g) GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(c.n_shared, 0) AS BIGINT) AS n_shared,
+                CAST(CASE WHEN coalesce(c.n_shared, 0) >= 5 THEN 1 ELSE 0 END
+                     AS INTEGER) AS contaminated
+         FROM (SELECT doc_id FROM sh WHERE doc_id % 20 != 0) d
+         LEFT JOIN c USING (doc_id)
+         ORDER BY d.doc_id""",
     "ngram_jaccard" ->
       """WITH g AS (
            SELECT doc_id AS id,

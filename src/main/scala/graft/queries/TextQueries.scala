@@ -213,6 +213,66 @@ object TextQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Stratified deterministic sampling (data mixing by language):
+    * per-language keep rates applied via the same md5-draw trick as
+    * `quality_sample`, with the rate table joined as a broadcast
+    * dimension — the per-source/per-language mixing step of a corpus
+    * build. Rates (of 256): en 32, de 64, es 128, fr 255, other 16.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(("en", 32), ("de", 64), ("es", 128), ("fr", 255))
+      .toDF("lang", "thr")
+    t(s, dir, "documents")
+      .join(broadcast(rates), Seq("lang"), "left")
+      .withColumn("thr", coalesce(col("thr"), lit(16)))
+      .filter(substring(md5(col("text").cast("binary")), 1, 2) <
+        lpad(lower(hex(col("thr"))), 2, "0"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4-style text normalization: plant markup + control characters
+    * around the document (so the op has real work on every row), then
+    * strip tags, collapse whitespace/control runs to single spaces,
+    * and trim. Value-checked character-for-character by the oracle.
+    * Narrow op: two scan-stage regex projections, no shuffle before
+    * the presentation sort.
+    */
+  def normalizeText(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(lit("<p id=\"d"), col("doc_id"), lit("\">\n\t "),
+      col("text"), lit(" </p> <br/> "))
+    val clean = trim(regexp_replace(
+      regexp_replace(raw, "<[^>]*>", " "),
+      "[\\s\\u0000-\\u001F]+", " "))
+    t(s, dir, "documents")
+      .select(col("doc_id"), clean.as("clean"),
+        length(clean).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** URL extraction + per-domain aggregation (the Common-Crawl-shaped
+    * provenance rollup): plant two deterministic URLs per document,
+    * extract every host with one regex pass, and aggregate
+    * (urls, distinct docs) per domain. Post-explode shuffle carries
+    * only (host, doc_id).
+    */
+  def domainStats(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("text"),
+      lit(" see https://host"), pmod(col("doc_id"), lit(50)),
+      lit(".example.org/p/"), col("doc_id"),
+      lit(" and http://m"), pmod(col("doc_id"), lit(7)),
+      lit(".example.net/q?x="), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(regexp_extract_all(raw,
+          lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("host"))
+  }
+
   /** Corpus vocabulary: top-100 tokens by frequency (count desc, token
     * asc tie-break) with dense rank — explode → partial+final
     * hash-aggregate → TakeOrdered; the shuffle carries (token, partial
@@ -271,7 +331,10 @@ object TextQueries {
     "quality_sample" -> (qualitySample _),
     "chunk_tokens" -> (chunkTokensQ _),
     "corpus_vocab" -> (corpusVocab _),
-    "tfidf_top_terms" -> (tfidfTopTerms _))
+    "tfidf_top_terms" -> (tfidfTopTerms _),
+    "stratified_sample" -> (stratifiedSample _),
+    "normalize_text" -> (normalizeText _),
+    "domain_stats" -> (domainStats _))
 
   private val tokSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -470,6 +533,42 @@ object TextQueries {
                 for i in range(1, greatest(length(text) - 2, 1) + 1)]))
                 AS INTEGER) AS n_ngrams
          FROM tk ORDER BY doc_id""",
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE substring(md5(text), 1, 2) <
+               CASE lang WHEN 'en' THEN '20' WHEN 'de' THEN '40'
+                         WHEN 'es' THEN '80' WHEN 'fr' THEN 'ff'
+                         ELSE '10' END
+         ORDER BY doc_id""",
+    "normalize_text" ->
+      """WITH r AS (
+           SELECT doc_id,
+                  '<p id="d' || doc_id || '">' || chr(10) || chr(9) || ' ' ||
+                    text || ' </p> <br/> ' AS raw
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  trim(regexp_replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+                                      '[\s\x00-\x1f]+', ' ', 'g')) AS clean
+           FROM r)
+         SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars
+         FROM c ORDER BY doc_id""",
+    "domain_stats" ->
+      """WITH r AS (
+           SELECT doc_id,
+                  text || ' see https://host' || (doc_id % 50) ||
+                    '.example.org/p/' || doc_id ||
+                    ' and http://m' || (doc_id % 7) ||
+                    '.example.net/q?x=' || doc_id AS raw
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(raw,
+                    'https?://([A-Za-z0-9.-]+)', 1)) AS host
+           FROM r)
+         SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM u GROUP BY host ORDER BY host""",
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
            octet_length(encode(text)) AS n_bytes,

@@ -169,4 +169,27 @@ class DedupSpec extends AnyFunSuite {
     assert(row(0).getAs[Long]("n_exact_pairs") > 0)
     assert(row(0).getAs[Int]("floor_met") == 1)
   }
+
+  test("benchmarkOverlap counts shared shingles and flags by threshold") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 4 grams w/ bench
+      (2L, "one two three four five six seven"),   // shares 5 grams -> flagged
+      (3L, "totally unrelated words here present"),
+      (4L, "ab")                                    // < 3 tokens: excluded
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val out = Dedup.benchmarkOverlap(corpus, bench, "doc_id", "text",
+        n = 3, minShared = 5)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byId = out.map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // doc 1 (4 grams) shares bench 100's 3 grams -> below the 5 floor
+    assert(byId(1L) == ((3L, 0)))
+    // doc 2 is identical to bench 101: all 5 grams shared -> flagged
+    assert(byId(2L) == ((5L, 1)))
+    assert(byId(3L) == ((0L, 0)))
+  }
 }
