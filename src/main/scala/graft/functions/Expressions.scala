@@ -298,6 +298,21 @@ case class SrpBucketExpr(child: Expression, bits: Int, seed: Long)
   override def prettyName: String = "srp_bucket"
 }
 
+/** Morton (Z-order) interleave of two long columns' low 32 bits — the
+  * multi-dimensional layout sort key (see [[Kernels.interleave2]]).
+  */
+case class ZOrderExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.interleave2(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.interleave2($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrderExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "zorder_key"
+}
+
 /** Column-level API over the custom expressions — import
   * `graft.functions.dsl._` alongside `org.apache.spark.sql.functions._`.
   */
@@ -364,6 +379,14 @@ object dsl {
 
   def winnow_fps(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowExpr(ExpressionUtils.expression(text), k, w))
+
+  /** Morton (Z-order) key over two long columns' low 32 bits. */
+  def zorder_key(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.types.LongType
+    ExpressionUtils.column(ZOrderExpr(
+      Cast(ExpressionUtils.expression(a), LongType),
+      Cast(ExpressionUtils.expression(b), LongType)))
+  }
 
   /** [n_lines, n_distinct_lines, dup_line_chars, total_line_chars]. */
   def line_stats(text: Column): Column =

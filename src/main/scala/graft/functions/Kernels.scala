@@ -24,6 +24,22 @@ object Kernels {
     z ^ (z >>> 31)
   }
 
+  /** Morton (Z-order) interleave of the low 32 bits of `a` (even bit
+    * positions) and `b` (odd positions): the space-filling-curve sort
+    * key for multi-dimensional data layout — files written in zkey
+    * order get tight min/max ranges on BOTH dimensions, so point and
+    * box predicates on either column prune file/row-group stats.
+    */
+  def interleave2(a: Long, b: Long): Long = {
+    var out = 0L
+    var i = 0
+    while (i < 32) {
+      out |= ((a >>> i) & 1L) << (2 * i) | ((b >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    out
+  }
+
   /** MinHash signature: for hash family i in [0, numHashes), the min
     * over the input token/shingle hashes of mix64(x ^ s_i). Empty
     * input → Long.MaxValue sentinel per slot.

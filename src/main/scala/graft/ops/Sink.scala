@@ -148,4 +148,23 @@ object Sink {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Z-ordered layout write: range-partition + sort by the Morton key
+    * of two dimension columns so every output file covers a tight
+    * min/max box on BOTH columns — parquet footer stats then prune
+    * files/row-groups for predicates on either dimension (the
+    * data-layout play for multi-dimensional scans at 100 TB, where a
+    * single-column sort leaves the second column unprunable).
+    * `repartitionByRange` samples the key distribution, so files are
+    * balanced even when the dimensions are skewed.
+    */
+  def zorderedSave(df: DataFrame, colA: String, colB: String,
+                   path: String, files: Int): Unit = {
+    import graft.functions.dsl.zorder_key
+    df.withColumn("__z", zorder_key(col(colA), col(colB)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -111,6 +111,56 @@ object AdvancedQueries {
       .orderBy(col("user_id"), col("tsu"), col("event_id"))
   }
 
+  /** Quantile sketch gate: exact rank-based p50/p90 of order totals
+    * per priority (integer-exact rank selection: ceil(p·n) over the
+    * sorted multiset — tie-permutation-independent because ordering is
+    * by value alone), with `percentile_approx` (GK sketch) required to
+    * land within 1% of exact. The sketch estimate itself isn't
+    * SQL-portable, so — like the HLL gate — the oracle recomputes the
+    * exact percentiles and pins `bound_met = 1` per group.
+    */
+  def percentileBound(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val byP = Window.partitionBy(col("o_orderpriority"))
+    val ranked = o
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(byP.orderBy(col("o_totalprice"))))
+      .withColumn("n", count(lit(1)).over(byP))
+    // rank positions via integer ceil division — no float rank math
+    // (ceil(0.9 * n) in doubles can round across an integer boundary
+    // differently per engine)
+    val exact = ranked.groupBy(col("o_orderpriority")).agg(
+      max(when(col("rn") === expr("(n + 1) DIV 2"),
+        col("o_totalprice"))).as("p50"),
+      max(when(col("rn") === expr("(9 * n + 9) DIV 10"),
+        col("o_totalprice"))).as("p90"))
+    val approx = o.groupBy(col("o_orderpriority")).agg(
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("a50"),
+      percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("a90"))
+    exact.join(approx, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"),
+        round(col("p50") * 100).cast("long").as("p50_cents"),
+        round(col("p90") * 100).cast("long").as("p90_cents"),
+        (abs(col("a50") - col("p50")) * 100 <= col("p50") &&
+          abs(col("a90") - col("p90")) * 100 <= col("p90"))
+          .cast("int").as("bound_met"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Z-order (Morton) layout key over the lineitem (part, supplier)
+    * dimensions — the sort key [[graft.ops.Sink.zorderedSave]] lays
+    * files out by. Value-checked: DuckDB recomputes the bit interleave
+    * with a 16-term list comprehension per dimension.
+    */
+  def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl.zorder_key
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        zorder_key(pmod(col("l_partkey"), lit(65536)),
+          pmod(col("l_suppkey"), lit(65536))).as("zkey"))
+      .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** Deterministic 1-in-10ish sample: md5 prefix compare — the same
     * rows are selected by any engine, any partitioning, any run
     * (unlike TABLESAMPLE/rand, which are seed- and plan-dependent).
@@ -207,7 +257,9 @@ object AdvancedQueries {
     "approx_distinct_bound" -> (approxDistinctBound _),
     "skew_join" -> (skewJoin _),
     "sessionize" -> (sessionize _),
-    "moving_sum_7d" -> (movingSum7d _))
+    "moving_sum_7d" -> (movingSum7d _),
+    "percentile_bound" -> (percentileBound _),
+    "zorder_key" -> (zorderKey _))
 
   val oracle: Map[String, String] = Map(
     // the HLL estimate isn't SQL-portable; the oracle pins group
@@ -217,6 +269,33 @@ object AdvancedQueries {
                 CAST(5 AS INTEGER) AS err_bound_pct,
                 CAST(1 AS INTEGER) AS all_within
          FROM events""",
+    // like the HLL gate: exact percentiles recomputed, sketch bound
+    // pinned to 1 (a drifting percentile_approx breaks the hash)
+    "percentile_bound" ->
+      """WITH r AS (
+           SELECT o_orderpriority, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice) AS rn,
+                  count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders)
+         SELECT o_orderpriority,
+                CAST(round(max(CASE WHEN rn = (n + 1) // 2
+                               THEN o_totalprice END) * 100) AS BIGINT)
+                  AS p50_cents,
+                CAST(round(max(CASE WHEN rn = (9 * n + 9) // 10
+                               THEN o_totalprice END) * 100) AS BIGINT)
+                  AS p90_cents,
+                CAST(1 AS INTEGER) AS bound_met
+         FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "zorder_key" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(
+                  list_sum([(((l_partkey % 65536) >> i) & 1) << (2*i)
+                            FOR i IN range(0, 16)]) +
+                  list_sum([(((l_suppkey % 65536) >> i) & 1) << (2*i + 1)
+                            FOR i IN range(0, 16)])
+                AS BIGINT) AS zkey
+         FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber""",
     "unpivot_events" ->
       """SELECT user_id, event_type, count(*) AS n
          FROM events GROUP BY user_id, event_type

@@ -134,4 +134,44 @@ class AdvancedSpec extends AnyFunSuite {
     assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
     assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
   }
+
+  test("percentile gate: exact rank percentiles, sketch within bound") {
+    val rows = graft.queries.AdvancedQueries
+      .percentileBound(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getInt(3) == 1, s"sketch out of bound for ${r.getString(0)}")
+      assert(r.getLong(1) <= r.getLong(2), "p50 must not exceed p90")
+    }
+  }
+
+  test("z-order key clusters both dimensions (quadrant locality)") {
+    // 64x64 grid; global sort by zkey then split into 4 equal rank
+    // chunks = the 4 z-curve quadrants -> each chunk spans exactly
+    // half the range of BOTH dims (a single-column sort would leave
+    // dim b spanning the full 0..63 in every chunk)
+    import graft.functions.dsl.zorder_key
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val sorted = grid.select(col("a"), col("b"),
+        zorder_key(col("a"), col("b")).as("z"))
+      .orderBy(col("z")).collect()
+    sorted.grouped(1024).foreach { chunk =>
+      val as = chunk.map(_.getLong(0)); val bs = chunk.map(_.getLong(1))
+      assert(as.max - as.min == 31 && bs.max - bs.min == 31)
+    }
+  }
+
+  test("zorderedSave writes the requested file count and round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("zord").toString
+    val df = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    graft.ops.Sink.zorderedSave(df, "a", "b", s"$dir/t", files = 4)
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 1024)
+    assert(back.columns.sorted.toSeq == Seq("a", "b"))
+  }
 }

@@ -106,4 +106,18 @@ object KernelProps extends Properties("kernels") {
       val out = Kernels.winnow(utf8(s), 8, 4).toLongArray.toSeq
       out == out.distinct.sorted
     }
+
+  property("interleave2 round-trips both 32-bit inputs") =
+    forAll(Gen.chooseNum(0L, 0xffffffffL), Gen.chooseNum(0L, 0xffffffffL)) {
+      (a, b) =>
+        val z = Kernels.interleave2(a, b)
+        var ra = 0L; var rb = 0L
+        var i = 0
+        while (i < 32) {
+          ra |= ((z >>> (2 * i)) & 1L) << i
+          rb |= ((z >>> (2 * i + 1)) & 1L) << i
+          i += 1
+        }
+        ra == a && rb == b
+    }
 }
