@@ -71,7 +71,12 @@ object GraftExtensions {
       NgramRepStatsExpr(args(0), intArg(args(1), "n"))),
     "chunk_tokens" -> ((args: Seq[Expression]) =>
       ChunkTokensExpr(args(0), intArg(args(1), "chunk"), intArg(args(2), "step"))),
-    "quality_e4" -> ((args: Seq[Expression]) => QualityE4Expr(args(0))))
+    "quality_e4" -> ((args: Seq[Expression]) => QualityE4Expr(args(0))),
+    "zorder_key" -> ((args: Seq[Expression]) => ZOrderExpr(
+      org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+        org.apache.spark.sql.types.LongType))))
 
   /** Register on an already-running session (new sessions: prefer
     * `.withExtensions(new GraftExtensions)` or the

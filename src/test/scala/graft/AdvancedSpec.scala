@@ -80,6 +80,10 @@ class AdvancedSpec extends AnyFunSuite {
       """).collect()(0)
     assert(m.getSeq[Long](0) == Seq(1L, 320L, 240L, 8L))
     assert(m.getSeq[Long](1) == Seq(4L, 3L, 2L))
+    // round-4: z-order interleave (0b11 from a=1,b=1; 0b10 from a=0,b=1)
+    val z = spark.sql("SELECT zorder_key(1, 1) AS z1, zorder_key(0, 1) AS z2")
+      .collect()(0)
+    assert(z.getLong(0) == 3L && z.getLong(1) == 2L)
   }
 
   test("DemoteOversizedBroadcasts strips hints past the size bound") {
