@@ -195,6 +195,28 @@ object ReferenceQueries {
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** TPC-H q14-shaped promo revenue share per ship month: fact ⋈
+    * broadcast part dim, conditional aggregation. Revenue is rounded
+    * to integer cents PER ROW before the sum (double-sum ordering is
+    * engine/plan-dependent; per-row round → BIGINT sum is exact and
+    * portable), share reported in integer basis points.
+    */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      (year(col("l_shipdate")).cast("long") * 100 +
+        month(col("l_shipdate"))).as("ym"),
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long").as("cents"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ym"))
+      .agg(sum(when(col("p_type") === "PROMO", col("cents"))
+          .otherwise(0L)).as("promo_cents"),
+        sum(col("cents")).as("total_cents"))
+      .withColumn("promo_bp", expr("promo_cents * 10000 DIV total_cents"))
+      .orderBy(col("ym"))
+  }
+
   /** Left-semi join: customers having orders (EXISTS). */
   def joinSemi(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
@@ -310,6 +332,7 @@ object ReferenceQueries {
     "join_fk" -> (joinFk _),
     "q3_shipping" -> (q3Shipping _),
     "q5_region_volume" -> (q5RegionVolume _),
+    "q14_promo_share" -> (q14PromoShare _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "topk_orders" -> (topkOrders _),
@@ -321,6 +344,23 @@ object ReferenceQueries {
     "agg_cube" -> (aggCube _))
 
   val oracle: Map[String, String] = Map(
+    "q14_promo_share" ->
+      """WITH l AS (
+           SELECT l_partkey,
+                  year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+                  CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                       AS BIGINT) AS cents
+           FROM lineitem),
+         g AS (
+           SELECT ym,
+                  CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+                       AS BIGINT) AS promo_cents,
+                  CAST(sum(cents) AS BIGINT) AS total_cents
+           FROM l JOIN part ON l_partkey = p_partkey
+           GROUP BY ym)
+         SELECT ym, promo_cents, total_cents,
+                promo_cents * 10000 // total_cents AS promo_bp
+         FROM g ORDER BY ym""",
     "incremental_window" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
          round(value, 4) AS value_r
