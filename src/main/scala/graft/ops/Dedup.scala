@@ -438,22 +438,31 @@ object Dedup {
   def benchmarkOverlap(corpus: DataFrame, bench: DataFrame,
                        idCol: String, textCol: String,
                        n: Int = 3, minShared: Long = 5): DataFrame = {
-    def grams(df: DataFrame): DataFrame =
+    def gramSets(df: DataFrame): DataFrame =
       spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
         .filter(size(token_hashes(col("__text"))) >= n)
-        .select(col("id"), explode(shingle_set(col("__text"), n)).as("g"))
-    val benchGrams = Hints.maybeBroadcast(grams(bench).select(col("g")).distinct())
-    val shared = grams(corpus)
+        .select(col("id"), shingle_set(col("__text"), n).as("gs"))
+    val benchGrams = Hints.maybeBroadcast(
+      gramSets(bench).select(explode(col("gs")).as("g")).distinct())
+    // one pass over corpus text: the compact (id, gram-hash-set) base
+    // feeds both the overlap join and the full id list (same
+    // persist-the-base shape as minhashPairs — without it the left
+    // side of the final join would re-tokenize every document)
+    val corpusBase = gramSets(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = corpusBase
+      .select(col("id"), explode(col("gs")).as("g"))
       .join(benchGrams, Seq("g"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shared"))
-    corpus
-      .filter(size(token_hashes(col(textCol))) >= n)
-      .select(col(idCol).as("id"))
-      .join(shared, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("n_shared"), lit(0L)) >= minShared)
-          .cast("int").as("contaminated"))
+    val out = materialize(
+      corpusBase.select(col("id"))
+        .join(shared, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) >= minShared)
+            .cast("int").as("contaminated")))
+    corpusBase.unpersist()
+    out
   }
 }

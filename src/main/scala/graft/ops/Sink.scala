@@ -161,10 +161,12 @@ object Sink {
   def zorderedSave(df: DataFrame, colA: String, colB: String,
                    path: String, files: Int): Unit = {
     import graft.functions.dsl.zorder_key
-    df.withColumn("__z", zorder_key(col(colA), col(colB)))
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    val zc = "__graft_zorder_key"
+    require(!df.columns.contains(zc), s"input already has a $zc column")
+    df.withColumn(zc, zorder_key(col(colA), col(colB)))
+      .repartitionByRange(files, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

@@ -55,7 +55,10 @@ object ScaleQueries {
     * 3-gram shingles with the benchmark set. Oracle-checked: DuckDB
     * recomputes the gram overlap on raw strings (the Spark side joins
     * on 64-bit shingle hashes — identical counts absent collisions,
-    * same parity bet the jaccard oracles confirm).
+    * same parity bet the jaccard oracles confirm). Like the other
+    * token-family oracles (`sql_surface`, `dedup_minhash_recall`),
+    * DuckDB's Unicode-aware lower() only matches the kernel's
+    * ASCII-byte tokenizer on ASCII corpora — true of the testdata.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
