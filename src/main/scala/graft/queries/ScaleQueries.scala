@@ -340,8 +340,29 @@ object ScaleQueries {
           .as("l2_norm"))
       .orderBy(col("vec_id"))
 
+  /** End-to-end near-dup removal: the surviving corpus after dropping
+    * every non-canonical member (id ≠ cluster min) of the exact
+    * windowed-Jaccard connected components — the final step a dedup
+    * pipeline actually ships. Plan: the cc_exact label set (compact,
+    * ids only) drives a LEFT ANTI join against `documents`; singleton
+    * docs never enter the label set and survive by absence. Shuffles
+    * after pair-gen carry only (id, cluster_id).
+    */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val labels = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, window = 20, threshold = 0.5)
+        .select(col("id_a"), col("id_b")))
+    docs.join(labels.filter(col("id") =!= col("cluster_id")).select(col("id")),
+        docs("doc_id") === col("id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_canonical" -> (dedupCanonical _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
@@ -360,6 +381,28 @@ object ScaleQueries {
     "embed_norm" -> (embedNorm _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_canonical" ->
+      """WITH RECURSIVE g AS (
+           SELECT doc_id AS id,
+                  list_distinct([substring(text, i, 3)
+                                 for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS gs
+           FROM documents),
+         p AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM g a JOIN g b ON b.id > a.id AND b.id <= a.id + 20
+           WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+                 / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT w.id, e2.dst FROM reach w JOIN e e2 ON w.r = e2.src),
+         lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d
+         WHERE d.doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster_id)
+         ORDER BY d.doc_id""",
     "dedup_exact" ->
       """SELECT md5(substring(text, 1, 40)) AS key_hash,
          min(doc_id) AS keep_id, count(*) AS n_copies

@@ -315,6 +315,108 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Unigram LM surprisal (CCNet-style quality signal) in EXACT integer
+    * arithmetic: per-document mean inverse unigram probability,
+    * `surprisal_e6 = (Σ_t tf_t · min(10⁶·N div cnt_t, 10¹²)) div n_tokens`
+    * over a TOP-256 vocabulary (count desc, token asc tie-break);
+    * out-of-vocabulary tokens take the 10¹² cap (max rarity). The cap
+    * also bounds the product against 64-bit overflow at corpus scale
+    * (N ~ 10¹³ tokens at 100 TB ⇒ uncapped 10⁶·N overflows a long).
+    *
+    * Plan shape: ONE corpus explode → compact (doc, token, tf) table,
+    * pinned once and released on return; corpus counts + total-N are
+    * aggregates over that cache; the capped vocabulary joins back as a
+    * BROADCAST dimension and N as a broadcast scalar, so the per-token
+    * scoring is map-side — the only shuffles after the explode carry
+    * (doc, token, tf) and (doc, partial sums).
+    */
+  def lmSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val vocab = c.orderBy(col("cnt").desc, col("token")).limit(256)
+    val nTotal = c.agg(sum(col("cnt")).as("n_total"))
+    val out = tf
+      .join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("invp_e6",
+        when(col("cnt").isNull, lit(1000000000000L))
+          .otherwise(least(expr("(1000000 * n_total) DIV cnt"),
+            lit(1000000000000L))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        expr("sum(tf * invp_e6) DIV sum(tf)").as("surprisal_e6"))
+      .orderBy(col("doc_id"))
+    val pinned = graft.ops.Dedup.materialize(out)
+    tf.unpersist()
+    pinned.orderBy(col("doc_id"))
+  }
+
+  /** Training-sequence packing: documents in deterministic doc_id order
+    * are laid head-to-tail on a global token axis; `bin_id =
+    * seq_start div budget` assigns each document to its 2048-token
+    * training bin (streaming first-fit, the deterministic relaxation of
+    * bin packing a data pipeline actually runs). The global running sum
+    * is a TWO-LEVEL distributed prefix sum: within-bucket cumulative
+    * sums run partitioned on `bucket = doc_id div 1000`, and only the
+    * per-bucket totals (1/1000th of the rows) pass through the
+    * single-partition offset window — at 100 TB a third level bounds
+    * that too; no full-table single-partition window ever runs. The
+    * DuckDB oracle is the plain one-level window, value-checking the
+    * decomposition.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048L
+    val bucketW = 1000L
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id DIV $bucketW"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val offsets = base.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("offset",
+        coalesce(sum(col("btot")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    base.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("seq_start", col("offset") + col("cum_in") - col("n_tokens"))
+      .withColumn("bin_id", expr(s"seq_start DIV $budget"))
+      .select(col("doc_id"), col("n_tokens"), col("seq_start"), col("bin_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus filter funnel: surviving document counts after each stage
+    * of the standard pretraining filter chain (all docs → ≥20 tokens →
+    * language identified → quality ≥ 0.5), computed in ONE pass as
+    * conditional aggregates over the scan (no per-stage re-scan), then
+    * unpivoted to per-stage rows with `stack`.
+    */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      TextOps.tokenCount(col("text")).cast("long").as("nt"),
+      TextOps.langId(col("text")).as("lp"),
+      TextOps.qualityScoreE4(col("text")).as("qe4"))
+    val p1 = col("nt") >= 20
+    val p2 = p1 && col("lp") =!= "und"
+    val p3 = p2 && col("qe4") >= 5000L
+    d.agg(
+        count(lit(1)).as("c0"),
+        sum(when(p1, 1L).otherwise(0L)).as("c1"),
+        sum(when(p2, 1L).otherwise(0L)).as("c2"),
+        sum(when(p3, 1L).otherwise(0L)).as("c3"))
+      .selectExpr("""stack(4,
+          0, 'total',      c0,
+          1, 'min_tokens', c1,
+          2, 'lang_known', c2,
+          3, 'quality',    c3) AS (stage_idx, stage, n_kept)""")
+      .orderBy(col("stage_idx"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
@@ -334,7 +436,10 @@ object TextQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "stratified_sample" -> (stratifiedSample _),
     "normalize_text" -> (normalizeText _),
-    "domain_stats" -> (domainStats _))
+    "domain_stats" -> (domainStats _),
+    "lm_surprisal" -> (lmSurprisal _),
+    "pack_sequences" -> (packSequences _),
+    "filter_funnel" -> (filterFunnel _))
 
   private val tokSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -575,5 +680,85 @@ object TextQueries {
            CAST(64 + octet_length(encode(text)) % 256 AS INTEGER) AS width,
            CAST(64 + (octet_length(encode(text)) * 7) % 256 AS INTEGER) AS height,
            round((octet_length(encode(text)) % 1000) / 1000.0, 3) AS mean_val
-         FROM documents ORDER BY media_id""")
+         FROM documents ORDER BY media_id""",
+    "lm_surprisal" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                     x -> len(x) > 0)) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         c AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+         v AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 256),
+         n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
+         j AS (SELECT tf.doc_id, tf.tf,
+                      CASE WHEN v.token IS NULL THEN 1000000000000
+                           ELSE least((1000000 * n.n_total) // v.cnt,
+                                      1000000000000)
+                      END AS invp_e6
+               FROM tf LEFT JOIN v USING (token) CROSS JOIN n)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                CAST(sum(tf * invp_e6) // sum(tf) AS BIGINT) AS surprisal_e6
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "pack_sequences" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> len(x) > 0)) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                      CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS seq_start
+               FROM s)
+         SELECT doc_id, n_tokens, seq_start,
+                CAST(seq_start // 2048 AS BIGINT) AS bin_id
+         FROM c ORDER BY doc_id""",
+    "filter_funnel" -> {
+      val sEn = markerCount(TextOps.LangMarkers(0)._2)
+      val sDe = markerCount(TextOps.LangMarkers(1)._2)
+      val sEs = markerCount(TextOps.LangMarkers(2)._2)
+      val sFr = markerCount(TextOps.LangMarkers(3)._2)
+      s"""WITH s AS (
+           SELECT doc_id,
+             greatest(length(text), 1)::BIGINT AS len,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> len(x) > 0))::BIGINT AS tc,
+             greatest(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> len(x) > 0)), 1)::BIGINT AS nt1,
+             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS p,
+             len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                         x -> len(x) > 0),
+                             x -> x IN ('the','a','of','and','to','in','is','it')))::BIGINT AS sw,
+             $sEn AS s_en, $sDe AS s_de, $sEs AS s_es, $sFr AS s_fr
+           FROM documents),
+         q AS (SELECT doc_id, tc,
+             CASE
+               WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+               WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
+               WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+               ELSE 'und'
+             END AS lp,
+             CAST(floor(((4 * least(tc, 100) * len * nt1
+                          + 300 * (len - p) * nt1
+                          + 300 * least(sw * 5, nt1) * len) * 10000)::DOUBLE
+                        / (1000 * len * nt1)::DOUBLE) AS BIGINT) AS qe4
+           FROM s),
+         a AS (SELECT
+             CAST(count(*) AS BIGINT) AS c0,
+             CAST(count(*) FILTER (WHERE tc >= 20) AS BIGINT) AS c1,
+             CAST(count(*) FILTER (WHERE tc >= 20 AND lp <> 'und')
+                  AS BIGINT) AS c2,
+             CAST(count(*) FILTER (WHERE tc >= 20 AND lp <> 'und'
+                                         AND qe4 >= 5000)
+                  AS BIGINT) AS c3
+           FROM q)
+         SELECT CAST(0 AS INTEGER) AS stage_idx, 'total' AS stage,
+                c0 AS n_kept FROM a
+         UNION ALL SELECT 1, 'min_tokens', c1 FROM a
+         UNION ALL SELECT 2, 'lang_known', c2 FROM a
+         UNION ALL SELECT 3, 'quality', c3 FROM a
+         ORDER BY stage_idx"""
+    })
 }

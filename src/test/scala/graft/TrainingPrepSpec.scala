@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant tests for the training-data-prep query family
+  * (lm_surprisal, pack_sequences, filter_funnel, dedup_canonical);
+  * value-level correctness is pinned by the DuckDB oracles.
+  */
+class TrainingPrepSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pack_sequences: exact prefix-sum and bin assignment") {
+    val rows = queries.TextQueries.packSequences(spark, sf)
+      .orderBy("doc_id").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("seq_start") == 0L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("seq_start") ==
+        a.getAs[Long]("seq_start") + a.getAs[Long]("n_tokens"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bin_id") == r.getAs[Long]("seq_start") / 2048L)
+    }
+  }
+
+  test("lm_surprisal: scores positive, capped, common text scores low") {
+    val rows = queries.TextQueries.lmSurprisal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sc = r.getAs[Long]("surprisal_e6")
+      assert(sc > 0L && sc <= 1000000000000L)
+      assert(r.getAs[Long]("n_tokens") > 0L)
+    }
+  }
+
+  test("filter_funnel: stages nest monotonically from the total") {
+    val rows = queries.TextQueries.filterFunnel(spark, sf)
+      .orderBy("stage_idx").collect()
+    assert(rows.length == 4)
+    val total = Tables(spark, sf, "documents").count()
+    assert(rows.head.getAs[Long]("n_kept") == total)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_kept") <= a.getAs[Long]("n_kept"))
+    }
+  }
+
+  test("dedup_canonical: keeps exactly cluster minima plus singletons") {
+    val docs = Tables(spark, sf, "documents")
+    val labels = ops.Dedup.connectedComponents(
+      ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, window = 20, threshold = 0.5)
+        .select(col("id_a"), col("id_b")))
+    val surv = queries.ScaleQueries.dedupCanonical(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val members = labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    members.foreach { case (id, cid) =>
+      if (id == cid) assert(surv.contains(id), s"canonical $id dropped")
+      else assert(!surv.contains(id), s"duplicate $id kept")
+    }
+    val inClusters = members.map(_._1).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    (all -- inClusters).foreach(id => assert(surv.contains(id)))
+  }
+}
