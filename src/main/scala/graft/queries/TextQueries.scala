@@ -417,6 +417,44 @@ object TextQueries {
       .orderBy(col("stage_idx"))
   }
 
+  /** C4-style corpus-wide line deduplication: documents split into
+    * deterministic pseudo-lines (10-token non-overlapping chunks —
+    * the testdata has no newlines; real corpora split on `\n`), each
+    * distinct line kept ONLY at its first occurrence in (doc_id,
+    * line_idx) order, and every document reassembled from its
+    * surviving lines. The dedup groupBy shuffles compact (digest,
+    * pos) pairs — an md5 digest stands in for the line in the
+    * first-occurrence aggregate, so line text moves only through the
+    * reassembly join. First-occurrence order is encoded as
+    * `pos = doc_id·10⁵ + line_idx` (line counts are bounded well
+    * below 10⁵ here; an unbounded corpus uses `min(struct(doc_id,
+    * line_idx))` instead). Docs whose every line appeared earlier
+    * survive as empty rows — the funnel can then drop them.
+    */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl._
+    val docs = t(s, dir, "documents")
+    val lines = docs.select(col("doc_id"),
+        posexplode(chunk_tokens(col("text"), 10, 10))
+          .as(Seq("line_idx", "line")))
+      .withColumn("pos", col("doc_id") * 100000L + col("line_idx"))
+      .withColumn("dig", md5(col("line").cast("binary")))
+    val firsts = lines.select(col("dig"), col("pos"))
+      .groupBy(col("dig")).agg(min(col("pos")).as("keep_pos"))
+    val kept = lines.join(firsts, Seq("dig"))
+      .filter(col("pos") === col("keep_pos"))
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          x => x.getField("line")), " ").as("clean_text"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
@@ -439,7 +477,8 @@ object TextQueries {
     "domain_stats" -> (domainStats _),
     "lm_surprisal" -> (lmSurprisal _),
     "pack_sequences" -> (packSequences _),
-    "filter_funnel" -> (filterFunnel _))
+    "filter_funnel" -> (filterFunnel _),
+    "line_dedup" -> (lineDedup _))
 
   private val tokSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -700,6 +739,35 @@ object TextQueries {
          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
                 CAST(sum(tf * invp_e6) // sum(tf) AS BIGINT) AS surprisal_e6
          FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "line_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> len(x) > 0) AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  [array_to_string(toks[s : least(s + 9, len(toks))], ' ')
+                   for s in range(1, len(toks) + 1, 10)] AS lines
+           FROM t WHERE len(toks) > 0),
+         l AS (SELECT doc_id,
+                      unnest(range(0, len(lines)))::BIGINT AS line_idx,
+                      unnest(lines) AS line
+               FROM c),
+         d AS (SELECT doc_id, line_idx, line,
+                      doc_id * 100000 + line_idx AS pos, md5(line) AS dig
+               FROM l),
+         f AS (SELECT dig, min(pos) AS keep_pos FROM d GROUP BY dig),
+         k AS (SELECT d.doc_id, d.line_idx, d.line
+               FROM d JOIN f ON d.dig = f.dig AND d.pos = f.keep_pos),
+         a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+                      string_agg(line, ' ' ORDER BY line_idx) AS clean_text
+               FROM k GROUP BY doc_id)
+         SELECT doc.doc_id,
+                CAST(coalesce(a.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+                coalesce(a.clean_text, '') AS clean_text
+         FROM documents doc LEFT JOIN a USING (doc_id)
+         ORDER BY doc.doc_id""",
     "pack_sequences" ->
       """WITH s AS (
            SELECT doc_id,

@@ -46,6 +46,21 @@ class TrainingPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("line_dedup: first doc intact, kept lines = distinct lines") {
+    import graft.functions.dsl._
+    val docs = Tables(spark, sf, "documents")
+    val out = queries.TextQueries.lineDedup(spark, sf)
+      .orderBy("doc_id").collect()
+    val firstText = docs.orderBy("doc_id").select("text")
+      .head().getString(0).split("\\s+").filter(_.nonEmpty).mkString(" ")
+    // the lowest doc_id sees every one of its lines first → unchanged
+    assert(out.head.getAs[String]("clean_text") == firstText)
+    val distinctLines = docs
+      .select(explode(chunk_tokens(col("text"), 10, 10)).as("line"))
+      .distinct().count()
+    assert(out.map(_.getAs[Long]("n_lines_kept")).sum == distinctLines)
+  }
+
   test("dedup_canonical: keeps exactly cluster minima plus singletons") {
     val docs = Tables(spark, sf, "documents")
     val labels = ops.Dedup.connectedComponents(
