@@ -325,12 +325,19 @@ object ScaleQueries {
     * (dedup_clusters stays rows-only because its minhash pair set is
     * not SQL-expressible).
     */
-  def ccExact(s: SparkSession, dir: String): DataFrame =
+  /** Shared exact-pair CC label pipeline — the ONE place the windowed
+    * Jaccard tuning constants live for both `cc_exact` and
+    * `dedup_canonical` (their oracles share [[ccLabelsSql]] the same
+    * way, so a retune edits exactly two definitions).
+    */
+  private def exactPairLabels(docs: DataFrame): DataFrame =
     Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, window = 20, threshold = 0.5)
-          .select(col("id_a"), col("id_b")))
-      .orderBy(col("id"))
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, window = 20, threshold = 0.5)
+        .select(col("id_a"), col("id_b")))
+
+  def ccExact(s: SparkSession, dir: String): DataFrame =
+    exactPairLabels(t(s, dir, "documents")).orderBy(col("id"))
 
   /** Vector L2 norms via the native dot-product expression. */
   def embedNorm(s: SparkSession, dir: String): DataFrame =
@@ -350,10 +357,7 @@ object ScaleQueries {
     */
   def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val labels = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, window = 20, threshold = 0.5)
-        .select(col("id_a"), col("id_b")))
+    val labels = exactPairLabels(docs)
     docs.join(labels.filter(col("id") =!= col("cluster_id")).select(col("id")),
         docs("doc_id") === col("id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -380,9 +384,14 @@ object ScaleQueries {
     "fingerprint_pairs" -> (fingerprintPairs _),
     "embed_norm" -> (embedNorm _))
 
-  val oracle: Map[String, String] = Map(
-    "dedup_canonical" ->
-      """WITH RECURSIVE g AS (
+  /** Shared DuckDB CTE chain closing the exact windowed-Jaccard pair
+    * set into min-label components — the oracle twin of
+    * [[exactPairLabels]]; `cc_exact` and `dedup_canonical` both
+    * prepend `WITH RECURSIVE` to this and differ only in the final
+    * SELECT.
+    */
+  private val ccLabelsSql: String =
+    """g AS (
            SELECT doc_id AS id,
                   list_distinct([substring(text, i, 3)
                                  for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS gs
@@ -398,7 +407,11 @@ object ScaleQueries {
            SELECT src, src FROM e
            UNION
            SELECT w.id, e2.dst FROM reach w JOIN e e2 ON w.r = e2.src),
-         lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"""
+
+  val oracle: Map[String, String] = Map(
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $ccLabelsSql
          SELECT d.doc_id, d.lang, d.n_chars
          FROM documents d
          WHERE d.doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster_id)
@@ -473,23 +486,8 @@ object ScaleQueries {
                       * list_dot_product(b.v, b.v)) >= 0.15
          ORDER BY id_a, id_b""",
     "cc_exact" ->
-      """WITH RECURSIVE g AS (
-           SELECT doc_id AS id,
-                  list_distinct([substring(text, i, 3)
-                                 for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS gs
-           FROM documents),
-         p AS (
-           SELECT a.id AS id_a, b.id AS id_b
-           FROM g a JOIN g b ON b.id > a.id AND b.id <= a.id + 20
-           WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
-                 / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5),
-         e AS (SELECT id_a AS src, id_b AS dst FROM p
-               UNION SELECT id_b, id_a FROM p),
-         reach(id, r) AS (
-           SELECT src, src FROM e
-           UNION
-           SELECT w.id, e2.dst FROM reach w JOIN e e2 ON w.r = e2.src)
-         SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+      s"""WITH RECURSIVE $ccLabelsSql
+         SELECT id, cluster_id FROM lab ORDER BY id""",
     // the oracle pins full query coverage and the recall assertion; the
     // LSH candidate set itself is not SQL-expressible (see annLshRecall)
     "ann_lsh_recall" ->

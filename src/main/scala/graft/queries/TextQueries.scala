@@ -319,9 +319,21 @@ object TextQueries {
     * arithmetic: per-document mean inverse unigram probability,
     * `surprisal_e6 = (Σ_t tf_t · min(10⁶·N div cnt_t, 10¹²)) div n_tokens`
     * over a TOP-256 vocabulary (count desc, token asc tie-break);
-    * out-of-vocabulary tokens take the 10¹² cap (max rarity). The cap
-    * also bounds the product against 64-bit overflow at corpus scale
-    * (N ~ 10¹³ tokens at 100 TB ⇒ uncapped 10⁶·N overflows a long).
+    * out-of-vocabulary tokens take the 10¹² cap (max rarity).
+    *
+    * Overflow discipline (ANSI mode throws on long overflow, so this is
+    * correctness, not hygiene): 10⁶·N is NEVER computed directly — at
+    * 100 TB, N ~ 10¹³ tokens and the product exceeds int64. The cap
+    * regime (cnt ≤ N div 10⁶) is decided by division alone, and the
+    * uncapped regime computes the exact quotient as
+    * `(N div cnt)·10⁶ + ((N mod cnt)·10⁶) div cnt` — algebraically
+    * identical to `(10⁶·N) div cnt`, with every intermediate < 10¹²
+    * (quotient < 10⁶ by the regime test; remainder < cnt, and the
+    * remainder product only overflows past a 9.2·10¹²-occurrence
+    * token TYPE, beyond any real vocabulary distribution). The
+    * per-document sum Σ tf·invp runs in DECIMAL(38,0) (a 9.2·10⁶-token
+    * document would overflow the long form); only the final BIGINT
+    * mean leaves the aggregate.
     *
     * Plan shape: ONE corpus explode → compact (doc, token, tf) table,
     * pinned once and released on return; corpus counts + total-N are
@@ -342,13 +354,14 @@ object TextQueries {
       .join(broadcast(vocab), Seq("token"), "left")
       .crossJoin(broadcast(nTotal))
       .withColumn("invp_e6",
-        when(col("cnt").isNull, lit(1000000000000L))
-          .otherwise(least(expr("(1000000 * n_total) DIV cnt"),
-            lit(1000000000000L))))
+        when(col("cnt").isNull || expr("cnt <= n_total DIV 1000000"),
+          lit(1000000000000L))
+          .otherwise(expr(
+            "(n_total DIV cnt) * 1000000 + ((n_total % cnt) * 1000000) DIV cnt")))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
-        expr("sum(tf * invp_e6) DIV sum(tf)").as("surprisal_e6"))
-      .orderBy(col("doc_id"))
+        expr("""CAST(FLOOR(sum(CAST(tf AS DECIMAL(38,0)) * invp_e6)
+                           / sum(tf)) AS BIGINT)""").as("surprisal_e6"))
     val pinned = graft.ops.Dedup.materialize(out)
     tf.unpersist()
     pinned.orderBy(col("doc_id"))
@@ -434,11 +447,16 @@ object TextQueries {
   def lineDedup(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.dsl._
     val docs = t(s, dir, "documents")
+    // pin the exploded line table: it feeds BOTH the first-occurrence
+    // aggregate and the reassembly join — unpinned, each branch would
+    // re-chunk and re-digest the whole corpus (same pattern as
+    // minhashPairs' signature cache)
     val lines = docs.select(col("doc_id"),
         posexplode(chunk_tokens(col("text"), 10, 10))
           .as(Seq("line_idx", "line")))
       .withColumn("pos", col("doc_id") * 100000L + col("line_idx"))
       .withColumn("dig", md5(col("line").cast("binary")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = lines.select(col("dig"), col("pos"))
       .groupBy(col("dig")).agg(min(col("pos")).as("keep_pos"))
     val kept = lines.join(firsts, Seq("dig"))
@@ -448,11 +466,13 @@ object TextQueries {
         array_join(transform(
           array_sort(collect_list(struct(col("line_idx"), col("line")))),
           x => x.getField("line")), " ").as("clean_text"))
-    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+    val out = docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
-      .orderBy(col("doc_id"))
+    val pinned = graft.ops.Dedup.materialize(out)
+    lines.unpersist()
+    pinned.orderBy(col("doc_id"))
   }
 
   // ------------------------------------------------------------------------
@@ -731,9 +751,11 @@ object TextQueries {
          v AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 256),
          n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
          j AS (SELECT tf.doc_id, tf.tf,
-                      CASE WHEN v.token IS NULL THEN 1000000000000
-                           ELSE least((1000000 * n.n_total) // v.cnt,
-                                      1000000000000)
+                      CASE WHEN v.token IS NULL
+                                OR v.cnt <= n.n_total // 1000000
+                           THEN 1000000000000
+                           ELSE (n.n_total // v.cnt) * 1000000
+                                + ((n.n_total % v.cnt) * 1000000) // v.cnt
                       END AS invp_e6
                FROM tf LEFT JOIN v USING (token) CROSS JOIN n)
          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,

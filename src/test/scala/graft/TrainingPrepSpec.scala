@@ -51,10 +51,14 @@ class TrainingPrepSpec extends AnyFunSuite {
     val docs = Tables(spark, sf, "documents")
     val out = queries.TextQueries.lineDedup(spark, sf)
       .orderBy("doc_id").collect()
-    val firstText = docs.orderBy("doc_id").select("text")
-      .head().getString(0).split("\\s+").filter(_.nonEmpty).mkString(" ")
-    // the lowest doc_id sees every one of its lines first → unchanged
-    assert(out.head.getAs[String]("clean_text") == firstText)
+    // the lowest doc_id sees each of its DISTINCT lines first; expected
+    // reassembly drops only its own internal repeats
+    val firstToks = docs.orderBy("doc_id").select("text")
+      .head().getString(0).split("\\s+").filter(_.nonEmpty)
+    val firstLines = firstToks.grouped(10).map(_.mkString(" ")).toSeq
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    firstLines.foreach(seen += _)
+    assert(out.head.getAs[String]("clean_text") == seen.mkString(" "))
     val distinctLines = docs
       .select(explode(chunk_tokens(col("text"), 10, 10)).as("line"))
       .distinct().count()
