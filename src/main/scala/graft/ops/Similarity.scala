@@ -91,6 +91,73 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
   }
 
+  /** Spherical k-means training (Lloyd iterations) — the "train the
+    * quantizer" step [[ivfTopK]]'s deterministic every-Nth codebook
+    * deliberately skips. Assignment is the scan-stage
+    * `nearest_centroids` argmax over a broadcast LITERAL codebook
+    * (zero shuffle corpus → cluster id, same shape as IVF list
+    * assignment); the update step explodes vectors to (cluster, dim,
+    * x̂) with map-side partial aggregation, so the shuffle carries at
+    * most k·d·partitions partial sums — never corpus rows — and the
+    * driver receives exactly k·d cells per iteration (bounded by
+    * construction, like the IVF codebook collect). Vectors are
+    * L2-normalized before averaging and the mean is re-normalized
+    * (spherical k-means), which is what makes the cosine objective
+    * Σ(1 − cos) monotonically non-increasing across iterations — the
+    * property the `kmeans_gate` query asserts. Empty clusters keep
+    * their previous centroid; zero-norm vectors are excluded from the
+    * statistics (their cosine is undefined) but counted in `n`.
+    *
+    * Returns (final codebook, per-iteration history of
+    * (iter, sse, nPoints)).
+    */
+  def kmeansTrain(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int, seedEvery: Int = 97)
+      : (Array[Array[Float]], Seq[(Int, Double, Long)]) = {
+    val base = emb.select(col(vecCol).cast("array<float>").as("v"))
+    var cents: Array[Array[Float]] = emb
+      .filter(col(idCol) % seedEvery === 0)
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(cents.nonEmpty, "no seed centroids (empty input?)")
+    val dim = cents.head.length
+    val history = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long)]
+    for (it <- 1 to iters) {
+      val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+      val idsLit = typedLit(cents.indices.map(_.toLong))
+      val assigned = base
+        .withColumn("cidx", try_element_at(
+          nearest_centroids(col("v"), centsLit, idsLit, 1), lit(1)))
+        .withColumn("sim", cosine_sim(col("v"),
+          try_element_at(centsLit, (col("cidx") + 1).cast("int"))))
+        .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+      val Array(sse, nPoints) = assigned
+        .agg(sum(lit(1.0) - col("sim")), count(lit(1)))
+        .head().toSeq.toArray.map {
+          case d: Double => d; case l: Long => l.toDouble; case null => 0.0
+        }
+      // update step: per-(cluster, dim) sums of NORMALIZED components
+      val cells = assigned.filter(col("cidx").isNotNull && col("nrm") > 0)
+        .select(col("cidx"),
+          posexplode(col("v")).as(Seq("d", "x")),
+          col("nrm"))
+        .groupBy(col("cidx"), col("d"))
+        .agg(sum(col("x") / col("nrm")).as("sx"))
+        .collect()
+      val next = cents.map(_.clone())
+      cells.groupBy(_.getLong(0)).foreach { case (cidx, rows) =>
+        val c = new Array[Float](dim)
+        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
+        val n2 = math.sqrt(c.map(x => x.toDouble * x).sum)
+        if (n2 > 0) next(cidx.toInt) = c.map(x => (x / n2).toFloat)
+      }
+      cents = next
+      history += ((it, sse, nPoints.toLong))
+    }
+    (cents, history.toSeq)
+  }
+
   /** `maxDocsPerFp` drops fingerprints shared by more than that many
     * documents before the self-join: a boilerplate k-gram appearing in
     * thousands of docs contributes O(docs²) pairs while carrying no

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.dsl._
-import graft.ops.Dedup
+import graft.ops.{Dedup, Similarity}
 
 /** Queries for the large-scale training-data-pipeline operators
   * (BASELINE.json north star): dedup family + similarity search over
@@ -339,6 +339,30 @@ object ScaleQueries {
   def ccExact(s: SparkSession, dir: String): DataFrame =
     exactPairLabels(t(s, dir, "documents")).orderBy(col("id"))
 
+  /** Spherical k-means training gate: 3 Lloyd iterations over the full
+    * embedding table (16 clusters, deterministic every-97th seeds) must
+    * each cover every vector and keep the cosine objective Σ(1 − cos)
+    * monotonically non-increasing (ε = 10⁻⁶ absorbs float-summation
+    * jitter; real decreases are orders of magnitude larger). Emitted as
+    * integer-only rows the oracle pins — the same driver-visible-gate
+    * pattern as `ann_lsh_recall` (the trained codebook itself is not
+    * SQL-recomputable).
+    */
+  def kmeansGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, hist) = Similarity.kmeansTrain(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, iters = 3)
+    val rows = hist.zip(Double.NaN +: hist.map(_._2)).map {
+      case ((it, sse, n), prev) =>
+        val dec = if (prev.isNaN || sse <= prev + 1e-6) 1 else 0
+        (it, n, dec)
+    }
+    rows.toDF("iter", "n_points", "decreased")
+      .select(col("iter").cast("int").as("iter"), col("n_points"),
+        col("decreased").cast("int").as("decreased"))
+      .orderBy(col("iter"))
+  }
+
   /** Vector L2 norms via the native dot-product expression. */
   def embedNorm(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -382,7 +406,8 @@ object ScaleQueries {
     "dedup_clusters" -> (dedupClusters _),
     "cc_exact" -> (ccExact _),
     "fingerprint_pairs" -> (fingerprintPairs _),
-    "embed_norm" -> (embedNorm _))
+    "embed_norm" -> (embedNorm _),
+    "kmeans_gate" -> (kmeansGate _))
 
   /** Shared DuckDB CTE chain closing the exact windowed-Jaccard pair
     * set into min-label components — the oracle twin of
@@ -488,6 +513,14 @@ object ScaleQueries {
     "cc_exact" ->
       s"""WITH RECURSIVE $ccLabelsSql
          SELECT id, cluster_id FROM lab ORDER BY id""",
+    // the oracle pins full-corpus coverage per iteration and the SSE
+    // monotonicity flag; the trained codebook is not SQL-recomputable
+    // (see kmeansGate)
+    "kmeans_gate" ->
+      """SELECT CAST(i AS INTEGER) AS iter,
+                (SELECT count(*) FROM embeddings) AS n_points,
+                CAST(1 AS INTEGER) AS decreased
+         FROM range(1, 4) t(i) ORDER BY iter""",
     // the oracle pins full query coverage and the recall assertion; the
     // LSH candidate set itself is not SQL-expressible (see annLshRecall)
     "ann_lsh_recall" ->

@@ -128,6 +128,29 @@ class DedupSpec extends AnyFunSuite {
     assert(b(3L) == (~b(1L) & 0xFFFFL))
   }
 
+  test("kmeansTrain: SSE non-increasing, codebook unit-norm, separable data clusters") {
+    // two well-separated directions + noise-free copies: spherical
+    // k-means with k=2 must converge and drive the objective down
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(10f, 0f, 1f, 0f) else Array(0f, 10f, 0f, 1f)
+      (i.toLong, base.map(x => x * (1f + (i / 2) * 0.01f)).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (codebook, hist) = graft.ops.Similarity.kmeansTrain(
+      df, "vec_id", "embedding", k = 2, iters = 4, seedEvery = 3)
+    assert(hist.length == 4)
+    assert(hist.forall(_._3 == 40L))
+    hist.map(_._2).sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"SSE increased: $a -> $b")
+    }
+    // scaled copies of two directions: final SSE ~ 0
+    assert(hist.last._2 < 1e-3)
+    codebook.foreach { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4, s"centroid not unit-norm: $n")
+    }
+  }
+
   test("ann_ivf recall vs brute force") {
     val exact = graft.queries.ScaleQueries.annTopk(spark, sf)
       .filter(col("rnk") === 1).select("qid", "cid").as[(Long, Long)]
