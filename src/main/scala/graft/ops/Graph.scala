@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Link-analysis over an edge table — the graph companion to the
+  * connected-components dedup path ([[Dedup.connectedComponents]]).
+  *
+  * PageRank here is EXACT-INTEGER fixed-point (rank mass scaled by
+  * 10¹², damping 85/100, every step integral `DIV`): floating-point
+  * power iteration is summation-order-dependent, so a distributed run
+  * could never hash-match a single-node oracle. With e12 fixed-point
+  * the per-iteration contributions are order-independent BIGINT sums —
+  * bit-identical across partition counts AND reproducible in any other
+  * engine, which is what makes the operator driver-checkable at all.
+  *
+  * Scale shape (the standard Spark PageRank loop, e.g. the Pregel
+  * formulation in the GraphX paper, Gonzalez et al. OSDI'14): each
+  * iteration is one equi-join of the rank table (|V| rows, 3 longs)
+  * with the edge table (|E| rows, 2 longs) plus one hash aggregate on
+  * dst — both shuffle-partitioned by the same key so AQE can reuse the
+  * exchange. Edges and degrees are persisted once and reused every
+  * round; per-round rank tables are pinned and the previous round's
+  * released, so peak storage is |E| + 2|V| regardless of iteration
+  * count. Overflow-safe: total rank mass is ≤ 10¹² + |V| (integer
+  * truncation remainders), so `85 * Σ inflow` stays < 10¹⁵ ≪ 2⁶³.
+  */
+object Graph {
+
+  /** Make a directed edge list symmetric (every node then has
+    * out-degree ≥ 1, so there are no dangling nodes and no rank-mass
+    * redistribution step).
+    */
+  def symmetrize(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** Fixed-point PageRank: `iters` power iterations at damping 85/100
+    * over a SYMMETRIC (src, dst) edge set. Returns (id, deg, rank_e12)
+    * where rank_e12 is the rank scaled by 10¹² and truncated — the sum
+    * over all nodes stays within |V| of 10¹².
+    */
+  def pageRankE12(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count()
+    require(n > 0, "pageRankE12 over an empty edge set")
+    val reset = 150000000000L / n // 0.15 of the e12 rank mass per node
+    var ranks = deg
+      .select(col("id"), col("deg"), lit(1000000000000L / n).as("rank_e12"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    for (_ <- 1 to iters) {
+      // disjoint column names on each side: ranks descends from e, so
+      // unqualified src/dst references would be ambiguous self-joins
+      val inflow = ranks
+        .select(col("id").as("msg_id"), expr("rank_e12 DIV deg").as("c"))
+        .join(e, col("msg_id") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("inflow"))
+        .withColumnRenamed("dst", "id")
+      val next = deg.join(inflow, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          (lit(reset) + expr("(85 * coalesce(inflow, 0L)) DIV 100"))
+            .as("rank_e12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    val out = Dedup.materialize(ranks.select(col("id"), col("deg"), col("rank_e12")))
+    ranks.unpersist()
+    deg.unpersist()
+    e.unpersist()
+    out
+  }
+}

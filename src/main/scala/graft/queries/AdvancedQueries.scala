@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.AsOfJoin
+import graft.ops.{AsOfJoin, Graph, Scd}
 
 /** Relational capabilities beyond the reference's surface that a
   * complete engine ships (SURVEY §2.14's absence list made present):
@@ -245,8 +245,45 @@ object AdvancedQueries {
       .orderBy(col("user_id"), col("rnk"))
   }
 
+  /** SCD Type-2 history over the event change log: each user's events
+    * become versioned validity intervals (version, valid_from/to,
+    * is_current) — the warehouse-load shape a history-keeping CRM sync
+    * needs. One shuffle on user_id serves numbering, interval close,
+    * and the current flag (see [[graft.ops.Scd.type2]]).
+    */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame =
+    Scd.type2(t(s, dir, "events"),
+        keyCols = Seq("user_id"), orderCol = "ts", tieCol = "event_id",
+        attrCols = Seq("event_type", "value"))
+      .select(col("user_id"), col("version"), col("event_type"), col("value"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+
+  /** Exact-integer PageRank (3 iterations, damping 85/100, e12
+    * fixed-point) over the symmetrized customer–supplier order graph:
+    * edge (c, S) when customer c ordered from supplier S; supplier
+    * node ids offset by 10⁶ to keep the key spaces disjoint. Top-100
+    * nodes by rank. See [[graft.ops.Graph.pageRankE12]] for why the
+    * arithmetic is integral (hash-matchable across engines and
+    * partition counts).
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"))
+      .distinct()
+    Graph.pageRankE12(Graph.symmetrize(edges), iters = 3)
+      .orderBy(col("rank_e12").desc, col("id")).limit(100)
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_intervals" -> (scd2Intervals _),
+    "pagerank" -> (pagerank _),
     "topk_freq" -> (topkFreq _),
     "unpivot_events" -> (unpivotEvents _),
     "range_join" -> (rangeJoin _),
@@ -262,6 +299,45 @@ object AdvancedQueries {
     "zorder_key" -> (zorderKey _))
 
   val oracle: Map[String, String] = Map(
+    "scd2_intervals" ->
+      """SELECT user_id,
+                CAST(row_number() OVER w AS INTEGER) AS version,
+                event_type, value,
+                epoch_us(ts) AS valid_from_us,
+                epoch_us(lead(ts) OVER w) AS valid_to_us,
+                CAST(CASE WHEN lead(ts) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, version""",
+    // 3 power iterations unrolled; every sum is CAST back to BIGINT
+    // (DuckDB promotes integer sums to HUGEINT, which would
+    // hash-mismatch Spark's BIGINT even at identical values)
+    "pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                            1000000 + l_suppkey AS dst
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM deg),
+         r0 AS (SELECT id, deg, 1000000000000 // n.n AS r FROM deg, n),
+         m1 AS (SELECT e.dst AS id, CAST(sum(r0.r // r0.deg) AS BIGINT) AS f
+                FROM r0 JOIN e ON r0.id = e.src GROUP BY 1),
+         r1 AS (SELECT d.id, d.deg,
+                       150000000000 // n.n + (85 * coalesce(m1.f, 0)) // 100 AS r
+                FROM deg d CROSS JOIN n LEFT JOIN m1 ON d.id = m1.id),
+         m2 AS (SELECT e.dst AS id, CAST(sum(r1.r // r1.deg) AS BIGINT) AS f
+                FROM r1 JOIN e ON r1.id = e.src GROUP BY 1),
+         r2 AS (SELECT d.id, d.deg,
+                       150000000000 // n.n + (85 * coalesce(m2.f, 0)) // 100 AS r
+                FROM deg d CROSS JOIN n LEFT JOIN m2 ON d.id = m2.id),
+         m3 AS (SELECT e.dst AS id, CAST(sum(r2.r // r2.deg) AS BIGINT) AS f
+                FROM r2 JOIN e ON r2.id = e.src GROUP BY 1),
+         r3 AS (SELECT d.id, d.deg,
+                       150000000000 // n.n + (85 * coalesce(m3.f, 0)) // 100 AS r
+                FROM deg d CROSS JOIN n LEFT JOIN m3 ON d.id = m3.id)
+         SELECT id, deg, CAST(r AS BIGINT) AS rank_e12 FROM r3
+         ORDER BY rank_e12 DESC, id LIMIT 100""",
     // the HLL estimate isn't SQL-portable; the oracle pins group
     // coverage and the 5%-error assertion (see approxDistinctBound)
     "approx_distinct_bound" ->

@@ -166,6 +166,61 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("Scd.type2: versions, interval chaining, current flag") {
+    val changes = Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "a"),
+      (1L, "2024-01-03 00:00:00", 11L, "b"),
+      (1L, "2024-01-05 00:00:00", 12L, "c"),
+      (2L, "2024-02-01 00:00:00", 13L, "x"),
+      // timestamp tie on key 3: the tie column (id) must decide order
+      (3L, "2024-03-01 00:00:00", 15L, "late"),
+      (3L, "2024-03-01 00:00:00", 14L, "early")
+    ).toDF("k", "ts_s", "id", "v")
+      .withColumn("ts", to_timestamp(col("ts_s"))).select("k", "ts", "id", "v")
+    val out = graft.ops.Scd.type2(changes, Seq("k"), "ts", "id", Seq("v"))
+      .orderBy("k", "version").collect()
+    // versions are 1..n per key and each valid_to chains to the next
+    // version's valid_from; exactly one current row per key
+    val byKey = out.groupBy(_.getLong(0))
+    assert(byKey(1L).map(_.getAs[Int]("version")).toSeq == Seq(1, 2, 3))
+    byKey.values.foreach { rows =>
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+            b.getAs[java.sql.Timestamp]("valid_from"))
+        case _ =>
+      }
+      assert(rows.count(_.getAs[Int]("is_current") == 1) == 1)
+      assert(rows.last.isNullAt(rows.last.fieldIndex("valid_to")))
+    }
+    // the tie row with the smaller id must be version 1
+    assert(byKey(3L).find(_.getAs[Int]("version") == 1).get
+      .getAs[String]("v") == "early")
+  }
+
+  test("pageRankE12: mass conservation, hub outranks leaves, " +
+       "partition-count invariance") {
+    // star: hub 0 connected to leaves 1..8, plus a detached pair 9-10
+    val directed = ((1L to 8L).map(i => (0L, i)) :+ (9L, 10L)).toDF("src", "dst")
+    val edges = graft.ops.Graph.symmetrize(directed)
+    val r = graft.ops.Graph.pageRankE12(edges, iters = 3)
+      .orderBy("id").collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r.size == 11)
+    // integer truncation only loses mass: total within |V| * (iters+2)
+    // of 1e12 and never above it
+    val total = r.values.sum
+    assert(total <= 1000000000000L && total > 1000000000000L - 11 * 600)
+    // the hub concentrates rank; leaves are symmetric so all equal
+    assert((1L to 8L).map(r).distinct.size == 1)
+    assert(r(0L) > 4 * r(1L))
+    assert(r(9L) == r(10L))
+    // integer fixed-point must be bit-identical across parallelism
+    val r1 = graft.ops.Graph.pageRankE12(edges.repartition(7), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r1 == r)
+  }
+
   test("zorderedSave writes the requested file count and round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("zord").toString
     val df = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong))
