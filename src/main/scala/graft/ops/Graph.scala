@@ -30,21 +30,37 @@ object Graph {
 
   /** Make a directed edge list symmetric (every node then has
     * out-degree ≥ 1, so there are no dangling nodes and no rank-mass
-    * redistribution step).
+    * redistribution step). Duplicates are NOT removed here —
+    * [[pageRankE12]] dedups once; a distinct on both sides would pay
+    * the widest shuffle twice.
     */
   def symmetrize(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** Fixed-point PageRank: `iters` power iterations at damping 85/100
     * over a SYMMETRIC (src, dst) edge set. Returns (id, deg, rank_e12)
     * where rank_e12 is the rank scaled by 10¹² and truncated — the sum
     * over all nodes stays within |V| of 10¹².
+    *
+    * Unlike the convergence-probed CC loop (which needs a per-round
+    * action), a fixed iteration count has no mid-loop action, so rank
+    * tables are chained LAZILY — each ranks(i) appears exactly once in
+    * ranks(i+1)'s plan, so the final job is one linear pass with a
+    * single pair of exchanges per round and zero redundant
+    * materialization. Only the edge and degree tables (read every
+    * round) are pinned. `checkpointEvery` bounds lineage depth for
+    * large `iters` (optimizer replanning is superlinear in tree size).
     */
-  def pageRankE12(edges: DataFrame, iters: Int = 3): DataFrame = {
+  def pageRankE12(edges: DataFrame, iters: Int = 3,
+                  checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // one dedup, then lay the cache out by the per-round join key so
+    // every iteration's ranks⋈e probe reuses the cached partitioning
+    // instead of re-exchanging |E| rows each round
     val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "id")
@@ -54,9 +70,7 @@ object Graph {
     val reset = 150000000000L / n // 0.15 of the e12 rank mass per node
     var ranks = deg
       .select(col("id"), col("deg"), lit(1000000000000L / n).as("rank_e12"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ranks.count()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // disjoint column names on each side: ranks descends from e, so
       // unqualified src/dst references would be ambiguous self-joins
       val inflow = ranks
@@ -65,17 +79,14 @@ object Graph {
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("inflow"))
         .withColumnRenamed("dst", "id")
-      val next = deg.join(inflow, Seq("id"), "left")
+      ranks = deg.join(inflow, Seq("id"), "left")
         .select(col("id"), col("deg"),
           (lit(reset) + expr("(85 * coalesce(inflow, 0L)) DIV 100"))
             .as("rank_e12"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      ranks.unpersist()
-      ranks = next
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = Dedup.materialize(ranks)
     }
-    val out = Dedup.materialize(ranks.select(col("id"), col("deg"), col("rank_e12")))
-    ranks.unpersist()
+    val out = Dedup.materialize(ranks)
     deg.unpersist()
     e.unpersist()
     out

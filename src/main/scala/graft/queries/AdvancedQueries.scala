@@ -275,13 +275,44 @@ object AdvancedQueries {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"),
         (lit(1000000L) + col("l_suppkey")).as("dst"))
-      .distinct()
     Graph.pageRankE12(Graph.symmetrize(edges), iters = 3)
       .orderBy(col("rank_e12").desc, col("id")).limit(100)
   }
 
+  /** Bloom-prune gate: lineitem pruned by a Bloom filter of the
+    * high-balance suppliers' keys must (a) keep every true match — no
+    * false negatives, the filter's contract, (b) actually prune, and
+    * (c) keep false positives under 10% of the non-matching rows
+    * (the sketch targets ~3%; data and seed are fixed, so the measured
+    * value is deterministic). n_total / n_exact are SQL-recomputable;
+    * the three assertions ride as pinned flags — same driver-visible
+    * gate pattern as `kmeans_gate` (the bitmap itself is not
+    * SQL-expressible).
+    */
+  def bloomPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val keys = t(s, dir, "supplier")
+      .filter(col("s_acctbal") >= 9000).select(col("s_suppkey"))
+    val nTotal = li.count()
+    val nExact = li.join(keys, li("l_suppkey") === keys("s_suppkey"),
+      "left_semi").count()
+    val pruned = graft.ops.BloomPrune.bloomSemiFilter(
+      li, col("l_suppkey"), keys, col("s_suppkey"), expectedItems = 100000)
+    val nPruned = pruned.count()
+    val nExactInPruned = pruned.join(keys,
+      pruned("l_suppkey") === keys("s_suppkey"), "left_semi").count()
+    val noFn = if (nExactInPruned == nExact) 1 else 0
+    val selective = if (nPruned < nTotal) 1 else 0
+    val fpBounded = if (10 * (nPruned - nExact) <= nTotal - nExact) 1 else 0
+    Seq((nTotal, nExact, noFn, selective, fpBounded))
+      .toDF("n_total", "n_exact", "no_false_negatives",
+        "pruned_selective", "fp_bounded")
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bloom_prune" -> (bloomPrune _),
     "scd2_intervals" -> (scd2Intervals _),
     "pagerank" -> (pagerank _),
     "topk_freq" -> (topkFreq _),
@@ -299,6 +330,16 @@ object AdvancedQueries {
     "zorder_key" -> (zorderKey _))
 
   val oracle: Map[String, String] = Map(
+    // n_total/n_exact recomputed exactly; the bitmap's three gate
+    // flags are pinned (see bloomPrune)
+    "bloom_prune" ->
+      """SELECT (SELECT count(*) FROM lineitem) AS n_total,
+                (SELECT count(*) FROM lineitem WHERE l_suppkey IN
+                   (SELECT s_suppkey FROM supplier
+                    WHERE s_acctbal >= 9000)) AS n_exact,
+                CAST(1 AS INTEGER) AS no_false_negatives,
+                CAST(1 AS INTEGER) AS pruned_selective,
+                CAST(1 AS INTEGER) AS fp_bounded""",
     "scd2_intervals" ->
       """SELECT user_id,
                 CAST(row_number() OVER w AS INTEGER) AS version,

@@ -221,6 +221,24 @@ class AdvancedSpec extends AnyFunSuite {
     assert(r1 == r)
   }
 
+  test("BloomPrune: superset of exact matches, bounded false positives") {
+    val fact = (1L to 20000L).map(i => (i, i % 1000)).toDF("row_id", "k")
+    val dim = Seq(3L, 7L, 42L, 999L).toDF("dk")
+    val pruned = graft.ops.BloomPrune.bloomSemiFilter(
+      fact, col("k"), dim, col("dk"), expectedItems = 1000)
+    val got = pruned.select("row_id").as[Long].collect().toSet
+    val exact = fact.join(dim, col("k") === col("dk"), "left_semi")
+      .select("row_id").as[Long].collect().toSet
+    assert(exact.subsetOf(got), "bloom filter dropped a true match")
+    // 3% target fpp over 996 non-member keys -> generous 10% ceiling
+    assert(got.size - exact.size <= (20000 - exact.size) / 10)
+    // bound enforcement
+    intercept[IllegalArgumentException] {
+      graft.ops.BloomPrune.buildFilter(dim, col("dk"),
+        graft.ops.BloomPrune.MaxExpectedItems + 1)
+    }
+  }
+
   test("zorderedSave writes the requested file count and round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("zord").toString
     val df = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong))
