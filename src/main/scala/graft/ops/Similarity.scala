@@ -158,6 +158,55 @@ object Similarity {
     (cents, history.toSeq)
   }
 
+  /** Assign every embedding to its nearest trained spherical-k-means
+    * centroid: [[kmeansTrain]] for the codebook (bounded driver
+    * collect, k·d floats), then one scan-stage `nearest_centroids`
+    * argmax over the literal codebook — zero shuffle between the
+    * corpus scan and its cluster id, the same shape as IVF list
+    * assignment. Returns (id, cluster, v).
+    */
+  def assignKmeansClusters(emb: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iters: Int): DataFrame = {
+    val (cents, _) = kmeansTrain(emb, idCol, vecCol, k, iters)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val idsLit = typedLit(cents.indices.map(_.toLong))
+    Dedup.spread(emb.select(col(idCol).as("id"),
+        col(vecCol).cast("array<float>").as("v")))
+      .withColumn("cluster", try_element_at(
+        nearest_centroids(col("v"), centsLit, idsLit, 1), lit(1)))
+  }
+
+  /** SemDeDup-style semantic dedup (cluster, then prune near-dups
+    * inside each cluster — Abbas et al. 2023, arXiv:2303.09540):
+    * given `assigned` = (id, cluster, v), greedily keep the LOWEST id
+    * of every within-cluster near-dup pair: a row is dropped iff some
+    * smaller-id row in the same cluster has cosine ≥ `threshold`.
+    * Deterministic for any fixed assignment; returns (id, cluster).
+    *
+    * Plan shape: ONE equi-join on cluster id generates candidate
+    * pairs, so the shuffle carries (cluster, id, vector) — never a
+    * cross join. The within-cluster pair count is O(Σ|c|²): SemDeDup's
+    * contract is that k scales with corpus size (the paper holds n/k
+    * roughly constant, ~100s of points per cluster), which keeps each
+    * cluster's quadratic term bounded — at 100 TB that means k in the
+    * 10⁵–10⁷ range, not 16; the codebook collect stays bounded because
+    * k·d floats is megabytes even then. The pruned id set is compact
+    * (ids only) and drives a LEFT ANTI join against the input — same
+    * final shape as `dedup_canonical`.
+    */
+  def semanticDedupByCluster(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("v_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("v_b"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b") &&
+        cosine_sim(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"))
+  }
+
   /** `maxDocsPerFp` drops fingerprints shared by more than that many
     * documents before the self-join: a boilerplate k-gram appearing in
     * thousands of docs contributes O(docs²) pairs while carrying no

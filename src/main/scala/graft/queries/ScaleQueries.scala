@@ -297,6 +297,78 @@ object ScaleQueries {
         window = 50, threshold = 0.15)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Semantic dedup with the ground-truth `label` column as the
+    * cluster assignment — the fully SQL-checkable form of
+    * [[graft.ops.Similarity.semanticDedupByCluster]] (the kmeans
+    * assignment variant is `semantic_dedup`, rows-only).
+    */
+  def semdedupExact(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedupByCluster(
+        t(s, dir, "embeddings").select(col("vec_id").as("id"),
+          col("label").as("cluster"),
+          col("embedding").cast("array<float>").as("v")),
+        threshold = 0.3)
+      .orderBy(col("id"))
+
+  /** SemDeDup proper: spherical-k-means clusters (k=16, 2 Lloyd
+    * iterations), then greedy within-cluster near-dup pruning at
+    * cosine ≥ 0.3. Deterministic (seeded codebook) but the trained
+    * assignment is not SQL-recomputable → rows-only, with the
+    * contract gated by `semdedup_gate`.
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedupByCluster(
+        Similarity.assignKmeansClusters(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, iters = 2),
+        threshold = 0.3)
+      .orderBy(col("id"))
+
+  /** Driver-visible contract gate for `semantic_dedup`: (1) every
+    * corpus row is assigned a cluster, (2) kept ∪ dropped partitions
+    * the corpus, (3) no within-cluster pair at cosine ≥ τ survives
+    * among the kept rows (greedy maximality), (4) every dropped row
+    * has a smaller-id within-cluster witness at ≥ τ, (5) the pruning
+    * is non-trivial on this corpus. n_total is SQL-recomputed; the
+    * flags are pinned — the `kmeans_gate` pattern.
+    */
+  def semdedupGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val assigned = Dedup.materialize(Similarity.assignKmeansClusters(
+      emb, "vec_id", "embedding", k = 16, iters = 2))
+    val kept = Dedup.materialize(
+      Similarity.semanticDedupByCluster(assigned, threshold = 0.3))
+    val nTotal = emb.count()
+    val nAssigned = assigned.filter(col("cluster").isNotNull).count()
+    val nKept = kept.count()
+    // recompute the pair set once; both gate sides read it
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("v_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("v_b"))
+    val pairs = Dedup.materialize(a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b") &&
+        cosine_sim(col("v_a"), col("v_b")) >= 0.3)
+      .select(col("id_a"), col("id_b")))
+    val keptIds = kept.select(col("id"))
+    val residual = pairs
+      .join(keptIds, pairs("id_a") === keptIds("id"), "left_semi")
+      .join(keptIds, pairs("id_b") === keptIds("id"), "left_semi")
+      .count()
+    val unwitnessed = assigned.select(col("id"))
+      .join(keptIds, Seq("id"), "left_anti") // = dropped ids
+      .join(pairs.select(col("id_b").as("id")), Seq("id"), "left_anti")
+      .count()
+    Seq((nTotal,
+        if (nAssigned == nTotal) 1 else 0,
+        if (nKept <= nTotal) 1 else 0,
+        if (residual == 0L) 1 else 0,
+        if (unwitnessed == 0L) 1 else 0,
+        if (nKept < nTotal) 1 else 0))
+      .toDF("n_total", "all_assigned", "partition_ok", "kept_maximal",
+        "dropped_witnessed", "nontrivial")
+  }
+
   /** Fingerprint-collision pairs: documents sharing ≥5 winnowing
     * fingerprints. Deterministic; rows-only (xxhash-family kernel not
     * in DuckDB).
@@ -407,7 +479,10 @@ object ScaleQueries {
     "cc_exact" -> (ccExact _),
     "fingerprint_pairs" -> (fingerprintPairs _),
     "embed_norm" -> (embedNorm _),
-    "kmeans_gate" -> (kmeansGate _))
+    "kmeans_gate" -> (kmeansGate _),
+    "semdedup_exact" -> (semdedupExact _),
+    "semantic_dedup" -> (semanticDedup _),
+    "semdedup_gate" -> (semdedupGate _))
 
   /** Shared DuckDB CTE chain closing the exact windowed-Jaccard pair
     * set into min-label components — the oracle twin of
@@ -497,6 +572,30 @@ object ScaleQueries {
                     FROM s)
          SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 5
          ORDER BY qid, rnk""",
+    "semdedup_exact" ->
+      """WITH e AS (SELECT vec_id, label,
+                           CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         d AS (SELECT DISTINCT b.vec_id AS id
+               FROM e a JOIN e b
+                 ON a.label = b.label AND a.vec_id < b.vec_id
+               WHERE list_dot_product(a.v, b.v)
+                     / sqrt(list_dot_product(a.v, a.v)
+                            * list_dot_product(b.v, b.v)) >= 0.3)
+         SELECT e.vec_id AS id, e.label AS cluster
+         FROM e LEFT JOIN d ON e.vec_id = d.id
+         WHERE d.id IS NULL ORDER BY id""",
+    // n_total recomputed; the five contract flags are pinned (the
+    // trained kmeans assignment is not SQL-expressible — see
+    // semdedupGate)
+    "semdedup_gate" ->
+      """SELECT count(*) AS n_total,
+                CAST(1 AS INTEGER) AS all_assigned,
+                CAST(1 AS INTEGER) AS partition_ok,
+                CAST(1 AS INTEGER) AS kept_maximal,
+                CAST(1 AS INTEGER) AS dropped_witnessed,
+                CAST(1 AS INTEGER) AS nontrivial
+         FROM embeddings""",
     "embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings)

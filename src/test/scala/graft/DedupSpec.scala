@@ -215,4 +215,37 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(2L) == ((5L, 1)))
     assert(byId(3L) == ((0L, 0)))
   }
+
+  test("semanticDedupByCluster: greedy keep-min-id within cluster only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // cluster 0: ids 1,2,3 near-identical; cluster 1: ids 4,5 similar,
+    // id 6 orthogonal to both. id 7 duplicates id 1's vector but sits
+    // in ANOTHER cluster -> must survive (pruning is cluster-local).
+    val rows = Seq(
+      (1L, 0L, Seq(1.0f, 0.0f, 0.01f)),
+      (2L, 0L, Seq(1.0f, 0.0f, 0.02f)),
+      (3L, 0L, Seq(1.0f, 0.01f, 0.0f)),
+      (4L, 1L, Seq(0.0f, 1.0f, 0.01f)),
+      (5L, 1L, Seq(0.0f, 1.0f, 0.02f)),
+      (6L, 1L, Seq(0.7f, 0.0f, 0.7f)),
+      (7L, 2L, Seq(1.0f, 0.0f, 0.01f))
+    ).toDF("id", "cluster", "v")
+    val kept = graft.ops.Similarity.semanticDedupByCluster(rows, 0.9)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(kept == Seq((1L, 0L), (4L, 1L), (6L, 1L), (7L, 2L)))
+  }
+
+  test("assignKmeansClusters covers every row and matches the codebook") {
+    import org.apache.spark.sql.functions.col
+    val emb = TestSession.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val assigned = graft.ops.Similarity.assignKmeansClusters(
+      emb, "vec_id", "embedding", k = 8, iters = 1)
+    assert(assigned.filter(col("cluster").isNull).count() == 0)
+    assert(assigned.count() == emb.count())
+    val ids = assigned.select("cluster").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.subsetOf((0L until 8L).toSet))
+  }
 }
