@@ -310,8 +310,20 @@ object AdvancedQueries {
         "pruned_selective", "fp_bounded")
   }
 
+  /** Edit-distance-1 fuzzy self-join over customer names (FastSS
+    * deletion-neighborhood equi-join + exact levenshtein verify — see
+    * [[graft.ops.FuzzyJoin.editDistance1Pairs]]). Serial-numbered
+    * names make this a real workout: every single-digit substitution
+    * neighbor must surface.
+    */
+  def fuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.FuzzyJoin.editDistance1Pairs(
+        t(s, dir, "customer"), "c_custkey", "c_name")
+      .orderBy(col("id_a"), col("id_b"))
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_join" -> (fuzzyJoin _),
     "bloom_prune" -> (bloomPrune _),
     "scd2_intervals" -> (scd2Intervals _),
     "pagerank" -> (pagerank _),
@@ -330,6 +342,12 @@ object AdvancedQueries {
     "zorder_key" -> (zorderKey _))
 
   val oracle: Map[String, String] = Map(
+    "fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, a.c_name AS s_a,
+                b.c_custkey AS id_b, b.c_name AS s_b
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY id_a, id_b""",
     // n_total/n_exact recomputed exactly; the bitmap's three gate
     // flags are pinned (see bloomPrune)
     "bloom_prune" ->

@@ -411,6 +411,29 @@ object ScaleQueries {
   def ccExact(s: SparkSession, dir: String): DataFrame =
     exactPairLabels(t(s, dir, "documents")).orderBy(col("id"))
 
+  /** Triangle count over the exact windowed-Jaccard similarity graph
+    * (same edge set as `cc_exact`): a triangle is any id_a < id_b <
+    * id_c with all three edges present. Standard ordered-wedge plan —
+    * one self-equi-join builds (a<b<c) wedges, a semi-join against the
+    * edge set closes them; the a<b ordering on edges means every
+    * triangle is counted exactly once and wedge work is bounded by
+    * out-degree (the degree-orientation trick that keeps heavy nodes
+    * from exploding the join at scale; see e.g. Suri & Vassilvitskii,
+    * WWW'11 on MapReduce triangle counting).
+    */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.materialize(
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, window = 20, threshold = 0.5)
+        .select(col("id_a"), col("id_b")))
+    val wedges = e.select(col("id_a").as("a"), col("id_b").as("b"))
+      .join(e.select(col("id_a").as("b"), col("id_b").as("c")), Seq("b"))
+    val closed = wedges.join(
+      e.select(col("id_a").as("a"), col("id_b").as("c")),
+      Seq("a", "c"), "left_semi")
+    closed.agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Spherical k-means training gate: 3 Lloyd iterations over the full
     * embedding table (16 clusters, deterministic every-97th seeds) must
     * each cover every vector and keep the cosine objective Σ(1 − cos)
@@ -477,6 +500,7 @@ object ScaleQueries {
     "embed_neardup" -> (embedNeardup _),
     "dedup_clusters" -> (dedupClusters _),
     "cc_exact" -> (ccExact _),
+    "triangle_count" -> (triangleCount _),
     "fingerprint_pairs" -> (fingerprintPairs _),
     "embed_norm" -> (embedNorm _),
     "kmeans_gate" -> (kmeansGate _),
@@ -612,6 +636,13 @@ object ScaleQueries {
     "cc_exact" ->
       s"""WITH RECURSIVE $ccLabelsSql
          SELECT id, cluster_id FROM lab ORDER BY id""",
+    // shares the g/p pair CTEs with cc_exact (the recursive lab CTE
+    // goes unused by the final SELECT; DuckDB prunes it)
+    "triangle_count" ->
+      s"""WITH RECURSIVE $ccLabelsSql
+         SELECT count(*) AS n_triangles
+         FROM p e1 JOIN p e2 ON e1.id_b = e2.id_a
+                   JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""",
     // the oracle pins full-corpus coverage per iteration and the SSE
     // monotonicity flag; the trained codebook is not SQL-recomputable
     // (see kmeansGate)

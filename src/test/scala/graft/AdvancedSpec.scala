@@ -239,6 +239,47 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("FuzzyJoin: exactly the edit-distance<=1 pairs, incl. dist 0") {
+    val names = Seq(
+      (1L, "kitten"), (2L, "kittex"),   // substitution -> 1
+      (3L, "kitte"),                    // deletion of 1 -> 1
+      (4L, "kittens"),                  // insertion -> 1
+      (5L, "sitting"),                  // distance 3 from kitten
+      (6L, "kitten"),                   // exact duplicate of id 1
+      (7L, "xyz")
+    ).toDF("id", "name")
+    val got = graft.ops.FuzzyJoin.editDistance1Pairs(names, "id", "name")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force oracle over the same rows
+    val rows = names.as[(Long, String)].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    assert(got == expect)
+    assert(got.contains((1L, 6L)) && !got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("triangle counting closes ordered wedges exactly once") {
+    // K4 on 1..4 (4 triangles) + a dangling edge + an open wedge
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L), (6L, 8L)).toDF("id_a", "id_b")
+    val e1 = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+    val e2 = edges.select(col("id_a").as("b"), col("id_b").as("c"))
+    val closed = e1.join(e2, Seq("b"))
+      .join(edges.select(col("id_a").as("a"), col("id_b").as("c")),
+        Seq("a", "c"), "left_semi")
+    assert(closed.count() == 4)
+  }
+
   test("zorderedSave writes the requested file count and round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("zord").toString
     val df = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong))
