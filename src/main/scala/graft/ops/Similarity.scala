@@ -207,6 +207,75 @@ object Similarity {
       .select(col("id"), col("cluster"))
   }
 
+  /** Product quantization (Jégou, Douze, Schmid: "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split
+    * each d-dim vector into `m` subspaces of d/m dims, train an
+    * independent k-centroid codebook per subspace, and encode every
+    * vector as its m nearest-centroid indices — d·4 bytes shrink to
+    * m·log₂k bits (64-dim float → 8 bytes at m=8, k=16).
+    *
+    * Scale shape: training is m independent [[kmeansTrain]] runs over
+    * SLICED vectors (each the same bounded-driver-traffic loop the
+    * kmeans_gate query certifies — k·(d/m) cells per iteration);
+    * encoding is a single projection whose m `nearest_centroids`
+    * argmaxes all ride one corpus scan — zero shuffle, the codebooks
+    * are literals (m·k·(d/m) = k·d floats total, same budget as one
+    * flat codebook). Returns (encoded (id, v, code), codebooks).
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               m: Int, k: Int, iters: Int)
+      : (DataFrame, Array[Array[Array[Float]]]) = {
+    val dim = emb.select(size(col(vecCol).cast("array<float>")))
+      .head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // the m sub-trainings are independent — submit them as CONCURRENT
+    // Spark jobs (one session schedules them side by side; each job's
+    // tasks are small, so the cluster pipelines them instead of paying
+    // m sequential driver round-trip chains). Results are per-subspace
+    // deterministic regardless of scheduling order.
+    val codebooks = {
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val futs = (0 until m).map { j =>
+        Future {
+          kmeansTrain(
+            emb.select(col(idCol),
+              slice(col(vecCol).cast("array<float>"), j * sub + 1, sub)
+                .as("subv")),
+            idCol, "subv", k, iters)._1
+        }
+      }
+      Await.result(Future.sequence(futs), Duration.Inf).toArray
+    }
+    val base = Dedup.spread(emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("v")))
+    val codes = (0 until m).map { j =>
+      val centsLit = typedLit(codebooks(j).map(_.toSeq).toSeq)
+      val idsLit = typedLit(codebooks(j).indices.map(_.toLong))
+      try_element_at(
+        nearest_centroids(slice(col("v"), j * sub + 1, sub),
+          centsLit, idsLit, 1), lit(1))
+    }
+    (base.withColumn("code", array(codes: _*)), codebooks)
+  }
+
+  /** Reconstruct each vector from its PQ code (concatenate the chosen
+    * sub-centroids) and return cosine(original, reconstruction) —
+    * the quantization-quality signal the `pq_gate` query floors.
+    * Same single-scan shape as encoding.
+    */
+  def pqReconstructionSim(encoded: DataFrame,
+                          codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val recon = concat(codebooks.zipWithIndex.map { case (cb, j) =>
+      val centsLit = typedLit(cb.map(_.toSeq).toSeq)
+      try_element_at(centsLit,
+        (try_element_at(col("code"), lit(j + 1)) + 1).cast("int"))
+    }.toSeq: _*)
+    encoded.withColumn("sim", cosine_sim(col("v"), recon))
+  }
+
   /** `maxDocsPerFp` drops fingerprints shared by more than that many
     * documents before the self-join: a boilerplate k-gram appearing in
     * thousands of docs contributes O(docs²) pairs while carrying no

@@ -369,6 +369,42 @@ object ScaleQueries {
         "dropped_witnessed", "nontrivial")
   }
 
+  /** PQ codes for every embedding (m=8 subspaces × k=16 centroids →
+    * 8 small ints per 64-dim vector, 32× compression). Deterministic
+    * (seeded sub-codebooks) but not SQL-recomputable → rows-only;
+    * quality/coverage gated by `pq_gate`.
+    */
+  def pqEncode(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)._1
+      .select(col("id"), col("code"))
+      .orderBy(col("id"))
+
+  /** Driver-visible PQ quality gate: every vector encoded (m in-range
+    * code cells each), and the mean reconstruction cosine over the
+    * corpus ≥ 45% — measured 0.51 (sf0.001/0.01) to 0.63 (sf0.1); a
+    * quantizer regression (collapsed codebook, wrong slice arithmetic)
+    * lands near 0. n_vectors is SQL-recomputed; flags pinned.
+    */
+  def pqGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val (encoded0, codebooks) = Similarity.pqEncode(
+      emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val encoded = Dedup.materialize(encoded0)
+    val n = emb.count()
+    val m = codebooks.length
+    val k = codebooks.head.length
+    val nEncoded = encoded.filter(size(col("code")) === m &&
+      !exists(col("code"),
+        c => c.isNull || c < 0 || c >= k)).count()
+    val meanSim = Similarity.pqReconstructionSim(encoded, codebooks)
+      .agg(avg(col("sim"))).head().getDouble(0)
+    Seq((n, if (nEncoded == n) 1 else 0, 45,
+        if (meanSim * 100 >= 45) 1 else 0))
+      .toDF("n_vectors", "all_encoded", "recon_floor_pct", "floor_met")
+  }
+
   /** Fingerprint-collision pairs: documents sharing ≥5 winnowing
     * fingerprints. Deterministic; rows-only (xxhash-family kernel not
     * in DuckDB).
@@ -506,7 +542,9 @@ object ScaleQueries {
     "kmeans_gate" -> (kmeansGate _),
     "semdedup_exact" -> (semdedupExact _),
     "semantic_dedup" -> (semanticDedup _),
-    "semdedup_gate" -> (semdedupGate _))
+    "semdedup_gate" -> (semdedupGate _),
+    "pq_encode" -> (pqEncode _),
+    "pq_gate" -> (pqGate _))
 
   /** Shared DuckDB CTE chain closing the exact windowed-Jaccard pair
     * set into min-label components — the oracle twin of
@@ -609,6 +647,15 @@ object ScaleQueries {
          SELECT e.vec_id AS id, e.label AS cluster
          FROM e LEFT JOIN d ON e.vec_id = d.id
          WHERE d.id IS NULL ORDER BY id""",
+    // n_vectors recomputed; encoding coverage and the reconstruction
+    // floor are pinned (trained sub-codebooks not SQL-expressible —
+    // see pqGate)
+    "pq_gate" ->
+      """SELECT count(*) AS n_vectors,
+                CAST(1 AS INTEGER) AS all_encoded,
+                CAST(45 AS INTEGER) AS recon_floor_pct,
+                CAST(1 AS INTEGER) AS floor_met
+         FROM embeddings""",
     // n_total recomputed; the five contract flags are pinned (the
     // trained kmeans assignment is not SQL-expressible — see
     // semdedupGate)

@@ -236,6 +236,37 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Seq((1L, 0L), (4L, 1L), (6L, 1L), (7L, 2L)))
   }
 
+  test("pqEncode: shapes, in-range codes, reconstruction beats noise") {
+    import org.apache.spark.sql.functions._
+    val emb = TestSession.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (enc0, cbs) = graft.ops.Similarity.pqEncode(
+      emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    val enc = enc0.cache()
+    // 8 codebooks x <=16 centroids x 8-dim sub-vectors
+    assert(cbs.length == 8 && cbs.forall(cb =>
+      cb.length <= 16 && cb.forall(_.length == 8)))
+    val n = emb.count()
+    assert(enc.count() == n)
+    assert(enc.filter(size(col("code")) =!= 8).count() == 0)
+    assert(enc.filter(exists(col("code"),
+      c => c.isNull || c < 0 || c >= 16)).count() == 0)
+    // mean reconstruction cosine must be solidly positive (random
+    // codes on 64-dim data sit near 0)
+    val sim = graft.ops.Similarity.pqReconstructionSim(enc, cbs)
+      .agg(avg(col("sim"))).head().getDouble(0)
+    assert(sim > 0.3, s"mean reconstruction cosine $sim")
+    // deterministic across partition layouts
+    val (enc2, _) = graft.ops.Similarity.pqEncode(
+      emb.repartition(7), "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    val a = enc.select("id", "code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = enc2.select("id", "code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+    enc.unpersist()
+  }
+
   test("assignKmeansClusters covers every row and matches the codebook") {
     import org.apache.spark.sql.functions.col
     val emb = TestSession.spark.read
