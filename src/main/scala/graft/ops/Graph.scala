@@ -53,14 +53,17 @@ object Graph {
     * round) are pinned. `checkpointEvery` bounds lineage depth for
     * large `iters` (optimizer replanning is superlinear in tree size).
     */
+  /** Set `assumeDistinct` when the caller guarantees the edge set has
+    * no duplicates (e.g. it deduped the cheaper DIRECTED half before
+    * symmetrizing two disjoint node-id spaces) — skips the interior
+    * dedup, which is the widest shuffle in the build.
+    */
   def pageRankE12(edges: DataFrame, iters: Int = 3,
-                  checkpointEvery: Int = 5): DataFrame = {
+                  checkpointEvery: Int = 5,
+                  assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // one dedup, then lay the cache out by the per-round join key so
-    // every iteration's ranks⋈e probe reuses the cached partitioning
-    // instead of re-exchanging |E| rows each round
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src"))
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = (if (assumeDistinct) e0 else e0.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "id")

@@ -270,12 +270,18 @@ object AdvancedQueries {
     * partition counts).
     */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
+    // dedup the DIRECTED half (|E| rows) rather than the symmetrized
+    // set (2|E|): customer and supplier ids live in disjoint ranges,
+    // so a forward edge can never equal a reversed one and the union
+    // of a distinct set with its reverse is distinct by construction
     val edges = t(s, dir, "orders")
       .join(t(s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"),
         (lit(1000000L) + col("l_suppkey")).as("dst"))
-    Graph.pageRankE12(Graph.symmetrize(edges), iters = 3)
+      .distinct()
+    Graph.pageRankE12(Graph.symmetrize(edges), iters = 3,
+        assumeDistinct = true)
       .orderBy(col("rank_e12").desc, col("id")).limit(100)
   }
 
@@ -321,8 +327,21 @@ object AdvancedQueries {
         t(s, dir, "customer"), "c_custkey", "c_name")
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Daily gap-fill over each user's `value` series: complete daily
+    * grid from first to last event day, carrying the day's last
+    * observation forward across gaps (see
+    * [[graft.ops.GapFill.dailyForwardFill]] — one shuffle on user_id
+    * serves resample, grid, and fill).
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GapFill.dailyForwardFill(t(s, dir, "events"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        valueCol = "value")
+      .orderBy(col("user_id"), col("day_us"))
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gap_fill" -> (gapFill _),
     "fuzzy_join" -> (fuzzyJoin _),
     "bloom_prune" -> (bloomPrune _),
     "scd2_intervals" -> (scd2Intervals _),
@@ -342,6 +361,27 @@ object AdvancedQueries {
     "zorder_key" -> (zorderKey _))
 
   val oracle: Map[String, String] = Map(
+    "gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, day, obs FROM (
+             SELECT user_id, CAST(ts AS DATE) AS day, value AS obs,
+                    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events) WHERE rn = 1),
+         grid AS (
+           SELECT user_id,
+                  unnest(generate_series(min(day), max(day),
+                                         INTERVAL 1 DAY))::DATE AS day
+           FROM daily GROUP BY user_id)
+         SELECT g.user_id, epoch_us(g.day::TIMESTAMP) AS day_us,
+                last_value(d.obs IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.day
+                  ROWS UNBOUNDED PRECEDING) AS value,
+                CAST(CASE WHEN d.obs IS NOT NULL THEN 1 ELSE 0 END
+                     AS INTEGER) AS is_observed
+         FROM grid g LEFT JOIN daily d
+           ON g.user_id = d.user_id AND g.day = d.day
+         ORDER BY g.user_id, day_us""",
     "fuzzy_join" ->
       """SELECT a.c_custkey AS id_a, a.c_name AS s_a,
                 b.c_custkey AS id_b, b.c_name AS s_b

@@ -280,6 +280,40 @@ class AdvancedSpec extends AnyFunSuite {
     assert(closed.count() == 4)
   }
 
+  test("GapFill: complete grid, last-obs-wins, forward fill, span guard") {
+    val ev = Seq(
+      // key 1: obs on day 1 (two events - later one wins) and day 4
+      (1L, "2024-01-01 08:00:00", 10L, 1.0),
+      (1L, "2024-01-01 18:00:00", 11L, 2.0),
+      (1L, "2024-01-04 12:00:00", 12L, 7.0),
+      // key 2: single day
+      (2L, "2024-02-10 00:00:00", 13L, 5.0)
+    ).toDF("k", "ts_s", "eid", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = graft.ops.GapFill.dailyForwardFill(ev, "k", "ts", "eid", "value")
+      .orderBy("k", "day_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val day = 86400000000L // µs
+    val d0 = java.time.LocalDate.parse("2024-01-01")
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    // key 1: 4 consecutive days; days 2-3 carry day 1's LAST value
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, d0, 2.0, 1), (1L, d0 + day, 2.0, 0),
+      (1L, d0 + 2 * day, 2.0, 0), (1L, d0 + 3 * day, 7.0, 1)))
+    assert(out.count(_._1 == 2L) == 1 && out.filter(_._1 == 2L).head._3 == 5.0)
+    // span guard fails loudly instead of exploding the grid
+    val wide = Seq(
+      (9L, "2020-01-01 00:00:00", 1L, 1.0),
+      (9L, "2024-01-01 00:00:00", 2L, 2.0)
+    ).toDF("k", "ts_s", "eid", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val ex = intercept[Exception] {
+      graft.ops.GapFill.dailyForwardFill(wide, "k", "ts", "eid", "value",
+        maxDays = 30).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("zorderedSave writes the requested file count and round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("zord").toString
     val df = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong))
