@@ -465,4 +465,49 @@ object Dedup {
     corpusBase.unpersist()
     out
   }
+
+  /** Exact repeated-span signal (the windowed form of Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022 §4.1 ExactSubstr): every `k`-token window of every document,
+    * counted as repeated when the same window text occurs in ≥
+    * `minDocs` DISTINCT documents. Returns one row per document:
+    * (id, n_windows, n_repeated) — the inputs to a span-removal or
+    * doc-drop policy.
+    *
+    * Scale shape: windows ride as (id, pos, xxhash64(window)) — 24
+    * bytes/token regardless of window width (the suffix-array
+    * approach of the paper is single-machine; windowed hashing is the
+    * standard distributed form, with the same 64-bit-collision parity
+    * bet as [[benchmarkOverlap]]). One corpus-sized window table is
+    * pinned and feeds the document-frequency aggregate, the repeat
+    * join, and the per-doc totals; everything downstream of the scan
+    * shuffles compact fixed-width rows.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, minDocs: Int = 2): DataFrame = {
+    val wins = spread(df.select(col(idCol).as("id"),
+        posexplode(graft.functions.dsl.chunk_tokens(col(textCol), k, 1))
+          .as(Seq("pos", "win"))))
+      // chunk_tokens emits trailing partial windows; spans are FULL
+      // k-token windows only
+      .filter(size(split(col("win"), " ")) === k)
+      .select(col("id"), col("pos"), xxhash64(col("win")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = wins.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("__d"))
+      .filter(col("__d") >= minDocs)
+      .select(col("h"))
+    val rep = wins.join(shared, Seq("h"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_repeated"))
+    val tot = wins.groupBy(col("id")).agg(count(lit(1)).as("n_windows"))
+    val out = materialize(
+      df.select(col(idCol).as("id")).distinct()
+        .join(tot, Seq("id"), "left")
+        .join(rep, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_repeated"), lit(0L)).as("n_repeated")))
+    wins.unpersist()
+    out
+  }
 }

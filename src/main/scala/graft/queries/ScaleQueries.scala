@@ -70,6 +70,17 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact repeated-span signal: 8-token windows occurring in ≥ 2
+    * distinct documents ([[graft.ops.Dedup.repeatedSpans]] — the
+    * windowed ExactSubstr form of Lee et al. 2022). Oracle recomputes
+    * on window STRINGS where the engine joins on 64-bit hashes — the
+    * `decontaminate` parity bet.
+    */
+  def repeatedSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** Exact char-3-gram Jaccard over an id-window — the oracle-checked
     * member of the near-dup family.
     */
@@ -526,6 +537,7 @@ object ScaleQueries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "decontaminate" -> (decontaminate _),
+    "repeated_spans" -> (repeatedSpans _),
     "dedup_simhash" -> (dedupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
     "ann_topk" -> (annTopk _),
@@ -634,6 +646,27 @@ object ScaleQueries {
                     FROM s)
          SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 5
          ORDER BY qid, rnk""",
+    // window strings recomputed verbatim (engine joins on xxhash64 of
+    // the same strings — identical counts absent 64-bit collisions)
+    "repeated_spans" ->
+      """WITH toks AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(text, '\s+'),
+                                          x -> len(x) > 0) AS ts
+                       FROM documents),
+         w AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS win
+               FROM toks,
+                    LATERAL unnest(range(1, greatest(len(ts) - 7, 0) + 1)) r(i)),
+         d AS (SELECT win FROM w GROUP BY win
+               HAVING count(DISTINCT doc_id) >= 2),
+         rep AS (SELECT w.doc_id, count(*) AS n FROM w
+                 JOIN d USING (win) GROUP BY 1),
+         tot AS (SELECT doc_id,
+                        CAST(greatest(len(ts) - 7, 0) AS BIGINT) AS n_windows
+                 FROM toks)
+         SELECT t.doc_id, t.n_windows,
+                CAST(coalesce(rep.n, 0) AS BIGINT) AS n_repeated
+         FROM tot t LEFT JOIN rep ON t.doc_id = rep.doc_id
+         ORDER BY t.doc_id""",
     "semdedup_exact" ->
       """WITH e AS (SELECT vec_id, label,
                            CAST(embedding AS DOUBLE[]) AS v

@@ -216,6 +216,37 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(3L) == ((0L, 0)))
   }
 
+  test("repeatedSpans: cross-doc windows flagged, within-doc repeats " +
+       "and short docs don't count") {
+    import org.apache.spark.sql.functions.col
+    val span = "a b c d e f g h" // 8 shared tokens
+    val docs = Seq(
+      (1L, s"$span tail1 tail2"),       // 3 windows, 1 shared
+      (2L, s"lead1 $span tail3"),       // 3 windows, 1 shared
+      (3L, s"$span $span"),             // within-doc repeat of the SHARED span
+      (4L, "x y z w v u t s r q"),      // 3 windows, none shared
+      (5L, "only seven tokens here not eight ok"), // 7 tokens -> 0 windows
+      (6L, s"p q r $span")              // shared span at the end
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.repeatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((3L, 1L)))
+    assert(out(2L) == ((3L, 1L)))
+    // doc 3: 9 windows; every window containing the full span across
+    // the seam also repeats in docs 1/2/6 only for the exact span —
+    // the two pure-span windows (pos 0 and 8) are cross-doc shared
+    assert(out(3L)._1 == 9L && out(3L)._2 >= 2L)
+    assert(out(4L) == ((3L, 0L)))
+    assert(out(5L) == ((0L, 0L)))
+    assert(out(6L)._2 == 1L)
+    // purely WITHIN-doc repetition is not flagged at minDocs=2
+    val solo = Seq((9L, s"$span $span")).toDF("doc_id", "text")
+    val soloOut = graft.ops.Dedup.repeatedSpans(solo, "doc_id", "text", k = 8)
+      .collect().head
+    assert(soloOut.getLong(2) == 0L)
+  }
+
   test("semanticDedupByCluster: greedy keep-min-id within cluster only") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
