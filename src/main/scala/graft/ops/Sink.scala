@@ -28,6 +28,28 @@ object Sink {
     */
   def tableName(base: String, endpoint: String): String = s"${base}_$endpoint"
 
+  /** Order-independent table digest: (row count, Σ xxhash64(row) as
+    * DECIMAL(38,0)). Partition- and sort-invariant (a commutative sum
+    * of per-row hashes), so two copies of a table compare equal no
+    * matter how either side was shuffled or file-split — the
+    * replication-validation primitive a sync pipeline runs after a
+    * warehouse load. DECIMAL(38,0) accumulation cannot overflow below
+    * ~10¹⁸ rows (38 digits vs 19-digit terms).
+    */
+  def tableChecksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+    val row = df.select(
+      org.apache.spark.sql.functions.xxhash64(
+        df.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        .cast("decimal(38,0)").as("h"))
+    val r = row.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("h"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO
+      else r.getDecimal(1))
+  }
+
   /** Plain append load — the reference's default BigQuery semantics. */
   def appendLoad(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)

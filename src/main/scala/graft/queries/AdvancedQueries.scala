@@ -339,8 +339,36 @@ object AdvancedQueries {
         valueCol = "value")
       .orderBy(col("user_id"), col("day_us"))
 
+  /** Warehouse-load round-trip gate: lineitem written through the
+    * sink (overwrite load), read back, and compared by the
+    * order-independent table digest ([[graft.ops.Sink.tableChecksum]])
+    * — the replication validation the reference's sync lifecycle
+    * implies but never performs. n_rows is SQL-recomputed; equality
+    * flags pinned. Makes the K1 sink driver-visible instead of
+    * unit-only.
+    */
+  def syncChecksum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val (nSrc, ckSrc) = graft.ops.Sink.tableChecksum(li)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sync_gate").toString
+    graft.ops.Sink.overwriteLoad(li, s"$out/lineitem")
+    val back = s.read.parquet(s"$out/lineitem")
+    val (nBack, ckBack) = graft.ops.Sink.tableChecksum(back)
+    // both digests are computed by now; the result below is a local
+    // relation, so the round-trip files can go
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    Seq((nSrc,
+        if (nBack == nSrc) 1 else 0,
+        if (ckBack.compareTo(ckSrc) == 0) 1 else 0,
+        if (ckSrc.signum != 0) 1 else 0))
+      .toDF("n_rows", "rows_preserved", "checksum_equal", "digest_nonzero")
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sync_checksum" -> (syncChecksum _),
     "gap_fill" -> (gapFill _),
     "fuzzy_join" -> (fuzzyJoin _),
     "bloom_prune" -> (bloomPrune _),
@@ -361,6 +389,14 @@ object AdvancedQueries {
     "zorder_key" -> (zorderKey _))
 
   val oracle: Map[String, String] = Map(
+    // n_rows recomputed; round-trip flags pinned (the xxhash64 digest
+    // is engine-specific — see syncChecksum)
+    "sync_checksum" ->
+      """SELECT count(*) AS n_rows,
+                CAST(1 AS INTEGER) AS rows_preserved,
+                CAST(1 AS INTEGER) AS checksum_equal,
+                CAST(1 AS INTEGER) AS digest_nonzero
+         FROM lineitem""",
     "gap_fill" ->
       """WITH daily AS (
            SELECT user_id, day, obs FROM (

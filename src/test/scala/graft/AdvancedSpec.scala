@@ -314,6 +314,19 @@ class AdvancedSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("tableChecksum: layout-invariant, value-sensitive") {
+    val df = (1L to 5000L).map(i => (i, s"name$i", i * 1.5)).toDF("id", "s", "x")
+    val (n1, c1) = graft.ops.Sink.tableChecksum(df)
+    val (n2, c2) = graft.ops.Sink.tableChecksum(
+      df.repartition(17).sortWithinPartitions(col("s").desc))
+    assert(n1 == 5000L && n2 == n1 && c1 == c2)
+    // flipping a single value must change the digest
+    val tweaked = df.withColumn("x",
+      when(col("id") === 42L, col("x") + 1e-9).otherwise(col("x")))
+    val (_, c3) = graft.ops.Sink.tableChecksum(tweaked)
+    assert(c3 != c1)
+  }
+
   test("zorderedSave writes the requested file count and round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("zord").toString
     val df = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong))
