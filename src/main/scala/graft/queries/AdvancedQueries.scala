@@ -366,8 +366,82 @@ object AdvancedQueries {
       .toDF("n_rows", "rows_preserved", "checksum_equal", "digest_nonzero")
   }
 
+  /** Driver-visible Structured Streaming gate: the events table
+    * replayed through a REAL streaming query (file source →
+    * AvailableNow trigger → complete-mode memory sink), daily counts
+    * per event type. The oracle recomputes the same aggregation in
+    * batch SQL — proving the streaming path (micro-batch planner,
+    * state store, sink commit) lands on exactly the batch answer,
+    * which is Structured Streaming's core contract.
+    */
+  def streamDailyCounts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.raw(s, dir, "events").schema
+    val name = s"stream_daily_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    // the file source streams a DIRECTORY; the testdata ships one
+    // parquet file per table, so stage a symlink into a temp dir
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage.toString, schema)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = s.table(name)
+      .select(unix_micros(col("day").cast("timestamp")).as("day_us"),
+        col("event_type"), col("n"))
+      .orderBy(col("day_us"), col("event_type"))
+      .localCheckpoint(true) // pin: the memory table dies with the query
+    q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    out
+  }
+
+  /** Full outer join coverage (§2.7 — the one join shape broadcast
+    * can't serve): per-nation customer/supplier account totals where
+    * either side may be absent.
+    */
+  def joinOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+      .agg(round(sum(col("c_acctbal")), 2).as("cust_bal"))
+    val p = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+      .agg(round(sum(col("s_acctbal")), 2).as("supp_bal"))
+    c.join(p, Seq("nk"), "full_outer")
+      .select(col("nk"), col("cust_bal"), col("supp_bal"))
+      .orderBy(col("nk"))
+  }
+
+  /** Ranking-window family in one query: rank, dense_rank,
+    * percent_rank, cume_dist, ntile(4) over each segment's customers
+    * by balance (§2.8 breadth beyond row_number).
+    */
+  def windowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_daily" -> (streamDailyCounts _),
+    "join_outer" -> (joinOuter _),
+    "window_ranks" -> (windowRanks _),
     "sync_checksum" -> (syncChecksum _),
     "gap_fill" -> (gapFill _),
     "fuzzy_join" -> (fuzzyJoin _),
@@ -389,6 +463,33 @@ object AdvancedQueries {
     "zorder_key" -> (zorderKey _))
 
   val oracle: Map[String, String] = Map(
+    // batch recomputation of the STREAMING query's aggregate — the
+    // gate is that AvailableNow micro-batching lands on the batch
+    // answer (see streamDailyCounts)
+    "stream_daily" ->
+      """SELECT epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS day_us,
+                event_type, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""",
+    "join_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk,
+                           round(sum(c_acctbal), 2) AS cust_bal
+                    FROM customer GROUP BY 1),
+         p AS (SELECT s_nationkey AS nk,
+                      round(sum(s_acctbal), 2) AS supp_bal
+               FROM supplier GROUP BY 1)
+         SELECT coalesce(c.nk, p.nk) AS nk, c.cust_bal, p.supp_bal
+         FROM c FULL OUTER JOIN p ON c.nk = p.nk ORDER BY nk""",
+    "window_ranks" ->
+      """SELECT c_mktsegment, c_custkey,
+                CAST(rank() OVER w AS INTEGER) AS rnk,
+                CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+                round(percent_rank() OVER w, 6) AS prnk,
+                round(cume_dist() OVER w, 6) AS cdist,
+                CAST(ntile(4) OVER w AS INTEGER) AS quartile
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey)
+         ORDER BY c_mktsegment, rnk, c_custkey""",
     // n_rows recomputed; round-trip flags pinned (the xxhash64 digest
     // is engine-specific — see syncChecksum)
     "sync_checksum" ->
