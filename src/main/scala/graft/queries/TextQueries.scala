@@ -403,6 +403,51 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end training-data pipeline — the capstone composition a
+    * user of this library actually ships: (1) the pretraining filter
+    * chain (≥20 tokens ∧ language identified ∧ quality ≥ 0.5, the
+    * same predicates `filter_funnel` counts), (2) exact dedup on the
+    * full-text digest keeping the lowest doc_id, (3) token-budget
+    * sequence packing of the survivors (the `pack_sequences`
+    * two-level prefix sum — bucket cumsums + a tiny offset window, no
+    * full-table single-partition sort). One corpus scan feeds the
+    * filter; everything after the digest groupBy shuffles compact
+    * (digest/doc_id/count) rows. The oracle recomposes all three
+    * stages in one SQL chain.
+    */
+  def trainingPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048L
+    val bucketW = 1000L
+    val filtered = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.langId(col("text")).as("__lang"),
+        TextOps.qualityScoreE4(col("text")).as("__qe4"))
+      .filter(col("n_tokens") >= 20 && col("__lang") =!= "und" &&
+        col("__qe4") >= 5000L)
+      .select(col("doc_id"), md5(col("text")).as("__dig"), col("n_tokens"))
+    val keepIds = filtered.groupBy(col("__dig"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val base = filtered.join(keepIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id DIV $bucketW"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val offsets = base.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("offset",
+        coalesce(sum(col("btot")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    base.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("seq_start", col("offset") + col("cum_in") - col("n_tokens"))
+      .withColumn("bin_id", expr(s"seq_start DIV $budget"))
+      .select(col("doc_id"), col("n_tokens"), col("seq_start"), col("bin_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus filter funnel: surviving document counts after each stage
     * of the standard pretraining filter chain (all docs → ≥20 tokens →
     * language identified → quality ≥ 0.5), computed in ONE pass as
@@ -498,6 +543,7 @@ object TextQueries {
     "lm_surprisal" -> (lmSurprisal _),
     "pack_sequences" -> (packSequences _),
     "filter_funnel" -> (filterFunnel _),
+    "training_pipeline" -> (trainingPipeline _),
     "line_dedup" -> (lineDedup _))
 
   private val tokSql =
@@ -541,6 +587,57 @@ object TextQueries {
          SELECT doc_id,
            CAST(floor((n10 * 10000)::DOUBLE / d10::DOUBLE) AS BIGINT) AS quality_e4
          FROM n ORDER BY doc_id""",
+    // the three stages recomposed in one chain: quality/langid/token
+    // filters (verbatim from the quality_score / lang_id oracles) →
+    // keep-min-doc_id dedup on md5(text) → prefix-sum packing (the
+    // oracle uses the one-level window; the engine's two-level
+    // decomposition is exact, so the results coincide)
+    "training_pipeline" -> {
+      val sEn = markerCount(TextOps.LangMarkers(0)._2)
+      val sDe = markerCount(TextOps.LangMarkers(1)._2)
+      val sEs = markerCount(TextOps.LangMarkers(2)._2)
+      val sFr = markerCount(TextOps.LangMarkers(3)._2)
+      s"""WITH s AS (SELECT doc_id, text,
+             greatest(length(text), 1)::BIGINT AS len,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> len(x) > 0))::BIGINT AS tc,
+             greatest(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> len(x) > 0)), 1)::BIGINT AS nt,
+             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS p,
+             len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                         x -> len(x) > 0),
+                             x -> x IN ('the','a','of','and','to','in','is','it')))::BIGINT AS sw,
+             $sEn AS s_en, $sDe AS s_de, $sEs AS s_es, $sFr AS s_fr
+           FROM documents),
+         q AS (SELECT doc_id, text, tc,
+                 CAST(floor(((4 * least(tc, 100) * len * nt
+                              + 300 * (len - p) * nt
+                              + 300 * least(sw * 5, nt) * len) * 10000)::DOUBLE
+                            / (1000 * len * nt)::DOUBLE) AS BIGINT) AS qe4,
+                 CASE
+                   WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                   WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                   WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
+                   WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+                   ELSE 'und'
+                 END AS lang_pred
+               FROM s),
+         f AS (SELECT doc_id, text, tc FROM q
+               WHERE tc >= 20 AND lang_pred <> 'und' AND qe4 >= 5000),
+         d AS (SELECT doc_id, tc FROM (
+                 SELECT doc_id, tc,
+                        row_number() OVER (PARTITION BY md5(text)
+                                           ORDER BY doc_id) AS rn
+                 FROM f)
+               WHERE rn = 1),
+         pk AS (SELECT doc_id, tc AS n_tokens,
+                  CAST(coalesce(sum(tc) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS seq_start
+                FROM d)
+         SELECT doc_id, n_tokens, seq_start, seq_start // 2048 AS bin_id
+         FROM pk ORDER BY doc_id"""
+    },
     "lang_id" -> {
       val sEn = markerCount(TextOps.LangMarkers(0)._2)
       val sDe = markerCount(TextOps.LangMarkers(1)._2)
