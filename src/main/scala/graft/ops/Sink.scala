@@ -51,6 +51,38 @@ object Sink {
   }
 
   /** Plain append load — the reference's default BigQuery semantics. */
+  /** CDC-style snapshot diff: classify every key as added / removed /
+    * changed / unchanged between two versions of a table. ONE full
+    * outer join on the key with both sides reduced to (key, row
+    * digest) before the shuffle — the payload never moves, so the
+    * exchange carries fixed-width rows no matter how wide the table.
+    * The standard reconciliation step between warehouse loads (what a
+    * sync pipeline runs to turn "overwrite everything" into an
+    * incremental upsert plan).
+    *
+    * PRECONDITION: `keyCols` uniquely identify rows on BOTH sides —
+    * duplicate keys multiply through the join and misclassify. Run
+    * `df.groupBy(keyCols).count().filter(_ > 1)` once per new source
+    * if uniqueness isn't guaranteed by construction.
+    */
+  def tableDiff(before: DataFrame, after: DataFrame,
+                keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      "tableDiff requires identical schemas")
+    val valueCols = before.columns.filterNot(keyCols.contains).sorted
+    def digested(df: DataFrame, as: String): DataFrame =
+      df.select(keyCols.map(col) :+
+        xxhash64(valueCols.map(col).toSeq: _*).as(as): _*)
+    digested(before, "__dig_b")
+      .join(digested(after, "__dig_a"), keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("__dig_b").isNull, "added")
+          .when(col("__dig_a").isNull, "removed")
+          .when(col("__dig_a") === col("__dig_b"), "unchanged")
+          .otherwise("changed").as("status"): _*)
+  }
+
   def appendLoad(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 

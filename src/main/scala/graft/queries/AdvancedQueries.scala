@@ -437,8 +437,34 @@ object AdvancedQueries {
       .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
   }
 
+  /** CDC snapshot diff over a deterministic second version of
+    * lineitem — rows with orderkey ≡ 0 (mod 97) deleted, quantity
+    * bumped where ≡ 0 (mod 89), and new rows (negated keys) cloned
+    * from ≡ 0 (mod 83) — classified by
+    * [[graft.ops.Sink.tableDiff]] and rolled up per status. The
+    * oracle recomputes each class's count directly from the modular
+    * arithmetic, so the whole digest-join machinery is value-checked.
+    */
+  def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val kept = li.filter(col("l_orderkey") % 97 =!= 0)
+    val changed = kept.withColumn("l_quantity",
+      when(col("l_orderkey") % 89 === 0, col("l_quantity") + 1)
+        .otherwise(col("l_quantity")))
+    val added = kept.filter(col("l_orderkey") % 83 === 0)
+      .withColumn("l_orderkey", -col("l_orderkey"))
+    val after = changed.unionByName(added)
+    // (orderkey, linenumber) alone is NOT unique in the testdata;
+    // the 4-column business key is (verified: 60000 distinct of 60000)
+    graft.ops.Sink.tableDiff(li, after,
+        keyCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_diff" -> (tableDiff _),
     "stream_daily" -> (streamDailyCounts _),
     "join_outer" -> (joinOuter _),
     "window_ranks" -> (windowRanks _),
@@ -463,6 +489,22 @@ object AdvancedQueries {
     "zorder_key" -> (zorderKey _))
 
   val oracle: Map[String, String] = Map(
+    // every diff class recomputed from the modular arithmetic that
+    // DEFINED version B (see tableDiff)
+    "table_diff" ->
+      """SELECT * FROM (
+           SELECT 'added' AS status, count(*) AS n FROM lineitem
+           WHERE l_orderkey % 97 <> 0 AND l_orderkey % 83 = 0
+           UNION ALL
+           SELECT 'changed', count(*) FROM lineitem
+           WHERE l_orderkey % 97 <> 0 AND l_orderkey % 89 = 0
+           UNION ALL
+           SELECT 'removed', count(*) FROM lineitem
+           WHERE l_orderkey % 97 = 0
+           UNION ALL
+           SELECT 'unchanged', count(*) FROM lineitem
+           WHERE l_orderkey % 97 <> 0 AND l_orderkey % 89 <> 0)
+         ORDER BY status""",
     // batch recomputation of the STREAMING query's aggregate — the
     // gate is that AvailableNow micro-batching lands on the batch
     // answer (see streamDailyCounts)

@@ -314,6 +314,22 @@ class AdvancedSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("tableDiff classifies added/removed/changed/unchanged per key") {
+    val before = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "s", "v")
+    val after = Seq((2L, "b", 20), (3L, "c", 31), (4L, "d", 40))
+      .toDF("k", "s", "v")
+    val got = graft.ops.Sink.tableDiff(before, after, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // column order must not matter (digest over sorted value columns)
+    val got2 = graft.ops.Sink.tableDiff(
+      before, after.select("v", "k", "s"), Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got2 == got)
+  }
+
   test("tableChecksum: layout-invariant, value-sensitive") {
     val df = (1L to 5000L).map(i => (i, s"name$i", i * 1.5)).toDF("id", "s", "x")
     val (n1, c1) = graft.ops.Sink.tableChecksum(df)
