@@ -261,6 +261,71 @@ object Similarity {
     (base.withColumn("code", array(codes: _*)), codebooks)
   }
 
+  /** IVF-PQ search (Jégou et al. TPAMI 2011 §IV: the IVFADC scheme):
+    * inverted lists probed exactly as in [[ivfTopK]], but candidates
+    * ranked against the PQ RECONSTRUCTION of each corpus vector —
+    * so after index build the search-side corpus state is
+    * (id, list_id, m-byte code): a 32× smaller table than raw
+    * float vectors, which at 100 TB is the difference between an
+    * in-memory index tier and re-scanning parquet per query. Ranking
+    * cosine(query, reconstruct(code)) over a literal codebook is the
+    * asymmetric-distance computation (the query side stays exact;
+    * only the corpus side is quantized).
+    */
+  def ivfpqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int,
+                m: Int = 8, kSub: Int = 16, pqIters: Int = 2,
+                centroidEvery: Int = 149, nprobe: Int = 7,
+                rerank: Int = 32,
+                maxCentroids: Int = 1 << 14): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codebook = emb.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).cast("long").as("centroid_id"),
+        col(vecCol).cast("array<float>").as("centroid_v"))
+      .orderBy(col("centroid_id")).limit(maxCentroids)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centsLit = typedLit(codebook.map(_._2).toSeq)
+    val idsLit = typedLit(codebook.map(_._1).toSeq)
+    def nearest(v: Column, n: Int): Column =
+      nearest_centroids(v, centsLit, idsLit, n)
+    val (encoded, cbs) = pqEncode(emb, idCol, vecCol, m, kSub, pqIters)
+    // the searchable index: ids, list assignment, codes — NO vectors
+    val lists = encoded
+      .withColumn("centroid_id", try_element_at(nearest(col("v"), 1), lit(1)))
+      .select(col("id").as("cid"), col("code"), col("centroid_id"))
+    val recon = concat(cbs.zipWithIndex.map { case (cb, j) =>
+      val cLit = typedLit(cb.map(_.toSeq).toSeq)
+      try_element_at(cLit,
+        (try_element_at(col("code"), lit(j + 1)) + 1).cast("int"))
+    }.toSeq: _*)
+    val probes = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<float>").as("qv"))
+      .withColumn("centroid_id", explode(nearest(col("qv"), nprobe)))
+    // stage 1 (ADC): rank the probed lists on quantized similarity —
+    // corpus vectors never touched
+    val wApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("__sim_adc").desc, col("cid"))
+    val shortlist = lists.join(Hints.maybeBroadcast(probes), Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("__sim_adc", cosine_sim(col("qv"), recon))
+      .withColumn("__arnk", row_number().over(wApprox))
+      .filter(col("__arnk") <= rerank)
+      .select(col("qid"), col("qv"), col("cid"))
+    // stage 2 (+R re-rank, Jégou et al. §V): fetch raw vectors for the
+    // |Q|·rerank shortlist ONLY and rank those exactly — the recall
+    // lost to quantization noise comes back without ever scanning
+    // full-precision vectors beyond the shortlist join
+    val raw = emb.select(col(idCol).as("cid"),
+      col(vecCol).cast("array<float>").as("cv"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_r").desc, col("cid"))
+    shortlist.join(raw, Seq("cid"))
+      .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
+  }
+
   /** Reconstruct each vector from its PQ code (concatenate the chosen
     * sub-centroids) and return cosine(original, reconstruction) —
     * the quantization-quality signal the `pq_gate` query floors.

@@ -267,6 +267,27 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Seq((1L, 0L), (4L, 1L), (6L, 1L), (7L, 2L)))
   }
 
+  test("ivfpqTopK: full query coverage, k rows each, recall beats " +
+       "the ADC-only floor") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSession.spark
+    val dir = "/root/testdata/sf0.001"
+    val approx = graft.ops.Similarity.ivfpqTopK(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      "vec_id", "embedding", col("vec_id") % 20 === 0,
+      k = 3, m = 16, rerank = 128)
+    val rows = approx.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 25 && byQ.values.forall(_.length == 3))
+    // exact ground truth via the registered brute-force query
+    val exact = graft.queries.ScaleQueries.queries("ann_topk")(spark, dir)
+      .filter(col("rnk") <= 3).select("qid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = rows.count(r => exact((r.getLong(0), r.getLong(1))))
+    assert(hits * 100 >= exact.size * 60,
+      s"recall ${hits.toDouble / exact.size} below the 60% gate floor")
+  }
+
   test("pqEncode: shapes, in-range codes, reconstruction beats noise") {
     import org.apache.spark.sql.functions._
     val emb = TestSession.spark.read
