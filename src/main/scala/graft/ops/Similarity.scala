@@ -176,11 +176,34 @@ object Similarity {
         nearest_centroids(col("v"), centsLit, idsLit, 1), lit(1)))
   }
 
+  /** Within-cluster candidate pairs at cosine ≥ `threshold`
+    * (id_a < id_b) — the ONE quadratic join both
+    * [[semanticDedupByCluster]] and the `semdedup_gate` contract
+    * checks read (a second copy of this join could silently drift
+    * from the operator's pair set).
+    */
+  def withinClusterPairs(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("v_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("v_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b") &&
+        cosine_sim(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** SemDeDup-style semantic dedup (cluster, then prune near-dups
     * inside each cluster — Abbas et al. 2023, arXiv:2303.09540):
-    * given `assigned` = (id, cluster, v), greedily keep the LOWEST id
-    * of every within-cluster near-dup pair: a row is dropped iff some
-    * smaller-id row in the same cluster has cosine ≥ `threshold`.
+    * given `assigned` = (id, cluster, v), a row is dropped iff some
+    * smaller-id row in the same cluster has cosine ≥ `threshold` —
+    * the rank rule of the reference SemDeDup implementation (x is
+    * removed when ANY better-ranked y is a near-dup, whether or not
+    * y itself survives). Note the chain consequence, which is
+    * deliberate: for a~b, b~c, a≁c, both b AND c are dropped (c's
+    * witness b is itself dropped) — more aggressive than a
+    * sequential keep-then-compare greedy, and exactly what the
+    * `semdedup_exact` oracle recomputes in SQL.
     * Deterministic for any fixed assignment; returns (id, cluster).
     *
     * Plan shape: ONE equi-join on cluster id generates candidate
@@ -195,13 +218,7 @@ object Similarity {
     * final shape as `dedup_canonical`.
     */
   def semanticDedupByCluster(assigned: DataFrame, threshold: Double): DataFrame = {
-    val a = assigned.select(col("cluster"), col("id").as("id_a"),
-      col("v").as("v_a"))
-    val b = assigned.select(col("cluster"), col("id").as("id_b"),
-      col("v").as("v_b"))
-    val dropped = a.join(b, Seq("cluster"))
-      .filter(col("id_a") < col("id_b") &&
-        cosine_sim(col("v_a"), col("v_b")) >= threshold)
+    val dropped = withinClusterPairs(assigned, threshold)
       .select(col("id_b").as("id")).distinct()
     assigned.join(dropped, Seq("id"), "left_anti")
       .select(col("id"), col("cluster"))
@@ -293,11 +310,7 @@ object Similarity {
     val lists = encoded
       .withColumn("centroid_id", try_element_at(nearest(col("v"), 1), lit(1)))
       .select(col("id").as("cid"), col("code"), col("centroid_id"))
-    val recon = concat(cbs.zipWithIndex.map { case (cb, j) =>
-      val cLit = typedLit(cb.map(_.toSeq).toSeq)
-      try_element_at(cLit,
-        (try_element_at(col("code"), lit(j + 1)) + 1).cast("int"))
-    }.toSeq: _*)
+    val recon = pqReconstructExpr(cbs, col("code"))
     val probes = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).cast("array<float>").as("qv"))
       .withColumn("centroid_id", explode(nearest(col("qv"), nprobe)))
@@ -326,20 +339,30 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
   }
 
+  /** PQ decode expression: concatenate each code cell's chosen
+    * sub-centroid (codebooks ride as literals). The ONE definition of
+    * code→vector shared by [[pqReconstructionSim]] and [[ivfpqTopK]]'s
+    * ADC stage — two copies could silently diverge (e.g. the +1 index
+    * bias) and make ranking reconstruct different vectors than the
+    * quality gate measures.
+    */
+  private def pqReconstructExpr(codebooks: Array[Array[Array[Float]]],
+                                codeCol: Column): Column =
+    concat(codebooks.zipWithIndex.map { case (cb, j) =>
+      val centsLit = typedLit(cb.map(_.toSeq).toSeq)
+      try_element_at(centsLit,
+        (try_element_at(codeCol, lit(j + 1)) + 1).cast("int"))
+    }.toSeq: _*)
+
   /** Reconstruct each vector from its PQ code (concatenate the chosen
     * sub-centroids) and return cosine(original, reconstruction) —
     * the quantization-quality signal the `pq_gate` query floors.
     * Same single-scan shape as encoding.
     */
   def pqReconstructionSim(encoded: DataFrame,
-                          codebooks: Array[Array[Array[Float]]]): DataFrame = {
-    val recon = concat(codebooks.zipWithIndex.map { case (cb, j) =>
-      val centsLit = typedLit(cb.map(_.toSeq).toSeq)
-      try_element_at(centsLit,
-        (try_element_at(col("code"), lit(j + 1)) + 1).cast("int"))
-    }.toSeq: _*)
-    encoded.withColumn("sim", cosine_sim(col("v"), recon))
-  }
+                          codebooks: Array[Array[Array[Float]]]): DataFrame =
+    encoded.withColumn("sim",
+      cosine_sim(col("v"), pqReconstructExpr(codebooks, col("code"))))
 
   /** `maxDocsPerFp` drops fingerprints shared by more than that many
     * documents before the self-join: a boilerplate k-gram appearing in

@@ -36,10 +36,21 @@ object Sink {
     * warehouse load. DECIMAL(38,0) accumulation cannot overflow below
     * ~10¹⁸ rows (38 digits vs 19-digit terms).
     */
+  /** Per-row digest that is NOT null-blind: Spark's multi-arg
+    * `xxhash64` folds a NULL input as a no-op, so (v, NULL) and
+    * (NULL, v) would collide. Pre-hashing each column first maps NULL
+    * to the fixed seed value at its POSITION, so values moving
+    * between columns (or nulls swapping with values) change the
+    * digest.
+    */
+  private def rowDigest(cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    xxhash64(cols.map(c => xxhash64(col(c))): _*)
+  }
+
   def tableChecksum(df: DataFrame): (Long, java.math.BigDecimal) = {
     val row = df.select(
-      org.apache.spark.sql.functions.xxhash64(
-        df.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      rowDigest(df.columns.sorted.toSeq)
         .cast("decimal(38,0)").as("h"))
     val r = row.agg(
       org.apache.spark.sql.functions.count(
@@ -73,7 +84,7 @@ object Sink {
     val valueCols = before.columns.filterNot(keyCols.contains).sorted
     def digested(df: DataFrame, as: String): DataFrame =
       df.select(keyCols.map(col) :+
-        xxhash64(valueCols.map(col).toSeq: _*).as(as): _*)
+        rowDigest(valueCols.toSeq).as(as): _*)
     digested(before, "__dig_b")
       .join(digested(after, "__dig_a"), keyCols, "full_outer")
       .select(keyCols.map(col) :+

@@ -264,7 +264,10 @@ object AdvancedQueries {
   /** Exact-integer PageRank (3 iterations, damping 85/100, e12
     * fixed-point) over the symmetrized customer–supplier order graph:
     * edge (c, S) when customer c ordered from supplier S; supplier
-    * node ids offset by 10⁶ to keep the key spaces disjoint. Top-100
+    * node ids offset by 2⁴⁰ so the key spaces stay disjoint up to
+    * ~10¹² customers (TPC-H custkeys reach 1.5M·SF — a 10⁶ offset
+    * would collide past SF≈7 and break the disjointness argument
+    * `assumeDistinct` relies on). Top-100
     * nodes by rank. See [[graft.ops.Graph.pageRankE12]] for why the
     * arithmetic is integral (hash-matchable across engines and
     * partition counts).
@@ -278,7 +281,7 @@ object AdvancedQueries {
       .join(t(s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"),
-        (lit(1000000L) + col("l_suppkey")).as("dst"))
+        (lit(1L << 40) + col("l_suppkey")).as("dst"))
       .distinct()
     Graph.pageRankE12(Graph.symmetrize(edges), iters = 3,
         assumeDistinct = true)
@@ -382,9 +385,11 @@ object AdvancedQueries {
     // the file source streams a DIRECTORY; the testdata ships one
     // parquet file per table, so stage a symlink into a temp dir
     val stage = java.nio.file.Files.createTempDirectory("graft_stream")
+    // absolute target: a relative sfDir would make the link resolve
+    // against the TEMP dir and dangle (stream would read zero rows)
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     val stream = graft.streaming.IncrementalStream
       .readAppendStream(s, stage.toString, schema)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
@@ -456,9 +461,15 @@ object AdvancedQueries {
     val after = changed.unionByName(added)
     // (orderkey, linenumber) alone is NOT unique in the testdata;
     // the 4-column business key is (verified: 60000 distinct of 60000)
-    graft.ops.Sink.tableDiff(li, after,
+    val counts = graft.ops.Sink.tableDiff(li, after,
         keyCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    // every class always present (n=0 when empty) — the oracle's
+    // UNION ALL emits all four rows unconditionally
+    import s.implicits._
+    Seq("added", "changed", "removed", "unchanged").toDF("status")
+      .join(counts, Seq("status"), "left")
+      .select(col("status"), coalesce(col("n"), lit(0L)).as("n"))
       .orderBy(col("status"))
   }
 
@@ -593,7 +604,7 @@ object AdvancedQueries {
     // hash-mismatch Spark's BIGINT even at identical values)
     "pagerank" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey AS src,
-                            1000000 + l_suppkey AS dst
+                            1099511627776 + l_suppkey AS dst
                      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
          e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
          deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),

