@@ -459,10 +459,13 @@ object AdvancedQueries {
     val added = kept.filter(col("l_orderkey") % 83 === 0)
       .withColumn("l_orderkey", -col("l_orderkey"))
     val after = changed.unionByName(added)
-    // (orderkey, linenumber) alone is NOT unique in the testdata;
-    // the 4-column business key is (verified: 60000 distinct of 60000)
+    // key = every column EXCEPT the mutated one: neither (orderkey,
+    // linenumber) nor the 4-column business key is unique at EVERY SF
+    // (sf0.001 has one colliding 4-col pair), but the non-quantity
+    // columns are (verified at all three SFs) — and the mutation only
+    // touches l_quantity, so keys are stable across versions
     val counts = graft.ops.Sink.tableDiff(li, after,
-        keyCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+        keyCols = li.columns.filterNot(_ == "l_quantity").toSeq)
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
     // every class always present (n=0 when empty) — the oracle's
     // UNION ALL emits all four rows unconditionally
