@@ -453,6 +453,25 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Conjunctive keyword search ("hash AND join AND filter"): for a
+    * SMALL fixed term set the right plan is a scan-stage containment
+    * predicate — tokenize (native kernel), intersect with the literal
+    * term set, compare sizes — ZERO shuffle, full predicate
+    * parallelism, no inverted index needed. The inverted-index shape
+    * (explode → posting lists) only wins when the term set or query
+    * load is large enough to amortize the index build; that path is
+    * what `corpus_vocab`/`tfidf_top_terms` exercise.
+    */
+  def keywordSearch(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("hash", "join", "filter")
+    t(s, dir, "documents")
+      .filter(size(array_intersect(
+        array_distinct(graft.ops.Dedup.tokens(col("text"))),
+        typedLit(terms))) === terms.length)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus filter funnel: surviving document counts after each stage
     * of the standard pretraining filter chain (all docs → ≥20 tokens →
     * language identified → quality ≥ 0.5), computed in ONE pass as
@@ -549,6 +568,7 @@ object TextQueries {
     "pack_sequences" -> (packSequences _),
     "filter_funnel" -> (filterFunnel _),
     "training_pipeline" -> (trainingPipeline _),
+    "keyword_search" -> (keywordSearch _),
     "line_dedup" -> (lineDedup _))
 
   private val tokSql =
@@ -592,6 +612,14 @@ object TextQueries {
          SELECT doc_id,
            CAST(floor((n10 * 10000)::DOUBLE / d10::DOUBLE) AS BIGINT) AS quality_e4
          FROM n ORDER BY doc_id""",
+    "keyword_search" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE len(list_intersect(
+                 list_distinct(list_filter(
+                   regexp_split_to_array(lower(text), '\W+'),
+                   x -> len(x) > 0)),
+                 ['hash', 'join', 'filter'])) = 3
+         ORDER BY doc_id""",
     // the three stages recomposed in one chain: quality/langid/token
     // filters (verbatim from the quality_score / lang_id oracles) →
     // keep-min-doc_id dedup on md5(text) → prefix-sum packing (the
