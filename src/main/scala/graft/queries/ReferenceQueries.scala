@@ -320,6 +320,24 @@ object ReferenceQueries {
         col("n"), col("total"))
       .orderBy(col("status"), col("priority"))
 
+  /** Statistical aggregate family (§2.6 breadth): per-returnflag
+    * stddev/variance/correlation/covariance over lineitem. Both
+    * engines compute these by co-moment merging in doubles; the
+    * 4-dp round absorbs the summation-order drift (same policy as
+    * every float aggregate oracle here).
+    */
+  def statsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4)
+          .as("covar_qty_disc"))
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "incremental_window" -> (incrementalWindow _),
@@ -329,6 +347,7 @@ object ReferenceQueries {
     "dedup_latest" -> (dedupLatest _),
     "agg_rollup_counts" -> (aggRollupCounts _),
     "q1_agg" -> (q1Agg _),
+    "stats_agg" -> (statsAgg _),
     "join_fk" -> (joinFk _),
     "q3_shipping" -> (q3Shipping _),
     "q5_region_volume" -> (q5RegionVolume _),
@@ -396,6 +415,13 @@ object ReferenceQueries {
          round(sum(value), 2) AS sum_value,
          round(avg(value), 4) AS avg_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "stats_agg" ->
+      """SELECT l_returnflag,
+                round(stddev_samp(l_quantity), 4) AS sd_qty,
+                round(var_samp(l_quantity), 4) AS var_qty,
+                round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+                round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
