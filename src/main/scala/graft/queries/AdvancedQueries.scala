@@ -476,8 +476,56 @@ object AdvancedQueries {
       .orderBy(col("status"))
   }
 
+  /** Event-transition matrix (first-order Markov counts): for each
+    * user's time-ordered event stream, count (previous type → next
+    * type) transitions — one lag window + one aggregate, single
+    * shuffle on user_id. The behavioral-analytics primitive funnels
+    * and session models start from.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** Per-key skew diagnostic over the events fact: the row-count
+    * distribution across user keys (p50/p90/max by exact integer
+    * rank, plus the max/median ratio ×100) — the numbers that decide
+    * whether a join needs salting or AQE skew handling BEFORE it runs.
+    */
+  def skewStats(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .persist()
+    // the diagnostic table is |keys| rows — small relative to the fact
+    // it summarizes, but the exact-rank global sort below is the
+    // oracle-checkable form; at true scale swap in percentile_approx
+    // over the same counts table (the percentile_bound gate pins that
+    // sketch's error elsewhere)
+    val n = counts.count()
+    val ranked = counts.withColumn("rn",
+      row_number().over(Window.orderBy(col("c"), col("user_id"))))
+    val out = ranked.agg(
+        count(lit(1)).as("n_keys"),
+        max(when(col("rn") === (n + 1) / 2, col("c"))).as("p50"),
+        max(when(col("rn") === (9 * n + 9) / 10, col("c"))).as("p90"),
+        max(col("c")).as("max_c"))
+      .select(col("n_keys"), col("p50"), col("p90"), col("max_c"),
+        expr("(100 * max_c) DIV p50").as("skew_ratio_pct"))
+    val pinned = graft.ops.Dedup.materialize(out)
+    counts.unpersist()
+    pinned
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_transitions" -> (eventTransitions _),
+    "skew_stats" -> (skewStats _),
     "table_diff" -> (tableDiff _),
     "stream_daily" -> (streamDailyCounts _),
     "join_outer" -> (joinOuter _),
@@ -503,6 +551,29 @@ object AdvancedQueries {
     "zorder_key" -> (zorderKey _))
 
   val oracle: Map[String, String] = Map(
+    "event_transitions" ->
+      """WITH t AS (SELECT event_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                             AS prev_type
+                    FROM events)
+         SELECT prev_type, event_type AS next_type, count(*) AS n
+         FROM t WHERE prev_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY prev_type, next_type""",
+    "skew_stats" ->
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+         r AS (SELECT c,
+                      row_number() OVER (ORDER BY c, user_id) AS rn,
+                      count(*) OVER () AS n
+               FROM c)
+         SELECT count(*) AS n_keys,
+                max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS p50,
+                max(CASE WHEN rn = (9 * n + 9) // 10 THEN c END) AS p90,
+                max(c) AS max_c,
+                (100 * max(c))
+                  // max(CASE WHEN rn = (n + 1) // 2 THEN c END)
+                  AS skew_ratio_pct
+         FROM r""",
     // every diff class recomputed from the modular arithmetic that
     // DEFINED version B (see tableDiff)
     "table_diff" ->
