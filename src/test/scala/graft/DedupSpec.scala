@@ -265,6 +265,19 @@ class DedupSpec extends AnyFunSuite {
     val kept = graft.ops.Similarity.semanticDedupByCluster(rows, 0.9)
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(kept == Seq((1L, 0L), (4L, 1L), (6L, 1L), (7L, 2L)))
+    // chain semantics (the SemDeDup rank rule): a~b, b~c, a NOT~ c
+    // drops BOTH b and c — c's witness b is itself dropped. This is
+    // deliberately more aggressive than a sequential keep-then-compare
+    // greedy (which would keep c), and it is what the semdedup_exact
+    // oracle recomputes in SQL.
+    val chain = Seq(
+      (1L, 0L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, 0L, Seq(0.9f, 0.436f, 0.0f)),  // cos ≈ 0.90 to id1 and id3
+      (3L, 0L, Seq(0.62f, 0.785f, 0.0f))  // cos ≈ 0.62 to id1 (below τ)
+    ).toDF("id", "cluster", "v")
+    val keptChain = graft.ops.Similarity.semanticDedupByCluster(chain, 0.85)
+      .select("id").as[Long].collect().toSet
+    assert(keptChain == Set(1L))
   }
 
   test("ivfpqTopK: full query coverage, k rows each, recall beats " +
