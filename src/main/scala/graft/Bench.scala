@@ -60,7 +60,12 @@ object Bench {
     val failed = results.collect { case (k, ts) if ts.isEmpty => s""""$k"""" }
       .mkString("[", ",", "]")
     val total = r3(results.flatMap(_._2.minOption).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"samples":$samples,"noisy":$noisy,"failed":$failed,"sf":"$sfDir"}""")
+    // Two lines, detailed first: the driver captures the output TAIL,
+    // so the compact summary (total + best-of-N per query, no samples)
+    // is printed LAST and always survives truncation. r04's artifact
+    // lost its total because the single detailed line led with it.
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$repeat,"samples":$samples,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"noisy":$noisy,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

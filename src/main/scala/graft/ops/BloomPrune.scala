@@ -47,15 +47,22 @@ object BloomPrune {
         "literal bitmap outweighs the pruning — use AQE's runtime filter")
     val agg = new BloomFilterAggregate(
       expression(xxhash64(dimKey)), expectedItems)
-    dim.select(column(agg.toAggregateExpression()).as("bf"))
+    // NULL keys are excluded on BOTH sides (here and in prune) so the
+    // pruned superset matches null-rejecting equi-join semantics:
+    // xxhash64 maps NULL to the seed constant, so without the filters
+    // a single NULL dim key would admit every NULL fact key (plus any
+    // value colliding with the seed hash) through the bitmap.
+    dim.where(dimKey.isNotNull)
+      .select(column(agg.toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
   }
 
   /** Filter `fact` down to rows whose `factKey` might be in the
-    * serialized filter (superset of the exact match set).
+    * serialized filter (superset of the exact equi-join match set;
+    * NULL fact keys are dropped, as an equi-join would).
     */
   def prune(fact: DataFrame, factKey: Column, filter: Array[Byte]): DataFrame =
-    fact.filter(column(BloomFilterMightContain(
+    fact.filter(factKey.isNotNull && column(BloomFilterMightContain(
       Literal(filter, BinaryType), expression(xxhash64(factKey)))))
 
   /** Build + probe in one call. */

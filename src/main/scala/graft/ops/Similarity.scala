@@ -257,14 +257,22 @@ object Similarity {
       implicit val ec: ExecutionContext = ExecutionContext.global
       val futs = (0 until m).map { j =>
         Future {
-          kmeansTrain(
-            emb.select(col(idCol),
-              slice(col(vecCol).cast("array<float>"), j * sub + 1, sub)
-                .as("subv")),
-            idCol, "subv", k, iters)._1
+          // each training blocks on collect-loop actions; blocking{}
+          // lets the global fork-join pool grow past its CPU-count
+          // core size so m concurrent trainings can't starve it
+          scala.concurrent.blocking {
+            kmeansTrain(
+              emb.select(col(idCol),
+                slice(col(vecCol).cast("array<float>"), j * sub + 1, sub)
+                  .as("subv")),
+              idCol, "subv", k, iters)._1
+          }
         }
       }
-      Await.result(Future.sequence(futs), Duration.Inf).toArray
+      // generous but finite: a hung stage should surface as a timeout
+      // with a stack, not block the caller forever
+      Await.result(Future.sequence(futs),
+        scala.concurrent.duration.Duration(2, "hours")).toArray
     }
     val base = Dedup.spread(emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("v")))

@@ -82,6 +82,13 @@ object Sink {
     require(before.columns.sorted.sameElements(after.columns.sorted),
       "tableDiff requires identical schemas")
     val valueCols = before.columns.filterNot(keyCols.contains).sorted
+    // zero-arg xxhash64 fails analysis at runtime with an opaque
+    // message; fail fast instead (a key-only table has no payload to
+    // diff — every present key would be "unchanged" by definition)
+    require(valueCols.nonEmpty,
+      "tableDiff: keyCols cover every column — there are no value " +
+        "columns to digest; drop a column from keyCols or compare " +
+        "key presence with a semi/anti join instead")
     def digested(df: DataFrame, as: String): DataFrame =
       df.select(keyCols.map(col) :+
         rowDigest(valueCols.toSeq).as(as): _*)

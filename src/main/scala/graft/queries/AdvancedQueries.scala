@@ -501,25 +501,33 @@ object AdvancedQueries {
   def skewStats(s: SparkSession, dir: String): DataFrame = {
     val counts = t(s, dir, "events")
       .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
-      .persist()
-    // the diagnostic table is |keys| rows — small relative to the fact
-    // it summarizes, but the exact-rank global sort below is the
-    // oracle-checkable form; at true scale swap in percentile_approx
-    // over the same counts table (the percentile_bound gate pins that
-    // sketch's error elsewhere)
-    val n = counts.count()
-    val ranked = counts.withColumn("rn",
-      row_number().over(Window.orderBy(col("c"), col("user_id"))))
-    val out = ranked.agg(
-        count(lit(1)).as("n_keys"),
-        max(when(col("rn") === (n + 1) / 2, col("c"))).as("p50"),
-        max(when(col("rn") === (9 * n + 9) / 10, col("c"))).as("p90"),
+    // Exact ranks WITHOUT sorting the per-key counts table globally:
+    // aggregate counts-of-counts (distinct per-key row-count values —
+    // a domain bounded by max_c, orders of magnitude below |keys|),
+    // then read the p50/p90 boundaries off a cumulative sum over that
+    // tiny table. A value c holds ranks (cum-k, cum]; the percentile
+    // is the c whose interval covers the target rank. Billions of user
+    // keys still reduce to a few thousand (c, k) rows before any
+    // ordered window runs — the at-scale sketch swap is
+    // percentile_approx (error pinned by the percentile_bound gate).
+    val cc = counts.groupBy(col("c")).agg(count(lit(1)).as("k"))
+    val wCum = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cc.withColumn("cum", sum(col("k")).over(wCum))
+      .withColumn("n", sum(col("k")).over(wAll))
+      .withColumn("r50", expr("(n + 1) DIV 2"))
+      .withColumn("r90", expr("(9 * n + 9) DIV 10"))
+      .agg(
+        max(col("n")).as("n_keys"),
+        max(when(col("cum") >= col("r50") &&
+          col("cum") - col("k") < col("r50"), col("c"))).as("p50"),
+        max(when(col("cum") >= col("r90") &&
+          col("cum") - col("k") < col("r90"), col("c"))).as("p90"),
         max(col("c")).as("max_c"))
       .select(col("n_keys"), col("p50"), col("p90"), col("max_c"),
         expr("(100 * max_c) DIV p50").as("skew_ratio_pct"))
-    val pinned = graft.ops.Dedup.materialize(out)
-    counts.unpersist()
-    pinned
   }
 
   // ------------------------------------------------------------------------

@@ -279,6 +279,66 @@ object ScaleQueries {
           .otherwise(0).as("floor_met"))
   }
 
+  /** Driver-visible completeness gate for [[dedupSimhash]] — the last
+    * approximate family without one. Ground truth is the exact
+    * windowed XOR-popcount join: every (a, b) pair with
+    * `id_b - id_a ≤ 20` gets its Hamming distance computed DIRECTLY
+    * on the signatures (no banding involved), and `complete` asserts
+    * that every Hamming-≤3 pair is also produced by the banded
+    * candidate path — the pigeonhole guarantee (maxHamming+1 bands)
+    * made checkable, so a band-split/mask regression turns the row
+    * red. `sig_diverse` (distinct signatures ≥ half the corpus) kills
+    * the degenerate pass where a collapsed signature kernel makes
+    * every pair "duplicate"; `has_dups` pins that the corpus really
+    * exercises the radius (verified at sf0.001/0.01/0.1). The
+    * signature arithmetic itself is not DuckDB-expressible (64-bit
+    * xxhash wraparound), so the oracle recomputes `n_window_pairs`
+    * from the id domain and pins the three flags. The windowed
+    * ground-truth join is bucket-replicated (each left id rides to
+    * buckets ⌊id/w⌋ and ⌊id/w⌋+1) so it stays an equi-join at scale —
+    * never an all-pairs product.
+    */
+  def dedupSimhashRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val window = 20L
+    val maxHamming = 3
+    val docs = t(s, dir, "documents")
+    val sigs = docs.select(col("doc_id").as("id"),
+      simhash64(token_hashes(col("text"))).as("sig")).persist()
+    // pair (a,b) with b ∈ (a, a+w] has ⌊b/w⌋ ∈ {⌊a/w⌋, ⌊a/w⌋+1}:
+    // replicating the left side to both buckets matches each pair
+    // exactly once (the right bucket is single-valued)
+    val left = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      explode(array(floor(col("id") / window),
+        floor(col("id") / window) + 1)).as("bkt"))
+    val right = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      floor(col("id") / window).as("bkt"))
+    val windowed = left.join(right, Seq("bkt"))
+      .filter(col("id_b") > col("id_a") &&
+        col("id_b") <= col("id_a") + window)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    val nWindow = windowed.count()
+    val cand = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming)
+      .filter(col("id_b") - col("id_a") <= window)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+    val dupAgg = windowed.filter(col("hamming") <= maxHamming)
+      .join(cand, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_dup"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .head()
+    val nDup = dupAgg.getLong(0)
+    val hits = if (dupAgg.isNullAt(1)) 0L else dupAgg.getLong(1)
+    val sigAgg = sigs.agg(countDistinct(col("sig")).as("d"),
+      count(lit(1)).as("n")).head()
+    sigs.unpersist()
+    Seq((nWindow,
+        if (nDup > 0) 1 else 0,
+        if (hits == nDup) 1 else 0,
+        if (2 * sigAgg.getLong(0) >= sigAgg.getLong(1)) 1 else 0))
+      .toDF("n_window_pairs", "has_dups", "complete", "sig_diverse")
+  }
+
   /** IVF-style ANN: deterministic coarse quantizer + inverted lists +
     * nprobe search ([[graft.ops.Similarity.ivfTopK]]). Rows-only;
     * recall driver-gated by [[annIvfRecall]].
@@ -402,12 +462,16 @@ object ScaleQueries {
   /** PQ codes for every embedding (m=8 subspaces × k=16 centroids →
     * 8 small ints per 64-dim vector, 32× compression). Deterministic
     * (seeded sub-codebooks) but not SQL-recomputable → rows-only;
-    * quality/coverage gated by `pq_gate`.
+    * quality/coverage gated by `pq_gate`. The code array is serialized
+    * to a comma-joined string: the driver's rows-only comparator sorts
+    * the frame in pandas, which cannot hash array cells (see
+    * OPERATORS.md "Oracle authoring conventions").
     */
   def pqEncode(s: SparkSession, dir: String): DataFrame =
     Similarity.pqEncode(t(s, dir, "embeddings"), "vec_id", "embedding",
         m = 8, k = 16, iters = 2)._1
-      .select(col("id"), col("code"))
+      .select(col("id"),
+        array_join(col("code").cast("array<string>"), ",").as("code"))
       .orderBy(col("id"))
 
   /** Driver-visible PQ quality gate: every vector encoded (m in-range
@@ -555,6 +619,7 @@ object ScaleQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
+    "dedup_simhash_recall" -> (dedupSimhashRecall _),
     "decontaminate" -> (decontaminate _),
     "repeated_spans" -> (repeatedSpans _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -782,6 +847,18 @@ object ScaleQueries {
          FROM sh a JOIN sh b ON b.id > a.id AND b.id <= a.id + 20
          WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
                / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7""",
+    // n_window_pairs is recomputed from the id domain; the three flags
+    // pin pigeonhole completeness of the banded candidates against a
+    // direct windowed XOR-popcount (computed Spark-side — the 64-bit
+    // signature arithmetic is not DuckDB-expressible), non-degenerate
+    // signatures, and a corpus that actually exercises Hamming ≤ 3
+    "dedup_simhash_recall" ->
+      """SELECT count(*) AS n_window_pairs,
+                CAST(1 AS INTEGER) AS has_dups,
+                CAST(1 AS INTEGER) AS complete,
+                CAST(1 AS INTEGER) AS sig_diverse
+         FROM documents a JOIN documents b
+           ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20""",
     "ann_ivf_recall" ->
       """SELECT count(*) AS n_queries,
                 CAST(60 AS INTEGER) AS recall_floor_pct,
