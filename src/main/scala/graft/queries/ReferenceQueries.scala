@@ -338,8 +338,32 @@ object ReferenceQueries {
           .as("covar_qty_disc"))
       .orderBy(col("l_returnflag"))
 
+  /** Run-log report (K2/K3, reference: outreach_etl.py:124-219 log
+    * grammar + :237-243 email step): per-resource sync summary built
+    * INSIDE the distributed plan — three single-row aggregates
+    * unioned, page math in exact integers, report lines via
+    * [[graft.ops.RunLog]]'s column grammar (byte-identical to the
+    * reference's logging strings). The MIME/email rendering around
+    * these lines is [[graft.ops.RunLog.renderEmail]] (unit-tested;
+    * the network send is out of scope by design).
+    */
+  def runReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.RunLog
+    val perResource = Seq("events", "lineitem", "orders").map { r =>
+      t(s, dir, r).agg(count(lit(1)).as("n_rows"))
+        .select(lit(r).as("resource"), col("n_rows"))
+    }.reduce(_.unionByName(_))
+    perResource
+      .withColumn("n_pages", expr("(n_rows + 999) DIV 1000"))
+      .select(col("resource"), col("n_rows"), col("n_pages"),
+        RunLog.countMsgCol(col("resource"), col("n_rows")).as("first_msg"),
+        RunLog.pageMsgCol(col("n_pages"), col("n_pages")).as("last_msg"))
+      .orderBy(col("resource"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "run_report" -> (runReport _),
     "incremental_window" -> (incrementalWindow _),
     "flatten_props" -> (flattenProps _),
     "conform_cast" -> (conformCast _),
@@ -363,6 +387,23 @@ object ReferenceQueries {
     "agg_cube" -> (aggCube _))
 
   val oracle: Map[String, String] = Map(
+    // page math in exact integer arithmetic on both sides; report
+    // strings concatenated from the same grammar (BIGINT renders
+    // identically in both engines)
+    "run_report" ->
+      """WITH s AS (
+           SELECT 'events' AS resource,
+                  CAST(count(*) AS BIGINT) AS n_rows FROM events
+           UNION ALL
+           SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders)
+         SELECT resource, n_rows,
+                CAST((n_rows + 999) // 1000 AS BIGINT) AS n_pages,
+                'Number of ' || resource || ' is ' || n_rows AS first_msg,
+                'Completed Page ' || ((n_rows + 999) // 1000)
+                  || ' out of ' || ((n_rows + 999) // 1000) AS last_msg
+         FROM s ORDER BY resource""",
     "q14_promo_share" ->
       """WITH l AS (
            SELECT l_partkey,

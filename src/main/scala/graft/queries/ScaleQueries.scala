@@ -564,6 +564,54 @@ object ScaleQueries {
     closed.agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Degree-oriented triangle count (Suri & Vassilvitskii WWW'11):
+    * same answer as [[triangleCount]] behind the SAME oracle, but
+    * edges are oriented low→high by the total order (degree, id)
+    * instead of by raw id. Wedge fanout at a node is then its
+    * ORIENTED out-degree, which the orientation bounds by O(√|E|)
+    * for every node — on hub-heavy real graphs (id order ≉ degree
+    * order) this is the difference between a bounded wedge join and
+    * one hub exploding into deg² wedge rows. The total order is
+    * compared directly on (deg, id) pairs carried through the join —
+    * no global rank assignment (which would itself be a global sort).
+    */
+  def triangleCountDegree(s: SparkSession, dir: String): DataFrame = {
+    val und = Dedup.materialize(
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, window = 20, threshold = 0.5)
+        .select(col("id_a"), col("id_b")))
+    val deg = und.select(col("id_a").as("id"))
+      .union(und.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient each undirected edge from the (deg, id)-smaller endpoint
+    // to the larger; carry the dst endpoint's (deg, id) so downstream
+    // comparisons need no further join
+    val lowFirst = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("id_a") < col("id_b"))
+    val oriented = Dedup.materialize(und
+      .join(deg.select(col("id").as("id_a"), col("deg").as("deg_a")),
+        Seq("id_a"))
+      .join(deg.select(col("id").as("id_b"), col("deg").as("deg_b")),
+        Seq("id_b"))
+      .select(
+        when(lowFirst, col("id_a")).otherwise(col("id_b")).as("src"),
+        when(lowFirst, col("id_b")).otherwise(col("id_a")).as("dst"),
+        when(lowFirst, col("deg_b")).otherwise(col("deg_a")).as("dst_deg")))
+    // a triangle's three nodes are totally ordered u < v < w; it is
+    // counted exactly once as the wedge (u→v, u→w) closed by v→w
+    val wedges = oriented
+      .select(col("src").as("u"), col("dst").as("v"),
+        col("dst_deg").as("v_deg"))
+      .join(oriented.select(col("src").as("u"), col("dst").as("w"),
+        col("dst_deg").as("w_deg")), Seq("u"))
+      .filter(col("v_deg") < col("w_deg") ||
+        (col("v_deg") === col("w_deg") && col("v") < col("w")))
+    wedges.join(
+        oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Spherical k-means training gate: 3 Lloyd iterations over the full
     * embedding table (16 clusters, deterministic every-97th seeds) must
     * each cover every vector and keep the cosine objective Σ(1 − cos)
@@ -635,6 +683,7 @@ object ScaleQueries {
     "dedup_clusters" -> (dedupClusters _),
     "cc_exact" -> (ccExact _),
     "triangle_count" -> (triangleCount _),
+    "triangle_count_degree" -> (triangleCountDegree _),
     "fingerprint_pairs" -> (fingerprintPairs _),
     "embed_norm" -> (embedNorm _),
     "kmeans_gate" -> (kmeansGate _),
@@ -805,6 +854,13 @@ object ScaleQueries {
     // shares the g/p pair CTEs with cc_exact (the recursive lab CTE
     // goes unused by the final SELECT; DuckDB prunes it)
     "triangle_count" ->
+      s"""WITH RECURSIVE $ccLabelsSql
+         SELECT count(*) AS n_triangles
+         FROM p e1 JOIN p e2 ON e1.id_b = e2.id_a
+                   JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""",
+    // same ground truth as triangle_count — the degree-oriented plan
+    // must land on the identical triangle total
+    "triangle_count_degree" ->
       s"""WITH RECURSIVE $ccLabelsSql
          SELECT count(*) AS n_triangles
          FROM p e1 JOIN p e2 ON e1.id_b = e2.id_a

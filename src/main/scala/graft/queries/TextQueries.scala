@@ -75,6 +75,41 @@ object TextQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Driver-visible gate for [[multimodalEmbed]] (its last rows-only
+    * companion-less query): pins full coverage (every document yields
+    * one embedding), the declared width (all vectors exactly dim=16,
+    * no null/NaN cells), non-degeneracy (every L2 norm strictly
+    * positive — a zeroed stub lands at 0), and partition-independence
+    * (re-running the stub over a differently-partitioned input yields
+    * bit-identical vectors — the property a REAL batched model UDF
+    * must also hold for the operator to be retry-safe). n_media is
+    * SQL-recomputed; flags pinned, same pattern as `pq_gate`.
+    */
+  def multimodalEmbedGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.dsl._
+    val media = Multimodal.asMediaTable(
+      t(s, dir, "documents"), "doc_id", "text", "image")
+    val e1 = Multimodal.embedStub(s, media, dim = 16).persist()
+    val n = t(s, dir, "documents").count()
+    val dimOk = e1.filter(size(col("embedding")) === 16 &&
+      !exists(col("embedding"), v => v.isNull || isnan(v))).count()
+    val normPos = e1
+      .filter(sqrt(dot_product(col("embedding"), col("embedding"))) > 0)
+      .count()
+    val e2 = Multimodal.embedStub(s, media.repartition(7), dim = 16)
+    val same = e1.select(col("media_id"), col("embedding").as("v1"))
+      .join(e2.select(col("media_id"), col("embedding").as("v2")),
+        Seq("media_id"))
+      .filter(col("v1") === col("v2")).count()
+    e1.unpersist()
+    Seq((n,
+        if (dimOk == n) 1 else 0,
+        if (normPos == n) 1 else 0,
+        if (same == n) 1 else 0))
+      .toDF("n_media", "dim_ok", "norm_positive", "deterministic")
+  }
+
   /** Media header round-trip: synthesize REAL container header bytes
     * (PNG/JPEG/BMP/GIF rotating by doc id, dims derived from the id),
     * then parse format/width/height/bit-depth back out of the bytes
@@ -552,6 +587,7 @@ object TextQueries {
     "fingerprint" -> (fingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_embed" -> (multimodalEmbed _),
+    "multimodal_embed_gate" -> (multimodalEmbedGate _),
     "multimodal_header" -> (multimodalHeader _),
     "multimodal_frames" -> (multimodalFrames _),
     "sql_surface" -> (sqlSurface _),
@@ -863,6 +899,14 @@ object TextQueries {
          SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          FROM u GROUP BY host ORDER BY host""",
+    // the oracle pins full coverage and the three flags; the stub's
+    // per-byte seed hash is not SQL-expressible (see multimodalEmbedGate)
+    "multimodal_embed_gate" ->
+      """SELECT count(*) AS n_media,
+                CAST(1 AS INTEGER) AS dim_ok,
+                CAST(1 AS INTEGER) AS norm_positive,
+                CAST(1 AS INTEGER) AS deterministic
+         FROM documents""",
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
            octet_length(encode(text)) AS n_bytes,
