@@ -411,6 +411,51 @@ object AdvancedQueries {
     out
   }
 
+  /** Driver-visible STATEFUL streaming: gap-based sessionization via
+    * `flatMapGroupsWithState` run as a real AvailableNow file-source →
+    * memory-sink query, its closed-session output recomputed by the
+    * batch oracle. Emission policy is pinned deterministic: the
+    * watermark delay is set far beyond the data's time range, so
+    * event-time timeouts never fire and EXACTLY the sessions closed by
+    * a later out-of-gap event emit — i.e. every session except each
+    * user's last, which the oracle expresses as a max-session
+    * anti-filter over the same windowed-gap SQL as `sessionize`. (The
+    * timeout path — late-closing open sessions once the watermark
+    * passes end + gap — is deterministic only per watermark schedule,
+    * so it is covered by StreamingSpec, not the oracle.) Proves the
+    * custom-state contract (per-user (counter, open-session) state,
+    * partitioned by user, monotone numbering) end-to-end, the way
+    * `stream_daily` proves the windowed-aggregate contract.
+    */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.raw(s, dir, "events").schema
+    val name = s"stream_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val src = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage.toString, schema)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val sessions = graft.streaming.IncrementalStream
+      .sessionizeStream(src, "user_id", "ts",
+        gapMs = 30L * 60000L, watermark = "3650 days")
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = s.table(name)
+      .orderBy(col("user_id"), col("session_id"))
+      .localCheckpoint(true) // pin: the memory table dies with the query
+    q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    out
+  }
+
   /** Full outer join coverage (§2.7 — the one join shape broadcast
     * can't serve): per-nation customer/supplier account totals where
     * either side may be absent.
@@ -536,6 +581,7 @@ object AdvancedQueries {
     "skew_stats" -> (skewStats _),
     "table_diff" -> (tableDiff _),
     "stream_daily" -> (streamDailyCounts _),
+    "stream_sessionize" -> (streamSessionize _),
     "join_outer" -> (joinOuter _),
     "window_ranks" -> (windowRanks _),
     "sync_checksum" -> (syncChecksum _),
@@ -812,5 +858,34 @@ object AdvancedQueries {
       """SELECT c.c_mktsegment, count(*) AS n,
            round(sum(e.value), 2) AS sum_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
-         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+    // batch recomputation of the STATEFUL streaming query: with the
+    // watermark pinned beyond the data's range, the stream emits
+    // exactly the sessions closed by a later out-of-gap event — every
+    // session except each user's last (see streamSessionize)
+    "stream_sessionize" ->
+      """WITH f AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tsu,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         s AS (
+           SELECT user_id, tsu,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY tsu, event_id)
+                  AS BIGINT) AS session_id
+           FROM f),
+         g AS (
+           SELECT user_id, session_id, count(*) AS n_events,
+                  min(tsu) AS start_us, max(tsu) AS end_us
+           FROM s GROUP BY user_id, session_id),
+         m AS (SELECT user_id, max(session_id) AS last_sess
+               FROM g GROUP BY user_id)
+         SELECT g.user_id, g.session_id, g.n_events,
+                g.start_us, g.end_us
+         FROM g JOIN m ON g.user_id = m.user_id
+                      AND g.session_id < m.last_sess
+         ORDER BY g.user_id, g.session_id""")
 }
