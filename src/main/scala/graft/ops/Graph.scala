@@ -94,4 +94,64 @@ object Graph {
     e.unpersist()
     out
   }
+
+  /** Triangle count over an UNDIRECTED edge set given as (id_a, id_b)
+    * with `id_a < id_b`, id-oriented: wedges (a<b<c) built by one
+    * self-equi-join, closed by a semi-join against the edge set. Every
+    * triangle is counted exactly once (its id-ordered wedge). Wedge
+    * fanout at a node is its id-oriented out-degree — fine when id
+    * order is uncorrelated with degree, degenerate when low ids are
+    * hubs (a hub's full neighborhood squares). Input must be
+    * duplicate-free; one row, `n_triangles`.
+    */
+  def triangleCountIdOriented(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id_a"), col("id_b"))
+    val wedges = e.select(col("id_a").as("a"), col("id_b").as("b"))
+      .join(e.select(col("id_a").as("b"), col("id_b").as("c")), Seq("b"))
+    wedges.join(
+        e.select(col("id_a").as("a"), col("id_b").as("c")),
+        Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Degree-oriented triangle count (Suri & Vassilvitskii, WWW'11 —
+    * the MapReduce node-iterator++ orientation): same input contract
+    * and same answer as [[triangleCountIdOriented]], but each edge is
+    * oriented from its (degree, id)-smaller endpoint to the larger, so
+    * oriented out-degree — and therefore wedge fanout — is O(√|E|)
+    * for EVERY node regardless of raw degree. The orientation total
+    * order is compared directly on (deg, id) pairs carried through
+    * the join; no global rank assignment (which would itself be a
+    * global sort). This is the variant to ship on power-law graphs.
+    */
+  def triangleCountDegreeOriented(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("id_a"), col("id_b"))
+    val deg = und.select(col("id_a").as("id"))
+      .union(und.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val lowFirst = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("id_a") < col("id_b"))
+    val oriented = Dedup.materialize(und
+      .join(deg.select(col("id").as("id_a"), col("deg").as("deg_a")),
+        Seq("id_a"))
+      .join(deg.select(col("id").as("id_b"), col("deg").as("deg_b")),
+        Seq("id_b"))
+      .select(
+        when(lowFirst, col("id_a")).otherwise(col("id_b")).as("src"),
+        when(lowFirst, col("id_b")).otherwise(col("id_a")).as("dst"),
+        when(lowFirst, col("deg_b")).otherwise(col("deg_a")).as("dst_deg")))
+    // a triangle's nodes are totally ordered u < v < w by (deg, id);
+    // it is counted exactly once as the wedge (u→v, u→w) closed by v→w
+    val wedges = oriented
+      .select(col("src").as("u"), col("dst").as("v"),
+        col("dst_deg").as("v_deg"))
+      .join(oriented.select(col("src").as("u"), col("dst").as("w"),
+        col("dst_deg").as("w_deg")), Seq("u"))
+      .filter(col("v_deg") < col("w_deg") ||
+        (col("v_deg") === col("w_deg") && col("v") < col("w")))
+    wedges.join(
+        oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -551,66 +551,21 @@ object ScaleQueries {
     * from exploding the join at scale; see e.g. Suri & Vassilvitskii,
     * WWW'11 on MapReduce triangle counting).
     */
-  def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val e = Dedup.materialize(
+  def triangleCount(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangleCountIdOriented(Dedup.materialize(
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           n = 3, window = 20, threshold = 0.5)
-        .select(col("id_a"), col("id_b")))
-    val wedges = e.select(col("id_a").as("a"), col("id_b").as("b"))
-      .join(e.select(col("id_a").as("b"), col("id_b").as("c")), Seq("b"))
-    val closed = wedges.join(
-      e.select(col("id_a").as("a"), col("id_b").as("c")),
-      Seq("a", "c"), "left_semi")
-    closed.agg(count(lit(1)).as("n_triangles"))
-  }
+        .select(col("id_a"), col("id_b"))))
 
-  /** Degree-oriented triangle count (Suri & Vassilvitskii WWW'11):
-    * same answer as [[triangleCount]] behind the SAME oracle, but
-    * edges are oriented low→high by the total order (degree, id)
-    * instead of by raw id. Wedge fanout at a node is then its
-    * ORIENTED out-degree, which the orientation bounds by O(√|E|)
-    * for every node — on hub-heavy real graphs (id order ≉ degree
-    * order) this is the difference between a bounded wedge join and
-    * one hub exploding into deg² wedge rows. The total order is
-    * compared directly on (deg, id) pairs carried through the join —
-    * no global rank assignment (which would itself be a global sort).
+  /** Degree-oriented variant behind the SAME oracle — see
+    * [[graft.ops.Graph.triangleCountDegreeOriented]] for why this is
+    * the orientation to ship on hub-heavy graphs.
     */
-  def triangleCountDegree(s: SparkSession, dir: String): DataFrame = {
-    val und = Dedup.materialize(
+  def triangleCountDegree(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangleCountDegreeOriented(
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           n = 3, window = 20, threshold = 0.5)
         .select(col("id_a"), col("id_b")))
-    val deg = und.select(col("id_a").as("id"))
-      .union(und.select(col("id_b").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    // orient each undirected edge from the (deg, id)-smaller endpoint
-    // to the larger; carry the dst endpoint's (deg, id) so downstream
-    // comparisons need no further join
-    val lowFirst = col("deg_a") < col("deg_b") ||
-      (col("deg_a") === col("deg_b") && col("id_a") < col("id_b"))
-    val oriented = Dedup.materialize(und
-      .join(deg.select(col("id").as("id_a"), col("deg").as("deg_a")),
-        Seq("id_a"))
-      .join(deg.select(col("id").as("id_b"), col("deg").as("deg_b")),
-        Seq("id_b"))
-      .select(
-        when(lowFirst, col("id_a")).otherwise(col("id_b")).as("src"),
-        when(lowFirst, col("id_b")).otherwise(col("id_a")).as("dst"),
-        when(lowFirst, col("deg_b")).otherwise(col("deg_a")).as("dst_deg")))
-    // a triangle's three nodes are totally ordered u < v < w; it is
-    // counted exactly once as the wedge (u→v, u→w) closed by v→w
-    val wedges = oriented
-      .select(col("src").as("u"), col("dst").as("v"),
-        col("dst_deg").as("v_deg"))
-      .join(oriented.select(col("src").as("u"), col("dst").as("w"),
-        col("dst_deg").as("w_deg")), Seq("u"))
-      .filter(col("v_deg") < col("w_deg") ||
-        (col("v_deg") === col("w_deg") && col("v") < col("w")))
-    wedges.join(
-        oriented.select(col("src").as("v"), col("dst").as("w")),
-        Seq("v", "w"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-  }
 
   /** Spherical k-means training gate: 3 Lloyd iterations over the full
     * embedding table (16 clusters, deterministic every-97th seeds) must

@@ -221,6 +221,30 @@ class AdvancedSpec extends AnyFunSuite {
     assert(r1 == r)
   }
 
+  test("triangle count: both orientations agree on a hub graph") {
+    // hub 0 fans out to 1..10 (id orientation puts ALL wedges on the
+    // hub); triangles: (0,1,2) through the hub and (11,12,13) apart.
+    // Edges listed id_a < id_b, duplicate-free.
+    val edges = (((1L to 10L).map(i => (0L, i)) :+ (1L, 2L)) ++
+      Seq((11L, 12L), (11L, 13L), (12L, 13L))).toDF("id_a", "id_b")
+    val byId = graft.ops.Graph.triangleCountIdOriented(edges)
+      .head().getLong(0)
+    val byDeg = graft.ops.Graph.triangleCountDegreeOriented(edges)
+      .head().getLong(0)
+    assert(byId == 2L)
+    assert(byDeg == 2L)
+    // partition-count invariance (the orientation is a total order,
+    // not an arrival order)
+    assert(graft.ops.Graph.triangleCountDegreeOriented(
+      edges.repartition(7)).head().getLong(0) == 2L)
+    // triangle-free star: zero from both
+    val star = (1L to 10L).map(i => (0L, i)).toDF("id_a", "id_b")
+    assert(graft.ops.Graph.triangleCountIdOriented(star)
+      .head().getLong(0) == 0L)
+    assert(graft.ops.Graph.triangleCountDegreeOriented(star)
+      .head().getLong(0) == 0L)
+  }
+
   test("BloomPrune: superset of exact matches, bounded false positives") {
     val fact = (1L to 20000L).map(i => (i, i % 1000)).toDF("row_id", "k")
     val dim = Seq(3L, 7L, 42L, 999L).toDF("dk")
