@@ -69,6 +69,40 @@ object Incremental {
   def dayExpansion(lo: Column, hi: Column): Column =
     explode(sequence(lo, hi, expr("interval 1 day")))
 
+  /** Partial-aggregate state: group `df` by `keys` and compute the
+    * algebraic state columns (counts, sums, mins, maxes — anything
+    * re-aggregable). Pair with [[mergeAggStates]] for incremental
+    * materialized-aggregate maintenance: keep yesterday's state
+    * table, aggregate only today's delta partition, merge — the
+    * nightly full recompute over 100 TB becomes a merge over
+    * |groups| + |delta| rows.
+    */
+  def aggState(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Merge algebraic aggregate states into the state a full recompute
+    * would produce: union the state tables and re-aggregate with the
+    * state-merge functions (`sum` of counts/sums, `min` of mins,
+    * `max` of maxes, …). This is exactly Spark's own partial→final
+    * aggregation contract lifted to the table level, so the merge is
+    * one hash aggregate over |groups|·|states| rows — independent of
+    * the size of the already-aggregated history. Derived metrics
+    * that are NOT algebraic (avg, stddev) must be finalized from the
+    * merged state (sum/cnt), never merged directly.
+    *
+    * Exactness: integer states (counts, cent-sums) merge exactly;
+    * double sums can drift in the last ulp vs a recompute because
+    * addition order differs — store money as integer cents if the
+    * maintained table must be bit-identical to a recompute.
+    */
+  def mergeAggStates(states: Seq[DataFrame], keys: Seq[String],
+                     merges: Seq[Column]): DataFrame = {
+    require(states.nonEmpty, "mergeAggStates: no states to merge")
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(merges.head, merges.tail: _*)
+  }
+
   /** Latest-row dedup: keep the newest record per key — the upsert the
     * reference defers to BigQuery (SURVEY.md §2.8). `tieBreak` makes
     * the pick total-order deterministic when timestamps collide.

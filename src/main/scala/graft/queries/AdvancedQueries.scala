@@ -575,8 +575,51 @@ object AdvancedQueries {
         expr("(100 * max_c) DIV p50").as("skew_ratio_pct"))
   }
 
+  /** Incremental materialized-aggregate maintenance
+    * ([[graft.ops.Incremental.aggState]]/`mergeAggStates`): the
+    * per-month order rollup is maintained as an algebraic state
+    * (cnt, cent-sum, min, max), the table is split at a cutoff into
+    * "history" and "delta", each side aggregated independently, and
+    * the two states merged. The oracle is the FULL recompute — the
+    * maintenance contract is that merge(state(old), state(new)) is
+    * indistinguishable from recomputing over everything. Money rides
+    * as exact integer cents so the merged sum is bit-identical, not
+    * merely close (same policy as `q14_promo_share`); avg is
+    * finalized from the merged state, never merged.
+    *
+    * At 100 TB the history side is an already-materialized |groups|-row
+    * table and only the delta partition is scanned — this query shape
+    * is why the nightly rollup doesn't reread the lake.
+    */
+  def aggIncremental(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").select(
+      date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_totalprice").as("p"))
+    val cutoff = lit("1999-01-01").cast("date")
+    def state(part: DataFrame): DataFrame =
+      graft.ops.Incremental.aggState(part, Seq("month"), Seq(
+        count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"),
+        min(col("p")).as("min_price"), max(col("p")).as("max_price")))
+    val merged = graft.ops.Incremental.mergeAggStates(
+      Seq(state(orders.filter(col("month") < cutoff)),
+        state(orders.filter(col("month") >= cutoff))),
+      Seq("month"), Seq(
+        sum(col("cnt")).as("cnt"), sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_price")).as("min_price"),
+        max(col("max_price")).as("max_price")))
+    // avg finalized in exact integer cents (floored division): a
+    // 4-dp double round hits representation ties (227673.41875
+    // rounded differently by Spark and DuckDB at sf0.01)
+    merged.select(col("month"), col("cnt"), col("sum_cents"),
+        expr("sum_cents DIV cnt").as("avg_cents"),
+        col("min_price"), col("max_price"))
+      .orderBy(col("month"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_incremental" -> (aggIncremental _),
     "event_transitions" -> (eventTransitions _),
     "skew_stats" -> (skewStats _),
     "table_diff" -> (tableDiff _),
@@ -605,6 +648,22 @@ object AdvancedQueries {
     "zorder_key" -> (zorderKey _))
 
   val oracle: Map[String, String] = Map(
+    // the oracle is the FULL recompute — maintenance must be
+    // indistinguishable from recomputing over everything
+    "agg_incremental" ->
+      """WITH c AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                             AS month,
+                           CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS cents,
+                           o_totalprice AS p
+                    FROM orders)
+         SELECT month, cnt, sum_cents, sum_cents // cnt AS avg_cents,
+                min_price, max_price
+         FROM (SELECT month, count(*) AS cnt,
+                      CAST(sum(cents) AS BIGINT) AS sum_cents,
+                      min(p) AS min_price, max(p) AS max_price
+               FROM c GROUP BY month)
+         ORDER BY month""",
     "event_transitions" ->
       """WITH t AS (SELECT event_type,
                            lag(event_type) OVER (PARTITION BY user_id

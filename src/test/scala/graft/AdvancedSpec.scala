@@ -390,4 +390,50 @@ class AdvancedSpec extends AnyFunSuite {
     assert(back.count() == 1024)
     assert(back.columns.sorted.toSeq == Seq("a", "b"))
   }
+
+  test("mergeAggStates: merged state equals full recompute, any split") {
+    import graft.ops.Incremental
+    val rows = (1 to 300).map(i => (i % 7L, i.toLong, i * 3L))
+    val df = rows.toDF("g", "v", "w")
+    def state(d: org.apache.spark.sql.DataFrame) =
+      Incremental.aggState(d, Seq("g"), Seq(
+        count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"),
+        min(col("w")).as("min_w"), max(col("w")).as("max_w")))
+    val merges = Seq(
+      sum(col("cnt")).as("cnt"), sum(col("sum_v")).as("sum_v"),
+      min(col("min_w")).as("min_w"), max(col("max_w")).as("max_w"))
+    val full = state(df).orderBy("g").collect().toSeq
+    // 2-way split on a predicate
+    val two = Incremental.mergeAggStates(
+      Seq(state(df.filter(col("v") <= 100)),
+        state(df.filter(col("v") > 100))), Seq("g"), merges)
+      .orderBy("g").collect().toSeq
+    assert(two == full)
+    // 3-way split where one side is empty for some groups
+    val three = Incremental.mergeAggStates(
+      Seq(state(df.filter(col("v") <= 5)),
+        state(df.filter(col("v") > 5 && col("v") <= 200)),
+        state(df.filter(col("v") > 200))), Seq("g"), merges)
+      .orderBy("g").collect().toSeq
+    assert(three == full)
+  }
+
+  test("agg_incremental query: maintenance matches full recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val got = queries.AdvancedQueries.aggIncremental(spark, dir).collect()
+    assert(got.nonEmpty)
+    // recompute directly (no split) with the same projection
+    val orders = Tables(spark, dir, "orders").select(
+      date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_totalprice").as("p"))
+    val full = orders.groupBy("month").agg(
+        count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"),
+        min(col("p")).as("min_price"), max(col("p")).as("max_price"))
+      .select(col("month"), col("cnt"), col("sum_cents"),
+        expr("sum_cents DIV cnt").as("avg_cents"),
+        col("min_price"), col("max_price"))
+      .orderBy("month").collect()
+    assert(got.toSeq == full.toSeq)
+  }
 }
