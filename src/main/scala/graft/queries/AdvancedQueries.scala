@@ -617,9 +617,41 @@ object AdvancedQueries {
       .orderBy(col("month"))
   }
 
+  /** Data-quality expectation report ([[graft.ops.Expectations]]):
+    * the pre-load QA gate a production sync runs. All row-level
+    * checks for a table ride ONE aggregate over one scan
+    * (conditional sums + count/count_distinct pairs, unpivoted to
+    * report rows); referential checks are broadcast anti-joins.
+    * Two checks are deliberately violated by this corpus
+    * (o_totalprice cap, o_orderpriority set) so the report proves it
+    * counts, not just flags.
+    */
+  def dqExpectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations._
+    val orders = t(s, dir, "orders")
+    val events = t(s, dir, "events")
+    val ordersRep = evaluate("orders", orders, Seq(
+        notNull("o_custkey"),
+        between("o_totalprice", lit(0.0), lit(300000.0)),
+        inSet("o_orderstatus", Seq("P", "O", "F")),
+        inSet("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED"))),
+      uniqueCols = Seq("o_orderkey"))
+    val eventsRep = evaluate("events", events,
+      Seq(notNull("user_id")), uniqueCols = Seq("event_id"))
+    val fkLine = fkOrphans("lineitem", t(s, dir, "lineitem"),
+      "l_orderkey", orders, "o_orderkey")
+    val fkEvents = fkOrphans("events", events, "user_id",
+      t(s, dir, "customer"), "c_custkey")
+    ordersRep.unionByName(eventsRep).unionByName(fkLine)
+      .unionByName(fkEvents)
+      .orderBy(col("tbl"), col("col"), col("expectation"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_incremental" -> (aggIncremental _),
+    "dq_expectations" -> (dqExpectations _),
     "event_transitions" -> (eventTransitions _),
     "skew_stats" -> (skewStats _),
     "table_diff" -> (tableDiff _),
@@ -648,6 +680,55 @@ object AdvancedQueries {
     "zorder_key" -> (zorderKey _))
 
   val oracle: Map[String, String] = Map(
+    "dq_expectations" ->
+      """WITH rep AS (
+           SELECT 'orders' AS tbl, 'o_custkey' AS col,
+                  'not_null' AS expectation,
+                  count(*) FILTER (WHERE o_custkey IS NULL) AS violations
+           FROM orders
+           UNION ALL
+           SELECT 'orders', 'o_totalprice', 'between',
+                  count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                    AND o_totalprice NOT BETWEEN 0 AND 300000)
+           FROM orders
+           UNION ALL
+           SELECT 'orders', 'o_orderstatus', 'in_set',
+                  count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                    AND o_orderstatus NOT IN ('P', 'O', 'F'))
+           FROM orders
+           UNION ALL
+           SELECT 'orders', 'o_orderpriority', 'in_set',
+                  count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                    AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+                      '3-MEDIUM', '4-NOT SPECIFIED'))
+           FROM orders
+           UNION ALL
+           SELECT 'orders', 'o_orderkey', 'unique',
+                  count(o_orderkey) - count(DISTINCT o_orderkey)
+           FROM orders
+           UNION ALL
+           SELECT 'events', 'user_id', 'not_null',
+                  count(*) FILTER (WHERE user_id IS NULL)
+           FROM events
+           UNION ALL
+           SELECT 'events', 'event_id', 'unique',
+                  count(event_id) - count(DISTINCT event_id)
+           FROM events
+           UNION ALL
+           SELECT 'lineitem', 'l_orderkey', 'fk',
+                  (SELECT count(*) FROM lineitem l
+                   WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+                     (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey))
+           UNION ALL
+           SELECT 'events', 'user_id', 'fk',
+                  (SELECT count(*) FROM events e
+                   WHERE e.user_id IS NOT NULL AND NOT EXISTS
+                     (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = e.user_id)))
+         SELECT tbl, col, expectation, violations,
+                violations = 0 AS pass
+         FROM rep ORDER BY tbl, col, expectation""",
     // the oracle is the FULL recompute — maintenance must be
     // indistinguishable from recomputing over everything
     "agg_incremental" ->

@@ -267,6 +267,34 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-quota mixture composition (the step after
+    * [[stratifiedSample]]'s Bernoulli thinning when the recipe says
+    * "the corpus must be 24% src-group-3, 8% src-group-0"): every
+    * source gets a weight, the sample budget is 40% of the corpus,
+    * and each source contributes EXACTLY its quota
+    * `budget · w / Σw`, picked as the top-quota rows by a stable
+    * per-row draw (an LCG over doc_id — reproducible in any engine,
+    * unlike xxhash64). One shuffle, partitioned by source; rank is
+    * per-source so no global sort exists. For domains too large to
+    * rank exactly, the scale swap is a two-phase draw-threshold cut
+    * (sample the draw distribution, cut at the quota quantile) —
+    * the Bernoulli form of it is `stratified_sample`.
+    */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .withColumn("rk", expr("(doc_id * 2654435761) % 4294967296"))
+      .withColumn("w", expr("CAST(substring(source, 4) AS INT) % 4 + 1"))
+    val wdw = Window.partitionBy(col("source"))
+      .orderBy(col("rk"), col("doc_id"))
+    val total = t(s, dir, "documents").agg(count(lit(1)).as("n_total"))
+    docs.withColumn("rn", row_number().over(wdw))
+      .crossJoin(broadcast(total))
+      .filter(col("rn") <= expr("n_total * 2 DIV 5 * w DIV 50"))
+      .select(col("doc_id"), col("source"), col("w"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C4-style text normalization: plant markup + control characters
     * around the document (so the op has real work on every row), then
     * strip tags, collapse whitespace/control runs to single spaces,
@@ -598,6 +626,7 @@ object TextQueries {
     "corpus_vocab" -> (corpusVocab _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "stratified_sample" -> (stratifiedSample _),
+    "mixture_sample" -> (mixtureSample _),
     "normalize_text" -> (normalizeText _),
     "domain_stats" -> (domainStats _),
     "lm_surprisal" -> (lmSurprisal _),
@@ -613,6 +642,19 @@ object TextQueries {
     s"len(list_filter($tokSql, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "mixture_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+                           (doc_id * 2654435761) % 4294967296 AS rk,
+                           CAST(substr(source, 4) AS INT) % 4 + 1 AS w
+                    FROM documents),
+              r AS (SELECT doc_id, source, w,
+                           row_number() OVER (PARTITION BY source
+                                              ORDER BY rk, doc_id) AS rn,
+                           (SELECT count(*) FROM documents) AS n_total
+                    FROM d)
+         SELECT doc_id, source, w FROM r
+         WHERE rn <= n_total * 2 // 5 * w // 50
+         ORDER BY doc_id""",
     "text_stats" ->
       """SELECT doc_id,
            CAST(length(text) AS INTEGER) AS n_chars_m,

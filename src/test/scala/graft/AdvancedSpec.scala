@@ -391,6 +391,33 @@ class AdvancedSpec extends AnyFunSuite {
     assert(back.columns.sorted.toSeq == Seq("a", "b"))
   }
 
+  test("Expectations: violation counts on a deliberately dirty frame") {
+    import graft.ops.Expectations._
+    val dirty = Seq(
+      (Option(1L), Option("a"), 5.0),
+      (Option(1L), Option("b"), -1.0),   // dup id, below range
+      (Option.empty[Long], Option("zz"), 7.0), // null id, bad code
+      (Option(2L), Option.empty[String], 900.0) // above range, null code ok
+    ).toDF("id", "code", "v")
+    val rep = evaluate("t", dirty, Seq(
+        notNull("id"),
+        between("v", lit(0.0), lit(100.0)),
+        inSet("code", Seq("a", "b"))),
+      uniqueCols = Seq("id"))
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    assert(rep(("id", "not_null")) == (1L, false))
+    assert(rep(("v", "between")) == (2L, false))
+    assert(rep(("code", "in_set")) == (1L, false))
+    assert(rep(("id", "unique")) == (1L, false))
+    // fk orphans: 3 and 9 have no dim match; null key is not an orphan
+    val fact = Seq(Option(1L), Option(3L), Option(9L), Option.empty[Long])
+      .toDF("k")
+    val dim = Seq(1L, 2L).toDF("dk")
+    val fk = fkOrphans("f", fact, "k", dim, "dk").collect().head
+    assert(fk.getLong(3) == 2L && !fk.getBoolean(4))
+  }
+
   test("mergeAggStates: merged state equals full recompute, any split") {
     import graft.ops.Incremental
     val rows = (1 to 300).map(i => (i % 7L, i.toLong, i * 3L))

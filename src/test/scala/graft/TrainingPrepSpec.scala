@@ -83,4 +83,19 @@ class TrainingPrepSpec extends AnyFunSuite {
     val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
     (all -- inClusters).foreach(id => assert(surv.contains(id)))
   }
+
+  test("mixture_sample: exact per-source quotas, deterministic picks") {
+    val docs = Tables(spark, sf, "documents")
+    val nTotal = docs.count()
+    val got = queries.TextQueries.mixtureSample(spark, sf).collect()
+    // per-source count is exactly budget * w / 50
+    val bySource = got.groupBy(_.getString(1)).view.mapValues(_.length)
+    bySource.foreach { case (src, n) =>
+      val w = src.drop(3).toInt % 4 + 1
+      assert(n == nTotal * 2 / 5 * w / 50, s"$src quota")
+    }
+    // deterministic: a second run picks the identical ids
+    val again = queries.TextQueries.mixtureSample(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
 }
