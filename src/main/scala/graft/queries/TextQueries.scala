@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Multimodal, TextOps}
+import graft.ops.{Bpe, Multimodal, TextOps}
 
 /** Text-analysis + multimodal-plumbing queries over `documents`. */
 object TextQueries {
@@ -607,8 +607,131 @@ object TextQueries {
     pinned.orderBy(col("doc_id"))
   }
 
+  /** Number of BPE merges trained by `bpe_merges` — small enough that
+    * the unrolled DuckDB oracle stays readable, large enough that the
+    * merge list exercises multi-character symbols (merges of merges).
+    */
+  private val BpeMerges = 8
+
+  /** BPE tokenizer training over the corpus (Bpe.train): the first
+    * [[BpeMerges]] learned merges with their frequency-weighted pair
+    * counts. Fully oracle-checked — [[bpeOracle]] replays the whole
+    * training loop in DuckDB as an unrolled CTE chain, so every rank,
+    * symbol pair, and count is hash-compared, not just gated.
+    */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Bpe.train(Bpe.wordDict(t(s, dir, "documents"), "text"), BpeMerges)
+      .toDF()
+      .select(col("rank").as("merge_rank"), col("left").as("l"),
+        col("right").as("r"), col("n"))
+  }
+
+  /** BPE tokenizer application (Bpe.encodeTokenCounts): train the
+    * same [[BpeMerges]] merges, then encode every document with them —
+    * per-doc word and token counts, all scan-stage (the merge list is
+    * folded into the projection as literals; no explode, no shuffle).
+    * The oracle replays training AND encoding per document, so the
+    * replace-chain fidelity is hash-checked on every doc, not just on
+    * the dict.
+    */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = Bpe.train(Bpe.wordDict(docs, "text"), BpeMerges)
+    Bpe.encodeTokenCounts(docs, "text", "doc_id", merges)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The shared-by-both-oracles padded literal-replace fixpoint —
+    * exactly Bpe.applyMerge's arithmetic (literal `replace`, so Java
+    * and RE2 cannot diverge), referencing CTE alias `m` for the merge.
+    */
+  private val bpeApplied: String = {
+    def rep(x: String): String =
+      s"replace($x, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')"
+    "trim(" +
+      Iterator.iterate("(' ' || sym || ' ')")(rep)
+        .drop(Bpe.ReplacePasses).next() + ")"
+  }
+
+  /** The unrolled training chain shared by [[bpeOracle]] and
+    * [[bpeEncodeOracle]]: `d0` is the char-split word-frequency dict,
+    * each level i computes pair counts (`p_i`), the argmax merge
+    * (`m_i`, same total order: n DESC, l, r), and the re-symbolized
+    * dict (`d_i`) via [[bpeApplied]]. An exhausted pair set empties
+    * `m_i` and (via the cross join) every later level, exactly
+    * mirroring the engine's early stop.
+    */
+  private def bpeTrainCtes(nMerges: Int): String = {
+    val levels = (1 to nMerges).map { i =>
+      s"""p$i AS (
+           SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT) AS n
+           FROM (SELECT freq,
+                        unnest([[s[j], s[j + 1]] for j in range(1, len(s))]) AS p
+                 FROM (SELECT string_split(sym, ' ') AS s, freq FROM d${i - 1}))
+           GROUP BY 1, 2),
+         m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         d$i AS (SELECT $bpeApplied AS sym, freq FROM d${i - 1}, m$i AS m)"""
+    }.mkString(",\n")
+    s"""w0 AS (
+         SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+         FROM documents),
+       d0 AS (
+         SELECT array_to_string(string_split(w, ''), ' ') AS sym,
+                CAST(count(*) AS BIGINT) AS freq
+         FROM w0 WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+       $levels"""
+  }
+
+  /** DuckDB replay of Bpe.train as one unrolled CTE chain (see
+    * [[bpeTrainCtes]]): every rank, symbol pair, and count is
+    * hash-compared, not just gated.
+    */
+  private def bpeOracle(nMerges: Int): String = {
+    val ranks = (1 to nMerges).map { i =>
+      s"SELECT $i AS i, l, r, n FROM m$i"
+    }.mkString("\n UNION ALL ")
+    s"""WITH ${bpeTrainCtes(nMerges)}
+       SELECT CAST(i AS INTEGER) AS merge_rank, l, r, n
+       FROM ($ranks) ORDER BY merge_rank"""
+  }
+
+  /** DuckDB replay of train-then-encode: the training chain's merges
+    * `m_1..m_n` are applied per document word (`e_i` levels; a LEFT
+    * JOIN + CASE keeps rows intact if a level's merge set is empty,
+    * matching the engine folding only over the merges that exist), and
+    * docs with zero alpha words survive via the final LEFT JOIN.
+    */
+  private def bpeEncodeOracle(nMerges: Int): String = {
+    val levels = (1 to nMerges).map { i =>
+      s"""e$i AS (
+           SELECT doc_id,
+                  CASE WHEN m.l IS NULL THEN sym ELSE $bpeApplied END AS sym
+           FROM e${i - 1} LEFT JOIN m$i AS m ON true)"""
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(nMerges)},
+       we AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+         FROM documents),
+       e0 AS (
+         SELECT doc_id, array_to_string(string_split(w, ''), ' ') AS sym
+         FROM we WHERE regexp_matches(w, '^[a-z]+$$')),
+       $levels,
+       tc AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_tokens
+         FROM e$nMerges GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(tc.n_words, 0) AS BIGINT) AS n_words,
+              CAST(coalesce(tc.n_tokens, 0) AS BIGINT) AS n_tokens
+       FROM documents d LEFT JOIN tc USING (doc_id) ORDER BY d.doc_id"""
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges" -> (bpeMerges _),
+    "bpe_encode" -> (bpeEncode _),
     "text_stats" -> (textStats _),
     "quality_score" -> (qualityScore _),
     "lang_id" -> (langId _),
@@ -642,6 +765,8 @@ object TextQueries {
     s"len(list_filter($tokSql, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "bpe_merges" -> bpeOracle(BpeMerges),
+    "bpe_encode" -> bpeEncodeOracle(BpeMerges),
     "mixture_sample" ->
       """WITH d AS (SELECT doc_id, source,
                            (doc_id * 2654435761) % 4294967296 AS rk,
