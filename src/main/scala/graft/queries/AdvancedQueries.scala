@@ -456,6 +456,59 @@ object AdvancedQueries {
     out
   }
 
+  /** Driver-visible STREAM-STREAM join: click events joined to the
+    * same user's purchase events within 24 h, both sides replayed
+    * through REAL file-source streams into Spark's symmetric-hash
+    * stream-stream join ([[graft.streaming.IncrementalStream
+    * .intervalJoin]]). The watermark is set beyond the data's whole
+    * time span, so no row is evicted before matching and the streamed
+    * result equals the batch interval join — which the oracle
+    * recomputes in SQL. Completes the streaming contract trio:
+    * windowed aggregate (`stream_daily`), custom state
+    * (`stream_sessionize`), and two-sided join state (this).
+    */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.raw(s, dir, "events").schema
+    val name = s"stream_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    // two independent sources (not a self-join of one frame), the
+    // shape real pipelines have: clicks and purchases arrive as
+    // separate streams
+    def side(evType: String): DataFrame = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage.toString, schema)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .filter(col("event_type") === evType)
+    val clicks = side("click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buys = side("purchase")
+      .select(col("user_id").as("buy_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    val joined = graft.streaming.IncrementalStream
+      .intervalJoin(clicks, "click_ts", buys, "buy_ts",
+        col("user_id") === col("buy_user"), "24 hours", "3650 days")
+      .select(col("user_id"), col("click_id"), col("buy_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("buy_ts")).as("buy_us"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = s.table(name)
+      .orderBy(col("user_id"), col("click_id"), col("buy_id"))
+      .localCheckpoint(true) // pin: the memory table dies with the query
+    q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    out
+  }
+
   /** Full outer join coverage (§2.7 — the one join shape broadcast
     * can't serve): per-nation customer/supplier account totals where
     * either side may be absent.
@@ -657,6 +710,7 @@ object AdvancedQueries {
     "table_diff" -> (tableDiff _),
     "stream_daily" -> (streamDailyCounts _),
     "stream_sessionize" -> (streamSessionize _),
+    "stream_join" -> (streamJoin _),
     "join_outer" -> (joinOuter _),
     "window_ranks" -> (windowRanks _),
     "sync_checksum" -> (syncChecksum _),
@@ -1003,6 +1057,15 @@ object AdvancedQueries {
     // watermark pinned beyond the data's range, the stream emits
     // exactly the sessions closed by a later out-of-gap event — every
     // session except each user's last (see streamSessionize)
+    "stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id,
+                epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS buy_us
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND epoch_us(p.ts) >= epoch_us(c.ts)
+          AND epoch_us(p.ts) <= epoch_us(c.ts) + 86400000000
+         ORDER BY c.user_id, click_id, buy_id""",
     "stream_sessionize" ->
       """WITH f AS (
            SELECT user_id, event_id, epoch_us(ts) AS tsu,

@@ -163,6 +163,33 @@ object IncrementalStream {
       .toDF("user_id", "session_id", "n_events", "start_us", "end_us")
   }
 
+  /** Stream-stream event-time interval join: rows of `right` that land
+    * within `[lTs, lTs + window]` of a matching `left` row. Both sides
+    * are watermarked and the time bounds ride in the join condition,
+    * which is what lets Spark's symmetric hash join EVICT buffered
+    * state: each side keeps only rows younger than
+    * `watermark + window`, so state is bounded by
+    * rate × (lateness + window) per key-partition — the contract that
+    * makes the join runnable indefinitely at scale. (The driver query
+    * sets the watermark beyond the test data's whole span so the
+    * streamed result equals the batch join exactly; production tunes
+    * it to the real lateness bound.) Inner joins emit eagerly on
+    * match — results do not wait for the watermark; only state
+    * eviction does.
+    *
+    * `keyEq` must reference non-colliding column names (rename before
+    * the call); `window` is SQL interval text, e.g. "24 hours".
+    */
+  def intervalJoin(left: DataFrame, lTs: String,
+                   right: DataFrame, rTs: String,
+                   keyEq: org.apache.spark.sql.Column,
+                   window: String, watermark: String): DataFrame =
+    left.withWatermark(lTs, watermark)
+      .join(right.withWatermark(rTs, watermark),
+        keyEq && col(rTs) >= col(lTs) &&
+          col(rTs) <= col(lTs) + expr(s"INTERVAL $window"),
+        "inner")
+
   /** Run a streaming frame to a parquet sink with checkpointing,
     * processing everything currently available (the cron-run
     * equivalent: one `Trigger.AvailableNow` invocation per schedule

@@ -105,6 +105,48 @@ class StreamingSpec extends AnyFunSuite {
       s"got: $got")
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val tmp = Files.createTempDirectory("graft-sjoin").toFile
+    val lDir = new java.io.File(tmp, "l"); lDir.mkdirs()
+    val rDir = new java.io.File(tmp, "r"); rDir.mkdirs()
+
+    val baseMs = 86400000L
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    import spark.implicits._
+    // clicks for users 1,2; purchases in/out of the 60-min window,
+    // including one exactly ON the boundary (inclusive) and one
+    // BEFORE its click (must not match)
+    Seq((1L, 10L, ts(0)), (1L, 11L, ts(30)), (2L, 12L, ts(0)))
+      .toDF("user_id", "click_id", "click_ts")
+      .write.mode("overwrite").parquet(lDir.getAbsolutePath)
+    Seq((1L, 20L, ts(45)), (1L, 21L, ts(90)), (2L, 22L, ts(60)),
+        (2L, 23L, ts(61)), (3L, 24L, ts(5)))
+      .toDF("buy_user", "buy_id", "buy_ts")
+      .write.mode("overwrite").parquet(rDir.getAbsolutePath)
+
+    val lSchema = spark.read.parquet(lDir.getAbsolutePath).schema
+    val rSchema = spark.read.parquet(rDir.getAbsolutePath).schema
+    val joined = IncrementalStream.intervalJoin(
+      IncrementalStream.readAppendStream(spark, lDir.getAbsolutePath, lSchema),
+      "click_ts",
+      IncrementalStream.readAppendStream(spark, rDir.getAbsolutePath, rSchema),
+      "buy_ts",
+      col("user_id") === col("buy_user"), "60 minutes", "1 day")
+    val q = joined.writeStream.format("memory").queryName("sjoin_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sjoin_out")
+      .select("user_id", "click_id", "buy_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // click 10 (t0): buy 20 (t45) in window, 21 (t90) out;
+    // click 11 (t30): buys 45 and 90 both within [30, 90] — boundary
+    // inclusive; click 12 (t0): buy 22 (t60) ON the boundary in, 23
+    // (t61) out; user 3's purchase has no click
+    assert(got == Set((1L, 10L, 20L), (1L, 11L, 20L), (1L, 11L, 21L),
+      (2L, 12L, 22L)), s"got: $got")
+  }
+
   test("streaming canonical dedup keeps the batch representative (min id)") {
     val tmp = Files.createTempDirectory("graft-cdedup").toFile
     val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
