@@ -20,6 +20,18 @@ case class TopKItem(item: String, cnt: Long)
   *
   * Determinism: eviction and the final ranking break count ties by
   * item string order, so results are stable across partitionings.
+  *
+  * Error contract in the approximate regime (capacity < distinct):
+  * counters always sum to the exact stream length N (eviction
+  * inherits the min counter, so mass is conserved); every counter
+  * only OVERestimates, by at most 2N/capacity under Spark's two-level
+  * partial/final aggregation — N/c from the final fold's min counter
+  * plus ≤ N/c of error accumulated inside re-streamed leaf summaries
+  * (the merge replays the right summary as weighted arrivals; the
+  * final merge is a flat fold over leaf partials, so the factor stays
+  * 2 regardless of partition count). Items with true count > 2N/c
+  * are guaranteed present. The `topk_freq_bound` driver gate checks
+  * all three exactly against DuckDB-recomputed truth.
   */
 class TopKFreq(k: Int, capacity: Int)
     extends Aggregator[String, Map[String, Long], Seq[TopKItem]] {

@@ -245,6 +245,142 @@ object AdvancedQueries {
       .orderBy(col("user_id"), col("rnk"))
   }
 
+  /** Driver-visible accuracy gate for the SpaceSaving sketch in its
+    * APPROXIMATE regime — capacity 8 < the 31-token corpus vocabulary,
+    * so evictions and real overestimates occur (unlike [[topkFreq]],
+    * which runs the sketch where it is exact). The summary CONTENTS
+    * are partition-order-dependent (which is why no raw approximate
+    * query is registered), but the SpaceSaving guarantees (Metwally
+    * et al. ICDT'05; merge-safety per Agarwal et al., mergeable
+    * summaries) hold for EVERY arrival order, so the gate row is
+    * deterministic: counters sum exactly to the stream length N;
+    * every estimate overestimates its true count by at most 2N/c; and
+    * every token whose true count exceeds 2N/c is present. The bound
+    * is 2N/c, not the single-stream N/c, because the merge re-streams
+    * partial summaries (one N/c from the final fold's min counter,
+    * one from the ≤ N/c error already inside re-streamed leaf
+    * summaries — Spark's two-level partial/final aggregation keeps
+    * the fold flat, so the factor stays 2 regardless of partition
+    * count). Both compares are exact-integer ((est−true)·c ≤ 2N).
+    */
+  def topkFreqBound(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKFreq.topk_freq
+    val cap = 8
+    val toks = t(s, dir, "documents")
+      .select(explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+    val summary = toks
+      .agg(topk_freq(col("token"), k = cap, capacity = cap).as("items"))
+      .select(explode(col("items")).as("it"))
+      .select(col("it.item").as("token"), col("it.cnt").as("est"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("tn"))
+    val tot = exact.agg(coalesce(sum(col("tn")), lit(0L)).as("N"))
+    val sagg = summary.join(exact, Seq("token"))
+      .agg(count(lit(1)).as("n_counters"),
+        coalesce(sum(col("est")), lit(0L)).as("sum_est"),
+        coalesce(min(col("est") - col("tn")), lit(0L)).as("min_diff"),
+        coalesce(max((col("est") - col("tn")) * cap), lit(0L))
+          .as("max_scaled_err"))
+    val missed = exact.crossJoin(broadcast(tot))
+      .filter(col("tn") * cap > col("N") * 2)
+      .join(summary.select(col("token")), Seq("token"), "left_anti")
+      .agg(count(lit(1)).as("hh_missed"))
+    sagg.crossJoin(broadcast(tot)).crossJoin(broadcast(missed))
+      .select(col("n_counters"),
+        when(col("sum_est") === col("N"), 1).otherwise(0).as("sum_eq_n"),
+        when(col("min_diff") >= 0, 1).otherwise(0).as("all_overestimate"),
+        when(col("max_scaled_err") <= col("N") * 2, 1).otherwise(0)
+          .as("err_within"),
+        when(col("hh_missed") === 0, 1).otherwise(0).as("hh_covered"))
+  }
+
+  /** Market-basket association rules over (user, day) baskets of event
+    * types: support / confidence / lift for every ordered pair, in
+    * exact ×10⁶ integer arithmetic (div, not float — hash-stable).
+    * Scale shape: one shuffle to baskets (groupBy user+day,
+    * collect_set bounded by the item domain), pair fanout ≤ |set|² as
+    * a scan-stage double explode — never a row-level self-join of the
+    * event log — then counts over the tiny (item, item) domain.
+    */
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(collect_set(col("event_type")).as("items"))
+    val pairs = b
+      .select(explode(col("items")).as("antecedent"), col("items"))
+      .select(col("antecedent"), explode(col("items")).as("consequent"))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy("antecedent", "consequent").agg(count(lit(1)).as("n_both"))
+    val singles = b.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_item"))
+    val total = b.agg(count(lit(1)).as("n_baskets"))
+    pairs
+      .join(broadcast(singles.select(col("item").as("antecedent"),
+        col("n_item").as("n_ante"))), Seq("antecedent"))
+      .join(broadcast(singles.select(col("item").as("consequent"),
+        col("n_item").as("n_cons"))), Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        // integral div (matches DuckDB //) — Column./ would go double
+        expr("n_both * 1000000 div n_baskets").as("support_e6"),
+        expr("n_both * 1000000 div n_ante").as("confidence_e6"),
+        // exact-integer lift; the triple product needs decimal(38) if
+        // basket counts approach 2^31 — at that point lift is a
+        // display metric and a double is the right trade
+        expr("n_both * n_baskets * 1000000 div (n_ante * n_cons)")
+          .as("lift_e6"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  /** Weekly retention cohorts: users bucketed by first-seen week, the
+    * classic (cohort, week-offset) → distinct-active triangle. Two
+    * shuffles on user_id (first-week agg + the distinct), then an
+    * aggregate over the tiny (cohort, offset) domain; the broadcast
+    * joins the per-user cohort dimension back in.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    ev.distinct()
+      .join(cohort, Seq("user_id"))
+      .groupBy(unix_micros(col("cohort")).as("cohort_us"),
+        expr("cast(datediff(to_date(wk), to_date(cohort)) as bigint) div 7")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_us"), col("week_offset"))
+  }
+
+  /** Strict ordered funnel signup → click → purchase: each stage's
+    * timestamp is the earliest event of that type STRICTLY after the
+    * previous stage (per user). Three conditional min-aggregates, each
+    * a compact shuffle on user_id over rows already filtered to one
+    * event type; NULL propagates naturally (no prior stage ⇒ no
+    * comparison ⇒ stage NULL). Output is per-user with the reached
+    * stage count — the driver hashes every timestamp, not just the
+    * funnel totals.
+    */
+  def funnelOrdered(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("tsu")).as("t_signup"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("tsu") > col("t_signup"))
+      .groupBy("user_id").agg(min(col("tsu")).as("t_click"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("tsu") > col("t_click"))
+      .groupBy("user_id").agg(min(col("tsu")).as("t_purchase"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_click"),
+        col("t_purchase"),
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0))
+          .as("stages_reached"))
+      .orderBy(col("user_id"))
+  }
+
   /** SCD Type-2 history over the event change log: each user's events
     * become versioned validity intervals (version, valid_from/to,
     * is_current) — the warehouse-load shape a history-keeping CRM sync
@@ -720,6 +856,10 @@ object AdvancedQueries {
     "scd2_intervals" -> (scd2Intervals _),
     "pagerank" -> (pagerank _),
     "topk_freq" -> (topkFreq _),
+    "topk_freq_bound" -> (topkFreqBound _),
+    "assoc_rules" -> (assocRules _),
+    "retention_cohorts" -> (retentionCohorts _),
+    "funnel_ordered" -> (funnelOrdered _),
     "unpivot_events" -> (unpivotEvents _),
     "range_join" -> (rangeJoin _),
     "asof_join" -> (asofJoin _),
@@ -996,6 +1136,74 @@ object AdvancedQueries {
                   AS INTEGER) AS rnk
            FROM events GROUP BY user_id, event_type)
          WHERE rnk <= 3 ORDER BY user_id, rnk""",
+    "assoc_rules" ->
+      """WITH b AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+           FROM events),
+         nb AS (SELECT count(*) AS n FROM
+                  (SELECT DISTINCT user_id, day FROM b)),
+         s AS (SELECT event_type, count(*) AS n_item FROM b GROUP BY 1),
+         p AS (SELECT x.event_type AS antecedent,
+                      y.event_type AS consequent, count(*) AS n_both
+               FROM b x JOIN b y
+                 ON x.user_id = y.user_id AND x.day = y.day
+                AND x.event_type <> y.event_type
+               GROUP BY 1, 2)
+         SELECT antecedent, consequent, n_both,
+                CAST(n_both * 1000000 // nb.n AS BIGINT) AS support_e6,
+                CAST(n_both * 1000000 // sa.n_item AS BIGINT)
+                  AS confidence_e6,
+                CAST(n_both * nb.n * 1000000 // (sa.n_item * sc.n_item)
+                     AS BIGINT) AS lift_e6
+         FROM p, nb,
+              s sa, s sc
+         WHERE sa.event_type = p.antecedent
+           AND sc.event_type = p.consequent
+         ORDER BY antecedent, consequent""",
+    "retention_cohorts" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+         c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, wk FROM e)
+         SELECT epoch_us(c.cohort) AS cohort_us,
+                CAST(datediff('day', CAST(c.cohort AS DATE),
+                              CAST(a.wk AS DATE)) // 7 AS BIGINT)
+                  AS week_offset,
+                CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+         FROM a JOIN c ON a.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "funnel_ordered" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+         s1 AS (SELECT user_id, min(tsu) AS t_signup FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(tsu) AS t_click
+                FROM e JOIN s1 ON e.user_id = s1.user_id
+                WHERE event_type = 'click' AND tsu > t_signup GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(tsu) AS t_purchase
+                FROM e JOIN s2 ON e.user_id = s2.user_id
+                WHERE event_type = 'purchase' AND tsu > t_click GROUP BY 1)
+         SELECT s1.user_id, t_signup, t_click, t_purchase,
+                CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+                       + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END
+                     AS INTEGER) AS stages_reached
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                 LEFT JOIN s3 ON s1.user_id = s3.user_id
+         ORDER BY s1.user_id""",
+    // like the HLL/percentile gates: the exact side (token distincts)
+    // recomputed in SQL, the order-invariant guarantee flags pinned
+    "topk_freq_bound" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                     x -> len(x) > 0)) AS token
+           FROM documents)
+         SELECT CAST(LEAST(8, count(DISTINCT token)) AS BIGINT)
+                  AS n_counters,
+                CAST(1 AS INTEGER) AS sum_eq_n,
+                CAST(1 AS INTEGER) AS all_overestimate,
+                CAST(1 AS INTEGER) AS err_within,
+                CAST(1 AS INTEGER) AS hh_covered
+         FROM tok""",
     "range_join" ->
       """SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b,
            epoch_us(b.ts) - epoch_us(a.ts) AS gap_us

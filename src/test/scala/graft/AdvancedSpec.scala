@@ -131,6 +131,47 @@ class AdvancedSpec extends AnyFunSuite {
     assert(agg.finish(merged).head.item == "hot")
   }
 
+  test("TopKFreq guarantees hold in the approximate regime, any order") {
+    // capacity 3, 10 distinct items, two-level merge (Spark's
+    // partial/final shape): whatever the arrival order, counters sum
+    // to N, estimates only overestimate by ≤ 2N/c (N/c from the final
+    // fold's min counter + ≤ N/c accumulated in re-streamed leaf
+    // summaries), and true-count > 2N/c items survive
+    val skews = Seq(
+      (1 to 10).flatMap(i => Seq.fill(i * i)(s"it$i")),
+      // one dominant item so the coverage clause is NON-vacuous:
+      // true(hot) = 1000 > 2N/c = 672
+      Seq.fill(1000)("hot") ++ (1 to 9).map(i => s"it$i"))
+    for (base <- skews; order <- Seq(base, base.reverse,
+        new scala.util.Random(7).shuffle(base))) {
+      val n = base.size.toLong
+      val truth = base.groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      val agg = new functions.TopKFreq(3, 3)
+      val parts = order.grouped(math.max(1, order.size / 4)).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val buf = parts.reduce(agg.merge)
+      assert(buf.values.sum == n, "counters must sum to stream length")
+      buf.foreach { case (item, est) =>
+        val t = truth(item)
+        assert(est >= t, s"$item underestimated: $est < $t")
+        assert((est - t) * 3 <= 2 * n, s"$item overestimate beyond 2N/c")
+      }
+      val heavy = truth.filter(_._2 * 3 > 2 * n).keys
+      heavy.foreach(hh => assert(buf.contains(hh), s"heavy hitter $hh evicted"))
+      if (base.contains("hot")) assert(heavy.nonEmpty && buf.contains("hot"))
+    }
+  }
+
+  test("topk_freq_bound gate passes at sf0.001") {
+    val r = graft.queries.AdvancedQueries
+      .topkFreqBound(spark, "/root/testdata/sf0.001").collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 8L)
+    (1 to 4).foreach(i => assert(r(0).getInt(i) == 1,
+      s"gate flag $i failed: ${r(0)}"))
+  }
+
   test("GraftSession.local builds a usable session") {
     // same JVM: getOrCreate returns the shared session; just assert
     // the required confs are applied to the builder path
