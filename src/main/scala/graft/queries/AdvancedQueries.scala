@@ -381,6 +381,31 @@ object AdvancedQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Statistical anomaly detection: events whose value is more than
+    * 3σ from their type's mean — the z-score outlier monitor that
+    * complements the rule-based [[dqExpectations]] (which checks
+    * DECLARED constraints; this finds the undeclared surprises).
+    * Scale shape: the per-type moment dimension is tiny and broadcast
+    * back over one scan — two passes over the log, no wide shuffle.
+    * z is emitted rounded to 4 dp (double summation order differs
+    * across engines; the stats_agg precedent), and the 3σ row-set
+    * boundary is safe because sample z-scores sit ulps — not 1e-4s —
+    * from the oracle's.
+    */
+  def anomalyEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy("event_type")
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(col("sigma") > 0 &&
+        abs(col("value") - col("mu")) > col("sigma") * 3)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value_r"),
+        round((col("value") - col("mu")) / col("sigma"), 4).as("z_r"))
+      .orderBy(col("event_id"))
+  }
+
   /** SCD Type-2 history over the event change log: each user's events
     * become versioned validity intervals (version, valid_from/to,
     * is_current) — the warehouse-load shape a history-keeping CRM sync
@@ -860,6 +885,7 @@ object AdvancedQueries {
     "assoc_rules" -> (assocRules _),
     "retention_cohorts" -> (retentionCohorts _),
     "funnel_ordered" -> (funnelOrdered _),
+    "anomaly_events" -> (anomalyEvents _),
     "unpivot_events" -> (unpivotEvents _),
     "range_join" -> (rangeJoin _),
     "asof_join" -> (asofJoin _),
@@ -1136,6 +1162,17 @@ object AdvancedQueries {
                   AS INTEGER) AS rnk
            FROM events GROUP BY user_id, event_type)
          WHERE rnk <= 3 ORDER BY user_id, rnk""",
+    "anomaly_events" ->
+      """WITH st AS (
+           SELECT event_type, avg(value) AS mu,
+                  stddev_samp(value) AS sigma
+           FROM events GROUP BY 1)
+         SELECT event_id, e.event_type,
+                round(value, 4) AS value_r,
+                round((value - mu) / sigma, 4) AS z_r
+         FROM events e JOIN st USING (event_type)
+         WHERE sigma > 0 AND abs(value - mu) > 3 * sigma
+         ORDER BY event_id""",
     "assoc_rules" ->
       """WITH b AS (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
