@@ -302,9 +302,13 @@ object AdvancedQueries {
     * event log — then counts over the tiny (item, item) domain.
     */
   def assocRules(s: SparkSession, dir: String): DataFrame = {
+    // persisted: pairs, item counts, and the basket total all read
+    // this frame — without the pin Spark rebuilds the basket shuffle
+    // once per consumer (4 log scans instead of 1)
     val b = t(s, dir, "events")
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(collect_set(col("event_type")).as("items"))
+      .persist()
     val pairs = b
       .select(explode(col("items")).as("antecedent"), col("items"))
       .select(col("antecedent"), explode(col("items")).as("consequent"))
