@@ -378,6 +378,40 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Rare-phrase inverted index: full posting lists (sorted doc ids,
+    * comma-joined — the comparator takes no array columns) for every
+    * word BIGRAM with document frequency ≤ 20 (phrase-query support —
+    * the unigram vocabulary here is closed at 31 terms, so bigrams are
+    * where rarity lives). Plan shape for the 100 TB index build:
+    * gram-explode → distinct gives the (gram, doc) posting set;
+    * document frequency is a COUNT aggregate over that compact pair
+    * table; the df filter is applied BEFORE any posting list is
+    * assembled (join back onto the pair set), so a stopword phrase's
+    * posting list — millions of doc ids at corpus scale — is never
+    * collected anywhere. The only list ever built is a rare gram's
+    * (≤ 20 ids by construction).
+    */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    // adjacent-token bigrams via HOF over the token array: i is the
+    // 0-based index in the size-1 prefix slice, so toks[i+1] is always
+    // in bounds (no ANSI out-of-bounds throw possible)
+    val grams = expr(
+      """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+        |          (x, i) -> concat(x, ' ', toks[i + 1]))""".stripMargin)
+    val post = t(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .distinct()
+    val rare = post.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20)
+    post.join(rare, Seq("gram"))
+      .groupBy(col("gram"), col("df"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("postings"))
+      .orderBy(col("gram"))
+  }
+
   /** Unigram LM surprisal (CCNet-style quality signal) in EXACT integer
     * arithmetic: per-document mean inverse unigram probability,
     * `surprisal_e6 = (Σ_t tf_t · min(10⁶·N div cnt_t, 10¹²)) div n_tokens`
@@ -748,6 +782,7 @@ object TextQueries {
     "chunk_tokens" -> (chunkTokensQ _),
     "corpus_vocab" -> (corpusVocab _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
+    "inverted_index" -> (invertedIndex _),
     "stratified_sample" -> (stratifiedSample _),
     "mixture_sample" -> (mixtureSample _),
     "normalize_text" -> (normalizeText _),
@@ -892,6 +927,24 @@ object TextQueries {
            END AS lang_pred
          FROM s ORDER BY doc_id"""
     },
+    "inverted_index" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\W+'),
+                              x -> len(x) > 0) AS ts
+           FROM documents),
+         big AS (
+           SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS gram
+           FROM toks, unnest(range(1, len(ts))) AS t(i)),
+         post AS (SELECT DISTINCT doc_id, gram FROM big),
+         rare AS (SELECT gram, count(*) AS df FROM post
+                  GROUP BY gram HAVING count(*) <= 20)
+         SELECT p.gram, r.df,
+                string_agg(CAST(p.doc_id AS VARCHAR), ','
+                           ORDER BY p.doc_id) AS postings
+         FROM post p JOIN rare r ON p.gram = r.gram
+         GROUP BY p.gram, r.df
+         ORDER BY p.gram""",
     "corpus_vocab" ->
       """WITH tok AS (
            SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
