@@ -599,6 +599,60 @@ object ScaleQueries {
           .as("l2_norm"))
       .orderBy(col("vec_id"))
 
+  /** The seeded Achlioptas projection every embed_project* query
+    * shares: 64-dim float vectors down to k=8 doubles.
+    */
+  private val jlMat = graft.ops.Projection.signMatrix(8, 64, seed = 17L)
+
+  /** JL random projection 64 → 8 dims (map-only, matrix baked into
+    * the plan as literals — see [[graft.ops.Projection]]). EXACT
+    * oracle: the DuckDB SQL is generated from the same sign matrix,
+    * so both engines run the identical fixed-order double add chain.
+    */
+  def embedProject(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Projection.project(
+        t(s, dir, "embeddings"), "vec_id", "embedding", jlMat)
+      .orderBy(col("vec_id"))
+
+  /** Driver-visible JL quality gate: over all consecutive-id pairs,
+    * the mean of (projected squared distance / original squared
+    * distance) must sit in [0.85, 1.15] and every ratio must be
+    * finite and positive. E[ratio] = 1 exactly (the √(3/k) scaling
+    * makes the estimator unbiased), and with ≥ 499 pairs the mean's
+    * std is ≈ √(2/k)/√n ≤ 0.03, so the band is ≈ 5σ at the smallest
+    * SF. n_pairs is SQL-recomputed; flags pinned (kmeans_gate
+    * pattern).
+    */
+  def embedProjectGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val proj = graft.ops.Projection.project(
+      t(s, dir, "embeddings"), "vec_id", "embedding", jlMat)
+    val projD2 = (0 until jlMat.length)
+      .map(j => (col(s"a.y$j") - col(s"b.y$j")) * (col(s"a.y$j") - col(s"b.y$j")))
+      .reduceLeft(_ + _)
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val origD2 = expr(
+      "aggregate(zip_with(a.v, b.v, (x, y) -> (x - y) * (x - y)), 0d, (acc, e) -> acc + e)")
+    val ratios = proj.as("a")
+      .join(proj.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+      .select(col("a.vec_id").as("id"), projD2.as("pd2"))
+      .join(emb.as("a"), col("id") === col("a.vec_id"))
+      .join(emb.as("b"), col("b.vec_id") === col("id") + 1)
+      .select(col("id"), col("pd2"), origD2.as("od2"))
+    val agg = ratios.agg(
+      count(lit(1)).as("n"),
+      avg(col("pd2") / col("od2")).as("mean_ratio"),
+      min(col("pd2") / col("od2")).as("min_ratio")).head()
+    val n = agg.getLong(0)
+    val mean = agg.getDouble(1)
+    val minR = agg.getDouble(2)
+    Seq((n,
+        if (mean >= 0.85 && mean <= 1.15) 1 else 0,
+        if (minR > 0.0 && !minR.isInfinite) 1 else 0))
+      .toDF("n_pairs", "mean_ratio_in_band", "ratios_positive")
+  }
+
   /** End-to-end near-dup removal: the surviving corpus after dropping
     * every non-canonical member (id ≠ cluster min) of the exact
     * windowed-Jaccard connected components — the final step a dedup
@@ -641,6 +695,8 @@ object ScaleQueries {
     "triangle_count_degree" -> (triangleCountDegree _),
     "fingerprint_pairs" -> (fingerprintPairs _),
     "embed_norm" -> (embedNorm _),
+    "embed_project" -> (embedProject _),
+    "embed_project_gate" -> (embedProjectGate _),
     "kmeans_gate" -> (kmeansGate _),
     "semdedup_exact" -> (semdedupExact _),
     "semantic_dedup" -> (semanticDedup _),
@@ -884,5 +940,13 @@ object ScaleQueries {
       """SELECT vec_id, label,
          round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
-         FROM embeddings ORDER BY vec_id""")
+         FROM embeddings ORDER BY vec_id""",
+    // generated from the SAME Achlioptas sign matrix the Spark side
+    // bakes into its plan — identical fixed-order double arithmetic
+    "embed_project" -> graft.ops.Projection.oracleSql(jlMat),
+    "embed_project_gate" ->
+      """SELECT count(*) AS n_pairs,
+                CAST(1 AS INTEGER) AS mean_ratio_in_band,
+                CAST(1 AS INTEGER) AS ratios_positive
+         FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""")
 }
