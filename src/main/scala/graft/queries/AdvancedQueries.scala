@@ -534,6 +534,42 @@ object AdvancedQueries {
       .toDF("n_rows", "rows_preserved", "checksum_equal", "digest_nonzero")
   }
 
+  /** Text-format round-trip gate (CSV + JSON-lines source/sink
+    * breadth): `orders` — including its TIMESTAMP column, the
+    * classic text-format casualty — written to each format and read
+    * back under the source schema must reproduce the exact
+    * order-independent table digest. Micros-precision timestampFormat
+    * is pinned on BOTH write and read: Spark's default truncates to
+    * millis, which this gate would catch as a digest mismatch.
+    * n_rows is SQL-recomputed; equality flags pinned (the
+    * sync_checksum pattern, widened to the two text formats).
+    */
+  def formatRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "orders")
+    val (nSrc, ckSrc) = graft.ops.Sink.tableChecksum(src)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_fmt_gate").toString
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    src.write.option("header", "true").option("timestampFormat", tsFmt)
+      .csv(s"$out/csv")
+    src.write.option("timestampFormat", tsFmt).json(s"$out/json")
+    val csvBack = s.read.schema(src.schema).option("header", "true")
+      .option("timestampFormat", tsFmt).csv(s"$out/csv")
+    val jsonBack = s.read.schema(src.schema)
+      .option("timestampFormat", tsFmt).json(s"$out/json")
+    val (nCsv, ckCsv) = graft.ops.Sink.tableChecksum(csvBack)
+    val (nJson, ckJson) = graft.ops.Sink.tableChecksum(jsonBack)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    Seq((nSrc,
+        if (nCsv == nSrc) 1 else 0,
+        if (ckCsv.compareTo(ckSrc) == 0) 1 else 0,
+        if (nJson == nSrc) 1 else 0,
+        if (ckJson.compareTo(ckSrc) == 0) 1 else 0))
+      .toDF("n_rows", "csv_rows_preserved", "csv_checksum_equal",
+        "json_rows_preserved", "json_checksum_equal")
+  }
+
   /** Driver-visible Structured Streaming gate: the events table
     * replayed through a REAL streaming query (file source →
     * AvailableNow trigger → complete-mode memory sink), daily counts
@@ -879,6 +915,7 @@ object AdvancedQueries {
     "join_outer" -> (joinOuter _),
     "window_ranks" -> (windowRanks _),
     "sync_checksum" -> (syncChecksum _),
+    "format_roundtrip" -> (formatRoundtrip _),
     "gap_fill" -> (gapFill _),
     "fuzzy_join" -> (fuzzyJoin _),
     "bloom_prune" -> (bloomPrune _),
@@ -1043,6 +1080,13 @@ object AdvancedQueries {
                 CAST(1 AS INTEGER) AS checksum_equal,
                 CAST(1 AS INTEGER) AS digest_nonzero
          FROM lineitem""",
+    "format_roundtrip" ->
+      """SELECT count(*) AS n_rows,
+                CAST(1 AS INTEGER) AS csv_rows_preserved,
+                CAST(1 AS INTEGER) AS csv_checksum_equal,
+                CAST(1 AS INTEGER) AS json_rows_preserved,
+                CAST(1 AS INTEGER) AS json_checksum_equal
+         FROM orders""",
     "gap_fill" ->
       """WITH daily AS (
            SELECT user_id, day, obs FROM (
