@@ -114,6 +114,61 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core: the (unique) maximal subgraph in which every node has
+    * degree ≥ k, by iterated peeling (Matula & Beck, JACM 1983;
+    * distributed formulation as in Montresor et al., TPDS 2013):
+    * drop all nodes of degree < k, restrict the edge set, recompute,
+    * until a fixpoint. Input is a SYMMETRIC duplicate-free (src, dst)
+    * edge set; output is (id, deg) — each surviving node with its
+    * IN-CORE degree.
+    *
+    * Scale shape: each round is one count aggregate over the edge set
+    * plus two semi-joins against the (much smaller) surviving-node
+    * set, all hash-partitioned on node id — no all-pairs, no global
+    * sort. The surviving sets are nested decreasing, so node-count
+    * equality between consecutive rounds IS the fixpoint test (one
+    * driver-read scalar per round, the CC-loop probe pattern). Round
+    * count is bounded by the peeling depth (≤ |V| pathologically,
+    * small on real graphs); a non-converged loop THROWS rather than
+    * returning a superset — same contract as
+    * [[Dedup.connectedComponents]].
+    */
+  def kCore(und: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var edges = und.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var pinned = edges
+    var prev = -1L
+    var rounds = 0
+    while (rounds < maxRounds) {
+      val keep = Dedup.materialize(
+        edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("src").as("id"), col("deg")))
+      val n = keep.count()
+      if (n == prev || n == 0) {
+        pinned.unpersist()
+        return keep
+      }
+      prev = n
+      val ids = keep.select(col("id"))
+      val next = edges
+        .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the parent
+      pinned.unpersist()
+      pinned = next
+      edges = next
+      rounds += 1
+    }
+    pinned.unpersist()
+    throw new IllegalStateException(
+      s"kCore(k=$k) did not reach fixpoint after $maxRounds peel " +
+        "rounds; raise maxRounds — returning a partially peeled set " +
+        "would be a superset of the true core")
+  }
+
   /** Degree-oriented triangle count (Suri & Vassilvitskii, WWW'11 —
     * the MapReduce node-iterator++ orientation): same input contract
     * and same answer as [[triangleCountIdOriented]], but each edge is

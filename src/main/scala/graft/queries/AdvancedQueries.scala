@@ -453,6 +453,27 @@ object AdvancedQueries {
       .orderBy(col("rank_e12").desc, col("id")).limit(100)
   }
 
+  /** k-core (k=8) of the same symmetrized customer–supplier order
+    * graph `pagerank` walks: iterated peeling to the unique maximal
+    * min-degree-≥ 8 subgraph (see [[graft.ops.Graph.kCore]] — throws
+    * rather than converging silently short). Output is every core
+    * node with its in-core degree. The oracle unrolls 5 peel rounds
+    * in SQL (each round: drop edges touching a sub-k endpoint, via
+    * two degree windows); peeling is idempotent at the fixpoint, so
+    * the unroll is exact as long as 5 ≥ the true depth — this graph
+    * converges in 2 (verified 0.001/0.01/0.1).
+    */
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1L << 40) + col("l_suppkey")).as("dst"))
+      .distinct()
+    graft.ops.Graph.kCore(graft.ops.Graph.symmetrize(edges), k = 8)
+      .orderBy(col("id"))
+  }
+
   /** Bloom-prune gate: lineitem pruned by a Bloom filter of the
     * high-balance suppliers' keys must (a) keep every true match — no
     * false negatives, the filter's contract, (b) actually prune, and
@@ -921,6 +942,7 @@ object AdvancedQueries {
     "bloom_prune" -> (bloomPrune _),
     "scd2_intervals" -> (scd2Intervals _),
     "pagerank" -> (pagerank _),
+    "kcore" -> (kcore _),
     "topk_freq" -> (topkFreq _),
     "topk_freq_bound" -> (topkFreqBound _),
     "assoc_rules" -> (assocRules _),
@@ -1163,6 +1185,38 @@ object AdvancedQueries {
                 FROM deg d CROSS JOIN n LEFT JOIN m3 ON d.id = m3.id)
          SELECT id, deg, CAST(r AS BIGINT) AS rank_e12 FROM r3
          ORDER BY rank_e12 DESC, id LIMIT 100""",
+    "kcore" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                            1099511627776 + l_suppkey AS dst
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         r0 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         r1 AS (SELECT src, dst FROM (
+                  SELECT src, dst,
+                         count(*) OVER (PARTITION BY src) AS ds,
+                         count(*) OVER (PARTITION BY dst) AS dd
+                  FROM r0) WHERE ds >= 8 AND dd >= 8),
+         r2 AS (SELECT src, dst FROM (
+                  SELECT src, dst,
+                         count(*) OVER (PARTITION BY src) AS ds,
+                         count(*) OVER (PARTITION BY dst) AS dd
+                  FROM r1) WHERE ds >= 8 AND dd >= 8),
+         r3 AS (SELECT src, dst FROM (
+                  SELECT src, dst,
+                         count(*) OVER (PARTITION BY src) AS ds,
+                         count(*) OVER (PARTITION BY dst) AS dd
+                  FROM r2) WHERE ds >= 8 AND dd >= 8),
+         r4 AS (SELECT src, dst FROM (
+                  SELECT src, dst,
+                         count(*) OVER (PARTITION BY src) AS ds,
+                         count(*) OVER (PARTITION BY dst) AS dd
+                  FROM r3) WHERE ds >= 8 AND dd >= 8),
+         r5 AS (SELECT src, dst FROM (
+                  SELECT src, dst,
+                         count(*) OVER (PARTITION BY src) AS ds,
+                         count(*) OVER (PARTITION BY dst) AS dd
+                  FROM r4) WHERE ds >= 8 AND dd >= 8)
+         SELECT src AS id, count(*) AS deg FROM r5
+         GROUP BY src ORDER BY src""",
     // the HLL estimate isn't SQL-portable; the oracle pins group
     // coverage and the 5%-error assertion (see approxDistinctBound)
     "approx_distinct_bound" ->

@@ -262,6 +262,29 @@ class AdvancedSpec extends AnyFunSuite {
     assert(r1 == r)
   }
 
+  test("kCore: peeling cascade, in-core degrees, empty core, throws") {
+    // path 1-2-3 hanging off a 4-clique {10,11,12,13}: the 2-core is
+    // exactly the clique, reached only after a 3-round cascade
+    // (peel 1 → 2 becomes degree-1 → peel 2 → 3 degree-1 → peel 3)
+    val directed = Seq((1L, 2L), (2L, 3L), (3L, 10L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L)).toDF("src", "dst")
+    val und = graft.ops.Graph.symmetrize(directed)
+    val core = graft.ops.Graph.kCore(und, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L))
+    // k above the max degree: empty core, returned (not thrown)
+    assert(graft.ops.Graph.kCore(und, k = 5).count() == 0L)
+    // partition-count invariance
+    val core7 = graft.ops.Graph.kCore(und.repartition(7), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core7 == core)
+    // a too-small round budget must refuse, not return a superset
+    intercept[IllegalStateException] {
+      graft.ops.Graph.kCore(und, k = 2, maxRounds = 2)
+    }
+  }
+
   test("triangle count: both orientations agree on a hub graph") {
     // hub 0 fans out to 1..10 (id orientation puts ALL wedges on the
     // hub); triangles: (0,1,2) through the hub and (11,12,13) apart.
