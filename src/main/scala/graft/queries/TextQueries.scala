@@ -500,6 +500,42 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Systematic PPS (probability-proportional-to-size) sample
+    * (Madow 1949): ~200 documents drawn with inclusion probability
+    * ∝ n_chars, deterministically — a document is selected iff a
+    * multiple of step = ⌊ΣW/200⌋ falls inside its cumulative-weight
+    * interval (cw − w, cw]. This is the exact-integer, oracle-exact
+    * counterpart of the usual rand()^(1/w) weighted reservoir: byte-
+    * weighted corpus subsampling (larger documents proportionally more
+    * likely) with zero RNG. Plan shape: the global cumulative sum is
+    * the `pack_sequences` TWO-LEVEL prefix sum (within-bucket window
+    * + broadcast bucket offsets) — no single-partition global
+    * window; the total is a 1-row broadcast scalar join.
+    */
+  def ppsSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketW = 1000L
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("bucket", expr(s"doc_id DIV $bucketW"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val offsets = base.groupBy(col("bucket"))
+      .agg(sum(col("n_chars")).as("btot"))
+      .withColumn("offset",
+        coalesce(sum(col("btot")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val tot = base.agg(sum(col("n_chars")).as("tw"))
+    base.withColumn("cum_in", sum(col("n_chars")).over(wIn))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cw", col("offset") + col("cum_in"))
+      .crossJoin(broadcast(tot))
+      .withColumn("step", expr("tw DIV 200"))
+      .filter(expr("(cw - n_chars) DIV step < cw DIV step"))
+      .select(col("doc_id"), col("n_chars"), col("cw"))
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end training-data pipeline — the capstone composition a
     * user of this library actually ships: (1) the pretraining filter
     * chain (≥20 tokens ∧ language identified ∧ quality ≥ 0.5, the
@@ -789,6 +825,7 @@ object TextQueries {
     "domain_stats" -> (domainStats _),
     "lm_surprisal" -> (lmSurprisal _),
     "pack_sequences" -> (packSequences _),
+    "pps_sample" -> (ppsSample _),
     "filter_funnel" -> (filterFunnel _),
     "training_pipeline" -> (trainingPipeline _),
     "keyword_search" -> (keywordSearch _),
@@ -1184,6 +1221,16 @@ object TextQueries {
                 coalesce(a.clean_text, '') AS clean_text
          FROM documents doc LEFT JOIN a USING (doc_id)
          ORDER BY doc.doc_id""",
+    "pps_sample" ->
+      """WITH c AS (
+           SELECT doc_id, n_chars,
+                  CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cw
+           FROM documents),
+         tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tw FROM documents)
+         SELECT doc_id, n_chars, cw
+         FROM c, tot
+         WHERE (cw - n_chars) // (tw // 200) < cw // (tw // 200)
+         ORDER BY doc_id""",
     "pack_sequences" ->
       """WITH s AS (
            SELECT doc_id,
