@@ -398,10 +398,14 @@ object TextQueries {
     val grams = expr(
       """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
         |          (x, i) -> concat(x, ' ', toks[i + 1]))""".stripMargin)
+    // persisted: the df aggregate and the posting-list join both read
+    // the pair set — without the pin the gram explode + distinct
+    // shuffle (the widest stage) runs twice
     val post = t(s, dir, "documents")
       .select(col("doc_id"), graft.ops.Dedup.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(grams).as("gram"))
       .distinct()
+      .persist()
     val rare = post.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 20)
     post.join(rare, Seq("gram"))
