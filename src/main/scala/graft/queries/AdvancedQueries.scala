@@ -555,6 +555,37 @@ object AdvancedQueries {
       .toDF("n_rows", "rows_preserved", "checksum_equal", "digest_nonzero")
   }
 
+  /** MERGE / CDC-apply (see [[graft.ops.Merge.upsert]]): a
+    * deterministic change batch — sparse balance updates for
+    * custkey % 10 = 3 (only the changed column rides, NULLs inherit),
+    * deletes for % 10 = 7, brand-new inserts keyed at +10⁹ for
+    * % 10 = 1 — applied to the customer snapshot in ONE full-outer
+    * shuffle. The oracle replays the same MERGE as a full outer join
+    * with per-column coalesce.
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val nullStr = lit(null).cast("string")
+    val updates = cust.filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey"), nullStr.as("c_name"),
+        lit(null).cast("int").as("c_nationkey"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"),
+        nullStr.as("c_mktsegment"), lit(false).as("_deleted"))
+    val deletes = cust.filter(col("c_custkey") % 10 === 7)
+      .select(col("c_custkey"), nullStr.as("c_name"),
+        lit(null).cast("int").as("c_nationkey"),
+        lit(null).cast("double").as("c_acctbal"),
+        nullStr.as("c_mktsegment"), lit(true).as("_deleted"))
+    val inserts = cust.filter(col("c_custkey") % 10 === 1)
+      .select((col("c_custkey") + 1000000000L).as("c_custkey"),
+        concat(lit("NEW_"), col("c_custkey")).as("c_name"),
+        col("c_nationkey"), lit(0.0).as("c_acctbal"),
+        lit("NEW").as("c_mktsegment"), lit(false).as("_deleted"))
+    graft.ops.Merge.upsert(cust,
+        updates.unionAll(deletes).unionAll(inserts), "c_custkey")
+      .orderBy(col("c_custkey"))
+  }
+
   /** Text-format round-trip gate (CSV + JSON-lines source/sink
     * breadth): `orders` — including its TIMESTAMP column, the
     * classic text-format casualty — written to each format and read
@@ -937,6 +968,7 @@ object AdvancedQueries {
     "window_ranks" -> (windowRanks _),
     "sync_checksum" -> (syncChecksum _),
     "format_roundtrip" -> (formatRoundtrip _),
+    "merge_upsert" -> (mergeUpsert _),
     "gap_fill" -> (gapFill _),
     "fuzzy_join" -> (fuzzyJoin _),
     "bloom_prune" -> (bloomPrune _),
@@ -1102,6 +1134,28 @@ object AdvancedQueries {
                 CAST(1 AS INTEGER) AS checksum_equal,
                 CAST(1 AS INTEGER) AS digest_nonzero
          FROM lineitem""",
+    "merge_upsert" ->
+      """WITH changes AS (
+           SELECT c_custkey AS k, CAST(NULL AS VARCHAR) AS c_name,
+                  CAST(NULL AS INTEGER) AS c_nationkey,
+                  c_acctbal + 100.0 AS c_acctbal,
+                  CAST(NULL AS VARCHAR) AS c_mktsegment, false AS del
+           FROM customer WHERE c_custkey % 10 = 3
+           UNION ALL
+           SELECT c_custkey, NULL, NULL, CAST(NULL AS DOUBLE), NULL, true
+           FROM customer WHERE c_custkey % 10 = 7
+           UNION ALL
+           SELECT c_custkey + 1000000000, 'NEW_' || c_custkey,
+                  c_nationkey, 0.0, 'NEW', false
+           FROM customer WHERE c_custkey % 10 = 1)
+         SELECT coalesce(s.k, t.c_custkey) AS c_custkey,
+                coalesce(s.c_name, t.c_name) AS c_name,
+                coalesce(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+                coalesce(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+                coalesce(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+         FROM customer t FULL OUTER JOIN changes s ON t.c_custkey = s.k
+         WHERE NOT coalesce(s.del, false)
+         ORDER BY c_custkey""",
     "format_roundtrip" ->
       """SELECT count(*) AS n_rows,
                 CAST(1 AS INTEGER) AS csv_rows_preserved,

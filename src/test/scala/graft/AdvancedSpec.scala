@@ -262,6 +262,26 @@ class AdvancedSpec extends AnyFunSuite {
     assert(r1 == r)
   }
 
+  test("Merge.upsert: update/sparse-update/delete/insert/missing-delete") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (1L, Some("a2"), None: Option[Double], false), // sparse: bal inherited
+      (2L, None: Option[String], Some(99.0), false), // sparse: name inherited
+      (3L, None: Option[String], None: Option[Double], true),  // delete
+      (4L, Some("d"), Some(40.0), false),            // insert
+      (5L, None: Option[String], None: Option[Double], true)   // delete of missing key: no-op
+    ).toDF("k", "name", "bal", "_deleted")
+    val got = graft.ops.Merge.upsert(target, changes, "k")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "a2", 10.0), (2L, "b", 99.0), (4L, "d", 40.0)))
+    // missing required columns must refuse up front
+    intercept[IllegalArgumentException] {
+      graft.ops.Merge.upsert(target, changes.drop("bal"), "k")
+    }
+  }
+
   test("kCore: peeling cascade, in-core degrees, empty core, throws") {
     // path 1-2-3 hanging off a 4-clique {10,11,12,13}: the 2-core is
     // exactly the clique, reached only after a 3-round cascade
