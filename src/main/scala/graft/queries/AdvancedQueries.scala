@@ -664,6 +664,44 @@ object AdvancedQueries {
     out
   }
 
+  /** Stream–static enrichment join — the fourth streaming shape
+    * (after windowed agg, stateful sessions, stream-stream join):
+    * the events STREAM joined per-micro-batch to the STATIC customer
+    * dimension (the planner broadcasts the dim into every batch — no
+    * streaming state at all, which is the point of the shape), then a
+    * per-(segment, event_type) count. The oracle recomputes the same
+    * enriched aggregate in batch SQL.
+    */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.raw(s, dir, "events").schema
+    val name = s"stream_enrich_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val dim = broadcast(t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val stream = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage.toString, schema)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = s.table(name)
+      .orderBy(col("c_mktsegment"), col("event_type"))
+      .localCheckpoint(true) // pin: the memory table dies with the query
+    q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    out
+  }
+
   /** Driver-visible STATEFUL streaming: gap-based sessionization via
     * `flatMapGroupsWithState` run as a real AvailableNow file-source →
     * memory-sink query, its closed-session output recomputed by the
@@ -962,6 +1000,7 @@ object AdvancedQueries {
     "skew_stats" -> (skewStats _),
     "table_diff" -> (tableDiff _),
     "stream_daily" -> (streamDailyCounts _),
+    "stream_enrich" -> (streamEnrich _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_join" -> (streamJoin _),
     "join_outer" -> (joinOuter _),
@@ -1106,6 +1145,10 @@ object AdvancedQueries {
       """SELECT epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS day_us,
                 event_type, count(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""",
+    "stream_enrich" ->
+      """SELECT c.c_mktsegment, e.event_type, count(*) AS n
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""",
     "join_outer" ->
       """WITH c AS (SELECT c_nationkey AS nk,
                            round(sum(c_acctbal), 2) AS cust_bal
