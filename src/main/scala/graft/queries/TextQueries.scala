@@ -504,6 +504,24 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split (≈90/5/5): assignment by the
+    * first md5 hex byte of the DOC ID — engine- and plan-independent
+    * (the `sample_deterministic` draw, reused as a partitioner), so
+    * the split is stable under re-runs, repartitions, and engine
+    * swaps, and a document can never migrate between splits when the
+    * corpus grows (its draw depends only on its own id). Map-only.
+    */
+  def datasetSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+          .as("draw"))
+      .select(col("doc_id"),
+        when(col("draw") < "0d", "test")
+          .when(col("draw") < "1a", "val")
+          .otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+
   /** Systematic PPS (probability-proportional-to-size) sample
     * (Madow 1949): ~200 documents drawn with inclusion probability
     * ∝ n_chars, deterministically — a document is selected iff a
@@ -830,6 +848,7 @@ object TextQueries {
     "lm_surprisal" -> (lmSurprisal _),
     "pack_sequences" -> (packSequences _),
     "pps_sample" -> (ppsSample _),
+    "dataset_split" -> (datasetSplit _),
     "filter_funnel" -> (filterFunnel _),
     "training_pipeline" -> (trainingPipeline _),
     "keyword_search" -> (keywordSearch _),
@@ -1225,6 +1244,14 @@ object TextQueries {
                 coalesce(a.clean_text, '') AS clean_text
          FROM documents doc LEFT JOIN a USING (doc_id)
          ORDER BY doc.doc_id""",
+    "dataset_split" ->
+      """SELECT doc_id,
+                CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                       THEN 'test'
+                     WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                       THEN 'val'
+                     ELSE 'train' END AS split
+         FROM documents ORDER BY doc_id""",
     "pps_sample" ->
       """WITH c AS (
            SELECT doc_id, n_chars,
