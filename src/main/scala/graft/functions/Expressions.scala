@@ -108,6 +108,21 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
   override def prettyName: String = "winnow_fps"
 }
 
+/** Max positional gap between winnowing selections — ≤ w by the
+  * Schleimer guarantee ([[Kernels.winnowMaxGap]]); gate probe.
+  */
+case class WinnowGapExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.winnowMaxGap(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnowMaxGap($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowGapExpr =
+    copy(child = c)
+  override def prettyName: String = "winnow_max_gap"
+}
+
 /** Per-token hashes (document order) of a string — feeds SimHash. */
 case class TokenHashesExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -379,6 +394,9 @@ object dsl {
 
   def winnow_fps(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowExpr(ExpressionUtils.expression(text), k, w))
+
+  def winnow_max_gap(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowGapExpr(ExpressionUtils.expression(text), k, w))
 
   /** Morton (Z-order) key over two long columns' low 32 bits. */
   def zorder_key(a: Column, b: Column): Column = {

@@ -255,6 +255,54 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(mins, wr))
   }
 
+  /** Winnowing POSITION-guarantee probe (companion to [[winnow]]):
+    * max gap between consecutive selected k-gram positions when each
+    * sliding w-window selects its LEFTMOST minimal hash. Selected
+    * positions are non-decreasing (a smaller hash earlier in the next
+    * window would already have won the previous window), and the
+    * Schleimer et al. SIGMOD'03 guarantee is that every w-window
+    * contains a selection — i.e. this gap is ≤ w. Measured here, not
+    * assumed, so the driver gate can pin it. ([[winnow]]'s by-VALUE
+    * dedup never removes a position's value from the emitted set, so
+    * the guarantee proved on positions transfers to the set.)
+    * Returns 0 for texts with a single window.
+    */
+  def winnowMaxGap(s: org.apache.spark.unsafe.types.UTF8String,
+                   k: Int, w: Int): Long = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val nk = if (len >= k) len - k + 1 else 1
+    val kh = new Array[Long](nk)
+    var i = 0
+    while (i < nk) {
+      var h = FnvOffset
+      var j = 0
+      val m = if (len >= k) k else len
+      while (j < m) { h = (h ^ (bytes(i + j) & 0xffL)) * FnvPrime; j += 1 }
+      kh(i) = mix64(h)
+      i += 1
+    }
+    val nw = if (nk >= w) nk - w + 1 else 1
+    var maxGap = 0L
+    var prevPos = -1
+    i = 0
+    while (i < nw) {
+      var best = Long.MaxValue
+      var bp = i
+      var j = 0
+      val m = if (nk >= w) w else nk
+      while (j < m) {
+        if (kh(i + j) < best) { best = kh(i + j); bp = i + j }
+        j += 1
+      }
+      if (prevPos >= 0 && bp != prevPos && bp - prevPos > maxGap)
+        maxGap = bp - prevPos
+      prevPos = bp
+      i += 1
+    }
+    maxGap
+  }
+
   /** Intersection size of two SORTED, DISTINCT long arrays via linear
     * merge — replaces ArrayIntersect's boxed hash-set evaluation in
     * pairwise similarity joins (O(m+n), zero allocation).

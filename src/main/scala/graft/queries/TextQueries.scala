@@ -49,6 +49,43 @@ object TextQueries {
     TextOps.winnowingFingerprints(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id"), col("fp"))
 
+  /** Driver-visible winnowing gate (companion to `fingerprint` /
+    * `fingerprint_pairs` — the last rows-only family without one):
+    * (1) every document emits ≥ 1 fingerprint, (2) the POSITION
+    * guarantee holds corpus-wide — the max gap between consecutive
+    * window-min selections is ≤ w (Schleimer et al. SIGMOD'03; the
+    * structural property that makes winnowing a locality guarantee
+    * rather than a random sample, probed by the
+    * [[graft.functions.Kernels.winnowMaxGap]] kernel, not assumed),
+    * and (3) the selection density sits in a sane band — distinct
+    * selections are ≥ 1/w and ≤ 2/(w+1)+slack of the k-gram count
+    * (a collapsed hash or an always-select bug lands outside).
+    * n_docs is SQL-recomputed; flags pinned (kmeans_gate pattern).
+    */
+  def fingerprintGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.dsl.winnow_max_gap
+    val k = 8; val w = 4
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count()
+    val fps = TextOps.winnowingFingerprints(docs, "doc_id", "text", k, w)
+    val covered = fps.select(col("id")).distinct().count()
+    val maxGap = docs
+      .agg(max(winnow_max_gap(col("text"), k, w))).head().getLong(0)
+    val totFps = fps.count()
+    val totKgrams = docs
+      .agg(sum(greatest(length(col("text")) - (k - 1), lit(1))))
+      .head().getLong(0)
+    Seq((nDocs,
+        if (covered == nDocs) 1 else 0,
+        if (maxGap <= w) 1 else 0,
+        // density band in exact integers: w·totFps ≥ totKgrams (lower
+        // bound 1/w) and 2·(w+1)·totFps ≤ 5·totKgrams (2/(w+1) + 25%)
+        if (w * totFps >= totKgrams &&
+          2 * (w + 1) * totFps <= 5 * totKgrams) 1 else 0))
+      .toDF("n_docs", "all_docs_covered", "gap_within_w", "density_in_band")
+  }
+
   /** Multimodal metadata extraction: documents as opaque binary
     * payloads → per-partition decode (stubbed codec) → typed metadata.
     */
@@ -828,6 +865,7 @@ object TextQueries {
     "quality_score" -> (qualityScore _),
     "lang_id" -> (langId _),
     "fingerprint" -> (fingerprint _),
+    "fingerprint_gate" -> (fingerprintGate _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_embed" -> (multimodalEmbed _),
     "multimodal_embed_gate" -> (multimodalEmbedGate _),
@@ -1244,6 +1282,12 @@ object TextQueries {
                 coalesce(a.clean_text, '') AS clean_text
          FROM documents doc LEFT JOIN a USING (doc_id)
          ORDER BY doc.doc_id""",
+    "fingerprint_gate" ->
+      """SELECT count(*) AS n_docs,
+                CAST(1 AS INTEGER) AS all_docs_covered,
+                CAST(1 AS INTEGER) AS gap_within_w,
+                CAST(1 AS INTEGER) AS density_in_band
+         FROM documents""",
     "dataset_split" ->
       """SELECT doc_id,
                 CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'

@@ -107,6 +107,13 @@ object KernelProps extends Properties("kernels") {
       out == out.distinct.sorted
     }
 
+  property("winnowMaxGap: within w on any text; 0 when single window") =
+    forAll(Gen.alphaStr) { s =>
+      val g = Kernels.winnowMaxGap(utf8(s), 8, 4)
+      val singleWindow = s.length < 8 + 4 // nk ≤ w → one window
+      if (singleWindow) g == 0L else g >= 0L && g <= 4L
+    }
+
   property("interleave2 round-trips both 32-bit inputs") =
     forAll(Gen.chooseNum(0L, 0xffffffffL), Gen.chooseNum(0L, 0xffffffffL)) {
       (a, b) =>
