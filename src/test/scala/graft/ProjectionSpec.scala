@@ -42,6 +42,16 @@ class ProjectionSpec extends AnyFunSuite {
       math.abs(y - 3 * math.sqrt(3.0)) < 1e-4)
   }
 
+  test("project: map-only plan — zero exchanges before presentation") {
+    val mat = Projection.signMatrix(4, 8, seed = 5L)
+    val df = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(d => d * 0.5f))).toDF("id", "v")
+    val plan = Projection.project(df, "id", "v", mat)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"projection must not shuffle, got:\n$plan")
+  }
+
   test("oracleSql: one aliased output per matrix row, 1-based indexing") {
     val mat = Array(Array(1, 0, -1), Array(0, 1, 0))
     val sql = Projection.oracleSql(mat)
