@@ -603,11 +603,16 @@ object AdvancedQueries {
     val out = java.nio.file.Files
       .createTempDirectory("graft_fmt_gate").toString
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    // distinct NULL token: the default CSV read maps empty fields to
+    // NULL, which would silently corrupt empty strings (unit-pinned
+    // with hostile strings in AdvancedSpec; orders happens to carry
+    // none, but the operator shouldn't depend on that)
     src.write.option("header", "true").option("timestampFormat", tsFmt)
-      .csv(s"$out/csv")
+      .option("nullValue", "\\N").csv(s"$out/csv")
     src.write.option("timestampFormat", tsFmt).json(s"$out/json")
     val csvBack = s.read.schema(src.schema).option("header", "true")
-      .option("timestampFormat", tsFmt).csv(s"$out/csv")
+      .option("timestampFormat", tsFmt).option("nullValue", "\\N")
+      .csv(s"$out/csv")
     val jsonBack = s.read.schema(src.schema)
       .option("timestampFormat", tsFmt).json(s"$out/json")
     val (nCsv, ckCsv) = graft.ops.Sink.tableChecksum(csvBack)

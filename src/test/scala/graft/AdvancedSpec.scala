@@ -262,6 +262,38 @@ class AdvancedSpec extends AnyFunSuite {
     assert(r1 == r)
   }
 
+  test("CSV/JSON round-trip survives hostile strings (delimiters, " +
+       "quotes, newlines, unicode)") {
+    val hostile = Seq(
+      (1L, "plain", 1.5),
+      (2L, "comma, inside", -0.25),
+      (3L, "\"quoted\" and , mixed", 0.0),
+      (4L, "line\nbreak and\ttab", 1e-9),
+      (5L, "unicode: αβγ 日本語 🚀", 123456.789),
+      (6L, "", Double.MaxValue)
+    ).toDF("k", "s", "d")
+    val (nSrc, ckSrc) = graft.ops.Sink.tableChecksum(hostile)
+    val out = java.nio.file.Files.createTempDirectory("graft_fmt_spec").toString
+    // a distinct NULL token keeps empty string ≠ NULL through CSV —
+    // the default read maps an empty field to NULL, silently turning
+    // "" into NULL (JSON has no such ambiguity: "" is quoted, absent
+    // is null)
+    hostile.write.option("header", "true").option("nullValue", "\\N")
+      .csv(s"$out/csv")
+    hostile.write.json(s"$out/json")
+    val csvBack = spark.read.schema(hostile.schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("nullValue", "\\N").csv(s"$out/csv")
+    val jsonBack = spark.read.schema(hostile.schema).json(s"$out/json")
+    val (nCsv, ckCsv) = graft.ops.Sink.tableChecksum(csvBack)
+    val (nJson, ckJson) = graft.ops.Sink.tableChecksum(jsonBack)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    assert(nCsv == nSrc && ckCsv.compareTo(ckSrc) == 0,
+      "CSV round-trip digest mismatch")
+    assert(nJson == nSrc && ckJson.compareTo(ckSrc) == 0,
+      "JSON round-trip digest mismatch")
+  }
+
   test("Merge.upsert: update/sparse-update/delete/insert/missing-delete") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "name", "bal")
