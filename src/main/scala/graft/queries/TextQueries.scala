@@ -68,7 +68,10 @@ object TextQueries {
     val k = 8; val w = 4
     val docs = t(s, dir, "documents")
     val nDocs = docs.count()
-    val fps = TextOps.winnowingFingerprints(docs, "doc_id", "text", k, w)
+    // pinned: coverage and the density count both read the pair set —
+    // without it the winnow explode runs once per aggregate
+    val fps = graft.ops.Dedup.materialize(
+      TextOps.winnowingFingerprints(docs, "doc_id", "text", k, w))
     val covered = fps.select(col("id")).distinct().count()
     val maxGap = docs
       .agg(max(winnow_max_gap(col("text"), k, w))).head().getLong(0)
