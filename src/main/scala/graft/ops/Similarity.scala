@@ -158,6 +158,107 @@ object Similarity {
     (cents, history.toSeq)
   }
 
+  /** Train all `m` product-quantization sub-codebooks in lock-step:
+    * the same spherical Lloyd iteration as [[kmeansTrain]], but every
+    * action scans the corpus ONCE for all subspaces instead of once
+    * per subspace — at m=8, iters=2 that is 4 corpus scans instead of
+    * 32, which at 100 TB is the difference between one index-build
+    * pass and a day of re-reads. Per-subspace arithmetic is identical
+    * to m independent [[kmeansTrain]] runs over sliced vectors (same
+    * seeds, same scan-stage argmax, same normalized-component sums,
+    * same driver-side update including the float rounding points), so
+    * the trained codebooks match the unfused trainer's — the
+    * `KmeansMultiSpec` equivalence test pins this.
+    *
+    * Driver traffic per iteration is k·d cells + m SSE scalars —
+    * exactly the sum of the m unfused trainings, still bounded by
+    * construction. Returns (per-subspace codebooks, per-iteration
+    * history of (iter, per-subspace SSE, nPoints)).
+    */
+  def kmeansTrainMulti(emb: DataFrame, idCol: String, vecCol: String,
+                       m: Int, k: Int, iters: Int, seedEvery: Int = 97)
+      : (Array[Array[Array[Float]]], Seq[(Int, Array[Double], Long)]) = {
+    val base = emb.select(col(vecCol).cast("array<float>").as("v"))
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // one seed collect for all subspaces: the SAME rows kmeansTrain
+    // selects per subspace, sliced driver-side instead of m times in
+    // the plan
+    val seeds = emb.filter(col(idCol) % seedEvery === 0)
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, "no seed centroids (empty input?)")
+    // the effective codebook size: the seed scan may yield < k rows on
+    // tiny inputs, exactly as each unfused training would see
+    val kEff = seeds.length
+    var cbs: Array[Array[Array[Float]]] =
+      Array.tabulate(m)(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
+    val history =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Double], Long)]
+    def sliceJ(j: Int): Column = slice(col("v"), j * sub + 1, sub)
+    for (it <- 1 to iters) {
+      val centsLits = cbs.map(cb => typedLit(cb.map(_.toSeq).toSeq))
+      val idsLit = typedLit((0 until kEff).map(_.toLong))
+      var assigned = base
+      for (j <- 0 until m) {
+        assigned = assigned
+          .withColumn(s"cidx_$j", try_element_at(
+            nearest_centroids(sliceJ(j), centsLits(j), idsLit, 1), lit(1)))
+          .withColumn(s"sim_$j", cosine_sim(sliceJ(j),
+            try_element_at(centsLits(j), (col(s"cidx_$j") + 1).cast("int"))))
+          .withColumn(s"nrm_$j", sqrt(dot_product(sliceJ(j), sliceJ(j))))
+      }
+      // action 1: all m SSEs + the row count ride one scan
+      val aggCols = (0 until m).map(j => sum(lit(1.0) - col(s"sim_$j"))) :+
+        count(lit(1)).as("__n")
+      val row = assigned.agg(aggCols.head, aggCols.tail: _*).head()
+      val sses = Array.tabulate(m)(j => row.toSeq(j) match {
+        case d: Double => d; case _ => 0.0
+      })
+      val nPoints = row.getLong(m)
+      // action 2: one posexplode of the FULL vector; each exploded cell
+      // recovers its subspace from the global dim index, so the shuffle
+      // carries the same k·d·partitions partial sums as m separate
+      // updates — in one job
+      val cells = assigned
+        .select(
+          array((0 until m).map(j => col(s"cidx_$j")): _*).as("cidxs"),
+          array((0 until m).map(j => col(s"nrm_$j")): _*).as("nrms"),
+          posexplode(col("v")).as(Seq("dg", "x")))
+        .withColumn("j", expr(s"dg DIV $sub"))
+        .withColumn("d", expr(s"dg % $sub"))
+        .withColumn("cidx", try_element_at(col("cidxs"), (col("j") + 1).cast("int")))
+        .withColumn("nrm", try_element_at(col("nrms"), (col("j") + 1).cast("int")))
+        .filter(col("cidx").isNotNull && col("nrm") > 0)
+        .groupBy(col("j"), col("cidx"), col("d"))
+        .agg(sum(col("x") / col("nrm")).as("sx"))
+        .collect()
+      // driver update: replicate kmeansTrain's float rounding exactly
+      // (Double sum → Float cell → Float-squared norm → Float divide)
+      val sums = Array.fill(m, kEff)(null: Array[Float])
+      cells.foreach { r =>
+        // dg DIV sub is LongType while dg % sub stays IntegerType —
+        // read both numerically rather than pinning boxed classes
+        val j = r.getAs[Number](0).intValue
+        val cidx = r.getAs[Number](1).intValue
+        val d = r.getAs[Number](2).intValue
+        if (sums(j)(cidx) == null) sums(j)(cidx) = new Array[Float](sub)
+        sums(j)(cidx)(d) = r.getDouble(3).toFloat
+      }
+      val next = cbs.map(_.map(_.clone()))
+      for (j <- 0 until m; c <- 0 until kEff; if sums(j)(c) != null) {
+        val cell = sums(j)(c)
+        val n2 = math.sqrt(cell.map(x => x.toDouble * x).sum)
+        if (n2 > 0) next(j)(c) = cell.map(x => (x / n2).toFloat)
+      }
+      cbs = next
+      history += ((it, sses, nPoints))
+    }
+    (cbs, history.toSeq)
+  }
+
   /** Assign every embedding to its nearest trained spherical-k-means
     * centroid: [[kmeansTrain]] for the codebook (bounded driver
     * collect, k·d floats), then one scan-stage `nearest_centroids`
@@ -231,9 +332,10 @@ object Similarity {
     * vector as its m nearest-centroid indices — d·4 bytes shrink to
     * m·log₂k bits (64-dim float → 8 bytes at m=8, k=16).
     *
-    * Scale shape: training is m independent [[kmeansTrain]] runs over
-    * SLICED vectors (each the same bounded-driver-traffic loop the
-    * kmeans_gate query certifies — k·(d/m) cells per iteration);
+    * Scale shape: training is ONE fused [[kmeansTrainMulti]] run
+    * (all m sub-codebooks per corpus scan — the same bounded
+    * driver-traffic loop the kmeans_gate query certifies, k·d cells
+    * per iteration across all subspaces);
     * encoding is a single projection whose m `nearest_centroids`
     * argmaxes all ride one corpus scan — zero shuffle, the codebooks
     * are literals (m·k·(d/m) = k·d floats total, same budget as one
@@ -246,34 +348,12 @@ object Similarity {
       .head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    // the m sub-trainings are independent — submit them as CONCURRENT
-    // Spark jobs (one session schedules them side by side; each job's
-    // tasks are small, so the cluster pipelines them instead of paying
-    // m sequential driver round-trip chains). Results are per-subspace
-    // deterministic regardless of scheduling order.
-    val codebooks = {
-      import scala.concurrent.{Await, Future, ExecutionContext}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val futs = (0 until m).map { j =>
-        Future {
-          // each training blocks on collect-loop actions; blocking{}
-          // lets the global fork-join pool grow past its CPU-count
-          // core size so m concurrent trainings can't starve it
-          scala.concurrent.blocking {
-            kmeansTrain(
-              emb.select(col(idCol),
-                slice(col(vecCol).cast("array<float>"), j * sub + 1, sub)
-                  .as("subv")),
-              idCol, "subv", k, iters)._1
-          }
-        }
-      }
-      // generous but finite: a hung stage should surface as a timeout
-      // with a stack, not block the caller forever
-      Await.result(Future.sequence(futs),
-        scala.concurrent.duration.Duration(2, "hours")).toArray
-    }
+    // fused training: all m sub-codebooks advance in lock-step with
+    // ONE corpus scan per Lloyd action (KmeansMultiSpec pins the
+    // result to m independent trainings) — at 100 TB this replaces
+    // m·iters·2 corpus reads with iters·2, and retires the concurrent
+    //-futures scheduling this used to need to hide the m job chains
+    val codebooks = kmeansTrainMulti(emb, idCol, vecCol, m, k, iters)._1
     val base = Dedup.spread(emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("v")))
     val codes = (0 until m).map { j =>
