@@ -169,6 +169,45 @@ object Graph {
         "would be a superset of the true core")
   }
 
+  /** Multi-source BFS to a BOUNDED depth: minimum hop count from any
+    * seed node, for every node within `maxHops` hops, over a SYMMETRIC
+    * duplicate-free (src, dst) edge set. Returns (id, hop) with
+    * hop ∈ [0, maxHops]; unreachable-within-bound nodes are absent.
+    *
+    * Scale shape — the standard frontier-expansion loop (Pregel-style
+    * BFS, one superstep per hop): each round is ONE equi-join of the
+    * CURRENT FRONTIER (never the full visited set) against the edge
+    * table, a distinct on the neighbor set, and a left-anti join
+    * against the visited set — all hash-partitioned on node id. The
+    * frontier is what bounds the work: rounds touch |frontier|·davg
+    * edge rows, not |E|, so early rounds are cheap on huge graphs
+    * when the seed set is small. Visited accumulates by disjoint
+    * union (each node enters at its minimum hop by construction — a
+    * node already visited is anti-joined away, so no min-aggregate is
+    * ever needed). The depth bound makes the loop a fixed pipeline of
+    * `maxHops` joins — no convergence probe; callers wanting full
+    * reachability should use [[Dedup.connectedComponents]] instead.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = Dedup.materialize(
+      seeds.select(col("id")).distinct().withColumn("hop", lit(0)))
+    var frontier = visited.select(col("id"))
+    for (h <- 1 to maxHops) {
+      val next = Dedup.materialize(
+        e.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
+          .select(col("dst").as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+          .withColumn("hop", lit(h)))
+      visited = Dedup.materialize(visited.union(next))
+      frontier = next.select(col("id"))
+    }
+    e.unpersist()
+    visited
+  }
+
   /** Degree-oriented triangle count (Suri & Vassilvitskii, WWW'11 —
     * the MapReduce node-iterator++ orientation): same input contract
     * and same answer as [[triangleCountIdOriented]], but each edge is

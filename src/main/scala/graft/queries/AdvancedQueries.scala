@@ -474,6 +474,31 @@ object AdvancedQueries {
       .orderBy(col("id"))
   }
 
+  /** Multi-source BFS over the customer–supplier order graph: minimum
+    * hop count (≤ 3) from the seed set {customers with
+    * custkey % 199 = 0} — the "blast radius" query of provenance /
+    * contamination tracing (which suppliers are one hop from a flagged
+    * customer, which customers share those suppliers, ...). Frontier
+    * expansion, one equi-join per hop against the CURRENT frontier —
+    * never the visited set — so per-round work tracks the frontier's
+    * edge incidence, not |E| (see [[graft.ops.Graph.bfsHops]]). The
+    * oracle unrolls the 3 hops as joins + set differences — exact, no
+    * recursive CTE (whose DuckDB evaluation at sf0.1 is the known
+    * oracle-budget trap).
+    */
+  def bfsHopsQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1L << 40) + col("l_suppkey")).as("dst"))
+      .distinct()
+    val seeds = edges.filter(col("src") % 199 === 0)
+      .select(col("src").cast("long").as("id"))
+    Graph.bfsHops(Graph.symmetrize(edges), seeds, maxHops = 3)
+      .orderBy(col("id"))
+  }
+
   /** Bloom-prune gate: lineitem pruned by a Bloom filter of the
     * high-balance suppliers' keys must (a) keep every true match — no
     * false negatives, the filter's contract, (b) actually prune, and
@@ -1019,6 +1044,7 @@ object AdvancedQueries {
     "scd2_intervals" -> (scd2Intervals _),
     "pagerank" -> (pagerank _),
     "kcore" -> (kcore _),
+    "bfs_hops" -> (bfsHopsQ _),
     "topk_freq" -> (topkFreq _),
     "topk_freq_bound" -> (topkFreqBound _),
     "assoc_rules" -> (assocRules _),
@@ -1039,6 +1065,28 @@ object AdvancedQueries {
     "zorder_key" -> (zorderKey _))
 
   val oracle: Map[String, String] = Map(
+    "bfs_hops" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                            1099511627776 + l_suppkey AS dst
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         h0 AS (SELECT DISTINCT CAST(src AS BIGINT) AS id FROM e0
+                WHERE src % 199 = 0),
+         h1 AS (SELECT DISTINCT e.dst AS id FROM e JOIN h0 ON e.src = h0.id
+                WHERE e.dst NOT IN (SELECT id FROM h0)),
+         h2 AS (SELECT DISTINCT e.dst AS id FROM e JOIN h1 ON e.src = h1.id
+                WHERE e.dst NOT IN (SELECT id FROM h0
+                                    UNION ALL SELECT id FROM h1)),
+         h3 AS (SELECT DISTINCT e.dst AS id FROM e JOIN h2 ON e.src = h2.id
+                WHERE e.dst NOT IN (SELECT id FROM h0
+                                    UNION ALL SELECT id FROM h1
+                                    UNION ALL SELECT id FROM h2))
+         SELECT id, hop FROM (
+           SELECT id, 0 AS hop FROM h0
+           UNION ALL SELECT id, 1 FROM h1
+           UNION ALL SELECT id, 2 FROM h2
+           UNION ALL SELECT id, 3 FROM h3)
+         ORDER BY id""",
     "dq_expectations" ->
       """WITH rep AS (
            SELECT 'orders' AS tbl, 'o_custkey' AS col,

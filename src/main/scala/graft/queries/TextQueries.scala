@@ -667,6 +667,62 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 ranking (Robertson et al., TREC-3) of the corpus against the
+    * fixed query {hash, join, filter} — the length-normalized scoring
+    * `keyword_search`'s boolean match and `tfidf_top_terms`' raw tf·idf
+    * both lack, and the standard relevance signal for query-targeted
+    * corpus curation. Kept in EXACT integer arithmetic (a log()/float
+    * idf would be libm-dependent across engines): with k1 = 6/5 and
+    * b = 3/4, the per-term saturation tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    * clears to the integer ratio 22·tf·â / (10·tf·â + 3·â + 9·dl·10³)
+    * where â = (Σdl·10³) DIV N is the milli-token average document
+    * length; idf takes the same N DIV df surrogate as
+    * `tfidf_top_terms`. score_e6 = Σ_t idf_s·((22·tf·â·10⁶) DIV denom).
+    *
+    * Overflow discipline (ANSI throws on int64 overflow, so this is
+    * correctness at 100 TB): tf saturates at 10⁴ BEFORE entering the
+    * formula (BM25's whole point is tf saturation — past 10⁴ the
+    * contribution is within 1e-4 of its k1+1 asymptote), so the
+    * widest product 22·tf̂·â·10⁶ ≤ 2.2·10¹¹·â stays in int64 for any
+    * â ≤ 4·10⁷ (a 40k-token average document — an order of magnitude
+    * above web-corpus reality, and â is corpus-shape-bounded, not
+    * corpus-size-bounded). idf_s·contrib ≤ N·2.2·10⁶ fits int64 up to
+    * N ~ 4·10¹² documents.
+    *
+    * Plan shape: one corpus scan feeds both the (doc, term) tf
+    * aggregate (the explode is pre-filtered to the 3 query terms, so
+    * the shuffle carries at most |Q|·|docs| compact rows, never the
+    * token stream) and the per-doc length table; df rides a count
+    * window over the tf table (tfidf's re-explode-avoidance trick);
+    * the corpus stats (N, Σdl, â) are a 1-row broadcast.
+    */
+  def bm25Rank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("hash", "join", "filter")
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.Dedup.tokens(col("text")).as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+      .withColumn("avg_e3", expr("t_tokens * 1000 DIV n_docs"))
+      .select(col("n_docs"), col("avg_e3"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(least(count(lit(1)), lit(10000L)).as("tfc"))
+    tf.withColumn("dfc", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_e6",
+        expr("""(n_docs DIV dfc) *
+                ((22 * tfc * avg_e3 * 1000000)
+                 DIV (10 * tfc * avg_e3 + 3 * avg_e3 + 9 * dl * 1000))"""))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_e6")).as("score_e6"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_e6").desc, col("doc_id")).limit(50)
+  }
+
   /** Corpus filter funnel: surviving document counts after each stage
     * of the standard pretraining filter chain (all docs → ≥20 tokens →
     * language identified → quality ≥ 0.5), computed in ONE pass as
@@ -893,6 +949,7 @@ object TextQueries {
     "filter_funnel" -> (filterFunnel _),
     "training_pipeline" -> (trainingPipeline _),
     "keyword_search" -> (keywordSearch _),
+    "bm25_rank" -> (bm25Rank _),
     "line_dedup" -> (lineDedup _))
 
   private val tokSql =
@@ -951,6 +1008,32 @@ object TextQueries {
          SELECT doc_id,
            CAST(floor((n10 * 10000)::DOUBLE / d10::DOUBLE) AS BIGINT) AS quality_e4
          FROM n ORDER BY doc_id""",
+    "bm25_rank" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> len(x) > 0) AS toks
+           FROM documents),
+         dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+         st AS (SELECT count(*)::BIGINT AS n_docs,
+                       (sum(dl)::BIGINT * 1000) // count(*)::BIGINT AS avg_e3
+                FROM dl),
+         tf AS (SELECT doc_id, token,
+                       least(count(*)::BIGINT, 10000) AS tfc
+                FROM (SELECT doc_id, unnest(toks) AS token FROM tok)
+                WHERE token IN ('hash', 'join', 'filter')
+                GROUP BY 1, 2),
+         d AS (SELECT token, count(*)::BIGINT AS dfc FROM tf GROUP BY 1),
+         c AS (SELECT tf.doc_id,
+                      (st.n_docs // d.dfc) *
+                        ((22 * tf.tfc * st.avg_e3 * 1000000)
+                         // (10 * tf.tfc * st.avg_e3 + 3 * st.avg_e3
+                             + 9 * dl.dl * 1000)) AS contrib_e6
+               FROM tf JOIN d USING (token) JOIN dl USING (doc_id)
+                    CROSS JOIN st)
+         SELECT doc_id, CAST(sum(contrib_e6) AS BIGINT) AS score_e6,
+                count(*)::BIGINT AS n_terms
+         FROM c GROUP BY 1
+         ORDER BY score_e6 DESC, doc_id LIMIT 50""",
     "keyword_search" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE len(list_intersect(

@@ -337,6 +337,31 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("bfsHops: min-hop labels, depth bound, disconnected excluded") {
+    // path 1-2-3-4-5 plus a shortcut 1-4 and an island {100,101}:
+    // from seed {1}, node 4 is 2 hops via the shortcut (not 3 via the
+    // path), 5 is 3 hops; the island is absent at any bound
+    val directed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (1L, 4L), (100L, 101L)).toDF("src", "dst")
+    val und = graft.ops.Graph.symmetrize(directed)
+    val seeds = Seq(1L).toDF("id")
+    val hops = graft.ops.Graph.bfsHops(und, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hops == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+    // depth bound honored: at maxHops=1 only the direct neighborhood
+    val h1 = graft.ops.Graph.bfsHops(und, seeds, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(h1 == Map(1L -> 0, 2L -> 1, 4L -> 1))
+    // a seed on the island stays on the island; multi-source takes
+    // the min hop over seeds
+    val multi = graft.ops.Graph.bfsHops(und, Seq(1L, 100L).toDF("id"), 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(multi == Map(1L -> 0, 100L -> 0, 2L -> 1, 4L -> 1, 101L -> 1))
+    // maxHops=0: seeds only
+    assert(graft.ops.Graph.bfsHops(und, seeds, 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 0)))
+  }
+
   test("triangle count: both orientations agree on a hub graph") {
     // hub 0 fans out to 1..10 (id orientation puts ALL wedges on the
     // hub); triangles: (0,1,2) through the hub and (11,12,13) apart.
