@@ -640,16 +640,26 @@ object AdvancedQueries {
       .csv(s"$out/csv")
     val jsonBack = s.read.schema(src.schema)
       .option("timestampFormat", tsFmt).json(s"$out/json")
+    // ORC is the third leg: a typed columnar format (no text-codec
+    // ambiguity to harden against — the risk it pins is type fidelity
+    // through a DIFFERENT columnar writer/reader than the parquet the
+    // table came from)
+    src.write.orc(s"$out/orc")
+    val orcBack = s.read.schema(src.schema).orc(s"$out/orc")
     val (nCsv, ckCsv) = graft.ops.Sink.tableChecksum(csvBack)
     val (nJson, ckJson) = graft.ops.Sink.tableChecksum(jsonBack)
+    val (nOrc, ckOrc) = graft.ops.Sink.tableChecksum(orcBack)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     Seq((nSrc,
         if (nCsv == nSrc) 1 else 0,
         if (ckCsv.compareTo(ckSrc) == 0) 1 else 0,
         if (nJson == nSrc) 1 else 0,
-        if (ckJson.compareTo(ckSrc) == 0) 1 else 0))
+        if (ckJson.compareTo(ckSrc) == 0) 1 else 0,
+        if (nOrc == nSrc) 1 else 0,
+        if (ckOrc.compareTo(ckSrc) == 0) 1 else 0))
       .toDF("n_rows", "csv_rows_preserved", "csv_checksum_equal",
-        "json_rows_preserved", "json_checksum_equal")
+        "json_rows_preserved", "json_checksum_equal",
+        "orc_rows_preserved", "orc_checksum_equal")
   }
 
   /** Driver-visible Structured Streaming gate: the events table
@@ -1257,7 +1267,9 @@ object AdvancedQueries {
                 CAST(1 AS INTEGER) AS csv_rows_preserved,
                 CAST(1 AS INTEGER) AS csv_checksum_equal,
                 CAST(1 AS INTEGER) AS json_rows_preserved,
-                CAST(1 AS INTEGER) AS json_checksum_equal
+                CAST(1 AS INTEGER) AS json_checksum_equal,
+                CAST(1 AS INTEGER) AS orc_rows_preserved,
+                CAST(1 AS INTEGER) AS orc_checksum_equal
          FROM orders""",
     "gap_fill" ->
       """WITH daily AS (
