@@ -1,22 +1,35 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-provided star-schema parquet tables
   * (see /root/repo/TESTDATA.md). One parquet file per table under
   * `$sfDir/`. All queries in [[SparkEntry]] resolve tables through
   * here so scans stay uniform (schema pruning + filter pushdown are
   * then Catalyst's job, not ours).
+  *
+  * Event-time physical forms seen across testdata vintages:
+  *   - parquet TIMESTAMP(MICROS), no timezone → Spark reads
+  *     TIMESTAMP_NTZ (current vintage; values are naive UTC and every
+  *     graft entry point pins `spark.sql.session.timeZone=UTC`, so an
+  *     NTZ→LTZ cast is value-preserving);
+  *   - parquet TIMESTAMP(NANOS) → readable only as nano-epoch LONG
+  *     under `spark.sql.legacy.parquet.nanosAsLong` (earlier vintage).
+  * The [[microsOf]]/[[eventTimeOf]] helpers dispatch on the scanned
+  * type so query code is vintage-independent. The engine keeps the
+  * scanned column type through filters (predicates push down onto the
+  * physical column → row-group/page pruning) and converts only at
+  * projection time.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Session config required to read the testdata: events.ts is parquet
-    * TIMESTAMP(NANOS), which Spark only reads via the nanos-as-long
-    * legacy switch; [[apply]] converts it back to a microsecond
-    * TimestampType below.
+  /** Session config tolerated by every vintage: nanos-as-long is a
+    * no-op on MICROS files but required to read a NANOS `ts`.
     */
   val requiredConf: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
@@ -24,22 +37,49 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     restoreNanos(raw(spark, sfDir, name))
 
-  /** Read without the nanos→timestamp restoration — for scans that
-    * want to push predicates onto the raw nano-epoch long (parquet
-    * row-group/page pruning), then convert after filtering
-    * (see [[graft.ops.Incremental.windowFilterNanos]]).
+  /** Read with the physical column types untouched — for scans that
+    * filter on the raw event-time form (parquet row-group/page
+    * pruning), converting after the filter
+    * (see [[graft.ops.Incremental.windowFilterRaw]]).
     */
   def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Restore TIMESTAMP(NANOS) columns (read as nano-epoch longs under
-    * nanosAsLong) to TimestampType with integral division (a
-    * double-precision `/` would lose bits on 1.7e18-scale nanos).
+  /** Normalize a legacy nano-long `ts` back to a timestamp with
+    * integral division (a double-precision `/` would lose bits on
+    * 1.7e18-scale nanos). Current-vintage TIMESTAMP_NTZ columns pass
+    * through unchanged: NTZ is the engine's native event-time type
+    * (naive UTC, matching both the parquet data and the DuckDB
+    * oracle); APIs that demand TimestampType (watermarks,
+    * `unix_micros`) cast at the point of use via [[microsOf]] /
+    * [[eventTimeOf]].
     */
   def restoreNanos(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) {
-      case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
-        d.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case (d, f) if f.name == "ts" && f.dataType == LongType =>
+        d.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       case (d, _) => d
+    }
+
+  /** Epoch-microsecond BIGINT projection of an event-time column in
+    * whatever physical form `df`'s scan produced: legacy nano-long →
+    * integral DIV (exact), TIMESTAMP_NTZ → interpreted in the session
+    * zone (graft pins UTC), TIMESTAMP → `unix_micros` directly.
+    */
+  def microsOf(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case LongType => expr(s"$name DIV 1000")
+      case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
+      case _ => unix_micros(col(name))
+    }
+
+  /** TimestampType (LTZ) view of an event-time column for APIs that
+    * require it — streaming watermarks, `window()`. Value-preserving
+    * under the pinned UTC session zone; no-op when already LTZ.
+    */
+  def eventTimeOf(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case LongType => expr(s"timestamp_micros($name DIV 1000)")
+      case _ => col(name).cast(TimestampType)
     }
 }

@@ -25,22 +25,35 @@ object Incremental {
   def windowFilter(df: DataFrame, tsCol: String, lo: Column, hi: Column): DataFrame =
     df.filter(col(tsCol).between(lo, hi))
 
-  /** Range filter for a TIMESTAMP(NANOS) column still in raw
-    * nano-epoch long form (see [[graft.Tables.raw]]): the bounds are
-    * converted to nanos so the comparison lands on the physical
-    * parquet column — `PushedFilters: [GreaterThanOrEqual(ts,...),
-    * LessThanOrEqual(ts,...)]` — enabling row-group and page pruning.
-    * Filtering after the timestamp restoration instead would hide the
-    * predicate behind a projection and force a full scan at 100 TB.
-    * Bounds are closed ([lo, hi]), matching the reference's
-    * `filter[updatedAt]=lo..hi` (outreach_etl.py:117).
+  /** Range filter on an event-time column in whatever PHYSICAL form
+    * the scan produced (see [[graft.Tables.raw]]): the bounds are
+    * converted to literals of the column's own type so the comparison
+    * lands on the physical parquet column — `PushedFilters:
+    * [GreaterThanOrEqual(ts,...), LessThanOrEqual(ts,...)]` —
+    * enabling row-group and page pruning. Filtering after a type
+    * conversion instead would hide the predicate behind a projection
+    * and force a full scan at 100 TB. Bounds are closed ([lo, hi]),
+    * matching the reference's `filter[updatedAt]=lo..hi`
+    * (outreach_etl.py:117). Dispatch: legacy nano-long → nano-epoch
+    * literals; TIMESTAMP_NTZ (current testdata vintage; naive UTC) →
+    * LocalDateTime literals; TIMESTAMP → Instant literals.
     */
-  def windowFilterNanos(df: DataFrame, tsCol: String,
-                        loInclusive: java.time.Instant,
-                        hiInclusive: java.time.Instant): DataFrame = {
+  def windowFilterRaw(df: DataFrame, tsCol: String,
+                      loInclusive: java.time.Instant,
+                      hiInclusive: java.time.Instant): DataFrame = {
     def nanos(i: java.time.Instant): Long =
       math.multiplyExact(i.getEpochSecond, 1000000000L) + i.getNano
-    df.filter(col(tsCol).between(nanos(loInclusive), nanos(hiInclusive)))
+    def ntz(i: java.time.Instant): java.time.LocalDateTime =
+      java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+    val (lo, hi) = df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        (lit(nanos(loInclusive)), lit(nanos(hiInclusive)))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        (lit(ntz(loInclusive)), lit(ntz(hiInclusive)))
+      case _ =>
+        (lit(loInclusive), lit(hiInclusive))
+    }
+    df.filter(col(tsCol).between(lo, hi))
   }
 
   /** Replication window resolution (reference: outreach_etl.py:223-229):

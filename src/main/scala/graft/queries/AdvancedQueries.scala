@@ -16,6 +16,22 @@ object AdvancedQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Event-time restore for streams read with the testdata's PHYSICAL
+    * schema: legacy nano-long → timestamp_micros(DIV 1000) (exact
+    * integral division); current TIMESTAMP_NTZ vintage → LTZ cast
+    * (value-preserving under the pinned UTC session zone). Mirrors
+    * [[graft.Tables.eventTimeOf]] for streaming frames, whose schema
+    * is fixed up front.
+    */
+  private def restoreTsExpr(
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts DIV 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
+
   /** As-of join: each purchase event gains the timestamp of the same
     * user's most recent click at or before it. One shuffle+sort via
     * the union/carry-forward composition ([[graft.ops.AsOfJoin]]) —
@@ -27,12 +43,12 @@ object AdvancedQueries {
       .select(col("event_id"), col("user_id"), col("ts"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"),
-        unix_micros(col("ts")).as("click_us"), col("event_id"))
+        unix_micros(col("ts").cast("timestamp")).as("click_us"), col("event_id"))
     AsOfJoin.asofBackward(purchases, clicks,
         keyCol = "user_id", timeCol = "ts", payloadCol = "click_us",
         tieBreak = Some("event_id"))
       .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("ts_us"), col("asof_click_us"))
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("asof_click_us"))
       .orderBy(col("event_id"))
   }
 
@@ -77,8 +93,10 @@ object AdvancedQueries {
     */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     val gapUs = 30L * 60L * 1000000L
-    val e = Tables.raw(s, dir, "events")
-      .select(col("user_id"), expr("ts DIV 1000").as("tsu"), col("event_id"))
+    val rawEv = Tables.raw(s, dir, "events")
+    val e = rawEv
+      .select(col("user_id"), Tables.microsOf(rawEv, "ts").as("tsu"),
+        col("event_id"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
     e.withColumn("new_sess",
         when(lag(col("tsu"), 1).over(w).isNull ||
@@ -102,9 +120,10 @@ object AdvancedQueries {
     val sevenDaysUs = 7L * 86400L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
       .rangeBetween(-sevenDaysUs, 0)
-    Tables.raw(s, dir, "events")
+    val rawEv = Tables.raw(s, dir, "events")
+    rawEv
       .select(col("user_id"), col("event_id"),
-        expr("ts DIV 1000").as("tsu"), col("value"))
+        Tables.microsOf(rawEv, "ts").as("tsu"), col("value"))
       .withColumn("mv7",
         sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
       .select(col("user_id"), col("event_id"), col("tsu"), col("mv7"))
@@ -208,7 +227,7 @@ object AdvancedQueries {
   def rangeJoin(s: SparkSession, dir: String): DataFrame = {
     val sixHoursUs = 6L * 3600 * 1000000
     val ev = t(s, dir, "events")
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
         col("event_id"))
     graft.ops.RangeJoin.selfPairsWithin(ev, Seq("user_id"), "ts_us",
         window = sixHoursUs, carryCols = Seq("event_id"))
@@ -347,7 +366,7 @@ object AdvancedQueries {
     val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
     ev.distinct()
       .join(cohort, Seq("user_id"))
-      .groupBy(unix_micros(col("cohort")).as("cohort_us"),
+      .groupBy(unix_micros(col("cohort").cast("timestamp")).as("cohort_us"),
         expr("cast(datediff(to_date(wk), to_date(cohort)) as bigint) div 7")
           .as("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_active"))
@@ -365,7 +384,7 @@ object AdvancedQueries {
     */
   def funnelOrdered(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts").cast("timestamp")).as("tsu"))
     val s1 = ev.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min(col("tsu")).as("t_signup"))
     val s2 = ev.filter(col("event_type") === "click")
@@ -421,8 +440,8 @@ object AdvancedQueries {
         keyCols = Seq("user_id"), orderCol = "ts", tieCol = "event_id",
         attrCols = Seq("event_type", "value"))
       .select(col("user_id"), col("version"), col("event_type"), col("value"),
-        unix_micros(col("valid_from")).as("valid_from_us"),
-        unix_micros(col("valid_to")).as("valid_to_us"),
+        unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"),
+        unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
         col("is_current"))
       .orderBy(col("user_id"), col("version"))
 
@@ -685,7 +704,7 @@ object AdvancedQueries {
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     val stream = graft.streaming.IncrementalStream
       .readAppendStream(s, stage.toString, schema)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", restoreTsExpr(schema))
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val q = stream.writeStream.format("memory").queryName(name)
@@ -769,7 +788,7 @@ object AdvancedQueries {
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     val src = graft.streaming.IncrementalStream
       .readAppendStream(s, stage.toString, schema)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", restoreTsExpr(schema))
     val sessions = graft.streaming.IncrementalStream
       .sessionizeStream(src, "user_id", "ts",
         gapMs = 30L * 60000L, watermark = "3650 days")
@@ -812,7 +831,7 @@ object AdvancedQueries {
     // separate streams
     def side(evType: String): DataFrame = graft.streaming.IncrementalStream
       .readAppendStream(s, stage.toString, schema)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", restoreTsExpr(schema))
       .filter(col("event_type") === evType)
     val clicks = side("click")
       .select(col("user_id"), col("event_id").as("click_id"),
@@ -824,8 +843,8 @@ object AdvancedQueries {
       .intervalJoin(clicks, "click_ts", buys, "buy_ts",
         col("user_id") === col("buy_user"), "24 hours", "3650 days")
       .select(col("user_id"), col("click_id"), col("buy_id"),
-        unix_micros(col("click_ts")).as("click_us"),
-        unix_micros(col("buy_ts")).as("buy_us"))
+        unix_micros(col("click_ts").cast("timestamp")).as("click_us"),
+        unix_micros(col("buy_ts").cast("timestamp")).as("buy_us"))
     val q = joined.writeStream.format("memory").queryName(name)
       .outputMode("append")
       .option("checkpointLocation", ckpt)

@@ -30,14 +30,14 @@ object ReferenceQueries {
     * parquet scan (PushedFilters), at scale = partition pruning.
     */
   def incrementalWindow(s: SparkSession, dir: String): DataFrame = {
-    // filter on the raw nano column so the range reaches the parquet
-    // scan (row-group pruning), then restore TimestampType
-    val raw = Incremental.windowFilterNanos(
+    // filter on the physical event-time column so the range reaches
+    // the parquet scan (row-group pruning), then project to µs
+    val raw = Incremental.windowFilterRaw(
       Tables.raw(s, dir, "events"), "ts",
       java.time.Instant.parse("2024-01-10T00:00:00Z"),
       java.time.Instant.parse("2024-01-20T00:00:00Z"))
-    Tables.restoreNanos(raw)
-      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+    raw
+      .select(col("event_id"), Tables.microsOf(raw, "ts").as("ts_us"),
         col("user_id"), col("event_type"), round(col("value"), 4).as("value_r"))
       .orderBy(col("ts_us").desc, col("event_id"))
   }
@@ -94,7 +94,7 @@ object ReferenceQueries {
   def dedupLatest(s: SparkSession, dir: String): DataFrame =
     Incremental.dedupLatest(t(s, dir, "events"),
         Seq("user_id"), "ts", tieBreak = Seq("event_id"))
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
       .orderBy(col("user_id"))
 
   // ------------------------------------------------------------------ §2.6

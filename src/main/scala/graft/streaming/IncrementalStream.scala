@@ -27,6 +27,15 @@ object IncrementalStream {
                        schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Watermarks (and the time-window functions) require TimestampType;
+    * event time arriving as TIMESTAMP_NTZ — the testdata's physical
+    * parquet form — is cast to LTZ first, value-preserving under
+    * graft's pinned UTC session zone. No-op when already LTZ.
+    */
+  private def withEventTime(stream: DataFrame, tsCol: String): DataFrame =
+    stream.withColumn(tsCol,
+      col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+
   /** Watermarked streaming dedup on the record key — the streaming
     * form of [[graft.ops.Incremental.dedupLatest]]: duplicates from
     * window re-pulls are dropped while their key is within the
@@ -35,7 +44,7 @@ object IncrementalStream {
     */
   def dedupWithinWatermark(stream: DataFrame, tsCol: String,
                            watermark: String, keys: Seq[String]): DataFrame =
-    stream.withWatermark(tsCol, watermark)
+    withEventTime(stream, tsCol).withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
 
   /** Tumbling-window per-day counts over the stream — the incremental
@@ -44,7 +53,7 @@ object IncrementalStream {
     */
   def dailyCounts(stream: DataFrame, tsCol: String, typeCol: String,
                   watermark: String = "1 day"): DataFrame =
-    stream.withWatermark(tsCol, watermark)
+    withEventTime(stream, tsCol).withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), "1 day").as("day_window"), col(typeCol))
       .agg(count(lit(1)).as("n"))
       .select(col("day_window.start").as("day"), col(typeCol), col("n"))
@@ -122,10 +131,10 @@ object IncrementalStream {
     import spark.implicits._
     // state: (session_id counter, start_us, end_us, n_events);
     // n_events == 0 marks "no open session" (idle user, counter kept)
-    stream
+    withEventTime(stream, tsCol)
       .withWatermark(tsCol, watermark)
       .select(col(userCol).cast("long").as("user_id"),
-        unix_micros(col(tsCol)).as("ts_us"), col(tsCol).as("__ts"))
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"), col(tsCol).as("__ts"))
       .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long, Long),
@@ -184,8 +193,8 @@ object IncrementalStream {
                    right: DataFrame, rTs: String,
                    keyEq: org.apache.spark.sql.Column,
                    window: String, watermark: String): DataFrame =
-    left.withWatermark(lTs, watermark)
-      .join(right.withWatermark(rTs, watermark),
+    withEventTime(left, lTs).withWatermark(lTs, watermark)
+      .join(withEventTime(right, rTs).withWatermark(rTs, watermark),
         keyEq && col(rTs) >= col(lTs) &&
           col(rTs) <= col(lTs) + expr(s"INTERVAL $window"),
         "inner")
