@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Plan-shape regression gate for the at-scale invariants the engine
+  * claims in SCALE.md/PLANS.md. Each assertion pins a property that
+  * makes a query viable at 100 TB — predicate pushdown to the parquet
+  * scan, broadcast of dimension tables, absence of shuffles on
+  * scan-stage operators, TopN short-circuit — so a data-vintage or
+  * Spark-upgrade change that silently degrades a plan fails `sbt test`
+  * instead of surfacing as a slow driver round. (The r05 testdata
+  * regeneration changed the event-time physical type and would have
+  * been caught here: an un-pushable cast above the scan drops the
+  * PushedFilters line this spec requires.)
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("incremental_window: range predicate reaches the parquet scan") {
+    val plan = formatted("incremental_window")
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    // the ts range itself must be in the pushed set, not just IsNotNull
+    assert(plan.contains("GreaterThanOrEqual(ts,") &&
+      plan.contains("LessThanOrEqual(ts,"),
+      "ts range filter not pushed to scan:\n" + plan.take(2000))
+  }
+
+  test("conform_cast: scan reads only the declared columns") {
+    val plan = formatted("conform_cast")
+    // 16-column lineitem pruned to the 5 declared ones at the scan
+    val readSchema = plan.linesIterator
+      .find(_.trim.startsWith("ReadSchema:")).getOrElse("")
+    for (c <- Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag", "l_shipdate"))
+      assert(readSchema.contains(c), s"$c missing from $readSchema")
+    assert(!readSchema.contains("l_comment") &&
+      !readSchema.contains("l_extendedprice"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("join_fk: dimension joins broadcast, fact is never shuffled twice") {
+    val plan = formatted("join_fk")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("topk_orders: sort+limit folds to TakeOrderedAndProject") {
+    val plan = formatted("topk_orders")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // a global Sort would mean the full sort materializes before limit
+    assert(!plan.contains("Sort ["), plan.take(2000))
+  }
+
+  test("q1_agg: partial (map-side) aggregation before the shuffle") {
+    val plan = formatted("q1_agg")
+    // partial+final pair: the shuffle moves |groups| rows, not |rows|
+    val hashAggs = plan.linesIterator
+      .count(l => l.contains("+- HashAggregate") || l.startsWith("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("keyword_search: predicate on the scan, only the oracle sort shuffles") {
+    val plan = formatted("keyword_search")
+    // the operator itself is scan-stage (Filter directly over Scan);
+    // the single Exchange in the plan is the total-order sort the
+    // oracle contract requires, nothing else
+    val exchanges = plan.linesIterator.count(_.contains("+- Exchange"))
+    assert(exchanges <= 1,
+      s"keyword_search grew a shuffle beyond the oracle sort:\n" +
+        plan.take(2000))
+    assert(plan.contains("Filter (2)") && plan.contains("Scan parquet  (1)"),
+      "containment predicate no longer sits directly on the scan:\n" +
+        plan.take(2000))
+  }
+}
