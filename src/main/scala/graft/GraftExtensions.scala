@@ -66,6 +66,13 @@ object GraftExtensions {
     "make_media_header" -> ((args: Seq[Expression]) =>
       MakeMediaHeaderExpr(dsl.asInt(args(0)), dsl.asInt(args(1)),
         dsl.asInt(args(2)))),
+    "audio_header" -> ((args: Seq[Expression]) =>
+      AudioHeaderExpr(dsl.asBinary(args(0)))),
+    "make_audio_header" -> ((args: Seq[Expression]) =>
+      MakeAudioHeaderExpr(dsl.asInt(args(0)), dsl.asInt(args(1)),
+        dsl.asInt(args(2)), dsl.asInt(args(3)),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(4),
+          org.apache.spark.sql.types.LongType))),
     "line_stats" -> ((args: Seq[Expression]) => LineStatsExpr(args(0))),
     "ngram_rep_stats" -> ((args: Seq[Expression]) =>
       NgramRepStatsExpr(args(0), intArg(args(1), "n"))),

@@ -276,6 +276,50 @@ case class MakeMediaHeaderExpr(format: Expression, w: Expression, h: Expression)
   override def prettyName: String = "make_media_header"
 }
 
+/** [format, sample_rate, channels, bits_per_sample, n_frames] parsed
+  * from real audio container header bytes (WAV RIFF chunk walk / FLAC
+  * STREAMINFO) — [[Kernels.parseAudioHeader]]; scan-stage, no codec.
+  * Unrecognized/corrupt → [0,0,0,0,0].
+  */
+case class AudioHeaderExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.parseAudioHeader(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.parseAudioHeader($c)")
+  override protected def withNewChildInternal(c: Expression): AudioHeaderExpr =
+    copy(child = c)
+  override def prettyName: String = "audio_header"
+}
+
+/** Synthesize minimal valid audio container header bytes for
+  * (format, rate, channels, bits, nFrames) —
+  * [[Kernels.makeAudioHeader]]; the generator half of the parse
+  * round-trip.
+  */
+case class MakeAudioHeaderExpr(format: Expression, rate: Expression,
+                               channels: Expression, bits: Expression,
+                               nFrames: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuinaryExpression {
+  override def children: Seq[Expression] =
+    Seq(format, rate, channels, bits, nFrames)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override protected def nullSafeEval(f: Any, r: Any, c: Any, d: Any,
+                                      n: Any): Any =
+    Kernels.makeAudioHeader(f.asInstanceOf[Int], r.asInstanceOf[Int],
+      c.asInstanceOf[Int], d.asInstanceOf[Int], n.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (f, r, c, d, n) =>
+      s"graft.functions.Kernels.makeAudioHeader($f, $r, $c, $d, $n)")
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MakeAudioHeaderExpr =
+    copy(format = newChildren(0), rate = newChildren(1),
+      channels = newChildren(2), bits = newChildren(3),
+      nFrames = newChildren(4))
+  override def prettyName: String = "make_audio_header"
+}
+
 /** Ids of the `n` nearest codebook centroids by cosine (scan-stage IVF
   * list assignment — see [[Kernels.nearestCentroids]]). `cents`/`ids`
   * are foldable codebook literals, so codegen references them as
@@ -438,6 +482,24 @@ object dsl {
       asInt(ExpressionUtils.expression(format)),
       asInt(ExpressionUtils.expression(w)),
       asInt(ExpressionUtils.expression(h))))
+
+  /** [format, sample_rate, channels, bits_per_sample, n_frames] longs
+    * from audio container header bytes; use `try_element_at` to
+    * project fields.
+    */
+  def audio_header(payload: Column): Column =
+    ExpressionUtils.column(AudioHeaderExpr(
+      asBinary(ExpressionUtils.expression(payload))))
+
+  def make_audio_header(format: Column, rate: Column, channels: Column,
+                        bits: Column, nFrames: Column): Column =
+    ExpressionUtils.column(MakeAudioHeaderExpr(
+      asInt(ExpressionUtils.expression(format)),
+      asInt(ExpressionUtils.expression(rate)),
+      asInt(ExpressionUtils.expression(channels)),
+      asInt(ExpressionUtils.expression(bits)),
+      Cast(ExpressionUtils.expression(nFrames),
+        org.apache.spark.sql.types.LongType)))
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCountExpr(

@@ -626,6 +626,123 @@ object Kernels {
     case _ => Array.emptyByteArray
   }
 
+  // ------------------------------------------------------------------
+  // Audio container headers: WAV (RIFF/WAVE chunk walk to fmt + data)
+  // and FLAC (STREAMINFO bit-unpack). Like the image headers above,
+  // sample rate / channels / bit depth / length live in the container
+  // header, so extracting them needs byte arithmetic, not a codec.
+  // ------------------------------------------------------------------
+
+  /** Audio format codes returned by [[parseAudioHeader]]. */
+  val AfmtUnknown = 0L; val AfmtWav = 1L; val AfmtFlac = 2L
+
+  /** [format, sample_rate, channels, bits_per_sample, n_frames] from
+    * real audio container header bytes; [0,0,0,0,0] for
+    * unrecognized/truncated/corrupt payloads (never throws — a media
+    * crawl always contains garbage). WAV walks the RIFF chunk list
+    * (fmt may come after LIST/INFO chunks; odd chunk sizes are
+    * word-padded) and derives n_frames from the `data` chunk SIZE
+    * field over the fmt block-align — correct even when the sample
+    * bytes themselves are absent or truncated. FLAC unpacks the
+    * STREAMINFO bit layout (rate 20 bits, channels-1 3, bits-1 5,
+    * total samples 36).
+    */
+  def parseAudioHeader(b: Array[Byte]): ArrayData = {
+    def out(f: Long, r: Long, c: Long, d: Long, n: Long) =
+      new GenericArrayData(Array(f, r, c, d, n))
+    if (b == null || b.length < 12) return out(AfmtUnknown, 0, 0, 0, 0)
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      var i = 12
+      var rate = 0L; var ch = 0L; var bits = 0L; var blockAlign = 0L
+      var dataBytes = 0L; var haveFmt = false
+      var corrupt = false
+      while (!corrupt && i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
+            b(i + 3) == ' ' && i + 8 + 16 <= b.length) {
+          // PCM fmt chunk, all LE: audioFormat(2) channels(2) rate(4)
+          // byteRate(4) blockAlign(2) bitsPerSample(2)
+          ch = le16(b, i + 10).toLong
+          rate = le32(b, i + 12)
+          blockAlign = le16(b, i + 20).toLong
+          bits = le16(b, i + 22).toLong
+          haveFmt = true
+        } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+            b(i + 3) == 'a') {
+          dataBytes = size
+        }
+        // chunks are word-aligned: odd sizes carry one pad byte. A
+        // hostile size (> file, or u32 overflowing Int) ends the walk
+        // instead of looping.
+        if (size < 0 || size > Int.MaxValue - 16) corrupt = true
+        else i += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (haveFmt)
+        return out(AfmtWav, rate, ch, bits,
+          if (blockAlign > 0) dataBytes / blockAlign else 0L)
+      return out(AfmtWav, 0, 0, 0, 0)
+    }
+    // FLAC: "fLaC" magic + first metadata block STREAMINFO (type 0,
+    // 34 bytes): minBlock(2) maxBlock(2) minFrame(3) maxFrame(3), then
+    // 8 bit-packed bytes, then MD5(16)
+    if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C' &&
+        b.length >= 8 + 18 && (u8(b, 4) & 0x7f) == 0) {
+      val o = 8 + 10
+      val rate = (u8(b, o).toLong << 12) | (u8(b, o + 1).toLong << 4) |
+        (u8(b, o + 2) >> 4).toLong
+      val ch = ((u8(b, o + 2) >> 1) & 0x7) + 1L
+      val bits = (((u8(b, o + 2) & 0x1) << 4) | (u8(b, o + 3) >> 4)) + 1L
+      val total = ((u8(b, o + 3) & 0xf).toLong << 32) |
+        (u8(b, o + 4).toLong << 24) | (u8(b, o + 5).toLong << 16) |
+        (u8(b, o + 6).toLong << 8) | u8(b, o + 7).toLong
+      return out(AfmtFlac, rate, ch, bits, total)
+    }
+    out(AfmtUnknown, 0, 0, 0, 0)
+  }
+
+  /** Minimal VALID audio container header bytes for
+    * (format, rate, channels, bits, nFrames) — the synthesis side of
+    * the parse round-trip. Formats: 1 WAV (canonical 44-byte PCM
+    * header; the data chunk SIZE is set but sample bytes are not
+    * emitted — [[parseAudioHeader]] reads length from the size field,
+    * as real tools do for truncated files), 2 FLAC (fLaC +
+    * STREAMINFO).
+    */
+  def makeAudioHeader(format: Int, rate: Int, channels: Int, bits: Int,
+                      nFrames: Long): Array[Byte] = format match {
+    case 1 =>
+      val blockAlign = channels * bits / 8
+      val dataBytes = nFrames * blockAlign
+      val b = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt((36 + dataBytes).toInt)
+        .put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16)
+        .putShort(1.toShort)                       // PCM
+        .putShort(channels.toShort).putInt(rate)
+        .putInt(rate * blockAlign)                 // byte rate
+        .putShort(blockAlign.toShort).putShort(bits.toShort)
+      b.put("data".getBytes).putInt(dataBytes.toInt)
+      b.array()
+    case 2 =>
+      val b = java.nio.ByteBuffer.allocate(8 + 34)
+      b.put("fLaC".getBytes)
+      b.put(0x80.toByte)                           // last block, type 0
+        .put(0.toByte).put(0.toByte).put(34.toByte)
+      b.putShort(4096.toShort).putShort(4096.toShort) // min/max block
+      b.put(new Array[Byte](6))                    // min/max frame size
+      b.put((rate >> 12).toByte)
+        .put(((rate >> 4) & 0xff).toByte)
+        .put((((rate & 0xf) << 4) | (((channels - 1) & 0x7) << 1) |
+          (((bits - 1) >> 4) & 0x1)).toByte)
+        .put(((((bits - 1) & 0xf) << 4) | ((nFrames >> 32) & 0xf).toInt)
+          .toByte)
+        .putInt((nFrames & 0xffffffffL).toInt)
+      b.array()                                    // MD5 stays zeroed
+    case _ => Array.emptyByteArray
+  }
+
   /** Ids of the `n` nearest centroids to `v` by cosine similarity
     * (ties → smaller id first), over a LITERAL codebook
     * (array<array<float>> + parallel array<long> of ids). One pass, no

@@ -176,6 +176,44 @@ object TextQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Audio-header round-trip: per-document audio container bytes are
+    * SYNTHESIZED (WAV for even ids, FLAC for odd; rate/channels/bit
+    * depth/length arithmetic in doc_id), then PARSED back by the
+    * byte-level header kernel ([[graft.functions.Kernels
+    * .parseAudioHeader]] — RIFF chunk walk / STREAMINFO bit-unpack,
+    * scan-stage, no codec). The oracle recomputes every field
+    * arithmetically, so parse ∘ synthesize is value-checked as the
+    * identity on each row; duration_ms is derived integer-exactly
+    * from the PARSED fields (n_frames·1000 DIV rate), proving the
+    * length really came back out of the container bytes.
+    * (MultimodalSpec additionally cross-checks the WAV parser against
+    * javax.sound-encoded real files.)
+    */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl._
+    val fmt = pmod(col("doc_id"), lit(2)) + 1 // 1 WAV, 2 FLAC
+    val rate = element_at(
+      array(lit(8000), lit(16000), lit(22050), lit(44100), lit(48000)),
+      (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+    val ch = expr("doc_id DIV 2 % 2 + 1")
+    val bits = when(pmod(col("doc_id"), lit(3)) === 0, 24).otherwise(16)
+    val secs = pmod(col("doc_id"), lit(7)) + 1
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        make_audio_header(fmt, rate, ch, bits,
+          (rate * secs).cast("long")).as("payload"))
+      .select(col("doc_id").as("media_id"),
+        audio_header(col("payload")).as("__a"))
+      .select(col("media_id"),
+        try_element_at(col("__a"), lit(1)).as("format_code"),
+        try_element_at(col("__a"), lit(2)).as("sample_rate"),
+        try_element_at(col("__a"), lit(3)).as("channels"),
+        try_element_at(col("__a"), lit(4)).as("bits_per_sample"),
+        try_element_at(col("__a"), lit(5)).as("n_frames"))
+      .withColumn("duration_ms", expr("n_frames * 1000 DIV sample_rate"))
+      .orderBy(col("media_id"))
+  }
+
   /** Video frame-sampling plan: documents as opaque "video" payloads →
     * [[graft.ops.Multimodal.frameSamplePlan]] explodes every 3rd frame
     * index of the first 16 frames into per-frame rows — the rows a
@@ -929,6 +967,7 @@ object TextQueries {
     "multimodal_embed" -> (multimodalEmbed _),
     "multimodal_embed_gate" -> (multimodalEmbedGate _),
     "multimodal_header" -> (multimodalHeader _),
+    "multimodal_audio" -> (multimodalAudio _),
     "multimodal_frames" -> (multimodalFrames _),
     "sql_surface" -> (sqlSurface _),
     "repetition_stats" -> (repetitionStats _),
@@ -1251,6 +1290,18 @@ object TextQueries {
     "multimodal_frames" ->
       """SELECT doc_id AS media_id, unnest(range(0, 16, 3)) AS frame_idx
          FROM documents ORDER BY media_id, frame_idx""",
+    "multimodal_audio" ->
+      """SELECT doc_id AS media_id,
+           doc_id % 2 + 1 AS format_code,
+           CAST([8000,16000,22050,44100,48000][CAST(doc_id % 5 AS INTEGER) + 1]
+                AS BIGINT) AS sample_rate,
+           (doc_id // 2) % 2 + 1 AS channels,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END
+                AS BIGINT) AS bits_per_sample,
+           CAST([8000,16000,22050,44100,48000][CAST(doc_id % 5 AS INTEGER) + 1]
+                * (doc_id % 7 + 1) AS BIGINT) AS n_frames,
+           (doc_id % 7 + 1) * 1000 AS duration_ms
+         FROM documents ORDER BY media_id""",
     "sql_surface" ->
       """WITH tk AS (
            SELECT doc_id, text,

@@ -94,4 +94,66 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, 800L, 600L), (3L, 320L, 200L), (0L, 0L, 0L)))
   }
+
+  // ------------------------------------------------------------ audio
+
+  private def parseAudio(b: Array[Byte]): Seq[Long] = {
+    val a = Kernels.parseAudioHeader(b)
+    (0 until a.numElements()).map(a.getLong)
+  }
+
+  test("audio parse inverts the synthesized header for WAV and FLAC") {
+    for {
+      fmt <- Seq(1, 2)
+      (rate, ch, bits) <- Seq((8000, 1, 16), (44100, 2, 16), (48000, 2, 24))
+      frames <- Seq(0L, 1L, 480000L)
+    } assert(
+      parseAudio(Kernels.makeAudioHeader(fmt, rate, ch, bits, frames)) ==
+        Seq(fmt.toLong, rate.toLong, ch.toLong, bits.toLong, frames),
+      s"fmt=$fmt rate=$rate ch=$ch bits=$bits frames=$frames")
+  }
+
+  test("WAV parser reads files written by a real codec (javax.sound)") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    for ((rate, ch, bits, frames) <- Seq((16000, 1, 16, 1234),
+        (44100, 2, 16, 777))) {
+      val af = new AudioFormat(rate.toFloat, bits, ch, true, false)
+      val pcm = new Array[Byte](frames * ch * bits / 8)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), af, frames.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      assert(parseAudio(out.toByteArray) ==
+        Seq(1L, rate.toLong, ch.toLong, bits.toLong, frames.toLong),
+        s"rate=$rate ch=$ch bits=$bits frames=$frames")
+    }
+  }
+
+  test("WAV chunk walk skips interposed chunks and survives garbage") {
+    // fmt arriving AFTER a LIST chunk (common in tagged files)
+    val fmtData = Kernels.makeAudioHeader(1, 22050, 1, 16, 100)
+    val list = java.nio.ByteBuffer.allocate(12 + 10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    list.put("RIFF".getBytes).putInt(0).put("WAVE".getBytes)
+    list.put("LIST".getBytes.take(0))
+    val tagged = java.nio.ByteBuffer
+      .allocate(12 + 8 + 6 + 32) // 6-byte odd-padded LIST then fmt+data
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tagged.put(fmtData, 0, 12)            // RIFF....WAVE
+    tagged.put("LIST".getBytes).putInt(5) // odd size → 1 pad byte
+      .put(Array[Byte]('I', 'N', 'F', 'O', 'x', 0))
+    tagged.put(fmtData, 12, 32)           // fmt + data headers
+    assert(parseAudio(tagged.array()) == Seq(1L, 22050L, 1L, 16L, 100L))
+
+    assert(parseAudio("RIFFjunk".getBytes) == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(parseAudio(Array[Byte](1, 2, 3)) == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(parseAudio(Kernels.makeAudioHeader(2, 44100, 2, 16, 10).take(20))
+      == Seq(0L, 0L, 0L, 0L, 0L))
+    // hostile chunk size (u32 wrap) must terminate, not loop
+    val hostile = Kernels.makeAudioHeader(1, 8000, 1, 16, 10)
+    hostile(16) = 0xff.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte
+    parseAudio(hostile) // must return, value unspecified
+  }
 }
