@@ -478,4 +478,72 @@ object Similarity {
     fps.unpersist()
     out
   }
+
+  // ------------------------------------------------------------------
+  // Scalar (int8) quantization — the vector-store "SQ8" baseline
+  // (per-dimension affine codes; Faiss ScalarQuantizer QT_8bit shape).
+  // ------------------------------------------------------------------
+
+  /** Per-dimension [min, max] of a vector column — the SQ8 training
+    * statistics. One aggregate pass: posexplode rides the scan, the
+    * map-side partial aggregation reduces each task's output to d
+    * (min, max) cells before the shuffle, and the driver collects
+    * exactly 2·d doubles (the same bounded-collect contract as the
+    * IVF codebook). Values are widened float→double BEFORE the
+    * min/max (exact), so downstream code arithmetic is pure double.
+    */
+  def sqStats(emb: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val rows = emb
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("i"))
+      .collect()
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** SQ8 encode: q_i = floor((x_i − mn_i)·255/(mx_i − mn_i) + 0.5),
+    * clamped to [0, 255]; constant dimensions (mx = mn) encode to 0.
+    * The stats ride as array literals, so encoding is ONE scan-stage
+    * projection — zero shuffle, 4× compression at a per-dimension
+    * error bound of step/2 = (mx−mn)/510. Unlike PQ, the code
+    * arithmetic is fixed-order IEEE double math with no trained
+    * state, so an external engine replaying the same expression
+    * reproduces every code EXACTLY — which is what lets the DuckDB
+    * oracle hash-check the operator end to end (`embed_quantize`)
+    * instead of only gating it.
+    *
+    * Output: (id, v double[], code long[] of 0..255).
+    */
+  def sqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               mns: Array[Double], mxs: Array[Double]): DataFrame = {
+    require(mns.length == mxs.length && mns.nonEmpty, "empty SQ8 stats")
+    val mnLit = typedLit(mns.toSeq)
+    val mxLit = typedLit(mxs.toSeq)
+    emb.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("code",
+        transform(col("v"), (x, i) => {
+          val mn = element_at(mnLit, (i + 1).cast("int"))
+          val mx = element_at(mxLit, (i + 1).cast("int"))
+          when(mx === mn, lit(0L)).otherwise(
+            least(lit(255L), greatest(lit(0L),
+              floor(((x - mn) * lit(255.0)) / (mx - mn) + lit(0.5)))))
+        }))
+  }
+
+  /** SQ8 dequantization x̂_i = mn_i + q_i·(mx_i − mn_i)/255 — the
+    * reconstruction half used by the quantization-error gate.
+    */
+  def sqDecode(encoded: DataFrame, mns: Array[Double],
+               mxs: Array[Double]): DataFrame = {
+    val mnLit = typedLit(mns.toSeq)
+    val mxLit = typedLit(mxs.toSeq)
+    encoded.withColumn("v_hat",
+      transform(col("code"), (q, i) => {
+        val mn = element_at(mnLit, (i + 1).cast("int"))
+        val mx = element_at(mxLit, (i + 1).cast("int"))
+        mn + (q.cast("double") * (mx - mn)) / lit(255.0)
+      }))
+  }
 }

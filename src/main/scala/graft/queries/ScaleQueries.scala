@@ -499,6 +499,57 @@ object ScaleQueries {
       .toDF("n_vectors", "all_encoded", "recon_floor_pct", "floor_met")
   }
 
+  /** Int8 scalar quantization (SQ8) of every embedding: per-dimension
+    * affine codes from a one-pass [min,max] aggregate + one scan-stage
+    * encode projection ([[graft.ops.Similarity.sqStats]]/`sqEncode`).
+    * The code arithmetic is fixed-order double math with no trained
+    * state, so the DuckDB oracle recomputes every code EXACTLY — the
+    * fully hash-checked counterpart to the gated trained quantizer
+    * (`pq_encode`/`pq_gate`). Codes are serialized comma-joined (no
+    * array columns in query output — comparator constraint).
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (mns, mxs) = Similarity.sqStats(emb, "embedding")
+    Similarity.sqEncode(emb, "vec_id", "embedding", mns, mxs)
+      .select(col("id").as("vec_id"),
+        array_join(col("code").cast("array<string>"), ",").as("codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** SQ8 reconstruction-error gate: every dequantized cell must land
+    * within half a quantization step (+ 1e-9 float slack) of its
+    * source value, and every code in [0, 255] — the bound affine
+    * int8 quantization guarantees by construction, so any arithmetic
+    * regression (swapped min/max, wrong step, index off-by-one)
+    * breaks the pinned flag. n_vectors is SQL-recomputed.
+    */
+  def embedQuantizeGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val (mns, mxs) = Similarity.sqStats(emb, "embedding")
+    val dec = Similarity.sqDecode(
+      Similarity.sqEncode(emb, "vec_id", "embedding", mns, mxs), mns, mxs)
+    val steps = mns.indices.map(i => (mxs(i) - mns(i)) / 510.0 + 1e-9)
+    val stepLit = typedLit(steps)
+    val bad = dec.select(
+        array_contains(transform(col("v"), (x, i) =>
+          when(abs(x - element_at(col("v_hat"), (i + 1).cast("int"))) <=
+            element_at(stepLit, (i + 1).cast("int")), lit(1)).otherwise(lit(0))),
+          0).as("bad_err"),
+        array_contains(transform(col("code"), q =>
+          when(q >= 0 && q <= 255, lit(1)).otherwise(lit(0))), 0)
+          .as("bad_range"))
+      .agg(sum(when(col("bad_err"), 1L).otherwise(0L)).as("n_bad_err"),
+        sum(when(col("bad_range"), 1L).otherwise(0L)).as("n_bad_range"),
+        count(lit(1)).as("n"))
+      .head()
+    Seq((bad.getLong(2),
+        if (bad.getLong(0) == 0L) 1 else 0,
+        if (bad.getLong(1) == 0L) 1 else 0))
+      .toDF("n_vectors", "within_half_step", "codes_in_range")
+  }
+
   /** Fingerprint-collision pairs: documents sharing ≥5 winnowing
     * fingerprints. Deterministic; rows-only (xxhash-family kernel not
     * in DuckDB).
@@ -702,7 +753,9 @@ object ScaleQueries {
     "semantic_dedup" -> (semanticDedup _),
     "semdedup_gate" -> (semdedupGate _),
     "pq_encode" -> (pqEncode _),
-    "pq_gate" -> (pqGate _))
+    "pq_gate" -> (pqGate _),
+    "embed_quantize" -> (embedQuantize _),
+    "embed_quantize_gate" -> (embedQuantizeGate _))
 
   /** Shared DuckDB CTE chain closing the exact windowed-Jaccard pair
     * set into min-label components — the oracle twin of
@@ -834,6 +887,32 @@ object ScaleQueries {
                 CAST(1 AS INTEGER) AS all_encoded,
                 CAST(45 AS INTEGER) AS recon_floor_pct,
                 CAST(1 AS INTEGER) AS floor_met
+         FROM embeddings""",
+    // full code recompute: identical fixed-order double arithmetic on
+    // the same float→double-widened values, so every int8 cell matches
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+           x AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS i,
+                        unnest(v) AS val
+                 FROM e),
+           s AS (SELECT i, min(val) AS mn, max(val) AS mx
+                 FROM x GROUP BY i),
+           q AS (SELECT vec_id, i,
+                   CASE WHEN mx = mn THEN 0
+                        ELSE CAST(least(255, greatest(0,
+                          floor((val - mn) * 255 / (mx - mn) + 0.5)))
+                          AS BIGINT) END AS code
+                 FROM x JOIN s USING (i))
+         SELECT vec_id,
+                string_agg(CAST(code AS VARCHAR), ',' ORDER BY i) AS codes
+         FROM q GROUP BY vec_id ORDER BY vec_id""",
+    // n_vectors recomputed; the error/range flags are pinned (bounds
+    // verified Spark-side against the dequantized values)
+    "embed_quantize_gate" ->
+      """SELECT count(*) AS n_vectors,
+                CAST(1 AS INTEGER) AS within_half_step,
+                CAST(1 AS INTEGER) AS codes_in_range
          FROM embeddings""",
     // n_total recomputed; the five contract flags are pinned (the
     // trained kmeans assignment is not SQL-expressible — see
