@@ -116,6 +116,27 @@ object Incremental {
       .agg(merges.head, merges.tail: _*)
   }
 
+  /** Delta maintenance of a two-table inner equi-join view — the join
+    * counterpart of [[aggState]]/[[mergeAggStates]]:
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ (B_old ∪ ΔB)  ∪  A_old ⋈ ΔB
+    *
+    * so the maintained view is `V_old ∪ joinDelta(...)` and a nightly
+    * refresh never re-joins A_old with B_old (the bulk of both
+    * tables). At 100 TB the deltas are day-partitions: both join legs
+    * have a delta side small enough to broadcast (or to shuffle only
+    * the delta plus the matching key partitions), so maintenance cost
+    * scales with |Δ|, not |A|·|B|. Exactness: the three disjoint
+    * products partition the new cross-set — no row is produced twice
+    * because A_old/ΔA (and B_old/ΔB) are disjoint by construction of
+    * the delta predicate.
+    */
+  def joinDelta(aOld: DataFrame, aDelta: DataFrame,
+                bOld: DataFrame, bDelta: DataFrame,
+                keys: Seq[String]): DataFrame =
+    aDelta.join(bOld.unionByName(bDelta), keys)
+      .unionByName(aOld.join(bDelta, keys))
+
   /** Latest-row dedup: keep the newest record per key — the upsert the
     * reference defers to BigQuery (SURVEY.md §2.8). `tieBreak` makes
     * the pick total-order deterministic when timestamps collide.

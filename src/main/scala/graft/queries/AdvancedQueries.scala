@@ -1020,6 +1020,45 @@ object AdvancedQueries {
       .orderBy(col("month"))
   }
 
+  /** Incremental JOIN-view maintenance ([[graft.ops.Incremental
+    * .joinDelta]]): the orders⋈lineitem view is maintained as
+    * V_old ∪ Δ — with Δ = Δorders⋈lineitem_new ∪ orders_old⋈Δlineitem
+    * — instead of re-joining the full tables; both tables change
+    * (orders split on o_orderdate, lineitem independently on
+    * l_shipdate), covering all three delta products. The maintained
+    * view is then aggregated per priority and the oracle recomputes
+    * the aggregate from the FULL join — a hash match proves the
+    * delta algebra reproduced the recompute exactly. Money rides as
+    * exact integer cents (same bit-identity policy as
+    * `agg_incremental`).
+    *
+    * At 100 TB: V_old is an already-materialized table; this query's
+    * two delta joins are the only work a nightly refresh pays, and
+    * each has a broadcastable delta side.
+    */
+  def joinIncremental(s: SparkSession, dir: String): DataFrame = {
+    val cutO = lit("1997-06-01")
+    val cutL = lit("1997-09-01")
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"),
+        col("o_orderdate"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_shipdate"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val (oOld, oDelta) = (orders.filter(col("o_orderdate") < cutO),
+      orders.filter(col("o_orderdate") >= cutO))
+    val (lOld, lDelta) = (li.filter(col("l_shipdate") < cutL),
+      li.filter(col("l_shipdate") >= cutL))
+    val vOld = oOld.join(lOld, Seq("k"))
+    val maintained = vOld.unionByName(
+      graft.ops.Incremental.joinDelta(oOld, oDelta, lOld, lDelta, Seq("k")))
+    maintained.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("k")).as("n_orders"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Data-quality expectation report ([[graft.ops.Expectations]]):
     * the pre-load QA gate a production sync runs. All row-level
     * checks for a table ride ONE aggregate over one scan
@@ -1054,6 +1093,7 @@ object AdvancedQueries {
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_incremental" -> (aggIncremental _),
+    "join_incremental" -> (joinIncremental _),
     "dq_expectations" -> (dqExpectations _),
     "event_transitions" -> (eventTransitions _),
     "skew_stats" -> (skewStats _),
@@ -1167,6 +1207,16 @@ object AdvancedQueries {
          FROM rep ORDER BY tbl, col, expectation""",
     // the oracle is the FULL recompute — maintenance must be
     // indistinguishable from recomputing over everything
+    // the oracle recomputes the view from the FULL join: equality
+    // proves the delta algebra (old ∪ Δa⋈new ∪ old⋈Δb) is exact
+    "join_incremental" ->
+      """SELECT o_orderpriority,
+                count(*) AS n_lines,
+                count(DISTINCT o_orderkey) AS n_orders,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "agg_incremental" ->
       """WITH c AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
                              AS month,

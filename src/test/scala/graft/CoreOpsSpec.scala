@@ -122,4 +122,23 @@ class CoreOpsSpec extends AnyFunSuite {
   test("smoke: entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("joinDelta: maintained view equals the full-join recompute row-for-row") {
+    import spark.implicits._
+    // keys 1-4 exercise all products: old⋈old (in V_old, NOT in the
+    // delta), Δa⋈old, old⋈Δb, Δa⋈Δb; key 5 is delta-only on one side
+    val aOld = Seq((1L, "ao1"), (2L, "ao2"), (3L, "ao3")).toDF("k", "av")
+    val aNew = Seq((2L, "an2"), (4L, "an4"), (5L, "an5")).toDF("k", "av")
+    val bOld = Seq((1L, "bo1"), (2L, "bo2"), (4L, "bo4")).toDF("k", "bv")
+    val bNew = Seq((3L, "bn3"), (2L, "bn2")).toDF("k", "bv")
+    val delta = Incremental.joinDelta(aOld, aNew, bOld, bNew, Seq("k"))
+    val maintained = aOld.join(bOld, Seq("k")).unionByName(delta)
+    val full = aOld.unionByName(aNew).join(bOld.unionByName(bNew), Seq("k"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sorted.toSeq
+    assert(rows(maintained) == rows(full))
+    // and the delta really is disjoint from V_old (no double rows)
+    assert(maintained.count() == full.count())
+  }
 }
