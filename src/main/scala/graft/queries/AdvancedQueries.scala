@@ -221,6 +221,52 @@ object AdvancedQueries {
         when(coalesce(col("__viol"), lit(0L)) === 0, 1)
           .otherwise(0).as("all_within"))
 
+  /** Incremental DISTINCT-count maintenance via mergeable HLL sketch
+    * state (DataSketches `hll_sketch_agg`/`hll_union_agg`) — the gap
+    * [[graft.ops.Incremental.aggState]] cannot cover: count-distinct
+    * is not algebraic, so the incremental-rollup pattern needs a
+    * sketch whose binary state re-aggregates. Per-month distinct
+    * customers are sketched separately on the old and delta order
+    * partitions, union-merged, and checked two ways: the merged
+    * estimate must agree with a one-pass sketch of the full data
+    * (merge consistency) and land within 5% of the exact distinct
+    * recompute (accuracy). At 100 TB the old side is |months| stored
+    * sketch blobs (~2.5 KB each at lgK=12) — the nightly distinct-user
+    * rollup reads the delta partition only, never the history.
+    * Estimates are engine-specific → gate form (flags + recomputed
+    * month count), same contract as `approx_distinct_bound`.
+    */
+  def hllIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders").select(
+      date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+      col("o_custkey"), col("o_orderdate"))
+    val cutoff = lit("1997-06-01")
+    def sketch(part: DataFrame): DataFrame =
+      part.groupBy(col("month"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
+    val merged = sketch(orders.filter(col("o_orderdate") < cutoff))
+      .unionByName(sketch(orders.filter(col("o_orderdate") >= cutoff)))
+      .groupBy(col("month"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    val onePass = orders.groupBy(col("month"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(12)))
+          .as("est_onepass"),
+        countDistinct(col("o_custkey")).as("exact"))
+    val row = merged.join(onePass, Seq("month"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(when(abs(col("est_merged") - col("exact")) * 100
+          <= col("exact") * 5, 0L).otherwise(1L)).as("__acc_viol"),
+        sum(when(abs(col("est_merged") - col("est_onepass")) * 100
+          <= greatest(col("est_onepass"), lit(1L)), 0L).otherwise(1L))
+          .as("__merge_viol"))
+      .head()
+    Seq((row.getLong(0), 5,
+        if (row.getLong(1) == 0L) 1 else 0,
+        if (row.getLong(2) == 0L) 1 else 0))
+      .toDF("n_months", "err_bound_pct", "within_bound", "merge_consistent")
+  }
+
   /** Time-range self-join: same-user event pairs within 6 hours —
     * banded equi-join ([[graft.ops.RangeJoin]]), no nested loop.
     */
@@ -1094,6 +1140,7 @@ object AdvancedQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_incremental" -> (aggIncremental _),
     "join_incremental" -> (joinIncremental _),
+    "hll_incremental" -> (hllIncremental _),
     "dq_expectations" -> (dqExpectations _),
     "event_transitions" -> (eventTransitions _),
     "skew_stats" -> (skewStats _),
@@ -1207,6 +1254,15 @@ object AdvancedQueries {
          FROM rep ORDER BY tbl, col, expectation""",
     // the oracle is the FULL recompute — maintenance must be
     // indistinguishable from recomputing over everything
+    // n_months recomputed; the accuracy and merge-consistency flags
+    // are pinned (sketch estimates are engine-specific)
+    "hll_incremental" ->
+      """SELECT count(DISTINCT date_trunc('month', o_orderdate))
+                  AS n_months,
+                CAST(5 AS INTEGER) AS err_bound_pct,
+                CAST(1 AS INTEGER) AS within_bound,
+                CAST(1 AS INTEGER) AS merge_consistent
+         FROM orders""",
     // the oracle recomputes the view from the FULL join: equality
     // proves the delta algebra (old ∪ Δa⋈new ∪ old⋈Δb) is exact
     "join_incremental" ->
