@@ -714,6 +714,14 @@ object Kernels {
     case 1 =>
       val blockAlign = channels * bits / 8
       val dataBytes = nFrames * blockAlign
+      // RIFF32's chunk-size field is unsigned 32-bit: WAV cannot
+      // represent > 4 GiB of sample data (the format limit RF64/W64
+      // exist to lift) — fail loudly rather than wrap the size.
+      // Values in (2^31, 2^32) still round-trip: the writer stores the
+      // low 32 bits and parseAudioHeader reads the field unsigned.
+      require(dataBytes <= 0xffffffffL,
+        s"WAV data size $dataBytes exceeds the RIFF32 4 GiB limit " +
+          "(use FLAC, or an RF64 writer, for longer payloads)")
       val b = java.nio.ByteBuffer.allocate(44)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       b.put("RIFF".getBytes).putInt((36 + dataBytes).toInt)
