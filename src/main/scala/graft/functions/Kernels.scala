@@ -575,8 +575,11 @@ object Kernels {
     if (b(0) == 'B' && b(1) == 'M' && b.length >= 30)
       return out(FmtBmp, le32(b, 18), math.abs(le32(b, 22).toInt).toLong,
         le16(b, 28).toLong)
-    // GIF: "GIF87a"/"GIF89a" + logical screen w/h LE at 6/8
-    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+    // GIF: "GIF87a"/"GIF89a" + logical screen w/h LE at 6/8, packed
+    // color-depth byte at 10 (needs 11 bytes — one more than the
+    // top-of-function minimum, so re-check before indexing)
+    if (b.length >= 11 &&
+        b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return out(FmtGif, le16(b, 6).toLong, le16(b, 8).toLong,
         ((u8(b, 10) & 0x07) + 1).toLong)
