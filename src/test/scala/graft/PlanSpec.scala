@@ -68,6 +68,21 @@ class PlanSpec extends AnyFunSuite {
     assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
   }
 
+  test("candidate-generation queries never plan a quadratic join") {
+    // the dedup/similarity family's core scale claim: candidates come
+    // from bucketed equi-joins, so no plan may contain a nested-loop
+    // or cartesian product (the one sanctioned BNLJ is ann_topk's
+    // bounded-chunk broadcast theta join, exercised separately)
+    for (name <- Seq("dedup_minhash", "dedup_simhash", "ngram_jaccard",
+        "embed_neardup", "fuzzy_join", "range_join", "fingerprint_pairs")) {
+      val plan = formatted(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n" + plan.take(1500))
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested loop join:\n" + plan.take(1500))
+    }
+  }
+
   test("keyword_search: predicate on the scan, only the oracle sort shuffles") {
     val plan = formatted("keyword_search")
     // the operator itself is scan-stage (Filter directly over Scan);
