@@ -123,6 +123,25 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("driver contract: no silent query-name collisions, oracles resolve") {
+    // SparkEntry.queries is four maps ++'d together — a duplicate name
+    // across files would silently DROP one query from the driver's
+    // correctness surface; assert pairwise disjointness
+    val families = Seq(
+      "ReferenceQueries" -> queries.ReferenceQueries.queries.keySet,
+      "ScaleQueries" -> queries.ScaleQueries.queries.keySet,
+      "TextQueries" -> queries.TextQueries.queries.keySet,
+      "AdvancedQueries" -> queries.AdvancedQueries.queries.keySet)
+    for (Seq((na, a), (nb, b)) <- families.combinations(2)) {
+      val overlap = a.intersect(b)
+      assert(overlap.isEmpty, s"$na and $nb both register: $overlap")
+    }
+    // every oracle must point at a registered query (a typo'd key
+    // would demote the query to rows-only without any visible failure)
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without queries: $dangling")
+  }
+
   test("joinDelta: maintained view equals the full-join recompute row-for-row") {
     import spark.implicits._
     // keys 1-4 exercise all products: old⋈old (in V_old, NOT in the
