@@ -321,12 +321,40 @@ class JsonApiTable(tableSchema: StructType, opts: JsonApiOptions)
 class JsonApiScanBuilder(fullSchema: StructType, opts: JsonApiOptions)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = Int.MaxValue
   private var topN: Option[PushedTopN] = None
+  private var countStar = false
+
+  /** Partial COUNT(*) pushdown: each partition emits ONE partial-count
+    * row instead of its records — the page envelopes are still fetched
+    * (meta.count can be stale-low, so it is never trusted as the
+    * answer; see planInputPartitions), but per-record flatten +
+    * column conversion are skipped entirely, and a 207-column resource
+    * ships 8 bytes per partition. Partial, not complete: Spark sums
+    * the per-partition counts above the scan, which keeps the
+    * semantics exact even with pushed filters (the reader evaluates
+    * them itself). Grouped/column aggregates are declined — Spark
+    * falls back to the regular scan.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    val ok = agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      topN.isEmpty && limit == Int.MaxValue
+    if (ok) countStar = true
+    ok
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rest) = filters.partition(JsonApiFilters.supported)
@@ -363,7 +391,8 @@ class JsonApiScanBuilder(fullSchema: StructType, opts: JsonApiOptions)
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan =
-    new JsonApiScan(opts, fullSchema, required, pushed, limit, topN)
+    new JsonApiScan(opts, fullSchema, required, pushed, limit, topN,
+      countStar)
 }
 
 /** Pushed per-partition top-N: order column, direction, null placement,
@@ -373,15 +402,20 @@ case class PushedTopN(column: String, desc: Boolean, nullsLast: Boolean, n: Int)
 
 class JsonApiScan(opts: JsonApiOptions, fullSchema: StructType,
                   required: StructType, filters: Array[Filter], limit: Int,
-                  topN: Option[PushedTopN])
+                  topN: Option[PushedTopN], countStar: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
-  override def readSchema(): StructType = required
+  // with COUNT(*) pushed, the scan's output is the single partial-count
+  // column (Spark sums the partials above the scan)
+  override def readSchema(): StructType =
+    if (countStar) new StructType().add("count(*)", LongType, nullable = false)
+    else required
   override def toBatch: Batch = this
   override def description(): String =
     s"jsonapi ${opts.path.orElse(opts.url).getOrElse("")} " +
       s"pushed=${filters.mkString(",")} limit=$limit " +
       topN.map(t => s"pushedTopN=${if (t.desc) "-" else ""}${t.column},${t.n}")
-        .getOrElse("")
+        .getOrElse("") +
+      (if (countStar) " pushedAgg=count(*)" else "")
 
   /** The reference serializes the updatedAt range and sort onto the
     * API query string (outreach_etl.py:115-117); we rebuild that from
@@ -508,7 +542,8 @@ class JsonApiScan(opts: JsonApiOptions, fullSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonApiReaderFactory(opts, fullSchema, required, filters, limit, topN)
+    new JsonApiReaderFactory(opts, fullSchema, required, filters, limit,
+      topN, countStar)
 }
 
 /** Cursor-URL extrapolation: if `links.next` differs from page 1 only
@@ -551,7 +586,8 @@ case class JsonApiChainPartition(startUrl: String, preloaded: Option[String])
 
 class JsonApiReaderFactory(opts: JsonApiOptions, fullSchema: StructType,
                            required: StructType, filters: Array[Filter],
-                           limit: Int, topN: Option[PushedTopN])
+                           limit: Int, topN: Option[PushedTopN],
+                           countStar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val mapper = new ObjectMapper()
@@ -601,8 +637,44 @@ class JsonApiReaderFactory(opts: JsonApiOptions, fullSchema: StructType,
           }
         }
     }
-    new JsonApiPageReader(pages, fullSchema, required, filters, limit, topN)
+    if (countStar) new JsonApiCountReader(pages, fullSchema, filters)
+    else new JsonApiPageReader(pages, fullSchema, required, filters, limit,
+      topN)
   }
+}
+
+/** Partial COUNT(*) reader: emits one row = this partition's record
+  * count. With no pushed filters the count is `data[].size` per page
+  * envelope — no per-record flatten, no column conversion; with
+  * filters each record is flattened only as far as filter evaluation
+  * needs. Spark sums the partials above the scan.
+  */
+class JsonApiCountReader(pages: Iterator[JsonNode], fullSchema: StructType,
+                         filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    var n = 0L
+    pages.foreach { root =>
+      val data = root.path("data")
+      if (data.isArray) {
+        if (filters.isEmpty) n += data.size()
+        else data.elements().asScala.foreach { el =>
+          val rec = JsonApiFlatten.flatten(el)
+          if (filters.forall(f => JsonApiFilters.eval(f, rec, fullSchema)))
+            n += 1
+        }
+      }
+    }
+    row = new GenericInternalRow(Array[Any](n))
+    done = true
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 /** Parses page envelopes, flattens `data[]` records, applies pushed

@@ -65,6 +65,30 @@ class SourceSpec extends AnyFunSuite {
     assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("count(*) pushes to the source as partial per-partition counts") {
+    val df = read(fixture("prospects")).groupBy().count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the scan advertises the pushed aggregate and emits the partial
+    // count schema, not the record columns
+    assert(plan.contains("pushedAgg=count(*)"), plan)
+    assert(df.collect().head.getLong(0) == 3L)
+    // correctness with a pushed filter: the reader evaluates the
+    // filter per record before counting
+    val filtered = read(fixture("prospects"))
+      .filter(col("attributes_updatedAt")
+        .between(lit("2019-06-01"), lit("2019-06-05")))
+      .groupBy().count()
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("pushedAgg=count(*)"))
+    assert(filtered.collect().head.getLong(0) == 2L)
+    // grouped aggregates are declined — full scan, same answer
+    val grouped = read(fixture("prospects"))
+      .groupBy(col("relationships_account_data_id")).count()
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("pushedAgg"))
+    assert(grouped.agg(sum("count")).collect().head.getLong(0) == 3L)
+  }
+
   test("jsonapi source: limit pushdown stops the reader early") {
     val df = read(fixture("prospects")).limit(1)
     assert(df.count() == 1)
