@@ -79,6 +79,7 @@ object GraftExtensions {
     "chunk_tokens" -> ((args: Seq[Expression]) =>
       ChunkTokensExpr(args(0), intArg(args(1), "chunk"), intArg(args(2), "step"))),
     "quality_e4" -> ((args: Seq[Expression]) => QualityE4Expr(args(0))),
+    "nfc_normalize" -> ((args: Seq[Expression]) => NfcNormalizeExpr(args(0))),
     "zorder_key" -> ((args: Seq[Expression]) => ZOrderExpr(
       org.apache.spark.sql.catalyst.expressions.Cast(args(0),
         org.apache.spark.sql.types.LongType),

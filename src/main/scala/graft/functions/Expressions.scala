@@ -205,6 +205,21 @@ case class TokensLowerExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "tokens_lower"
 }
 
+/** Unicode NFC canonical composition ([[Kernels.nfcNormalize]]) —
+  * codegen'd; no-op (no allocation) on already-normalized text.
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.nfcNormalize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalizeExpr =
+    copy(child = c)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** Exact-integer quality score ×10⁴ ([[Kernels.qualityE4]]) — one
   * codegen'd byte pass per document.
   */
@@ -465,6 +480,10 @@ object dsl {
   /** Exact-integer quality score ×10⁴ (one-pass kernel). */
   def quality_e4(text: Column): Column =
     ExpressionUtils.column(QualityE4Expr(ExpressionUtils.expression(text)))
+
+  /** Unicode NFC canonical composition (pre-dedup normalization). */
+  def nfc_normalize(text: Column): Column =
+    ExpressionUtils.column(NfcNormalizeExpr(ExpressionUtils.expression(text)))
 
   /** Lowercased `\w+` word tokens (one-pass kernel). */
   def tokens_lower(text: Column): Column =

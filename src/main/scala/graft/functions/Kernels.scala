@@ -368,6 +368,23 @@ object Kernels {
     * default non-Unicode `\W`). One byte pass; feeds explode-based
     * vocabulary/TF-IDF aggregations without the interpreted HOF chain.
     */
+  /** Unicode NFC normalization (canonical composition) — the standard
+    * pre-dedup text normalization: visually-identical strings whose
+    * bytes differ only by composed-vs-decomposed accents (é vs e+U+0301)
+    * collapse to one canonical byte form, so hash-based exact dedup
+    * stops treating them as distinct documents. Backed by
+    * `java.text.Normalizer` (ICU-equivalent tables shipped with the
+    * JDK); already-NFC text (the common case — includes all ASCII)
+    * passes `isNormalized` without allocating.
+    */
+  def nfcNormalize(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   def tokensLower(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     // Unicode lowercase FIRST via UTF8String.toLowerCase — the SAME
     // call Spark's lower() makes, so the kernel matches lower()+split

@@ -176,6 +176,30 @@ object TextQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Unicode NFC normalization for dedup: decomposed accent sequences
+    * (e + combining acute U+0301, o + combining diaeresis U+0308) are
+    * synthesized onto each document, canonically composed by the
+    * codegen'd NFC kernel, and value-checked BYTE-for-byte against
+    * DuckDB's `nfc_normalize` via md5 — with before/after codepoint
+    * counts proving composition actually collapsed the sequences.
+    * Without this step, hash-based exact dedup treats visually
+    * identical composed/decomposed text as distinct documents.
+    */
+  def unicodeNfc(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl._
+    // DECOMPOSED on purpose (escapes: e + combining acute U+0301,
+    // o + combining diaeresis U+0308): NFC must collapse each pair
+    val suffix = " e\u0301o\u0308 cafe\u0301"
+    t(s, dir, "documents")
+      .select(col("doc_id"), concat(col("text"), lit(suffix)).as("raw"))
+      .select(col("doc_id"), length(col("raw")).as("n_raw"),
+        nfc_normalize(col("raw")).as("norm"))
+      .select(col("doc_id"), col("n_raw"),
+        length(col("norm")).as("n_nfc"),
+        md5(col("norm").cast("binary")).as("norm_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Audio-header round-trip: per-document audio container bytes are
     * SYNTHESIZED (WAV for even ids, FLAC for odd; rate/channels/bit
     * depth/length arithmetic in doc_id), then PARSED back by the
@@ -968,6 +992,7 @@ object TextQueries {
     "multimodal_embed_gate" -> (multimodalEmbedGate _),
     "multimodal_header" -> (multimodalHeader _),
     "multimodal_audio" -> (multimodalAudio _),
+    "unicode_nfc" -> (unicodeNfc _),
     "multimodal_frames" -> (multimodalFrames _),
     "sql_surface" -> (sqlSurface _),
     "repetition_stats" -> (repetitionStats _),
@@ -1290,6 +1315,18 @@ object TextQueries {
     "multimodal_frames" ->
       """SELECT doc_id AS media_id, unnest(range(0, 16, 3)) AS frame_idx
          FROM documents ORDER BY media_id, frame_idx""",
+    // byte-exact NFC parity: DuckDB composes the same decomposed
+    // suffix; md5 compares the normalized UTF-8 bytes directly
+    "unicode_nfc" ->
+      """WITH r AS (
+           SELECT doc_id,
+                  text || ' e' || chr(769) || 'o' || chr(776) ||
+                    ' cafe' || chr(769) AS raw
+           FROM documents)
+         SELECT doc_id, CAST(length(raw) AS INTEGER) AS n_raw,
+                CAST(length(nfc_normalize(raw)) AS INTEGER) AS n_nfc,
+                md5(nfc_normalize(raw)) AS norm_md5
+         FROM r ORDER BY doc_id""",
     "multimodal_audio" ->
       """SELECT doc_id AS media_id,
            doc_id % 2 + 1 AS format_code,

@@ -109,4 +109,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rs("solo") == Seq(0L, 0L, 0L))
     assert(rs("x y") == Seq(1L, 1L, 1L))
   }
+
+  test("nfcNormalize: composes decomposed accents; identity on NFC text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def nfc(s: String): String =
+      graft.functions.Kernels.nfcNormalize(UTF8String.fromString(s)).toString
+    // decomposed e + combining acute U+0301 composes to one codepoint
+    assert(nfc("cafe\u0301") == "caf\u00e9")
+    assert(nfc("cafe\u0301").length == 4) // 5 chars in, 4 out
+    // already-NFC input is returned as-is (same instance, no copy)
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(graft.functions.Kernels.nfcNormalize(ascii) eq ascii)
+    // idempotent, and exact-dedup digests now agree across forms
+    assert(nfc(nfc("e\u0301")) == nfc("e\u0301"))
+    assert(nfc("e\u0301") == nfc("\u00e9"))
+  }
 }
