@@ -75,10 +75,16 @@ object Tables {
 
   /** TimestampType (LTZ) view of an event-time column for APIs that
     * require it — streaming watermarks, `window()`. Value-preserving
-    * under the pinned UTC session zone; no-op when already LTZ.
+    * under the pinned UTC session zone; no-op when already LTZ. The
+    * schema overload serves streaming frames, whose schema is fixed
+    * up front.
     */
   def eventTimeOf(df: DataFrame, name: String): Column =
-    df.schema(name).dataType match {
+    eventTimeOf(df.schema, name)
+
+  def eventTimeOf(schema: org.apache.spark.sql.types.StructType,
+                  name: String): Column =
+    schema(name).dataType match {
       case LongType => expr(s"timestamp_micros($name DIV 1000)")
       case _ => col(name).cast(TimestampType)
     }

@@ -16,22 +16,6 @@ object AdvancedQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** Event-time restore for streams read with the testdata's PHYSICAL
-    * schema: legacy nano-long → timestamp_micros(DIV 1000) (exact
-    * integral division); current TIMESTAMP_NTZ vintage → LTZ cast
-    * (value-preserving under the pinned UTC session zone). Mirrors
-    * [[graft.Tables.eventTimeOf]] for streaming frames, whose schema
-    * is fixed up front.
-    */
-  private def restoreTsExpr(
-      schema: org.apache.spark.sql.types.StructType)
-      : org.apache.spark.sql.Column =
-    schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        expr("timestamp_micros(ts DIV 1000)")
-      case _ => col("ts").cast("timestamp")
-    }
-
   /** As-of join: each purchase event gains the timestamp of the same
     * user's most recent click at or before it. One shuffle+sort via
     * the union/carry-forward composition ([[graft.ops.AsOfJoin]]) —
@@ -750,7 +734,7 @@ object AdvancedQueries {
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     val stream = graft.streaming.IncrementalStream
       .readAppendStream(s, stage.toString, schema)
-      .withColumn("ts", restoreTsExpr(schema))
+      .withColumn("ts", Tables.eventTimeOf(schema, "ts"))
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val q = stream.writeStream.format("memory").queryName(name)
@@ -834,7 +818,7 @@ object AdvancedQueries {
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     val src = graft.streaming.IncrementalStream
       .readAppendStream(s, stage.toString, schema)
-      .withColumn("ts", restoreTsExpr(schema))
+      .withColumn("ts", Tables.eventTimeOf(schema, "ts"))
     val sessions = graft.streaming.IncrementalStream
       .sessionizeStream(src, "user_id", "ts",
         gapMs = 30L * 60000L, watermark = "3650 days")
@@ -877,7 +861,7 @@ object AdvancedQueries {
     // separate streams
     def side(evType: String): DataFrame = graft.streaming.IncrementalStream
       .readAppendStream(s, stage.toString, schema)
-      .withColumn("ts", restoreTsExpr(schema))
+      .withColumn("ts", Tables.eventTimeOf(schema, "ts"))
       .filter(col("event_type") === evType)
     val clicks = side("click")
       .select(col("user_id"), col("event_id").as("click_id"),
