@@ -83,6 +83,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("join_incremental: delta date-splits push to the scans, joins broadcast") {
+    val plan = formatted("join_incremental")
+    // the delta predicates must prune at the parquet scan (at scale:
+    // the delta partition read), and the delta join legs broadcast
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate,") ||
+      plan.contains("LessThan(o_orderdate,"),
+      "order date split not pushed:\n" + plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate,") ||
+      plan.contains("LessThan(l_shipdate,"),
+      "lineitem date split not pushed:\n" + plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("keyword_search: predicate on the scan, only the oracle sort shuffles") {
     val plan = formatted("keyword_search")
     // the operator itself is scan-stage (Filter directly over Scan);
