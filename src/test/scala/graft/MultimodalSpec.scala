@@ -102,6 +102,18 @@ class MultimodalSpec extends AnyFunSuite {
     (0 until a.numElements()).map(a.getLong)
   }
 
+  test("new kernels are reachable through the SQL function surface") {
+    graft.GraftExtensions.register(spark)
+    // NOTE: Spark's chr() is mod-256 ASCII (unlike DuckDB's codepoint
+    // chr), so the combining acute rides in as a string literal
+    val acute = "́"
+    val r = spark.sql(
+      s"""SELECT audio_header(make_audio_header(1, 16000, 2, 16, 100)) AS a,
+                 nfc_normalize('cafe$acute') AS n""").head()
+    assert(r.getSeq[Long](0) == Seq(1L, 16000L, 2L, 16L, 100L))
+    assert(r.getString(1) == "café")
+  }
+
   test("audio parse inverts the synthesized header for WAV and FLAC") {
     for {
       fmt <- Seq(1, 2)
