@@ -13,12 +13,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warm-up so the first timed query doesn't absorb JVM
-    // startup: touch the aggregate/join/shuffle machinery once.
+    // startup: touch the aggregate/join/shuffle machinery once, plus
+    // the embeddings/documents parquet footers and one custom kernel
+    // expression — `ann_ivf`/`agg_cube` kept landing in "noisy" purely
+    // because whichever family ran first paid the cold parquet footer
+    // read + kernel classloading for everyone else.
     try {
       spark.range(0, 2000000).selectExpr("sum(id)", "count(distinct id % 7)")
         .collect()
       val w = spark.read.parquet(s"$sfDir/region.parquet")
       w.join(w.limit(1), Seq("r_regionkey"), "left_semi").count()
+      GraftExtensions.register(spark)
+      spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
+        .selectExpr("cosine_sim(embedding, embedding)").count()
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+        .selectExpr("simhash64(token_hashes(text))").count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+      spark.read.parquet(s"$sfDir/orders.parquet").limit(1).count()
+      spark.read.parquet(s"$sfDir/events.parquet").limit(1).count()
     } catch { case _: Throwable => () }
     // optional comma-separated query filter for targeted timing runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -60,12 +72,34 @@ object Bench {
     val failed = results.collect { case (k, ts) if ts.isEmpty => s""""$k"""" }
       .mkString("[", ",", "]")
     val total = r3(results.flatMap(_._2.minOption).sum)
-    // Two lines, detailed first: the driver captures the output TAIL,
-    // so the compact summary (total + best-of-N per query, no samples)
-    // is printed LAST and always survives truncation. r04's artifact
-    // lost its total because the single detailed line led with it.
+    // The 41 queries of the round-1 suite (CORRECTNESS_r01.json): the
+    // only set for which a like-for-like total exists across every
+    // round, so the perf gate can compare 41-vs-41 instead of
+    // raw-total-vs-raw-total across different-sized suites.
+    val anchor41 = Set(
+      "agg_cube", "agg_rollup_counts", "ann_ivf", "ann_lsh", "ann_topk",
+      "approx_distinct", "asof_join", "conform_cast", "day_expansion",
+      "day_histogram", "dedup_clusters", "dedup_exact", "dedup_latest",
+      "dedup_minhash", "dedup_simhash", "embed_neardup", "embed_norm",
+      "fingerprint", "fingerprint_pairs", "flatten_props",
+      "incremental_window", "join_anti", "join_fk", "join_semi",
+      "lang_id", "multimodal_embed", "multimodal_meta", "ngram_jaccard",
+      "pivot_events", "q1_agg", "quality_score", "range_join",
+      "sample_deterministic", "set_except", "set_intersect",
+      "text_stats", "topk_freq", "topk_orders", "union_accumulate",
+      "unpivot_events", "window_running")
+    val anchorTotal = r3(results
+      .filter { case (k, _) => anchor41.contains(k) }
+      .flatMap(_._2.minOption).sum)
+    // Three lines, detailed first: the driver captures the output TAIL
+    // and both the r4 and r5 artifacts lost their totals — r4 because
+    // the detailed line led with it, r5 because the compact line's
+    // 131-query map alone outgrew the tail budget. The LAST line is
+    // therefore minimal (no query map, ~120 bytes) so the total and the
+    // like-for-like anchor subset always survive truncation.
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$repeat,"samples":$samples,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"noisy":$noisy,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_only","value":$total,"unit":"sec","runs":$repeat,"nq":${results.size},"anchor41":$anchorTotal,"anchor41_nq":${results.count(r => anchor41.contains(r._1))},"failed_n":${results.count(_._2.isEmpty)}}""")
     spark.stop()
   }
 }

@@ -692,11 +692,17 @@ object Kernels {
             b(i + 3) == 'a') {
           dataBytes = size
         }
-        // chunks are word-aligned: odd sizes carry one pad byte. A
-        // hostile size (> file, or u32 overflowing Int) ends the walk
-        // instead of looping.
-        if (size < 0 || size > Int.MaxValue - 16) corrupt = true
-        else i += 8 + size.toInt + (size.toInt & 1)
+        // chunks are word-aligned: odd sizes carry one pad byte. The
+        // advance is computed in Long: a hostile size whose Int sum
+        // would wrap (e.g. 0x7FFFFFEC at offset 12) must END the walk,
+        // not alias back into the buffer — so any declared size that
+        // jumps past the payload stops here. Fields already read from
+        // this chunk (a truncated trailing `data` size in particular)
+        // are kept: real tools derive n_frames from the size field of
+        // files whose sample bytes were cut off.
+        val next = i.toLong + 8L + size + (size & 1L)
+        if (size < 0 || next > b.length) corrupt = true
+        else i = next.toInt
       }
       if (haveFmt)
         return out(AfmtWav, rate, ch, bits,

@@ -168,4 +168,28 @@ class MultimodalSpec extends AnyFunSuite {
     hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte
     parseAudio(hostile) // must return, value unspecified
   }
+
+  test("WAV chunk sizes in the Int-overflow window never throw") {
+    // A declared size just under 2^31 passes a naive `size > MaxInt-16`
+    // guard yet wraps an Int offset advance negative (or lands it in
+    // [2^31-8, 2^31-1] so the next bound check itself overflows); the
+    // never-throws contract requires the walk to END instead. Probe
+    // the whole corner: every size in [MaxInt-32, MaxInt] plus the
+    // u32 range above it at both even and odd offsets.
+    val sizes =
+      (Int.MaxValue.toLong - 32 to Int.MaxValue.toLong) ++
+        Seq(0x80000000L, 0xfffffff0L, 0xffffffffL)
+    for (pad <- Seq(0, 1); size <- sizes) {
+      val bb = java.nio.ByteBuffer.allocate(12 + pad * 10 + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(0).put("WAVE".getBytes)
+      if (pad == 1) // odd-sized chunk first so the hostile one sits at 22
+        bb.put("LIST".getBytes).putInt(1).put(0.toByte).put(0.toByte)
+      bb.put("junk".getBytes).putInt(size.toInt) // low 32 bits, read u32
+      parseAudio(bb.array()) // must return, never throw
+    }
+    // and a truncated trailing `data` chunk still reports its frames
+    val wav = Kernels.makeAudioHeader(1, 8000, 1, 16, 1000)
+    assert(parseAudio(wav) == Seq(1L, 8000L, 1L, 16L, 1000L))
+  }
 }
