@@ -711,29 +711,80 @@ object AdvancedQueries {
         "orc_rows_preserved", "orc_checksum_equal")
   }
 
+  /** Stage `events` as `n` TIME-CONTIGUOUS single-file parquet splits
+    * (`ev_0000.parquet` earliest, strictly increasing modification
+    * times) so a file-source stream with `maxFilesPerTrigger = 1`
+    * replays the table as `n` REAL micro-batches in event-time order.
+    * This is what makes the driver-visible stream queries exercise
+    * watermark advance and state-store hand-off ACROSS batches under
+    * the same batch-equivalence oracles — a single symlinked file ran
+    * everything in one batch, leaving the cross-batch contract to
+    * unit tests only. Time-contiguity (boundary ties kept in the
+    * earlier split) preserves per-user event order across batches,
+    * which keeps the multi-batch replay equal to the global replay
+    * the oracles recompute; exact quantile boundaries (relativeError
+    * 0) keep the split deterministic. Staging cost is three filtered
+    * scans of the SMALL events table in a test harness — the
+    * production analogue is files simply arriving over time.
+    */
+  private def stageEventsTimeSplit(s: SparkSession, dir: String,
+                                   n: Int): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val stage = Files.createTempDirectory("graft_stream")
+    val ev = Tables.raw(s, dir, "events")
+    val withUs = ev.withColumn("__us", Tables.microsOf(ev, "ts"))
+    // epoch-micros fit a Double's 53-bit mantissa exactly (≈1.8e15 ≪ 9e15)
+    val bounds = withUs.stat
+      .approxQuantile("__us", (1 until n).map(_.toDouble / n).toArray, 0.0)
+      .map(_.toLong)
+    val base = System.currentTimeMillis() - n * 60000L
+    for (i <- 0 until n) {
+      val lo = if (i == 0) lit(true) else col("__us") > bounds(i - 1)
+      val hi = if (i == n - 1) lit(true) else col("__us") <= bounds(i)
+      val tmp = stage.resolve(s"__tmp_$i")
+      withUs.filter(lo && hi).drop("__us")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst().get()
+      val dest = stage.resolve(f"ev_$i%04d.parquet")
+      Files.move(part, dest)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+    }
+    stage
+  }
+
+  /** Multi-batch proof: fail loudly if a stream query that staged a
+    * split directory did NOT actually run ≥2 non-empty micro-batches
+    * (e.g. a future edit dropping maxFilesPerTrigger would silently
+    * fall back to one batch and stop exercising cross-batch state).
+    */
+  private def requireMultiBatch(
+      q: org.apache.spark.sql.streaming.StreamingQuery, what: String): Unit = {
+    val n = q.recentProgress.count(_.numInputRows > 0)
+    require(n >= 2, s"$what expected >=2 non-empty micro-batches, got $n")
+  }
+
   /** Driver-visible Structured Streaming gate: the events table
     * replayed through a REAL streaming query (file source →
     * AvailableNow trigger → complete-mode memory sink), daily counts
     * per event type. The oracle recomputes the same aggregation in
     * batch SQL — proving the streaming path (micro-batch planner,
     * state store, sink commit) lands on exactly the batch answer,
-    * which is Structured Streaming's core contract.
+    * which is Structured Streaming's core contract. Runs as ≥2 real
+    * micro-batches (time-split stage + maxFilesPerTrigger=1).
     */
   def streamDailyCounts(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.raw(s, dir, "events").schema
     val name = s"stream_daily_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    // the file source streams a DIRECTORY; the testdata ships one
-    // parquet file per table, so stage a symlink into a temp dir
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream")
-    // absolute target: a relative sfDir would make the link resolve
-    // against the TEMP dir and dangle (stream would read zero rows)
-    java.nio.file.Files.createSymbolicLink(
-      stage.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    // the file source streams a DIRECTORY: stage the table as three
+    // time-contiguous files so this runs as three real micro-batches
+    val stage = stageEventsTimeSplit(s, dir, n = 3)
     val stream = graft.streaming.IncrementalStream
-      .readAppendStream(s, stage.toString, schema)
+      .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
       .withColumn("ts", Tables.eventTimeOf(schema, "ts"))
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -742,6 +793,7 @@ object AdvancedQueries {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    requireMultiBatch(q, "stream_daily")
     val out = s.table(name)
       .select(unix_micros(col("day").cast("timestamp")).as("day_us"),
         col("event_type"), col("n"))
@@ -766,14 +818,11 @@ object AdvancedQueries {
     val schema = Tables.raw(s, dir, "events").schema
     val name = s"stream_enrich_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.createSymbolicLink(
-      stage.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val stage = stageEventsTimeSplit(s, dir, n = 3)
     val dim = broadcast(t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment")))
     val stream = graft.streaming.IncrementalStream
-      .readAppendStream(s, stage.toString, schema)
+      .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
       .join(dim, col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -782,6 +831,7 @@ object AdvancedQueries {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    requireMultiBatch(q, "stream_enrich")
     val out = s.table(name)
       .orderBy(col("c_mktsegment"), col("event_type"))
       .localCheckpoint(true) // pin: the memory table dies with the query
@@ -812,12 +862,9 @@ object AdvancedQueries {
     val schema = Tables.raw(s, dir, "events").schema
     val name = s"stream_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.createSymbolicLink(
-      stage.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val stage = stageEventsTimeSplit(s, dir, n = 3)
     val src = graft.streaming.IncrementalStream
-      .readAppendStream(s, stage.toString, schema)
+      .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
       .withColumn("ts", Tables.eventTimeOf(schema, "ts"))
     val sessions = graft.streaming.IncrementalStream
       .sessionizeStream(src, "user_id", "ts",
@@ -827,6 +874,7 @@ object AdvancedQueries {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    requireMultiBatch(q, "stream_sessionize")
     val out = s.table(name)
       .orderBy(col("user_id"), col("session_id"))
       .localCheckpoint(true) // pin: the memory table dies with the query
@@ -852,15 +900,12 @@ object AdvancedQueries {
     val schema = Tables.raw(s, dir, "events").schema
     val name = s"stream_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.createSymbolicLink(
-      stage.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val stage = stageEventsTimeSplit(s, dir, n = 3)
     // two independent sources (not a self-join of one frame), the
     // shape real pipelines have: clicks and purchases arrive as
-    // separate streams
+    // separate streams; each replays its 3 staged files as 3 batches
     def side(evType: String): DataFrame = graft.streaming.IncrementalStream
-      .readAppendStream(s, stage.toString, schema)
+      .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
       .withColumn("ts", Tables.eventTimeOf(schema, "ts"))
       .filter(col("event_type") === evType)
     val clicks = side("click")
@@ -880,6 +925,7 @@ object AdvancedQueries {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    requireMultiBatch(q, "stream_join")
     val out = s.table(name)
       .orderBy(col("user_id"), col("click_id"), col("buy_id"))
       .localCheckpoint(true) // pin: the memory table dies with the query

@@ -561,9 +561,23 @@ object ScaleQueries {
 
   /** Dedup clusters: connected components over the MinHash near-dup
     * pairs — each near-duplicate group becomes one cluster keyed by
-    * its minimum doc id (keep that one, drop the rest). Rows-only
-    * (minhash pair set isn't SQL-expressible); CC correctness is
-    * union-find-checked in DedupSpec.
+    * its minimum doc id (keep that one, drop the rest).
+    *
+    * FULL oracle (promoted from rows-only in r6): the pair set is
+    * LSH candidates ∩ exact-Jaccard ≥ 0.7 (the kernel verifies every
+    * candidate against the exact shingle sets), so it equals the
+    * all-pairs exact-threshold set exactly when LSH candidate recall
+    * is 1.0 — which `dedup_minhash_recall` measures as 1.0 on this
+    * corpus and which was verified pair-for-pair at sf0.001/0.01/0.1
+    * (the synthetic near-dups sit at Jaccard ≈ 0.9+, where the 16×8
+    * S-curve — 50% point ≈ 0.67 — catches ≥ 99.99% per pair; exact
+    * dups are caught with probability 1). The DuckDB twin therefore
+    * recomputes word-trigram shingle sets (same ASCII-alnum-run
+    * tokenization as [[graft.functions.Kernels.tokenHashes]]),
+    * all-pairs Jaccard ≥ 0.7, and closes components recursively. If
+    * the driver regenerates testdata with near-dups inside the LSH
+    * recall window this hash can diverge — but `dedup_minhash_recall`
+    * would flag exactly that (recall < 1.0) in the same run.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
@@ -572,11 +586,11 @@ object ScaleQueries {
       .orderBy(col("id"))
 
   /** Connected components over the EXACT (oracle-checked) windowed
-    * n-gram Jaccard pair set — the oracle-checkable member of the CC
-    * family: DuckDB recomputes the same pairs and closes them with a
-    * recursive CTE, so the cluster assignment itself is value-checked
-    * (dedup_clusters stays rows-only because its minhash pair set is
-    * not SQL-expressible).
+    * n-gram Jaccard pair set — DuckDB recomputes the same pairs and
+    * closes them with a recursive CTE, so the cluster assignment
+    * itself is value-checked. (`dedup_clusters` closes the MinHash
+    * pair set the same way — see [[dedupClusters]] for why that is
+    * now also fully oracle-checked.)
     */
   /** Shared exact-pair CC label pipeline — the ONE place the windowed
     * Jaccard tuning constants live for both `cc_exact` and
@@ -783,6 +797,36 @@ object ScaleQueries {
          lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"""
 
   val oracle: Map[String, String] = Map(
+    // all-pairs exact word-trigram Jaccard ≥ 0.7 closed into min-label
+    // components — equals the engine's verified-LSH pair set on this
+    // corpus (see dedupClusters scaladoc for the recall argument; the
+    // tokenizer twin is Kernels.tokenHashes' ASCII-alnum-run split)
+    "dedup_clusters" ->
+      """WITH RECURSIVE tk AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id AS id,
+                  CASE WHEN len(t) >= 3
+                       THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                           for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, ' ')] END AS gs
+           FROM tk),
+         p AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM g a JOIN g b ON b.id > a.id
+           WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+                 / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT w.id, e2.dst FROM reach w JOIN e e2 ON w.r = e2.src),
+         lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT id, cluster_id FROM lab ORDER BY id""",
     "dedup_canonical" ->
       s"""WITH RECURSIVE $ccLabelsSql
          SELECT d.doc_id, d.lang, d.n_chars

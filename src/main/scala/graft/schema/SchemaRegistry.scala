@@ -47,29 +47,67 @@ object SchemaRegistry {
   /** Resources the reference's URL dispatch routes but ships no schema
     * for — requesting one would crash the reference mid-sync
     * (create_dF_from_schema can't find schemas/accounts.json); here
-    * the dispatch fails eagerly with an actionable message instead.
+    * the dispatch fails eagerly with an actionable message instead,
+    * and BOTH extension mechanisms below can enable them without a
+    * rebuild.
     */
   val ExtensionResources: Set[String] = Set("accounts", "opportunities")
 
+  /** System property naming a directory of extra `{resource}.json`
+    * schema files — the config-driven extension point. Files there
+    * win over the packaged classpath schemas, so a deployment can
+    * both ADD resources (accounts.json) and OVERRIDE shipped ones.
+    */
+  val SchemasDirProp: String = "graft.schemas.dir"
+
+  /** Programmatic twin of [[SchemasDirProp]]: register (or replace) a
+    * resource schema at runtime. Later [[schemaFor]] calls return it.
+    */
+  def register(resource: String, schema: StructType): Unit =
+    cache.put(resource, schema)
+
+  /** Register from the same compact `{"column": "type"}` JSON the
+    * schema files use.
+    */
+  def registerJson(resource: String, json: String): Unit =
+    register(resource, structFromFlatJson(json))
+
+  private def structFromFlatJson(text: String): StructType =
+    StructType(parseFlatJson(text).map { case (name, t) =>
+      StructField(name, sparkType(t), nullable = true)
+    })
+
+  private def externalSchema(resource: String): Option[StructType] =
+    sys.props.get(SchemasDirProp)
+      .map(d => java.nio.file.Paths.get(d, s"$resource.json"))
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .map(p => structFromFlatJson(java.nio.file.Files.readString(p)))
+
   /** Declared StructType for a resource; columns in file (sorted)
-    * order, all nullable.
+    * order, all nullable. Resolution order: runtime-registered →
+    * `-Dgraft.schemas.dir` file → packaged classpath file. Unknown
+    * resources fail eagerly with an actionable message (never a raw
+    * file-not-found mid-sync, which is how the reference dies at
+    * etl_tools.py:39).
     */
   def schemaFor(resource: String): StructType =
     cache.getOrElseUpdate(resource, {
-      if (ExtensionResources(resource))
-        throw new IllegalArgumentException(
-          s"resource '$resource' is a declared extension point: the " +
-            s"reference routes it (outreach_etl.py:81-84) but ships no " +
-            s"schema file; add graft/schemas/$resource.json to enable it")
-      val path = s"/graft/schemas/$resource.json"
-      val in = getClass.getResourceAsStream(path)
-      require(in != null,
-        s"unknown resource '$resource' (no schema at $path); " +
-          s"supported: ${Resources.mkString(", ")}")
-      val text = Using.resource(Source.fromInputStream(in, "UTF-8"))(_.mkString)
-      StructType(parseFlatJson(text).map { case (name, t) =>
-        StructField(name, sparkType(t), nullable = true)
-      })
+      externalSchema(resource).getOrElse {
+        if (ExtensionResources(resource))
+          throw new IllegalArgumentException(
+            s"resource '$resource' is a declared extension point: the " +
+              s"reference routes it (outreach_etl.py:81-84) but ships no " +
+              s"schema file; register one via SchemaRegistry.register/" +
+              s"registerJson, or drop $resource.json in -D$SchemasDirProp")
+        val path = s"/graft/schemas/$resource.json"
+        val in = getClass.getResourceAsStream(path)
+        require(in != null,
+          s"unknown resource '$resource' (no schema at $path, none " +
+            s"registered, none in -D$SchemasDirProp); " +
+            s"supported: ${Resources.mkString(", ")}")
+        val text = Using.resource(Source.fromInputStream(in, "UTF-8"))(_.mkString)
+        structFromFlatJson(text)
+      }
     })
 
   /** The column subset dropped at ingest for a resource

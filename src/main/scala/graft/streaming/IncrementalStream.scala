@@ -21,11 +21,18 @@ object IncrementalStream {
 
   /** File-based streaming read of an append-only directory (each
     * micro-batch = newly arrived files; the reference's "new pages
-    * since last cron run").
+    * since last cron run"). `maxFilesPerTrigger` bounds files per
+    * micro-batch — `AvailableNow` honors it (unlike `Trigger.Once`),
+    * which is how the driver-visible stream queries replay a
+    * multi-file stage as REAL multiple micro-batches instead of one.
     */
   def readAppendStream(spark: SparkSession, dir: String,
-                       schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+                       schema: StructType,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
 
   /** Watermarks (and the time-window functions) require TimestampType;
     * event time arriving as TIMESTAMP_NTZ — the testdata's physical

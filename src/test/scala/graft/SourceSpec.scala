@@ -35,10 +35,43 @@ class SourceSpec extends AnyFunSuite {
       SchemaRegistry.schemaFor("accounts")
     }
     assert(e.getMessage.contains("extension point"), e.getMessage)
+    assert(e.getMessage.contains("register"), e.getMessage)
     val u = intercept[IllegalArgumentException] {
       SchemaRegistry.schemaFor("nonsense")
     }
     assert(u.getMessage.contains("supported: prospects"), u.getMessage)
+  }
+
+  test("extension points become real resources via registerJson") {
+    // `opportunities` (never registered elsewhere in the suite) keeps
+    // this independent of test ordering against the `accounts` checks
+    SchemaRegistry.registerJson("opportunities",
+      """{"id": "string", "attributes_amount": "float",
+         "attributes_closedAt": "datetime"}""")
+    val sch = SchemaRegistry.schemaFor("opportunities")
+    assert(sch.length == 3)
+    assert(sch("attributes_amount").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(sch("attributes_closedAt").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(sch.fields.forall(_.nullable))
+  }
+
+  test("a -Dgraft.schemas.dir file enables an extension resource") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_schemas")
+    java.nio.file.Files.writeString(dir.resolve("accounts_ext.json"),
+      """{"id": "string", "attributes_name": "string",
+         "attributes_employees": "integer"}""")
+    System.setProperty(SchemaRegistry.SchemasDirProp, dir.toString)
+    try {
+      val sch = SchemaRegistry.schemaFor("accounts_ext")
+      assert(sch.length == 3)
+      assert(sch("attributes_employees").dataType ==
+        org.apache.spark.sql.types.LongType)
+    } finally {
+      System.clearProperty(SchemaRegistry.SchemasDirProp)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
   }
 
   test("jsonapi source: pages scan in parallel partitions, flatten applied") {
