@@ -51,6 +51,9 @@ object GraftExtensions {
       SrpBucketExpr(dsl.asFloatArray(args(0)), intArg(args(1), "bits"),
         if (args.length > 2) intArg(args(2), "seed").toLong
         else dsl.DefaultSeed)),
+    "srp_probes" -> ((args: Seq[Expression]) =>
+      SrpProbesExpr(dsl.asFloatArray(args(0)), intArg(args(1), "bits"),
+        intArg(args(2), "seed").toLong, intArg(args(3), "nProbes"))),
     "sorted_intersect_count" -> ((args: Seq[Expression]) =>
       SortedIntersectCountExpr(args(0), args(1))),
     // coercions come from the same dsl helpers the Column API uses, so

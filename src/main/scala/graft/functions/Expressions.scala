@@ -372,6 +372,23 @@ case class SrpBucketExpr(child: Expression, bits: Int, seed: Long)
   override def prettyName: String = "srp_bucket"
 }
 
+/** Query-directed multi-probe bucket sequence for SRP-LSH — the
+  * `nProbes` likeliest buckets ordered by flip cost
+  * ([[Kernels.srpProbes]]; probes[0] is the row's own bucket).
+  */
+case class SrpProbesExpr(child: Expression, bits: Int, seed: Long,
+                         nProbes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.srpProbes(input.asInstanceOf[ArrayData], bits, seed, nProbes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.srpProbes($c, $bits, ${seed}L, $nProbes)")
+  override protected def withNewChildInternal(c: Expression): SrpProbesExpr =
+    copy(child = c)
+  override def prettyName: String = "srp_probes"
+}
+
 /** Morton (Z-order) interleave of two long columns' low 32 bits — the
   * multi-dimensional layout sort key (see [[Kernels.interleave2]]).
   */
@@ -441,6 +458,10 @@ object dsl {
   def srp_bucket(c: Column, bits: Int, seed: Long = DefaultSeed): Column =
     ExpressionUtils.column(
       SrpBucketExpr(asFloatArray(ExpressionUtils.expression(c)), bits, seed))
+
+  def srp_probes(c: Column, bits: Int, seed: Long, nProbes: Int): Column =
+    ExpressionUtils.column(SrpProbesExpr(
+      asFloatArray(ExpressionUtils.expression(c)), bits, seed, nProbes))
 
   def shingle_set(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleSetExpr(ExpressionUtils.expression(text), n))

@@ -839,4 +839,55 @@ object Kernels {
     }
     out
   }
+
+  /** Query-directed multi-probe sequence for [[srpBucket]] (Lv et al.,
+    * VLDB'07 adapted to signed random projections): the `nProbes`
+    * bucket ids most likely to hold a query's near neighbors, ordered
+    * by flip cost — the sum of |hyperplane projection| over flipped
+    * bits. probes[0] is always the query's own bucket (cost 0); a
+    * 2-bit flip of two near-boundary planes outranks a 1-bit flip of a
+    * confident plane, which is exactly the headroom uniform
+    * single-bit-flip probing leaves on the table. Same (seed, bit,
+    * dim) hyperplane stream as [[srpBucket]], so probes land in REAL
+    * index buckets.
+    *
+    * Cost: enumerates the 2^bits flip masks per call — bounded by the
+    * `bits <= 12` guard and only ever computed QUERY-side (the
+    * corpus-side index stays one bucket per (table, vector)).
+    */
+  def srpProbes(v: ArrayData, bits: Int, seed: Long, nProbes: Int): ArrayData = {
+    require(bits >= 1 && bits <= 12,
+      s"srp_probes enumerates 2^bits flip masks; bits=$bits outside [1,12]")
+    val n = v.numElements()
+    val cost = new Array[Double](bits)
+    var base = 0L
+    var b = 0
+    while (b < bits) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val r = mix64(seed + b * 131071L + i)
+        acc += (if ((r & 1L) == 0L) 1.0 else -1.0) * v.getFloat(i)
+        i += 1
+      }
+      cost(b) = math.abs(acc)
+      if (acc >= 0) base |= (1L << b)
+      b += 1
+    }
+    val m = 1 << bits
+    val score = new Array[Double](m)
+    var mask = 1
+    while (mask < m) {
+      // score via lowest set bit: O(2^bits) total, no inner loop
+      val low = java.lang.Integer.numberOfTrailingZeros(mask)
+      score(mask) = score(mask & (mask - 1)) + cost(low)
+      mask += 1
+    }
+    val order = (0 until m).sortBy(mk => (score(mk), mk)) // mask tie-break: deterministic
+    val t = math.max(1, math.min(nProbes, m))
+    val out = new Array[Long](t)
+    var k = 0
+    while (k < t) { out(k) = base ^ order(k).toLong; k += 1 }
+    new GenericArrayData(out)
+  }
 }

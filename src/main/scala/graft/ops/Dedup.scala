@@ -69,6 +69,54 @@ object Dedup {
     df.groupBy(md5(keyCol.cast("binary")).as("key_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** All `(id_a < id_b)` co-occurrence pairs from a self-equi-join of
+    * `rows` on `keys` — ONE output row per key match (callers then
+    * `distinct` or count matches per pair), with optional hot-bucket
+    * salting for skew.
+    *
+    * The scale problem this solves: a bucket of m rows (shared
+    * boilerplate in LSH; a ubiquitous fingerprint) lands all m² pair
+    * work on the ONE reducer that owns its key. With `salt` = s,
+    * buckets larger than `hotThreshold` are split by a deterministic
+    * per-id salt into s groups and the self-join runs over the
+    * s·(s+1)/2 (lo, hi) grid cells — each row replicated s ways, each
+    * cell doing (m/s)² of the work on its own reducer. A pair whose
+    * salts are (α, β) meets in every shared cell, so the join keeps
+    * only the canonical cell (lo, hi) = (min(α,β), max(α,β)) — that
+    * filter is what makes salted output EXACTLY equal the plain join
+    * (one row per match, no replication echo), which DedupSpec pins.
+    * Defaults leave salting off; production turns it on for the
+    * boilerplate-heavy corpora SCALE.md names.
+    */
+  def keyPairs(rows: DataFrame, keys: Seq[String],
+               hotThreshold: Int = Int.MaxValue, salt: Int = 1): DataFrame = {
+    def eqOn(extra: Column): Column =
+      keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+        col("a.id") < col("b.id") && extra
+    def plain(df: DataFrame): DataFrame =
+      df.as("a").join(df.as("b"), eqOn(lit(true)))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    if (salt <= 1 || hotThreshold == Int.MaxValue) plain(rows)
+    else {
+      val keyCols = keys.map(col)
+      val sizes = rows.groupBy(keyCols: _*).agg(count(lit(1)).as("__bn"))
+      val tagged = rows.join(sizes, keys)
+      val cold = tagged.filter(col("__bn") <= hotThreshold).drop("__bn")
+      val hot = tagged.filter(col("__bn") > hotThreshold).drop("__bn")
+        .withColumn("__salt", pmod(hash(col("id")), lit(salt)))
+      val cells = hot.select(col("*"), explode(expr(
+          s"transform(sequence(0, ${salt - 1}), " +
+            "j -> named_struct('lo', least(__salt, j), 'hi', greatest(__salt, j)))"))
+        .as("__cell"))
+      val hotPairs = cells.as("a")
+        .join(cells.as("b"), eqOn(col("a.__cell") === col("b.__cell")))
+        .filter(col("a.__cell.lo") === least(col("a.__salt"), col("b.__salt")) &&
+          col("a.__cell.hi") === greatest(col("a.__salt"), col("b.__salt")))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      plain(cold).unionByName(hotPairs)
+    }
+  }
+
   /** MinHash + banded LSH near-duplicate pairs.
     *
     * numHashes = bands * rowsPerBand. Docs sharing ≥1 band bucket are
@@ -82,11 +130,19 @@ object Dedup {
     * O(bucket²) candidate pairs; production dedup drops or routes
     * such buckets to a dedicated clustering pass. Default is high
     * enough to be inactive on the test corpus.
+    *
+    * `hotBucketThreshold`/`hotBucketSalt` turn on [[keyPairs]]'s
+    * salted self-join for buckets UNDER the drop cap but big enough
+    * to pin one reducer (the documented escalation between "fine" and
+    * "drop the bucket"). Result-invariant vs the unsalted path
+    * (DedupSpec pins it); off by default.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
                    threshold: Double = 0.7,
-                   maxBucketSize: Int = 10000): DataFrame = {
+                   maxBucketSize: Int = 10000,
+                   hotBucketThreshold: Int = Int.MaxValue,
+                   hotBucketSalt: Int = 1): DataFrame = {
     val numHashes = bands * rowsPerBand
     // sh is sorted+distinct (kernel guarantee) → verification is a
     // linear merge. The signature table feeds three consumers (band
@@ -113,12 +169,8 @@ object Dedup {
       .drop("__bn")
     val pruned = banded.join(bucketSizes, Seq("band_idx", "band_hash"))
 
-    val candidates = pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val candidates = keyPairs(pruned, Seq("band_idx", "band_hash"),
+        hotBucketThreshold, hotBucketSalt)
       .distinct()
 
     val sets = base.select(col("id"), col("sh"))

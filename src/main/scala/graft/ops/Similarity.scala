@@ -460,7 +460,9 @@ object Similarity {
     */
   def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 8, w: Int = 4, minShared: Int = 5,
-                       maxDocsPerFp: Int = 50): DataFrame = {
+                       maxDocsPerFp: Int = 50,
+                       hotFpThreshold: Int = Int.MaxValue,
+                       hotFpSalt: Int = 1): DataFrame = {
     val fps = TextOps.winnowingFingerprints(df, idCol, textCol, k, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = fps.groupBy(col("fp"))
@@ -468,9 +470,11 @@ object Similarity {
       .filter(col("__docs") <= maxDocsPerFp)
       .drop("__docs")
     val pruned = fps.join(rare, Seq("fp"))
-    val pairs = pruned.as("a").join(pruned.as("b"),
-        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // keyPairs emits one row per shared fingerprint (exactly once even
+    // on the salted path), so the count below IS n_shared
+    val pairs = graft.ops.Dedup
+      .keyPairs(pruned, Seq("fp"), hotFpThreshold, hotFpSalt)
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
     // pin the small pair set, release the corpus-sized fingerprint cache

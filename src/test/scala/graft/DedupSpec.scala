@@ -42,6 +42,41 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("keyPairs: salted grid join equals the plain self-join exactly") {
+    // skewed bucket layout: one hot key with 40 members (every salt
+    // collision shape, incl. pairs whose salts coincide — the case the
+    // canonical-cell filter must dedupe), several cold keys, and keys
+    // crossing the hot threshold boundary exactly
+    val rows = (
+      (1 to 40).map(i => ("hot", i.toLong)) ++
+      (1 to 5).map(i => ("warm", 100L + i)) ++
+      Seq(("cold", 200L), ("cold", 201L), ("single", 300L))
+    ).toDF("k", "id")
+    val plain = Dedup.keyPairs(rows, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (salt <- Seq(2, 3, 7); thr <- Seq(0, 4, 39)) {
+      val salted = Dedup.keyPairs(rows, Seq("k"), thr, salt).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(salted == plain, s"salt=$salt thr=$thr")
+    }
+    // multiplicity is preserved per key match, not collapsed: the
+    // fingerprint caller counts these rows
+    assert(plain.length == 40 * 39 / 2 + 5 * 4 / 2 + 1)
+  }
+
+  test("minhashPairs: hot-bucket salting flag is result-invariant") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = Dedup.minhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // threshold 1 forces EVERY multi-member bucket through the salted
+    // grid — maximal divergence surface vs the plain path
+    val salted = Dedup.minhashPairs(docs, "doc_id", "text",
+        hotBucketThreshold = 1, hotBucketSalt = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(salted == base)
+    assert(base.nonEmpty) // the corpus has planted near-dups
+  }
+
   test("simhash: identical → hamming 0; near-identical → small hamming") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
@@ -176,12 +211,15 @@ class DedupSpec extends AnyFunSuite {
   test("ann_lsh_recall / ann_ivf_recall gates: full coverage, floor met") {
     val nQueries = graft.Tables(spark, sf, "embeddings")
       .filter(col("vec_id") % 20 === 0).count()
-    for (gate <- Seq(graft.queries.ScaleQueries.annLshRecall _,
-                     graft.queries.ScaleQueries.annIvfRecall _)) {
+    // LSH's floor is 80 (query-directed probing measures ≥0.93); IVF
+    // keeps 60 (nprobe=2 over 8 lists measures 0.787 at sf0.1)
+    for ((gate, floor) <- Seq(
+        (graft.queries.ScaleQueries.annLshRecall _, 80),
+        (graft.queries.ScaleQueries.annIvfRecall _, 60))) {
       val row = gate(spark, sf).collect()
       assert(row.length == 1)
       assert(row(0).getAs[Long]("n_queries") == nQueries)
-      assert(row(0).getAs[Int]("recall_floor_pct") == 60)
+      assert(row(0).getAs[Int]("recall_floor_pct") == floor)
       assert(row(0).getAs[Int]("floor_met") == 1)
     }
   }

@@ -114,6 +114,37 @@ object KernelProps extends Properties("kernels") {
       if (singleWindow) g == 0L else g >= 0L && g <= 4L
     }
 
+  property("srpProbes: head is srpBucket; probes distinct, in range, " +
+      "cost-ordered, full enumeration covers every bucket") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100, 100).map(_.toFloat)),
+      Gen.chooseNum(1, 8), Gen.chooseNum(1L, 999L)) { (v, bits, seed) =>
+      val a = new GenericArrayData(v.toArray[Any])
+      val m = 1 << bits
+      val full = Kernels.srpProbes(a, bits, seed, m)
+      val probes = (0 until full.numElements()).map(full.getLong)
+      val base = Kernels.srpBucket(a, bits, seed)
+      // flip cost of probe p = Σ|projection| over bits where p differs
+      // from the base bucket — recompute independently
+      def cost(p: Long): Double = (0 until bits).map { b =>
+        if (((p ^ base) & (1L << b)) != 0L) {
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) {
+            val r = Kernels.mix64(seed + b * 131071L + i)
+            acc += (if ((r & 1L) == 0L) 1.0 else -1.0) * v(i)
+            i += 1
+          }
+          math.abs(acc)
+        } else 0.0
+      }.sum
+      val costs = probes.map(cost)
+      probes.head == base &&
+        probes.distinct.length == m &&
+        probes.forall(p => p >= 0 && p < m) &&
+        costs.zip(costs.tail).forall { case (x, y) => x <= y + 1e-9 } &&
+        Kernels.srpProbes(a, bits, seed, 3).numElements() == math.min(3, m)
+    }
+
   property("interleave2 round-trips both 32-bit inputs") =
     forAll(Gen.chooseNum(0L, 0xffffffffL), Gen.chooseNum(0L, 0xffffffffL)) {
       (a, b) =>
