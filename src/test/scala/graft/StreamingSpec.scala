@@ -105,6 +105,56 @@ class StreamingSpec extends AnyFunSuite {
       s"got: $got")
   }
 
+  test("sessionization state and numbering survive real micro-batch " +
+      "boundaries (timeout + gap-close both fire ACROSS batches)") {
+    val tmp = Files.createTempDirectory("graft-sess-mb").toFile
+    val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+    val baseMs = 86400000L
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    import spark.implicits._
+    // file/batch 1: user 1 opens a session (0-10 min), user 2 one event
+    Seq((1L, ts(0)), (1L, ts(10)), (2L, ts(0)))
+      .toDF("user_id", "ts").coalesce(1).write.mode("overwrite")
+      .parquet(inDir.getAbsolutePath)
+    Thread.sleep(1200) // distinct mtimes → deterministic file order
+    // file/batch 2: user 1 returns past the 30-min gap. Closing the
+    // batch-1 session requires its state to RELOAD across the batch
+    // boundary; the watermark advance (70 − 10 = 60 min) then times
+    // out user 2's still-open batch-1 session. Neither path can run
+    // unless state and watermark genuinely persist between batches —
+    // the thing a single-batch replay never exercises.
+    Seq((1L, ts(60)), (1L, ts(70)))
+      .toDF("user_id", "ts").coalesce(1).write.mode("append")
+      .parquet(inDir.getAbsolutePath)
+
+    val schema = spark.read.parquet(inDir.getAbsolutePath).schema
+    val stream = IncrementalStream.readAppendStream(
+      spark, inDir.getAbsolutePath, schema, maxFilesPerTrigger = Some(1))
+    val q = IncrementalStream
+      .sessionizeStream(stream, "user_id", "ts",
+        gapMs = 30 * 60000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_mb_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(batches >= 2, s"expected >=2 non-empty micro-batches, got $batches")
+
+    val got = spark.table("sess_mb_out")
+      .select("user_id", "session_id", "n_events", "start_us", "end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val baseUs = baseMs * 1000L
+    // identical output to the single-batch replay: batching must not
+    // change semantics. User 1's second session (60-70) stays open —
+    // the watermark hasn't passed its gap edge — proving numbering
+    // state also carried over (it will be session_id 2 when closed).
+    assert(got == Set(
+      (1L, 1L, 2L, baseUs, baseUs + 10L * 60000000L),
+      (2L, 1L, 1L, baseUs, baseUs)),
+      s"got: $got")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val tmp = Files.createTempDirectory("graft-sjoin").toFile
     val lDir = new java.io.File(tmp, "l"); lDir.mkdirs()
