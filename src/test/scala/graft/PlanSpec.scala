@@ -83,6 +83,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("keyPairs salted path: equi-join on (key, cell), no quadratic join") {
+    // the salting escalation must keep the self-join an EQUI-join —
+    // a salted plan that degraded to BNLJ/cartesian would recreate the
+    // hot-reducer problem it exists to solve, just wider
+    import spark.implicits._
+    val rows = (1 to 50).map(i => ("k" + (i % 3), i.toLong)).toDF("k", "id")
+    val plan = graft.ops.Dedup.keyPairs(rows, Seq("k"), 4, 4)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // both legs present: plain join for cold buckets, grid join for hot
+    assert(plan.contains("Union"), plan.take(1500))
+  }
+
   test("join_incremental: delta date-splits push to the scans, joins broadcast") {
     val plan = formatted("join_incremental")
     // the delta predicates must prune at the parquet scan (at scale:
