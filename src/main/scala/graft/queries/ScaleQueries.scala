@@ -33,7 +33,17 @@ object ScaleQueries {
       .orderBy(col("keep_id"))
 
   /** MinHash(128) + 16-band LSH near-dup pairs, Jaccard ≥ 0.7 verified
-    * exactly on the shingle sets. Deterministic; rows-only check.
+    * exactly on the shingle sets.
+    *
+    * FULL oracle (promoted from rows-only in r6, same argument as
+    * [[dedupClusters]]): every emitted pair carries the EXACT Jaccard
+    * over the shingle sets (a ratio of small integer counts —
+    * identical IEEE division in both engines), and with LSH candidate
+    * recall 1.0 on this corpus the pair set equals the all-pairs
+    * exact-threshold set. Verified value-for-value (including the
+    * jaccard column) at sf0.001/0.01/0.1 against DuckDB's all-pairs
+    * recompute from raw text; `dedup_minhash_recall` flags the
+    * recall-degradation case that could ever make this diverge.
     */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -810,6 +820,30 @@ object ScaleQueries {
          lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"""
 
   val oracle: Map[String, String] = Map(
+    // the verified-LSH pair set WITH its exact jaccard values — equals
+    // DuckDB's all-pairs word-trigram recompute on this corpus (see
+    // dedupMinhash scaladoc; integer-count division is IEEE-identical
+    // in both engines, so even the rounded ratio hash-matches)
+    "dedup_minhash" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id AS id,
+                  CASE WHEN len(t) >= 3
+                       THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                           for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, ' ')] END AS gs
+           FROM tk)
+         SELECT a.id AS id_a, b.id AS id_b,
+                round(len(list_intersect(a.gs, b.gs))::DOUBLE
+                      / len(list_distinct(list_concat(a.gs, b.gs))), 4) AS jaccard
+         FROM g a JOIN g b ON b.id > a.id
+         WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+               / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7
+         ORDER BY id_a, id_b""",
     // all-pairs exact word-trigram Jaccard ≥ 0.7 closed into min-label
     // components — equals the engine's verified-LSH pair set on this
     // corpus (see dedupClusters scaladoc for the recall argument; the
