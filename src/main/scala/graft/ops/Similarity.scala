@@ -59,8 +59,6 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, centroidEvery: Int = 97,
               nprobe: Int = 3, maxCentroids: Int = 1 << 14): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-
     // distributed TakeOrdered: the driver receives at most maxCentroids
     // (id, vector) rows regardless of corpus size
     val codebook = emb.filter(col(idCol) % centroidEvery === 0)
@@ -69,6 +67,19 @@ object Similarity {
       .orderBy(col("centroid_id")).limit(maxCentroids)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    ivfTopKWithCodebook(emb, idCol, vecCol, queryPred, k, nprobe, codebook)
+  }
+
+  /** [[ivfTopK]] with the coarse quantizer supplied by the caller —
+    * the production shape, where the codebook comes from a TRAINED
+    * k-means (Faiss-style IVF) rather than a data sample. Same
+    * zero-shuffle list assignment: the codebook is embedded as plan
+    * literals and `nearest_centroids` runs in the scan stage.
+    */
+  def ivfTopKWithCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                          queryPred: Column, k: Int, nprobe: Int,
+                          codebook: Array[(Long, Seq[Float])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val centsLit = typedLit(codebook.map(_._2).toSeq)
     val idsLit = typedLit(codebook.map(_._1).toSeq)
     def nearest(v: Column, n: Int): Column =
