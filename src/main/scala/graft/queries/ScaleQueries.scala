@@ -622,8 +622,10 @@ object ScaleQueries {
   }
 
   /** Fingerprint-collision pairs: documents sharing ≥5 winnowing
-    * fingerprints. Deterministic; rows-only (xxhash-family kernel not
-    * in DuckDB).
+    * fingerprints. FULL oracle (promoted in r6): the fingerprint
+    * kernel is replayed bit-for-bit in DuckDB (see `fingerprint`),
+    * then closed into shared-fp pair counts with the same
+    * maxDocsPerFp=50 prune — verified exact at all three SFs.
     */
   def fingerprintPairs(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.fingerprintPairs(
@@ -870,6 +872,53 @@ object ScaleQueries {
          lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"""
 
   val oracle: Map[String, String] = Map(
+    // same replayed fingerprint set, closed into shared-fp pair counts
+    // with the maxDocsPerFp=50 hot-fingerprint prune
+    "fingerprint_pairs" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len FROM documents),
+         pos AS (
+           SELECT doc_id, text,
+                  CASE WHEN len >= 8 THEN 8 ELSE len END AS m,
+                  unnest(range(1, CASE WHEN len >= 8 THEN len - 7 ELSE 1 END + 1)) AS i,
+                  CASE WHEN len >= 8 THEN len - 7 ELSE 1 END AS nk
+           FROM d),
+         f AS (
+           SELECT doc_id, i, nk,
+                  list_reduce(
+                    list_prepend(14695981039346656037::UBIGINT,
+                      list_transform(range(i, i + m), j -> CAST(ord(text[j]) AS UBIGINT))),
+                    (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
+                                     % 18446744073709551616 AS UBIGINT)) AS f0
+           FROM pos),
+         m1 AS (SELECT doc_id, i, nk,
+                  CAST((CAST(f0 AS HUGEINT) + 11400714819323198485)
+                       % 18446744073709551616 AS UBIGINT) AS z1 FROM f),
+         m2 AS (SELECT doc_id, i, nk,
+                  CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT) * 13787848793156543929) + (((CAST(xor(z1, z1 >> 30) // 4294967296 AS HUGEINT) * 484763065) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z2 FROM m1),
+         m3 AS (SELECT doc_id, i, nk,
+                  CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT) * 10723151780598845931) + (((CAST(xor(z2, z2 >> 27) // 4294967296 AS HUGEINT) * 321982955) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z3 FROM m2),
+         kh AS (SELECT doc_id, i, nk,
+                  CAST(CAST(xor(z3, z3 >> 31) AS HUGEINT)
+                       - CASE WHEN xor(z3, z3 >> 31) >= 9223372036854775808::UBIGINT
+                              THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                       AS BIGINT) AS h
+                FROM m3),
+         wmin AS (
+           SELECT doc_id, i, nk,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM kh),
+         fps AS (
+           SELECT DISTINCT doc_id AS id, fp
+           FROM wmin
+           WHERE i <= CASE WHEN nk >= 4 THEN nk - 3 ELSE 1 END),
+         rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+         pr AS (SELECT id, fp FROM fps JOIN rare USING (fp))
+         SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+         FROM pr a JOIN pr b ON a.fp = b.fp AND a.id < b.id
+         GROUP BY 1, 2 HAVING count(*) >= 5
+         ORDER BY id_a, id_b""",
     // the SimHash SIGNATURE KERNELS replayed bit-for-bit in SQL (FNV-1a
     // token fold + SplitMix64 finalizer in UBIGINT; u64 multiplies run
     // as split lo/hi mod-2^64 since the full product overflows INT128;

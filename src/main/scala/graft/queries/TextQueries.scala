@@ -42,8 +42,12 @@ object TextQueries {
       TextOps.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
-  /** Winnowing fingerprints (rows-only: xxhash64 isn't in DuckDB).
-    * Output is the exploded (doc, fp) pair set a dedup join consumes.
+  /** Winnowing fingerprints per document. FULL oracle (promoted in
+    * r6): DuckDB replays the byte-level k-gram FNV-1a + SplitMix64
+    * hash and the signed window-min selection bit-for-bit (the corpus
+    * is pure ASCII, so char arithmetic equals the kernel's byte
+    * arithmetic) — verified exact at sf0.001/0.01/0.1
+    * (55692/54103/538348 rows).
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.winnowingFingerprints(t(s, dir, "documents"), "doc_id", "text")
@@ -1022,6 +1026,51 @@ object TextQueries {
     s"len(list_filter($tokSql, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    // the winnowing FINGERPRINT KERNEL replayed bit-for-bit in SQL:
+    // byte-level k-gram FNV-1a + SplitMix64 (split-multiply mod-2^64 as
+    // in dedup_simhash; the corpus is pure ASCII so chars == bytes),
+    // window minima via a 4-row window frame COMPARED SIGNED (the
+    // kernel's Long ordering), then per-doc distinct
+    "fingerprint" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len FROM documents),
+         pos AS (
+           SELECT doc_id, text,
+                  CASE WHEN len >= 8 THEN 8 ELSE len END AS m,
+                  unnest(range(1, CASE WHEN len >= 8 THEN len - 7 ELSE 1 END + 1)) AS i,
+                  CASE WHEN len >= 8 THEN len - 7 ELSE 1 END AS nk
+           FROM d),
+         f AS (
+           SELECT doc_id, i, nk,
+                  list_reduce(
+                    list_prepend(14695981039346656037::UBIGINT,
+                      list_transform(range(i, i + m), j -> CAST(ord(text[j]) AS UBIGINT))),
+                    (acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
+                                     % 18446744073709551616 AS UBIGINT)) AS f0
+           FROM pos),
+         m1 AS (SELECT doc_id, i, nk,
+                  CAST((CAST(f0 AS HUGEINT) + 11400714819323198485)
+                       % 18446744073709551616 AS UBIGINT) AS z1 FROM f),
+         m2 AS (SELECT doc_id, i, nk,
+                  CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT) * 13787848793156543929) + (((CAST(xor(z1, z1 >> 30) // 4294967296 AS HUGEINT) * 484763065) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z2 FROM m1),
+         m3 AS (SELECT doc_id, i, nk,
+                  CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT) * 10723151780598845931) + (((CAST(xor(z2, z2 >> 27) // 4294967296 AS HUGEINT) * 321982955) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z3 FROM m2),
+         kh AS (SELECT doc_id, i, nk,
+                  CAST(CAST(xor(z3, z3 >> 31) AS HUGEINT)
+                       - CASE WHEN xor(z3, z3 >> 31) >= 9223372036854775808::UBIGINT
+                              THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                       AS BIGINT) AS h
+                FROM m3),
+         wmin AS (
+           SELECT doc_id, i, nk,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM kh),
+         fps AS (
+           SELECT DISTINCT doc_id AS id, fp
+           FROM wmin
+           WHERE i <= CASE WHEN nk >= 4 THEN nk - 3 ELSE 1 END)
+         SELECT id, fp FROM fps ORDER BY id, fp""",
     "bpe_merges" -> bpeOracle(BpeMerges),
     "bpe_encode" -> bpeEncodeOracle(BpeMerges),
     "mixture_sample" ->
