@@ -968,6 +968,54 @@ object AdvancedQueries {
     out
   }
 
+  /** Driver-visible STREAMING DEDUPLICATION — the fifth streaming
+    * shape (after windowed agg, stream-static enrich, custom state,
+    * and two-sided join state: KEYED DEDUP STATE): first occurrence
+    * of each (user_id, event_type, day) key across the multi-batch
+    * replay via [[graft.streaming.IncrementalStream
+    * .dedupKeysWithinWatermark]] (Spark's
+    * `dropDuplicatesWithinWatermark`). Only KEY columns are emitted,
+    * so the result is arrival-order-independent and equals batch
+    * `SELECT DISTINCT` — which the oracle recomputes. The
+    * cross-batch contract this pins: a key first seen in batch 1 and
+    * repeated in batch 2 must NOT re-emit, i.e. dedup state genuinely
+    * survives the state-store reload at the batch boundary. The
+    * watermark delay is what bounds state at scale (evicted keys
+    * re-emit on re-arrival — StreamingSpec covers that path with
+    * hand-built batches); here it spans the whole replay so the
+    * streamed answer is exactly DISTINCT.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame =
+      withStreamStatePartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.raw(s, dir, "events").schema
+    val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stage = stageEventsTimeSplit(s, dir, n = 2)
+    val src = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
+      .withColumn("ts", Tables.eventTimeOf(schema, "ts"))
+      .withColumn("day", to_date(col("ts")))
+    val deduped = graft.streaming.IncrementalStream
+      .dedupKeysWithinWatermark(src, "ts", "3650 days",
+        Seq("user_id", "event_type", "day"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("day").cast("timestamp")).as("day_us"))
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    requireMultiBatch(q, "stream_dedup")
+    val out = s.table(name)
+      .orderBy(col("user_id"), col("event_type"), col("day_us"))
+      .localCheckpoint(true) // pin: the memory table dies with the query
+    q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    // stage dir is session-cached (stageCache) — not deleted per query
+    out
+  }
+
   /** Full outer join coverage (§2.7 — the one join shape broadcast
     * can't serve): per-nation customer/supplier account totals where
     * either side may be absent.
@@ -1212,6 +1260,7 @@ object AdvancedQueries {
     "stream_enrich" -> (streamEnrich _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_join" -> (streamJoin _),
+    "stream_dedup" -> (streamDedup _),
     "join_outer" -> (joinOuter _),
     "window_ranks" -> (windowRanks _),
     "sync_checksum" -> (syncChecksum _),
@@ -1400,6 +1449,13 @@ object AdvancedQueries {
       """SELECT c.c_mktsegment, e.event_type, count(*) AS n
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""",
+    // batch DISTINCT recomputation of the streaming keyed dedup —
+    // the gate is that dropDuplicatesWithinWatermark state survives
+    // real micro-batch boundaries without re-emitting (streamDedup)
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+                epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS day_us
+         FROM events ORDER BY user_id, event_type, day_us""",
     "join_outer" ->
       """WITH c AS (SELECT c_nationkey AS nk,
                            round(sum(c_acctbal), 2) AS cust_bal

@@ -54,6 +54,27 @@ object IncrementalStream {
     withEventTime(stream, tsCol).withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
 
+  /** KEYED streaming dedup via Spark's `dropDuplicatesWithinWatermark`
+    * — first arrival of each KEY is emitted, later arrivals of the
+    * same key are dropped, and (unlike [[dedupWithinWatermark]], which
+    * keys on `keys :+ tsCol` and so only collapses exact re-pulls)
+    * the event time is NOT part of the key: duplicates with different
+    * timestamps still collapse. Per-key state stores an expiration
+    * (max event time seen for the key + the watermark delay) and is
+    * evicted once the watermark passes it, so state is bounded by the
+    * DISTINCT keys live within the watermark horizon — not by stream
+    * length, the property that makes the operator runnable
+    * indefinitely at 100 TB/day rates. After eviction a re-arrival
+    * re-emits: dedup is guaranteed only for duplicates arriving
+    * within the delay of each other (the documented Spark contract,
+    * pinned across real micro-batch boundaries by StreamingSpec).
+    */
+  def dedupKeysWithinWatermark(stream: DataFrame, tsCol: String,
+                               watermark: String,
+                               keys: Seq[String]): DataFrame =
+    withEventTime(stream, tsCol).withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Tumbling-window per-day counts over the stream — the incremental
     * replication ledger (rows per day per type), append-mode emitted
     * once the watermark passes each day.

@@ -233,4 +233,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(want).isEmpty && want.except(got).isEmpty,
       "streaming canonical dedup must equal batch exactDedup")
   }
+
+  test("keyed dedup state survives batch boundaries and EVICTS at the " +
+      "watermark (re-arrival after eviction re-emits)") {
+    val tmp = Files.createTempDirectory("graft-kdedup").toFile
+    val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+    val baseMs = 86400000L // off epoch 0: the initial watermark IS 0
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    import spark.implicits._
+    // delay = 10 min. Batch 1: A emits once (t0; t5 dup dropped
+    // in-batch), C emits (t0). Watermark after: max(0, 5-10) = 0.
+    Seq(("A", ts(0)), ("A", ts(5)), ("C", ts(0)))
+      .toDF("k", "ts").coalesce(1).write.mode("overwrite")
+      .parquet(inDir.getAbsolutePath)
+    Thread.sleep(1200) // distinct mtimes → deterministic file order
+    // Batch 2: C's dup (t2) must be dropped — possible ONLY if C's
+    // dedup state reloaded across the boundary; B (t60) emits. The
+    // watermark then advances toward 50, past A's expiration (0+10)
+    // and C's (0+10).
+    Seq(("C", ts(2)), ("B", ts(60)))
+      .toDF("k", "ts").coalesce(1).write.mode("append")
+      .parquet(inDir.getAbsolutePath)
+    Thread.sleep(1200)
+    // Batch 3: pure watermark-advancer (B's dup drops against B's
+    // still-live state, expires 70). Running a batch with watermark 50
+    // evicts A and C — whether the store cleans up before or after
+    // row processing, they are gone by the batch-3 commit. A separate
+    // batch keeps the eviction unambiguous: evicted-key re-arrival in
+    // the SAME batch as the eviction would depend on cleanup order.
+    Seq(("B", ts(65)))
+      .toDF("k", "ts").coalesce(1).write.mode("append")
+      .parquet(inDir.getAbsolutePath)
+    Thread.sleep(1200)
+    // Batch 4: A and C re-arrive AFTER their eviction and must
+    // RE-emit (the documented within-watermark contract: eviction is
+    // what bounds state; a re-arrival re-opens the key). Event times
+    // sit above the current watermark (55) so they are not late.
+    Seq(("A", ts(56)), ("C", ts(57)))
+      .toDF("k", "ts").coalesce(1).write.mode("append")
+      .parquet(inDir.getAbsolutePath)
+
+    val schema = spark.read.parquet(inDir.getAbsolutePath).schema
+    val stream = IncrementalStream.readAppendStream(
+      spark, inDir.getAbsolutePath, schema, maxFilesPerTrigger = Some(1))
+    val q = IncrementalStream
+      .dedupKeysWithinWatermark(stream, "ts", "10 minutes", Seq("k"))
+      .select(col("k"))
+      .writeStream.format("memory").queryName("kdedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(batches >= 4, s"expected >=4 non-empty micro-batches, got $batches")
+    val got = spark.table("kdedup_out").groupBy("k").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("A" -> 2L, "B" -> 1L, "C" -> 2L), s"got: $got")
+  }
 }
