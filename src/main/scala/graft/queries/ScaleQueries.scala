@@ -144,6 +144,74 @@ object ScaleQueries {
       .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
   }
 
+  /** Margin-based nearest-neighbor PAIR MINING — the ratio margin of
+    * Artetxe & Schwenk, "Margin-based Parallel Corpus Mining with
+    * Multilingual Sentence Embeddings" (ACL 2019), the standard
+    * aligned-pair harvester for training-data pipelines: for each
+    * query x (even vec_id half) the best candidate y (odd half) by
+    *   margin(x, y) = cos(x, y) / ((avgTopK_X(x) + avgTopK_Y(y)) / 2),
+    * similarity normalized by BOTH endpoints' local neighborhood
+    * density — hub vectors that are "close to everything" have a high
+    * denominator and never win, which plain cosine thresholds get
+    * wrong. Pairs below margin 1.10 (≈ the corpus median) are dropped.
+    *
+    * Determinism is EXACT-INTEGER end to end (the suite's lm_surprisal
+    * discipline): similarities land as `sim_e4 = round(1e4·cos)` and
+    * the margin as `margin_e6 = (2k·sim_e4·1e6) DIV (Σtopk_x + Σtopk_y)`
+    * — pure int64 arithmetic (max intermediate 2·4·10⁴·10⁶ = 8·10¹⁰),
+    * identical in DuckDB, so the oracle hash-checks the full pipeline
+    * with no float-summation-order hazard. Positive-regime guards
+    * (sim_e4 > 0, denominator > 0) keep DIV semantics engine-identical.
+    *
+    * Plan shape: ONE X×Y similarity frame (query side broadcast in
+    * bounded chunks, as [[annTopk]]) persisted and reused for both
+    * per-x and per-y top-k windows; the neighborhood sums join back on
+    * their keys. At 100 TB the exact X×Y scan is the swappable piece:
+    * the k-NN lists come from [[annLsh]]/[[Similarity.ivfTopK]]
+    * candidate generation instead (margin arithmetic unchanged — it
+    * only needs each side's top-k list), which is exactly how the
+    * published systems (LASER/CCMatrix) run it; the exact path here is
+    * the oracle-checkable baseline.
+    */
+  def minePairs(s: SparkSession, dir: String): DataFrame = {
+    val k = 4
+    val thresholdE6 = 1100000L
+    val emb = t(s, dir, "embeddings")
+    val xs = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("xid"), col("embedding").as("xv"))
+    val ys = Dedup.spread(emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("yid"), col("embedding").as("yv")))
+    val sims = graft.ops.Hints.chunkedBroadcastThetaJoin(ys, xs,
+        chunkKey = col("xid"), cond = lit(true))
+      .select(col("xid"), col("yid"),
+        round(cosine_sim(col("xv"), col("yv")) * 10000).cast("long")
+          .as("sim_e4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wx = Window.partitionBy(col("xid"))
+      .orderBy(col("sim_e4").desc, col("yid"))
+    val wy = Window.partitionBy(col("yid"))
+      .orderBy(col("sim_e4").desc, col("xid"))
+    val topx = sims.withColumn("rnk", row_number().over(wx))
+      .filter(col("rnk") <= k)
+    val sumx = topx.groupBy(col("xid")).agg(sum(col("sim_e4")).as("xsum_e4"))
+    val sumy = sims.withColumn("rnk", row_number().over(wy))
+      .filter(col("rnk") <= k)
+      .groupBy(col("yid")).agg(sum(col("sim_e4")).as("ysum_e4"))
+    val wbest = Window.partitionBy(col("xid"))
+      .orderBy(col("margin_e6").desc, col("yid"))
+    val out = topx
+      .join(sumx, Seq("xid")).join(sumy, Seq("yid"))
+      .filter(col("sim_e4") > 0 && col("xsum_e4") + col("ysum_e4") > 0)
+      .withColumn("margin_e6",
+        expr(s"(2 * $k * sim_e4 * 1000000) DIV (xsum_e4 + ysum_e4)"))
+      .withColumn("brnk", row_number().over(wbest))
+      .filter(col("brnk") === 1 && col("margin_e6") >= thresholdE6)
+      .select(col("xid"), col("yid"), col("sim_e4"), col("margin_e6"))
+    val pinned = Dedup.materialize(out)
+    sims.unpersist()
+    pinned.orderBy(col("xid"))
+  }
+
   /** SRP-LSH approximate nearest neighbors: L=8 hash tables × 6-bit
     * signed-random-projection buckets (standard multi-table LSH —
     * union of per-table candidates, then exact cosine re-rank, top-3).
@@ -820,6 +888,7 @@ object ScaleQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
     "ann_topk" -> (annTopk _),
+    "mine_pairs" -> (minePairs _),
     "ann_lsh" -> (annLsh _),
     "ann_lsh_recall" -> (annLshRecall _),
     "ann_ivf" -> (annIvf _),
@@ -1084,6 +1153,39 @@ object ScaleQueries {
                     FROM s)
          SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 5
          ORDER BY qid, rnk""",
+    // full margin-mining replay in the same int64 arithmetic the
+    // engine uses (sim_e4 / margin_e6 fixed point; `//` = Spark DIV
+    // on the positive regime the guards pin)
+    "mine_pairs" ->
+      """WITH x AS (SELECT vec_id AS xid, CAST(embedding AS DOUBLE[]) AS xv
+                    FROM embeddings WHERE vec_id % 2 = 0),
+              y AS (SELECT vec_id AS yid, CAST(embedding AS DOUBLE[]) AS yv
+                    FROM embeddings WHERE vec_id % 2 = 1),
+              s AS (SELECT xid, yid,
+                      CAST(round(list_dot_product(xv, yv)
+                             / sqrt(list_dot_product(xv, xv)
+                                    * list_dot_product(yv, yv)) * 10000)
+                           AS BIGINT) AS sim_e4
+                    FROM x JOIN y ON true),
+              tx AS (SELECT *, row_number() OVER (PARTITION BY xid
+                              ORDER BY sim_e4 DESC, yid) AS rnk FROM s),
+              sx AS (SELECT xid, sum(sim_e4) AS xsum FROM tx
+                     WHERE rnk <= 4 GROUP BY 1),
+              ty AS (SELECT *, row_number() OVER (PARTITION BY yid
+                              ORDER BY sim_e4 DESC, xid) AS rnk FROM s),
+              sy AS (SELECT yid, sum(sim_e4) AS ysum FROM ty
+                     WHERE rnk <= 4 GROUP BY 1),
+              c AS (SELECT t.xid, t.yid, t.sim_e4,
+                      CAST((2 * 4 * t.sim_e4 * 1000000)
+                           // (sx.xsum + sy.ysum) AS BIGINT) AS margin_e6
+                    FROM tx t JOIN sx ON t.xid = sx.xid
+                              JOIN sy ON t.yid = sy.yid
+                    WHERE t.rnk <= 4 AND t.sim_e4 > 0
+                      AND sx.xsum + sy.ysum > 0),
+              b AS (SELECT *, row_number() OVER (PARTITION BY xid
+                              ORDER BY margin_e6 DESC, yid) AS brnk FROM c)
+         SELECT xid, yid, sim_e4, margin_e6 FROM b
+         WHERE brnk = 1 AND margin_e6 >= 1100000 ORDER BY xid""",
     // window strings recomputed verbatim (engine joins on xxhash64 of
     // the same strings — identical counts absent 64-bit collisions)
     "repeated_spans" ->
