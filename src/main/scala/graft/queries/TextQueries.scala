@@ -574,6 +574,112 @@ object TextQueries {
     pinned.orderBy(col("doc_id"))
   }
 
+  /** DSIR-style domain-targeted data selection (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): each document scored by how much more likely its
+    * tokens are under the TARGET domain's unigram LM (here lang='en',
+    * the corpus's majority slice) than under the RAW corpus LM, then
+    * the top 25% by score selected. Where the paper hashes n-grams
+    * into a fixed bucket space to bound the vocabulary, this exact
+    * variant keeps raw tokens (the vocab key is the shuffle key
+    * either way; hashing is a drop-in kernel swap that only shrinks
+    * the dimension table) so the oracle can replay it verbatim.
+    *
+    * Arithmetic is the lm_surprisal fixed-point discipline applied
+    * twice: per token, capped inverse probabilities
+    * `invp_X_e6 ≈ 1e6·(N_X + V)/(cnt_X + 1)` (add-one smoothing,
+    * quotient-remainder decomposition so no intermediate exceeds
+    * int64 at 100 TB token counts, 1e12 cap) for X ∈ {target, raw},
+    * and the importance ratio `r_e6 = (invp_raw_e6 · 1e6) DIV
+    * invp_tgt_e6` — algebraically p_tgt/p_raw in e6 fixed point,
+    * ≤ 1e18 by the cap so the product stays in int64. The document
+    * score is the tf-weighted mean ratio (DECIMAL(38,0) sum, BIGINT
+    * out), exactly DuckDB-replayable.
+    *
+    * The top-25% cut uses NO global sort, limit, or collect: global
+    * rank = two-level prefix sum over score BUCKETS (`score_e6 DIV
+    * 16384`) — per-bucket row_number windows plus one cumulative
+    * window over the per-bucket counts, the pack_sequences
+    * decomposition. The bucket domain is bounded by the RATIO RANGE
+    * (a corpus-independent quantity — scores are probability ratios,
+    * not counts), so the offset window's input stays tiny at any
+    * scale; `n_sel = ceil(n/4)` rides in as a broadcast 1-row
+    * aggregate, never a driver value.
+    */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), col("lang"),
+        explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("lang"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both LMs' counts in ONE token-key aggregation (a conditional
+    // sum beats two aggs + a join re-shuffle); pinned because totals
+    // and ratios both read it
+    val vocab = tf.groupBy(col("token")).agg(
+        sum(col("tf")).as("cnt_raw"),
+        sum(when(col("lang") === "en", col("tf")).otherwise(0L))
+          .as("cnt_tgt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = vocab.agg(
+      sum(col("cnt_raw")).as("n_raw"),
+      sum(col("cnt_tgt")).as("n_tgt"),
+      count(lit(1)).as("v"))
+    // capped fixed-point inverse probability, lm_surprisal's exact
+    // overflow decomposition (see its scaladoc for the bound argument)
+    def invpE6(n: String, c: String) =
+      when(expr(s"$c <= ($n) DIV 1000000"), lit(1000000000000L))
+        .otherwise(expr(
+          s"(($n) DIV ($c)) * 1000000 + ((($n) % ($c)) * 1000000) DIV ($c)"))
+    val ratios = vocab.crossJoin(broadcast(totals))
+      .withColumn("invp_t_e6", invpE6("n_tgt + v", "cnt_tgt + 1"))
+      .withColumn("invp_r_e6", invpE6("n_raw + v", "cnt_raw + 1"))
+      .select(col("token"),
+        expr("(invp_r_e6 * 1000000) DIV invp_t_e6").as("r_e6"))
+    val scored0 = tf
+      .join(ratios, Seq("token")) // token-key shuffle join; vocab ∝ Zipf
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        expr("""CAST(FLOOR(sum(CAST(tf AS DECIMAL(38,0)) * r_e6)
+                           / sum(tf)) AS BIGINT)""").as("score_e6"))
+    // scored feeds three consumers (bucket offsets, n_sel, the ranked
+    // output) — deliberately NOT persisted: the n_sel branch collapses
+    // to a docs count and the offsets branch prunes to score_e6 only
+    // under Catalyst, both cheaper than materializing full rows (the
+    // expensive tf pipeline above IS pinned)
+    val scored = docs.select(col("doc_id"))
+      .join(scored0, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_e6"), lit(0L)).as("score_e6"))
+      .withColumn("bkt", expr("score_e6 DIV 16384"))
+    // two-level global rank: within-bucket row_number + cumulative
+    // offsets over the (tiny, ratio-range-bounded) bucket domain
+    val wIn = Window.partitionBy(col("bkt"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+    val offsets = scored.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("offset",
+        coalesce(sum(col("bn")).over(Window.orderBy(col("bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("offset"))
+    val nSel = scored.agg(expr("(count(1) + 3) DIV 4").as("n_sel"))
+    val out = scored
+      .withColumn("rk_in", row_number().over(wIn))
+      .join(broadcast(offsets), Seq("bkt"))
+      .crossJoin(broadcast(nSel))
+      .withColumn("selected",
+        when(col("offset") + col("rk_in") <= col("n_sel"), 1).otherwise(0))
+      .select(col("doc_id"), col("n_tokens"), col("score_e6"),
+        col("selected"))
+    val pinned = graft.ops.Dedup.materialize(out)
+    vocab.unpersist()
+    tf.unpersist()
+    pinned.orderBy(col("doc_id"))
+  }
+
   /** Training-sequence packing: documents in deterministic doc_id order
     * are laid head-to-tail on a global token axis; `bin_id =
     * seq_start div budget` assigns each document to its 2048-token
@@ -1011,6 +1117,7 @@ object TextQueries {
     "normalize_text" -> (normalizeText _),
     "domain_stats" -> (domainStats _),
     "lm_surprisal" -> (lmSurprisal _),
+    "dsir_select" -> (dsirSelect _),
     "pack_sequences" -> (packSequences _),
     "pps_sample" -> (ppsSample _),
     "dataset_split" -> (datasetSplit _),
@@ -1476,6 +1583,59 @@ object TextQueries {
          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
                 CAST(sum(tf * invp_e6) // sum(tf) AS BIGINT) AS surprisal_e6
          FROM j GROUP BY doc_id ORDER BY doc_id""",
+    // full DSIR replay in the engine's fixed-point arithmetic: capped
+    // inverse probabilities for target ('en') and raw LMs, ratio r_e6,
+    // tf-weighted mean per doc, global top-25% rank (the engine's
+    // two-level bucket prefix sum collapses to one row_number here)
+    "dsir_select" ->
+      """WITH tok AS (
+           SELECT doc_id, lang,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                     x -> len(x) > 0)) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, lang, token, count(*) AS tf
+                FROM tok GROUP BY 1, 2, 3),
+         raw AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt_raw
+                 FROM tf GROUP BY 1),
+         tgt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt_tgt
+                 FROM tf WHERE lang = 'en' GROUP BY 1),
+         voc AS (SELECT raw.token, cnt_raw,
+                        coalesce(cnt_tgt, CAST(0 AS BIGINT)) AS cnt_tgt
+                 FROM raw LEFT JOIN tgt USING (token)),
+         tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS n_raw,
+                        CAST(sum(cnt_tgt) AS BIGINT) AS n_tgt,
+                        CAST(count(*) AS BIGINT) AS v
+                 FROM voc),
+         w AS (SELECT token,
+                 CASE WHEN cnt_tgt + 1 <= (n_tgt + v) // 1000000
+                      THEN 1000000000000
+                      ELSE ((n_tgt + v) // (cnt_tgt + 1)) * 1000000
+                           + (((n_tgt + v) % (cnt_tgt + 1)) * 1000000)
+                             // (cnt_tgt + 1) END AS invp_t,
+                 CASE WHEN cnt_raw + 1 <= (n_raw + v) // 1000000
+                      THEN 1000000000000
+                      ELSE ((n_raw + v) // (cnt_raw + 1)) * 1000000
+                           + (((n_raw + v) % (cnt_raw + 1)) * 1000000)
+                             // (cnt_raw + 1) END AS invp_r
+               FROM voc CROSS JOIN tot),
+         r AS (SELECT token,
+                      CAST((invp_r * 1000000) // invp_t AS BIGINT) AS r_e6
+               FROM w),
+         sc0 AS (SELECT tf.doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                        CAST(sum(tf * r_e6) // sum(tf) AS BIGINT) AS score_e6
+                 FROM tf JOIN r USING (token) GROUP BY 1),
+         sc AS (SELECT d.doc_id,
+                       coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+                       coalesce(score_e6, CAST(0 AS BIGINT)) AS score_e6
+                FROM documents d LEFT JOIN sc0 USING (doc_id)),
+         rk AS (SELECT *, row_number() OVER (ORDER BY score_e6 DESC, doc_id)
+                          AS rn,
+                       count(*) OVER () AS n
+                FROM sc)
+         SELECT doc_id, n_tokens, score_e6,
+                CAST(CASE WHEN rn <= (n + 3) // 4 THEN 1 ELSE 0 END
+                     AS INTEGER) AS selected
+         FROM rk ORDER BY doc_id""",
     "line_dedup" ->
       """WITH t AS (
            SELECT doc_id,
