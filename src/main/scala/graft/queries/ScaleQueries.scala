@@ -174,6 +174,19 @@ object ScaleQueries {
     * the oracle-checkable baseline.
     */
   def minePairs(s: SparkSession, dir: String): DataFrame = {
+    val (out, sims) = minePairsFrame(s, dir)
+    val pinned = Dedup.materialize(out)
+    sims.unpersist()
+    pinned.orderBy(col("xid"))
+  }
+
+  /** [[minePairs]] before materialization — the plan PlanSpec pins
+    * (the public entry returns a checkpoint scan, which has no plan
+    * left to assert on). Returns the result frame plus the persisted
+    * similarity frame so the caller controls unpersist timing.
+    */
+  private[graft] def minePairsFrame(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val k = 4
     val thresholdE6 = 1100000L
     val emb = t(s, dir, "embeddings")
@@ -207,9 +220,7 @@ object ScaleQueries {
       .withColumn("brnk", row_number().over(wbest))
       .filter(col("brnk") === 1 && col("margin_e6") >= thresholdE6)
       .select(col("xid"), col("yid"), col("sim_e4"), col("margin_e6"))
-    val pinned = Dedup.materialize(out)
-    sims.unpersist()
-    pinned.orderBy(col("xid"))
+    (out, sims)
   }
 
   /** SRP-LSH approximate nearest neighbors: L=8 hash tables × 6-bit

@@ -607,6 +607,20 @@ object TextQueries {
     * aggregate, never a driver value.
     */
   def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val (out, tf, vocab) = dsirSelectFrame(s, dir)
+    val pinned = graft.ops.Dedup.materialize(out)
+    vocab.unpersist()
+    tf.unpersist()
+    pinned.orderBy(col("doc_id"))
+  }
+
+  /** [[dsirSelect]] before materialization — the plan PlanSpec pins
+    * (the public entry returns a checkpoint scan with no plan left to
+    * assert on). Returns the result frame plus the two persisted
+    * intermediates so the caller controls unpersist timing.
+    */
+  private[graft] def dsirSelectFrame(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
     val tf = docs
@@ -674,10 +688,7 @@ object TextQueries {
         when(col("offset") + col("rk_in") <= col("n_sel"), 1).otherwise(0))
       .select(col("doc_id"), col("n_tokens"), col("score_e6"),
         col("selected"))
-    val pinned = graft.ops.Dedup.materialize(out)
-    vocab.unpersist()
-    tf.unpersist()
-    pinned.orderBy(col("doc_id"))
+    (out, tf, vocab)
   }
 
   /** Training-sequence packing: documents in deterministic doc_id order

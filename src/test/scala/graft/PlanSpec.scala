@@ -83,6 +83,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("mine_pairs / dsir_select: margin and scoring joins stay equi " +
+      "(no cartesian anywhere; the only BNLJ sites are sanctioned " +
+      "bounded broadcasts)") {
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val (mp, sims) = graft.queries.ScaleQueries.minePairsFrame(spark, sf)
+    val mpPlan = fmt(mp)
+    sims.unpersist()
+    assert(!mpPlan.contains("CartesianProduct"), mpPlan.take(1500))
+    // the X-by-Y similarity scan is a sanctioned chunked-broadcast
+    // theta join (ann_topk's shape); everything downstream of it —
+    // top-k windows, neighborhood-sum joins, argmax — must be
+    // window + EQUI-join only. The persisted sims frame prints as one
+    // InMemoryRelation, so any BNLJ line beyond its subtree would be
+    // a margin-side regression.
+    val (ds, tf, vocab) = graft.queries.TextQueries.dsirSelectFrame(spark, sf)
+    val dsPlan = fmt(ds)
+    vocab.unpersist(); tf.unpersist()
+    assert(!dsPlan.contains("CartesianProduct"), dsPlan.take(1500))
+    // dsir's only nested-loop sites are 1-row broadcast scalars
+    // (totals inside the ratio table, n_sel) — 2 distinct sites that
+    // print up to 3× because the scored lineage is deliberately
+    // unpersisted across its three consumers (see dsirSelectFrame).
+    // The token-ratio and bucket-offset joins must stay EQUI: pin
+    // both a BNLJ ceiling and the presence of the hash joins a
+    // degradation would remove.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(dsPlan).size
+    assert(bnlj <= 6, s"dsir_select plans $bnlj BNLJs:\n" + dsPlan.take(2000))
+    assert(dsPlan.contains("BroadcastHashJoin") ||
+           dsPlan.contains("SortMergeJoin"), dsPlan.take(2000))
+  }
+
   test("keyPairs salted path: equi-join on (key, cell), no quadratic join") {
     // the salting escalation must keep the self-join an EQUI-join —
     // a salted plan that degraded to BNLJ/cartesian would recreate the
