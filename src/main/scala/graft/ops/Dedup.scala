@@ -188,6 +188,85 @@ object Dedup {
     out
   }
 
+  /** INCREMENTAL MinHash-LSH index maintenance: the near-dup pair set
+    * of a corpus that grows by append, maintained by probing the
+    * banded-signature INDEX with only the NEW documents — the
+    * base×base join never runs in the delta path. This is how an LSH
+    * index absorbs a daily increment at 100 TB: the stored index is
+    * the banded signature table bucketed by (band_idx, band_hash);
+    * the delta shingles once, probes matching buckets with an
+    * equi-join (cost ∝ |Δ| × average bucket occupancy, corpus size
+    * only enters through bucket width), and appends its own band rows
+    * for the next increment. Same algebra as
+    * [[graft.ops.Incremental]]'s join-view maintenance:
+    * pairs(base ∪ Δ) = pairs(base) ∪ probe(Δ, index) — the two legs
+    * are disjoint by construction (base pairs have no delta endpoint).
+    *
+    * `deltaOf` marks the newly arrived ids (the driver query uses
+    * `id % 10 = 9` as a deterministic 10% increment). The base leg is
+    * recomputed here only because the harness runs one-shot queries —
+    * production reads the previously materialized pair set; the delta
+    * leg is byte-identical either way. Bucket caps are evaluated on
+    * POST-append sizes (matching the batch operator exactly); in a
+    * live view, a bucket crossing `maxBucketSize` on append would
+    * retract its pairs — the same recompute-on-cap-cross policy any
+    * maintained LSH view needs.
+    *
+    * Returns (id_a, id_b, jaccard, src) with src ∈ {base, delta}
+    * naming the leg that produced the pair — the decomposition itself
+    * is oracle-visible and hash-checked.
+    */
+  def minhashPairsIncremental(df: DataFrame, idCol: String, textCol: String,
+                              deltaOf: Column => Column,
+                              shingleN: Int = 3, bands: Int = 16,
+                              rowsPerBand: Int = 8, threshold: Double = 0.7,
+                              maxBucketSize: Int = 10000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val base = spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), shingleHashes(col("__text"), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhash_sig(col("sh"), numHashes))
+      .withColumn("__new", deltaOf(col("id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("id"), col("__new"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band_idx", "band_hash")))
+    val bucketSizes = banded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
+    val pruned = banded.join(bucketSizes, Seq("band_idx", "band_hash"))
+    // base leg: stands in for the stored pair set (see scaladoc)
+    val basePairs = keyPairs(pruned.filter(!col("__new")).drop("__new"),
+        Seq("band_idx", "band_hash"))
+      .distinct()
+      .withColumn("src", lit("base"))
+    // delta leg: new docs probe the FULL index (old + new band rows);
+    // a delta×delta pair arrives from both directions — distinct folds
+    // it; no base×base pair can arrive at all
+    val probe = pruned.filter(col("__new")).as("d")
+      .join(pruned.as("o"),
+        col("d.band_idx") === col("o.band_idx") &&
+          col("d.band_hash") === col("o.band_hash") &&
+          col("d.id") =!= col("o.id"))
+      .select(least(col("d.id"), col("o.id")).as("id_a"),
+        greatest(col("d.id"), col("o.id")).as("id_b"))
+      .distinct()
+      .withColumn("src", lit("delta"))
+    val sets = base.select(col("id"), col("sh"))
+    val pairs = basePairs.unionByName(probe)
+      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .withColumn("jaccard", sorted_jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("src"))
+    val out = materialize(pairs)
+    base.unpersist()
+    out
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signature, pigeonhole-banded
     * candidate generation (maxHamming+1 bands ⇒ every pair with
     * Hamming distance ≤ maxHamming shares at least one exact band, so

@@ -51,6 +51,25 @@ object ScaleQueries {
       .withColumn("jaccard", round(col("jaccard"), 4))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** [[dedupMinhash]] maintained INCREMENTALLY: the newest 10% of the
+    * corpus (`doc_id % 10 = 9`, the deterministic stand-in for "the
+    * docs that arrived today") probes the banded-signature index
+    * instead of re-running the all-corpus self-join — see
+    * [[graft.ops.Dedup.minhashPairsIncremental]] for the at-scale
+    * contract. Output adds `src` ∈ {base, delta} naming the leg that
+    * produced each pair, so the oracle hash-checks the DECOMPOSITION
+    * (which pairs came from the delta probe), not just the union:
+    * the same all-pairs DuckDB recompute as `dedup_minhash` (valid by
+    * the same measured recall-1.0 argument), with src derived from
+    * the endpoint ids.
+    */
+  def minhashIncremental(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairsIncremental(t(s, dir, "documents"), "doc_id", "text",
+        deltaOf = c => pmod(c, lit(10)) === 9,
+        shingleN = 3, bands = 16, rowsPerBand = 8, threshold = 0.7)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** SimHash-64 near-dup pairs, Hamming ≤ 3 (pigeonhole-complete via
     * 4×16-bit bands).
     *
@@ -892,6 +911,7 @@ object ScaleQueries {
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
+    "minhash_incremental" -> (minhashIncremental _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "dedup_simhash_recall" -> (dedupSimhashRecall _),
     "decontaminate" -> (decontaminate _),
@@ -1068,6 +1088,31 @@ object ScaleQueries {
          SELECT a.id AS id_a, b.id AS id_b,
                 round(len(list_intersect(a.gs, b.gs))::DOUBLE
                       / len(list_distinct(list_concat(a.gs, b.gs))), 4) AS jaccard
+         FROM g a JOIN g b ON b.id > a.id
+         WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+               / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7
+         ORDER BY id_a, id_b""",
+    // dedup_minhash's recompute + the maintenance decomposition: a
+    // pair belongs to the delta leg iff either endpoint is in the
+    // newest-10% increment (doc_id % 10 = 9)
+    "minhash_incremental" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id AS id,
+                  CASE WHEN len(t) >= 3
+                       THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                           for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, ' ')] END AS gs
+           FROM tk)
+         SELECT a.id AS id_a, b.id AS id_b,
+                round(len(list_intersect(a.gs, b.gs))::DOUBLE
+                      / len(list_distinct(list_concat(a.gs, b.gs))), 4) AS jaccard,
+                CASE WHEN a.id % 10 = 9 OR b.id % 10 = 9
+                     THEN 'delta' ELSE 'base' END AS src
          FROM g a JOIN g b ON b.id > a.id
          WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
                / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7

@@ -382,4 +382,28 @@ class DedupSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(ids.subsetOf((0L until 8L).toSet))
   }
+
+  test("minhashPairsIncremental: delta-probe maintenance equals the " +
+      "batch operator and the legs partition the pair set") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val batch = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 8, threshold = 0.7)
+    val inc = Dedup.minhashPairsIncremental(docs, "doc_id", "text",
+      deltaOf = c => pmod(c, lit(10)) === 9,
+      shingleN = 3, bands = 16, rowsPerBand = 8, threshold = 0.7)
+    // same pair set, pair for pair (jaccard included)
+    val b = batch.select("id_a", "id_b", "jaccard")
+    val i = inc.select("id_a", "id_b", "jaccard")
+    assert(b.except(i).isEmpty && i.except(b).isEmpty,
+      "incremental maintenance must reproduce the batch pair set")
+    // src really is the leg structure: base ⟺ neither endpoint new
+    val wrong = inc.filter(
+      (col("src") === "base") =!=
+        (col("id_a") % 10 =!= 9 && col("id_b") % 10 =!= 9))
+    assert(wrong.isEmpty, "src must name the producing leg")
+    // no pair arrives twice (legs are disjoint, distinct folded dups)
+    assert(inc.groupBy("id_a", "id_b").count()
+      .filter(col("count") > 1).isEmpty)
+  }
 }
