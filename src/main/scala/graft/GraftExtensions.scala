@@ -76,6 +76,14 @@ object GraftExtensions {
         dsl.asInt(args(2)), dsl.asInt(args(3)),
         org.apache.spark.sql.catalyst.expressions.Cast(args(4),
           org.apache.spark.sql.types.LongType))),
+    "video_header" -> ((args: Seq[Expression]) =>
+      VideoHeaderExpr(dsl.asBinary(args(0)))),
+    "make_video_header" -> ((args: Seq[Expression]) =>
+      MakeVideoHeaderExpr(dsl.asInt(args(0)), dsl.asInt(args(1)),
+        dsl.asInt(args(2)),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(3),
+          org.apache.spark.sql.types.LongType),
+        dsl.asInt(args(4)))),
     "line_stats" -> ((args: Seq[Expression]) => LineStatsExpr(args(0))),
     "ngram_rep_stats" -> ((args: Seq[Expression]) =>
       NgramRepStatsExpr(args(0), intArg(args(1), "n"))),

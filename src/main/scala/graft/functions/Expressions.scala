@@ -335,6 +335,48 @@ case class MakeAudioHeaderExpr(format: Expression, rate: Expression,
   override def prettyName: String = "make_audio_header"
 }
 
+/** [format, mvhd_version, timescale, duration, n_tracks] from ISO-BMFF
+  * (MP4/MOV) container bytes — [[Kernels.parseVideoHeader]]'s box walk
+  * in the scan stage. Unrecognized/corrupt → [0,0,0,0,0].
+  */
+case class VideoHeaderExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.parseVideoHeader(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.parseVideoHeader($c)")
+  override protected def withNewChildInternal(c: Expression): VideoHeaderExpr =
+    copy(child = c)
+  override def prettyName: String = "video_header"
+}
+
+/** Synthesize minimal valid ISO-BMFF bytes for (format, mvhdVersion,
+  * timescale, duration, nTracks) — [[Kernels.makeVideoHeader]]; the
+  * generator half of the parse round-trip.
+  */
+case class MakeVideoHeaderExpr(format: Expression, version: Expression,
+                               timescale: Expression, duration: Expression,
+                               nTracks: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuinaryExpression {
+  override def children: Seq[Expression] =
+    Seq(format, version, timescale, duration, nTracks)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override protected def nullSafeEval(f: Any, v: Any, t: Any, d: Any,
+                                      n: Any): Any =
+    Kernels.makeVideoHeader(f.asInstanceOf[Int], v.asInstanceOf[Int],
+      t.asInstanceOf[Int], d.asInstanceOf[Long], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (f, v, t, d, n) =>
+      s"graft.functions.Kernels.makeVideoHeader($f, $v, $t, $d, $n)")
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MakeVideoHeaderExpr =
+    copy(format = newChildren(0), version = newChildren(1),
+      timescale = newChildren(2), duration = newChildren(3),
+      nTracks = newChildren(4))
+  override def prettyName: String = "make_video_header"
+}
+
 /** Ids of the `n` nearest codebook centroids by cosine (scan-stage IVF
   * list assignment — see [[Kernels.nearestCentroids]]). `cents`/`ids`
   * are foldable codebook literals, so codegen references them as
@@ -540,6 +582,23 @@ object dsl {
       asInt(ExpressionUtils.expression(bits)),
       Cast(ExpressionUtils.expression(nFrames),
         org.apache.spark.sql.types.LongType)))
+
+  /** [format, mvhd_version, timescale, duration, n_tracks] from
+    * ISO-BMFF bytes; element_at/try_element_at project fields.
+    */
+  def video_header(payload: Column): Column =
+    ExpressionUtils.column(VideoHeaderExpr(
+      asBinary(ExpressionUtils.expression(payload))))
+
+  def make_video_header(format: Column, version: Column, timescale: Column,
+                        duration: Column, nTracks: Column): Column =
+    ExpressionUtils.column(MakeVideoHeaderExpr(
+      asInt(ExpressionUtils.expression(format)),
+      asInt(ExpressionUtils.expression(version)),
+      asInt(ExpressionUtils.expression(timescale)),
+      Cast(ExpressionUtils.expression(duration),
+        org.apache.spark.sql.types.LongType),
+      asInt(ExpressionUtils.expression(nTracks))))
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCountExpr(

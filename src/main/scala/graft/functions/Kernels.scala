@@ -777,6 +777,130 @@ object Kernels {
     case _ => Array.emptyByteArray
   }
 
+  // ------------------------------------------------------------------
+  // Video container headers: ISO-BMFF (MP4/MOV) box walk to moov/mvhd.
+  // Timescale/duration/track count live in the container header, so
+  // extracting them needs byte arithmetic, not a codec — the video
+  // sibling of the WAV/FLAC audio walk above.
+  // ------------------------------------------------------------------
+
+  /** Video format codes returned by [[parseVideoHeader]]. */
+  val VfmtUnknown = 0L; val VfmtIsom = 1L; val VfmtQt = 2L
+
+  /** [format, mvhd_version, timescale, duration, n_tracks] from
+    * ISO-BMFF container bytes; [0,0,0,0,0] for unrecognized/truncated
+    * payloads (never throws — a media crawl always contains garbage).
+    * The first box must be `ftyp` (brand `qt  ` → format 2, any other
+    * ISO brand → 1). The top-level walk honors the full box-size
+    * grammar — 32-bit size, size==1 → 64-bit largesize, size==0 → box
+    * extends to end of file — and descends one level into `moov` for
+    * `mvhd` (version 0: 32-bit timescale/duration; version 1: 64-bit)
+    * and the `trak` count. All offsets advance in Long (the WAV
+    * chunk-walk overflow lesson, ADVICE r5): any declared size that
+    * would jump past the payload ends the walk, keeping fields
+    * already read — real tools extract what they can from truncated
+    * downloads.
+    */
+  def parseVideoHeader(b: Array[Byte]): ArrayData = {
+    def out(f: Long, v: Long, t: Long, d: Long, n: Long) =
+      new GenericArrayData(Array(f, v, t, d, n))
+    if (b == null || b.length < 16) return out(VfmtUnknown, 0, 0, 0, 0)
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'))
+      return out(VfmtUnknown, 0, 0, 0, 0)
+    val fmt = if (b(8) == 'q' && b(9) == 't' && b(10) == ' ' && b(11) == ' ')
+      VfmtQt else VfmtIsom
+    var version = 0L; var ts = 0L; var dur = 0L; var traks = 0L
+    // (size, header-length) of the box at offset i within [i, end);
+    // (-1, _) signals a malformed/overrunning box — the walk stops
+    def boxAt(i: Long, end: Long): (Long, Long) = {
+      val s32 = be32(b, i.toInt)
+      if (s32 == 1L) {
+        if (i + 16 > end) return (-1L, 0L)
+        val s64 = ((u8(b, i.toInt + 8).toLong << 56) |
+          (u8(b, i.toInt + 9).toLong << 48) |
+          (u8(b, i.toInt + 10).toLong << 40) |
+          (u8(b, i.toInt + 11).toLong << 32) | be32(b, i.toInt + 12))
+        // a top-bit-set largesize lands negative and fails s < hdr
+        if (s64 < 16L || i + s64 > end) (-1L, 0L) else (s64, 16L)
+      } else if (s32 == 0L) (end - i, 8L)
+      else if (s32 < 8L || i + s32 > end) (-1L, 0L)
+      else (s32, 8L)
+    }
+    var i = 0L
+    var corrupt = false
+    while (!corrupt && i + 8 <= b.length) {
+      val (size, hdr) = boxAt(i, b.length.toLong)
+      if (size < 0) corrupt = true
+      else {
+        val t0 = i.toInt + 4
+        if (b(t0) == 'm' && b(t0 + 1) == 'o' && b(t0 + 2) == 'o' &&
+            b(t0 + 3) == 'v') {
+          val end = i + size
+          var j = i + hdr
+          while (!corrupt && j + 8 <= end) {
+            val (cs, chdr) = boxAt(j, end)
+            if (cs < 0) corrupt = true
+            else {
+              val c0 = j.toInt + 4
+              if (b(c0) == 'm' && b(c0 + 1) == 'v' && b(c0 + 2) == 'h' &&
+                  b(c0 + 3) == 'd' && j + chdr + 4 <= end) {
+                val p = (j + chdr).toInt
+                val ver = u8(b, p)
+                if (ver == 0 && j + chdr + 20 <= end) {
+                  version = 0; ts = be32(b, p + 12); dur = be32(b, p + 16)
+                } else if (ver == 1 && j + chdr + 32 <= end) {
+                  version = 1; ts = be32(b, p + 20)
+                  dur = ((be32(b, p + 24) << 32) | be32(b, p + 28))
+                }
+              } else if (b(c0) == 't' && b(c0 + 1) == 'r' &&
+                  b(c0 + 2) == 'a' && b(c0 + 3) == 'k') {
+                traks += 1
+              }
+              j += cs
+            }
+          }
+        }
+        i += size
+      }
+    }
+    out(fmt, version, ts, dur, traks)
+  }
+
+  /** Minimal VALID ISO-BMFF bytes for (format, mvhdVersion, timescale,
+    * duration, nTracks) — the synthesis side of the parse round-trip:
+    * canonical `ftyp` (brand isom/qt, no compatible-brand list), then
+    * `moov` holding a spec-sized `mvhd` (108 bytes at version 0, 120
+    * at version 1 — rate/volume/matrix fields zeroed) and `nTracks`
+    * empty `trak` boxes (the walk reads the box headers only; real
+    * files put tkhd/mdia children inside). Version 0 stores 32-bit
+    * durations — longer payloads must use version 1, enforced loudly
+    * like the WAV RIFF32 cap.
+    */
+  def makeVideoHeader(format: Int, version: Int, timescale: Int,
+                      duration: Long, nTracks: Int): Array[Byte] = {
+    if (format < 1 || format > 2) return Array.emptyByteArray
+    require(version == 0 || version == 1,
+      s"mvhd version must be 0 or 1, got $version")
+    require(version == 1 || duration <= 0xffffffffL,
+      s"mvhd v0 duration is 32-bit; $duration needs version 1")
+    require(nTracks >= 0, "nTracks must be non-negative")
+    val mvhdSize = 8 + (if (version == 0) 100 else 112)
+    val moovSize = 8 + mvhdSize + nTracks * 8
+    val buf = java.nio.ByteBuffer.allocate(16 + moovSize) // BE default
+    buf.putInt(16).put("ftyp".getBytes)
+      .put((if (format == 2) "qt  " else "isom").getBytes).putInt(0)
+    buf.putInt(moovSize).put("moov".getBytes)
+    buf.putInt(mvhdSize).put("mvhd".getBytes)
+    buf.putInt(version << 24) // version byte + zero flags
+    if (version == 0)
+      buf.putInt(0).putInt(0).putInt(timescale).putInt(duration.toInt)
+    else
+      buf.putLong(0L).putLong(0L).putInt(timescale).putLong(duration)
+    buf.position(buf.position() + 80) // rate..next_track_id, zeroed
+    for (_ <- 0 until nTracks) buf.putInt(8).put("trak".getBytes)
+    buf.array()
+  }
+
   /** Ids of the `n` nearest centroids to `v` by cosine similarity
     * (ties → smaller id first), over a LITERAL codebook
     * (array<array<float>> + parallel array<long> of ids). One pass, no

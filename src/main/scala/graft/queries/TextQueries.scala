@@ -242,6 +242,44 @@ object TextQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Video-header round-trip — the video sibling of
+    * [[multimodalAudio]]: per-document ISO-BMFF (MP4/MOV) container
+    * bytes are SYNTHESIZED (brand isom/qt by parity, mvhd version 0/1
+    * alternating — version 1 durations carry a 2³³ offset so the
+    * 64-bit field is genuinely exercised, timescale/track-count
+    * arithmetic in doc_id), then PARSED back by the byte-level box
+    * walk ([[graft.functions.Kernels.parseVideoHeader]] — top-level
+    * box grammar incl. largesize, one-level moov descent; scan-stage,
+    * no codec). The oracle recomputes every field arithmetically, so
+    * parse ∘ synthesize is value-checked as the identity per row, and
+    * duration_ms derives integer-exactly from the PARSED fields.
+    */
+  def multimodalVideo(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl._
+    val fmt = (pmod(col("doc_id"), lit(2)) + 1).cast("int") // 1 isom, 2 qt
+    val ver = expr("CAST(doc_id DIV 2 % 2 AS INT)")         // mvhd 0 / 1
+    val tscale = element_at(
+      array(lit(600), lit(1000), lit(24000), lit(30000), lit(90000)),
+      (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+    val secs = pmod(col("doc_id"), lit(11)) + 1
+    val duration = (tscale.cast("long") * secs) +
+      when(ver === 1, lit(8589934592L)).otherwise(lit(0L)) // 2^33: v1 path
+    val nTracks = (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        make_video_header(fmt, ver, tscale, duration, nTracks).as("payload"))
+      .select(col("doc_id").as("media_id"),
+        video_header(col("payload")).as("__v"))
+      .select(col("media_id"),
+        try_element_at(col("__v"), lit(1)).as("format_code"),
+        try_element_at(col("__v"), lit(2)).as("mvhd_version"),
+        try_element_at(col("__v"), lit(3)).as("timescale"),
+        try_element_at(col("__v"), lit(4)).as("duration"),
+        try_element_at(col("__v"), lit(5)).as("n_tracks"))
+      .withColumn("duration_ms", expr("duration * 1000 DIV timescale"))
+      .orderBy(col("media_id"))
+  }
+
   /** Video frame-sampling plan: documents as opaque "video" payloads →
     * [[graft.ops.Multimodal.frameSamplePlan]] explodes every 3rd frame
     * index of the first 16 frames into per-frame rows — the rows a
@@ -1113,6 +1151,7 @@ object TextQueries {
     "multimodal_embed_gate" -> (multimodalEmbedGate _),
     "multimodal_header" -> (multimodalHeader _),
     "multimodal_audio" -> (multimodalAudio _),
+    "multimodal_video" -> (multimodalVideo _),
     "unicode_nfc" -> (unicodeNfc _),
     "multimodal_frames" -> (multimodalFrames _),
     "sql_surface" -> (sqlSurface _),
@@ -1506,6 +1545,26 @@ object TextQueries {
                 * (doc_id % 7 + 1) AS BIGINT) AS n_frames,
            (doc_id % 7 + 1) * 1000 AS duration_ms
          FROM documents ORDER BY media_id""",
+    // arithmetic recompute of the synthesize→parse identity (see
+    // multimodalVideo: v1 durations carry the 2^33 offset)
+    "multimodal_video" ->
+      """WITH v AS (
+           SELECT doc_id,
+                  doc_id % 2 + 1 AS format_code,
+                  (doc_id // 2) % 2 AS mvhd_version,
+                  CAST([600,1000,24000,30000,90000]
+                       [CAST(doc_id % 5 AS INTEGER) + 1] AS BIGINT)
+                    AS timescale,
+                  doc_id % 11 + 1 AS secs
+           FROM documents)
+         SELECT doc_id AS media_id, format_code, mvhd_version, timescale,
+                CAST(timescale * secs + CASE WHEN mvhd_version = 1
+                     THEN 8589934592 ELSE 0 END AS BIGINT) AS duration,
+                CAST(doc_id % 3 + 1 AS BIGINT) AS n_tracks,
+                CAST((timescale * secs + CASE WHEN mvhd_version = 1
+                      THEN 8589934592 ELSE 0 END) * 1000 // timescale
+                     AS BIGINT) AS duration_ms
+         FROM v ORDER BY media_id""",
     "sql_surface" ->
       """WITH tk AS (
            SELECT doc_id, text,

@@ -209,6 +209,34 @@ object KernelProps extends Properties("kernels") {
     Prop(scala.util.Try(
       Kernels.makeAudioHeader(1, 48000, 8, 32, 1L << 32)).isFailure)
 
+  property("parseVideoHeader total on arbitrary bytes") =
+    forAll(bytes) { b => Kernels.parseVideoHeader(b).numElements() == 5 }
+
+  property("parseVideoHeader total behind a valid ftyp") =
+    forAll(Gen.oneOf(
+      prefixed(Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes ++
+        Array[Byte](0, 0, 0, 0)),
+      prefixed(Array[Byte](0, 0, 0, 16) ++ "ftypqt  ".getBytes ++
+        Array[Byte](0, 0, 0, 0)))) { b =>
+      Kernels.parseVideoHeader(b).numElements() == 5
+    }
+
+  property("video header synthesize→parse identity") =
+    forAll(Gen.oneOf(1, 2), Gen.oneOf(0, 1), Gen.chooseNum(1, 1 << 20),
+      Gen.chooseNum(0L, 1L << 40), Gen.chooseNum(0, 12)) {
+      (fmt, ver, ts, dur0, tracks) =>
+      // v0 stores 32-bit durations — makeVideoHeader require()s it
+      val dur = if (ver == 0) dur0 & 0xffffffffL else dur0
+      val p = Kernels.parseVideoHeader(
+        Kernels.makeVideoHeader(fmt, ver, ts, dur, tracks))
+      (0 until 5).map(p.getLong) ==
+        Seq(fmt.toLong, ver.toLong, ts.toLong, dur, tracks.toLong)
+    }
+
+  property("makeVideoHeader rejects 64-bit durations at mvhd v0") =
+    Prop(scala.util.Try(
+      Kernels.makeVideoHeader(1, 0, 600, 1L << 32, 1)).isFailure)
+
   // Text kernels must be total on arbitrary unicode (a web crawl
   // contains every codepoint sequence there is, including lone
   // surrogates after a bad transcode).

@@ -192,4 +192,60 @@ class MultimodalSpec extends AnyFunSuite {
     val wav = Kernels.makeAudioHeader(1, 8000, 1, 16, 1000)
     assert(parseAudio(wav) == Seq(1L, 8000L, 1L, 16L, 1000L))
   }
+
+  private def parseVideo(b: Array[Byte]): Seq[Long] = {
+    val a = Kernels.parseVideoHeader(b)
+    (0 until a.numElements()).map(a.getLong)
+  }
+
+  test("ISO-BMFF box walk: largesize, to-EOF sizes, and hostile " +
+      "payloads all honor the grammar without throwing") {
+    // canonical round-trips, both brands and mvhd versions
+    assert(parseVideo(Kernels.makeVideoHeader(1, 0, 600, 36000, 2)) ==
+      Seq(1L, 0L, 600L, 36000L, 2L))
+    assert(parseVideo(Kernels.makeVideoHeader(2, 1, 90000,
+        (1L << 33) + 90000, 3)) ==
+      Seq(2L, 1L, 90000L, (1L << 33) + 90000L, 3L))
+    // size==1 → 64-bit largesize on the moov box: rebuild the moov
+    // header with the extended form; parsed fields must be identical
+    val base = Kernels.makeVideoHeader(1, 0, 1000, 5000, 1)
+    val moovOff = 16
+    val moovSize = ((base(moovOff) & 0xff) << 24) |
+      ((base(moovOff + 1) & 0xff) << 16) |
+      ((base(moovOff + 2) & 0xff) << 8) | (base(moovOff + 3) & 0xff)
+    val big = java.nio.ByteBuffer.allocate(base.length + 8)
+    big.put(base, 0, moovOff)
+    big.putInt(1).put("moov".getBytes).putLong(moovSize.toLong + 8)
+    big.put(base, moovOff + 8, base.length - moovOff - 8)
+    assert(parseVideo(big.array()) == Seq(1L, 0L, 1000L, 5000L, 1L))
+    // size==0 → box extends to EOF (legal for the last top-level box)
+    val eof = base.clone()
+    eof(moovOff) = 0; eof(moovOff + 1) = 0
+    eof(moovOff + 2) = 0; eof(moovOff + 3) = 0
+    assert(parseVideo(eof) == Seq(1L, 0L, 1000L, 5000L, 1L))
+    // garbage / truncation / non-ftyp starts
+    assert(parseVideo(Array[Byte](1, 2, 3)) == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(parseVideo("not a video at all".getBytes) ==
+      Seq(0L, 0L, 0L, 0L, 0L))
+    assert(parseVideo(base.take(20)) == Seq(1L, 0L, 0L, 0L, 0L))
+    // hostile: moov size pointing past EOF ends the walk, keeps fields
+    val overrun = base.clone()
+    overrun(moovOff) = 0x7f.toByte
+    parseVideo(overrun) // must return, never throw
+    // hostile: largesize with the top bit set (negative as Long)
+    val negBig = big.array().clone()
+    negBig(moovOff + 8) = 0xff.toByte
+    parseVideo(negBig) // must return, never throw
+    // zero tracks and empty moov children are fine
+    assert(parseVideo(Kernels.makeVideoHeader(1, 1, 24000, 0, 0)) ==
+      Seq(1L, 1L, 24000L, 0L, 0L))
+  }
+
+  test("video kernels are reachable through the SQL function surface") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT video_header(make_video_header(2, 1, 90000, 8589934592, 2))
+           AS v""").head()
+    assert(r.getSeq[Long](0) == Seq(2L, 1L, 90000L, 8589934592L, 2L))
+  }
 }
