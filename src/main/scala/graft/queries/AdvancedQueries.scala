@@ -342,6 +342,52 @@ object AdvancedQueries {
         when(col("hh_missed") === 0, 1).otherwise(0).as("hh_covered"))
   }
 
+  /** Count–Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
+    * over the document token stream, with the ESTIMATE surface itself
+    * oracle-checked: d=4 rows × w=16 buckets (w deliberately far below
+    * the corpus vocabulary so real collisions occur — 17 of the 31
+    * vocab tokens carry genuine overestimates), row-hash family
+    * g_r = mix64(h ⊕ mix64(seed+r)) obtained by feeding the 1-element
+    * `token_hashes` array through `minhash_sig` (the existing codegen
+    * kernels compose into the CMS hash family — no new expression),
+    * bucket = (g ⋙ 32) mod w. The sketch build is ONE aggregation
+    * whose output cardinality is d·w — constant, corpus-independent —
+    * with map-side combine collapsing each partition to ≤ d·w partial
+    * cells, so the shuffle carries d·w·partitions rows at ANY corpus
+    * size; the estimate probe joins the broadcast d·w cell table.
+    * Every arithmetic step is 64-bit integer, so DuckDB replays the
+    * whole sketch (FNV-1a fold + two SplitMix64 chains in UBIGINT,
+    * split lo/hi multiplies) and the estimates hash-match exactly —
+    * the CMS guarantees (est ≥ true; est ≤ true + εN w.h.p.) are
+    * visible in the `over_cnt` column rather than asserted by a gate.
+    * True counts are computed for the report keys only (the bounded
+    * vocab domain), not for the sketch itself.
+    */
+  def cmsFreq(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl.{minhash_sig, token_hashes}
+    val d = 4
+    val w = 16
+    val toks = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    def buckets(df: DataFrame, carry: Seq[String]): DataFrame =
+      df.select(carry.map(col) :+
+          posexplode(minhash_sig(token_hashes(col("tok")), d))
+            .as(Seq("r", "g")): _*)
+        .select(carry.map(col) :+ col("r") :+
+          (shiftrightunsigned(col("g"), 32) % w).cast("int").as("b"): _*)
+    val cells = buckets(toks, Seq("tok"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cell_cnt"))
+    val keys = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+    buckets(keys, Seq("tok", "true_cnt"))
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy(col("tok"), col("true_cnt"))
+      .agg(min(col("cell_cnt")).as("est"))
+      .select(col("tok"), col("est"), col("true_cnt"),
+        (col("est") - col("true_cnt")).as("over_cnt"))
+      .orderBy(col("tok"))
+  }
+
   /** Market-basket association rules over (user, day) baskets of event
     * types: support / confidence / lift for every ordered pair, in
     * exact ×10⁶ integer arithmetic (div, not float — hash-stable).
@@ -1275,6 +1321,7 @@ object AdvancedQueries {
     "bfs_hops" -> (bfsHopsQ _),
     "topk_freq" -> (topkFreq _),
     "topk_freq_bound" -> (topkFreqBound _),
+    "cms_freq" -> (cmsFreq _),
     "assoc_rules" -> (assocRules _),
     "retention_cohorts" -> (retentionCohorts _),
     "funnel_ordered" -> (funnelOrdered _),
@@ -1735,6 +1782,55 @@ object AdvancedQueries {
          FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
                  LEFT JOIN s3 ON s1.user_id = s3.user_id
          ORDER BY s1.user_id""",
+    // the whole Count–Min sketch replayed bit-for-bit: FNV-1a token
+    // fold + TWO SplitMix64 chains (token hash, then the salted
+    // row-hash family) in UBIGINT with split lo/hi multiplies — the
+    // dedup_simhash-replay tradition applied to a sketch, so the
+    // ESTIMATES (not just guarantee flags) hash-match
+    "cms_freq" ->
+      """WITH tk AS (
+           SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+         cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         f AS (
+           SELECT tok, c,
+                  list_reduce(
+                    list_prepend(14695981039346656037::UBIGINT,
+                      list_transform(range(1, length(tok) + 1),
+                                     i -> CAST(ord(tok[i]) AS UBIGINT))),
+                    (acc, ch) -> CAST((CAST(xor(acc, ch) AS HUGEINT) * 1099511628211)
+                                      % 18446744073709551616 AS UBIGINT)) AS f0
+           FROM cnt),
+         m1 AS (SELECT tok, c,
+                  CAST((CAST(f0 AS HUGEINT) + 11400714819323198485)
+                       % 18446744073709551616 AS UBIGINT) AS z1 FROM f),
+         m2 AS (SELECT tok, c,
+                  CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT) * 13787848793156543929) + (((CAST(xor(z1, z1 >> 30) // 4294967296 AS HUGEINT) * 484763065) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z2 FROM m1),
+         m3 AS (SELECT tok, c,
+                  CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT) * 10723151780598845931) + (((CAST(xor(z2, z2 >> 27) // 4294967296 AS HUGEINT) * 321982955) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z3 FROM m2),
+         th AS (SELECT tok, c, xor(z3, z3 >> 31) AS h FROM m3),
+         sl AS (SELECT th.tok, th.c, s.r, xor(th.h, s.s) AS u
+                FROM th CROSS JOIN (VALUES
+                  (0, 13679457532755275413::UBIGINT),
+                  (1, 13432527470776545160::UBIGINT),
+                  (2, 18105923034897077331::UBIGINT),
+                  (3, 17864077645780634326::UBIGINT)) AS s(r, s)),
+         n1 AS (SELECT tok, c, r,
+                  CAST((CAST(u AS HUGEINT) + 11400714819323198485)
+                       % 18446744073709551616 AS UBIGINT) AS z1 FROM sl),
+         n2 AS (SELECT tok, c, r,
+                  CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT) * 13787848793156543929) + (((CAST(xor(z1, z1 >> 30) // 4294967296 AS HUGEINT) * 484763065) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z2 FROM n1),
+         n3 AS (SELECT tok, c, r,
+                  CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT) * 10723151780598845931) + (((CAST(xor(z2, z2 >> 27) // 4294967296 AS HUGEINT) * 321982955) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z3 FROM n2),
+         bk AS (SELECT tok, c, r,
+                  CAST((xor(z3, z3 >> 31) >> 32) % 16 AS INTEGER) AS b FROM n3),
+         cells AS (SELECT r, b, CAST(sum(c) AS BIGINT) AS cell_cnt
+                   FROM bk GROUP BY r, b),
+         est AS (SELECT bk.tok, bk.c, min(cells.cell_cnt) AS est
+                 FROM bk JOIN cells ON bk.r = cells.r AND bk.b = cells.b
+                 GROUP BY bk.tok, bk.c)
+         SELECT tok, est, c AS true_cnt, est - c AS over_cnt
+         FROM est ORDER BY tok""",
     // like the HLL/percentile gates: the exact side (token distincts)
     // recomputed in SQL, the order-invariant guarantee flags pinned
     "topk_freq_bound" ->

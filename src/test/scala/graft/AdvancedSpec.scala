@@ -172,6 +172,24 @@ class AdvancedSpec extends AnyFunSuite {
       s"gate flag $i failed: ${r(0)}"))
   }
 
+  test("cms_freq: CMS invariants — est >= true, row-sums equal N") {
+    val df = graft.queries.AdvancedQueries
+      .cmsFreq(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every estimate overestimates (the defining CMS guarantee), and
+    // the approximate regime is genuinely exercised (some collisions)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"underestimate at ${r.getString(0)}")
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3))
+    }
+    assert(rows.exists(_.getLong(3) > 0L), "w=16 should force collisions")
+    // the report keys cover the whole vocab, so sum(true) = N and any
+    // single sketch row's cells also sum to N (mass conservation)
+    val n = rows.map(_.getLong(2)).sum
+    assert(n > 0L && rows.map(_.getLong(1)).sum >= n)
+  }
+
   test("GraftSession.local builds a usable session") {
     // same JVM: getOrCreate returns the shared session; just assert
     // the required confs are applied to the builder path
