@@ -1062,6 +1062,79 @@ object AdvancedQueries {
     out
   }
 
+  /** SIXTH driver-visible stream shape: streaming CDC apply — each
+    * micro-batch of the event stream becomes a keyed change batch
+    * (per-user latest event; `error` as terminal type ⇒ tombstone)
+    * applied to a persistent snapshot with [[graft.ops.Merge.upsert]]
+    * inside `foreachBatch`, writing a NEW immutable snapshot version
+    * per batch (read vN → merge → write vN+1 — the Delta/Iceberg
+    * MERGE loop without a table format; never read-and-overwrite the
+    * same path). Because the staged splits are time-contiguous and
+    * batches apply in file order, a key's final row is written by the
+    * last batch containing that key, so the end state is a pure
+    * function of each user's GLOBALLY latest event — which is what
+    * the batch-SQL oracle recomputes (latest by (ts, event_id);
+    * absent if that event is an `error`). At scale each batch pays
+    * one full-outer shuffle on the key (bucketing the snapshot
+    * removes its exchange — Merge scaladoc) and the snapshot turns
+    * over incrementally; driver holds no row data.
+    */
+  def streamCdc(s: SparkSession, dir: String): DataFrame =
+      withStreamStatePartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.Row
+    val schema = Tables.raw(s, dir, "events").schema
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val snapRoot = java.nio.file.Files.createTempDirectory("graft_cdc")
+    val stage = stageEventsTimeSplit(s, dir, n = 2)
+    val targetSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        schema("user_id").dataType, nullable = false),
+      org.apache.spark.sql.types.StructField("event_id",
+        schema("event_id").dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("etype",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val current = new java.util.concurrent.atomic.AtomicReference[String]
+    current.set(snapRoot.resolve("v0").toString)
+    s.createDataFrame(java.util.Collections.emptyList[Row](), targetSchema)
+      .write.parquet(current.get)
+    val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      // per-user latest event IN THIS BATCH (event_id breaks ts ties)
+      val changes = batch
+        .withColumn("ts_us", Tables.microsOf(batch, "ts"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts_us"), col("event_id"),
+          col("event_type"), col("value"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("event_id"),
+          col("m.event_type").as("etype"), col("m.ts_us").as("ts_us"),
+          col("m.value").as("value"),
+          (col("m.event_type") === "error").as("_deleted"))
+      val next = snapRoot.resolve(s"v${batchId + 1}").toString
+      graft.ops.Merge.upsert(s.read.parquet(current.get), changes, "user_id")
+        .write.parquet(next)
+      current.set(next)
+    }
+    val q = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
+      .writeStream.foreachBatch(applyBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    requireMultiBatch(q, "stream_cdc")
+    val out = s.read.parquet(current.get)
+      .select(col("user_id"), col("event_id"), col("etype"), col("ts_us"),
+        round(col("value"), 4).as("value_r"))
+      .orderBy(col("user_id"))
+      .localCheckpoint(true) // pin: snapshot files are deleted below
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    org.apache.commons.io.FileUtils.deleteQuietly(snapRoot.toFile)
+    out
+  }
+
   /** Full outer join coverage (§2.7 — the one join shape broadcast
     * can't serve): per-nation customer/supplier account totals where
     * either side may be absent.
@@ -1307,6 +1380,7 @@ object AdvancedQueries {
     "stream_sessionize" -> (streamSessionize _),
     "stream_join" -> (streamJoin _),
     "stream_dedup" -> (streamDedup _),
+    "stream_cdc" -> (streamCdc _),
     "join_outer" -> (joinOuter _),
     "window_ranks" -> (windowRanks _),
     "sync_checksum" -> (syncChecksum _),
@@ -1503,6 +1577,21 @@ object AdvancedQueries {
       """SELECT DISTINCT user_id, event_type,
                 epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS day_us
          FROM events ORDER BY user_id, event_type, day_us""",
+    // final CDC snapshot = pure function of each user's globally
+    // latest event (the last batch containing a key writes its final
+    // row); error-terminated users are tombstoned
+    "stream_cdc" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                  value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts) DESC,
+                                              event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, event_id, event_type AS etype, ts_us,
+                round(value, 4) AS value_r
+         FROM e WHERE rn = 1 AND event_type <> 'error'
+         ORDER BY user_id""",
     "join_outer" ->
       """WITH c AS (SELECT c_nationkey AS nk,
                            round(sum(c_acctbal), 2) AS cust_bal

@@ -332,6 +332,24 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("sequential CDC upsert: tombstone then re-insert, last batch wins") {
+    // the stream_cdc loop distilled: apply keyed change batches in
+    // order; a key tombstoned in one batch can be re-inserted by a
+    // later one, and the final state is the last batch's word
+    val b0 = Seq((1L, "x", 1.0, false), (2L, "y", 2.0, false))
+      .toDF("k", "name", "bal", "_deleted")
+    val b1 = Seq((1L, "x", 0.0, true), (3L, "z", 3.0, false))
+      .toDF("k", "name", "bal", "_deleted") // 1 deleted
+    val b2 = Seq((1L, "x2", 9.0, false), (3L, "z", 0.0, true))
+      .toDF("k", "name", "bal", "_deleted") // 1 back, 3 gone
+    val target0 = b0.limit(0).drop("_deleted")
+    val fin = Seq(b0, b1, b2).foldLeft(target0)(
+      (t, b) => graft.ops.Merge.upsert(t, b, "k"))
+    val got = fin.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "x2", 9.0), (2L, "y", 2.0)))
+  }
+
   test("kCore: peeling cascade, in-core degrees, empty core, throws") {
     // path 1-2-3 hanging off a 4-clique {10,11,12,13}: the 2-core is
     // exactly the clique, reached only after a 3-round cascade
