@@ -587,6 +587,60 @@ object TextQueries {
     * scoring is map-side — the only shuffles after the explode carry
     * (doc, token, tf) and (doc, partial sums).
     */
+  /** Interpolated Kneser–Ney bigram LM (Kneser & Ney, ICASSP 1995;
+    * Chen & Goodman 1998 eq. 4.«interpolated» form) trained on the
+    * corpus, emitted as the smoothed probability table for every
+    * OBSERVED bigram — the n-gram-LM training step of a data
+    * pipeline (quality LMs for perplexity filtering are trained
+    * exactly this way, cf. CCNet/KenLM) as one Spark job.
+    *
+    *   P(w|v) = (c(v,w) − D)/c(v) + D·N₁₊(v,·)/c(v) · N₁₊(·,w)/N₁₊(··)
+    *
+    * with absolute discount D = 3/4. Every quantity is an integer
+    * count, and with D = 3/4 each term is a ratio of int64 products,
+    * so the fixed-point form is EXACT:
+    * `term1 = (4·c_vw − 3)·10¹² DIV (4·c_v)`,
+    * `term2 = 3·N₁₊(v,·)·N₁₊(·,w)·10¹² DIV (4·c_v·N₁₊(··))`,
+    * `p_e12 = term1 + term2` — both terms floored identically in
+    * DECIMAL(38,0)/HUGEINT, so DuckDB replays the trained model
+    * hash-exact. Numerators stay under 38 digits through 10¹⁴ token
+    * counts and 10⁸-type vocabularies.
+    *
+    * Shape: bigram extraction is a scan-stage `transform` over the
+    * token array (no positional self-join); ONE shuffle builds the
+    * bigram-type table, everything downstream aggregates or joins
+    * that — c(v)/N₁₊(v,·) and N₁₊(·,w) are vocab-bounded dimensions
+    * (AQE broadcasts them at this size; at web-scale vocab they stay
+    * sort-merge equi-joins on the type table, never touching the
+    * corpus again), N₁₊(··) rides in as a broadcast 1-row aggregate.
+    */
+  def knBigram(s: SparkSession, dir: String): DataFrame = {
+    val bg = t(s, dir, "documents")
+      .select(graft.ops.Dedup.tokens(col("text")).as("tks"))
+      .filter(size(col("tks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tks) - 2), i -> struct(tks[i] AS v, tks[i+1] AS w))")).as("b"))
+      .select(col("b.v").as("v"), col("b.w").as("w"))
+    val types = bg.groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("c_vw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = types.groupBy(col("v"))
+      .agg(sum(col("c_vw")).as("c_v"), count(lit(1)).as("n1_v"))
+    val cont = types.groupBy(col("w")).agg(count(lit(1)).as("n1_w"))
+    val nt = types.agg(count(lit(1)).as("n_types"))
+    val out = types
+      .join(ctx, Seq("v")).join(cont, Seq("w")).crossJoin(broadcast(nt))
+      .withColumn("p_e12",
+        expr("""CAST((CAST(4 * c_vw - 3 AS DECIMAL(38,0)) * 1000000000000)
+                     DIV (CAST(c_v AS DECIMAL(38,0)) * 4) AS BIGINT)
+                + CAST((CAST(3 AS DECIMAL(38,0)) * n1_v * n1_w * 1000000000000)
+                       DIV (CAST(c_v AS DECIMAL(38,0)) * 4 * n_types) AS BIGINT)"""))
+      .select(col("v"), col("w"), col("c_vw"), col("p_e12"))
+    val pinned = graft.ops.Dedup.materialize(out)
+    types.unpersist()
+    pinned.orderBy(col("v"), col("w"))
+  }
+
   def lmSurprisal(s: SparkSession, dir: String): DataFrame = {
     val tf = t(s, dir, "documents")
       .select(col("doc_id"), explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
@@ -1167,6 +1221,7 @@ object TextQueries {
     "normalize_text" -> (normalizeText _),
     "domain_stats" -> (domainStats _),
     "lm_surprisal" -> (lmSurprisal _),
+    "kn_bigram" -> (knBigram _),
     "dsir_select" -> (dsirSelect _),
     "pack_sequences" -> (packSequences _),
     "pps_sample" -> (ppsSample _),
@@ -1632,6 +1687,33 @@ object TextQueries {
            CAST(64 + (octet_length(encode(text)) * 7) % 256 AS INTEGER) AS height,
            round((octet_length(encode(text)) % 1000) / 1000.0, 3) AS mean_val
          FROM documents ORDER BY media_id""",
+    // the trained interpolated-KN bigram model replayed exactly: both
+    // fixed-point terms floored identically (DECIMAL(38,0) DIV in
+    // Spark, HUGEINT // here), so the model table hash-matches
+    "kn_bigram" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\W+'),
+                              x -> len(x) > 0) AS tks
+           FROM documents),
+         bg AS (
+           SELECT unnest([{'v': tks[i], 'w': tks[i+1]}
+                          for i in range(1, len(tks))], recursive := true)
+           FROM tok WHERE len(tks) >= 2),
+         ty AS (SELECT v, w, count(*) AS c_vw FROM bg GROUP BY v, w),
+         ctx AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+                        count(*) AS n1_v
+                 FROM ty GROUP BY v),
+         cont AS (SELECT w, count(*) AS n1_w FROM ty GROUP BY w),
+         nt AS (SELECT count(*) AS n_types FROM ty)
+         SELECT ty.v, ty.w, ty.c_vw,
+                CAST((CAST(4 * ty.c_vw - 3 AS HUGEINT) * 1000000000000)
+                     // (CAST(ctx.c_v AS HUGEINT) * 4) AS BIGINT)
+                + CAST((CAST(3 AS HUGEINT) * ctx.n1_v * cont.n1_w * 1000000000000)
+                       // (CAST(ctx.c_v AS HUGEINT) * 4 * nt.n_types) AS BIGINT)
+                  AS p_e12
+         FROM ty JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN nt
+         ORDER BY ty.v, ty.w""",
     "lm_surprisal" ->
       """WITH tok AS (
            SELECT doc_id,

@@ -124,4 +124,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(nfc(nfc("e\u0301")) == nfc("e\u0301"))
     assert(nfc("e\u0301") == nfc("\u00e9"))
   }
+
+  test("knBigram: hand-computed interpolated-KN table, mass sums to 1") {
+    // corpus: "a b a b" + "b c" \u2192 types (a,b):2 (b,a):1 (b,c):1, NT=3
+    // context a: c_v=2 n1=1; context b: c_v=2 n1=2; all n1_w = 1
+    val dir = java.nio.file.Files.createTempDirectory("graft_kn").toString
+    Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.knBigram(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
+    // p(b|a) = (8-3)/8 + 3\u00b71\u00b71/(4\u00b72\u00b73) = 0.625 + 0.125
+    assert(got == Map(("a", "b") -> 750000000000L,
+      ("b", "a") -> 375000000000L, ("b", "c") -> 375000000000L))
+    // unseen-continuation mass closes each context to exactly 1:
+    // ctx a: 750 + 2\u00b7125 (unseen a,c) = 1000e9; ctx b: 375+375+250
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
 }
