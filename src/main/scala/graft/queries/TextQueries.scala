@@ -458,6 +458,44 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** HTML main-content extraction (the trafilatura/jusText step of a
+    * web-crawl pipeline, structural-heuristic form): each document is
+    * wrapped in a deterministic page — head/title, style, nav,
+    * tracking script, article body, footer whose link count varies
+    * per doc — and the operator recovers the payload by removing
+    * whole BOILERPLATE BLOCKS (script/style/nav/footer, non-greedy
+    * dotall spans; explicit alternation, not backreferences, so the
+    * same pattern runs on java.util.regex and RE2), stripping
+    * remaining tags, and collapsing whitespace. Extracted title, link
+    * count, and a content-equals-source flag make the round-trip
+    * driver-checkable (the multimodal synthesize→parse tradition,
+    * [[normalizeText]]'s strip escalated to structure-aware removal).
+    * Three scan-stage regex projections, zero shuffles before the
+    * presentation sort — at 100 TB this runs at parquet-scan speed.
+    */
+  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val page = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style>body{margin:0}</style></head><body>"),
+      lit("<nav><a href=\"/home\">home</a> <a href=\"/about\">about</a></nav>"),
+      lit("<script>track(\""), id, lit("\");</script><article><p>"),
+      col("text"), lit("</p></article><footer>"),
+      expr("repeat('<a href=\"/x\">x</a>', CAST(doc_id % 3 AS INT))"),
+      lit("(c) corp</footer></body></html>"))
+    val content = trim(regexp_replace(regexp_replace(regexp_replace(page,
+      "(?s)(<head>.*?</head>|<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<nav[^>]*>.*?</nav>|<footer[^>]*>.*?</footer>)", " "),
+      "<[^>]*>", " "), "\\s+", " "))
+    val want = trim(regexp_replace(col("text"), "\\s+", " "))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_extract(page, "<title>(.*?)</title>", 1).as("title"),
+        length(content).cast("long").as("content_len"),
+        (size(split(page, "<a href", -1)) - 1).cast("long").as("n_links"),
+        (content === want).cast("int").as("content_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** URL extraction + per-domain aggregation (the Common-Crawl-shaped
     * provenance rollup): plant two deterministic URLs per document,
     * extract every host with one regex pass, and aggregate
@@ -1222,6 +1260,7 @@ object TextQueries {
     "domain_stats" -> (domainStats _),
     "lm_surprisal" -> (lmSurprisal _),
     "kn_bigram" -> (knBigram _),
+    "html_extract" -> (htmlExtract _),
     "dsir_select" -> (dsirSelect _),
     "pack_sequences" -> (packSequences _),
     "pps_sample" -> (ppsSample _),
@@ -1687,6 +1726,36 @@ object TextQueries {
            CAST(64 + (octet_length(encode(text)) * 7) % 256 AS INTEGER) AS height,
            round((octet_length(encode(text)) % 1000) / 1000.0, 3) AS mean_val
          FROM documents ORDER BY media_id""",
+    // full replay of both the page synthesis and the extraction: the
+    // boilerplate-block removal / tag strip / whitespace collapse
+    // chain runs the SAME patterns under RE2 (explicit alternation,
+    // inline (?s), no backreferences), so title/lengths/flags match
+    "html_extract" ->
+      """WITH p AS (
+           SELECT doc_id, text,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+             '</title><style>body{margin:0}</style></head><body>' ||
+             '<nav><a href="/home">home</a> <a href="/about">about</a></nav>' ||
+             '<script>track("' || CAST(doc_id AS VARCHAR) ||
+             '");</script><article><p>' || text ||
+             '</p></article><footer>' ||
+             repeat('<a href="/x">x</a>', CAST(doc_id % 3 AS INT)) ||
+             '(c) corp</footer></body></html>' AS page
+           FROM documents),
+         c AS (
+           SELECT doc_id, page, text,
+             trim(regexp_replace(regexp_replace(regexp_replace(page,
+               '(?s)(<head>.*?</head>|<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<nav[^>]*>.*?</nav>|<footer[^>]*>.*?</footer>)', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS content
+           FROM p)
+         SELECT doc_id,
+           regexp_extract(page, '<title>(.*?)</title>', 1) AS title,
+           CAST(length(content) AS BIGINT) AS content_len,
+           CAST(len(regexp_split_to_array(page, '<a href')) - 1 AS BIGINT)
+             AS n_links,
+           CAST(content = trim(regexp_replace(text, '\s+', ' ', 'g'))
+                AS INTEGER) AS content_ok
+         FROM c ORDER BY doc_id""",
     // the trained interpolated-KN bigram model replayed exactly: both
     // fixed-point terms floored identically (DECIMAL(38,0) DIV in
     // Spark, HUGEINT // here), so the model table hash-matches

@@ -125,6 +125,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(nfc("e\u0301") == nfc("\u00e9"))
   }
 
+  test("htmlExtract: boilerplate blocks removed, payload round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_html").toString
+    Seq((2L, "hello   world"), (4L, "x")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.htmlExtract(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    // content collapses the doubled space: "hello world" = 11 chars;
+    // links: 2 nav + doc_id % 3 footer
+    assert(got(2L) == ("Doc 2", 11L, 4L, 1))
+    assert(got(4L) == ("Doc 4", 1L, 3L, 1))
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("knBigram: hand-computed interpolated-KN table, mass sums to 1") {
     // corpus: "a b a b" + "b c" \u2192 types (a,b):2 (b,a):1 (b,c):1, NT=3
     // context a: c_v=2 n1=1; context b: c_v=2 n1=2; all n1_w = 1
