@@ -208,6 +208,45 @@ object Graph {
     visited
   }
 
+  /** Synchronous label propagation (Raghavan et al., Phys. Rev. E
+    * 2007) over a SYMMETRIC edge set, made fully deterministic: every
+    * node starts labeled with its own id, and each round every node
+    * simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label (the paper's
+    * random tie-break is what makes vanilla LPA irreproducible; the
+    * min tie-break restores a partition-count-independent fixpoint
+    * trajectory, the same determinism discipline as the e12
+    * PageRank). A FIXED round count keeps the loop lazily chained
+    * (no mid-loop action — the pageRankE12 shape): each round is one
+    * equi-join of the label table with the pinned edge table plus
+    * two hash aggregates, all shuffle-partitioned on the node key.
+    * Synchronous updates on bipartite regions can oscillate
+    * (two-coloring flip) — with a fixed round count that is still a
+    * deterministic, oracle-replayable answer; callers wanting a
+    * fixpoint raise `rounds` and compare consecutive rounds.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels.withColumnRenamed("id", "nid"),
+          col("dst") === col("nid"))
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("cnt"))
+        // argmax by (count, then smallest label): labels are node ids
+        // (non-negative by the caller's contract), so -lab orders the
+        // tie-break inside one struct max
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("src").as("id"), (-col("m.nl")).as("lab"))
+    }
+    val out = Dedup.materialize(labels)
+    e.unpersist()
+    out
+  }
+
   /** Degree-oriented triangle count (Suri & Vassilvitskii, WWW'11 —
     * the MapReduce node-iterator++ orientation): same input contract
     * and same answer as [[triangleCountIdOriented]], but each edge is

@@ -594,6 +594,26 @@ object AdvancedQueries {
       .orderBy(col("id"))
   }
 
+  /** Deterministic label propagation (3 synchronous rounds, min-label
+    * tie-break — [[graft.ops.Graph.labelPropagation]]) over the same
+    * customer–supplier order graph as `pagerank`/`kcore`/`bfs_hops`:
+    * the community-detection member of the graph family. The oracle
+    * unrolls the 3 rounds in SQL (join + count + row_number argmax
+    * per round — the bfs_hops unroll pattern applied to label
+    * frequencies), so the full label trajectory is hash-checked, not
+    * just gated.
+    */
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1L << 40) + col("l_suppkey")).as("dst"))
+      .distinct()
+    Graph.labelPropagation(Graph.symmetrize(edges), rounds = 3)
+      .orderBy(col("id"))
+  }
+
   /** Bloom-prune gate: lineitem pruned by a Bloom filter of the
     * high-balance suppliers' keys must (a) keep every true match — no
     * false negatives, the filter's contract, (b) actually prune, and
@@ -1393,6 +1413,7 @@ object AdvancedQueries {
     "pagerank" -> (pagerank _),
     "kcore" -> (kcore _),
     "bfs_hops" -> (bfsHopsQ _),
+    "label_prop" -> (labelProp _),
     "topk_freq" -> (topkFreq _),
     "topk_freq_bound" -> (topkFreqBound _),
     "cms_freq" -> (cmsFreq _),
@@ -1414,6 +1435,36 @@ object AdvancedQueries {
     "zorder_key" -> (zorderKey _))
 
   val oracle: Map[String, String] = Map(
+    // the 3 synchronous LPA rounds unrolled: per round one
+    // neighbor-label join, a frequency count, and a row_number argmax
+    // (count DESC, label ASC) — the full trajectory replayed
+    "label_prop" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                            1099511627776 + l_suppkey AS dst
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+               FROM e0
+               UNION SELECT dst, src FROM e0),
+         l0 AS (SELECT DISTINCT src AS id, src AS lab FROM e),
+         l1 AS (SELECT id, lab FROM (
+                  SELECT e.src AS id, l.lab, count(*) AS c,
+                         row_number() OVER (PARTITION BY e.src
+                           ORDER BY count(*) DESC, l.lab ASC) AS rn
+                  FROM e JOIN l0 l ON e.dst = l.id
+                  GROUP BY e.src, l.lab) WHERE rn = 1),
+         l2 AS (SELECT id, lab FROM (
+                  SELECT e.src AS id, l.lab, count(*) AS c,
+                         row_number() OVER (PARTITION BY e.src
+                           ORDER BY count(*) DESC, l.lab ASC) AS rn
+                  FROM e JOIN l1 l ON e.dst = l.id
+                  GROUP BY e.src, l.lab) WHERE rn = 1),
+         l3 AS (SELECT id, lab FROM (
+                  SELECT e.src AS id, l.lab, count(*) AS c,
+                         row_number() OVER (PARTITION BY e.src
+                           ORDER BY count(*) DESC, l.lab ASC) AS rn
+                  FROM e JOIN l2 l ON e.dst = l.id
+                  GROUP BY e.src, l.lab) WHERE rn = 1)
+         SELECT id, lab FROM l3 ORDER BY id""",
     "bfs_hops" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey AS src,
                             1099511627776 + l_suppkey AS dst

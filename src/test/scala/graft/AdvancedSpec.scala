@@ -350,6 +350,29 @@ class AdvancedSpec extends AnyFunSuite {
     assert(got == Seq((1L, "x2", 9.0), (2L, "y", 2.0)))
   }
 
+  test("labelPropagation matches a reference simulation; bridge kept out") {
+    // two triangles bridged at 3–10: sync LPA with min tie-break must
+    // match an in-memory simulation round for round
+    val directed = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val und = graft.ops.Graph.symmetrize(directed)
+    val adj = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L)).flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var sim = adj.keys.map(k => k -> k).toMap
+    for (_ <- 1 to 3) {
+      sim = adj.map { case (v, nbrs) =>
+        val freq = nbrs.groupBy(sim).view.mapValues(_.size).toMap
+        v -> freq.toSeq.minBy { case (lab, c) => (-c, lab) }._1
+      }
+    }
+    val got = graft.ops.Graph.labelPropagation(und, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == sim)
+    // communities separate: the two triangles end on different labels
+    assert(Set(got(1L), got(2L)).size == 1 && got(1L) != got(11L))
+  }
+
   test("kCore: peeling cascade, in-core degrees, empty core, throws") {
     // path 1-2-3 hanging off a 4-clique {10,11,12,13}: the 2-core is
     // exactly the clique, reached only after a 3-round cascade
