@@ -1009,9 +1009,16 @@ object TextQueries {
     * window over the tf table (tfidf's re-explode-avoidance trick);
     * the corpus stats (N, Σdl, â) are a 1-row broadcast.
     */
-  def bm25Rank(s: SparkSession, dir: String): DataFrame = {
+  def bm25Rank(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(s, dir, Seq("hash", "join", "filter"))
+      .orderBy(col("score_e6").desc, col("doc_id")).limit(50)
+
+  /** The scored (doc_id, score_e6, n_terms) BM25 frame shared by
+    * [[bm25Rank]] and the [[hybridRank]] lexical leg.
+    */
+  private def bm25Scores(s: SparkSession, dir: String,
+                         terms: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = Seq("hash", "join", "filter")
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), graft.ops.Dedup.tokens(col("text")).as("toks"))
     val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
@@ -1033,7 +1040,47 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib_e6")).as("score_e6"),
         count(lit(1)).as("n_terms"))
+  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009): the lexical leg's BM25 top-50 (the exact
+    * [[bm25Rank]] list) fused with a dense leg — cosine top-50
+    * against one query embedding (vec_id 0, the doc_id↔vec_id-aligned
+    * corpus) — by RRF(d) = Σ_legs 1/(60 + rank_leg(d)), held in e9
+    * fixed point so the fused score is exact integer. Each leg is a
+    * `TakeOrderedAndProject` top-k (never a global sort — the
+    * row_number windows rank 50-row frames); the dense similarities
+    * follow the ann_topk convention (round(cos, 4), id tie-break)
+    * that keeps float ranking engine-portable. This is the standard
+    * RAG/curation retrieval stack — sparse ∪ dense candidate lists,
+    * rank-fused without score calibration — as one declarative plan.
+    */
+  def hybridRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dsl.cosine_sim
+    val lexTop = bm25Scores(s, dir, Seq("hash", "join", "filter"))
       .orderBy(col("score_e6").desc, col("doc_id")).limit(50)
+    val lex = lexTop.withColumn("rank_lex", row_number()
+        .over(Window.orderBy(col("score_e6").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_lex"))
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val denseTop = emb.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(cosine_sim(col("embedding"), col("qv")), 4).as("sim_r"))
+      .orderBy(col("sim_r").desc, col("doc_id")).limit(50)
+    val dense = denseTop.withColumn("rank_dense", row_number()
+        .over(Window.orderBy(col("sim_r").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_dense"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr("1000000000 DIV (60 + rank_lex)"), lit(0L))
+          + coalesce(expr("1000000000 DIV (60 + rank_dense)"), lit(0L)))
+          .as("rrf_e9"),
+        col("rank_lex").cast("long").as("rank_lex"),
+        col("rank_dense").cast("long").as("rank_dense"))
+      .orderBy(col("rrf_e9").desc, col("doc_id"))
   }
 
   /** Corpus filter funnel: surviving document counts after each stage
@@ -1261,6 +1308,7 @@ object TextQueries {
     "lm_surprisal" -> (lmSurprisal _),
     "kn_bigram" -> (knBigram _),
     "html_extract" -> (htmlExtract _),
+    "hybrid_rank" -> (hybridRank _),
     "dsir_select" -> (dsirSelect _),
     "pack_sequences" -> (packSequences _),
     "pps_sample" -> (ppsSample _),
@@ -1372,6 +1420,62 @@ object TextQueries {
          SELECT doc_id,
            CAST(floor((n10 * 10000)::DOUBLE / d10::DOUBLE) AS BIGINT) AS quality_e4
          FROM n ORDER BY doc_id""",
+    // both legs replayed — the bm25_rank CTE chain for lexical, the
+    // ann_topk float convention (round 4, id tie-break) for dense —
+    // then the RRF fusion in exact e9 integers over the two top-50s
+    "hybrid_rank" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> len(x) > 0) AS toks
+           FROM documents),
+         dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+         st AS (SELECT count(*)::BIGINT AS n_docs,
+                       (sum(dl)::BIGINT * 1000) // count(*)::BIGINT AS avg_e3
+                FROM dl),
+         tf AS (SELECT doc_id, token,
+                       least(count(*)::BIGINT, 10000) AS tfc
+                FROM (SELECT doc_id, unnest(toks) AS token FROM tok)
+                WHERE token IN ('hash', 'join', 'filter')
+                GROUP BY 1, 2),
+         d AS (SELECT token, count(*)::BIGINT AS dfc FROM tf GROUP BY 1),
+         c AS (SELECT tf.doc_id,
+                      (st.n_docs // d.dfc) *
+                        ((22 * tf.tfc * st.avg_e3 * 1000000)
+                         // (10 * tf.tfc * st.avg_e3 + 3 * st.avg_e3
+                             + 9 * dl.dl * 1000)) AS contrib_e6
+               FROM tf JOIN d USING (token) JOIN dl USING (doc_id)
+                    CROSS JOIN st),
+         lexn AS (SELECT doc_id, CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+                  FROM c GROUP BY 1
+                  ORDER BY score_e6 DESC, doc_id LIMIT 50),
+         lex AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY score_e6 DESC, doc_id)
+                          AS rank_lex
+                 FROM lexn),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+         ds AS (SELECT vec_id AS doc_id,
+                       round(list_dot_product(qv, cv)
+                             / sqrt(list_dot_product(qv, qv)
+                                    * list_dot_product(cv, cv)), 4) AS sim_r
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                      FROM embeddings) CROSS JOIN q),
+         densen AS (SELECT doc_id, sim_r FROM ds
+                    ORDER BY sim_r DESC, doc_id LIMIT 50),
+         dense AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY sim_r DESC, doc_id)
+                            AS rank_dense
+                   FROM densen),
+         f AS (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+                      l.rank_lex, d.rank_dense
+               FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+         SELECT doc_id,
+                CAST(coalesce(1000000000 // (60 + rank_lex), 0)
+                     + coalesce(1000000000 // (60 + rank_dense), 0)
+                     AS BIGINT) AS rrf_e9,
+                CAST(rank_lex AS BIGINT) AS rank_lex,
+                CAST(rank_dense AS BIGINT) AS rank_dense
+         FROM f ORDER BY rrf_e9 DESC, doc_id""",
     "bm25_rank" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '\W+'),

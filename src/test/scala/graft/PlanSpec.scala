@@ -60,6 +60,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Sort ["), plan.take(2000))
   }
 
+  test("hybrid_rank: both retrieval legs are TopN, never a global sort") {
+    val plan = formatted("hybrid_rank")
+    // lexical (BM25) and dense (cosine) top-50s must each fold to
+    // TakeOrderedAndProject; the only full Sort allowed is the final
+    // presentation sort over the ≤100-row fused frame
+    val topn = plan.linesIterator
+      .count(_.contains("TakeOrderedAndProject"))
+    assert(topn >= 2, s"expected 2 TopN legs:\n${plan.take(3000)}")
+    // dense leg: the single query vector rides as a broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(3000))
+  }
+
   test("q1_agg: partial (map-side) aggregation before the shuffle") {
     val plan = formatted("q1_agg")
     // partial+final pair: the shuffle moves |groups| rows, not |rows|
