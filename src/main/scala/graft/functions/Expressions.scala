@@ -431,6 +431,47 @@ case class SrpProbesExpr(child: Expression, bits: Int, seed: Long,
   override def prettyName: String = "srp_probes"
 }
 
+/** Sorted distinct ids of blocklist patterns occurring in the string
+  * (byte-level substring semantics ≡ per-pattern SQL `contains`) via
+  * one Aho–Corasick pass — O(n + matches) per row regardless of the
+  * pattern count, where a contains-join is O(P·n). The automaton is
+  * built once on the driver and rides into generated code as a plan
+  * reference object (same shipping model as a broadcast), so the
+  * whole-stage-codegen span stays intact: the per-row call is one
+  * non-virtual method on a pinned reference.
+  */
+case class AcMatchIdsExpr(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val ac = AhoCorasick.build(patterns)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    ac.matchIds(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("acAutomaton", ac,
+      classOf[AhoCorasick].getName)
+    defineCodeGen(ctx, ev, c => s"$acRef.matchIds($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): AcMatchIdsExpr =
+    copy(child = c)
+  override def prettyName: String = "ac_match_ids"
+}
+
+/** RFC 3986 syntax-based URL canonicalization + tracking-param strip
+  * ([[Kernels.canonicalizeUrl]]) — the scan-stage dedup key for
+  * URL-level dedup of a web corpus.
+  */
+case class UrlCanonExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.canonicalizeUrl(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.canonicalizeUrl($c)")
+  override protected def withNewChildInternal(c: Expression): UrlCanonExpr =
+    copy(child = c)
+  override def prettyName: String = "url_canon"
+}
+
 /** Morton (Z-order) interleave of two long columns' low 32 bits — the
   * multi-dimensional layout sort key (see [[Kernels.interleave2]]).
   */
@@ -519,6 +560,17 @@ object dsl {
 
   def winnow_max_gap(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowGapExpr(ExpressionUtils.expression(text), k, w))
+
+  /** Sorted distinct blocklist-pattern ids matched in `text` (one
+    * Aho–Corasick pass; ids index into `patterns`).
+    */
+  def ac_match_ids(text: Column, patterns: Seq[String]): Column =
+    ExpressionUtils.column(
+      AcMatchIdsExpr(ExpressionUtils.expression(text), patterns))
+
+  /** Canonicalized URL dedup key ([[Kernels.canonicalizeUrl]]). */
+  def url_canon(c: Column): Column =
+    ExpressionUtils.column(UrlCanonExpr(ExpressionUtils.expression(c)))
 
   /** Morton (Z-order) key over two long columns' low 32 bits. */
   def zorder_key(a: Column, b: Column): Column = {

@@ -1014,4 +1014,76 @@ object Kernels {
     while (k < t) { out(k) = base ^ order(k).toLong; k += 1 }
     new GenericArrayData(out)
   }
+
+  /** Canonicalize an http(s) URL for dedup keying — the standard
+    * normalizations that make syntactically-different spellings of
+    * the same resource collide (RFC 3986 §6 syntax-based
+    * normalization plus the tracking-param strip every web-corpus
+    * pipeline applies):
+    *
+    *  1. scheme and host lowercased (case-insensitive per RFC);
+    *  2. default port stripped (`:443` for https, `:80` for http);
+    *  3. runs of `/` in the path collapsed to one;
+    *  4. trailing `/` dropped (a bare `/` path is dropped too — host
+    *     root canonicalizes to no path);
+    *  5. fragment dropped (never sent to the server);
+    *  6. query params with keys starting `utm_` dropped, the rest
+    *     sorted bytewise and rejoined; an emptied query drops its `?`.
+    *
+    * Total: any input without `://` (or with an empty host) is
+    * returned unchanged rather than throwing — hostile rows pass
+    * through and collide only with themselves. Userinfo (`@`) and
+    * IPv6 bracket hosts are out of scope (treated as part of the
+    * host token, lowercased but otherwise preserved). Idempotent by
+    * construction (property-tested), which is what lets the key be
+    * recomputed at any pipeline stage without drift.
+    */
+  def canonicalizeUrl(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = u.toString
+    val schemeEnd = s.indexOf("://")
+    if (schemeEnd <= 0) return u
+    val scheme = s.substring(0, schemeEnd)
+      .toLowerCase(java.util.Locale.ROOT)
+    var i = schemeEnd + 3
+    val n = s.length
+    var hostEnd = i
+    while (hostEnd < n && s.charAt(hostEnd) != '/' &&
+      s.charAt(hostEnd) != '?' && s.charAt(hostEnd) != '#') hostEnd += 1
+    var hostPort = s.substring(i, hostEnd)
+      .toLowerCase(java.util.Locale.ROOT)
+    if (hostPort.isEmpty) return u
+    if ((scheme == "https" && hostPort.endsWith(":443")) ||
+        (scheme == "http" && hostPort.endsWith(":80")))
+      hostPort = hostPort.substring(0, hostPort.lastIndexOf(':'))
+    i = hostEnd
+    var pathEnd = i
+    while (pathEnd < n && s.charAt(pathEnd) != '?' &&
+      s.charAt(pathEnd) != '#') pathEnd += 1
+    val path = {
+      val sb = new java.lang.StringBuilder(pathEnd - i)
+      var j = i
+      while (j < pathEnd) {
+        val c = s.charAt(j)
+        if (c != '/' || sb.length == 0 || sb.charAt(sb.length - 1) != '/')
+          sb.append(c)
+        j += 1
+      }
+      if (sb.length > 0 && sb.charAt(sb.length - 1) == '/')
+        sb.setLength(sb.length - 1)
+      sb.toString
+    }
+    var queryEnd = pathEnd
+    val query =
+      if (pathEnd < n && s.charAt(pathEnd) == '?') {
+        queryEnd = pathEnd + 1
+        while (queryEnd < n && s.charAt(queryEnd) != '#') queryEnd += 1
+        val params = s.substring(pathEnd + 1, queryEnd).split("&", -1)
+          .filter(p => p.nonEmpty && !p.startsWith("utm_"))
+        java.util.Arrays.sort(params.asInstanceOf[Array[Object]])
+        if (params.isEmpty) "" else "?" + params.mkString("&")
+      } else ""
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      scheme + "://" + hostPort + path + query)
+  }
 }

@@ -496,6 +496,50 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** URL canonicalization for dedup keying ([[graft.functions.dsl
+    * .url_canon]] / [[graft.functions.Kernels.canonicalizeUrl]]):
+    * synthesize a deterministically-messy URL per document (mixed-case
+    * scheme/host, default port, duplicate and trailing slashes,
+    * unsorted query params, utm_ tracking params, fragment), then
+    * canonicalize it generically and count documents sharing each
+    * canonical key. The messy→canonical mapping is what URL-level
+    * dedup of a web corpus keys on; the kernel is a scan-stage
+    * codegen expression (zero shuffle), and the only shuffle here is
+    * the count window keyed ON the canonical key — the dedup shuffle
+    * itself. Following the `html_extract` convention, the oracle
+    * replays BOTH the synthesis and the canonical form arithmetically
+    * (the canonical string is constructed directly from the same
+    * doc_id arms), so every normalization rule is hash-pinned on
+    * every row; the kernel's generic parsing beyond this family is
+    * property-tested (idempotence, totality) in KernelProps.
+    */
+  def urlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dsl.url_canon
+    val url = concat(
+      expr("CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END"),
+      lit("://"),
+      expr("CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM' " +
+        "WHEN doc_id % 3 = 1 THEN 'Docs.Example.Com' " +
+        "ELSE 'cdn.example.com' END"),
+      expr("CASE WHEN doc_id % 5 = 0 THEN ':443' " +
+        "WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END"),
+      lit("/"), col("source"), lit("//"), col("lang"),
+      expr("CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END"),
+      expr("CASE WHEN doc_id % 6 = 0 THEN '?b=2&a=1' " +
+        "WHEN doc_id % 6 = 1 THEN '?a=1&b=2' " +
+        "WHEN doc_id % 6 = 2 THEN '?utm_source=feed&a=1' " +
+        "WHEN doc_id % 6 = 3 THEN '?utm_campaign=x' " +
+        "WHEN doc_id % 6 = 4 THEN '?z=9' ELSE '' END"),
+      expr("CASE WHEN doc_id % 7 = 0 THEN '#sec1' ELSE '' END"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"), url_canon(url).as("canon_url"))
+      .withColumn("changed", (col("url") =!= col("canon_url")).cast("int"))
+      .withColumn("n_same_key",
+        count(lit(1)).over(Window.partitionBy(col("canon_url"))))
+      .orderBy(col("doc_id"))
+  }
+
   /** URL extraction + per-domain aggregation (the Common-Crawl-shaped
     * provenance rollup): plant two deterministic URLs per document,
     * extract every host with one regex pass, and aggregate
@@ -980,6 +1024,47 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The fixed blocklist for `blocklist_match`. Ids are list position.
+    * Deliberately includes the suffix/prefix traps that distinguish a
+    * real Aho–Corasick from per-pattern scans: "sort" is a proper
+    * suffix of "merge sort" (emit-chain inheritance must surface BOTH
+    * on a "merge sort" hit), "table" is a proper prefix of "table
+    * scan", and "key order sort" overlaps "sort" at its tail.
+    */
+  val BlocklistPatterns: Seq[String] = Seq(
+    "hash join",      // 0
+    "merge sort",     // 1
+    "table scan",     // 2
+    "batch stream",   // 3
+    "slow query",     // 4
+    "sort",           // 5: proper suffix of 1
+    "table",          // 6: proper prefix of 2
+    "key order sort", // 7: tail overlaps 5
+    "window dup",     // 8
+    "scan merge part" // 9
+  )
+
+  /** Blocklist / phrase-list matching: every (document, pattern) pair
+    * where the pattern occurs as a substring, via ONE Aho–Corasick
+    * pass per document ([[graft.functions.AhoCorasick]]). The naive
+    * formulation is a documents × patterns contains-join — O(P·n)
+    * per document and a P-way row fan-out before the filter; the
+    * automaton is O(n + matches) per document with NO join in the
+    * plan (PlanSpec pins this), which is what makes a 10⁵-phrase
+    * blocklist affordable over a 100 TB corpus: the corpus is read
+    * once, the phrase list rides to executors once inside the plan.
+    * The oracle states the semantics AS the naive join — DuckDB
+    * `contains` per pattern — so the one-pass result is hash-checked
+    * against the P-scan definition.
+    */
+  def blocklistMatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl.ac_match_ids
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(ac_match_ids(col("text"), BlocklistPatterns)).as("pattern_id"))
+      .orderBy(col("doc_id"), col("pattern_id"))
+  }
+
   /** BM25 ranking (Robertson et al., TREC-3) of the corpus against the
     * fixed query {hash, join, filter} — the length-normalized scoring
     * `keyword_search`'s boolean match and `tfidf_top_terms`' raw tf·idf
@@ -1316,6 +1401,8 @@ object TextQueries {
     "filter_funnel" -> (filterFunnel _),
     "training_pipeline" -> (trainingPipeline _),
     "keyword_search" -> (keywordSearch _),
+    "blocklist_match" -> (blocklistMatch _),
+    "url_canonicalize" -> (urlCanonicalize _),
     "bm25_rank" -> (bm25Rank _),
     "line_dedup" -> (lineDedup _))
 
@@ -1502,6 +1589,57 @@ object TextQueries {
                 count(*)::BIGINT AS n_terms
          FROM c GROUP BY 1
          ORDER BY score_e6 DESC, doc_id LIMIT 50""",
+    // synthesis AND canonicalization replayed (html_extract
+    // convention): the canonical string is constructed directly from
+    // the same doc_id arms — lowercased host, :443 stripped / :8080
+    // kept, '//' collapsed, trailing '/' dropped, utm_ params gone and
+    // the rest sorted, fragment gone — so every rule is hash-pinned
+    "url_canonicalize" ->
+      """WITH u AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+             || '://'
+             || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+                      WHEN doc_id % 3 = 1 THEN 'Docs.Example.Com'
+                      ELSE 'cdn.example.com' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN ':443'
+                      WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+             || '/' || source || '//' || lang
+             || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 6 = 0 THEN '?b=2&a=1'
+                      WHEN doc_id % 6 = 1 THEN '?a=1&b=2'
+                      WHEN doc_id % 6 = 2 THEN '?utm_source=feed&a=1'
+                      WHEN doc_id % 6 = 3 THEN '?utm_campaign=x'
+                      WHEN doc_id % 6 = 4 THEN '?z=9' ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '#sec1' ELSE '' END)
+               AS url,
+             'https://'
+             || (CASE WHEN doc_id % 3 = 0 THEN 'www.example.com'
+                      WHEN doc_id % 3 = 1 THEN 'docs.example.com'
+                      ELSE 'cdn.example.com' END)
+             || (CASE WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+             || '/' || source || '/' || lang
+             || (CASE WHEN doc_id % 6 IN (0, 1) THEN '?a=1&b=2'
+                      WHEN doc_id % 6 = 2 THEN '?a=1'
+                      WHEN doc_id % 6 = 4 THEN '?z=9' ELSE '' END)
+               AS canon_url
+           FROM documents)
+         SELECT doc_id, url, canon_url,
+           CAST(url <> canon_url AS INT) AS changed,
+           count(*) OVER (PARTITION BY canon_url) AS n_same_key
+         FROM u ORDER BY doc_id""",
+    // the P-scan DEFINITION of blocklist matching (one contains() per
+    // pattern, patterns as a VALUES table) — the engine's one-pass
+    // automaton must reproduce it exactly, suffix/prefix traps and all
+    "blocklist_match" -> {
+      val vals = BlocklistPatterns.zipWithIndex
+        .map { case (p, i) => s"($i, '${p.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH pat(pid, pat) AS (VALUES $vals)
+          SELECT d.doc_id AS doc_id, CAST(p.pid AS BIGINT) AS pattern_id
+          FROM documents d JOIN pat p ON contains(d.text, p.pat)
+          ORDER BY doc_id, pattern_id"""
+    },
     "keyword_search" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE len(list_intersect(

@@ -257,4 +257,42 @@ object KernelProps extends Properties("kernels") {
       Kernels.shingleSet(s, 3).numElements() >= 0 &&
       Kernels.winnow(s, 8, 4).numElements() >= 0
     }
+
+  // URL-shaped generator: every structural feature the canonicalizer
+  // handles (case, ports, dup/trailing slashes, utm params, unsorted
+  // params, fragments) drawn independently, plus pure-junk inputs via
+  // anyText in the totality property below.
+  private val urlish: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https", "HTTPS", "Http", "ftp")
+    host <- Gen.oneOf("A.B.c", "WWW.Example.COM", "x.org", "")
+    port <- Gen.oneOf("", ":443", ":80", ":8080")
+    path <- Gen.listOf(Gen.oneOf("/a", "//b", "/", "/c.html")).map(_.mkString)
+    query <- Gen.oneOf("", "?", "?b=2&a=1", "?utm_source=x", "?a=1&utm_b=2&a=0",
+      "?&&x=1")
+    frag <- Gen.oneOf("", "#f", "#a?b=1")
+  } yield s"$scheme://$host$port$path$query$frag"
+
+  property("canonicalizeUrl is idempotent on url-shaped input") =
+    forAll(urlish) { u =>
+      val once = Kernels.canonicalizeUrl(utf8(u))
+      Kernels.canonicalizeUrl(once) == once
+    }
+
+  property("canonicalizeUrl total + idempotent on arbitrary unicode") =
+    forAll(anyText) { s =>
+      val once = Kernels.canonicalizeUrl(s)
+      Kernels.canonicalizeUrl(once) == once
+    }
+
+  property("canonicalizeUrl fixed rules") = {
+    def c(s: String) = Kernels.canonicalizeUrl(utf8(s)).toString
+    c("HTTPS://WWW.Ex.COM:443//a/b/?b=2&a=1&utm_s=x#frag") ==
+      "https://www.ex.com/a/b?a=1&b=2" &&
+    c("http://h:80/p") == "http://h/p" &&
+    c("http://h:8080/p/") == "http://h:8080/p" &&
+    c("https://h:80/p") == "https://h:80/p" && // :80 not default for https
+    c("https://h/?utm_a=1") == "https://h" &&
+    c("no scheme here") == "no scheme here" &&
+    c("://emptyhost") == "://emptyhost"
+  }
 }

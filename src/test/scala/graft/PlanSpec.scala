@@ -96,6 +96,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("blocklist_match: one-pass automaton — NO join in the plan") {
+    // the whole point of the Aho–Corasick formulation: the oracle
+    // DEFINES the semantics as a documents × patterns contains-join,
+    // but the engine must answer it with a single scan-stage pass
+    // (pattern count never appears as a plan dimension)
+    val plan = formatted("blocklist_match")
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert(plan.contains("ac_match_ids"), plan.take(1500))
+  }
+
   test("mine_pairs / dsir_select: margin and scoring joins stay equi " +
       "(no cartesian anywhere; the only BNLJ sites are sanctioned " +
       "bounded broadcasts)") {
