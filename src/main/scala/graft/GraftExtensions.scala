@@ -117,5 +117,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // scale safety net: strip broadcast() hints whose estimated size
     // exceeds graft.broadcast.demoteBytes (see the rule's scaladoc)
     e.injectOptimizerRule(graft.plans.DemoteOversizedBroadcasts)
+    // declarative blocklists: contains() OR-chains over one column
+    // collapse into a single Aho-Corasick pass (see the rule's scaladoc)
+    e.injectOptimizerRule(graft.plans.CollapseContainsOr)
   }
 }

@@ -456,6 +456,42 @@ case class AcMatchIdsExpr(child: Expression, patterns: Seq[String])
   override def prettyName: String = "ac_match_ids"
 }
 
+/** Rendezvous-hash shard id ([[Kernels.hrwShard]]) — stable elastic
+  * sharding: n → n+1 moves only the keys the new shard wins.
+  */
+case class HrwShardExpr(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.hrwShard(input.asInstanceOf[Long], n, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.hrwShard($c, $n, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): HrwShardExpr =
+    copy(child = c)
+  override def prettyName: String = "hrw_shard"
+}
+
+/** Deterministic shuffle key: mix64(key ⊕ mix64(salt)) reinterpreted
+  * signed — sorting by it IS the epoch shuffle (a different salt per
+  * epoch gives an independent permutation), with zero RNG state to
+  * coordinate across executors. The salt's own mix is folded at
+  * construction so the per-row cost is one xor + one mix64.
+  */
+case class ShuffleKeyExpr(child: Expression, salt: Long)
+    extends UnaryExpression {
+  private val saltMix = Kernels.mix64(salt)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.mix64(input.asInstanceOf[Long] ^ saltMix)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.mix64($c ^ ${saltMix}L)")
+  override protected def withNewChildInternal(c: Expression): ShuffleKeyExpr =
+    copy(child = c)
+  override def prettyName: String = "shuffle_key"
+}
+
 /** RFC 3986 syntax-based URL canonicalization + tracking-param strip
   * ([[Kernels.canonicalizeUrl]]) — the scan-stage dedup key for
   * URL-level dedup of a web corpus.
@@ -567,6 +603,20 @@ object dsl {
   def ac_match_ids(text: Column, patterns: Seq[String]): Column =
     ExpressionUtils.column(
       AcMatchIdsExpr(ExpressionUtils.expression(text), patterns))
+
+  /** Rendezvous-hash shard id over a long key ([[Kernels.hrwShard]]). */
+  def hrw_shard(key: Column, n: Int, seed: Long = DefaultSeed): Column = {
+    import org.apache.spark.sql.types.LongType
+    ExpressionUtils.column(HrwShardExpr(
+      Cast(ExpressionUtils.expression(key), LongType), n, seed))
+  }
+
+  /** Deterministic epoch-shuffle sort key over a long key. */
+  def shuffle_key(key: Column, salt: Long): Column = {
+    import org.apache.spark.sql.types.LongType
+    ExpressionUtils.column(ShuffleKeyExpr(
+      Cast(ExpressionUtils.expression(key), LongType), salt))
+  }
 
   /** Canonicalized URL dedup key ([[Kernels.canonicalizeUrl]]). */
   def url_canon(c: Column): Column =

@@ -1015,6 +1015,32 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar, IEEE ToN 1998): shard = argmax over s < n of
+    * mix64(key ⊕ mix64(seed + s)), unsigned comparison, smaller s on
+    * (astronomically unlikely) ties.
+    *
+    * The property that matters at fleet scale: growing n → n+1
+    * reassigns EXACTLY the keys whose new shard is the new one —
+    * every other key's argmax is unchanged — so elastic re-sharding
+    * moves ~1/(n+1) of the data, where mod-n hashing reshuffles
+    * (n-1)/n of it. Pure per-row arithmetic: deterministic across
+    * executors, zero state, zero shuffle to compute.
+    */
+  def hrwShard(key: Long, n: Int, seed: Long): Int = {
+    var best = 0
+    var bestScore = mix64(key ^ mix64(seed))
+    var s = 1
+    while (s < n) {
+      val sc = mix64(key ^ mix64(seed + s))
+      if (java.lang.Long.compareUnsigned(sc, bestScore) > 0) {
+        best = s; bestScore = sc
+      }
+      s += 1
+    }
+    best
+  }
+
   /** Canonicalize an http(s) URL for dedup keying — the standard
     * normalizations that make syntactically-different spellings of
     * the same resource collide (RFC 3986 §6 syntax-based

@@ -1242,6 +1242,51 @@ object AdvancedQueries {
     * rank, plus the max/median ratio ×100) — the numbers that decide
     * whether a join needs salting or AQE skew handling BEFORE it runs.
     */
+  /** Equi-depth decile histogram of document lengths — exact NTILE
+    * semantics WITHOUT the single-reducer global window `ntile()`
+    * plans (WindowExec with no partition keys moves the whole table
+    * to one task). The global 0-based rank is decomposed two-level,
+    * the same discipline as `pack_sequences`/`pps_sample`:
+    * per-VALUE counts (keyed agg) → cumulative offsets on the sorted
+    * distinct length domain (the only unpartitioned window, over the
+    * distinct-value table — bounded domain; a truly continuous
+    * column would band first, identically to `skew_stats`) →
+    * within-value row_number keyed BY the value. NTILE's
+    * bigger-tiles-first arithmetic is then per-row integer math
+    * against the broadcast 1-row total: the first N%10 tiles take
+    * ⌈N/10⌉ rows. The oracle is DuckDB's own `ntile(10)` over the
+    * identical total order, so the decomposition is pinned equal to
+    * the textbook definition.
+    */
+  def lengthDeciles(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val vc = d.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+    val off = vc.withColumn("off",
+        sum(col("c")).over(Window.orderBy(col("n_chars"))) - col("c"))
+      .select(col("n_chars"), col("off"))
+    val ranked = d.withColumn("rw",
+        row_number().over(
+          Window.partitionBy(col("n_chars")).orderBy(col("doc_id")))
+          .cast("long") - 1)
+      .join(broadcast(off), "n_chars")
+      .withColumn("r0", col("off") + col("rw"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("decile", expr(
+        """CAST(CASE
+             WHEN r0 < (n_total % 10) * (n_total DIV 10 + 1)
+             THEN r0 DIV (n_total DIV 10 + 1)
+             ELSE (n_total % 10)
+                  + (r0 - (n_total % 10) * (n_total DIV 10 + 1))
+                    DIV (n_total DIV 10)
+           END + 1 AS BIGINT)"""))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_len"),
+        max(col("n_chars")).as("max_len"))
+      .orderBy(col("decile"))
+  }
+
   def skewStats(s: SparkSession, dir: String): DataFrame = {
     val counts = t(s, dir, "events")
       .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
@@ -1364,6 +1409,36 @@ object AdvancedQueries {
     * (o_totalprice cap, o_orderpriority set) so the report proves it
     * counts, not just flags.
     */
+  /** Single-pass dataset profiling (the ANALYZE/data-catalog shape):
+    * per-column non-null and exact distinct counts for every `orders`
+    * column, computed in ONE aggregate over ONE scan — Spark plans
+    * the multi-distinct aggregate with Expand (k-fold row expansion
+    * feeding partial aggregates), so the table is still read once and
+    * every partial is map-side combined. The wide 1-row result then
+    * unpivots via `stack` into the catalog row shape. At 100 TB the
+    * exact-distinct Expand is the knob to turn: swap `countDistinct`
+    * for `approx_count_distinct` per column (the HLL error bound this
+    * suite gates in `approx_distinct_bound`) and the same one-scan
+    * plan profiles any width. Counts only — min/max stay typed in the
+    * engine and are deliberately not stringified here, so the oracle
+    * needs no cross-engine number-formatting contract.
+    */
+  def profileTable(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c")))
+    val stacked = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    t(s, dir, "orders")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stacked) AS (column_name, n_non_null, n_distinct)"))
+      .select(col("column_name"), col("n_non_null"), col("n_distinct"),
+        col("n_rows"))
+      .orderBy(col("column_name"))
+  }
+
   def dqExpectations(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Expectations._
     val orders = t(s, dir, "orders")
@@ -1394,6 +1469,8 @@ object AdvancedQueries {
     "dq_expectations" -> (dqExpectations _),
     "event_transitions" -> (eventTransitions _),
     "skew_stats" -> (skewStats _),
+    "length_deciles" -> (lengthDeciles _),
+    "profile_table" -> (profileTable _),
     "table_diff" -> (tableDiff _),
     "stream_daily" -> (streamDailyCounts _),
     "stream_enrich" -> (streamEnrich _),
@@ -1571,6 +1648,28 @@ object AdvancedQueries {
                       min(p) AS min_price, max(p) AS max_price
                FROM c GROUP BY month)
          ORDER BY month""",
+    // one UNION arm per column: exact non-null + distinct counts — the
+    // per-column truth the engine's one-scan Expand plan must match
+    "profile_table" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, count($c)::BIGINT AS n_non_null,
+            count(DISTINCT $c)::BIGINT AS n_distinct,
+            (SELECT count(*) FROM orders)::BIGINT AS n_rows FROM orders"""
+      }.mkString("", " UNION ALL ", " ORDER BY column_name")
+    },
+    // the engine's two-level rank decomposition pinned equal to the
+    // textbook ntile() over the identical (n_chars, doc_id) total order
+    "length_deciles" ->
+      """WITH r AS (SELECT n_chars,
+                           ntile(10) OVER (ORDER BY n_chars, doc_id)
+                             AS decile
+                    FROM documents)
+         SELECT CAST(decile AS BIGINT) AS decile,
+                count(*)::BIGINT AS n_docs,
+                min(n_chars) AS min_len, max(n_chars) AS max_len
+         FROM r GROUP BY decile ORDER BY decile""",
     "event_transitions" ->
       """WITH t AS (SELECT event_type,
                            lag(event_type) OVER (PARTITION BY user_id

@@ -906,8 +906,65 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Rendezvous (HRW) shard assignment + the elastic-resharding
+    * guarantee, per row ([[graft.functions.Kernels.hrwShard]]):
+    * each document's shard under n=8 and n=9, the moved flag, and
+    * the HRW invariant that a key moves IFF the NEW shard won its
+    * argmax (`guarantee_ok` — pinned on every row, so the oracle
+    * hash-checks the ~1/(n+1) movement property itself, not just the
+    * assignment). Pure scan-stage arithmetic: zero shuffle, zero
+    * state, deterministic across executors — this is how a 100 TB
+    * corpus is routed to output shards / workers such that growing
+    * the fleet n → n+1 re-routes only the keys the new member wins,
+    * where mod-n hashing would reshuffle (n-1)/n of the data.
+    */
+  def shardAssign(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl.hrw_shard
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        hrw_shard(col("doc_id"), 8).as("shard8"),
+        hrw_shard(col("doc_id"), 9).as("shard9"))
+      .withColumn("moved", (col("shard8") =!= col("shard9")).cast("int"))
+      .withColumn("guarantee_ok",
+        ((col("shard8") === col("shard9")) || (col("shard9") === lit(8)))
+          .cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic epoch shuffle — training-data ordering without RNG
+    * state ([[graft.functions.dsl.shuffle_key]]): sorting by
+    * mix64(doc_id ⊕ mix64(seed + epoch)) IS an independent
+    * pseudorandom permutation per epoch, recomputable on any executor
+    * with zero coordination (the standard replacement for stateful
+    * shufflers in multi-epoch LLM data loading). At 100 TB the full
+    * permutation is a range-partitioned sort on the key — Spark's
+    * sampled range exchange, no single-reducer stage; the
+    * driver-checked surface here takes the head of each epoch's order
+    * (TakeOrderedAndProject per epoch — never a global sort at this
+    * output size) and hash-pins the whole key chain, the signed
+    * reinterpretation, and the per-epoch ranking against a DuckDB
+    * replay. Different epochs provably reorder: the two top-20 sets
+    * share keys only by coincidence of the hash (none at this SF).
+    */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dsl.shuffle_key
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    (1 to 2).map { e =>
+      docs.select(lit(e).as("epoch"), col("doc_id"),
+          shuffle_key(col("doc_id"), 42L + e).as("skey"))
+        .orderBy(col("skey"), col("doc_id")).limit(20)
+    }.reduce(_.unionAll(_))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("epoch")).orderBy(col("skey"), col("doc_id"))))
+      .select(col("epoch"), col("rank"), col("doc_id"), col("skey"))
+      .orderBy(col("epoch"), col("rank"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shard_assign" -> (shardAssign _),
+    "epoch_shuffle" -> (epochShuffle _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -972,6 +1029,77 @@ object ScaleQueries {
          lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"""
 
   val oracle: Map[String, String] = Map(
+    // the full HRW argmax replayed: per-(doc, shard) SplitMix64 scores
+    // via the same UBIGINT split-multiply chain as cms_freq, argmax by
+    // (score DESC, s ASC) row_number for n=8 and n=9, and the
+    // move-iff-new-shard-wins invariant pinned per row. Salt literals
+    // are generated from Kernels.mix64 at map-build time — one source
+    // of truth with the engine kernel.
+    "shard_assign" -> {
+      val salts = (0 to 8).map { sVal =>
+        s"($sVal, ${java.lang.Long.toUnsignedString(
+          graft.functions.Kernels.mix64(42L + sVal))}::UBIGINT)"
+      }.mkString(", ")
+      s"""WITH sc AS (
+           SELECT doc_id, s.s AS s,
+                  xor(CAST(doc_id AS UBIGINT), s.salt) AS u
+           FROM documents CROSS JOIN (VALUES $salts) AS s(s, salt)),
+         m1 AS (SELECT doc_id, s,
+                  CAST((CAST(u AS HUGEINT) + 11400714819323198485)
+                       % 18446744073709551616 AS UBIGINT) AS z1 FROM sc),
+         m2 AS (SELECT doc_id, s,
+                  CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT) * 13787848793156543929) + (((CAST(xor(z1, z1 >> 30) // 4294967296 AS HUGEINT) * 484763065) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z2 FROM m1),
+         m3 AS (SELECT doc_id, s,
+                  CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT) * 10723151780598845931) + (((CAST(xor(z2, z2 >> 27) // 4294967296 AS HUGEINT) * 321982955) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z3 FROM m2),
+         h AS (SELECT doc_id, s, xor(z3, z3 >> 31) AS h FROM m3),
+         a8 AS (SELECT doc_id, s FROM (
+                  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY h DESC, s ASC) AS rn FROM h WHERE s < 8)
+                WHERE rn = 1),
+         a9 AS (SELECT doc_id, s FROM (
+                  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY h DESC, s ASC) AS rn FROM h)
+                WHERE rn = 1)
+         SELECT a8.doc_id AS doc_id,
+           CAST(a8.s AS INTEGER) AS shard8,
+           CAST(a9.s AS INTEGER) AS shard9,
+           CAST(a8.s <> a9.s AS INTEGER) AS moved,
+           CAST((a8.s = a9.s) OR (a9.s = 8) AS INTEGER) AS guarantee_ok
+         FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+         ORDER BY doc_id"""
+    },
+    // the key chain, signed reinterpretation, and per-epoch ranking all
+    // replayed; the per-epoch salts mix64(42+e) are generated from the
+    // kernel at map-build time (same single-source-of-truth discipline
+    // as shard_assign)
+    "epoch_shuffle" -> {
+      val salts = (1 to 2).map { e =>
+        s"SELECT $e AS epoch, ${java.lang.Long.toUnsignedString(
+          graft.functions.Kernels.mix64(42L + e))}::UBIGINT AS salt"
+      }.mkString(" UNION ALL ")
+      s"""WITH ep AS ($salts),
+         sc AS (SELECT ep.epoch, d.doc_id,
+                  xor(CAST(d.doc_id AS UBIGINT), ep.salt) AS u
+                FROM documents d CROSS JOIN ep),
+         m1 AS (SELECT epoch, doc_id,
+                  CAST((CAST(u AS HUGEINT) + 11400714819323198485)
+                       % 18446744073709551616 AS UBIGINT) AS z1 FROM sc),
+         m2 AS (SELECT epoch, doc_id,
+                  CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT) * 13787848793156543929) + (((CAST(xor(z1, z1 >> 30) // 4294967296 AS HUGEINT) * 484763065) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z2 FROM m1),
+         m3 AS (SELECT epoch, doc_id,
+                  CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT) * 10723151780598845931) + (((CAST(xor(z2, z2 >> 27) // 4294967296 AS HUGEINT) * 321982955) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z3 FROM m2),
+         h AS (SELECT epoch, doc_id, xor(z3, z3 >> 31) AS hv FROM m3),
+         sk AS (SELECT epoch, doc_id,
+                  CAST(CAST(hv AS HUGEINT)
+                    - (CASE WHEN hv >= 9223372036854775808::UBIGINT
+                       THEN 18446744073709551616::HUGEINT
+                       ELSE 0::HUGEINT END) AS BIGINT) AS skey FROM h),
+         r AS (SELECT epoch, doc_id, skey,
+                 row_number() OVER (PARTITION BY epoch
+                   ORDER BY skey, doc_id) AS rn FROM sk)
+         SELECT epoch, CAST(rn AS INTEGER) AS rank, doc_id, skey
+         FROM r WHERE rn <= 20 ORDER BY epoch, rank"""
+    },
     // same replayed fingerprint set, closed into shared-fp pair counts
     // with the maxDocsPerFp=50 hot-fingerprint prune
     "fingerprint_pairs" ->

@@ -642,6 +642,40 @@ object TextQueries {
       .orderBy(col("gram"))
   }
 
+  /** Delta-encoded posting lists — the compression layout every real
+    * inverted index ships (Lucene/ES doc-id deltas + varint): postings
+    * sorted by doc id are stored as first-id + gaps, shrinking ids
+    * from O(log maxDoc) to O(log gap) bits. Same scale discipline as
+    * `inverted_index`: the df band filter joins back BEFORE posting
+    * assembly, so stopword-grade lists are never collected, and each
+    * collect_list is df-bounded (≤ 50) by construction. The delta
+    * transform itself is a scan-stage HOF over the assembled array
+    * (try_element_at keeps ANSI mode throw-free at i = 0); the oracle
+    * recomputes the identical gaps with DuckDB list lambdas, so the
+    * encoding — not just the list — is hash-pinned.
+    */
+  def postingDelta(s: SparkSession, dir: String): DataFrame = {
+    val grams = expr(
+      """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+        |          (x, i) -> concat(x, ' ', toks[i + 1]))""".stripMargin)
+    val post = t(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .distinct()
+      .persist()
+    val mid = post.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 50))
+    post.join(mid, Seq("gram"))
+      .groupBy(col("gram"), col("df"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .withColumn("postings_delta", expr(
+        """array_join(transform(ids, (x, i) ->
+          |  CAST(IF(i = 0, x, x - try_element_at(ids, i)) AS STRING)), ',')"""
+          .stripMargin))
+      .select(col("gram"), col("df"), col("postings_delta"))
+      .orderBy(col("gram"))
+  }
+
   /** Unigram LM surprisal (CCNet-style quality signal) in EXACT integer
     * arithmetic: per-document mean inverse unigram probability,
     * `surprisal_e6 = (Σ_t tf_t · min(10⁶·N div cnt_t, 10¹²)) div n_tokens`
@@ -696,8 +730,13 @@ object TextQueries {
     * sort-merge equi-joins on the type table, never touching the
     * corpus again), N₁₊(··) rides in as a broadcast 1-row aggregate.
     */
-  def knBigram(s: SparkSession, dir: String): DataFrame = {
-    val bg = t(s, dir, "documents")
+  /** The KN training pipeline on an arbitrary document frame —
+    * extracted so `kn_bigram` (train on everything) and `kn_apply`
+    * (train on a split, score held-out) share one implementation.
+    * Returns the pinned model table (v, w, c_vw, p_e12), unordered.
+    */
+  private def knModelFrom(docs: DataFrame): DataFrame = {
+    val bg = docs
       .select(graft.ops.Dedup.tokens(col("text")).as("tks"))
       .filter(size(col("tks")) >= 2)
       .select(explode(expr(
@@ -720,7 +759,41 @@ object TextQueries {
       .select(col("v"), col("w"), col("c_vw"), col("p_e12"))
     val pinned = graft.ops.Dedup.materialize(out)
     types.unpersist()
-    pinned.orderBy(col("v"), col("w"))
+    pinned
+  }
+
+  def knBigram(s: SparkSession, dir: String): DataFrame =
+    knModelFrom(t(s, dir, "documents")).orderBy(col("v"), col("w"))
+
+  /** Train-then-apply: the Kneser–Ney model trained on the 10%
+    * doc_id-split of the corpus scores the held-out 90% — the actual
+    * pipeline shape (fit a filter model on a reference split, score
+    * candidates), where `kn_bigram` only pins the training step. Per
+    * held-out document: bigram count, how many bigrams the model
+    * knows, and the summed e12 probability mass of the known ones —
+    * all exact integers (p_e12 ≤ 10¹², so a 10⁶-bigram document sums
+    * to ≤ 10¹⁸, inside int64; the oracle casts DuckDB's HUGEINT sum
+    * back). At scale the scoring join is a plain (v, w) equi-join of
+    * the corpus bigram stream against the model table — the model
+    * rides whatever side is smaller (AQE broadcasts a pruned
+    * vocabulary model; a web-scale model stays sort-merge).
+    */
+  def knApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = knModelFrom(docs.filter(col("doc_id") % 10 === 0))
+      .select(col("v"), col("w"), col("p_e12"))
+    val held = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), graft.ops.Dedup.tokens(col("text")).as("tks"))
+      .filter(size(col("tks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tks) - 2), i -> struct(tks[i] AS v, tks[i+1] AS w))")).as("b"))
+      .select(col("doc_id"), col("b.v").as("v"), col("b.w").as("w"))
+    held.join(model, Seq("v", "w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("p_e12")).as("n_known"),
+        coalesce(sum(col("p_e12")), lit(0L)).as("score_e12"))
+      .orderBy(col("doc_id"))
   }
 
   def lmSurprisal(s: SparkSession, dir: String): DataFrame = {
@@ -1392,6 +1465,7 @@ object TextQueries {
     "domain_stats" -> (domainStats _),
     "lm_surprisal" -> (lmSurprisal _),
     "kn_bigram" -> (knBigram _),
+    "kn_apply" -> (knApply _),
     "html_extract" -> (htmlExtract _),
     "hybrid_rank" -> (hybridRank _),
     "dsir_select" -> (dsirSelect _),
@@ -1403,6 +1477,7 @@ object TextQueries {
     "keyword_search" -> (keywordSearch _),
     "blocklist_match" -> (blocklistMatch _),
     "url_canonicalize" -> (urlCanonicalize _),
+    "posting_delta" -> (postingDelta _),
     "bm25_rank" -> (bm25Rank _),
     "line_dedup" -> (lineDedup _))
 
@@ -1717,6 +1792,32 @@ object TextQueries {
            END AS lang_pred
          FROM s ORDER BY doc_id"""
     },
+    // the delta ENCODING replayed, not just the posting list: DuckDB
+    // rebuilds the sorted list per df-banded gram and recomputes
+    // first-id + gaps with a list lambda (l[i-1] is NULL at i=1 →
+    // coalesce keeps the first id verbatim)
+    "posting_delta" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\W+'),
+                              x -> len(x) > 0) AS ts
+           FROM documents),
+         big AS (
+           SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS gram
+           FROM toks, unnest(range(1, len(ts))) AS t(i)),
+         post AS (SELECT DISTINCT doc_id, gram FROM big),
+         mid AS (SELECT gram, count(*) AS df FROM post
+                 GROUP BY gram HAVING count(*) BETWEEN 2 AND 50),
+         lists AS (SELECT p.gram, m.df,
+                          list(p.doc_id ORDER BY p.doc_id) AS ids
+                   FROM post p JOIN mid m ON p.gram = m.gram
+                   GROUP BY p.gram, m.df)
+         SELECT gram, df,
+                array_to_string(
+                  list_transform(range(1, len(ids) + 1),
+                    i -> CAST(ids[i] - coalesce(ids[i - 1], 0) AS VARCHAR)),
+                  ',') AS postings_delta
+         FROM lists ORDER BY gram""",
     "inverted_index" ->
       """WITH toks AS (
            SELECT doc_id,
@@ -2025,6 +2126,50 @@ object TextQueries {
                   AS p_e12
          FROM ty JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN nt
          ORDER BY ty.v, ty.w""",
+    // the kn_bigram training chain restricted to the even-id split,
+    // then the held-out odd half's bigrams LEFT JOIN the model —
+    // train-then-apply replayed end to end; DuckDB's HUGEINT sum cast
+    // back to the engine's int64
+    "kn_apply" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\W+'),
+                              x -> len(x) > 0) AS tks
+           FROM documents WHERE doc_id % 10 = 0),
+         bg AS (
+           SELECT unnest([{'v': tks[i], 'w': tks[i+1]}
+                          for i in range(1, len(tks))], recursive := true)
+           FROM tok WHERE len(tks) >= 2),
+         ty AS (SELECT v, w, count(*) AS c_vw FROM bg GROUP BY v, w),
+         ctx AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+                        count(*) AS n1_v
+                 FROM ty GROUP BY v),
+         cont AS (SELECT w, count(*) AS n1_w FROM ty GROUP BY w),
+         nt AS (SELECT count(*) AS n_types FROM ty),
+         model AS (
+           SELECT ty.v, ty.w,
+                  CAST((CAST(4 * ty.c_vw - 3 AS HUGEINT) * 1000000000000)
+                       // (CAST(ctx.c_v AS HUGEINT) * 4) AS BIGINT)
+                  + CAST((CAST(3 AS HUGEINT) * ctx.n1_v * cont.n1_w * 1000000000000)
+                         // (CAST(ctx.c_v AS HUGEINT) * 4 * nt.n_types) AS BIGINT)
+                    AS p_e12
+           FROM ty JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN nt),
+         htok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\W+'),
+                              x -> len(x) > 0) AS tks
+           FROM documents WHERE doc_id % 10 <> 0),
+         hbg AS (
+           SELECT doc_id, unnest([{'v': tks[i], 'w': tks[i+1]}
+                                  for i in range(1, len(tks))],
+                                 recursive := true)
+           FROM htok WHERE len(tks) >= 2),
+         sc AS (SELECT hbg.doc_id, m.p_e12
+                FROM hbg LEFT JOIN model m ON hbg.v = m.v AND hbg.w = m.w)
+         SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                count(p_e12)::BIGINT AS n_known,
+                CAST(coalesce(sum(p_e12), 0) AS BIGINT) AS score_e12
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "lm_surprisal" ->
       """WITH tok AS (
            SELECT doc_id,

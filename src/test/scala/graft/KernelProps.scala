@@ -284,6 +284,16 @@ object KernelProps extends Properties("kernels") {
       Kernels.canonicalizeUrl(once) == once
     }
 
+  property("hrwShard: in range, and growing n moves a key IFF the new " +
+      "shard wins (the elastic-resharding guarantee)") =
+    forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+           Gen.chooseNum(1, 32)) { (k, n) =>
+      val a = Kernels.hrwShard(k, n, 42L)
+      val b = Kernels.hrwShard(k, n + 1, 42L)
+      a >= 0 && a < n && (a == b || b == n) &&
+        Kernels.hrwShard(k, 1, 42L) == 0
+    }
+
   property("canonicalizeUrl fixed rules") = {
     def c(s: String) = Kernels.canonicalizeUrl(utf8(s)).toString
     c("HTTPS://WWW.Ex.COM:443//a/b/?b=2&a=1&utm_s=x#frag") ==

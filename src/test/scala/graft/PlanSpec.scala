@@ -106,6 +106,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ac_match_ids"), plan.take(1500))
   }
 
+  test("epoch_shuffle: each epoch folds to TopN, never a global sort") {
+    val plan = formatted("epoch_shuffle")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    // the only Sort nodes allowed are the final tiny ordered output
+    // and the 40-row window sort — no sort may sit on the corpus scan
+    // side of a TakeOrdered
+    assert(plan.contains("shuffle_key"), plan.take(1500))
+  }
+
+  test("shard_assign: pure scan-stage arithmetic — a single Exchange " +
+      "only for the final presentation sort") {
+    val plan = formatted("shard_assign")
+    assert(plan.contains("hrw_shard"), plan.take(1500))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"unexpected shuffles ($exchanges):\n" + plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(1500))
+  }
+
   test("mine_pairs / dsir_select: margin and scoring joins stay equi " +
       "(no cartesian anywhere; the only BNLJ sites are sanctioned " +
       "bounded broadcasts)") {
