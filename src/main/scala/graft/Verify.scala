@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the engine's production session shape: SQL functions + the
+      // optimizer rules (broadcast demotion, contains-OR → Aho-
+      // Corasick collapse) are active in the driver-checked path, so
+      // `blocklist_declared` is verified THROUGH the rewrite
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1138,6 +1138,25 @@ object TextQueries {
       .orderBy(col("doc_id"), col("pattern_id"))
   }
 
+  /** The DECLARATIVE twin of `blocklist_match`: written deliberately
+    * as the naive per-pattern `contains` OR-chain — the form users
+    * and SQL generators produce — and left to the session's
+    * [[graft.plans.CollapseContainsOr]] rule to collapse into the
+    * one-pass Aho–Corasick automaton (Verify/Bench/GraftSession all
+    * register it). Semantics are rewrite-independent (the oracle IS
+    * the naive chain), so the driver hash-checks the query THROUGH
+    * the rewrite; CollapseContainsOrSpec separately pins that the
+    * rewrite fires and that results are identical with it disabled.
+    * Downstream is a plain per-language rollup of the survivors.
+    */
+  def blocklistDeclared(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(BlocklistPatterns.map(p => col("text").contains(p))
+        .reduce(_ || _))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
   /** BM25 ranking (Robertson et al., TREC-3) of the corpus against the
     * fixed query {hash, join, filter} — the length-normalized scoring
     * `keyword_search`'s boolean match and `tfidf_top_terms`' raw tf·idf
@@ -1476,6 +1495,7 @@ object TextQueries {
     "training_pipeline" -> (trainingPipeline _),
     "keyword_search" -> (keywordSearch _),
     "blocklist_match" -> (blocklistMatch _),
+    "blocklist_declared" -> (blocklistDeclared _),
     "url_canonicalize" -> (urlCanonicalize _),
     "posting_delta" -> (postingDelta _),
     "bm25_rank" -> (bm25Rank _),
@@ -1703,6 +1723,18 @@ object TextQueries {
            CAST(url <> canon_url AS INT) AS changed,
            count(*) OVER (PARTITION BY canon_url) AS n_same_key
          FROM u ORDER BY doc_id""",
+    // the same naive OR-chain the Spark side declares — here it IS the
+    // definition; on the Spark side the CollapseContainsOr rule turns
+    // it into one automaton pass before execution
+    "blocklist_declared" -> {
+      val conds = BlocklistPatterns
+        .map(p => s"contains(text, '${p.replace("'", "''")}')")
+        .mkString(" OR ")
+      s"""SELECT lang, count(*)::BIGINT AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM documents WHERE $conds
+          GROUP BY lang ORDER BY lang"""
+    },
     // the P-scan DEFINITION of blocklist matching (one contains() per
     // pattern, patterns as a VALUES table) — the engine's one-pass
     // automaton must reproduce it exactly, suffix/prefix traps and all
