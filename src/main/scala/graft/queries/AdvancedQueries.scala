@@ -100,6 +100,43 @@ object AdvancedQueries {
     * double once at the end. Equal-timestamp rows are frame PEERS in
     * both engines, so ties need no extra keying.
     */
+  /** Per-user union length of overlapping time intervals (billing /
+    * watch-time / utilization dedup — "don't double-count overlapping
+    * sessions"): each event opens an interval of `value` minutes
+    * (clamped to [0, 24 h], floored to integer µs so both engines
+    * compute the identical int64), and the union length is the
+    * classic sweep: sort by start within the key, track the running
+    * max end over PRECEDING rows, count only the part of each
+    * interval past that high-water mark. Everything is a KEYED
+    * window (partitioned by user_id) — the scale-safe shape; no
+    * global sort, no state beyond the window frame. Float
+    * discipline: the only double ops are two multiplies + floor in fixed order, an
+    * identical IEEE sequence in Spark and DuckDB; all comparisons and
+    * sums are int64.
+    */
+  def intervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val rawEv = Tables.raw(s, dir, "events")
+    val e = rawEv
+      .select(col("user_id"), col("event_id"),
+        Tables.microsOf(rawEv, "ts").as("start_us"),
+        expr("CAST(floor(least(greatest(value, 0) * 60, 86400) * 1000000) AS BIGINT)")
+          .as("dur_us"))
+      .withColumn("end_us", col("start_us") + col("dur_us"))
+    val prev = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("prev_max_end", max(col("end_us")).over(prev))
+      .withColumn("covered_us",
+        greatest(col("end_us") - greatest(col("start_us"),
+          coalesce(col("prev_max_end"), col("start_us"))), lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dur_us")).as("raw_us"),
+        sum(col("covered_us")).as("covered_us"),
+        (sum(col("dur_us")) - sum(col("covered_us"))).as("overlap_us"))
+      .orderBy(col("user_id"))
+  }
+
   def movingSum7d(s: SparkSession, dir: String): DataFrame = {
     val sevenDaysUs = 7L * 86400L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
@@ -1508,6 +1545,7 @@ object AdvancedQueries {
     "skew_join" -> (skewJoin _),
     "sessionize" -> (sessionize _),
     "moving_sum_7d" -> (movingSum7d _),
+    "interval_union" -> (intervalUnion _),
     "percentile_bound" -> (percentileBound _),
     "zorder_key" -> (zorderKey _))
 
@@ -2118,6 +2156,29 @@ object AdvancedQueries {
              RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
              AS DOUBLE) AS mv7
          FROM events ORDER BY user_id, tsu, event_id""",
+    // the sweep replayed: running max end over PRECEDING rows within
+    // the key, only the part past the high-water mark counts
+    "interval_union" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS start_us,
+             CAST(floor(least(greatest(value, 0) * 60, 86400) * 1000000)
+                  AS BIGINT) AS dur_us
+           FROM events),
+         x AS (SELECT user_id, event_id, start_us, dur_us,
+                      start_us + dur_us AS end_us FROM e),
+         p AS (SELECT *, max(end_us) OVER (PARTITION BY user_id
+                 ORDER BY start_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max_end FROM x),
+         c AS (SELECT user_id, dur_us,
+                 greatest(end_us - greatest(start_us,
+                   coalesce(prev_max_end, start_us)), 0) AS covered_us
+               FROM p)
+         SELECT user_id, count(*)::BIGINT AS n_events,
+           CAST(sum(dur_us) AS BIGINT) AS raw_us,
+           CAST(sum(covered_us) AS BIGINT) AS covered_us,
+           CAST(sum(dur_us) - sum(covered_us) AS BIGINT) AS overlap_us
+         FROM c GROUP BY user_id ORDER BY user_id""",
     "sessionize" ->
       """WITH f AS (
            SELECT user_id, event_id, epoch_us(ts) AS tsu,

@@ -540,6 +540,45 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source contamination matrix: for every pair of corpus
+    * sources, the number of shared distinct character 3-grams and the
+    * exact Jaccard similarity (×10⁶, integer DIV) of their gram sets
+    * — the source-level view of `decontaminate`'s document-level
+    * check, and the standard audit before mixing corpora ("how much
+    * of source B is already in source A?"). Plan shape: ONE distinct
+    * (source, gram) projection feeds both the per-source sizes and
+    * the pair join; the self-join is keyed ON THE GRAM, so its
+    * fan-out per gram is bounded by #sources² (a corpus-size-
+    * independent constant), never docs² — with S sources the widest
+    * gram contributes S·(S−1)/2 rows. At a 10⁴-source scale you'd
+    * band ubiquitous grams first (df cap), trading exactness of the
+    * denominator for fan-out — here exact Jaccard is kept and the
+    * bound is 20²/2 rows per gram.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+        .as("g"))
+      .distinct()
+      .persist()
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n", "na"), Seq("src_a"))
+      .join(sizes.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n", "nb"), Seq("src_b"))
+      .withColumn("jaccard_e6",
+        expr("CAST(n_common * 1000000 DIV (na + nb - n_common) AS BIGINT)"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("jaccard_e6"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** URL extraction + per-domain aggregation (the Common-Crawl-shaped
     * provenance rollup): plant two deterministic URLs per document,
     * extract every host with one regex pass, and aggregate
@@ -1338,6 +1377,19 @@ object TextQueries {
     */
   private val BpeMerges = 8
 
+  /** Train-once memo: `bpe_merges`, `bpe_encode`, and `bpe_roundtrip`
+    * all need the SAME deterministic merge table for a corpus dir —
+    * exactly how a real pipeline treats a tokenizer (fit once, reuse
+    * everywhere). Keyed by (dir, nMerges); training is deterministic
+    * (lexicographic tie-break), so a cached result is byte-identical
+    * to a retrain and correctness cannot depend on cache state.
+    */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Bpe.Merge]]()
+  private def trainedMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    bpeMergeCache.computeIfAbsent((dir, BpeMerges), _ =>
+      Bpe.train(Bpe.wordDict(t(s, dir, "documents"), "text"), BpeMerges))
+
   /** BPE tokenizer training over the corpus (Bpe.train): the first
     * [[BpeMerges]] learned merges with their frequency-weighted pair
     * counts. Fully oracle-checked — [[bpeOracle]] replays the whole
@@ -1346,7 +1398,7 @@ object TextQueries {
     */
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Bpe.train(Bpe.wordDict(t(s, dir, "documents"), "text"), BpeMerges)
+    trainedMerges(s, dir)
       .toDF()
       .select(col("rank").as("merge_rank"), col("left").as("l"),
         col("right").as("r"), col("n"))
@@ -1362,8 +1414,39 @@ object TextQueries {
     */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val merges = Bpe.train(Bpe.wordDict(docs, "text"), BpeMerges)
+    val merges = trainedMerges(s, dir)
     Bpe.encodeTokenCounts(docs, "text", "doc_id", merges)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tokenizer losslessness, pinned: for every word, stripping the
+    * separators from its trained-BPE symbol string must reproduce the
+    * word exactly (BPE merges only ever JOIN adjacent symbols, so
+    * decode is concatenation — any character loss or duplication
+    * would be a merge-fold bug, e.g. a mis-padded replace in
+    * applyMerge). The oracle states what losslessness REQUIRES —
+    * n_ok = n_words for every document, with n_words independently
+    * recomputed from the text — so a single mangled word anywhere in
+    * the corpus breaks the hash. Same plan shape as `bpe_encode`:
+    * training is the iterative driver loop; the checked decode is a
+    * zero-shuffle scan-stage fold.
+    */
+  def bpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val docs = t(s, dir, "documents")
+    val merges = trainedMerges(s, dir)
+    val words = filter(split(lower(col("text")), "\\s+"),
+      (w: Column) => w.rlike("^[a-z]+$"))
+    val encoded = transform(words, (w: Column) =>
+      merges.foldLeft(concat_ws(" ", split(w, "(?!^)(?!$)"))) {
+        (sym, m) => Bpe.applyMerge(sym, m.left, m.right)
+      })
+    docs.select(col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(
+        zip_with(words, encoded, (w: Column, e: Column) =>
+          when(translate(e, " ", "") === w, lit(1L)).otherwise(lit(0L))),
+        lit(0L), (acc: Column, x: Column) => acc + x).as("n_ok"))
       .orderBy(col("doc_id"))
   }
 
@@ -1457,6 +1540,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> (bpeMerges _),
     "bpe_encode" -> (bpeEncode _),
+    "bpe_roundtrip" -> (bpeRoundtrip _),
     "text_stats" -> (textStats _),
     "quality_score" -> (qualityScore _),
     "lang_id" -> (langId _),
@@ -1498,6 +1582,7 @@ object TextQueries {
     "blocklist_declared" -> (blocklistDeclared _),
     "url_canonicalize" -> (urlCanonicalize _),
     "posting_delta" -> (postingDelta _),
+    "source_overlap" -> (sourceOverlap _),
     "bm25_rank" -> (bm25Rank _),
     "line_dedup" -> (lineDedup _))
 
@@ -1554,6 +1639,19 @@ object TextQueries {
          SELECT id, fp FROM fps ORDER BY id, fp""",
     "bpe_merges" -> bpeOracle(BpeMerges),
     "bpe_encode" -> bpeEncodeOracle(BpeMerges),
+    // what losslessness REQUIRES: every word decodes back, with the
+    // word count recomputed independently from the text — any mangled
+    // word in the engine's merge fold breaks the hash
+    "bpe_roundtrip" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(
+                    regexp_split_to_array(lower(text), '\s+'),
+                    x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT)
+                    AS n_words
+           FROM documents)
+         SELECT doc_id, n_words, n_words AS n_ok
+         FROM w ORDER BY doc_id""",
     "mixture_sample" ->
       """WITH d AS (SELECT doc_id, source,
                            (doc_id * 2654435761) % 4294967296 AS rk,
@@ -1824,6 +1922,25 @@ object TextQueries {
            END AS lang_pred
          FROM s ORDER BY doc_id"""
     },
+    // distinct (source, char-3gram) sets, pair intersections via the
+    // gram-keyed self-join, exact-integer Jaccard — same gram
+    // convention as cc_exact's substring(text, i, 3)
+    "source_overlap" ->
+      """WITH g AS (
+           SELECT DISTINCT source, substring(text, i, 3) AS g
+           FROM documents,
+                unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS t(i)),
+         sz AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+         p AS (SELECT a.source AS src_a, b.source AS src_b,
+                      count(*) AS n_common
+               FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+               GROUP BY 1, 2)
+         SELECT p.src_a, p.src_b, p.n_common,
+                CAST(p.n_common * 1000000
+                     // (sa.n + sb.n - p.n_common) AS BIGINT) AS jaccard_e6
+         FROM p JOIN sz sa ON p.src_a = sa.source
+                JOIN sz sb ON p.src_b = sb.source
+         ORDER BY src_a, src_b""",
     // the delta ENCODING replayed, not just the posting list: DuckDB
     // rebuilds the sorted list per df-banded gram and recomputes
     // first-id + gaps with a list lambda (l[i-1] is NULL at i=1 →
