@@ -27,8 +27,21 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** The pattern list must fold to a constant at registration time —
+    * the Aho–Corasick automaton is built once on the driver from it.
+    */
+  private def stringArrayArg(e: Expression, what: String): Seq[String] = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a literal array of strings, got $e")
+    val ad = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+  }
+
   /** name → expression builder for every SQL-exposed graft function. */
   val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "ac_match_ids" -> ((args: Seq[Expression]) =>
+      AcMatchIdsExpr(args(0), stringArrayArg(args(1), "patterns"))),
     "cosine_sim" -> ((args: Seq[Expression]) =>
       CosineSimExpr(dsl.asFloatArray(args(0)), dsl.asFloatArray(args(1)))),
     "dot_product" -> ((args: Seq[Expression]) =>

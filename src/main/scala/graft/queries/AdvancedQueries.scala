@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -649,6 +649,57 @@ object AdvancedQueries {
       .distinct()
     Graph.labelPropagation(Graph.symmetrize(edges), rounds = 3)
       .orderBy(col("id"))
+  }
+
+  /** Newman modularity of the label-propagation partition — closes
+    * the graph loop: `label_prop` finds communities, this SCORES the
+    * partition (Q = Σ_c [e_c/m − (d_c/2m)²], the standard quality
+    * function). Exactness: no division ever happens — the query
+    * emits Q's numerator (4m·Σe_c − Σd_c², can be negative) and
+    * denominator (4m²) as exact int64, sidestepping the trunc-vs-
+    * floor integer-division divergence between engines entirely.
+    * Plan: the pair set is computed once; communities come from the
+    * same 3-round deterministic LPA as `label_prop`; e_c is one
+    * equi-join of pair endpoints to labels, d_c one union-explode
+    * degree count — everything keyed, nothing quadratic.
+    *
+    * On THIS graph the score is exactly −1/2: the customer–supplier
+    * graph is bipartite, synchronous LPA settles on a two-side
+    * split with ZERO intra-community edges, and Q = −Σ(d_c/2m)²
+    * degenerates to its bipartite floor. That is the point of
+    * shipping the scorer next to the detector — it measures (and
+    * the oracle hash-pins) that LPA's partition here is worse than
+    * random, the documented failure mode of sync-LPA on bipartite
+    * graphs (Raghavan et al. §5).
+    */
+  def modularity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1L << 40) + col("l_suppkey")).as("dst"))
+      .distinct().persist()
+    val labels = Graph.labelPropagation(Graph.symmetrize(pairs), rounds = 3)
+    val withLab = pairs
+      .join(labels.select(col("id").as("src"), col("lab").as("lab_s")),
+        Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("lab").as("lab_d")),
+        Seq("dst"))
+    val eC = withLab.filter(col("lab_s") === col("lab_d"))
+      .groupBy(col("lab_s").as("lab")).agg(count(lit(1)).as("e_c"))
+    val deg = pairs.select(col("src").as("id"))
+      .unionAll(pairs.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val dC = deg.join(labels, Seq("id"))
+      .groupBy(col("lab")).agg(sum(col("d")).as("d_c"))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    dC.join(eC, Seq("lab"), "left")
+      .agg(sum(coalesce(col("e_c"), lit(0L))).as("sum_ec"),
+        sum(expr("d_c * d_c")).as("sum_dc2"),
+        count(lit(1)).as("n_communities"))
+      .crossJoin(broadcast(m))
+      .select(col("m").as("m_edges"), col("n_communities"),
+        expr("4 * m * sum_ec - sum_dc2").as("q_num"),
+        expr("4 * m * m").as("q_den"))
   }
 
   /** Bloom-prune gate: lineitem pruned by a Bloom filter of the
@@ -1446,6 +1497,97 @@ object AdvancedQueries {
     * (o_totalprice cap, o_orderpriority set) so the report proves it
     * counts, not just flags.
     */
+  /** U-shaped multi-touch attribution (the marketing-analytics
+    * workhorse): every click/view attributes to the user's NEXT
+    * purchase; within each purchase's touch sequence the first and
+    * last touch get 40% credit each and the middles share the
+    * remaining 20% (n=1 → 100%, n=2 → 50/50). Credits are exact e6
+    * integers that sum to exactly 10⁶ per purchase: the middle share
+    * is 200000 DIV m with the remainder distributed one µ-credit at
+    * a time to the earliest middles — deterministic, no floats.
+    * The touch→purchase assignment needs no interval join: one keyed
+    * cumulative window (purchases-so-far per user) gives every touch
+    * its target purchase INDEX, and an equi-join on (user, index)
+    * lands it — the same trick sessionize uses, all windows keyed by
+    * user_id. Output: per touch type, total touches and credit.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val rawEv = Tables.raw(s, dir, "events")
+    val ev = rawEv.select(col("user_id"), col("event_id"),
+      col("event_type"), Tables.microsOf(rawEv, "ts").as("tsu"))
+      .filter(col("event_type").isin("click", "view", "purchase"))
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val marked = ev.withColumn("pcum",
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(seq))
+    val purchases = marked.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("pcum").as("p_idx"))
+    val touches = marked.filter(col("event_type") =!= "purchase")
+      .withColumn("p_idx", col("pcum") + 1L)
+      .join(purchases, Seq("user_id", "p_idx"))
+    val grp = Window.partitionBy(col("user_id"), col("p_idx"))
+    val ranked = touches
+      .withColumn("r", row_number().over(
+        grp.orderBy(col("tsu"), col("event_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(grp))
+    ranked.withColumn("credit_e6", expr(
+        """CASE WHEN n = 1 THEN 1000000
+                WHEN n = 2 THEN 500000
+                WHEN r = 1 OR r = n THEN 400000
+                ELSE 200000 DIV (n - 2)
+                     + (CASE WHEN r - 1 <= 200000 % (n - 2)
+                        THEN 1 ELSE 0 END)
+           END"""))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_e6")).as("credit_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  /** GDPR/right-to-be-forgotten cascade audit: given a deletion set
+    * of customer keys (here `c_custkey % 97 = 0`), delete the
+    * customers, their orders, the lineitems of those orders (the
+    * TWO-hop cascade — the step ad-hoc deletion scripts forget), and
+    * their events; report per table rows before / deleted / after
+    * plus an engine-computed orphan count (surviving rows that still
+    * reference a deleted key — must be zero). Plan shape: the
+    * deletion set is a broadcast dimension; every delete is a
+    * LEFT ANTI join and every audit a LEFT SEMI, all keyed — at
+    * 100 TB this is exactly the fan-out a tombstone-compaction job
+    * pays, one anti-join per table per deletion batch. The oracle
+    * recomputes before/deleted/after independently and states the
+    * orphan INVARIANT (0) rather than copying the engine's count, so
+    * a broken cascade (e.g. lineitem skipped) hash-fails.
+    */
+  def forgetUser(s: SparkSession, dir: String): DataFrame = {
+    val del = t(s, dir, "customer").filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("k"))
+    def row(tbl: String, all: DataFrame, key: Column,
+            delKeys: DataFrame): DataFrame = {
+      val deleted = all.join(broadcast(delKeys), key === col("k"), "left_semi")
+      val after = all.join(broadcast(delKeys), key === col("k"), "left_anti")
+      val orphans = after.join(broadcast(delKeys), key === col("k"), "left_semi")
+      all.agg(count(lit(1)).as("n_before"))
+        .crossJoin(deleted.agg(count(lit(1)).as("n_deleted")))
+        .crossJoin(after.agg(count(lit(1)).as("n_after")))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(tbl).as("tbl"), col("n_before"), col("n_deleted"),
+          col("n_after"), col("n_orphans"))
+    }
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val events = Tables.raw(s, dir, "events")
+    val deadOrders = orders
+      .join(broadcast(del), col("o_custkey") === col("k"), "left_semi")
+      .select(col("o_orderkey").as("k"))
+    row("customer", customer, col("c_custkey"), del)
+      .unionByName(row("orders", orders, col("o_custkey"), del))
+      .unionByName(row("lineitem", lineitem, col("l_orderkey"), deadOrders))
+      .unionByName(row("events", events, col("user_id"), del))
+      .orderBy(col("tbl"))
+  }
+
   /** Single-pass dataset profiling (the ANALYZE/data-catalog shape):
     * per-column non-null and exact distinct counts for every `orders`
     * column, computed in ONE aggregate over ONE scan — Spark plans
@@ -1508,6 +1650,8 @@ object AdvancedQueries {
     "skew_stats" -> (skewStats _),
     "length_deciles" -> (lengthDeciles _),
     "profile_table" -> (profileTable _),
+    "forget_user" -> (forgetUser _),
+    "attribution" -> (attribution _),
     "table_diff" -> (tableDiff _),
     "stream_daily" -> (streamDailyCounts _),
     "stream_enrich" -> (streamEnrich _),
@@ -1528,6 +1672,7 @@ object AdvancedQueries {
     "kcore" -> (kcore _),
     "bfs_hops" -> (bfsHopsQ _),
     "label_prop" -> (labelProp _),
+    "modularity" -> (modularity _),
     "topk_freq" -> (topkFreq _),
     "topk_freq_bound" -> (topkFreqBound _),
     "cms_freq" -> (cmsFreq _),
@@ -1553,6 +1698,57 @@ object AdvancedQueries {
     // the 3 synchronous LPA rounds unrolled: per round one
     // neighbor-label join, a frequency count, and a row_number argmax
     // (count DESC, label ASC) — the full trajectory replayed
+    // the same unrolled 3-round LPA chain as label_prop, then Q's
+    // numerator/denominator as exact integers (no division — the
+    // trunc-vs-floor divergence never arises)
+    "modularity" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                            1099511627776 + l_suppkey AS dst
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+               FROM e0
+               UNION SELECT dst, src FROM e0),
+         l0 AS (SELECT DISTINCT src AS id, src AS lab FROM e),
+         l1 AS (SELECT id, lab FROM (
+                  SELECT e.src AS id, l.lab, count(*) AS c,
+                         row_number() OVER (PARTITION BY e.src
+                           ORDER BY count(*) DESC, l.lab ASC) AS rn
+                  FROM e JOIN l0 l ON e.dst = l.id
+                  GROUP BY e.src, l.lab) WHERE rn = 1),
+         l2 AS (SELECT id, lab FROM (
+                  SELECT e.src AS id, l.lab, count(*) AS c,
+                         row_number() OVER (PARTITION BY e.src
+                           ORDER BY count(*) DESC, l.lab ASC) AS rn
+                  FROM e JOIN l1 l ON e.dst = l.id
+                  GROUP BY e.src, l.lab) WHERE rn = 1),
+         l3 AS (SELECT id, lab FROM (
+                  SELECT e.src AS id, l.lab, count(*) AS c,
+                         row_number() OVER (PARTITION BY e.src
+                           ORDER BY count(*) DESC, l.lab ASC) AS rn
+                  FROM e JOIN l2 l ON e.dst = l.id
+                  GROUP BY e.src, l.lab) WHERE rn = 1),
+         pairs AS (SELECT CAST(src AS BIGINT) AS src,
+                          CAST(dst AS BIGINT) AS dst FROM e0),
+         m AS (SELECT count(*)::BIGINT AS m FROM pairs),
+         wl AS (SELECT p.src, p.dst, la.lab AS lab_s, lb.lab AS lab_d
+                FROM pairs p JOIN l3 la ON p.src = la.id
+                             JOIN l3 lb ON p.dst = lb.id),
+         ec AS (SELECT lab_s AS lab, count(*)::BIGINT AS e_c
+                FROM wl WHERE lab_s = lab_d GROUP BY 1),
+         deg AS (SELECT id, count(*)::BIGINT AS d FROM (
+                   SELECT src AS id FROM pairs
+                   UNION ALL SELECT dst FROM pairs)
+                 GROUP BY id),
+         dc AS (SELECT l.lab, CAST(sum(deg.d) AS BIGINT) AS d_c
+                FROM deg JOIN l3 l ON deg.id = l.id GROUP BY 1),
+         s AS (SELECT CAST(sum(coalesce(ec.e_c, 0)) AS BIGINT) AS sum_ec,
+                      CAST(sum(dc.d_c * dc.d_c) AS BIGINT) AS sum_dc2,
+                      count(*)::BIGINT AS n_communities
+               FROM dc LEFT JOIN ec ON dc.lab = ec.lab)
+         SELECT m.m AS m_edges, s.n_communities,
+                CAST(4 * m.m * s.sum_ec - s.sum_dc2 AS BIGINT) AS q_num,
+                CAST(4 * m.m * m.m AS BIGINT) AS q_den
+         FROM s CROSS JOIN m""",
     "label_prop" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey AS src,
                             1099511627776 + l_suppkey AS dst
@@ -1686,6 +1882,82 @@ object AdvancedQueries {
                       min(p) AS min_price, max(p) AS max_price
                FROM c GROUP BY month)
          ORDER BY month""",
+    // the cumulative purchase-index trick, the position ranks, and
+    // the exact e6 credit split replayed window for window
+    "attribution" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+           FROM events
+           WHERE event_type IN ('click', 'view', 'purchase')),
+         m AS (SELECT *,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS pcum
+               FROM ev),
+         p AS (SELECT user_id, pcum AS p_idx FROM m
+               WHERE event_type = 'purchase'),
+         t AS (SELECT m.user_id, m.event_id, m.event_type, m.tsu,
+                      m.pcum + 1 AS p_idx
+               FROM m JOIN p ON m.user_id = p.user_id
+                            AND m.pcum + 1 = p.p_idx
+               WHERE m.event_type <> 'purchase'),
+         r AS (SELECT *,
+                 CAST(row_number() OVER (PARTITION BY user_id, p_idx
+                   ORDER BY tsu, event_id) AS BIGINT) AS r,
+                 CAST(count(*) OVER (PARTITION BY user_id, p_idx)
+                   AS BIGINT) AS n
+               FROM t),
+         c AS (SELECT event_type,
+                 CASE WHEN n = 1 THEN 1000000
+                      WHEN n = 2 THEN 500000
+                      WHEN r = 1 OR r = n THEN 400000
+                      ELSE 200000 // (n - 2)
+                           + (CASE WHEN r - 1 <= 200000 % (n - 2)
+                              THEN 1 ELSE 0 END)
+                 END AS credit
+               FROM r)
+         SELECT event_type, count(*)::BIGINT AS n_touches,
+                CAST(sum(credit) AS BIGINT) AS credit_e6
+         FROM c GROUP BY 1 ORDER BY 1""",
+    // before/deleted/after recomputed independently per table
+    // (two-hop cascade via the dead-order set); the orphan column
+    // states the INVARIANT (0), so a skipped cascade step hash-fails
+    "forget_user" ->
+      """WITH del AS (SELECT c_custkey AS k FROM customer
+                      WHERE c_custkey % 97 = 0),
+         od AS (SELECT o_orderkey AS k FROM orders
+                WHERE o_custkey IN (SELECT k FROM del))
+         SELECT 'customer' AS tbl,
+           (SELECT count(*) FROM customer)::BIGINT AS n_before,
+           (SELECT count(*) FROM customer
+             WHERE c_custkey IN (SELECT k FROM del))::BIGINT AS n_deleted,
+           (SELECT count(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT k FROM del))::BIGINT AS n_after,
+           0::BIGINT AS n_orphans
+         UNION ALL SELECT 'orders',
+           (SELECT count(*) FROM orders)::BIGINT,
+           (SELECT count(*) FROM orders
+             WHERE o_custkey IN (SELECT k FROM del))::BIGINT,
+           (SELECT count(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT k FROM del))::BIGINT,
+           0::BIGINT
+         UNION ALL SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem)::BIGINT,
+           (SELECT count(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT k FROM od))::BIGINT,
+           (SELECT count(*) FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT k FROM od))::BIGINT,
+           0::BIGINT
+         UNION ALL SELECT 'events',
+           (SELECT count(*) FROM events)::BIGINT,
+           (SELECT count(*) FROM events
+             WHERE user_id IN (SELECT k FROM del))::BIGINT,
+           (SELECT count(*) FROM events
+             WHERE user_id NOT IN (SELECT k FROM del))::BIGINT,
+           0::BIGINT
+         ORDER BY tbl""",
     // one UNION arm per column: exact non-null + distinct counts — the
     // per-column truth the engine's one-scan Expand plan must match
     "profile_table" -> {

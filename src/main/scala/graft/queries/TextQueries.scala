@@ -308,7 +308,9 @@ object TextQueries {
     s.sql("""SELECT doc_id,
                     size(token_hashes(text)) AS n_tokens,
                     size(shingle_set(text, 3)) AS n_shingles,
-                    size(char_ngram_set(text, 3)) AS n_ngrams
+                    size(char_ngram_set(text, 3)) AS n_ngrams,
+                    size(ac_match_ids(text,
+                      array('hash join', 'merge sort', 'sort'))) AS n_hits
              FROM graft_documents ORDER BY doc_id""")
   }
 
@@ -538,6 +540,37 @@ object TextQueries {
       .withColumn("n_same_key",
         count(lit(1)).over(Window.partitionBy(col("canon_url"))))
       .orderBy(col("doc_id"))
+  }
+
+  /** Corpus drift monitor: exact total-variation distance (×10⁶)
+    * between the unigram distributions of two corpus halves (doc_id
+    * parity stands in for "yesterday vs today") — the distribution-
+    * shift alarm a continuously-ingesting training pipeline watches.
+    * TV = ½·Σ_t |c1/N1 − c2/N2| is kept exact by clearing
+    * denominators: Σ|c1·N2 − c2·N1| over the joint vocabulary,
+    * scaled by 10⁶ DIV (2·N1·N2) — all DECIMAL(38,0) products
+    * (int64 would overflow at c·N ≈ 10²⁶ for web-scale counts;
+    * DuckDB's HUGEINT mirrors it). ONE shuffle to the (token, half)
+    * count table; the vocabulary join is a full-outer on the token
+    * key with absent counts as 0.
+    */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select((col("doc_id") % 2 === 0).as("early"),
+        explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+    val counts = tok.groupBy(col("token"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("c2"))
+    val totals = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      count(lit(1)).as("vocab"))
+    counts.crossJoin(broadcast(totals))
+      .agg(first(col("n1")).as("n1_tokens"),
+        first(col("n2")).as("n2_tokens"),
+        first(col("vocab")).as("vocab"),
+        expr("""CAST((sum(abs(CAST(c1 AS DECIMAL(38,0)) * n2
+                            - CAST(c2 AS DECIMAL(38,0)) * n1)) * 1000000)
+                     DIV (2 * CAST(first(n1) AS DECIMAL(38,0)) * first(n2))
+                AS BIGINT)""").as("tv_e6"))
   }
 
   /** Cross-source contamination matrix: for every pair of corpus
@@ -1583,6 +1616,7 @@ object TextQueries {
     "url_canonicalize" -> (urlCanonicalize _),
     "posting_delta" -> (postingDelta _),
     "source_overlap" -> (sourceOverlap _),
+    "corpus_drift" -> (corpusDrift _),
     "bm25_rank" -> (bm25Rank _),
     "line_dedup" -> (lineDedup _))
 
@@ -1922,6 +1956,28 @@ object TextQueries {
            END AS lang_pred
          FROM s ORDER BY doc_id"""
     },
+    // denominators cleared: Σ|c1·N2 − c2·N1| in HUGEINT, scaled by
+    // 10⁶ // (2·N1·N2) — the exact integer twin of the engine's
+    // DECIMAL(38,0) arithmetic
+    "corpus_drift" ->
+      """WITH tok AS (
+           SELECT doc_id % 2 = 0 AS early,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                     x -> len(x) > 0)) AS token
+           FROM documents),
+         c AS (SELECT token,
+                 CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS c2
+               FROM tok GROUP BY token),
+         n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                      CAST(sum(c2) AS BIGINT) AS n2,
+                      count(*) AS vocab FROM c)
+         SELECT n.n1 AS n1_tokens, n.n2 AS n2_tokens, n.vocab AS vocab,
+           CAST((sum(abs(CAST(c.c1 AS HUGEINT) * n.n2
+                       - CAST(c.c2 AS HUGEINT) * n.n1)) * 1000000)
+                // (2 * CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT) AS tv_e6
+         FROM c CROSS JOIN n
+         GROUP BY n.n1, n.n2, n.vocab""",
     // distinct (source, char-3gram) sets, pair intersections via the
     // gram-keyed self-join, exact-integer Jaccard — same gram
     // convention as cc_exact's substring(text, i, 3)
@@ -2165,7 +2221,11 @@ object TextQueries {
                 ELSE 1 END AS INTEGER) AS n_shingles,
            CAST(len(list_distinct([substring(text, i, 3)
                 for i in range(1, greatest(length(text) - 2, 1) + 1)]))
-                AS INTEGER) AS n_ngrams
+                AS INTEGER) AS n_ngrams,
+           CAST(CASE WHEN contains(text, 'hash join') THEN 1 ELSE 0 END
+              + CASE WHEN contains(text, 'merge sort') THEN 1 ELSE 0 END
+              + CASE WHEN contains(text, 'sort') THEN 1 ELSE 0 END
+                AS INTEGER) AS n_hits
          FROM tk ORDER BY doc_id""",
     "stratified_sample" ->
       """SELECT doc_id, lang FROM documents
