@@ -1512,6 +1512,35 @@ object AdvancedQueries {
     * (o_totalprice cap, o_orderpriority set) so the report proves it
     * counts, not just flags.
     */
+  /** Top-3 orders by price per market segment via the EXACT bounded
+    * [[graft.functions.TopKMax]] aggregator — top-k per key WITHOUT a
+    * ranking window: the window form shuffles every order row to its
+    * segment's reducer; the aggregator's partial state is ≤ 3 rows
+    * per segment per partition, map-side combined, so the shuffle
+    * carries k·segments·partitions structs regardless of table size.
+    * Price enters as exact cents (floor(x·100 + 0.5) — an identical
+    * IEEE sequence in both engines, per the OPERATORS.md cast trap).
+    * The oracle IS the window definition (row_number ≤ 3 over
+    * cents DESC, orderkey ASC), so the aggregation path is pinned
+    * equal to the textbook semantics.
+    */
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKMax.topk_max
+    val j = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("o_orderkey"))
+    j.groupBy(col("seg"))
+      .agg(topk_max(col("cents"), col("o_orderkey"), 3).as("top"))
+      .select(col("seg"), posexplode(col("top")))
+      .select(col("seg"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.v").as("cents"), col("col.id").as("o_orderkey"))
+      .orderBy(col("seg"), col("rank"))
+  }
+
   /** U-shaped multi-touch attribution (the marketing-analytics
     * workhorse): every click/view attributes to the user's NEXT
     * purchase; within each purchase's touch sequence the first and
@@ -1667,6 +1696,7 @@ object AdvancedQueries {
     "profile_table" -> (profileTable _),
     "forget_user" -> (forgetUser _),
     "attribution" -> (attribution _),
+    "topk_per_group" -> (topkPerGroup _),
     "table_diff" -> (tableDiff _),
     "stream_daily" -> (streamDailyCounts _),
     "stream_enrich" -> (streamEnrich _),
@@ -1897,6 +1927,20 @@ object AdvancedQueries {
                       min(p) AS min_price, max(p) AS max_price
                FROM c GROUP BY month)
          ORDER BY month""",
+    // the window DEFINITION of top-k per key — the engine answers it
+    // with the bounded aggregator instead
+    "topk_per_group" ->
+      """WITH j AS (
+           SELECT c.c_mktsegment AS seg,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                  o_orderkey
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         r AS (SELECT seg, cents, o_orderkey,
+                 row_number() OVER (PARTITION BY seg
+                   ORDER BY cents DESC, o_orderkey ASC) AS rnk
+               FROM j)
+         SELECT seg, CAST(rnk AS INTEGER) AS rank, cents, o_orderkey
+         FROM r WHERE rnk <= 3 ORDER BY seg, rank""",
     // the cumulative purchase-index trick, the position ranks, and
     // the exact e6 credit split replayed window for window
     "attribution" ->

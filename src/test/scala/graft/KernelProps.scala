@@ -294,6 +294,22 @@ object KernelProps extends Properties("kernels") {
         Kernels.hrwShard(k, 1, 42L) == 0
     }
 
+  property("TopKMax: any reduce/merge tree equals global sort-take") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(-50L, 50L),
+                              Gen.chooseNum(0L, 20L))),
+           Gen.chooseNum(1, 5), Gen.chooseNum(0, 3)) { (xs0, k, cut) =>
+      import graft.functions.{TopKMax, TopVal}
+      val xs = xs0.map { case (v, id) => TopVal(v, id) }
+      val agg = new TopKMax(k)
+      val expected = xs.sortBy(t => (-t.v, t.id)).take(k)
+      // arbitrary split: reduce each part, merge in either order
+      val (a, b) = xs.splitAt(math.min(cut * xs.size / 3, xs.size))
+      val pa = a.foldLeft(agg.zero)(agg.reduce)
+      val pb = b.foldLeft(agg.zero)(agg.reduce)
+      agg.finish(agg.merge(pa, pb)) == expected &&
+        agg.finish(agg.merge(pb, pa)) == expected
+    }
+
   property("canonicalizeUrl fixed rules") = {
     def c(s: String) = Kernels.canonicalizeUrl(utf8(s)).toString
     c("HTTPS://WWW.Ex.COM:443//a/b/?b=2&a=1&utm_s=x#frag") ==
