@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-session memo for materialized (localCheckpoint-pinned) frames —
+  * the detect-once caches (`lpaLabels`, the ANN exact ground truth).
+  *
+  * Keyed on the LIVE session object through identity (a WeakHashMap),
+  * not `System.identityHashCode`: identity hash codes are reusable
+  * after GC, so an (identityHashCode, dir) tuple key could hand a NEW
+  * session a checkpoint-pinned frame bound to a dead one. With object
+  * identity a new session can never observe another session's entries.
+  *
+  * Note on reclamation: the cached DataFrames strongly reference their
+  * session (value → key), so WeakHashMap entries are not collectable
+  * while cached — the map bounds STALENESS (no cross-session reuse),
+  * not memory. Per-session content is one small pinned frame per
+  * (query-family, dir) by construction.
+  */
+object SessionMemo {
+  private val memo = new java.util.WeakHashMap[
+    SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def getOrCompute(s: SparkSession, key: String,
+                   f: => DataFrame): DataFrame = {
+    val inner = memo.synchronized {
+      var m = memo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        memo.put(s, m)
+      }
+      m
+    }
+    inner.computeIfAbsent(key, _ => f)
+  }
+}

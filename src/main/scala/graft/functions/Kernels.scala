@@ -1028,6 +1028,10 @@ object Kernels {
     * executors, zero state, zero shuffle to compute.
     */
   def hrwShard(key: Long, n: Int, seed: Long): Int = {
+    // n <= 0 would silently route every row to shard 0 (the s=0 score
+    // is computed unconditionally) — a miscomputed shard count must
+    // fail loudly, not converge the fleet onto one shard
+    require(n >= 1, s"hrw_shard needs n >= 1 shards, got $n")
     var best = 0
     var bestScore = mix64(key ^ mix64(seed))
     var s = 1

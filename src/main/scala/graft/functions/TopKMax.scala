@@ -23,8 +23,14 @@ class TopKMax(k: Int)
     extends Aggregator[TopVal, Seq[TopVal], Seq[TopVal]] {
   require(k > 0)
 
+  // (v desc, id asc) via explicit Orderings — negating the value
+  // (`-t.v`) overflows at Long.MinValue, which would rank as LARGEST
+  private val topOrd: Ordering[TopVal] =
+    Ordering.by[TopVal, (Long, Long)](t => (t.v, t.id))(
+      Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long))
+
   private def prune(b: Seq[TopVal]): Seq[TopVal] =
-    b.sortBy(t => (-t.v, t.id)).take(k)
+    b.sorted(topOrd).take(k)
 
   override def zero: Seq[TopVal] = Seq.empty
   override def reduce(b: Seq[TopVal], x: TopVal): Seq[TopVal] =

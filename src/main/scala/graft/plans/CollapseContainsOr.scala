@@ -64,7 +64,13 @@ case class CollapseContainsOr(spark: org.apache.spark.sql.SparkSession)
       case or @ Or(_, _) =>
         collect(or) match {
           case Some((c, pats)) if pats.size >= minTerms =>
-            GreaterThan(Size(AcMatchIdsExpr(c, pats)), Literal(0))
+            // legacySizeOfNull pinned false: under the legacy session
+            // conf size(null) = -1 and the rewrite would turn a NULL
+            // OR-chain (NULL) into false in projection contexts —
+            // NULL-in → NULL-out must hold under ANY session config
+            GreaterThan(
+              Size(AcMatchIdsExpr(c, pats), legacySizeOfNull = false),
+              Literal(0))
           case _ => or
         }
     }

@@ -449,7 +449,7 @@ object AdvancedQueries {
     val singles = b.select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("n_item"))
     val total = b.agg(count(lit(1)).as("n_baskets"))
-    pairs
+    val out = pairs
       .join(broadcast(singles.select(col("item").as("antecedent"),
         col("n_item").as("n_ante"))), Seq("antecedent"))
       .join(broadcast(singles.select(col("item").as("consequent"),
@@ -464,7 +464,11 @@ object AdvancedQueries {
         // display metric and a double is the right trade
         expr("n_both * n_baskets * 1000000 div (n_ante * n_cons)")
           .as("lift_e6"))
-      .orderBy(col("antecedent"), col("consequent"))
+    // materialize-then-unpersist: rule table is |items|²-bounded; the
+    // basket cache must not accumulate across suite runs
+    val pinned = graft.ops.Dedup.materialize(out)
+    b.unpersist()
+    pinned.orderBy(col("antecedent"), col("consequent"))
   }
 
   /** Weekly retention cohorts: users bucketed by first-seen week, the
@@ -656,13 +660,13 @@ object AdvancedQueries {
     * scorer reads the detector's output table, it does not re-run the
     * detector. The labels are localCheckpoint-pinned, and LPA is
     * deterministic (min-label tie-break), so a cached table is
-    * byte-identical to a recompute; keyed by (session, dir) because a
-    * checkpointed frame is session-bound.
+    * byte-identical to a recompute; keyed by (session identity, dir)
+    * via [[graft.SessionMemo]] because a checkpointed frame is
+    * session-bound. The dir part of the key assumes fixed data for the
+    * JVM's lifetime (true for the driver's immutable test corpora).
     */
-  private val lpaCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
   private def lpaLabels(s: SparkSession, dir: String): DataFrame =
-    lpaCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+    graft.SessionMemo.getOrCompute(s, s"lpa:$dir",
       graft.ops.Dedup.materialize(
         Graph.labelPropagation(Graph.symmetrize(graphPairs(s, dir)),
           rounds = 3)))
@@ -707,7 +711,7 @@ object AdvancedQueries {
     val dC = deg.join(labels, Seq("id"))
       .groupBy(col("lab")).agg(sum(col("d")).as("d_c"))
     val m = pairs.agg(count(lit(1)).as("m"))
-    dC.join(eC, Seq("lab"), "left")
+    val out = dC.join(eC, Seq("lab"), "left")
       .agg(sum(coalesce(col("e_c"), lit(0L))).as("sum_ec"),
         sum(expr("d_c * d_c")).as("sum_dc2"),
         count(lit(1)).as("n_communities"))
@@ -715,6 +719,11 @@ object AdvancedQueries {
       .select(col("m").as("m_edges"), col("n_communities"),
         expr("4 * m * sum_ec - sum_dc2").as("q_num"),
         expr("4 * m * m").as("q_den"))
+    // materialize-then-unpersist: the score is one row; the edge cache
+    // must not outlive it in a long-lived session
+    val pinned = graft.ops.Dedup.materialize(out)
+    pairs.unpersist()
+    pinned
   }
 
   /** Bloom-prune gate: lineitem pruned by a Bloom filter of the

@@ -350,11 +350,9 @@ object ScaleQueries {
     * rows), only the scan that builds it is big. `ann_topk` itself
     * stays uncached: it IS the headline exact query being timed.
     */
-  private val exactCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), DataFrame]()
   private def exactGroundTruth(s: SparkSession, dir: String, k: Int): DataFrame =
-    exactCache.computeIfAbsent((System.identityHashCode(s), dir, k),
-      _ => graft.ops.Dedup.materialize(exactTopK(s, dir, k)))
+    graft.SessionMemo.getOrCompute(s, s"ann-exact:$dir:$k",
+      graft.ops.Dedup.materialize(exactTopK(s, dir, k)))
 
   /** Shared recall-gate core: join an approximate top-k result against
     * the exact one and emit (n_queries, recall_floor_pct, floor_met).

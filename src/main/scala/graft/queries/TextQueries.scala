@@ -601,7 +601,7 @@ object TextQueries {
         col("a.g") === col("b.g") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("n_common"))
-    pairs
+    val out = pairs
       .join(sizes.withColumnRenamed("source", "src_a")
         .withColumnRenamed("n", "na"), Seq("src_a"))
       .join(sizes.withColumnRenamed("source", "src_b")
@@ -609,7 +609,12 @@ object TextQueries {
       .withColumn("jaccard_e6",
         expr("CAST(n_common * 1000000 DIV (na + nb - n_common) AS BIGINT)"))
       .select(col("src_a"), col("src_b"), col("n_common"), col("jaccard_e6"))
-      .orderBy(col("src_a"), col("src_b"))
+    // materialize-then-unpersist (the minePairs pattern): the S² result
+    // is tiny; holding the gram cache past it would accumulate cached
+    // partitions across suite runs in one long-lived session
+    val pinned = graft.ops.Dedup.materialize(out)
+    grams.unpersist()
+    pinned.orderBy(col("src_a"), col("src_b"))
   }
 
   /** URL extraction + per-domain aggregation (the Common-Crawl-shaped
@@ -706,12 +711,16 @@ object TextQueries {
       .persist()
     val rare = post.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 20)
-    post.join(rare, Seq("gram"))
+    val out = post.join(rare, Seq("gram"))
       .groupBy(col("gram"), col("df"))
       .agg(array_join(
         transform(array_sort(collect_list(col("doc_id"))),
           x => x.cast("string")), ",").as("postings"))
-      .orderBy(col("gram"))
+    // materialize-then-unpersist: the rare-gram index is df-bounded
+    // and small; don't leave the wide pair-set cache resident
+    val pinned = graft.ops.Dedup.materialize(out)
+    post.unpersist()
+    pinned.orderBy(col("gram"))
   }
 
   /** Delta-encoded posting lists — the compression layout every real
@@ -737,7 +746,7 @@ object TextQueries {
       .persist()
     val mid = post.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 50))
-    post.join(mid, Seq("gram"))
+    val out = post.join(mid, Seq("gram"))
       .groupBy(col("gram"), col("df"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .withColumn("postings_delta", expr(
@@ -745,7 +754,10 @@ object TextQueries {
           |  CAST(IF(i = 0, x, x - try_element_at(ids, i)) AS STRING)), ',')"""
           .stripMargin))
       .select(col("gram"), col("df"), col("postings_delta"))
-      .orderBy(col("gram"))
+    // materialize-then-unpersist, as invertedIndex
+    val pinned = graft.ops.Dedup.materialize(out)
+    post.unpersist()
+    pinned.orderBy(col("gram"))
   }
 
   /** Unigram LM surprisal (CCNet-style quality signal) in EXACT integer
@@ -1416,6 +1428,14 @@ object TextQueries {
     * everywhere). Keyed by (dir, nMerges); training is deterministic
     * (lexicographic tie-break), so a cached result is byte-identical
     * to a retrain and correctness cannot depend on cache state.
+    *
+    * FIXED-DATA ASSUMPTION: the dir key treats a corpus directory as
+    * immutable for the JVM's lifetime (true for the driver's test
+    * corpora). Regenerating a dir's parquet in-place within one
+    * long-lived JVM would serve merges trained on the OLD bytes — in
+    * that setting key by a content fingerprint instead. Unlike the
+    * session-bound frame memos ([[graft.SessionMemo]]) the cached
+    * value here is plain data, so session identity is irrelevant.
     */
   private val bpeMergeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Bpe.Merge]]()
