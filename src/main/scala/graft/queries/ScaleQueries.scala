@@ -1026,7 +1026,128 @@ object ScaleQueries {
            SELECT w.id, e2.dst FROM reach w JOIN e e2 ON w.r = e2.src),
          lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"""
 
+  /** ±1 SRP hyperplane for (table `tb`, bit `b`) as a DuckDB DOUBLE[]
+    * literal — generated from the SAME `Kernels.mix64` stream
+    * `srp_bucket`/`srp_probes` consume (seed 42+tb, offset b·131071+i),
+    * so kernel and oracle cannot drift (the shard_assign convention).
+    * Hardcodes the corpus embedding dim (64): a dim change diverges
+    * LOUDLY (DuckDB rejects mismatched list_dot_product lengths).
+    */
+  private def srpPlaneSql(tb: Int, b: Int, d: Int = 64): String =
+    (0 until d).map { i =>
+      if ((graft.functions.Kernels.mix64(42L + tb + b * 131071L + i) & 1L) == 0L)
+        "1.0" else "-1.0"
+    }.mkString("CAST([", ",", "] AS DOUBLE[])")
+
+  /** Full [[annLsh]] replay in DuckDB: per-(vector, table) SRP buckets
+    * from the generated hyperplane literals, the QUERY-DIRECTED
+    * multi-probe enumeration (all 2^bits masks scored by flip cost,
+    * top-7 per table), the candidate equi-join, and the exact cosine
+    * re-rank. Float arithmetic is bit-replayable: ±1·float products
+    * are exact doubles, both sides accumulate sequentially, and the
+    * mask score reproduces the kernel's lowest-set-bit recursion —
+    * cost(high bit) first, cost(low bit) last, with interposed +0.0
+    * terms exact because every |projection| ≥ +0.0.
+    */
+  private def annLshOracleSql: String = {
+    val nTables = 8
+    val bits = 6
+    val corpus = (0 until nTables).map { tb =>
+      val bucketExpr = (0 until bits).map { b =>
+        s"CASE WHEN list_dot_product(v, ${srpPlaneSql(tb, b)}) >= 0 THEN ${1 << b} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id AS cid, $tb AS tbl, CAST($bucketExpr AS BIGINT) AS bucket FROM e"
+    }.mkString(" UNION ALL ")
+    val qproj = (0 until nTables).map { tb =>
+      val ps = (0 until bits).map { b =>
+        s"list_dot_product(v, ${srpPlaneSql(tb, b)}) AS p$b"
+      }.mkString(", ")
+      s"SELECT vec_id AS qid, $tb AS tbl, $ps FROM e WHERE vec_id % 20 = 0"
+    }.mkString(" UNION ALL ")
+    val baseExpr = (0 until bits)
+      .map(b => s"CASE WHEN p$b >= 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
+    val costCols = (0 until bits).map(b => s"abs(p$b) AS c$b").mkString(", ")
+    // descending-bit left-assoc sum = the kernel's score recursion
+    val scoreExpr = (bits - 1 to 0 by -1)
+      .map(b => s"CASE WHEN (mask & ${1 << b}) > 0 THEN c$b ELSE 0.0 END")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+       cb AS ($corpus),
+       qp AS ($qproj),
+       qb AS (SELECT qid, tbl, $costCols, CAST($baseExpr AS BIGINT) AS base
+              FROM qp),
+       mk AS (SELECT mask FROM range(0, ${1 << bits}) t(mask)),
+       sc AS (SELECT qid, tbl, base, mask, $scoreExpr AS score
+              FROM qb CROSS JOIN mk),
+       pr AS (SELECT qid, tbl, xor(base, mask) AS bucket
+              FROM (SELECT *, row_number() OVER (PARTITION BY qid, tbl
+                              ORDER BY score, mask) AS rn FROM sc) z
+              WHERE rn <= ${bits + 1}),
+       cand AS (SELECT DISTINCT pr.qid, cb.cid
+                FROM pr JOIN cb ON pr.tbl = cb.tbl AND pr.bucket = cb.bucket
+                WHERE pr.qid <> cb.cid),
+       s AS (SELECT cand.qid, cand.cid,
+               round(list_dot_product(q.v, c.v)
+                     / sqrt(list_dot_product(q.v, q.v)
+                            * list_dot_product(c.v, c.v)), 4) AS sim_r
+             FROM cand JOIN e q ON cand.qid = q.vec_id
+                       JOIN e c ON cand.cid = c.vec_id),
+       r AS (SELECT qid, cid, sim_r,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
+             FROM s)
+       SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 3
+       ORDER BY qid, rnk"""
+  }
+
+  /** Full [[annIvf]] replay in DuckDB: the every-149th sampled
+    * codebook is recomputed FROM the table (the sampling rule is
+    * SQL-expressible — no literals needed), corpus list assignment is
+    * the (sim DESC, centroid_id) argmax the `nearest_centroids` kernel
+    * computes, queries probe their top-7 lists, and candidates re-rank
+    * on exact cosine. The NaN guard mirrors the kernel's isNaN skip
+    * (DuckDB would otherwise sort NaN FIRST under DESC).
+    */
+  private def annIvfOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+              WHERE vec_id % 149 = 0 ORDER BY centroid_id LIMIT 16384),
+       sim AS (SELECT e.vec_id, cb.centroid_id,
+                 list_dot_product(e.v, cb.cv)
+                 / sqrt(list_dot_product(e.v, e.v)
+                        * list_dot_product(cb.cv, cb.cv)) AS s
+               FROM e CROSS JOIN cb),
+       rk AS (SELECT vec_id, centroid_id, s,
+                row_number() OVER (PARTITION BY vec_id
+                     ORDER BY s DESC, centroid_id) AS rn
+              FROM sim WHERE NOT isnan(s)),
+       asg AS (SELECT vec_id AS cid, centroid_id FROM rk WHERE rn = 1),
+       pb AS (SELECT vec_id AS qid, centroid_id FROM rk
+              WHERE rn <= 7 AND vec_id % 20 = 0),
+       cand AS (SELECT pb.qid, asg.cid
+                FROM pb JOIN asg USING (centroid_id)
+                WHERE pb.qid <> asg.cid),
+       s2 AS (SELECT cand.qid, cand.cid,
+                round(list_dot_product(q.v, c.v)
+                      / sqrt(list_dot_product(q.v, q.v)
+                             * list_dot_product(c.v, c.v)), 4) AS sim_r
+              FROM cand JOIN e q ON cand.qid = q.vec_id
+                        JOIN e c ON cand.cid = c.vec_id),
+       r AS (SELECT qid, cid, sim_r,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
+             FROM s2)
+       SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 3
+       ORDER BY qid, rnk"""
+
   val oracle: Map[String, String] = Map(
+    // full LSH / IVF candidate-set + re-rank replays (promoted from
+    // rows-only in r7 — the simhash/CMS/fingerprint precedent applied
+    // to SRP sign bits and the sampled-codebook argmax)
+    "ann_lsh" -> annLshOracleSql,
+    "ann_ivf" -> annIvfOracleSql,
     // the full HRW argmax replayed: per-(doc, shard) SplitMix64 scores
     // via the same UBIGINT split-multiply chain as cms_freq, argmax by
     // (score DESC, s ASC) row_number for n=8 and n=9, and the
