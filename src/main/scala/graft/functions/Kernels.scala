@@ -603,6 +603,24 @@ object Kernels {
     out(FmtUnknown, 0, 0, 0)
   }
 
+  /** Byte length of the minimal synthesized container header for a
+    * [[parseMediaHeader]] format code — where the payload BODY (pixel
+    * data) begins for payloads built by [[makeMediaHeader]]. PNG 26
+    * (signature + IHDR), JPEG 39 (SOI + APP0/JFIF + SOF0), BMP 54
+    * (file header + BITMAPINFOHEADER), GIF 13 (signature + screen
+    * descriptor). 0 for unknown formats (the whole payload is body).
+    * Real-world containers have variable header lengths (PNG ancillary
+    * chunks, JPEG APPn segments); a production splitter would walk the
+    * chunk/segment grammar to the first data chunk instead.
+    */
+  def mediaBodyOffset(format: Long): Int = format match {
+    case FmtPng => 26
+    case FmtJpeg => 39
+    case FmtBmp => 54
+    case FmtGif => 13
+    case _ => 0
+  }
+
   /** Minimal VALID container header bytes for (format, w, h) — the
     * synthesis side of the round-trip (tests + the DuckDB-checkable
     * header query). Formats: 1 PNG (depth 8), 2 JPEG (JFIF APP0 +

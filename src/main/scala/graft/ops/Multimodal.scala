@@ -8,16 +8,21 @@ import org.apache.spark.sql.types._
   * payloads with typed metadata, processed in partition-batched
   * passes.
   *
-  * The actual codec work is STUBBED (this container has no
-  * image/audio libraries — see the builder contract): `decodeStub`
-  * and `embedStub` derive deterministic fake values from the payload
-  * bytes. Everything around the stub — the schema, the binary column
-  * handling, the mapPartitions batch shape, partition sizing — is the
-  * real production plumbing a decoder would drop into.
+  * The metadata and feature extraction here are REAL byte-level
+  * computations (container-header parse + body-byte statistics /
+  * banded byte histogram — the same class of feature a content
+  * sniffer or entropy scorer uses), so every driven query is
+  * SQL-replayable end-to-end. What this container CANNOT run is a
+  * pixel codec or a learned vision model (no image/audio libraries —
+  * see the builder contract); where a real deployment would swap one
+  * in is marked on [[decodeFeatures]]/[[embedFeatures]]. Everything
+  * around that swap point — the schema, the binary column handling,
+  * the mapPartitions batch shape, partition sizing — is the
+  * production plumbing a decoder drops into.
   *
   * Scale notes: payloads stay opaque binary end-to-end (no
-  * driver-side materialization); decode runs per partition so a real
-  * decoder amortizes model/codec init across a partition's rows —
+  * driver-side materialization); extraction runs per partition so a
+  * real decoder/model amortizes init across a partition's rows —
   * exactly the shape a Pandas-UDF/`mapInPandas` batch has in PySpark;
   * `maxPartitionBytes` controls decode batch memory, and feature
   * extraction emits fixed-width vectors so downstream similarity ops
@@ -63,42 +68,69 @@ object Multimodal {
         try_element_at(col("__h"), lit(4)).as("bit_depth"))
   }
 
-  /** STUB decode — deterministic fake dimensions/statistics derived
-    * from payload size (`???`-equivalent for the codec call, which
-    * would be e.g. ImageIO/ffmpeg here). Runs as a per-partition
-    * iterator pass so a real decoder initializes once per partition.
+  /** REAL decode statistics: container-header fields via the byte
+    * parser ([[graft.functions.Kernels.parseMediaHeader]]) plus the
+    * mean body-byte intensity over the pixel-data section (bytes after
+    * the header, normalized to [0,1] by 255) — the grayscale-mean
+    * proxy a quality filter thresholds on. Runs as a per-partition
+    * iterator pass; a PIXEL CODEC (ImageIO/ffmpeg — absent in this
+    * container) would initialize here once per partition and replace
+    * the raw-byte mean with a decoded-pixel mean.
     */
-  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         // real impl: val codec = Codec.open(...)  — once per partition
         it.map { case (id, kind, payload) =>
           val n = if (payload == null) 0L else payload.length.toLong
-          // STUB: fake decode — metadata as pure functions of size
+          val h = graft.functions.Kernels.parseMediaHeader(payload)
+          val off = graft.functions.Kernels.mediaBodyOffset(h.getLong(0))
+          var sum = 0L
+          var i = off
+          while (i < n) { sum += payload(i.toInt) & 0xff; i += 1 }
+          val bodyLen = n - off
           MediaMeta(id, kind, n,
-            width = (64 + n % 256).toInt,
-            height = (64 + (n * 7) % 256).toInt,
-            mean_val = (n % 1000).toDouble / 1000.0)
+            width = h.getLong(1).toInt,
+            height = h.getLong(2).toInt,
+            mean_val =
+              if (bodyLen <= 0) 0.0 else sum.toDouble / bodyLen / 255.0)
         }
       }
   }
 
-  /** STUB feature extraction: fixed-width float vector per payload,
-    * seeded from payload bytes (a real model would run here, batched
-    * per partition). Output matches the `embeddings` table shape so
-    * ANN/similarity operators compose directly.
+  /** REAL feature extraction: fixed-width vector = the four parsed
+    * header fields (format, width, height, bit depth) followed by a
+    * `dim - 4`-band byte histogram of the payload body — band
+    * `(b * nBands) / 256`, counts exact in float up to 2^24 bytes.
+    * This is the content-sniffer/entropy feature family; a LEARNED
+    * vision model (absent in this container) would batch-infer here
+    * per partition instead. Output matches the `embeddings` table
+    * shape so ANN/similarity operators compose directly, and every
+    * cell is integer-valued — SQL-recomputable from the synthesized
+    * payload, which is what flips `multimodal_embed` to a full oracle.
     */
-  def embedStub(spark: SparkSession, media: DataFrame, dim: Int = 16): DataFrame = {
+  def embedFeatures(spark: SparkSession, media: DataFrame,
+                    dim: Int = 16): DataFrame = {
+    require(dim >= 5, s"embedFeatures needs >= 5 dims (4 header + >=1 band), got $dim")
     import spark.implicits._
+    val nBands = dim - 4
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // real impl: val model = Model.load(...)  — once per partition
         it.map { case (id, payload) =>
-          val seed = if (payload == null) 0L
-            else payload.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
-          val v = Array.tabulate(dim) { i =>
-            val x = graft.functions.Kernels.mix64(seed + i)
-            (x.toDouble / Long.MaxValue).toFloat
+          val n = if (payload == null) 0 else payload.length
+          val h = graft.functions.Kernels.parseMediaHeader(payload)
+          val off = graft.functions.Kernels.mediaBodyOffset(h.getLong(0))
+          val v = new Array[Float](dim)
+          v(0) = h.getLong(0).toFloat
+          v(1) = h.getLong(1).toFloat
+          v(2) = h.getLong(2).toFloat
+          v(3) = h.getLong(3).toFloat
+          var i = off
+          while (i < n) {
+            v(4 + ((payload(i) & 0xff) * nBands) / 256) += 1f
+            i += 1
           }
           (id, v)
         }

@@ -93,55 +93,79 @@ object TextQueries {
       .toDF("n_docs", "all_docs_covered", "gap_within_w", "density_in_band")
   }
 
-  /** Multimodal metadata extraction: documents as opaque binary
-    * payloads → per-partition decode (stubbed codec) → typed metadata.
+  /** Synthesized media payload shared by the decode/embed queries:
+    * a REAL container header (PNG/JPEG/BMP/GIF rotating by doc id,
+    * dims derived from the id — the multimodal_header rule) with the
+    * document's text bytes standing in for the pixel-data section.
+    * Header fields and body statistics are then both byte-real AND
+    * arithmetically replayable in the oracle.
+    */
+  private def synthMedia(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl._
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("media_id"),
+        lit("image").as("kind"),
+        concat(
+          make_media_header(pmod(col("doc_id"), lit(4)) + 1,
+            pmod(col("doc_id"), lit(512)) + 16,
+            pmod(col("doc_id") * 3, lit(512)) + 16),
+          col("text").cast("binary")).as("payload"))
+  }
+
+  /** Multimodal metadata extraction: synthesized payloads →
+    * per-partition decode ([[graft.ops.Multimodal.decodeFeatures]]) →
+    * typed metadata. Width/height come out of the container header
+    * BYTES; mean_val is the real mean body-byte intensity — the
+    * oracle recomputes both arithmetically, so the parse AND the
+    * statistics are value-checked (full oracle since r7; the r6 shape
+    * derived fake values from payload size).
     */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.asMediaTable(
-      t(s, dir, "documents"), "doc_id", "text", "image")
-    Multimodal.decodeStub(s, media).toDF()
+    Multimodal.decodeFeatures(s, synthMedia(s, dir)).toDF()
       .withColumn("mean_val", round(col("mean_val"), 3))
       .orderBy(col("media_id"))
   }
 
-  /** Multimodal feature extraction (stubbed model): payload → fixed-
-    * width embedding; surfaced as (id, dim, l2) so the check is
-    * deterministic. Rows-only (stub hashing isn't SQL-expressible).
+  /** Multimodal feature extraction ([[graft.ops.Multimodal
+    * .embedFeatures]]): payload → 16-dim vector = 4 parsed header
+    * fields + 12-band byte histogram of the body. Every cell is
+    * integer-valued, so the vector is surfaced as a comma-joined
+    * string and the oracle recomputes it cell-for-cell from the
+    * synthesis rule (full oracle since r7 — the r6 stub's seed hash
+    * was rows-only).
     */
   def multimodalEmbed(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.dsl._
-    val media = Multimodal.asMediaTable(
-      t(s, dir, "documents"), "doc_id", "text", "image")
-    Multimodal.embedStub(s, media, dim = 16)
+    Multimodal.embedFeatures(s, synthMedia(s, dir), dim = 16)
       .select(col("media_id"), size(col("embedding")).as("dim"),
-        round(sqrt(dot_product(col("embedding"), col("embedding"))), 4)
-          .as("l2_norm"))
+        array_join(
+          transform(col("embedding"), x => x.cast("long").cast("string")),
+          ",").as("features"))
       .orderBy(col("media_id"))
   }
 
-  /** Driver-visible gate for [[multimodalEmbed]] (its last rows-only
-    * companion-less query): pins full coverage (every document yields
-    * one embedding), the declared width (all vectors exactly dim=16,
-    * no null/NaN cells), non-degeneracy (every L2 norm strictly
-    * positive — a zeroed stub lands at 0), and partition-independence
-    * (re-running the stub over a differently-partitioned input yields
-    * bit-identical vectors — the property a REAL batched model UDF
-    * must also hold for the operator to be retry-safe). n_media is
-    * SQL-recomputed; flags pinned, same pattern as `pq_gate`.
+  /** Driver-visible gate for [[multimodalEmbed]]: pins full coverage
+    * (every document yields one embedding), the declared width (all
+    * vectors exactly dim=16, no null/NaN cells), non-degeneracy
+    * (every L2 norm strictly positive — guaranteed for real features
+    * since the parsed format code cell is ≥ 1), and
+    * partition-independence (re-running over a differently-
+    * partitioned input yields bit-identical vectors — the property a
+    * REAL batched model UDF must also hold for the operator to be
+    * retry-safe). n_media is SQL-recomputed; flags pinned, same
+    * pattern as `pq_gate`.
     */
   def multimodalEmbedGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.dsl._
-    val media = Multimodal.asMediaTable(
-      t(s, dir, "documents"), "doc_id", "text", "image")
-    val e1 = Multimodal.embedStub(s, media, dim = 16).persist()
+    val media = synthMedia(s, dir)
+    val e1 = Multimodal.embedFeatures(s, media, dim = 16).persist()
     val n = t(s, dir, "documents").count()
     val dimOk = e1.filter(size(col("embedding")) === 16 &&
       !exists(col("embedding"), v => v.isNull || isnan(v))).count()
     val normPos = e1
       .filter(sqrt(dot_product(col("embedding"), col("embedding"))) > 0)
       .count()
-    val e2 = Multimodal.embedStub(s, media.repartition(7), dim = 16)
+    val e2 = Multimodal.embedFeatures(s, media.repartition(7), dim = 16)
     val same = e1.select(col("media_id"), col("embedding").as("v1"))
       .join(e2.select(col("media_id"), col("embedding").as("v2")),
         Seq("media_id"))
@@ -2283,21 +2307,65 @@ object TextQueries {
          SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          FROM u GROUP BY host ORDER BY host""",
-    // the oracle pins full coverage and the three flags; the stub's
-    // per-byte seed hash is not SQL-expressible (see multimodalEmbedGate)
+    // the oracle pins full coverage and the three flags; the vectors
+    // themselves are cell-checked by the multimodal_embed oracle
     "multimodal_embed_gate" ->
       """SELECT count(*) AS n_media,
                 CAST(1 AS INTEGER) AS dim_ok,
                 CAST(1 AS INTEGER) AS norm_positive,
                 CAST(1 AS INTEGER) AS deterministic
          FROM documents""",
+    // full replay of decodeFeatures over the synthesized payload:
+    // header fields arithmetically (the multimodal_header rule, body
+    // offset per format), mean body intensity from the text bytes
+    // (ASCII corpus: ord(char) = byte) in the kernel's division order
     "multimodal_meta" ->
-      """SELECT doc_id AS media_id, 'image' AS kind,
-           octet_length(encode(text)) AS n_bytes,
-           CAST(64 + octet_length(encode(text)) % 256 AS INTEGER) AS width,
-           CAST(64 + (octet_length(encode(text)) * 7) % 256 AS INTEGER) AS height,
-           round((octet_length(encode(text)) % 1000) / 1000.0, 3) AS mean_val
-         FROM documents ORDER BY media_id""",
+      """WITH b AS (
+           SELECT doc_id,
+                  doc_id % 4 + 1 AS fmt,
+                  CAST(CASE doc_id % 4 + 1 WHEN 1 THEN 26 WHEN 2 THEN 39
+                       WHEN 3 THEN 54 ELSE 13 END AS BIGINT) AS hlen,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS tlen,
+                  coalesce(list_sum([ord(substring(text, i, 1))
+                    for i in range(1, length(text) + 1)]), 0) AS bsum
+           FROM documents)
+         SELECT doc_id AS media_id, 'image' AS kind,
+           hlen + tlen AS n_bytes,
+           CAST(doc_id % 512 + 16 AS INTEGER) AS width,
+           CAST((doc_id * 3) % 512 + 16 AS INTEGER) AS height,
+           CASE WHEN tlen = 0 THEN 0.0
+                ELSE round(CAST(bsum AS DOUBLE) / tlen / 255.0, 3) END
+             AS mean_val
+         FROM b ORDER BY media_id""",
+    // full cell-for-cell replay of embedFeatures: 4 header fields from
+    // the synthesis arithmetic + the 12-band byte histogram of the
+    // body (text bytes; band = byte*12 // 256, floor on both sides)
+    "multimodal_embed" ->
+      """WITH b AS (
+           SELECT doc_id, doc_id % 4 + 1 AS fmt,
+                  doc_id % 512 + 16 AS w, (doc_id * 3) % 512 + 16 AS h,
+                  text
+           FROM documents),
+         ch AS (SELECT doc_id,
+                  unnest([ord(substring(text, i, 1))
+                          for i in range(1, length(text) + 1)]) AS c
+                FROM b),
+         bc AS (SELECT doc_id, (c * 12) // 256 AS band, count(*) AS n
+                FROM ch GROUP BY 1, 2),
+         bands AS (SELECT doc_id, band
+                   FROM b CROSS JOIN range(0, 12) t(band)),
+         hist AS (SELECT bands.doc_id,
+                    string_agg(CAST(coalesce(bc.n, 0) AS VARCHAR), ','
+                               ORDER BY bands.band) AS hstr
+                  FROM bands LEFT JOIN bc
+                    ON bands.doc_id = bc.doc_id AND bands.band = bc.band
+                  GROUP BY bands.doc_id)
+         SELECT b.doc_id AS media_id, CAST(16 AS INTEGER) AS dim,
+                CAST(b.fmt AS VARCHAR) || ',' || b.w || ',' || b.h || ','
+                  || CASE b.fmt WHEN 3 THEN 24 ELSE 8 END || ','
+                  || hist.hstr AS features
+         FROM b JOIN hist ON b.doc_id = hist.doc_id
+         ORDER BY media_id""",
     // full replay of both the page synthesis and the extraction: the
     // boilerplate-block removal / tag strip / whitespace collapse
     // chain runs the SAME patterns under RE2 (explicit alternation,

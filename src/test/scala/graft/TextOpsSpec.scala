@@ -55,28 +55,47 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fps(1L) != fps(3L))
   }
 
-  test("multimodal: decode stub is deterministic, plumbing preserves ids") {
-    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
-    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
+  test("multimodal: decodeFeatures parses headers and means body bytes") {
+    // payload: PNG header (w=100, h=50) + 4 known body bytes
+    val header = graft.functions.Kernels.makeMediaHeader(1, 100, 50)
+    val body = Array[Byte](10, 20, 30, 40)
+    val media = Seq((1L, "image", header ++ body))
+      .toDF("media_id", "kind", "payload")
     assert(media.schema("payload").dataType ==
       org.apache.spark.sql.types.BinaryType)
-    val meta = Multimodal.decodeStub(spark, media).collect()
-    assert(meta.length == docs.count())
-    meta.foreach { m =>
-      assert(m.width == (64 + m.n_bytes % 256).toInt)
-      assert(m.height == (64 + (m.n_bytes * 7) % 256).toInt)
-    }
+    val m = Multimodal.decodeFeatures(spark, media).collect().head
+    assert(m.width == 100 && m.height == 50)
+    assert(m.n_bytes == header.length + 4)
+    assert(math.abs(m.mean_val - 25.0 / 255.0) < 1e-12)
+    // no-header payload: whole thing is body, dims 0
+    val raw = Multimodal.decodeFeatures(spark,
+      Seq((2L, "image", Array[Byte](0, 100))).toDF("media_id", "kind", "payload"))
+      .collect().head
+    assert(raw.width == 0 && raw.height == 0)
+    assert(math.abs(raw.mean_val - 50.0 / 255.0) < 1e-12)
   }
 
-  test("multimodal: embed stub emits fixed-dim vectors composable with ANN") {
+  test("multimodal: embedFeatures = header fields + body byte histogram") {
+    // GIF header (13 bytes) + bytes landing in known 12-band buckets:
+    // band = b*12/256 -> 0 (b=0..21), 5 (b=107..127), 11 (b=235..255)
+    val header = graft.functions.Kernels.makeMediaHeader(4, 33, 44)
+    val body = Array[Byte](0, 1, 110.toByte, 240.toByte, 250.toByte)
+    val media = Seq((7L, header ++ body)).toDF("media_id", "payload")
+    val v = Multimodal.embedFeatures(spark, media, dim = 16)
+      .collect().head.getSeq[Float](1)
+    assert(v.length == 16)
+    assert(v(0) == 4f && v(1) == 33f && v(2) == 44f && v(3) == 8f)
+    assert(v(4) == 2f && v(9) == 1f && v(15) == 2f)
+    assert(v.map(_.toDouble).sum == 4 + 33 + 44 + 8 + 5)
+    // deterministic and partition-independent (the retry-safety a real
+    // batched model UDF must also hold)
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(10)
-    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
-    val emb = Multimodal.embedStub(spark, media, dim = 8)
-    val rows = emb.collect()
-    assert(rows.forall(_.getSeq[Float](1).length == 8))
-    // deterministic across evaluations
-    val again = Multimodal.embedStub(spark, media, dim = 8).collect()
-    assert(rows.map(_.getSeq[Float](1)).toSeq == again.map(_.getSeq[Float](1)).toSeq)
+    val m2 = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
+    val a = Multimodal.embedFeatures(spark, m2, dim = 8).collect()
+    val b = Multimodal.embedFeatures(spark, m2.repartition(5), dim = 8)
+      .collect().sortBy(_.getLong(0))
+    assert(a.sortBy(_.getLong(0)).map(_.getSeq[Float](1)).toSeq ==
+      b.map(_.getSeq[Float](1)).toSeq)
   }
 
   test("frameSamplePlan explodes stride-sampled frame indices") {
