@@ -137,6 +137,31 @@ object Dedup {
     * "drop the bucket"). Result-invariant vs the unsalted path
     * (DedupSpec pins it); off by default.
     */
+  /** The (id, sh, sig) MinHash signature table — the shared first
+    * stage of [[minhashPairs]], [[minhashPairsIncremental]] and the
+    * salted-path engagement diagnostics ([[graft.queries.ScaleQueries
+    * .dedupSalted]]). Caller persists if it feeds >1 consumer.
+    */
+  private[graft] def signatureTable(df: DataFrame, idCol: String,
+                                    textCol: String, shingleN: Int,
+                                    numHashes: Int): DataFrame =
+    spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), shingleHashes(col("__text"), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhash_sig(col("sh"), numHashes))
+
+  /** (id, band_idx, band_hash) band rows of a signature table — band
+    * key = murmur3 over the band's slice of the signature. ONE
+    * definition so the operator and any bucket diagnostics can never
+    * disagree on the banding.
+    */
+  private[graft] def bandRows(base: DataFrame, bands: Int,
+                              rowsPerBand: Int): DataFrame =
+    base.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band_idx", "band_hash")))
+
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
                    threshold: Double = 0.7,
@@ -149,17 +174,10 @@ object Dedup {
     // explode + both sides of the verification join); persist it so
     // text is shingled once, not three times — at scale this is the
     // "materialize the signature table" step of any LSH pipeline.
-    val base = spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"), shingleHashes(col("__text"), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhash_sig(col("sh"), numHashes))
+    val base = signatureTable(df, idCol, textCol, shingleN, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // band key = murmur3 over the band's slice of the signature
-    val banded = base.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-          .as(Seq("band_idx", "band_hash")))
+    val banded = bandRows(base, bands, rowsPerBand)
 
     // prune pathological buckets before the self-join (O(bucket²) guard)
     val bucketSizes = banded

@@ -361,9 +361,66 @@ object ReferenceQueries {
       .orderBy(col("resource"))
   }
 
+  /** Checked-in JSON:API fixture pages for [[jsonapiSync]] — resolved
+    * from the main classpath (exploded classes dir in the harness;
+    * extracted to a temp dir if ever run from a jar) so the query is
+    * location-independent.
+    */
+  private lazy val syncFixtureDir: String = {
+    val res = getClass.getResource("/jsonapi_sync/prospects")
+    if (res != null && res.getProtocol == "file")
+      new java.io.File(res.toURI).getAbsolutePath
+    else {
+      val tmp = java.nio.file.Files.createTempDirectory("jsonapi_sync").toFile
+      tmp.deleteOnExit()
+      Seq("page1.json", "page2.json", "page3.json").foreach { p =>
+        val in = getClass.getResourceAsStream(s"/jsonapi_sync/prospects/$p")
+        require(in != null, s"fixture $p missing from classpath")
+        try java.nio.file.Files.copy(in, new java.io.File(tmp, p).toPath)
+        finally in.close()
+      }
+      tmp.getAbsolutePath
+    }
+  }
+
+  /** The full sync lifecycle THROUGH the DSv2 source, driver-visible
+    * (S1–S4 + P1/P5/P6 + §2.8 dedup in one row-checked query): three
+    * checked-in JSON:API fixture pages (one scan partition each) are
+    * read by [[graft.sources.JsonApiSource]], schema-typed and
+    * flattened in-source against the declared prospects schema,
+    * window-filtered (full replication, 2019-01-01..2019-12-31 —
+    * fixture id 6 sits outside and must vanish), prefix-renamed, and
+    * dedup-latest'ed (fixture id 2 appears on two pages; the newer
+    * page-2 version must win). The oracle re-reads the SAME fixture
+    * files as raw JSON in DuckDB and replays flatten/window/upsert —
+    * an independent byte-to-value check of the whole ingest path
+    * (reference: outreach_etl.py:111-218).
+    */
+  def jsonapiSync(s: SparkSession, dir: String): DataFrame = {
+    val conformed = graft.ops.OutreachPipeline.conformed(s,
+      graft.ops.OutreachPipeline.SyncConfig(
+        resource = "prospects", pagesDir = syncFixtureDir, outDir = "",
+        replicationType = "full",
+        startDate = java.time.LocalDate.of(2019, 1, 1),
+        today = java.time.LocalDate.of(2020, 1, 1)))
+    conformed.select(col("id"), col("type"),
+        col("firstName").as("firstname"),
+        col("lastName").as("lastname"),
+        col("clickCount").as("clickcount"),
+        col("score"),
+        col("optedOut").as("optedout"),
+        col("emails_0"), col("emails_1"), col("tags_0"),
+        col("contactHistogram_0_0").as("hist_0_0"),
+        col("contactHistogram_0_1").as("hist_0_1"),
+        col("relationships_account_data_id").as("account_id"),
+        unix_micros(col("updatedAt")).as("updated_us"))
+      .orderBy(col("id"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "run_report" -> (runReport _),
+    "jsonapi_sync" -> (jsonapiSync _),
     "incremental_window" -> (incrementalWindow _),
     "flatten_props" -> (flattenProps _),
     "conform_cast" -> (conformCast _),
@@ -387,6 +444,43 @@ object ReferenceQueries {
     "agg_cube" -> (aggCube _))
 
   val oracle: Map[String, String] = Map(
+    // independent replay of the whole ingest path: DuckDB reads the
+    // SAME checked-in fixture pages as raw JSON (absolute repo path —
+    // the one oracle input that is not a parquet table), flattens by
+    // struct access, applies the replication window, and upserts via
+    // row_number — so the DSv2 source's parse/flatten/type/dedup chain
+    // is value-checked against a second JSON parser
+    "jsonapi_sync" ->
+      """WITH raw AS (
+           SELECT unnest(data) AS r
+           FROM read_json(
+             '/root/repo/src/main/resources/jsonapi_sync/prospects/page*.json',
+             union_by_name=true)),
+         f AS (
+           SELECT CAST(r.id AS BIGINT) AS id, r.type AS type,
+                  r.attributes.firstName AS firstname,
+                  r.attributes.lastName AS lastname,
+                  CAST(r.attributes.clickCount AS BIGINT) AS clickcount,
+                  CAST(r.attributes.score AS DOUBLE) AS score,
+                  r.attributes.optedOut AS optedout,
+                  r.attributes.emails[1] AS emails_0,
+                  r.attributes.emails[2] AS emails_1,
+                  r.attributes.tags[1] AS tags_0,
+                  r.attributes.contactHistogram[1][1] AS hist_0_0,
+                  r.attributes.contactHistogram[1][2] AS hist_0_1,
+                  CAST(r.relationships.account.data.id AS BIGINT)
+                    AS account_id,
+                  r.attributes.updatedAt AS u
+           FROM raw),
+         w AS (SELECT * FROM f
+               WHERE u BETWEEN TIMESTAMP '2019-01-01 00:00:00'
+                           AND TIMESTAMP '2019-12-31 23:59:59.999999'),
+         d AS (SELECT *, row_number() OVER (PARTITION BY id
+                         ORDER BY u DESC, type DESC) AS rn FROM w)
+         SELECT id, type, firstname, lastname, clickcount, score,
+                optedout, emails_0, emails_1, tags_0, hist_0_0, hist_0_1,
+                account_id, epoch_us(u) AS updated_us
+         FROM d WHERE rn = 1 ORDER BY id""",
     // page math in exact integer arithmetic on both sides; report
     // strings concatenated from the same grammar (BIGINT renders
     // identically in both engines)

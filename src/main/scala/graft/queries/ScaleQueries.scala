@@ -51,6 +51,40 @@ object ScaleQueries {
       .withColumn("jaccard", round(col("jaccard"), 4))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** [[dedupMinhash]] with the hot-bucket salting escalation ENGAGED
+    * (hotBucketThreshold = 2, salt = 4): every LSH bucket holding ≥ 3
+    * docs runs through [[Dedup.keyPairs]]'s salted (lo, hi)-cell
+    * self-join instead of landing its whole m² pair work on one
+    * reducer — the skew path between "AQE handles it" and "drop the
+    * bucket". Result-invariance vs the plain join is the operator's
+    * contract (DedupSpec pins it unit-level); this query pins it
+    * DRIVER-level: the oracle is the same all-pairs recompute
+    * `dedup_minhash` hash-matches, so the salted candidate generation
+    * must reproduce the identical verified pair set. The engagement
+    * check is LOUD by design: if a corpus regen removed every hot
+    * bucket, the query fails instead of silently passing as a plain
+    * join (measured: 21/15/114 hot buckets at sf0.001/0.01/0.1).
+    */
+  def dedupSalted(s: SparkSession, dir: String): DataFrame = {
+    val hotThreshold = 2
+    val docs = t(s, dir, "documents")
+    val base = Dedup.signatureTable(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 128)
+    val hotBuckets = Dedup.bandRows(base, bands = 16, rowsPerBand = 8)
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > hotThreshold).count()
+    require(hotBuckets > 0,
+      s"dedup_salted proves the salting escalation end-to-end and needs " +
+        s"at least one LSH bucket with > $hotThreshold docs; corpus at " +
+        s"$dir has none — the query would silently test the plain join")
+    Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 8, threshold = 0.7,
+        hotBucketThreshold = hotThreshold, hotBucketSalt = 4)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** [[dedupMinhash]] maintained INCREMENTALLY: the newest 10% of the
     * corpus (`doc_id % 10 = 9`, the deterministic stand-in for "the
     * docs that arrived today") probes the banded-signature index
@@ -966,6 +1000,7 @@ object ScaleQueries {
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_salted" -> (dedupSalted _),
     "minhash_incremental" -> (minhashIncremental _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "dedup_simhash_recall" -> (dedupSimhashRecall _),
@@ -1141,6 +1176,32 @@ object ScaleQueries {
              FROM s2)
        SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 3
        ORDER BY qid, rnk"""
+
+  /** All-pairs word-trigram Jaccard recompute shared by the
+    * `dedup_minhash` and `dedup_salted` oracles (both operators must
+    * land on this exact pair set — see dedupMinhash scaladoc for the
+    * measured recall-1.0 argument that makes it valid).
+    */
+  private val minhashAllPairsSql: String =
+    """WITH tk AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> len(x) > 0) AS t
+         FROM documents),
+       g AS (
+         SELECT doc_id AS id,
+                CASE WHEN len(t) >= 3
+                     THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                         for i in range(1, len(t) - 1)])
+                     ELSE [array_to_string(t, ' ')] END AS gs
+         FROM tk)
+       SELECT a.id AS id_a, b.id AS id_b,
+              round(len(list_intersect(a.gs, b.gs))::DOUBLE
+                    / len(list_distinct(list_concat(a.gs, b.gs))), 4) AS jaccard
+       FROM g a JOIN g b ON b.id > a.id
+       WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+             / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7
+       ORDER BY id_a, id_b"""
 
   val oracle: Map[String, String] = Map(
     // full LSH / IVF candidate-set + re-rank replays (promoted from
@@ -1319,26 +1380,10 @@ object ScaleQueries {
     // DuckDB's all-pairs word-trigram recompute on this corpus (see
     // dedupMinhash scaladoc; integer-count division is IEEE-identical
     // in both engines, so even the rounded ratio hash-matches)
-    "dedup_minhash" ->
-      """WITH tk AS (
-           SELECT doc_id,
-                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                              x -> len(x) > 0) AS t
-           FROM documents),
-         g AS (
-           SELECT doc_id AS id,
-                  CASE WHEN len(t) >= 3
-                       THEN list_distinct([array_to_string(t[i:i+2], ' ')
-                                           for i in range(1, len(t) - 1)])
-                       ELSE [array_to_string(t, ' ')] END AS gs
-           FROM tk)
-         SELECT a.id AS id_a, b.id AS id_b,
-                round(len(list_intersect(a.gs, b.gs))::DOUBLE
-                      / len(list_distinct(list_concat(a.gs, b.gs))), 4) AS jaccard
-         FROM g a JOIN g b ON b.id > a.id
-         WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
-               / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7
-         ORDER BY id_a, id_b""",
+    "dedup_minhash" -> minhashAllPairsSql,
+    // the SAME recompute: salted candidate generation must land on the
+    // byte-identical verified pair set (result-invariance driver-pinned)
+    "dedup_salted" -> minhashAllPairsSql,
     // dedup_minhash's recompute + the maintenance decomposition: a
     // pair belongs to the delta leg iff either endpoint is in the
     // newest-10% increment (doc_id % 10 = 9)

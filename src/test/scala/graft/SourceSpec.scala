@@ -398,4 +398,19 @@ class SourceSpec extends AnyFunSuite {
         scan.computeStats().toString)
     } finally api.stop()
   }
+
+  test("jsonapi_sync query: window filter + upsert over fixture pages") {
+    val rows = graft.queries.ReferenceQueries
+      .jsonapiSync(spark, "unused").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 5L)) // 6 windowed out
+    val id2 = rows.find(_.getLong(0) == 2L).get
+    // the page-2 (newer updatedAt) version must win the upsert
+    assert(id2.getAs[Long]("clickcount") == 11L)
+    assert(id2.getAs[String]("lastname") == "H")
+    assert(id2.getAs[String]("emails_1") == "gh@x.com")
+    // flatten: positional list + 2-D histogram + relationship path
+    val id1 = rows.find(_.getLong(0) == 1L).get
+    assert(id1.getAs[String]("hist_0_0") == "2019-05-01")
+    assert(id1.getAs[Long]("account_id") == 7L)
+  }
 }
