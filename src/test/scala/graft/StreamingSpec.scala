@@ -289,4 +289,70 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == Map("A" -> 2L, "B" -> 1L, "C" -> 2L), s"got: $got")
   }
+
+  test("checkpoint recovery: a REBUILT query resumes offsets and session " +
+      "state, and its output equals the uninterrupted run") {
+    val tmp = Files.createTempDirectory("graft-ckpt").toFile
+    val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+    val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+    val out = new java.io.File(tmp, "out").getAbsolutePath
+    val baseMs = 86400000L
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    import spark.implicits._
+    def buildQuery() = {
+      val schema = spark.read.parquet(inDir.getAbsolutePath).schema
+      val stream = IncrementalStream.readAppendStream(
+        spark, inDir.getAbsolutePath, schema)
+      IncrementalStream
+        .sessionizeStream(stream, "user_id", "ts",
+          gapMs = 30 * 60000L, watermark = "10 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    // incarnation 1: user 1 opens a session, user 2 one event; the
+    // watermark (10 − 10 = 0) closes nothing, so ALL progress lives in
+    // checkpointed state when the query stops ("crashes")
+    Seq((1L, ts(0)), (1L, ts(10)), (2L, ts(0)))
+      .toDF("user_id", "ts").coalesce(1).write.mode("overwrite")
+      .parquet(inDir.getAbsolutePath)
+    val q1 = buildQuery(); q1.processAllAvailable(); q1.stop()
+    // file 2 arrives while the query is DOWN
+    Seq((1L, ts(60)), (1L, ts(70)))
+      .toDF("user_id", "ts").coalesce(1).write.mode("append")
+      .parquet(inDir.getAbsolutePath)
+    // incarnation 2: a brand-new query object on the SAME checkpoint.
+    // Closing user 1's batch-1 session (gap) and timing out user 2's
+    // (watermark advance) are only possible if the rebuilt query
+    // RELOADED incarnation 1's state from the checkpoint.
+    val q2 = buildQuery(); q2.processAllAvailable(); q2.stop()
+    val resumedRows = q2.recentProgress.map(_.numInputRows).sum
+    assert(resumedRows == 2,
+      s"incarnation 2 must resume from the checkpointed offset (only " +
+        s"the 2 new rows), not re-read file 1; processed $resumedRows")
+    def resultSet(dir: String) = spark.read.parquet(dir)
+      .select("user_id", "session_id", "n_events", "start_us", "end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val baseUs = baseMs * 1000L
+    val want = Set(
+      (1L, 1L, 2L, baseUs, baseUs + 10L * 60000000L),
+      (2L, 1L, 1L, baseUs, baseUs))
+    assert(resultSet(out) == want, s"got: ${resultSet(out)}")
+    // uninterrupted control: one incarnation over the same final input
+    // (fresh checkpoint/sink) must produce the identical set
+    val ckpt2 = new java.io.File(tmp, "ckpt2").getAbsolutePath
+    val out2 = new java.io.File(tmp, "out2").getAbsolutePath
+    val schema = spark.read.parquet(inDir.getAbsolutePath).schema
+    val qc = IncrementalStream
+      .sessionizeStream(IncrementalStream.readAppendStream(
+        spark, inDir.getAbsolutePath, schema), "user_id", "ts",
+        gapMs = 30 * 60000L, watermark = "10 minutes")
+      .writeStream.format("parquet").option("path", out2)
+      .option("checkpointLocation", ckpt2)
+      .outputMode("append").start()
+    qc.processAllAvailable(); qc.stop()
+    assert(resultSet(out2) == resultSet(out),
+      "recovered run must equal the uninterrupted run")
+  }
 }
