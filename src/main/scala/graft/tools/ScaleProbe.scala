@@ -1,0 +1,158 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Kernels.mix64
+
+/** Empirical scale probe for the heaviest query families (SCALE.md's
+  * near-linear claims, round-7 task): generates a ~sf1 (10x the
+  * driver's sf0.1) `documents`/`embeddings`/`orders`/`lineitem` slice
+  * with the SAME distributions as the driver data, then benches
+  * `dedup_minhash` / `ann_lsh` / `pagerank` at both scales and prints
+  * one JSON line per (query, sf) plus the observed scaling exponent
+  * log10(t_sf1 / t_sf0.1).
+  *
+  * Distribution fidelity (measured off /root/testdata/sf0.1):
+  *  - documents: 31-word closed vocabulary, uniform 10..100 words per
+  *    doc, lang {en 40%, es/fr/zh/de 15%}, 20 sources by id mod —
+  *    near-dup/LSH-bucket structure arises from vocab collisions
+  *    exactly as in the driver corpus (50k docs = 10x 5k);
+  *  - embeddings: 64-dim L2-normalized gaussians (per-dim std 1/8
+  *    pre-normalization), labels 0..9 (20k = 10x 2k);
+  *  - orders/lineitem: the sf0.1 tables replicated 10x with per-copy
+  *    key offsets, so the derived customer-supplier graph becomes 10
+  *    disjoint copies — 10x nodes and edges.
+  *
+  * Everything is seeded SplitMix64 — rerunning regenerates the
+  * identical slice. Output lands under target/ (gitignored); the
+  * numbers go into SCALE.md's measured-scaling table.
+  */
+object ScaleProbe {
+
+  private val Vocab = Array(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+  private val Langs = Array("en", "en", "en", "en", "es", "fr", "zh", "de")
+
+  def generate(spark: SparkSession, outDir: String, factor: Int): Unit = {
+    import spark.implicits._
+    val srcSf = "/root/testdata/sf0.1"
+    val nDocs = 5000 * factor
+    val nEmb = 2000 * factor
+
+    // documents: per-row arithmetic over a range — fully distributed,
+    // no driver-side materialization. Duplicate structure is PLANTED
+    // (as in the driver corpus, where dups are planted rather than
+    // vocab-collision luck): every 40th doc is an exact copy of its
+    // predecessor, every 83rd a near-dup (one word swapped), so the
+    // MinHash verification join has real pair work at 10x — without
+    // planting, independent sampling yields ZERO Jaccard>=0.7 pairs
+    // and dedup_minhash would time only the candidate stage.
+    val docs = spark.range(0, nDocs).mapPartitions { it =>
+      def words(id: Long): Array[String] = {
+        val n = 10 + (Math.floorMod(mix64(id * 31L + 7L), 91L)).toInt
+        Array.tabulate(n)(i =>
+          Vocab(Math.floorMod(mix64(id * 1031L + i), 31L).toInt))
+      }
+      it.map { id =>
+        val w =
+          if (id % 83 == 2) { // near-dup of predecessor
+            val v = words(id - 1)
+            v(v.length - 1) = Vocab(Math.floorMod(mix64(id), 31L).toInt)
+            v
+          } else if (id % 40 == 1) words(id - 1) // exact dup
+          else words(id)
+        val text = w.mkString(" ")
+        (id, text, Langs(Math.floorMod(mix64(id + 99L), 8L).toInt),
+          s"src${id % 20}", text.length.toLong)
+      }
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+
+    // embeddings: Box-Muller gaussians from mix64 streams, normalized
+    val emb = spark.range(0, nEmb).mapPartitions { it =>
+      it.map { id =>
+        val v = new Array[Float](64)
+        var i = 0
+        var norm = 0.0
+        while (i < 64) {
+          val u1 = (Math.floorMod(mix64(id * 257L + i * 2L), 1L << 52).toDouble + 1.0) / (1L << 52).toDouble
+          val u2 = Math.floorMod(mix64(id * 257L + i * 2L + 1L), 1L << 52).toDouble / (1L << 52).toDouble
+          val g = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2) / 8.0
+          v(i) = g.toFloat
+          norm += g * g
+          i += 1
+        }
+        val s = 1.0 / math.sqrt(norm)
+        i = 0
+        while (i < 64) { v(i) = (v(i) * s).toFloat; i += 1 }
+        (id, v, Math.floorMod(mix64(id + 5L), 10L).toInt)
+      }
+    }.toDF("vec_id", "embedding", "label")
+    emb.repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+
+    // graph tables: 10 disjoint key-shifted copies
+    val copies = spark.range(0, factor).select(col("id").as("__k"))
+    val orders = spark.read.parquet(s"$srcSf/orders.parquet")
+    orders.crossJoin(broadcast(copies))
+      .withColumn("o_orderkey", col("o_orderkey") + col("__k") * 10000000L)
+      .withColumn("o_custkey", col("o_custkey") + col("__k") * 1000000L)
+      .drop("__k")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$srcSf/lineitem.parquet")
+    lineitem.crossJoin(broadcast(copies))
+      .withColumn("l_orderkey", col("l_orderkey") + col("__k") * 10000000L)
+      .withColumn("l_suppkey", col("l_suppkey") + col("__k") * 1000000L)
+      .drop("__k")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/lineitem.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("target/scale_sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+      System.err.println(s"[scale-probe] generating ${factor}x slice in $outDir")
+      generate(spark, outDir, factor)
+    }
+    val targets: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "dedup_minhash" -> graft.queries.ScaleQueries.queries("dedup_minhash"),
+      "ann_lsh" -> graft.queries.ScaleQueries.queries("ann_lsh"),
+      "pagerank" -> graft.queries.AdvancedQueries.queries("pagerank"))
+    def bestOf2(fn: => Long): Double = {
+      def once: Double = {
+        val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once, once)
+    }
+    val dirs = Seq("sf0.1" -> "/root/testdata/sf0.1", s"sf${factor}x" -> outDir)
+    val rows = for ((name, fn) <- targets) yield {
+      val ts = dirs.map { case (label, d) =>
+        label -> bestOf2(fn(spark, d).count())
+      }
+      val t0 = ts.head._2; val t1 = ts.last._2
+      val exponent = math.log(t1 / t0) / math.log(factor.toDouble)
+      println(f"""{"probe":"$name","t_sf01_s":$t0%.3f,"t_${factor}x_s":$t1%.3f,"exponent":$exponent%.3f}""")
+      (name, t0, t1, exponent)
+    }
+    println(rows.map { case (n, a, b, e) => f"$n: $a%.2fs -> $b%.2fs exp=$e%.2f" }
+      .mkString("[scale-probe] ", " | ", ""))
+    spark.stop()
+  }
+}
