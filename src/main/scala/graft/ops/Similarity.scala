@@ -149,17 +149,30 @@ object Similarity {
           case d: Double => d; case l: Long => l.toDouble; case null => 0.0
         }
       // update step: per-(cluster, dim) sums of NORMALIZED components
+      // in e12 FIXED POINT — floor(x/nrm·10¹² + 0.5) per row, int64
+      // sum. Double sums would depend on shuffle-merge order (partial
+      // aggregates arrive nondeterministically), making the trained
+      // codebook irreproducible across runs AND non-replayable in the
+      // oracle; integer addition is order-independent, so the codebook
+      // is bit-stable and the whole Lloyd loop unrolls into DuckDB SQL
+      // (the ann_ivf_trained full oracle). |x/nrm| ≤ 1 keeps each term
+      // within ±10¹²; overflow needs 9·10⁶ corpus rows PER CLUSTER
+      // CELL × partition count beyond int64 — not reachable before the
+      // driver-side k·d collect is the real bound. Quantization error
+      // (≤ 5·10⁻¹³ per component pre-normalization) is far below the
+      // float rounding the update already applies.
       val cells = assigned.filter(col("cidx").isNotNull && col("nrm") > 0)
         .select(col("cidx"),
           posexplode(col("v")).as(Seq("d", "x")),
           col("nrm"))
         .groupBy(col("cidx"), col("d"))
-        .agg(sum(col("x") / col("nrm")).as("sx"))
+        .agg(sum(floor(col("x") / col("nrm") * lit(1e12) + lit(0.5)))
+          .as("sx_e12"))
         .collect()
       val next = cents.map(_.clone())
       cells.groupBy(_.getLong(0)).foreach { case (cidx, rows) =>
         val c = new Array[Float](dim)
-        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
+        rows.foreach(r => c(r.getInt(1)) = (r.getLong(2) / 1e12).toFloat)
         val n2 = math.sqrt(c.map(x => x.toDouble * x).sum)
         if (n2 > 0) next(cidx.toInt) = c.map(x => (x / n2).toFloat)
       }
@@ -244,10 +257,12 @@ object Similarity {
         .withColumn("nrm", try_element_at(col("nrms"), (col("j") + 1).cast("int")))
         .filter(col("cidx").isNotNull && col("nrm") > 0)
         .groupBy(col("j"), col("cidx"), col("d"))
-        .agg(sum(col("x") / col("nrm")).as("sx"))
+        .agg(sum(floor(col("x") / col("nrm") * lit(1e12) + lit(0.5)))
+          .as("sx_e12"))
         .collect()
-      // driver update: replicate kmeansTrain's float rounding exactly
-      // (Double sum → Float cell → Float-squared norm → Float divide)
+      // driver update: replicate kmeansTrain's arithmetic exactly
+      // (e12 int64 cell sum → Float cell → Float-squared norm →
+      // Float divide) — see kmeansTrain for the fixed-point rationale
       val sums = Array.fill(m, kEff)(null: Array[Float])
       cells.foreach { r =>
         // dg DIV sub is LongType while dg % sub stays IntegerType —
@@ -256,7 +271,7 @@ object Similarity {
         val cidx = r.getAs[Number](1).intValue
         val d = r.getAs[Number](2).intValue
         if (sums(j)(cidx) == null) sums(j)(cidx) = new Array[Float](sub)
-        sums(j)(cidx)(d) = r.getDouble(3).toFloat
+        sums(j)(cidx)(d) = (r.getLong(3) / 1e12).toFloat
       }
       val next = cbs.map(_.map(_.clone()))
       for (j <- 0 until m; c <- 0 until kEff; if sums(j)(c) != null) {

@@ -1203,12 +1203,261 @@ object ScaleQueries {
              / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7
        ORDER BY id_a, id_b"""
 
+  /** Full [[annIvfTrained]] replay: the spherical-k-means training
+    * loop UNROLLED into SQL (the BPE-oracle precedent applied to
+    * Lloyd iterations), possible because the r7 trainer accumulates
+    * per-(cluster, dim) cell sums in e12 int64 fixed point — integer
+    * addition is shuffle-order-independent, so the codebook is
+    * bit-reproducible and every arithmetic step replays:
+    * assignment = (cosine DESC, cid) argmax over the previous
+    * iteration's centroids (NaN-skipped), cell sum =
+    * Σ floor(x/‖v‖·10¹² + 0.5) as BIGINT, new centroid = the float
+    * roundings the driver applies (REAL casts at exactly the two
+    * .toFloat points), empty clusters keep their predecessor. After
+    * [[AnnIvfTrainedIters]] iterations the probe/re-rank replay is the
+    * annIvf oracle against the TRAINED codebook.
+    */
+  private val AnnIvfTrainedIters = 4
+
+  private def cosSql(a: String, b: String): String =
+    s"""list_dot_product($a, $b)
+        / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"""
+
+  /** CTE chain replaying [[Similarity.kmeansTrain]] over the raw
+    * FLOAT[] slice `sliceSql` of `embedding` (full vector or a PQ
+    * subspace, length `sub`): seeds = first `kLimitSql` rows with
+    * vec_id % 97 = 0, then `iters` unrolled Lloyd iterations —
+    * (cosine DESC, cid) argmax assignment with NaN skip, e12-int64
+    * cell sums (the r7 order-independent trainer), and the driver's
+    * two float-rounding points as REAL casts; empty clusters keep
+    * their predecessor. Emits `${p}e` (corpus slice as DOUBLE[]) and
+    * `${p}cent_0..iters`; all names are `p`-prefixed so multiple
+    * codebooks (the PQ replay) coexist in one WITH chain.
+    */
+  private def lloydCtes(p: String, iters: Int, kLimitSql: String,
+                        sliceSql: String, sub: Int): String = {
+    val head =
+      s"""${p}e AS (SELECT vec_id, CAST($sliceSql AS DOUBLE[]) AS v
+                    FROM embeddings),
+         ${p}cent_0 AS (
+           SELECT rn - 1 AS cid, CAST(es AS REAL[]) AS c
+           FROM (SELECT $sliceSql AS es,
+                        row_number() OVER (ORDER BY vec_id) AS rn
+                 FROM embeddings WHERE vec_id % 97 = 0) s
+           WHERE rn <= $kLimitSql)"""
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"${p}cent_${i - 1}"
+      s"""${p}asg_$i AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid,
+                    ${cosSql("e.v", "CAST(c.c AS DOUBLE[])")} AS s
+             FROM ${p}e e CROSS JOIN $prev c) z
+           WHERE NOT isnan(s)
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cid) = 1),
+         ${p}upd_$i AS (
+           SELECT cid, i - 1 AS d,
+                  sum(CAST(floor(v[i] / nrm * 1e12 + 0.5) AS BIGINT)) AS sx
+           FROM (SELECT cid, v, sqrt(list_dot_product(v, v)) AS nrm
+                 FROM ${p}asg_$i) a
+           CROSS JOIN range(1, ${sub + 1}) t(i)
+           WHERE nrm > 0
+           GROUP BY cid, i),
+         ${p}cvec_$i AS (
+           SELECT cid,
+                  list(CAST(CAST(sx AS DOUBLE) / 1e12 AS REAL)
+                       ORDER BY d) AS craw
+           FROM ${p}upd_$i GROUP BY cid),
+         ${p}norm_$i AS (
+           SELECT cid, craw,
+                  sqrt(list_dot_product(CAST(craw AS DOUBLE[]),
+                                        CAST(craw AS DOUBLE[]))) AS n2
+           FROM ${p}cvec_$i),
+         ${p}cent_$i AS (
+           SELECT p.cid,
+                  CASE WHEN n.n2 > 0
+                       THEN list_transform(n.craw,
+                              x -> CAST(CAST(x AS DOUBLE) / n.n2 AS REAL))
+                       ELSE p.c END AS c
+           FROM $prev p LEFT JOIN ${p}norm_$i n ON p.cid = n.cid)"""
+    }.mkString(",\n")
+    head + ",\n" + iterCtes
+  }
+
+  private def annIvfTrainedOracleSql: String =
+    s"""WITH nn AS (SELECT greatest(4, count(*) // 149) AS k
+                    FROM embeddings),
+       ${lloydCtes("t_", AnnIvfTrainedIters, "(SELECT k FROM nn)",
+                   "embedding", 64)},
+       cbf AS (SELECT cid AS centroid_id,
+                      CAST(c AS DOUBLE[]) AS cv
+               FROM t_cent_$AnnIvfTrainedIters),
+       sim AS (SELECT e.vec_id, cbf.centroid_id,
+                 ${cosSql("e.v", "cbf.cv")} AS s
+               FROM t_e e CROSS JOIN cbf),
+       rk AS (SELECT vec_id, centroid_id, s,
+                row_number() OVER (PARTITION BY vec_id
+                     ORDER BY s DESC, centroid_id) AS rn
+              FROM sim WHERE NOT isnan(s)),
+       asg AS (SELECT vec_id AS cid, centroid_id FROM rk WHERE rn = 1),
+       pb AS (SELECT vec_id AS qid, centroid_id FROM rk
+              WHERE rn <= 7 AND vec_id % 20 = 0),
+       cand AS (SELECT pb.qid, asg.cid
+                FROM pb JOIN asg USING (centroid_id)
+                WHERE pb.qid <> asg.cid),
+       s2 AS (SELECT cand.qid, cand.cid,
+                round(${cosSql("q.v", "c.v")}, 4) AS sim_r
+              FROM cand JOIN t_e q ON cand.qid = q.vec_id
+                        JOIN t_e c ON cand.cid = c.vec_id),
+       r AS (SELECT qid, cid, sim_r,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
+             FROM s2)
+       SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 3
+       ORDER BY qid, rnk"""
+
+  /** Full [[semanticDedup]] replay: train the k=16 / 2-iteration
+    * codebook in SQL (the shared Lloyd chain), assign every vector to
+    * its nearest trained centroid, and apply the greedy
+    * drop-every-smaller-id-witnessed rule at cosine ≥ 0.3 — the
+    * SemDeDup semantics recomputed end-to-end.
+    */
+  private def semanticDedupOracleSql: String =
+    s"""WITH ${lloydCtes("k_", 2, "16", "embedding", 64)},
+       fin AS (
+         SELECT vec_id AS id, v, cid AS cluster FROM (
+           SELECT e.vec_id, e.v, c.cid,
+                  ${cosSql("e.v", "CAST(c.c AS DOUBLE[])")} AS s
+           FROM k_e e CROSS JOIN k_cent_2 c) z
+         WHERE NOT isnan(s)
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, cid) = 1),
+       drp AS (
+         SELECT DISTINCT b.id
+         FROM fin a JOIN fin b
+           ON a.cluster = b.cluster AND a.id < b.id
+         WHERE ${cosSql("a.v", "b.v")} >= 0.3)
+       SELECT f.id, f.cluster FROM fin f
+       LEFT JOIN drp d ON f.id = d.id
+       WHERE d.id IS NULL ORDER BY f.id"""
+
+  /** Full [[pqEncode]] replay: 8 independent sub-codebook trainings
+    * over the 8-dim slices (the fused trainer is pinned bit-equal to
+    * independent trainings by KmeansMultiSpec, so the replay trains
+    * each subspace separately), then per-subspace argmax codes joined
+    * into the comma-string the engine emits.
+    */
+  private def pqEncodeOracleSql: String = {
+    val m = 8; val sub = 8
+    val chains = (0 until m).map { j =>
+      lloydCtes(s"p${j}_", 2, "16",
+        s"embedding[${j * sub + 1}:${(j + 1) * sub}]", sub)
+    }.mkString(",\n")
+    val codes = (0 until m).map { j =>
+      s"""code_$j AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+                    ${cosSql("e.v", "CAST(c.c AS DOUBLE[])")} AS s
+             FROM p${j}_e e CROSS JOIN p${j}_cent_2 c) z
+           WHERE NOT isnan(s)
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cid) = 1)"""
+    }.mkString(",\n")
+    val joins = (0 until m)
+      .map(j => s"JOIN code_$j c$j ON b.vec_id = c$j.vec_id").mkString(" ")
+    val codeStr = (0 until m).map(j => s"CAST(c$j.cid AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""WITH $chains,
+       $codes
+       SELECT b.vec_id AS id, $codeStr AS code
+       FROM embeddings b $joins
+       ORDER BY id"""
+  }
+
+  /** Full [[annIvfpq]] replay (IVFADC+R end-to-end): 16 sub-codebook
+    * trainings (4-dim slices), per-vector PQ codes WITH their chosen
+    * sub-centroids, reconstruction by flatten-concat, the sampled
+    * coarse quantizer's list assignment and 7-probe search (the
+    * ann_ivf replay), ADC ranking on cosine(query, reconstruction)
+    * to the top-128 shortlist, and the exact re-rank to top-3.
+    */
+  private def annIvfpqOracleSql: String = {
+    val m = 16; val sub = 4
+    val chains = (0 until m).map { j =>
+      lloydCtes(s"q${j}_", 2, "16",
+        s"embedding[${j * sub + 1}:${(j + 1) * sub}]", sub)
+    }.mkString(",\n")
+    val codes = (0 until m).map { j =>
+      s"""qcode_$j AS (
+           SELECT vec_id, c AS cvec FROM (
+             SELECT e.vec_id, c.cid, c.c,
+                    ${cosSql("e.v", "CAST(c.c AS DOUBLE[])")} AS s
+             FROM q${j}_e e CROSS JOIN q${j}_cent_2 c) z
+           WHERE NOT isnan(s)
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cid) = 1)"""
+    }.mkString(",\n")
+    val reconJoins = (0 until m)
+      .map(j => s"JOIN qcode_$j r$j ON b.vec_id = r$j.vec_id").mkString(" ")
+    val reconList = (0 until m).map(j => s"r$j.cvec").mkString(", ")
+    s"""WITH $chains,
+       $codes,
+       recon AS (
+         SELECT b.vec_id AS cid,
+                CAST(flatten([$reconList]) AS DOUBLE[]) AS rv
+         FROM embeddings b $reconJoins),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+       cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+              WHERE vec_id % 149 = 0 ORDER BY centroid_id LIMIT 16384),
+       sim AS (SELECT e.vec_id, cb.centroid_id,
+                 ${cosSql("e.v", "cb.cv")} AS s
+               FROM e CROSS JOIN cb),
+       rk AS (SELECT vec_id, centroid_id, s,
+                row_number() OVER (PARTITION BY vec_id
+                     ORDER BY s DESC, centroid_id) AS rn
+              FROM sim WHERE NOT isnan(s)),
+       asg AS (SELECT vec_id AS cid, centroid_id FROM rk WHERE rn = 1),
+       pb AS (SELECT vec_id AS qid, centroid_id FROM rk
+              WHERE rn <= 7 AND vec_id % 20 = 0),
+       adc AS (
+         SELECT qid, cid FROM (
+           SELECT pb.qid, asg.cid,
+                  row_number() OVER (PARTITION BY pb.qid ORDER BY
+                    ${cosSql("q.v", "r.rv")} DESC, asg.cid) AS arnk
+           FROM pb JOIN asg USING (centroid_id)
+                   JOIN recon r ON asg.cid = r.cid
+                   JOIN e q ON pb.qid = q.vec_id
+           WHERE pb.qid <> asg.cid) z
+         WHERE arnk <= 128),
+       s2 AS (SELECT adc.qid, adc.cid,
+                round(${cosSql("q.v", "c.v")}, 4) AS sim_r
+              FROM adc JOIN e q ON adc.qid = q.vec_id
+                       JOIN e c ON adc.cid = c.vec_id),
+       r AS (SELECT qid, cid, sim_r,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
+             FROM s2)
+       SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 3
+       ORDER BY qid, rnk"""
+  }
+
   val oracle: Map[String, String] = Map(
     // full LSH / IVF candidate-set + re-rank replays (promoted from
     // rows-only in r7 — the simhash/CMS/fingerprint precedent applied
     // to SRP sign bits and the sampled-codebook argmax)
     "ann_lsh" -> annLshOracleSql,
     "ann_ivf" -> annIvfOracleSql,
+    // the TRAINED variant, promoted r7: the Lloyd loop itself unrolls
+    // into SQL because cell sums are e12 int64 (order-independent)
+    "ann_ivf_trained" -> annIvfTrainedOracleSql,
+    // same machinery, promoted r7: trained assignment + greedy prune
+    "semantic_dedup" -> semanticDedupOracleSql,
+    // 8 sub-codebook trainings + argmax codes, cell-for-cell
+    "pq_encode" -> pqEncodeOracleSql,
+    // the IVFADC+R pipeline end-to-end (16 subspace trainings,
+    // reconstruction, ADC shortlist, exact re-rank)
+    "ann_ivfpq" -> annIvfpqOracleSql,
     // the full HRW argmax replayed: per-(doc, shard) SplitMix64 scores
     // via the same UBIGINT split-multiply chain as cms_freq, argmax by
     // (score DESC, s ASC) row_number for n=8 and n=9, and the
