@@ -59,11 +59,18 @@ object Bench {
     // artifact as contention-polluted in the total_only line — the
     // r4/r5/r6 driver artifacts were each distorted by host weather
     // the artifact itself could not prove.
+    // best-of-2 at each probe point: a single GC pause or JIT recompile
+    // can double one ~0.3 s sample and fake a contended verdict, but it
+    // cannot slow BOTH back-to-back runs — a sustained contention
+    // episode can, which is exactly the signal wanted
     def probe(): Double = {
-      val t0 = System.nanoTime()
-      spark.read.parquet(s"$sfDir/region.parquet").count()
-      spark.range(0, 1000000).selectExpr("sum(id * 3 + 1)").collect()
-      (System.nanoTime() - t0) / 1e9
+      def once: Double = {
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/region.parquet").count()
+        spark.range(0, 1000000).selectExpr("sum(id * 3 + 1)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once, once)
     }
     // prime the probe's own codegen/footer path (discarded): without
     // this the BEGIN probe systematically pays first-compilation cost
