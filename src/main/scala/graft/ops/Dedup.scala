@@ -162,12 +162,20 @@ object Dedup {
         b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("band_idx", "band_hash")))
 
+  /** `requireHotEngagement`: when the salting escalation is enabled,
+    * assert (against the SAME persisted band rows the join reads —
+    * one signature computation total) that at least one bucket
+    * actually exceeds `hotBucketThreshold`, so a corpus regen that
+    * removes every hot bucket fails the salted query LOUDLY instead
+    * of silently degrading it to a plain-join test.
+    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
                    threshold: Double = 0.7,
                    maxBucketSize: Int = 10000,
                    hotBucketThreshold: Int = Int.MaxValue,
-                   hotBucketSalt: Int = 1): DataFrame = {
+                   hotBucketSalt: Int = 1,
+                   requireHotEngagement: Boolean = false): DataFrame = {
     val numHashes = bands * rowsPerBand
     // sh is sorted+distinct (kernel guarantee) → verification is a
     // linear merge. The signature table feeds three consumers (band
@@ -178,6 +186,19 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = bandRows(base, bands, rowsPerBand)
+    if (requireHotEngagement && hotBucketThreshold != Int.MaxValue) {
+      val hot = banded.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > hotBucketThreshold && col("__bn") <= maxBucketSize)
+        .count()
+      if (hot == 0) {
+        base.unpersist()
+        throw new IllegalStateException(
+          s"salted minhashPairs expects at least one LSH bucket with > " +
+            s"$hotBucketThreshold docs (and <= $maxBucketSize); the corpus " +
+            s"has none — the escalation would go untested")
+      }
+    }
 
     // prune pathological buckets before the self-join (O(bucket²) guard)
     val bucketSizes = banded

@@ -65,25 +65,13 @@ object ScaleQueries {
     * bucket, the query fails instead of silently passing as a plain
     * join (measured: 21/15/114 hot buckets at sf0.001/0.01/0.1).
     */
-  def dedupSalted(s: SparkSession, dir: String): DataFrame = {
-    val hotThreshold = 2
-    val docs = t(s, dir, "documents")
-    val base = Dedup.signatureTable(docs, "doc_id", "text",
-      shingleN = 3, numHashes = 128)
-    val hotBuckets = Dedup.bandRows(base, bands = 16, rowsPerBand = 8)
-      .groupBy(col("band_idx"), col("band_hash"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > hotThreshold).count()
-    require(hotBuckets > 0,
-      s"dedup_salted proves the salting escalation end-to-end and needs " +
-        s"at least one LSH bucket with > $hotThreshold docs; corpus at " +
-        s"$dir has none — the query would silently test the plain join")
-    Dedup.minhashPairs(docs, "doc_id", "text",
+  def dedupSalted(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, bands = 16, rowsPerBand = 8, threshold = 0.7,
-        hotBucketThreshold = hotThreshold, hotBucketSalt = 4)
+        hotBucketThreshold = 2, hotBucketSalt = 4,
+        requireHotEngagement = true)
       .withColumn("jaccard", round(col("jaccard"), 4))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** [[dedupMinhash]] maintained INCREMENTALLY: the newest 10% of the
     * corpus (`doc_id % 10 = 9`, the deterministic stand-in for "the
