@@ -293,8 +293,11 @@ object Similarity {
     * assignment. Returns (id, cluster, v).
     */
   def assignKmeansClusters(emb: DataFrame, idCol: String, vecCol: String,
-                           k: Int, iters: Int): DataFrame = {
-    val (cents, _) = kmeansTrain(emb, idCol, vecCol, k, iters)
+                           k: Int, iters: Int,
+                           centsOpt: Option[Array[Array[Float]]] = None)
+      : DataFrame = {
+    val cents = centsOpt.getOrElse(
+      kmeansTrain(emb, idCol, vecCol, k, iters)._1)
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
     val idsLit = typedLit(cents.indices.map(_.toLong))
     Dedup.spread(emb.select(col(idCol).as("id"),
@@ -367,8 +370,13 @@ object Similarity {
     * are literals (m·k·(d/m) = k·d floats total, same budget as one
     * flat codebook). Returns (encoded (id, v, code), codebooks).
     */
+  /** `codebooksOpt`: pre-trained sub-codebooks (e.g. a train-once memo
+    * — deterministic training makes a cached table byte-identical to a
+    * retrain); None trains here.
+    */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
-               m: Int, k: Int, iters: Int)
+               m: Int, k: Int, iters: Int,
+               codebooksOpt: Option[Array[Array[Array[Float]]]] = None)
       : (DataFrame, Array[Array[Array[Float]]]) = {
     val dim = emb.select(size(col(vecCol).cast("array<float>")))
       .head().getInt(0)
@@ -379,7 +387,8 @@ object Similarity {
     // result to m independent trainings) — at 100 TB this replaces
     // m·iters·2 corpus reads with iters·2, and retires the concurrent
     //-futures scheduling this used to need to hide the m job chains
-    val codebooks = kmeansTrainMulti(emb, idCol, vecCol, m, k, iters)._1
+    val codebooks = codebooksOpt.getOrElse(
+      kmeansTrainMulti(emb, idCol, vecCol, m, k, iters)._1)
     val base = Dedup.spread(emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("v")))
     val codes = (0 until m).map { j =>
@@ -408,7 +417,9 @@ object Similarity {
                 m: Int = 8, kSub: Int = 16, pqIters: Int = 2,
                 centroidEvery: Int = 149, nprobe: Int = 7,
                 rerank: Int = 32,
-                maxCentroids: Int = 1 << 14): DataFrame = {
+                maxCentroids: Int = 1 << 14,
+                pqCodebooksOpt: Option[Array[Array[Array[Float]]]] = None)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val codebook = emb.filter(col(idCol) % centroidEvery === 0)
       .select(col(idCol).cast("long").as("centroid_id"),
@@ -419,7 +430,8 @@ object Similarity {
     val idsLit = typedLit(codebook.map(_._1).toSeq)
     def nearest(v: Column, n: Int): Column =
       nearest_centroids(v, centsLit, idsLit, n)
-    val (encoded, cbs) = pqEncode(emb, idCol, vecCol, m, kSub, pqIters)
+    val (encoded, cbs) =
+      pqEncode(emb, idCol, vecCol, m, kSub, pqIters, pqCodebooksOpt)
     // the searchable index: ids, list assignment, codes — NO vectors
     val lists = encoded
       .withColumn("centroid_id", try_element_at(nearest(col("v"), 1), lit(1)))

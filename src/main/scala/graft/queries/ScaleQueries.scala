@@ -376,6 +376,20 @@ object ScaleQueries {
     graft.SessionMemo.getOrCompute(s, s"ann-exact:$dir:$k",
       graft.ops.Dedup.materialize(exactTopK(s, dir, k)))
 
+  /** Train-once memos (the bpeMergeCache pattern): each trained
+    * codebook is deterministic plain data keyed by corpus dir —
+    * exactly how a real pipeline treats a quantizer (fit once, reuse
+    * everywhere), so `ann_ivf_trained` and its recall gate (and the
+    * PQ / SemDeDup query+gate pairs) train ONE codebook per dir
+    * instead of one per consumer. FIXED-DATA ASSUMPTION as the BPE
+    * cache: a dir's parquet is immutable for the JVM's lifetime.
+    * Plain arrays, not DataFrames — session identity is irrelevant.
+    */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def memoCodebook[T <: AnyRef](key: String)(f: => T): T =
+    codebookCache.computeIfAbsent(key, _ => f).asInstanceOf[T]
+
   /** Shared recall-gate core: join an approximate top-k result against
     * the exact one and emit (n_queries, recall_floor_pct, floor_met).
     * `sum` over zero rows is NULL, so the hit count is coalesced after
@@ -528,13 +542,15 @@ object ScaleQueries {
     */
   def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val nlist = math.max(4, (emb.count() / 149).toInt)
-    val (cents, _) = Similarity.kmeansTrain(
-      emb, "vec_id", "embedding", k = nlist, iters = 4)
+    val codebook = memoCodebook(s"ivf-trained:$dir") {
+      val nlist = math.max(4, (emb.count() / 149).toInt)
+      val (cents, _) = Similarity.kmeansTrain(
+        emb, "vec_id", "embedding", k = nlist, iters = 4)
+      cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+    }
     Similarity.ivfTopKWithCodebook(emb, "vec_id", "embedding",
         queryPred = col("vec_id") % 20 === 0, k = 3, nprobe = 7,
-        codebook = cents.zipWithIndex.map { case (v, i) =>
-          (i.toLong, v.toSeq) })
+        codebook = codebook)
       .orderBy(col("qid"), col("rnk"))
   }
 
@@ -555,11 +571,17 @@ object ScaleQueries {
     * ceiling; the quantization costs nothing after re-rank.
     * Deterministic; rows-only, gated by `ann_ivfpq_recall`.
     */
-  def annIvfpq(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Similarity.ivfpqTopK(t(s, dir, "embeddings"),
+  def annIvfpq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cbs = memoCodebook(s"pq:$dir:16:16:2") {
+      Similarity.kmeansTrainMulti(emb, "vec_id", "embedding",
+        m = 16, k = 16, iters = 2)._1
+    }
+    Similarity.ivfpqTopK(emb,
         "vec_id", "embedding", queryPred = col("vec_id") % 20 === 0,
-        k = 3, m = 16, rerank = 128)
+        k = 3, m = 16, rerank = 128, pqCodebooksOpt = Some(cbs))
       .orderBy(col("qid"), col("rnk"))
+  }
 
   /** Driver-visible recall gate for [[annIvfpq]] — same contract and
     * 60% floor as [[annIvfRecall]] (measured 0.77 at the weakest SF).
@@ -597,10 +619,17 @@ object ScaleQueries {
     * assignment is not SQL-recomputable → rows-only, with the
     * contract gated by `semdedup_gate`.
     */
+  private def semCents(s: SparkSession, dir: String): Array[Array[Float]] =
+    memoCodebook(s"sem:$dir:16:2") {
+      Similarity.kmeansTrain(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 16, iters = 2)._1
+    }
+
   def semanticDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedupByCluster(
         Similarity.assignKmeansClusters(
-          t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, iters = 2),
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, iters = 2,
+          centsOpt = Some(semCents(s, dir))),
         threshold = 0.3)
       .orderBy(col("id"))
 
@@ -616,7 +645,8 @@ object ScaleQueries {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     val assigned = Dedup.materialize(Similarity.assignKmeansClusters(
-      emb, "vec_id", "embedding", k = 16, iters = 2))
+      emb, "vec_id", "embedding", k = 16, iters = 2,
+      centsOpt = Some(semCents(s, dir))))
     // the quadratic within-cluster join runs ONCE: kept and both
     // contract checks all derive from this pinned pair set (it is the
     // exact pair set semanticDedupByCluster reads — shared helper)
@@ -656,9 +686,17 @@ object ScaleQueries {
     * the frame in pandas, which cannot hash array cells (see
     * OPERATORS.md "Oracle authoring conventions").
     */
+  private def pq8Codebooks(s: SparkSession, dir: String)
+      : Array[Array[Array[Float]]] =
+    memoCodebook(s"pq:$dir:8:16:2") {
+      Similarity.kmeansTrainMulti(t(s, dir, "embeddings"),
+        "vec_id", "embedding", m = 8, k = 16, iters = 2)._1
+    }
+
   def pqEncode(s: SparkSession, dir: String): DataFrame =
     Similarity.pqEncode(t(s, dir, "embeddings"), "vec_id", "embedding",
-        m = 8, k = 16, iters = 2)._1
+        m = 8, k = 16, iters = 2,
+        codebooksOpt = Some(pq8Codebooks(s, dir)))._1
       .select(col("id"),
         array_join(col("code").cast("array<string>"), ",").as("code"))
       .orderBy(col("id"))
@@ -673,7 +711,8 @@ object ScaleQueries {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
     val (encoded0, codebooks) = Similarity.pqEncode(
-      emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      emb, "vec_id", "embedding", m = 8, k = 16, iters = 2,
+      codebooksOpt = Some(pq8Codebooks(s, dir)))
     val encoded = Dedup.materialize(encoded0)
     val n = emb.count()
     val m = codebooks.length
