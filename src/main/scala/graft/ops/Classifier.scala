@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Linear quality classifier trained INSIDE the engine — the
+  * CCNet/fastText-shaped quality-filter step of a training-data
+  * pipeline (reference scope: the reference has no model training;
+  * this extends the §2 surface the same way the dedup/ANN families
+  * do): logistic regression over cheap surface features, fit by
+  * full-batch gradient descent where each step is ONE distributed
+  * aggregate.
+  *
+  * Everything is exactly replayable in SQL — the same discipline as
+  * the r7 k-means trainer:
+  *
+  *  - features are per-row arithmetic (no cross-row state);
+  *  - the sigmoid is the RATIONAL approximation
+  *    σ(z) = 0.5 + 0.5·z/(1+|z|) — pure +,·,/,abs, bit-identical in
+  *    any IEEE engine, where exp()'s last ulp differs across libms
+  *    (hardware-friendly rational sigmoids are standard in quantized
+  *    training for exactly this reason);
+  *  - per-row gradient contributions quantize to e12 int64
+  *    (floor(g·10¹² + 0.5)) and SUM as integers, so the reduction is
+  *    shuffle-order-independent and the weight trajectory is
+  *    bit-reproducible across partitionings and runs;
+  *  - the weight update runs driver-side on d+1 cells per step (the
+  *    bounded-driver-state shape of kmeansTrain).
+  *
+  * Scale: each GD step is one scan with map-side partial integer
+  * sums — the shuffle carries (d+1)·partitions longs, never rows; at
+  * 100 TB with d ≈ dozens this trains at the cost of `iters` scans,
+  * and the scan can ride the same pass as other corpus statistics.
+  */
+object Classifier {
+
+  /** σ(z) = 0.5 + 0.5·z/(1+|z|) as a column expression (the exact
+    * arithmetic mirrored by the DuckDB oracle).
+    */
+  def fastSigmoid(z: Column): Column =
+    lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
+
+  /** Surface quality features for a text column, per-row exact:
+    * x0 = 1 (bias), x1 = min(chars, 2000)/2000, x2 = min(words,
+    * 100)/100, x3 = stopword ratio ('the'/'a' over words), x4 = mean
+    * word length / 10. Label y = 1 iff `langCol` = 'en' (the
+    * lang-filter shape). Returns (id, x1..x4, y).
+    */
+  def features(df: DataFrame, idCol: String, textCol: String,
+               langCol: String): DataFrame = {
+    import graft.functions.dsl._
+    val toks = tokens_lower(col(textCol))
+    val nTok = size(toks)
+    val stopCnt = size(filter(toks, t => t === "the" || t === "a"))
+    val sumLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    df.select(col(idCol).as("id"),
+      (least(length(col(textCol)), lit(2000)).cast("double") / 2000.0)
+        .as("x1"),
+      (least(nTok, lit(100)).cast("double") / 100.0).as("x2"),
+      when(nTok > 0, stopCnt.cast("double") / nTok).otherwise(0.0)
+        .as("x3"),
+      when(nTok > 0, (sumLen.cast("double") / nTok) / 10.0).otherwise(0.0)
+        .as("x4"),
+      when(col(langCol) === "en", 1.0).otherwise(0.0).as("y"))
+  }
+
+  private val Dim = 5 // bias + 4 features
+
+  /** z = w·x with the bias first, left-assoc fixed order (the oracle
+    * mirrors the same association).
+    */
+  private def zExpr(w: Array[Double]): Column =
+    lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+
+  /** Full-batch GD: `iters` steps at rate `lr` from w = 0. Returns
+    * (weights, history of (iter, weights after step, sse_e12, n)) —
+    * sse_e12 = Σ floor((p−y)²·10¹² + 0.5), the integer-exact squared
+    * error the convergence gate asserts decreases.
+    */
+  def train(feat: DataFrame, iters: Int, lr: Double)
+      : (Array[Double], Seq[(Int, Array[Double], Long, Long)]) = {
+    var w = Array.fill(Dim)(0.0)
+    val history =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Double], Long, Long)]
+    for (it <- 1 to iters) {
+      val p = fastSigmoid(zExpr(w))
+      val err = p - col("y")
+      def g(x: Column): Column =
+        sum(floor(err * x * lit(1e12) + lit(0.5)))
+      val row = feat
+        .agg(g(lit(1.0)), g(col("x1")), g(col("x2")), g(col("x3")),
+          g(col("x4")),
+          sum(floor(err * err * lit(1e12) + lit(0.5))),
+          count(lit(1)))
+        .head()
+      val n = row.getLong(Dim + 1)
+      require(n > 0, "classifier training needs a non-empty corpus")
+      val next = new Array[Double](Dim)
+      var j = 0
+      while (j < Dim) {
+        // w_j − lr · ((G_j / 10¹²) / n), each op in this exact order
+        next(j) = w(j) - lr * ((row.getLong(j) / 1e12) / n)
+        j += 1
+      }
+      w = next
+      history += ((it, w.clone(), row.getLong(Dim), n))
+    }
+    (w, history.toSeq)
+  }
+
+  /** Score rows with trained weights: p = σ(w·x), pred = p ≥ 0.5.
+    * Per-row exact arithmetic over exact weights → replayable.
+    */
+  def score(feat: DataFrame, w: Array[Double]): DataFrame =
+    feat.select(col("id"), col("y").cast("int").as("y"),
+        fastSigmoid(zExpr(w)).as("p"))
+      .select(col("id"), round(col("p"), 6).as("score_r"),
+        when(col("p") >= 0.5, 1).otherwise(0).as("pred"), col("y"))
+}

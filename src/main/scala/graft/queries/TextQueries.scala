@@ -1614,7 +1614,59 @@ object TextQueries {
   }
 
   // ------------------------------------------------------------------------
+  /** Fixed hyperparameters for the trained quality classifier — the
+    * oracle unrolls exactly [[QtIters]] gradient steps, so these are
+    * shared compile-time constants, not knobs.
+    */
+  private val QtIters = 3
+  private val QtLr = 0.5
+
+  /** Train-once memo for the classifier weights (plain doubles, the
+    * bpeMergeCache pattern incl. its fixed-data assumption): the
+    * trajectory query and the scorer share one training per dir.
+    */
+  private val qtCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Array[Double], Seq[(Int, Array[Double], Long, Long)])]()
+  private def qtTrained(s: SparkSession, dir: String) =
+    qtCache.computeIfAbsent(dir, _ =>
+      graft.ops.Classifier.train(
+        graft.ops.Classifier.features(
+          t(s, dir, "documents"), "doc_id", "text", "lang"),
+        iters = QtIters, lr = QtLr))
+
+  /** In-engine model TRAINING, driver-checked: logistic regression
+    * over surface quality features fit by [[graft.ops.Classifier]]'s
+    * full-batch GD (rational sigmoid, e12-int64 gradient sums — every
+    * arithmetic step shuffle-order-independent), surfacing the WEIGHT
+    * TRAJECTORY itself: (iter, w0..w4, sse_e12, n). The oracle
+    * recomputes all three steps as unrolled CTEs, so the weights
+    * hash-compare as exact doubles — training replayed bit-for-bit,
+    * the kmeans/BPE discipline applied to gradient descent.
+    */
+  def qualityTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    qtTrained(s, dir)._2
+      .map { case (it, w, sse, n) => (it, w(0), w(1), w(2), w(3), w(4), sse, n) }
+      .toDF("iter", "w0", "w1", "w2", "w3", "w4", "sse_e12", "n")
+  }
+
+  /** Apply the trained classifier: per-document quality score
+    * σ(w·x) (6-dp rounded), hard prediction, and the label — the
+    * quality-filter scoring pass a pipeline would gate ingestion on.
+    * Scores derive from bit-reproducible weights through per-row
+    * exact arithmetic, so the oracle recomputes every score.
+    */
+  def qualityClassify(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classifier.score(
+        graft.ops.Classifier.features(
+          t(s, dir, "documents"), "doc_id", "text", "lang"),
+        qtTrained(s, dir)._1)
+      .orderBy(col("id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_train" -> (qualityTrain _),
+    "quality_classify" -> (qualityClassify _),
     "bpe_merges" -> (bpeMerges _),
     "bpe_encode" -> (bpeEncode _),
     "bpe_roundtrip" -> (bpeRoundtrip _),
@@ -1669,7 +1721,91 @@ object TextQueries {
   private def markerCount(markers: Seq[String]): String =
     s"len(list_filter($tokSql, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
 
+  /** Shared CTE chain replaying [[graft.ops.Classifier]]'s training:
+    * the feature table (per-row exact arithmetic over the established
+    * tokens regex twin), then [[QtIters]] unrolled GD steps — each a
+    * 1-row gradient aggregate in e12 int64 plus the weight-update
+    * arithmetic in the trainer's exact operation order.
+    */
+  private def qtCtes: String = {
+    val feat =
+      """qf AS (
+           SELECT doc_id AS id,
+                  CAST(least(length(text), 2000) AS DOUBLE) / 2000.0 AS x1,
+                  CAST(least(nt, 100) AS DOUBLE) / 100.0 AS x2,
+                  CASE WHEN nt > 0 THEN CAST(st AS DOUBLE) / nt
+                       ELSE 0.0 END AS x3,
+                  CASE WHEN nt > 0 THEN (CAST(sl AS DOUBLE) / nt) / 10.0
+                       ELSE 0.0 END AS x4,
+                  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           FROM (SELECT doc_id, text, lang, len(toks) AS nt,
+                        len(list_filter(toks,
+                              t -> t = 'the' OR t = 'a')) AS st,
+                        coalesce(list_sum(list_transform(toks,
+                              t -> length(t))), 0) AS sl
+                 FROM (SELECT doc_id, text, lang,
+                              list_filter(
+                                regexp_split_to_array(lower(text),
+                                                      '[^a-z0-9]+'),
+                                x -> len(x) > 0) AS toks
+                       FROM documents) tt) q),
+         qw_0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
+                         0.0 AS w3, 0.0 AS w4)"""
+    val steps = (1 to QtIters).map { i =>
+      s"""qg_$i AS (
+           SELECT sum(CAST(floor(err * 1e12 + 0.5) AS BIGINT)) AS g0,
+                  sum(CAST(floor(err * x1 * 1e12 + 0.5) AS BIGINT)) AS g1,
+                  sum(CAST(floor(err * x2 * 1e12 + 0.5) AS BIGINT)) AS g2,
+                  sum(CAST(floor(err * x3 * 1e12 + 0.5) AS BIGINT)) AS g3,
+                  sum(CAST(floor(err * x4 * 1e12 + 0.5) AS BIGINT)) AS g4,
+                  sum(CAST(floor(err * err * 1e12 + 0.5) AS BIGINT))
+                    AS sse,
+                  count(*) AS n
+           FROM (SELECT x1, x2, x3, x4,
+                        (0.5 + 0.5 * z / (1.0 + abs(z))) - y AS err
+                 FROM (SELECT f.*, w.w0 + w.w1 * x1 + w.w2 * x2
+                                  + w.w3 * x3 + w.w4 * x4 AS z
+                       FROM qf f CROSS JOIN qw_${i - 1} w) fz) e),
+         qw_$i AS (
+           SELECT w.w0 - $QtLr * ((CAST(g.g0 AS DOUBLE) / 1e12) / g.n) AS w0,
+                  w.w1 - $QtLr * ((CAST(g.g1 AS DOUBLE) / 1e12) / g.n) AS w1,
+                  w.w2 - $QtLr * ((CAST(g.g2 AS DOUBLE) / 1e12) / g.n) AS w2,
+                  w.w3 - $QtLr * ((CAST(g.g3 AS DOUBLE) / 1e12) / g.n) AS w3,
+                  w.w4 - $QtLr * ((CAST(g.g4 AS DOUBLE) / 1e12) / g.n) AS w4
+           FROM qw_${i - 1} w CROSS JOIN qg_$i g)"""
+    }.mkString(",\n")
+    feat + ",\n" + steps
+  }
+
+  private def qualityTrainOracleSql: String = {
+    val rows = (1 to QtIters).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS iter, w0, w1, w2, w3, w4,
+              CAST((SELECT sse FROM qg_$i) AS BIGINT) AS sse_e12,
+              CAST((SELECT n FROM qg_$i) AS BIGINT) AS n
+         FROM qw_$i"""
+    }.mkString(" UNION ALL ")
+    s"WITH $qtCtes $rows ORDER BY iter"
+  }
+
+  private def qualityClassifyOracleSql: String =
+    s"""WITH $qtCtes,
+       sc AS (SELECT f.id, f.y,
+                0.5 + 0.5 * z / (1.0 + abs(z)) AS p
+              FROM (SELECT f.*, w.w0 + w.w1 * x1 + w.w2 * x2
+                               + w.w3 * x3 + w.w4 * x4 AS z
+                    FROM qf f CROSS JOIN qw_$QtIters w) f)
+       SELECT id, round(p, 6) AS score_r,
+              CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS INTEGER)
+                AS pred,
+              CAST(y AS INTEGER) AS y
+       FROM sc ORDER BY id"""
+
   val oracle: Map[String, String] = Map(
+    // in-engine GD training replayed as unrolled 1-row gradient
+    // aggregates (e12 int64) — the weight trajectory hash-compares as
+    // exact doubles; scoring reuses the recomputed final weights
+    "quality_train" -> qualityTrainOracleSql,
+    "quality_classify" -> qualityClassifyOracleSql,
     // the winnowing FINGERPRINT KERNEL replayed bit-for-bit in SQL:
     // byte-level k-gram FNV-1a + SplitMix64 (split-multiply mod-2^64 as
     // in dedup_simhash; the corpus is pure ASCII so chars == bytes),
