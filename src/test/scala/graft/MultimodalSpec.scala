@@ -81,6 +81,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.isNullAt(0))
   }
 
+  test("decode/embed features are TOTAL over hostile payloads " +
+      "(fuzz: random bytes, truncated headers, empty, null)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val hostile: Seq[Array[Byte]] =
+      (0 until 64).map(n => Array.fill(n)(rnd.nextInt(256).toByte)) ++
+        Seq(Array.emptyByteArray,
+          Kernels.makeMediaHeader(1, 9, 9).take(12),  // truncated PNG
+          Kernels.makeMediaHeader(3, 9, 9).take(20),  // truncated BMP
+          Array(0xff, 0xd8, 0xff).map(_.toByte),      // bare JPEG SOI
+          null)
+    val media = hostile.zipWithIndex
+      .map { case (p, i) => (i.toLong, "image", p) }
+      .toDF("media_id", "kind", "payload")
+    val metas = graft.ops.Multimodal.decodeFeatures(spark, media).collect()
+    assert(metas.length == hostile.length)
+    metas.foreach { m =>
+      assert(m.mean_val >= 0.0 && m.mean_val <= 1.0)
+      assert(m.width >= 0 && m.height >= 0)
+    }
+    val embs = graft.ops.Multimodal
+      .embedFeatures(spark, media.select("media_id", "payload"), dim = 16)
+      .collect()
+    assert(embs.length == hostile.length)
+    embs.foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(v.length == 16)
+      assert(v.forall(x => !x.isNaN && x >= 0f))
+      // histogram bands sum to the body byte count (whole payload for
+      // unrecognized formats) — conservation, not just non-crash
+      val id = r.getLong(0)
+      val payload = hostile(id.toInt)
+      if (payload != null) {
+        val h = Kernels.parseMediaHeader(payload)
+        val off = Kernels.mediaBodyOffset(h.getLong(0))
+        val body = math.max(0, payload.length - off)
+        assert(v.drop(4).map(_.toLong).sum == body,
+          s"row $id: bands ${v.drop(4).sum} != body $body")
+      }
+    }
+  }
+
   test("headerMeta extracts real dimensions through the DataFrame API") {
     import spark.implicits._
     val media = Seq(
