@@ -78,33 +78,45 @@ object Classifier {
     * sse_e12 = Σ floor((p−y)²·10¹² + 0.5), the integer-exact squared
     * error the convergence gate asserts decreases.
     */
+  /** ONE gradient step from `w` over `feat`: returns (updated
+    * weights, sse_e12 measured AT `w`, row count). This is also the
+    * online-learning primitive: stepping over a DELTA slice absorbs
+    * an increment at cost ∝ |Δ| without rescanning the base corpus
+    * (the incremental-family algebra applied to SGD).
+    */
+  def step(feat: DataFrame, w: Array[Double], lr: Double)
+      : (Array[Double], Long, Long) = {
+    val p = fastSigmoid(zExpr(w))
+    val err = p - col("y")
+    def g(x: Column): Column =
+      sum(floor(err * x * lit(1e12) + lit(0.5)))
+    val row = feat
+      .agg(g(lit(1.0)), g(col("x1")), g(col("x2")), g(col("x3")),
+        g(col("x4")),
+        sum(floor(err * err * lit(1e12) + lit(0.5))),
+        count(lit(1)))
+      .head()
+    val n = row.getLong(Dim + 1)
+    require(n > 0, "classifier training needs a non-empty corpus")
+    val next = new Array[Double](Dim)
+    var j = 0
+    while (j < Dim) {
+      // w_j − lr · ((G_j / 10¹²) / n), each op in this exact order
+      next(j) = w(j) - lr * ((row.getLong(j) / 1e12) / n)
+      j += 1
+    }
+    (next, row.getLong(Dim), n)
+  }
+
   def train(feat: DataFrame, iters: Int, lr: Double)
       : (Array[Double], Seq[(Int, Array[Double], Long, Long)]) = {
     var w = Array.fill(Dim)(0.0)
     val history =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Double], Long, Long)]
     for (it <- 1 to iters) {
-      val p = fastSigmoid(zExpr(w))
-      val err = p - col("y")
-      def g(x: Column): Column =
-        sum(floor(err * x * lit(1e12) + lit(0.5)))
-      val row = feat
-        .agg(g(lit(1.0)), g(col("x1")), g(col("x2")), g(col("x3")),
-          g(col("x4")),
-          sum(floor(err * err * lit(1e12) + lit(0.5))),
-          count(lit(1)))
-        .head()
-      val n = row.getLong(Dim + 1)
-      require(n > 0, "classifier training needs a non-empty corpus")
-      val next = new Array[Double](Dim)
-      var j = 0
-      while (j < Dim) {
-        // w_j − lr · ((G_j / 10¹²) / n), each op in this exact order
-        next(j) = w(j) - lr * ((row.getLong(j) / 1e12) / n)
-        j += 1
-      }
+      val (next, sse, n) = step(feat, w, lr)
       w = next
-      history += ((it, w.clone(), row.getLong(Dim), n))
+      history += ((it, w.clone(), sse, n))
     }
     (w, history.toSeq)
   }

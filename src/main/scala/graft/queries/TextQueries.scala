@@ -1651,6 +1651,29 @@ object TextQueries {
       .toDF("iter", "w0", "w1", "w2", "w3", "w4", "sse_e12", "n")
   }
 
+  /** ONLINE model maintenance — the incremental-family algebra
+    * applied to SGD: train on the 90% base corpus (doc_id % 10 ≠ 9,
+    * the established delta convention), then absorb the newest-10%
+    * increment with ONE gradient step over the DELTA ONLY — the base
+    * is never rescanned, so a daily increment costs ∝ |Δ|. Output is
+    * the full trajectory (3 base steps + the delta step), each row
+    * phase-tagged; the oracle replays both phases, so the online
+    * update's weights hash-compare bit-exactly too.
+    */
+  def qualityTrainIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = graft.ops.Classifier.features(
+      t(s, dir, "documents"), "doc_id", "text", "lang")
+    val base = all.filter(pmod(col("id"), lit(10)) =!= 9)
+    val delta = all.filter(pmod(col("id"), lit(10)) === 9)
+    val (wb, hist) = graft.ops.Classifier.train(base, QtIters, QtLr)
+    val (wd, sse, n) = graft.ops.Classifier.step(delta, wb, QtLr)
+    (hist.map { case (it, w, s0, n0) =>
+        ("base", it, w(0), w(1), w(2), w(3), w(4), s0, n0)
+      } :+ ("delta", QtIters + 1, wd(0), wd(1), wd(2), wd(3), wd(4), sse, n))
+      .toDF("phase", "iter", "w0", "w1", "w2", "w3", "w4", "sse_e12", "n")
+  }
+
   /** Apply the trained classifier: per-document quality score
     * σ(w·x) (6-dp rounded), hard prediction, and the label — the
     * quality-filter scoring pass a pipeline would gate ingestion on.
@@ -1666,6 +1689,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_train" -> (qualityTrain _),
+    "quality_train_incremental" -> (qualityTrainIncremental _),
     "quality_classify" -> (qualityClassify _),
     "bpe_merges" -> (bpeMerges _),
     "bpe_encode" -> (bpeEncode _),
@@ -1727,54 +1751,64 @@ object TextQueries {
     * 1-row gradient aggregate in e12 int64 plus the weight-update
     * arithmetic in the trainer's exact operation order.
     */
+  /** The feature projection as a bare SELECT (per-row exact
+    * arithmetic over the established tokens-regex twin), filterable
+    * for the base/delta split of the incremental trainer.
+    */
+  private def qtFeatureSelect(whereSql: String): String =
+    s"""SELECT doc_id AS id,
+              CAST(least(length(text), 2000) AS DOUBLE) / 2000.0 AS x1,
+              CAST(least(nt, 100) AS DOUBLE) / 100.0 AS x2,
+              CASE WHEN nt > 0 THEN CAST(st AS DOUBLE) / nt
+                   ELSE 0.0 END AS x3,
+              CASE WHEN nt > 0 THEN (CAST(sl AS DOUBLE) / nt) / 10.0
+                   ELSE 0.0 END AS x4,
+              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       FROM (SELECT doc_id, text, lang, len(toks) AS nt,
+                    len(list_filter(toks,
+                          t -> t = 'the' OR t = 'a')) AS st,
+                    coalesce(list_sum(list_transform(toks,
+                          t -> length(t))), 0) AS sl
+             FROM (SELECT doc_id, text, lang,
+                          list_filter(
+                            regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> len(x) > 0) AS toks
+                   FROM documents WHERE $whereSql) tt) q"""
+
+  /** One GD step as CTEs: gradient aggregate `qg_$i` over `$featCte`
+    * at weights `qw_${i-1}`, then the updated `qw_$i` — the trainer's
+    * exact arithmetic (e12 int64 sums, the same update order).
+    */
+  private def qtStepCtes(i: Int, featCte: String): String =
+    s"""qg_$i AS (
+         SELECT sum(CAST(floor(err * 1e12 + 0.5) AS BIGINT)) AS g0,
+                sum(CAST(floor(err * x1 * 1e12 + 0.5) AS BIGINT)) AS g1,
+                sum(CAST(floor(err * x2 * 1e12 + 0.5) AS BIGINT)) AS g2,
+                sum(CAST(floor(err * x3 * 1e12 + 0.5) AS BIGINT)) AS g3,
+                sum(CAST(floor(err * x4 * 1e12 + 0.5) AS BIGINT)) AS g4,
+                sum(CAST(floor(err * err * 1e12 + 0.5) AS BIGINT))
+                  AS sse,
+                count(*) AS n
+         FROM (SELECT x1, x2, x3, x4,
+                      (0.5 + 0.5 * z / (1.0 + abs(z))) - y AS err
+               FROM (SELECT f.*, w.w0 + w.w1 * x1 + w.w2 * x2
+                                + w.w3 * x3 + w.w4 * x4 AS z
+                     FROM $featCte f CROSS JOIN qw_${i - 1} w) fz) e),
+       qw_$i AS (
+         SELECT w.w0 - $QtLr * ((CAST(g.g0 AS DOUBLE) / 1e12) / g.n) AS w0,
+                w.w1 - $QtLr * ((CAST(g.g1 AS DOUBLE) / 1e12) / g.n) AS w1,
+                w.w2 - $QtLr * ((CAST(g.g2 AS DOUBLE) / 1e12) / g.n) AS w2,
+                w.w3 - $QtLr * ((CAST(g.g3 AS DOUBLE) / 1e12) / g.n) AS w3,
+                w.w4 - $QtLr * ((CAST(g.g4 AS DOUBLE) / 1e12) / g.n) AS w4
+         FROM qw_${i - 1} w CROSS JOIN qg_$i g)"""
+
   private def qtCtes: String = {
     val feat =
-      """qf AS (
-           SELECT doc_id AS id,
-                  CAST(least(length(text), 2000) AS DOUBLE) / 2000.0 AS x1,
-                  CAST(least(nt, 100) AS DOUBLE) / 100.0 AS x2,
-                  CASE WHEN nt > 0 THEN CAST(st AS DOUBLE) / nt
-                       ELSE 0.0 END AS x3,
-                  CASE WHEN nt > 0 THEN (CAST(sl AS DOUBLE) / nt) / 10.0
-                       ELSE 0.0 END AS x4,
-                  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-           FROM (SELECT doc_id, text, lang, len(toks) AS nt,
-                        len(list_filter(toks,
-                              t -> t = 'the' OR t = 'a')) AS st,
-                        coalesce(list_sum(list_transform(toks,
-                              t -> length(t))), 0) AS sl
-                 FROM (SELECT doc_id, text, lang,
-                              list_filter(
-                                regexp_split_to_array(lower(text),
-                                                      '[^a-z0-9]+'),
-                                x -> len(x) > 0) AS toks
-                       FROM documents) tt) q),
+      s"""qf AS (${qtFeatureSelect("TRUE")}),
          qw_0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
                          0.0 AS w3, 0.0 AS w4)"""
-    val steps = (1 to QtIters).map { i =>
-      s"""qg_$i AS (
-           SELECT sum(CAST(floor(err * 1e12 + 0.5) AS BIGINT)) AS g0,
-                  sum(CAST(floor(err * x1 * 1e12 + 0.5) AS BIGINT)) AS g1,
-                  sum(CAST(floor(err * x2 * 1e12 + 0.5) AS BIGINT)) AS g2,
-                  sum(CAST(floor(err * x3 * 1e12 + 0.5) AS BIGINT)) AS g3,
-                  sum(CAST(floor(err * x4 * 1e12 + 0.5) AS BIGINT)) AS g4,
-                  sum(CAST(floor(err * err * 1e12 + 0.5) AS BIGINT))
-                    AS sse,
-                  count(*) AS n
-           FROM (SELECT x1, x2, x3, x4,
-                        (0.5 + 0.5 * z / (1.0 + abs(z))) - y AS err
-                 FROM (SELECT f.*, w.w0 + w.w1 * x1 + w.w2 * x2
-                                  + w.w3 * x3 + w.w4 * x4 AS z
-                       FROM qf f CROSS JOIN qw_${i - 1} w) fz) e),
-         qw_$i AS (
-           SELECT w.w0 - $QtLr * ((CAST(g.g0 AS DOUBLE) / 1e12) / g.n) AS w0,
-                  w.w1 - $QtLr * ((CAST(g.g1 AS DOUBLE) / 1e12) / g.n) AS w1,
-                  w.w2 - $QtLr * ((CAST(g.g2 AS DOUBLE) / 1e12) / g.n) AS w2,
-                  w.w3 - $QtLr * ((CAST(g.g3 AS DOUBLE) / 1e12) / g.n) AS w3,
-                  w.w4 - $QtLr * ((CAST(g.g4 AS DOUBLE) / 1e12) / g.n) AS w4
-           FROM qw_${i - 1} w CROSS JOIN qg_$i g)"""
-    }.mkString(",\n")
-    feat + ",\n" + steps
+    feat + ",\n" + (1 to QtIters).map(qtStepCtes(_, "qf")).mkString(",\n")
   }
 
   private def qualityTrainOracleSql: String = {
@@ -1785,6 +1819,28 @@ object TextQueries {
          FROM qw_$i"""
     }.mkString(" UNION ALL ")
     s"WITH $qtCtes $rows ORDER BY iter"
+  }
+
+  private def qualityTrainIncrementalOracleSql: String = {
+    val baseChain =
+      s"""qf AS (${qtFeatureSelect("doc_id % 10 != 9")}),
+         qfd AS (${qtFeatureSelect("doc_id % 10 = 9")}),
+         qw_0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
+                         0.0 AS w3, 0.0 AS w4),
+         ${(1 to QtIters).map(qtStepCtes(_, "qf")).mkString(",\n")},
+         ${qtStepCtes(QtIters + 1, "qfd")}"""
+    val rows = ((1 to QtIters).map { i =>
+      s"""SELECT 'base' AS phase, CAST($i AS INTEGER) AS iter,
+              w0, w1, w2, w3, w4,
+              CAST((SELECT sse FROM qg_$i) AS BIGINT) AS sse_e12,
+              CAST((SELECT n FROM qg_$i) AS BIGINT) AS n
+         FROM qw_$i"""
+    } :+ s"""SELECT 'delta', CAST(${QtIters + 1} AS INTEGER),
+              w0, w1, w2, w3, w4,
+              CAST((SELECT sse FROM qg_${QtIters + 1}) AS BIGINT),
+              CAST((SELECT n FROM qg_${QtIters + 1}) AS BIGINT)
+         FROM qw_${QtIters + 1}""").mkString(" UNION ALL ")
+    s"WITH $baseChain $rows ORDER BY iter"
   }
 
   private def qualityClassifyOracleSql: String =
@@ -1805,6 +1861,8 @@ object TextQueries {
     // aggregates (e12 int64) — the weight trajectory hash-compares as
     // exact doubles; scoring reuses the recomputed final weights
     "quality_train" -> qualityTrainOracleSql,
+    // base phase + the delta-only online step, both replayed
+    "quality_train_incremental" -> qualityTrainIncrementalOracleSql,
     "quality_classify" -> qualityClassifyOracleSql,
     // the winnowing FINGERPRINT KERNEL replayed bit-for-bit in SQL:
     // byte-level k-gram FNV-1a + SplitMix64 (split-multiply mod-2^64 as

@@ -40,6 +40,31 @@ class ClassifierSpec extends AnyFunSuite {
       s"sse_e12 must be non-increasing across steps: $sses")
   }
 
+  test("online step: one delta-only gradient step equals the manual " +
+      "update (the incremental-absorption primitive)") {
+    import spark.implicits._
+    val delta = Seq(
+      (1L, 0.5, 0.2, 0.1, 0.4, 1.0),
+      (2L, 0.9, 0.8, 0.0, 0.5, 0.0))
+      .toDF("id", "x1", "x2", "x3", "x4", "y")
+    val w0 = Array(0.1, -0.2, 0.3, 0.0, 0.05)
+    val (w1, sse, n) = Classifier.step(delta, w0, lr = 0.5)
+    assert(n == 2)
+    // manual replication of the exact arithmetic
+    val rows = Seq((0.5, 0.2, 0.1, 0.4, 1.0), (0.9, 0.8, 0.0, 0.5, 0.0))
+    val contrib = rows.map { case (x1, x2, x3, x4, y) =>
+      val z = w0(0) + w0(1) * x1 + w0(2) * x2 + w0(3) * x3 + w0(4) * x4
+      val err = (0.5 + 0.5 * z / (1.0 + math.abs(z))) - y
+      (Array(1.0, x1, x2, x3, x4).map(x =>
+        math.floor(err * x * 1e12 + 0.5).toLong),
+        math.floor(err * err * 1e12 + 0.5).toLong)
+    }
+    val g = Array.tabulate(5)(j => contrib.map(_._1(j)).sum)
+    val wantW = Array.tabulate(5)(j => w0(j) - 0.5 * ((g(j) / 1e12) / 2))
+    assert(w1.toSeq == wantW.toSeq, s"${w1.toSeq} vs ${wantW.toSeq}")
+    assert(sse == contrib.map(_._2).sum)
+  }
+
   test("score matches a manual per-row computation of the rational " +
       "sigmoid over the trained weights") {
     val (w, _) = Classifier.train(feats, iters = 3, lr = 0.5)
