@@ -102,6 +102,65 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
   }
 
+  /** PERSIST an IVF index as a partitioned table: (cid, cv) rows
+    * written under `indexDir` partitioned BY LIST ID, so a search
+    * that probes `nprobe` lists reads exactly `nprobe` directory
+    * partitions — partition PRUNING at the storage layer, the
+    * mechanism that makes a disk-resident ANN index sublinear (the
+    * in-plan equi-join variant is [[ivfTopK]]; this is the
+    * index-build-once / search-many shape a serving tier uses).
+    * Returns the sampled codebook the searches must share.
+    */
+  def ivfIndexWrite(emb: DataFrame, idCol: String, vecCol: String,
+                    indexDir: String, centroidEvery: Int = 149,
+                    maxCentroids: Int = 1 << 14)
+      : Array[(Long, Seq[Float])] = {
+    val codebook = emb.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).cast("long").as("centroid_id"),
+        col(vecCol).cast("array<float>").as("centroid_v"))
+      .orderBy(col("centroid_id")).limit(maxCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centsLit = typedLit(codebook.map(_._2).toSeq)
+    val idsLit = typedLit(codebook.map(_._1).toSeq)
+    Dedup.spread(emb.select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<float>").as("cv")))
+      .withColumn("centroid_id", try_element_at(
+        nearest_centroids(col("cv"), centsLit, idsLit, 1), lit(1)))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(indexDir)
+    codebook
+  }
+
+  /** Single-query search over a persisted [[ivfIndexWrite]] index:
+    * the query's `nprobe` list ids are computed from the shared
+    * codebook (driver-side, k·d floats), inlined as an IN filter, and
+    * the scan therefore reads ONLY those list partitions —
+    * `PartitionFilters` in the plan, pinned by PlanSpec. Exact cosine
+    * re-rank of the probed lists to top-`k`.
+    */
+  def ivfIndexedSearch(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String,
+                       codebook: Array[(Long, Seq[Float])],
+                       qid: Long, qv: Seq[Float],
+                       nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centsLit = typedLit(codebook.map(_._2).toSeq)
+    val idsLit = typedLit(codebook.map(_._1).toSeq)
+    // probe ids via the same argmax kernel, evaluated on a 1-row frame
+    val probes = spark.range(1).select(
+        nearest_centroids(typedLit(qv), centsLit, idsLit, nprobe).as("p"))
+      .head().getSeq[Long](0)
+    val w = Window.orderBy(col("sim_r").desc, col("cid"))
+    spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(probes: _*))
+      .filter(col("cid") =!= qid)
+      .withColumn("sim_r", round(cosine_sim(typedLit(qv), col("cv")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(lit(qid).as("qid"), col("cid"), col("sim_r"), col("rnk"))
+  }
+
   /** Spherical k-means training (Lloyd iterations) — the "train the
     * quantizer" step [[ivfTopK]]'s deterministic every-Nth codebook
     * deliberately skips. Assignment is the scan-stage

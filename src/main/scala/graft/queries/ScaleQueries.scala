@@ -590,6 +590,31 @@ object ScaleQueries {
     recallGate(annIvfpq(s, dir), exactGroundTruth(s, dir, k = 3),
       k = 3, floorPct = 60)
 
+  /** [[Similarity.ivfIndexWrite]] + [[Similarity.ivfIndexedSearch]]
+    * driven end-to-end: the IVF index PERSISTED as a parquet table
+    * partitioned by list id (built once per dir, memoized), then one
+    * query (vec_id 0) served by reading ONLY its 7 probed list
+    * partitions — `PartitionFilters` in the scan, pinned by PlanSpec;
+    * the storage-layer face of IVF's sublinearity. The oracle is the
+    * ann_ivf replay restricted to this query: the persisted index and
+    * the in-plan equi-join MUST return identical neighbors.
+    */
+  def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (path, codebook) = memoCodebook(s"ivf-index:$dir") {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index").toString
+      val cb = Similarity.ivfIndexWrite(emb, "vec_id", "embedding", p)
+      (p, cb)
+    }
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<float>"))
+      .head().getSeq[Float](0)
+    Similarity.ivfIndexedSearch(s, path, codebook,
+        qid = 0L, qv = qv, nprobe = 7, k = 3)
+      .orderBy(col("rnk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over an id window —
     * exact, oracle-checked member of the embedding-dedup family
     * (LSH variant: [[annLsh]]).
@@ -1040,6 +1065,7 @@ object ScaleQueries {
     "ann_lsh" -> (annLsh _),
     "ann_lsh_recall" -> (annLshRecall _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivf_indexed" -> (annIvfIndexed _),
     "ann_ivf_recall" -> (annIvfRecall _),
     "ann_ivf_trained" -> (annIvfTrained _),
     "ann_ivf_trained_recall" -> (annIvfTrainedRecall _),
@@ -1171,8 +1197,14 @@ object ScaleQueries {
     * on exact cosine. The NaN guard mirrors the kernel's isNaN skip
     * (DuckDB would otherwise sort NaN FIRST under DESC).
     */
-  private def annIvfOracleSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  private def annIvfOracleSql: String = annIvfOracleSqlFor("TRUE")
+
+  /** [[annIvfOracleSql]] restricted to queries matching `qidWhere` —
+    * shared by `ann_ivf` (all queries) and `ann_ivf_indexed` (the one
+    * persisted-index-served query).
+    */
+  private def annIvfOracleSqlFor(qidWhere: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings),
        cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
               WHERE vec_id % 149 = 0 ORDER BY centroid_id LIMIT 16384),
@@ -1187,7 +1219,7 @@ object ScaleQueries {
               FROM sim WHERE NOT isnan(s)),
        asg AS (SELECT vec_id AS cid, centroid_id FROM rk WHERE rn = 1),
        pb AS (SELECT vec_id AS qid, centroid_id FROM rk
-              WHERE rn <= 7 AND vec_id % 20 = 0),
+              WHERE rn <= 7 AND vec_id % 20 = 0 AND ($qidWhere)),
        cand AS (SELECT pb.qid, asg.cid
                 FROM pb JOIN asg USING (centroid_id)
                 WHERE pb.qid <> asg.cid),
@@ -1475,6 +1507,9 @@ object ScaleQueries {
     // to SRP sign bits and the sampled-codebook argmax)
     "ann_lsh" -> annLshOracleSql,
     "ann_ivf" -> annIvfOracleSql,
+    // the persisted partition-pruned index must agree with the
+    // in-plan join on the served query
+    "ann_ivf_indexed" -> annIvfOracleSqlFor("vec_id = 0"),
     // the TRAINED variant, promoted r7: the Lloyd loop itself unrolls
     // into SQL because cell sums are e12 int64 (order-independent)
     "ann_ivf_trained" -> annIvfTrainedOracleSql,

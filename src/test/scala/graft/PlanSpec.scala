@@ -26,6 +26,22 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("ann_ivf_indexed: the persisted-index scan is PARTITION-PRUNED " +
+      "to the probed lists") {
+    val plan = formatted("ann_ivf_indexed")
+    // the probed list ids must land in PartitionFilters (storage-layer
+    // pruning — only nprobe directory partitions are read), not as a
+    // post-scan Filter over all lists
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("centroid_id") &&
+      (scanLine.contains("IN (") || scanLine.contains("isin") ||
+        scanLine.contains("centroid_id#")),
+      s"probed lists not in PartitionFilters:\n${plan.take(2000)}")
+    assert(scanLine.replaceAll("[^(]", "").nonEmpty, scanLine)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("incremental_window: range predicate reaches the parquet scan") {
     val plan = formatted("incremental_window")
     assert(plan.contains("PushedFilters:"), plan.take(2000))
