@@ -84,18 +84,24 @@ object Classifier {
     * an increment at cost ∝ |Δ| without rescanning the base corpus
     * (the incremental-family algebra applied to SGD).
     */
-  def step(feat: DataFrame, w: Array[Double], lr: Double)
-      : (Array[Double], Long, Long) = {
+  /** The 1-row gradient aggregate at weights `w` — exposed so PlanSpec
+    * can pin the scale shape: partial+final HashAggregate (map-side
+    * combine), a shuffle of (d+2)·partitions int64 cells, never rows.
+    */
+  def gradientFrame(feat: DataFrame, w: Array[Double]): DataFrame = {
     val p = fastSigmoid(zExpr(w))
     val err = p - col("y")
     def g(x: Column): Column =
       sum(floor(err * x * lit(1e12) + lit(0.5)))
-    val row = feat
-      .agg(g(lit(1.0)), g(col("x1")), g(col("x2")), g(col("x3")),
-        g(col("x4")),
-        sum(floor(err * err * lit(1e12) + lit(0.5))),
-        count(lit(1)))
-      .head()
+    feat.agg(g(lit(1.0)), g(col("x1")), g(col("x2")), g(col("x3")),
+      g(col("x4")),
+      sum(floor(err * err * lit(1e12) + lit(0.5))),
+      count(lit(1)))
+  }
+
+  def step(feat: DataFrame, w: Array[Double], lr: Double)
+      : (Array[Double], Long, Long) = {
+    val row = gradientFrame(feat, w).head()
     val n = row.getLong(Dim + 1)
     require(n > 0, "classifier training needs a non-empty corpus")
     val next = new Array[Double](Dim)

@@ -42,6 +42,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("classifier gradient step: partial+final aggregate — the " +
+      "shuffle carries integer cells, never rows") {
+    val feat = graft.ops.Classifier.features(
+      Tables(spark, sf, "documents"), "doc_id", "text", "lang")
+    val plan = graft.ops.Classifier
+      .gradientFrame(feat, Array.fill(5)(0.0))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val hashAggs = plan.linesIterator
+      .count(l => l.contains("HashAggregate"))
+    assert(hashAggs >= 2,
+      s"expected partial+final HashAggregate (map-side combine):\n" +
+        plan.take(1500))
+    // global 1-row aggregate: the only exchange is SinglePartition of
+    // the partial sums — no row-level hashpartitioning shuffle
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"gradient step must not shuffle rows:\n${plan.take(1500)}")
+  }
+
   test("incremental_window: range predicate reaches the parquet scan") {
     val plan = formatted("incremental_window")
     assert(plan.contains("PushedFilters:"), plan.take(2000))
