@@ -1687,10 +1687,78 @@ object TextQueries {
         qtTrained(s, dir)._1)
       .orderBy(col("id"))
 
+  /** Per-dir staged copy of `documents` as two id-split parquet files
+    * with ordered mtimes, so a file-source stream replays it as two
+    * REAL micro-batches (the events stage-cache pattern; dir-keyed,
+    * fixed-data assumption as everywhere).
+    */
+  private val docStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def docStage(s: SparkSession, dir: String): String =
+    docStageCache.computeIfAbsent(dir, _ => {
+      import java.nio.file.Files
+      val stage = Files.createTempDirectory("graft_stream_docs")
+      val docs = t(s, dir, "documents")
+      val base = System.currentTimeMillis() - 10 * 60000L
+      for (i <- 0 until 2) {
+        val tmp = stage.resolve(s"__tmp_$i")
+        docs.filter(pmod(col("doc_id"), lit(2)) === i)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = Files.list(tmp).filter(p =>
+          p.getFileName.toString.startsWith("part-")).findFirst().get()
+        val dest = stage.resolve(f"docs_$i%04d.parquet")
+        Files.move(part, dest)
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+      }
+      stage.toString
+    })
+
+  /** STREAMING deployment of the trained quality filter — the seventh
+    * driver-visible stream shape: documents replayed through a file
+    * source as ≥2 real micro-batches, each batch scored with the
+    * BATCH-trained weights (stream-static model application — the
+    * production quality-gate-at-ingest). Features and the rational
+    * sigmoid are per-row projections, so the query is STATELESS: no
+    * watermark, no state store; the model rides the plan as literals,
+    * exactly how a broadcast model deploys. The streamed scores must
+    * equal the batch scorer bit-for-bit — the oracle IS
+    * `quality_classify`'s replay, so batch/stream equivalence of the
+    * whole train-then-serve path is hash-checked.
+    */
+  def streamClassify(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val w = qtTrained(s, dir)._1
+    val stage = docStage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val name =
+      s"stream_classify_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stream = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage, schema, maxFilesPerTrigger = Some(1))
+    val scored = graft.ops.Classifier.score(
+      graft.ops.Classifier.features(stream, "doc_id", "text", "lang"), w)
+    val q = scored.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"stream_classify expected >=2 non-empty micro-batches, got $batches")
+    val out = s.table(name).orderBy(col("id"))
+      .localCheckpoint(true) // pin: the memory table dies with the query
+    q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_train" -> (qualityTrain _),
     "quality_train_incremental" -> (qualityTrainIncremental _),
     "quality_classify" -> (qualityClassify _),
+    "stream_classify" -> (streamClassify _),
     "bpe_merges" -> (bpeMerges _),
     "bpe_encode" -> (bpeEncode _),
     "bpe_roundtrip" -> (bpeRoundtrip _),
@@ -1864,6 +1932,9 @@ object TextQueries {
     // base phase + the delta-only online step, both replayed
     "quality_train_incremental" -> qualityTrainIncrementalOracleSql,
     "quality_classify" -> qualityClassifyOracleSql,
+    // batch/stream equivalence of train-then-serve: the streamed
+    // scores must equal the batch scorer's replay bit-for-bit
+    "stream_classify" -> qualityClassifyOracleSql,
     // the winnowing FINGERPRINT KERNEL replayed bit-for-bit in SQL:
     // byte-level k-gram FNV-1a + SplitMix64 (split-multiply mod-2^64 as
     // in dedup_simhash; the corpus is pure ASCII so chars == bytes),
