@@ -80,6 +80,16 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] probe prime failed: ${e.getMessage}")
     }
+    // a failed probe must degrade to an unknown verdict, never abort
+    // the run — losing every per-query result to a missing
+    // region.parquet would be the exact total-loss mode the three-line
+    // output design exists to prevent
+    def safeProbe(): Double =
+      try probe()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] probe failed: ${e.getMessage}")
+        -1.0
+      }
     // optional comma-separated query filter for targeted timing runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Runs per query; the per-query value reported is best-of-N so a
@@ -104,24 +114,29 @@ object Bench {
     }
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val probeA = probe()
+    val probeA = safeProbe()
     val mid = suite.size / 2
     var probeBOpt: Option[Double] = None
     val firstPass = suite.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == mid && probeBOpt.isEmpty) probeBOpt = Some(probe())
+      if (i == mid && probeBOpt.isEmpty) probeBOpt = Some(safeProbe())
       name -> (1 to repeat).flatMap(_ => timeOnce(name, fn))
     }
-    val probeB = probeBOpt.getOrElse(probe())
-    val probeC = probe()
+    val probeB = probeBOpt.getOrElse(safeProbe())
+    val probeC = safeProbe()
     val probes = Seq(probeA, probeB, probeC)
-    val contended = probes.max > 2 * probes.min
+    // a -1 (failed) sample means the weather is UNKNOWN, not contended
+    val contended = probes.forall(_ >= 0) && probes.max > 2 * probes.min
     // Self-adjudication pass: on the canonical sf0.1 run, any query
     // whose best-of-N exceeds 3x its idle reference gets ONE more run
     // (min still wins). On an idle host this re-runs nothing; during a
     // contention episode it gives every distorted query a second
     // chance after the episode, and names the survivors in "rerun" so
     // a judge can see which values were weather-corrected.
-    val applyRef = sfDir.stripSuffix("/").endsWith("sf0.1")
+    // the references are sf0.1 / local[32] measurements: on another
+    // core count most parallel-heavy queries would read as false
+    // outliers and the pass would re-run half the suite for nothing
+    val applyRef = sfDir.stripSuffix("/").endsWith("sf0.1") &&
+      cpus == "32"
     val results = firstPass.map { case (name, ts) =>
       val ref = if (applyRef) idleRefSf01.get(name) else None
       val outlier = ts.nonEmpty && ref.exists(r => ts.min > 3 * r)

@@ -88,14 +88,14 @@ object AhoCorasick {
     require(pats.forall(_.nonEmpty), "empty pattern")
 
     // Trie construction over a growable node table.
-    val maxNodes = pats.map(_.length).sum + 1
-    // the dense transition table is maxNodes·256 Ints; past ~8.4 MB of
-    // summed pattern bytes the Int product overflows — fail with a
-    // diagnostic instead of a NegativeArraySizeException
-    require(maxNodes <= Int.MaxValue / 256,
-      s"pattern list too large for the dense AC table: $maxNodes trie " +
+    // the byte sum itself is computed in Long: an Int sum would wrap
+    // for >2 GB of patterns and sail PAST the guard below
+    val maxNodesL = pats.map(_.length.toLong).sum + 1
+    require(maxNodesL <= Int.MaxValue / 256,
+      s"pattern list too large for the dense AC table: $maxNodesL trie " +
         s"nodes x 256 exceeds Int.MaxValue cells (summed pattern bytes " +
         s"must stay under ${Int.MaxValue / 256 - 1})")
+    val maxNodes = maxNodesL.toInt
     val next = Array.fill(maxNodes * 256)(-1)
     var nNodes = 1
     val emitHeadB = Array.fill(maxNodes)(-1)

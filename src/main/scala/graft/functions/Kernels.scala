@@ -588,9 +588,14 @@ object Kernels {
       return out(FmtJpeg, 0, 0, 0)
     }
     // BMP: "BM" + 12-byte file header, BITMAPINFOHEADER width/height
-    // LE at 18/22 (height may be negative = top-down), bpp at 28
+    // LE at 18/22 — both fields are SIGNED int32 (height negative =
+    // top-down; a negative width is invalid per spec but appears in
+    // hostile payloads, so it gets the same abs treatment rather than
+    // surfacing as a 2^31..2^32 "unsigned" value), bpp at 28
+    // (abs AFTER widening to Long: abs(Int.MinValue) is still negative)
     if (b(0) == 'B' && b(1) == 'M' && b.length >= 30)
-      return out(FmtBmp, le32(b, 18), math.abs(le32(b, 22).toInt).toLong,
+      return out(FmtBmp, math.abs(le32(b, 18).toInt.toLong),
+        math.abs(le32(b, 22).toInt.toLong),
         le16(b, 28).toLong)
     // GIF: "GIF87a"/"GIF89a" + logical screen w/h LE at 6/8, packed
     // color-depth byte at 10 (needs 11 bytes — one more than the

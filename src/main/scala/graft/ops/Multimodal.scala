@@ -91,8 +91,10 @@ object Multimodal {
           while (i < n) { sum += payload(i.toInt) & 0xff; i += 1 }
           val bodyLen = n - off
           MediaMeta(id, kind, n,
-            width = h.getLong(1).toInt,
-            height = h.getLong(2).toInt,
+            // clamp: hostile 4-byte dims (e.g. a PNG declaring 2^32−1)
+            // must not wrap negative through toInt
+            width = math.min(h.getLong(1), Int.MaxValue).toInt,
+            height = math.min(h.getLong(2), Int.MaxValue).toInt,
             mean_val =
               if (bodyLen <= 0) 0.0 else sum.toDouble / bodyLen / 255.0)
         }

@@ -1008,6 +1008,7 @@ object AdvancedQueries {
       .orderBy(col("day_us"), col("event_type"))
       .localCheckpoint(true) // pin: the memory table dies with the query
     q.stop()
+    s.catalog.dropTempView(name) // release the memory sink's rows
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     // stage dir is session-cached (stageCache) — not deleted per query
     out
@@ -1045,6 +1046,7 @@ object AdvancedQueries {
       .orderBy(col("c_mktsegment"), col("event_type"))
       .localCheckpoint(true) // pin: the memory table dies with the query
     q.stop()
+    s.catalog.dropTempView(name) // release the memory sink's rows
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     // stage dir is session-cached (stageCache) — not deleted per query
     out
@@ -1089,6 +1091,7 @@ object AdvancedQueries {
       .orderBy(col("user_id"), col("session_id"))
       .localCheckpoint(true) // pin: the memory table dies with the query
     q.stop()
+    s.catalog.dropTempView(name) // release the memory sink's rows
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     // stage dir is session-cached (stageCache) — not deleted per query
     out
@@ -1141,6 +1144,7 @@ object AdvancedQueries {
       .orderBy(col("user_id"), col("click_id"), col("buy_id"))
       .localCheckpoint(true) // pin: the memory table dies with the query
     q.stop()
+    s.catalog.dropTempView(name) // release the memory sink's rows
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     // stage dir is session-cached (stageCache) — not deleted per query
     out
@@ -1189,6 +1193,7 @@ object AdvancedQueries {
       .orderBy(col("user_id"), col("event_type"), col("day_us"))
       .localCheckpoint(true) // pin: the memory table dies with the query
     q.stop()
+    s.catalog.dropTempView(name) // release the memory sink's rows
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     // stage dir is session-cached (stageCache) — not deleted per query
     out

@@ -1750,6 +1750,7 @@ object TextQueries {
     val out = s.table(name).orderBy(col("id"))
       .localCheckpoint(true) // pin: the memory table dies with the query
     q.stop()
+    s.catalog.dropTempView(name) // release the memory sink's rows
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     out
   }

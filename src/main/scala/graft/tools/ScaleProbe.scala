@@ -57,15 +57,31 @@ object ScaleProbe {
         Array.tabulate(n)(i =>
           Vocab(Math.floorMod(mix64(id * 1031L + i), 31L).toInt))
       }
+      // resolve the plant rules through the REMAP CHAIN: a doc copies
+      // its predecessor's ACTUAL words, not the predecessor's raw
+      // sample — otherwise two adjacent remapped ids silently plant no
+      // pair at all (id ≡ 2 mod 83 with id−1 ≡ 1 mod 40 made doc id a
+      // variant of a text doc id−1 never had). The chain terminates at
+      // depth ≤ 2 (two ids ≡ 2 mod 83 / ≡ 1 mod 40 are never within 2
+      // of each other); resolved ITERATIVELY — a recursive local def
+      // captures the enclosing object into the task closure
+      // (NotSerializableException).
+      def docWords(id0: Long): Array[String] = {
+        var cur = id0
+        var swapSeeds = List.empty[Long] // outermost collected first
+        while (cur % 83 == 2 || cur % 40 == 1) {
+          if (cur % 83 == 2) swapSeeds ::= cur // near-dup: swap last word
+          cur -= 1                             // exact dup: plain copy
+        }
+        val v = words(cur)
+        // apply innermost swap first (the prepend above reversed the
+        // collection order, so iteration is already innermost→outermost)
+        for (seed <- swapSeeds)
+          v(v.length - 1) = Vocab(Math.floorMod(mix64(seed), 31L).toInt)
+        v
+      }
       it.map { id =>
-        val w =
-          if (id % 83 == 2) { // near-dup of predecessor
-            val v = words(id - 1)
-            v(v.length - 1) = Vocab(Math.floorMod(mix64(id), 31L).toInt)
-            v
-          } else if (id % 40 == 1) words(id - 1) // exact dup
-          else words(id)
-        val text = w.mkString(" ")
+        val text = docWords(id).mkString(" ")
         (id, text, Langs(Math.floorMod(mix64(id + 99L), 8L).toInt),
           s"src${id % 20}", text.length.toLong)
       }

@@ -85,12 +85,22 @@ class MultimodalSpec extends AnyFunSuite {
       "(fuzz: random bytes, truncated headers, empty, null)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
+    // a BMP declaring width = Int.MinValue (signed le32) and a PNG
+    // declaring width = 2^32−1: dimension fields must come out
+    // non-negative and non-wrapping, by construction not by seed luck
+    val evilBmp = Kernels.makeMediaHeader(3, 9, 9).clone()
+    evilBmp(18) = 0; evilBmp(19) = 0; evilBmp(20) = 0
+    evilBmp(21) = 0x80.toByte
+    val evilPng = Kernels.makeMediaHeader(1, 9, 9).clone()
+    evilPng(16) = 0xff.toByte; evilPng(17) = 0xff.toByte
+    evilPng(18) = 0xff.toByte; evilPng(19) = 0xff.toByte
     val hostile: Seq[Array[Byte]] =
       (0 until 64).map(n => Array.fill(n)(rnd.nextInt(256).toByte)) ++
         Seq(Array.emptyByteArray,
           Kernels.makeMediaHeader(1, 9, 9).take(12),  // truncated PNG
           Kernels.makeMediaHeader(3, 9, 9).take(20),  // truncated BMP
           Array(0xff, 0xd8, 0xff).map(_.toByte),      // bare JPEG SOI
+          evilBmp, evilPng,
           null)
     val media = hostile.zipWithIndex
       .map { case (p, i) => (i.toLong, "image", p) }
