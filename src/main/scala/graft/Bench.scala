@@ -180,6 +180,19 @@ object Bench {
       .filter { case (k, _, _) => anchor41.contains(k) }
       .flatMap(_._2.minOption).sum)
     val probeJson = probes.map(r3).mkString("[", ",", "]")
+    // Absolute host weather: the probe workload is fixed across rounds,
+    // so min(probe)/idle-reference reads host speed directly. The
+    // spread-only `contended` flag detects EPISODES; a uniformly loaded
+    // host (r7 driver: probes 0.405-0.586 vs ~0.24 idle, spread 1.45x,
+    // 43 outlier re-runs) shows contended:false — probe_ratio names it.
+    // min (not median) is deliberate: even the best-case probe cannot
+    // beat the host, so a high min proves sustained load, while a
+    // single slow sample stays the spread flag's business.
+    val validProbes = probes.filter(_ >= 0)
+    val probeRatio =
+      if (validProbes.isEmpty) -1.0
+      else r3(validProbes.min / BenchIdleRef.probeIdleSec)
+    val hostSlow = probeRatio > 1.5
     // Three lines, detailed first: the driver captures the output TAIL
     // and both the r4 and r5 artifacts lost their totals — r4 because
     // the detailed line led with it, r5 because the compact line's
@@ -187,9 +200,26 @@ object Bench {
     // therefore minimal (no query map, ~200 bytes) so the total, the
     // like-for-like anchor subset, and the host-weather verdict
     // (probe_s/contended/rerun) always survive truncation.
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$repeat,"samples":$samples,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"noisy":$noisy,"failed":$failed,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total_only","value":$total,"unit":"sec","runs":$repeat,"nq":${results.size},"anchor41":$anchorTotal,"anchor41_nq":${results.count(r => anchor41.contains(r._1))},"failed_n":${results.count(_._2.isEmpty)},"probe_s":$probeJson,"contended":$contended,"rerun":$rerun}""")
+    val detailLine = s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$repeat,"samples":$samples,"sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"noisy":$noisy,"failed":$failed,"sf":"$sfDir"}"""
+    val totalLine = s"""{"metric":"total_only","value":$total,"unit":"sec","runs":$repeat,"nq":${results.size},"anchor41":$anchorTotal,"anchor41_nq":${results.count(r => anchor41.contains(r._1))},"failed_n":${results.count(_._2.isEmpty)},"probe_s":$probeJson,"probe_ratio":$probeRatio,"host_slow":$hostSlow,"contended":$contended,"rerun":$rerun}"""
+    println(detailLine)
+    println(compactLine)
+    println(totalLine)
+    // The driver captures only a ~2000-char stdout TAIL, so the
+    // per-query map has been lost from the artifact two rounds running
+    // (BENCH_r06/r07 `parsed:null`). Persist all three lines to a file
+    // that survives any tail budget; best-effort — a read-only target/
+    // must not cost the stdout artifact.
+    try {
+      val p = java.nio.file.Paths.get("target/bench_detail.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (detailLine + "\n" + compactLine + "\n" + totalLine + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_detail.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

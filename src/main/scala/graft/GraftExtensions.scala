@@ -82,6 +82,10 @@ object GraftExtensions {
     "make_media_header" -> ((args: Seq[Expression]) =>
       MakeMediaHeaderExpr(dsl.asInt(args(0)), dsl.asInt(args(1)),
         dsl.asInt(args(2)))),
+    "byte_histogram" -> ((args: Seq[Expression]) =>
+      ByteHistogramExpr(dsl.asBinary(args(0)), intArg(args(1), "nBands"))),
+    "body_mean" -> ((args: Seq[Expression]) =>
+      BodyMeanExpr(dsl.asBinary(args(0)))),
     "audio_header" -> ((args: Seq[Expression]) =>
       AudioHeaderExpr(dsl.asBinary(args(0)))),
     "make_audio_header" -> ((args: Seq[Expression]) =>

@@ -37,6 +37,42 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     restoreNanos(raw(spark, sfDir, name))
 
+  /** Cheap content fingerprint of a data directory: a mix64 chain over
+    * every regular file's (name, size, mtime), path-sorted so listing
+    * order can't flip the value. Costs a ~dozen stat calls — cheap
+    * enough to recompute on every memo lookup. Used to version-key the
+    * train-once caches (BPE merges, classifier weights, codebooks,
+    * staged stream dirs): a dir whose parquet is regenerated IN PLACE
+    * within one JVM gets a new version and retrains, instead of being
+    * served state trained on the old bytes. (A production engine would
+    * key on a table-format snapshot id; mtime+size is the
+    * content-addressing available to bare parquet dirs.)
+    */
+  def version(sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(sfDir)
+    if (!Files.exists(root)) return "absent"
+    val stream = Files.walk(root, 3)
+    try {
+      val files = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (Files.isRegularFile(f)) files += f
+      }
+      var h = -3750763034362895579L // FNV-1a 64 offset basis
+      files.sortBy(_.toString).foreach { f =>
+        h = graft.functions.Kernels.mix64(h ^ f.getFileName.toString.##)
+        h = graft.functions.Kernels.mix64(h ^ Files.size(f))
+        h = graft.functions.Kernels.mix64(h ^ Files.getLastModifiedTime(f).toMillis)
+      }
+      java.lang.Long.toHexString(h)
+    } finally stream.close()
+  }
+
+  /** `dir@version` — the memo-cache key form of [[version]]. */
+  def versioned(sfDir: String): String = s"$sfDir@${version(sfDir)}"
+
   /** Read with the physical column types untouched — for scans that
     * filter on the raw event-time form (parquet row-group/page
     * pruning), converting after the filter

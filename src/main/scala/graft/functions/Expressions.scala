@@ -291,6 +291,40 @@ case class MakeMediaHeaderExpr(format: Expression, w: Expression, h: Expression)
   override def prettyName: String = "make_media_header"
 }
 
+/** `nBands`-band histogram (long counts) of the payload body bytes
+  * after the container header — [[Kernels.byteHistogram]]; scan-stage
+  * codegen, the content-sniffer feature family. Null payload → null
+  * (callers coalesce to zero counts for the batched-path parity).
+  */
+case class ByteHistogramExpr(child: Expression, nBands: Int)
+    extends UnaryExpression {
+  require(nBands > 0 && nBands <= 256,
+    s"byte_histogram needs 1..256 bands, got $nBands")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.byteHistogram(input.asInstanceOf[Array[Byte]], nBands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.byteHistogram($c, $nBands)")
+  override protected def withNewChildInternal(c: Expression): ByteHistogramExpr =
+    copy(child = c)
+  override def prettyName: String = "byte_histogram"
+}
+
+/** Mean body-byte intensity in [0,1] ([[Kernels.bodyByteMean]]) —
+  * scan-stage codegen grayscale-mean proxy. Null payload → null.
+  */
+case class BodyMeanExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.bodyByteMean(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.bodyByteMean($c)")
+  override protected def withNewChildInternal(c: Expression): BodyMeanExpr =
+    copy(child = c)
+  override def prettyName: String = "body_mean"
+}
+
 /** [format, sample_rate, channels, bits_per_sample, n_frames] parsed
   * from real audio container header bytes (WAV RIFF chunk walk / FLAC
   * STREAMINFO) — [[Kernels.parseAudioHeader]]; scan-stage, no codec.
@@ -666,6 +700,18 @@ object dsl {
       asInt(ExpressionUtils.expression(format)),
       asInt(ExpressionUtils.expression(w)),
       asInt(ExpressionUtils.expression(h))))
+
+  /** `nBands`-band long-count histogram of payload body bytes (bytes
+    * after the container header) — scan-stage codegen.
+    */
+  def byte_histogram(payload: Column, nBands: Int): Column =
+    ExpressionUtils.column(ByteHistogramExpr(
+      asBinary(ExpressionUtils.expression(payload)), nBands))
+
+  /** Mean body-byte intensity in [0,1] (grayscale-mean proxy). */
+  def body_mean(payload: Column): Column =
+    ExpressionUtils.column(BodyMeanExpr(
+      asBinary(ExpressionUtils.expression(payload))))
 
   /** [format, sample_rate, channels, bits_per_sample, n_frames] longs
     * from audio container header bytes; use `try_element_at` to

@@ -626,6 +626,42 @@ object Kernels {
     case _ => 0
   }
 
+  /** `nBands`-band histogram (long counts) of the payload BODY bytes —
+    * bytes after the container header ([[mediaBodyOffset]] of the
+    * parsed format), band `(b * nBands) / 256`. The scan-stage codegen
+    * form of the content-sniffer feature in
+    * [[graft.ops.Multimodal.embedFeaturesBatched]]; null/empty/
+    * header-only payloads yield all-zero counts (never throws).
+    */
+  def byteHistogram(b: Array[Byte], nBands: Int): ArrayData = {
+    val counts = new Array[Long](nBands)
+    if (b != null) {
+      val off = mediaBodyOffset(parseMediaHeader(b).getLong(0))
+      var i = off
+      while (i < b.length) {
+        counts(((b(i) & 0xff) * nBands) / 256) += 1L
+        i += 1
+      }
+    }
+    new GenericArrayData(counts)
+  }
+
+  /** Mean body-byte intensity in [0,1]: sum of payload bytes after the
+    * container header / bodyLen / 255.0 — the grayscale-mean proxy of
+    * [[graft.ops.Multimodal.decodeFeaturesBatched]]. 0.0 for
+    * null/empty/header-only payloads.
+    */
+  def bodyByteMean(b: Array[Byte]): Double = {
+    if (b == null) return 0.0
+    val off = mediaBodyOffset(parseMediaHeader(b).getLong(0))
+    val bodyLen = b.length - off
+    if (bodyLen <= 0) return 0.0
+    var sum = 0L
+    var i = off
+    while (i < b.length) { sum += b(i) & 0xff; i += 1 }
+    sum.toDouble / bodyLen / 255.0
+  }
+
   /** Minimal VALID container header bytes for (format, w, h) — the
     * synthesis side of the round-trip (tests + the DuckDB-checkable
     * header query). Formats: 1 PNG (depth 8), 2 JPEG (JFIF APP0 +

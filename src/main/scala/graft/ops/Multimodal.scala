@@ -68,16 +68,44 @@ object Multimodal {
         try_element_at(col("__h"), lit(4)).as("bit_depth"))
   }
 
-  /** REAL decode statistics: container-header fields via the byte
-    * parser ([[graft.functions.Kernels.parseMediaHeader]]) plus the
-    * mean body-byte intensity over the pixel-data section (bytes after
-    * the header, normalized to [0,1] by 255) — the grayscale-mean
-    * proxy a quality filter thresholds on. Runs as a per-partition
-    * iterator pass; a PIXEL CODEC (ImageIO/ffmpeg — absent in this
-    * container) would initialize here once per partition and replace
-    * the raw-byte mean with a decoded-pixel mean.
+  /** REAL decode statistics: container-header fields via the
+    * scan-stage byte parser ([[graft.functions.MediaHeaderExpr]]) plus
+    * the mean body-byte intensity over the pixel-data section (bytes
+    * after the header, normalized to [0,1] by 255 —
+    * [[graft.functions.BodyMeanExpr]]) — the grayscale-mean proxy a
+    * quality filter thresholds on. Pure codegen Project since r8;
+    * [[decodeFeaturesBatched]] keeps the per-partition iterator shape
+    * a real pixel codec drops into (MultimodalSpec pins the two paths
+    * bit-equal).
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    import graft.functions.dsl._
+    media
+      .select(col("media_id"), col("kind"),
+        coalesce(length(col("payload")), lit(0)).cast(LongType).as("n_bytes"),
+        media_header(col("payload")).as("__h"),
+        coalesce(body_mean(col("payload")), lit(0.0)).as("mean_val"))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        // clamp: hostile 4-byte dims (e.g. a PNG declaring 2^32−1)
+        // must not wrap negative through the int cast; null header
+        // (null payload) → 0 dims, matching the batched path
+        least(coalesce(try_element_at(col("__h"), lit(2)), lit(0L)),
+          lit(Int.MaxValue.toLong)).cast(IntegerType).as("width"),
+        least(coalesce(try_element_at(col("__h"), lit(3)), lit(0L)),
+          lit(Int.MaxValue.toLong)).cast(IntegerType).as("height"),
+        col("mean_val"))
+      .as[MediaMeta]
+  }
+
+  /** The per-partition iterator variant of [[decodeFeatures]] — the
+    * documented CODEC SWAP POINT: a real pixel decoder (ImageIO/ffmpeg,
+    * absent in this container) initializes once per partition here and
+    * replaces the raw-byte mean with a decoded-pixel mean. Kept
+    * bit-equal to the codegen path (same kernels row-wise;
+    * MultimodalSpec pins it).
+    */
+  def decodeFeaturesBatched(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
@@ -85,18 +113,10 @@ object Multimodal {
         it.map { case (id, kind, payload) =>
           val n = if (payload == null) 0L else payload.length.toLong
           val h = graft.functions.Kernels.parseMediaHeader(payload)
-          val off = graft.functions.Kernels.mediaBodyOffset(h.getLong(0))
-          var sum = 0L
-          var i = off
-          while (i < n) { sum += payload(i.toInt) & 0xff; i += 1 }
-          val bodyLen = n - off
           MediaMeta(id, kind, n,
-            // clamp: hostile 4-byte dims (e.g. a PNG declaring 2^32−1)
-            // must not wrap negative through toInt
             width = math.min(h.getLong(1), Int.MaxValue).toInt,
             height = math.min(h.getLong(2), Int.MaxValue).toInt,
-            mean_val =
-              if (bodyLen <= 0) 0.0 else sum.toDouble / bodyLen / 255.0)
+            mean_val = graft.functions.Kernels.bodyByteMean(payload))
         }
       }
   }
@@ -114,6 +134,30 @@ object Multimodal {
     */
   def embedFeatures(spark: SparkSession, media: DataFrame,
                     dim: Int = 16): DataFrame = {
+    require(dim >= 5, s"embedFeatures needs >= 5 dims (4 header + >=1 band), got $dim")
+    import graft.functions.dsl._
+    val nBands = dim - 4
+    // scan-stage codegen Project: header fields + body-byte histogram
+    // concatenated into the fixed-width float vector. Null payload →
+    // the batched path's all-zero header + zero counts.
+    val zeros4 = array((0 until 4).map(_ => lit(0L)): _*)
+    val zerosB = array((0 until nBands).map(_ => lit(0L)): _*)
+    media.select(col("media_id"),
+      concat(
+        transform(coalesce(media_header(col("payload")), zeros4),
+          x => x.cast(FloatType)),
+        transform(coalesce(byte_histogram(col("payload"), nBands), zerosB),
+          x => x.cast(FloatType))).as("embedding"))
+  }
+
+  /** The per-partition iterator variant of [[embedFeatures]] — the
+    * documented MODEL SWAP POINT: a learned vision model (absent in
+    * this container) loads once per partition here and batch-infers
+    * instead of the histogram. Kept bit-equal to the codegen path
+    * (MultimodalSpec pins it).
+    */
+  def embedFeaturesBatched(spark: SparkSession, media: DataFrame,
+                           dim: Int = 16): DataFrame = {
     require(dim >= 5, s"embedFeatures needs >= 5 dims (4 header + >=1 band), got $dim")
     import spark.implicits._
     val nBands = dim - 4

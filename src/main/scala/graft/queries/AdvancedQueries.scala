@@ -666,7 +666,7 @@ object AdvancedQueries {
     * JVM's lifetime (true for the driver's immutable test corpora).
     */
   private def lpaLabels(s: SparkSession, dir: String): DataFrame =
-    graft.SessionMemo.getOrCompute(s, s"lpa:$dir",
+    graft.SessionMemo.getOrCompute(s, s"lpa:${graft.Tables.versioned(dir)}",
       graft.ops.Dedup.materialize(
         Graph.labelPropagation(Graph.symmetrize(graphPairs(s, dir)),
           rounds = 3)))
@@ -916,7 +916,8 @@ object AdvancedQueries {
 
   private def stageEventsTimeSplit(s: SparkSession, dir: String,
                                    n: Int): java.nio.file.Path =
-    stageCache.getOrElseUpdate((dir, n), stageEventsTimeSplitUncached(s, dir, n))
+    stageCache.getOrElseUpdate((graft.Tables.versioned(dir), n),
+      stageEventsTimeSplitUncached(s, dir, n))
 
   private def stageEventsTimeSplitUncached(s: SparkSession, dir: String,
                                            n: Int): java.nio.file.Path = {

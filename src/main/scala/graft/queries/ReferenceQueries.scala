@@ -366,15 +366,15 @@ object ReferenceQueries {
     * extracted to a temp dir if ever run from a jar) so the query is
     * location-independent.
     */
-  private lazy val syncFixtureDir: String = {
-    val res = getClass.getResource("/jsonapi_sync/prospects")
+  private def fixtureDirFor(sub: String, files: Seq[String]): String = {
+    val res = getClass.getResource(s"/jsonapi_sync/$sub")
     if (res != null && res.getProtocol == "file")
       new java.io.File(res.toURI).getAbsolutePath
     else {
       val tmp = java.nio.file.Files.createTempDirectory("jsonapi_sync").toFile
       tmp.deleteOnExit()
-      Seq("page1.json", "page2.json", "page3.json").foreach { p =>
-        val in = getClass.getResourceAsStream(s"/jsonapi_sync/prospects/$p")
+      files.foreach { p =>
+        val in = getClass.getResourceAsStream(s"/jsonapi_sync/$sub/$p")
         require(in != null, s"fixture $p missing from classpath")
         try java.nio.file.Files.copy(in, new java.io.File(tmp, p).toPath)
         finally in.close()
@@ -382,6 +382,12 @@ object ReferenceQueries {
       tmp.getAbsolutePath
     }
   }
+
+  private lazy val syncFixtureDir: String =
+    fixtureDirFor("prospects", Seq("page1.json", "page2.json", "page3.json"))
+
+  private lazy val accountsFixtureDir: String =
+    fixtureDirFor("accounts", Seq("page1.json", "page2.json"))
 
   /** The full sync lifecycle THROUGH the DSv2 source, driver-visible
     * (S1–S4 + P1/P5/P6 + §2.8 dedup in one row-checked query): three
@@ -417,10 +423,49 @@ object ReferenceQueries {
       .orderBy(col("id"))
   }
 
+  /** The S5 extension point DRIVEN end-to-end: `accounts` is routable
+    * in the reference's URL dispatch but ships NO schema file
+    * (outreach_etl.py:81-84 would crash in create_dF_from_schema) —
+    * here a user-authored schema is registered AT RUNTIME
+    * ([[graft.schema.SchemaRegistry.registerJson]], the documented
+    * extension mechanism) and the full [[jsonapiSync]] lifecycle runs
+    * through it over two checked-in accounts fixture pages: DSv2
+    * parallel page scan, schema-typed flatten, 2019 replication
+    * window (id 12's 2020 update must vanish), prefix rename, and
+    * dedup-latest upsert (id 11 appears on both pages; the newer
+    * page-2 version must win). The oracle re-reads the SAME fixture
+    * pages as raw JSON in DuckDB — so the runtime-registered schema
+    * path is value-checked byte-to-result, not unit-only.
+    */
+  def jsonapiSyncAccounts(s: SparkSession, dir: String): DataFrame = {
+    val in = getClass.getResourceAsStream("/jsonapi_sync/accounts_schema.json")
+    require(in != null, "accounts schema fixture missing from classpath")
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    graft.schema.SchemaRegistry.registerJson("accounts", json)
+    val conformed = graft.ops.OutreachPipeline.conformed(s,
+      graft.ops.OutreachPipeline.SyncConfig(
+        resource = "accounts", pagesDir = accountsFixtureDir, outDir = "",
+        replicationType = "full",
+        startDate = java.time.LocalDate.of(2019, 1, 1),
+        today = java.time.LocalDate.of(2020, 1, 1)))
+    conformed.select(col("id"), col("type"),
+        col("name"), col("domain"), col("industry"),
+        col("numberOfEmployees").as("employees"),
+        col("annualRevenue").as("revenue"),
+        col("named"), col("locality"),
+        col("tags_0"), col("tags_1"), col("custom1"),
+        col("relationships_owner_data_id").as("owner_id"),
+        unix_micros(col("updatedAt")).as("updated_us"))
+      .orderBy(col("id"))
+  }
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "run_report" -> (runReport _),
     "jsonapi_sync" -> (jsonapiSync _),
+    "jsonapi_sync_accounts" -> (jsonapiSyncAccounts _),
     "incremental_window" -> (incrementalWindow _),
     "flatten_props" -> (flattenProps _),
     "conform_cast" -> (conformCast _),
@@ -480,6 +525,41 @@ object ReferenceQueries {
          SELECT id, type, firstname, lastname, clickcount, score,
                 optedout, emails_0, emails_1, tags_0, hist_0_0, hist_0_1,
                 account_id, epoch_us(u) AS updated_us
+         FROM d WHERE rn = 1 ORDER BY id""",
+    // same independent-replay pattern as jsonapi_sync, over the
+    // accounts fixture pages ingested through the RUNTIME-registered
+    // schema — proving the extension path end-to-end
+    "jsonapi_sync_accounts" ->
+      """WITH raw AS (
+           SELECT unnest(data) AS r
+           FROM read_json(
+             '/root/repo/src/main/resources/jsonapi_sync/accounts/page*.json',
+             union_by_name=true)),
+         f AS (
+           SELECT CAST(r.id AS BIGINT) AS id, r.type AS type,
+                  r.attributes.name AS name,
+                  r.attributes.domain AS domain,
+                  r.attributes.industry AS industry,
+                  CAST(r.attributes.numberOfEmployees AS BIGINT)
+                    AS employees,
+                  CAST(r.attributes.annualRevenue AS DOUBLE) AS revenue,
+                  r.attributes.named AS named,
+                  r.attributes.locality AS locality,
+                  r.attributes.tags[1] AS tags_0,
+                  r.attributes.tags[2] AS tags_1,
+                  r.attributes.custom1 AS custom1,
+                  CAST(r.relationships.owner.data.id AS BIGINT)
+                    AS owner_id,
+                  r.attributes.updatedAt AS u
+           FROM raw),
+         w AS (SELECT * FROM f
+               WHERE u BETWEEN TIMESTAMP '2019-01-01 00:00:00'
+                           AND TIMESTAMP '2019-12-31 23:59:59.999999'),
+         d AS (SELECT *, row_number() OVER (PARTITION BY id
+                         ORDER BY u DESC, type DESC) AS rn FROM w)
+         SELECT id, type, name, domain, industry, employees, revenue,
+                named, locality, tags_0, tags_1, custom1, owner_id,
+                epoch_us(u) AS updated_us
          FROM d WHERE rn = 1 ORDER BY id""",
     // page math in exact integer arithmetic on both sides; report
     // strings concatenated from the same grammar (BIGINT renders

@@ -373,7 +373,7 @@ object ScaleQueries {
     * stays uncached: it IS the headline exact query being timed.
     */
   private def exactGroundTruth(s: SparkSession, dir: String, k: Int): DataFrame =
-    graft.SessionMemo.getOrCompute(s, s"ann-exact:$dir:$k",
+    graft.SessionMemo.getOrCompute(s, s"ann-exact:${graft.Tables.versioned(dir)}:$k",
       graft.ops.Dedup.materialize(exactTopK(s, dir, k)))
 
   /** Train-once memos (the bpeMergeCache pattern): each trained
@@ -381,8 +381,9 @@ object ScaleQueries {
     * exactly how a real pipeline treats a quantizer (fit once, reuse
     * everywhere), so `ann_ivf_trained` and its recall gate (and the
     * PQ / SemDeDup query+gate pairs) train ONE codebook per dir
-    * instead of one per consumer. FIXED-DATA ASSUMPTION as the BPE
-    * cache: a dir's parquet is immutable for the JVM's lifetime.
+    * instead of one per consumer. Keys carry
+    * [[graft.Tables.versioned]]'s dir fingerprint (r8): an in-place
+    * parquet regen retrains instead of serving stale codebooks.
     * Plain arrays, not DataFrames — session identity is irrelevant.
     */
   private val codebookCache =
@@ -542,7 +543,7 @@ object ScaleQueries {
     */
   def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val codebook = memoCodebook(s"ivf-trained:$dir") {
+    val codebook = memoCodebook(s"ivf-trained:${graft.Tables.versioned(dir)}") {
       val nlist = math.max(4, (emb.count() / 149).toInt)
       val (cents, _) = Similarity.kmeansTrain(
         emb, "vec_id", "embedding", k = nlist, iters = 4)
@@ -573,7 +574,7 @@ object ScaleQueries {
     */
   def annIvfpq(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val cbs = memoCodebook(s"pq:$dir:16:16:2") {
+    val cbs = memoCodebook(s"pq:${graft.Tables.versioned(dir)}:16:16:2") {
       Similarity.kmeansTrainMulti(emb, "vec_id", "embedding",
         m = 16, k = 16, iters = 2)._1
     }
@@ -601,7 +602,7 @@ object ScaleQueries {
     */
   def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val (path, codebook) = memoCodebook(s"ivf-index:$dir") {
+    val (path, codebook) = memoCodebook(s"ivf-index:${graft.Tables.versioned(dir)}") {
       val p = java.nio.file.Files
         .createTempDirectory("graft_ivf_index").toString
       val cb = Similarity.ivfIndexWrite(emb, "vec_id", "embedding", p)
@@ -645,7 +646,7 @@ object ScaleQueries {
     * contract gated by `semdedup_gate`.
     */
   private def semCents(s: SparkSession, dir: String): Array[Array[Float]] =
-    memoCodebook(s"sem:$dir:16:2") {
+    memoCodebook(s"sem:${graft.Tables.versioned(dir)}:16:2") {
       Similarity.kmeansTrain(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 16, iters = 2)._1
     }
@@ -713,7 +714,7 @@ object ScaleQueries {
     */
   private def pq8Codebooks(s: SparkSession, dir: String)
       : Array[Array[Array[Float]]] =
-    memoCodebook(s"pq:$dir:8:16:2") {
+    memoCodebook(s"pq:${graft.Tables.versioned(dir)}:8:16:2") {
       Similarity.kmeansTrainMulti(t(s, dir, "embeddings"),
         "vec_id", "embedding", m = 8, k = 16, iters = 2)._1
     }

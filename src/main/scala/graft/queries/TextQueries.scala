@@ -1453,18 +1453,18 @@ object TextQueries {
     * (lexicographic tie-break), so a cached result is byte-identical
     * to a retrain and correctness cannot depend on cache state.
     *
-    * FIXED-DATA ASSUMPTION: the dir key treats a corpus directory as
-    * immutable for the JVM's lifetime (true for the driver's test
-    * corpora). Regenerating a dir's parquet in-place within one
-    * long-lived JVM would serve merges trained on the OLD bytes — in
-    * that setting key by a content fingerprint instead. Unlike the
-    * session-bound frame memos ([[graft.SessionMemo]]) the cached
-    * value here is plain data, so session identity is irrelevant.
+    * Keys carry [[graft.Tables.versioned]]'s (name, size, mtime)
+    * fingerprint of the dir (r8, closing the r6/r7 fixed-data caveat):
+    * a dir whose parquet is regenerated in place within one JVM gets a
+    * new version and RETRAINS instead of being served merges trained
+    * on the old bytes (BpeSpec pins it). Unlike the session-bound
+    * frame memos ([[graft.SessionMemo]]) the cached value here is
+    * plain data, so session identity is irrelevant.
     */
   private val bpeMergeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Bpe.Merge]]()
   private def trainedMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] =
-    bpeMergeCache.computeIfAbsent((dir, BpeMerges), _ =>
+    bpeMergeCache.computeIfAbsent((graft.Tables.versioned(dir), BpeMerges), _ =>
       Bpe.train(Bpe.wordDict(t(s, dir, "documents"), "text"), BpeMerges))
 
   /** BPE tokenizer training over the corpus (Bpe.train): the first
@@ -1629,7 +1629,7 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[
       String, (Array[Double], Seq[(Int, Array[Double], Long, Long)])]()
   private def qtTrained(s: SparkSession, dir: String) =
-    qtCache.computeIfAbsent(dir, _ =>
+    qtCache.computeIfAbsent(graft.Tables.versioned(dir), _ =>
       graft.ops.Classifier.train(
         graft.ops.Classifier.features(
           t(s, dir, "documents"), "doc_id", "text", "lang"),
@@ -1695,7 +1695,7 @@ object TextQueries {
   private val docStageCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def docStage(s: SparkSession, dir: String): String =
-    docStageCache.computeIfAbsent(dir, _ => {
+    docStageCache.computeIfAbsent(graft.Tables.versioned(dir), _ => {
       import java.nio.file.Files
       val stage = Files.createTempDirectory("graft_stream_docs")
       val docs = t(s, dir, "documents")

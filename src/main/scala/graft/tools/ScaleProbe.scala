@@ -147,20 +147,27 @@ object ScaleProbe {
       System.err.println(s"[scale-probe] generating ${factor}x slice in $outDir")
       generate(spark, outDir, factor)
     }
-    val targets: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "dedup_minhash" -> graft.queries.ScaleQueries.queries("dedup_minhash"),
-      "ann_lsh" -> graft.queries.ScaleQueries.queries("ann_lsh"),
-      "pagerank" -> graft.queries.AdvancedQueries.queries("pagerank"))
-    def bestOf2(fn: => Long): Double = {
-      def once: Double = {
-        val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
-      }
-      math.min(once, once)
+    // third field: time COLD (single run) instead of best-of-2 — the
+    // trained-family queries memoize their training per (dir, version)
+    // ([[graft.queries.ScaleQueries]] codebook cache, qtCache), so a
+    // second run times only the post-training apply and would fake a
+    // near-zero exponent; the training pass IS the scaling story being
+    // measured (r7 VERDICT task 7).
+    val targets: Seq[(String, (SparkSession, String) => DataFrame, Boolean)] = Seq(
+      ("dedup_minhash", graft.queries.ScaleQueries.queries("dedup_minhash"), false),
+      ("ann_lsh", graft.queries.ScaleQueries.queries("ann_lsh"), false),
+      ("pagerank", graft.queries.AdvancedQueries.queries("pagerank"), false),
+      ("ann_ivfpq", graft.queries.ScaleQueries.queries("ann_ivfpq"), true),
+      ("quality_train", graft.queries.TextQueries.queries("quality_train"), true))
+    def timeOnce(fn: => Long): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
+    def bestOf2(fn: => Long): Double = math.min(timeOnce(fn), timeOnce(fn))
     val dirs = Seq("sf0.1" -> "/root/testdata/sf0.1", s"sf${factor}x" -> outDir)
-    val rows = for ((name, fn) <- targets) yield {
+    val rows = for ((name, fn, cold) <- targets) yield {
       val ts = dirs.map { case (label, d) =>
-        label -> bestOf2(fn(spark, d).count())
+        label -> (if (cold) timeOnce(fn(spark, d).count())
+                  else bestOf2(fn(spark, d).count()))
       }
       val t0 = ts.head._2; val t1 = ts.last._2
       val exponent = math.log(t1 / t0) / math.log(factor.toDouble)

@@ -29,6 +29,41 @@ class BpeSpec extends AnyFunSuite {
     assert(aa.head == "aa a")
   }
 
+  test("train-once memo is version-keyed: rewriting a dir's parquet " +
+      "in place retrains instead of serving stale merges") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_ver").toString
+    def write(texts: Seq[String]): Unit = {
+      val tmp = s"$dir/__tmp"
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+        .parquet(tmp)
+      // move into the flat documents.parquet file layout Tables reads
+      val part = Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+      Files.move(part, java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    write(Seq("aa aa ab", "aa aa ab"))
+    val v1 = Tables.version(dir)
+    assert(v1 == Tables.version(dir), "version must be call-stable")
+    val m1 = graft.queries.TextQueries.bpeMerges(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(m1.exists(r => r(1) == "a" && r(2) == "a"))
+    // regenerate IN PLACE with a different corpus: the version must
+    // move and the memo must retrain (pre-r8 the dir-only key would
+    // serve the old (a,a)-first merges)
+    write(Seq("xy xy xy zz", "xy xy zz"))
+    assert(Tables.version(dir) != v1,
+      "dir fingerprint must change when the parquet is rewritten")
+    val m2 = graft.queries.TextQueries.bpeMerges(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(m2.exists(r => r(1) == "x" && r(2) == "y"), m2.toString)
+    assert(!m2.exists(r => r(1) == "a" && r(2) == "a"), m2.toString)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("train: textbook merge order with deterministic ties") {
     // dict {aa:2, ab:1}: pair (a,a) wins rank 1 with n=2, then the
     // re-symbolized dict {"aa":2, "a b":1} leaves only (a,b); after

@@ -133,6 +133,42 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen decode/embed paths are bit-equal to the batched " +
+      "(codec/model swap-point) paths, hostile payloads included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val payloads: Seq[Array[Byte]] =
+      (1 to 4).flatMap(fmt => Seq(
+        Kernels.makeMediaHeader(fmt, 31, 17) ++
+          Array.fill(100)(rnd.nextInt(256).toByte),
+        Kernels.makeMediaHeader(fmt, 9, 9))) ++
+        Seq(Array.emptyByteArray, "plain text payload".getBytes,
+          Array.fill(64)(rnd.nextInt(256).toByte),
+          Kernels.makeMediaHeader(1, 9, 9).take(12), null)
+    val media = payloads.zipWithIndex
+      .map { case (p, i) => (i.toLong, "image", p) }
+      .toDF("media_id", "kind", "payload")
+    val mm = graft.ops.Multimodal
+    val d1 = mm.decodeFeatures(spark, media).collect().sortBy(_.media_id)
+    val d2 = mm.decodeFeaturesBatched(spark, media).collect()
+      .sortBy(_.media_id)
+    assert(d1.toSeq == d2.toSeq)
+    def embRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toList)).sortBy(_._1).toSeq
+    val e1 = embRows(mm.embedFeatures(spark,
+      media.select("media_id", "payload"), dim = 16))
+    val e2 = embRows(mm.embedFeaturesBatched(spark,
+      media.select("media_id", "payload"), dim = 16))
+    assert(e1 == e2)
+    // and the codegen path really is a scan-stage Project (no
+    // SerializeFromObject / MapPartitions in the plan)
+    val plan = mm.embedFeatures(spark,
+        media.select("media_id", "payload"), dim = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions") &&
+      !plan.contains("SerializeFromObject"), plan)
+  }
+
   test("headerMeta extracts real dimensions through the DataFrame API") {
     import spark.implicits._
     val media = Seq(
