@@ -461,11 +461,46 @@ object ReferenceQueries {
       .orderBy(col("id"))
   }
 
+  /** The OTHER S5 extension mechanism driven end-to-end:
+    * `opportunities` ingested through a schema FILE resolved from
+    * `-Dgraft.schemas.dir` ([[graft.schema.SchemaRegistry
+    * .SchemasDirProp]]) — the config-driven twin of
+    * [[jsonapiSyncAccounts]]'s programmatic registration, so BOTH
+    * documented extension paths carry a green CORRECTNESS row. The
+    * checked-in schema file (`schemas_ext/opportunities.json`) plays
+    * the deployment's config directory; the property is set only if
+    * the deployment hasn't set one already.
+    */
+  def jsonapiSyncOpportunities(s: SparkSession, dir: String): DataFrame = {
+    sys.props.getOrElseUpdate(graft.schema.SchemaRegistry.SchemasDirProp,
+      fixtureDirFor("schemas_ext", Seq("opportunities.json")))
+    val conformed = graft.ops.OutreachPipeline.conformed(s,
+      graft.ops.OutreachPipeline.SyncConfig(
+        resource = "opportunities", pagesDir = opportunitiesFixtureDir,
+        outDir = "", replicationType = "full",
+        startDate = java.time.LocalDate.of(2019, 1, 1),
+        today = java.time.LocalDate.of(2020, 1, 1)))
+    conformed.select(col("id"), col("type"), col("name"),
+        col("amount"), col("probability"),
+        col("opportunityType").as("opp_type"),
+        col("nextStep").as("next_step"),
+        unix_micros(col("closeDate")).as("close_us"),
+        col("tags_0"),
+        col("relationships_account_data_id").as("account_id"),
+        col("relationships_stage_data_id").as("stage_id"),
+        unix_micros(col("updatedAt")).as("updated_us"))
+      .orderBy(col("id"))
+  }
+
+  private lazy val opportunitiesFixtureDir: String =
+    fixtureDirFor("opportunities", Seq("page1.json", "page2.json"))
+
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "run_report" -> (runReport _),
     "jsonapi_sync" -> (jsonapiSync _),
     "jsonapi_sync_accounts" -> (jsonapiSyncAccounts _),
+    "jsonapi_sync_opportunities" -> (jsonapiSyncOpportunities _),
     "incremental_window" -> (incrementalWindow _),
     "flatten_props" -> (flattenProps _),
     "conform_cast" -> (conformCast _),
@@ -559,6 +594,39 @@ object ReferenceQueries {
                          ORDER BY u DESC, type DESC) AS rn FROM w)
          SELECT id, type, name, domain, industry, employees, revenue,
                 named, locality, tags_0, tags_1, custom1, owner_id,
+                epoch_us(u) AS updated_us
+         FROM d WHERE rn = 1 ORDER BY id""",
+    // the -Dgraft.schemas.dir file-based extension path, independently
+    // replayed from the same fixture pages
+    "jsonapi_sync_opportunities" ->
+      """WITH raw AS (
+           SELECT unnest(data) AS r
+           FROM read_json(
+             '/root/repo/src/main/resources/jsonapi_sync/opportunities/page*.json',
+             union_by_name=true)),
+         f AS (
+           SELECT CAST(r.id AS BIGINT) AS id, r.type AS type,
+                  r.attributes.name AS name,
+                  CAST(r.attributes.amount AS DOUBLE) AS amount,
+                  CAST(r.attributes.probability AS BIGINT) AS probability,
+                  r.attributes.opportunityType AS opp_type,
+                  r.attributes.nextStep AS next_step,
+                  epoch_us(CAST(r.attributes.closeDate AS TIMESTAMP))
+                    AS close_us,
+                  r.attributes.tags[1] AS tags_0,
+                  CAST(r.relationships.account.data.id AS BIGINT)
+                    AS account_id,
+                  CAST(r.relationships.stage.data.id AS BIGINT)
+                    AS stage_id,
+                  r.attributes.updatedAt AS u
+           FROM raw),
+         w AS (SELECT * FROM f
+               WHERE u BETWEEN TIMESTAMP '2019-01-01 00:00:00'
+                           AND TIMESTAMP '2019-12-31 23:59:59.999999'),
+         d AS (SELECT *, row_number() OVER (PARTITION BY id
+                         ORDER BY u DESC, type DESC) AS rn FROM w)
+         SELECT id, type, name, amount, probability, opp_type,
+                next_step, close_us, tags_0, account_id, stage_id,
                 epoch_us(u) AS updated_us
          FROM d WHERE rn = 1 ORDER BY id""",
     // page math in exact integer arithmetic on both sides; report
