@@ -217,6 +217,124 @@ object ReferenceQueries {
       .orderBy(col("ym"))
   }
 
+  // ------------------------------------------------------- §2.7 subqueries
+  // The TPC-H subquery family (q17/q18/q21/q22 shapes, reshaped to the
+  // driver's partsupp-less star schema): exercised THROUGH spark.sql so
+  // Catalyst's subquery machinery — RewriteCorrelatedScalarSubquery,
+  // IN→left-semi, [NOT] EXISTS→left-semi/anti decorrelation — is the
+  // surface under test, not a hand-built join equivalent. Money stays
+  // in integer cents (per-row round before any sum) and quantities are
+  // integral doubles (sum exact at any order), so both engines agree
+  // bit-for-bit; the one floating comparison (q17's 0.2*avg) divides
+  // an exactly-summed integral numerator by a count in BOTH engines.
+
+  private def tpchViews(s: SparkSession, dir: String): Unit =
+    Seq("lineitem", "orders", "customer", "supplier", "part")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(s"graft_$n"))
+
+  /** TPC-H q17 shape — small-quantity revenue: lineitems of selected
+    * brands whose quantity is under 20% of that part's average, via a
+    * CORRELATED SCALAR subquery (decorrelated by Catalyst into an
+    * aggregate + join; the inner aggregate shuffles once on
+    * l_partkey, the same key as the outer probe).
+    */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT p.p_brand,
+             CAST(count(*) AS BIGINT) AS n_small,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+               AS revenue_cents
+      FROM graft_lineitem l JOIN graft_part p
+        ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand IN ('Brand#23', 'Brand#13')
+        AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM graft_lineitem l2
+                            WHERE l2.l_partkey = p.p_partkey)
+      GROUP BY p.p_brand
+      ORDER BY p.p_brand""")
+  }
+
+  /** TPC-H q18 shape — large-volume orders: `o_orderkey IN (GROUP BY
+    * … HAVING)` (rewritten to a left-semi join on the aggregated
+    * lineitem), then the customer/order/lineitem rollup. The HAVING
+    * aggregate and the outer rollup share the l_orderkey shuffle key.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT c.c_custkey, c.c_name, o.o_orderkey,
+             CAST(year(o.o_orderdate) * 10000 + month(o.o_orderdate) * 100
+                  + day(o.o_orderdate) AS BIGINT) AS order_ymd,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+             CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+      FROM graft_customer c
+      JOIN graft_orders o ON c.c_custkey = o.o_custkey
+      JOIN graft_lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IN (SELECT l2.l_orderkey FROM graft_lineitem l2
+                             GROUP BY l2.l_orderkey
+                             HAVING sum(l2.l_quantity) > 150)
+      GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice
+      ORDER BY total_cents DESC, o.o_orderkey
+      LIMIT 100""")
+  }
+
+  /** TPC-H q21 shape — sole late supplier per multi-supplier finished
+    * order (no l_receiptdate/l_commitdate in this schema, so "late" is
+    * shipped >60 days after the order date): a correlated EXISTS and a
+    * correlated NOT EXISTS whose predicate references BOTH outer
+    * tables (l1 and o) — the anti-join leg Catalyst must decorrelate
+    * with the o_orderdate comparison inside. All three lineitem legs
+    * shuffle on l_orderkey; nothing is quadratic.
+    */
+  def q21LateSuppliers(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM graft_supplier s
+      JOIN graft_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN graft_orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM graft_lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM graft_lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o.o_orderdate
+                                              + INTERVAL 60 DAY)
+      GROUP BY s.s_name
+      ORDER BY numwait DESC, s.s_name
+      LIMIT 50""")
+  }
+
+  /** TPC-H q22 shape — idle above-average balances: customers whose
+    * balance beats the positive-balance average (UNCORRELATED scalar
+    * subqueries — planned as subquery broadcasts; the avg comparison
+    * is exact integer cross-multiplication, no division) and who have
+    * no high-value order (correlated NOT EXISTS → left-anti join).
+    */
+  def q22IdleBalance(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      WITH c AS (SELECT c_custkey, c_mktsegment,
+                        CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                 FROM graft_customer)
+      SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS numcust,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM c
+      WHERE cents * (SELECT count(*) FROM c WHERE cents > 0)
+              > (SELECT sum(cents) FROM c WHERE cents > 0)
+        AND NOT EXISTS (SELECT 1 FROM graft_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 400000)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")
+  }
+
   /** Left-semi join: customers having orders (EXISTS). */
   def joinSemi(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
@@ -513,6 +631,10 @@ object ReferenceQueries {
     "q3_shipping" -> (q3Shipping _),
     "q5_region_volume" -> (q5RegionVolume _),
     "q14_promo_share" -> (q14PromoShare _),
+    "q17_small_qty" -> (q17SmallQty _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q21_late_suppliers" -> (q21LateSuppliers _),
+    "q22_idle_balance" -> (q22IdleBalance _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "topk_orders" -> (topkOrders _),
@@ -663,6 +785,71 @@ object ReferenceQueries {
          SELECT ym, promo_cents, total_cents,
                 promo_cents * 10000 // total_cents AS promo_bp
          FROM g ORDER BY ym""",
+    // the subquery family replays the SAME query text (modulo view
+    // prefixes) so DuckDB's own decorrelation independently re-derives
+    // the semantics Catalyst's rewrites must preserve
+    "q17_small_qty" ->
+      """SELECT p.p_brand,
+                CAST(count(*) AS BIGINT) AS n_small,
+                CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS revenue_cents
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand IN ('Brand#23', 'Brand#13')
+           AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)
+         GROUP BY p.p_brand
+         ORDER BY p.p_brand""",
+    "q18_large_orders" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                CAST(year(o.o_orderdate) * 10000
+                     + month(o.o_orderdate) * 100
+                     + day(o.o_orderdate) AS BIGINT) AS order_ymd,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+                CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         WHERE o.o_orderkey IN (SELECT l2.l_orderkey FROM lineitem l2
+                                GROUP BY l2.l_orderkey
+                                HAVING sum(l2.l_quantity) > 150)
+         GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                  o.o_totalprice
+         ORDER BY total_cents DESC, o.o_orderkey
+         LIMIT 100""",
+    "q21_late_suppliers" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM supplier s
+         JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         WHERE o.o_orderstatus = 'F'
+           AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o.o_orderdate
+                                                 + INTERVAL 60 DAY)
+         GROUP BY s.s_name
+         ORDER BY numwait DESC, s.s_name
+         LIMIT 50""",
+    "q22_idle_balance" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+                           CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                    FROM customer)
+         SELECT c_mktsegment,
+                CAST(count(*) AS BIGINT) AS numcust,
+                CAST(sum(cents) AS BIGINT) AS total_cents
+         FROM c
+         WHERE cents * (SELECT count(*) FROM c WHERE cents > 0)
+                 > (SELECT sum(cents) FROM c WHERE cents > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_totalprice > 400000)
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
     "incremental_window" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
          round(value, 4) AS value_r
