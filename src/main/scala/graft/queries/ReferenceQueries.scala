@@ -335,6 +335,76 @@ object ReferenceQueries {
       ORDER BY c_mktsegment""")
   }
 
+  /** TPC-H q13 shape — customer order-count distribution: LEFT OUTER
+    * join with an extra predicate INSIDE the join condition (customers
+    * with zero qualifying orders must survive with c_count = 0 — a
+    * WHERE would silently turn the join inner), then a second
+    * aggregation over the first's output (count-of-counts). Both aggs
+    * shuffle tiny domains: |customers| keys, then |distinct counts|.
+    */
+  def q13OrderCounts(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      FROM (SELECT c.c_custkey,
+                   CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+            FROM graft_customer c LEFT OUTER JOIN graft_orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c.c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")
+  }
+
+  /** TPC-H q19 shape — disjunctive OR-of-ANDs over both join sides:
+    * three (brand, size-range, quantity-range) arms. The per-table
+    * halves of the disjunction (p_brand IN (...), ranges) are
+    * pushable; the cross-table residue evaluates post-join — the shape
+    * CNF-conversion/partial-pushdown exists for. Revenue is exact:
+    * cents × (100 − discount-percent) per row, summed as int64.
+    */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_e4
+      FROM graft_lineitem l JOIN graft_part p
+        ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+             AND l.l_quantity BETWEEN 1 AND 11)
+         OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+             AND l.l_quantity BETWEEN 10 AND 20)
+         OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity BETWEEN 20 AND 30)""")
+  }
+
+  /** TPC-H q20 shape — bulk suppliers of a part family: an IN whose
+    * subquery GROUPs and filters through a HAVING that itself holds a
+    * CORRELATED scalar subquery (per-part average, scaled), plus a nested
+    * uncorrelated IN for the part family. Quantities are integral
+    * doubles, so sums and the avg comparison are IEEE-exact in both
+    * engines; every lineitem leg shuffles on its join key only.
+    */
+  def q20BulkSuppliers(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT s.s_name,
+             CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents
+      FROM graft_supplier s
+      WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM graft_lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM graft_part
+                              WHERE p_name LIKE 'large%')
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(l.l_quantity) > (SELECT 4.0 * avg(l2.l_quantity)
+                                    FROM graft_lineitem l2
+                                    WHERE l2.l_partkey = l.l_partkey))
+      ORDER BY s.s_name""")
+  }
+
   /** Left-semi join: customers having orders (EXISTS). */
   def joinSemi(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
@@ -635,6 +705,9 @@ object ReferenceQueries {
     "q18_large_orders" -> (q18LargeOrders _),
     "q21_late_suppliers" -> (q21LateSuppliers _),
     "q22_idle_balance" -> (q22IdleBalance _),
+    "q13_order_counts" -> (q13OrderCounts _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "q20_bulk_suppliers" -> (q20BulkSuppliers _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "topk_orders" -> (topkOrders _),
@@ -850,6 +923,42 @@ object ReferenceQueries {
                              AND o.o_totalprice > 400000)
          GROUP BY c_mktsegment
          ORDER BY c_mktsegment""",
+    "q13_order_counts" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         FROM (SELECT c.c_custkey,
+                      CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+               FROM customer c LEFT OUTER JOIN orders o
+                 ON c.c_custkey = o.o_custkey
+                AND o.o_orderpriority <> '4-NOT SPECIFIED'
+               GROUP BY c.c_custkey)
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "q19_disjunctive" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_e4
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                AND l.l_quantity BETWEEN 1 AND 11)
+            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                AND l.l_quantity BETWEEN 10 AND 20)
+            OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+                AND l.l_quantity BETWEEN 20 AND 30)""",
+    "q20_bulk_suppliers" ->
+      """SELECT s.s_name,
+                CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents
+         FROM supplier s
+         WHERE s.s_suppkey IN (
+           SELECT l.l_suppkey
+           FROM lineitem l
+           WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_name LIKE 'large%')
+           GROUP BY l.l_suppkey, l.l_partkey
+           HAVING sum(l.l_quantity) > (SELECT 4.0 * avg(l2.l_quantity)
+                                       FROM lineitem l2
+                                       WHERE l2.l_partkey = l.l_partkey))
+         ORDER BY s.s_name""",
     "incremental_window" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
          round(value, 4) AS value_r
