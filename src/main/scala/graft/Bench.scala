@@ -188,9 +188,13 @@ object Bench {
     // min (not median) is deliberate: even the best-case probe cannot
     // beat the host, so a high min proves sustained load, while a
     // single slow sample stays the spread flag's business.
+    // the idle constant is a local[32] measurement — on another core
+    // count the fixed probe has a different idle time and the ratio
+    // would read load into a clean host (same guard rationale as
+    // applyRef above); -1 = unknown, mirroring a failed probe
     val validProbes = probes.filter(_ >= 0)
     val probeRatio =
-      if (validProbes.isEmpty) -1.0
+      if (validProbes.isEmpty || cpus != "32") -1.0
       else r3(validProbes.min / BenchIdleRef.probeIdleSec)
     val hostSlow = probeRatio > 1.5
     // Three lines, detailed first: the driver captures the output TAIL
@@ -209,17 +213,9 @@ object Bench {
     // The driver captures only a ~2000-char stdout TAIL, so the
     // per-query map has been lost from the artifact two rounds running
     // (BENCH_r06/r07 `parsed:null`). Persist all three lines to a file
-    // that survives any tail budget; best-effort — a read-only target/
-    // must not cost the stdout artifact.
-    try {
-      val p = java.nio.file.Paths.get("target/bench_detail.json")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p,
-        (detailLine + "\n" + compactLine + "\n" + totalLine + "\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_detail.json write failed: ${e.getMessage}")
-    }
+    // that survives any tail budget.
+    graft.tools.ArtifactFile.write("target/bench_detail.json",
+      detailLine + "\n" + compactLine + "\n" + totalLine + "\n")
     spark.stop()
   }
 }

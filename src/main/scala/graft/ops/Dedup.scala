@@ -205,40 +205,44 @@ object Dedup {
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("__bn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (requireHotEngagement && hotBucketThreshold != Int.MaxValue) {
-      val hot = bucketSizes
-        .filter(col("__bn") > hotBucketThreshold && col("__bn") <= maxBucketSize)
-        .count()
-      if (hot == 0) {
-        base.unpersist(); bucketSizes.unpersist()
-        throw new IllegalStateException(
-          s"salted minhashPairs expects at least one LSH bucket with > " +
-            s"$hotBucketThreshold docs (and <= $maxBucketSize); the corpus " +
-            s"has none — the escalation would go untested")
+    // unpersist in finally: ANY escaping failure (engagement throw,
+    // executor loss mid-materialize, analysis error) must release both
+    // cached frames — a leaked corpus-sized cache pins memory for the
+    // whole session (the round-2 bench regression's failure mode)
+    try {
+      if (requireHotEngagement && hotBucketThreshold != Int.MaxValue) {
+        val hot = bucketSizes
+          .filter(col("__bn") > hotBucketThreshold && col("__bn") <= maxBucketSize)
+          .count()
+        if (hot == 0)
+          throw new IllegalStateException(
+            s"salted minhashPairs expects at least one LSH bucket with > " +
+              s"$hotBucketThreshold docs (and <= $maxBucketSize); the corpus " +
+              s"has none — the escalation would go untested")
       }
+
+      // prune pathological buckets before the self-join (O(bucket²) guard)
+      val pruned = banded.join(bucketSizes.filter(col("__bn") <= maxBucketSize),
+        Seq("band_idx", "band_hash"))
+
+      val candidates = keyPairs(pruned, Seq("band_idx", "band_hash"),
+          hotBucketThreshold, hotBucketSalt, sizeCol = "__bn")
+        .distinct()
+
+      val sets = base.select(col("id"), col("sh"))
+      val pairs = candidates
+        .join(sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+        .join(sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+        .withColumn("jaccard", sorted_jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      // pin the small pair set before the finally releases the
+      // corpus-sized signature cache — returning a plan that still
+      // referenced `base` would leak it for the whole session
+      materialize(pairs)
+    } finally {
+      base.unpersist(); bucketSizes.unpersist()
     }
-
-    // prune pathological buckets before the self-join (O(bucket²) guard)
-    val pruned = banded.join(bucketSizes.filter(col("__bn") <= maxBucketSize),
-      Seq("band_idx", "band_hash"))
-
-    val candidates = keyPairs(pruned, Seq("band_idx", "band_hash"),
-        hotBucketThreshold, hotBucketSalt, sizeCol = "__bn")
-      .distinct()
-
-    val sets = base.select(col("id"), col("sh"))
-    val pairs = candidates
-      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
-      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
-      .withColumn("jaccard", sorted_jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-    // pin the small pair set, then release the corpus-sized signature
-    // cache — returning a plan that still referenced `base` would leak
-    // it for the whole session (it has no later unpersist point)
-    val out = materialize(pairs)
-    base.unpersist(); bucketSizes.unpersist()
-    out
   }
 
   /** INCREMENTAL MinHash-LSH index maintenance: the near-dup pair set

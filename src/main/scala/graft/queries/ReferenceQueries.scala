@@ -656,18 +656,27 @@ object ReferenceQueries {
     * [[jsonapiSyncAccounts]]'s programmatic registration, so BOTH
     * documented extension paths carry a green CORRECTNESS row. The
     * checked-in schema file (`schemas_ext/opportunities.json`) plays
-    * the deployment's config directory; the property is set only if
-    * the deployment hasn't set one already.
+    * the deployment's config directory for the duration of the
+    * schema-resolving `conformed` call (resolution is eager at plan
+    * build and cached), then the property is restored — the query
+    * neither depends on nor permanently alters a deployment's own
+    * `-Dgraft.schemas.dir`.
     */
   def jsonapiSyncOpportunities(s: SparkSession, dir: String): DataFrame = {
-    sys.props.getOrElseUpdate(graft.schema.SchemaRegistry.SchemasDirProp,
-      fixtureDirFor("schemas_ext", Seq("opportunities.json")))
-    val conformed = graft.ops.OutreachPipeline.conformed(s,
-      graft.ops.OutreachPipeline.SyncConfig(
-        resource = "opportunities", pagesDir = opportunitiesFixtureDir,
-        outDir = "", replicationType = "full",
-        startDate = java.time.LocalDate.of(2019, 1, 1),
-        today = java.time.LocalDate.of(2020, 1, 1)))
+    val prop = graft.schema.SchemaRegistry.SchemasDirProp
+    val prior = sys.props.get(prop)
+    sys.props(prop) = fixtureDirFor("schemas_ext", Seq("opportunities.json"))
+    val conformed =
+      try graft.ops.OutreachPipeline.conformed(s,
+        graft.ops.OutreachPipeline.SyncConfig(
+          resource = "opportunities", pagesDir = opportunitiesFixtureDir,
+          outDir = "", replicationType = "full",
+          startDate = java.time.LocalDate.of(2019, 1, 1),
+          today = java.time.LocalDate.of(2020, 1, 1)))
+      finally prior match {
+        case Some(v) => sys.props(prop) = v
+        case None    => sys.props.remove(prop)
+      }
     conformed.select(col("id"), col("type"), col("name"),
         col("amount"), col("probability"),
         col("opportunityType").as("opp_type"),

@@ -171,10 +171,19 @@ object ScaleProbe {
     // the memo caches for BOTH timed dirs untouched (memos key on the
     // dir fingerprint), so cold-tracked targets still time their
     // training pass, just not the JVM's.
+    // a failed warm-up silently reintroduces the cold-JVM skew the
+    // warm-up exists to remove, so the failure count rides in every
+    // emitted JSON line (warm_failed>0 = exponents suspect), not just
+    // on stderr
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.01")
+    var warmFailed = 0
     for ((name, fn, _) <- targets)
-      try fn(spark, "/root/testdata/sf0.01").count()
+      try fn(spark, warmDir).count()
       catch { case e: Throwable =>
-        System.err.println(s"[scale-probe] warm-up $name failed: ${e.getMessage}")
+        warmFailed += 1
+        System.err.println(s"[scale-probe] warm-up $name failed " +
+          s"(cold-JVM skew NOT removed): ${e.getMessage}")
       }
     val dirs = Seq("sf0.1" -> "/root/testdata/sf0.1", s"sf${factor}x" -> outDir)
     val rows = for ((name, fn, cold) <- targets) yield {
@@ -184,7 +193,7 @@ object ScaleProbe {
       }
       val t0 = ts.head._2; val t1 = ts.last._2
       val exponent = math.log(t1 / t0) / math.log(factor.toDouble)
-      println(f"""{"probe":"$name","t_sf01_s":$t0%.3f,"t_${factor}x_s":$t1%.3f,"exponent":$exponent%.3f}""")
+      println(f"""{"probe":"$name","t_sf01_s":$t0%.3f,"t_${factor}x_s":$t1%.3f,"exponent":$exponent%.3f,"warm_failed":$warmFailed}""")
       (name, t0, t1, exponent)
     }
     println(rows.map { case (n, a, b, e) => f"$n: $a%.2fs -> $b%.2fs exp=$e%.2f" }

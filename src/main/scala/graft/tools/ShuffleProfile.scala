@@ -68,20 +68,23 @@ object ShuffleProfile {
     }
 
     /** Wait until no new task-end events have landed for two
-      * consecutive polls (or ~3 s). The action has already returned,
+      * consecutive polls (or ~10 s). The action has already returned,
       * so only queued listener deliveries remain — stability means
-      * the queue drained.
+      * the queue drained. Returns (snapshot, drained): a `false`
+      * second element means the cap fired while counters were STILL
+      * MOVING, so the snapshot under-counts — callers must surface
+      * that rather than record a partial measurement as fact.
       */
-    def awaitStable(): Seq[Long] = {
+    def awaitStable(): (Seq[Long], Boolean) = {
       var last = snapshot
       var stable = 0
       var waited = 0
-      while (stable < 2 && waited < 3000) {
+      while (stable < 2 && waited < 10000) {
         Thread.sleep(100); waited += 100
         val cur = snapshot
         if (cur == last) stable += 1 else { stable = 0; last = cur }
       }
-      last
+      (last, stable >= 2)
     }
   }
 
@@ -118,39 +121,51 @@ object ShuffleProfile {
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
 
-    val names = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").toSeq).getOrElse(defaultSet)
-      .filter(SparkEntry.queries.contains)
-    def mb(b: Long): Double = math.rint(b / 1048.576) / 1000.0
+    val requested = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(defaultSet)
+    // a mistyped query must not silently vanish from the profile —
+    // the tool's whole point is "no silent caps"
+    val unknown = requested.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty)
+      System.err.println(
+        s"[profile] UNKNOWN queries skipped: ${unknown.mkString(", ")}")
+    val names = requested.filter(SparkEntry.queries.contains)
+    // bytes→MB at 6 decimals (byte resolution): the scan-dominated
+    // family's whole story is sub-KB exchanges, which a coarser
+    // rounding collapses into an indistinguishable 0.0
+    def mb(b: Long): Double = math.rint(b / 1.048576) / 1e6
     val lines = names.flatMap { name =>
       listener.reset()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()
-        val Seq(in, recs, sr, sw, spill, tasks, peak) =
+        val (Seq(in, recs, sr, sw, spill, tasks, peak), drained) =
           listener.awaitStable()
+        if (!drained)
+          System.err.println(s"[profile] $name: listener queue still " +
+            "draining at cap - counters UNDER-COUNT (drained:false)")
         // shuffle-to-input ratio is the scalability signature; input
         // can be 0 for memoized/streamed stages, so guard the division
         val ratio =
           if (in > 0) math.rint(10000.0 * sw / in) / 10000.0 else -1.0
         Some(s"""{"query":"$name","input_mb":${mb(in)},""" +
-          s""""input_records":$recs,""" +
-          s""""shuffle_write_mb":${mb(sw)},"shuffle_read_mb":${mb(sr)},""" +
-          s""""spill_mb":${mb(spill)},"tasks":$tasks,""" +
-          s""""peak_task_mem_mb":${mb(peak)},"shuffle_over_input":$ratio}""")
+          s""""input_bytes":$in,"input_records":$recs,""" +
+          s""""shuffle_write_mb":${mb(sw)},"shuffle_write_bytes":$sw,""" +
+          s""""shuffle_read_mb":${mb(sr)},"spill_mb":${mb(spill)},""" +
+          s""""tasks":$tasks,"peak_task_mem_mb":${mb(peak)},""" +
+          s""""shuffle_over_input":$ratio,"drained":$drained}""")
       } catch { case e: Throwable =>
         System.err.println(s"[profile] $name FAILED: ${e.getMessage}")
+        // drain the failed query's still-in-flight task-end events
+        // before the next reset(), or they'd be attributed to the
+        // NEXT query's counters
+        listener.awaitStable()
         None
       }
     }
     lines.foreach(println)
-    try {
-      val p = java.nio.file.Paths.get("target/shuffle_profile.json")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (lines.mkString("", "\n", "\n"))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable =>
-      System.err.println(s"[profile] write failed: ${e.getMessage}")
-    }
+    ArtifactFile.write("target/shuffle_profile.json",
+      lines.mkString("", "\n", "\n"))
     spark.stop()
   }
 }

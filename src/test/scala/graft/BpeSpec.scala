@@ -39,8 +39,12 @@ class BpeSpec extends AnyFunSuite {
         .toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
         .parquet(tmp)
       // move into the flat documents.parquet file layout Tables reads
-      val part = Files.list(java.nio.file.Paths.get(tmp))
-        .filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+      // (close the directory stream — Files.list leaks a handle
+      // otherwise, the bug class Tables.version guards against)
+      val part = scala.util.Using.resource(
+        Files.list(java.nio.file.Paths.get(tmp))) { s =>
+        s.filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+      }
       Files.move(part, java.nio.file.Paths.get(s"$dir/documents.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
