@@ -229,7 +229,8 @@ object ReferenceQueries {
   // an exactly-summed integral numerator by a count in BOTH engines.
 
   private def tpchViews(s: SparkSession, dir: String): Unit =
-    Seq("lineitem", "orders", "customer", "supplier", "part")
+    Seq("lineitem", "orders", "customer", "supplier", "part",
+        "nation", "region")
       .foreach(n => t(s, dir, n).createOrReplaceTempView(s"graft_$n"))
 
   /** TPC-H q17 shape — small-quantity revenue: lineitems of selected
@@ -403,6 +404,299 @@ object ReferenceQueries {
                                     FROM graft_lineitem l2
                                     WHERE l2.l_partkey = l.l_partkey))
       ORDER BY s.s_name""")
+  }
+
+  // ------------------------------------------- full TPC-H shape coverage
+  // The remaining 11 of the 22 TPC-H shapes, reshaped to the driver's
+  // partsupp-less star schema (no partsupp/shipmode/commitdate columns —
+  // the part↔supplier relation rides through lineitem, lateness through
+  // l_shipdate vs o_orderdate, cost through p_retailprice). Subquery
+  // shapes run THROUGH spark.sql so Catalyst decorrelation is the
+  // surface under test; plain join/agg shapes use the DataFrame API
+  // with explicit broadcast hints on every dim. Money follows the
+  // suite's exact-cents convention: per-row round to int64 BEFORE any
+  // sum, so both engines agree bit-for-bit at any shuffle order.
+
+  /** TPC-H q2 shape — minimum-cost supplier per part: a CORRELATED
+    * scalar subquery whose inner block repeats the outer's 4-table
+    * dim chain (supplier→nation→region filter). Catalyst decorrelates
+    * to a per-partkey min aggregate joined back on (partkey, price) —
+    * the inner agg shuffles on l_partkey, the same key as the probe.
+    * DISTINCT folds lineitems that tie at the minimum price.
+    */
+  def q2MinCost(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT DISTINCT
+             CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             s.s_name, n.n_name, p.p_partkey, p.p_name,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               AS min_price_cents
+      FROM graft_part p, graft_lineitem l, graft_supplier s,
+           graft_nation n, graft_region r
+      WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        AND s.s_nationkey = n.n_nationkey
+        AND n.n_regionkey = r.r_regionkey
+        AND r.r_name = 'EUROPE' AND p.p_size <= 10
+        AND l.l_extendedprice =
+            (SELECT min(l2.l_extendedprice)
+             FROM graft_lineitem l2, graft_supplier s2, graft_nation n2,
+                  graft_region r2
+             WHERE l2.l_partkey = p.p_partkey
+               AND s2.s_suppkey = l2.l_suppkey
+               AND s2.s_nationkey = n2.n_nationkey
+               AND n2.n_regionkey = r2.r_regionkey
+               AND r2.r_name = 'EUROPE')
+      ORDER BY acctbal_cents DESC, n.n_name, s.s_name, p.p_partkey
+      LIMIT 100""")
+  }
+
+  /** TPC-H q4 shape — order-priority checking: EXISTS over lineitem
+    * with the lateness predicate correlated on BOTH the join key and
+    * the outer's o_orderdate. Catalyst plans a left-semi join on
+    * l_orderkey; the date window prunes orders before the semi probe.
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      FROM graft_orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM graft_lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate)
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority""")
+  }
+
+  /** TPC-H q6 shape — forecast revenue change: the pure
+    * scan-filter-agg. All three predicates and the 2-column projection
+    * must reach the parquet scan (PushedFilters + pruned ReadSchema —
+    * plan-pinned in PlanSpec); at 100 TB this query IS its scan, and
+    * the exchange carries exactly one partial-agg row per partition.
+    */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1997-01-01" &&
+        col("l_shipdate") < "1998-01-01" &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_discount") * 100).cast("long")).as("revenue_e4"))
+
+  /** TPC-H q7 shape — volume shipping between two localities (regions
+    * here: nations are supplier-sparse at small SF): the disjunctive
+    * two-sided locality predicate evaluates AFTER both dim chains
+    * resolve, so it cannot push into either scan — the shape that
+    * forces a post-join filter. One fact-fact shuffle (lineitem ⋈
+    * orders on orderkey); supplier/customer/nation×2/region×2 all
+    * broadcast.
+    */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation")
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("s_nk"), col("r_name").as("supp_region"))
+    val n2 = t(s, dir, "nation")
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"), col("r_name").as("cust_region"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1998-01-01")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_region") === "EUROPE" && col("cust_region") === "ASIA") ||
+        (col("supp_region") === "ASIA" && col("cust_region") === "EUROPE"))
+      .groupBy(col("supp_region"), col("cust_region"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("revenue_cents"))
+      .orderBy(col("supp_region"), col("cust_region"), col("l_year"))
+  }
+
+  /** TPC-H q8 shape — market share: conditional aggregation (share of
+    * one supplier locality inside one customer market) over the
+    * 8-table star. Share reported in integer basis points via
+    * truncating division — numerator and denominator also surfaced so
+    * the oracle comparison is exact, not float-ratio.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val sn = t(s, dir, "nation")
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("s_nk"), col("r_name").as("supp_region"))
+    val cn = t(s, dir, "nation")
+      .join(t(s, dir, "region")
+          .filter(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+            col("o_orderdate") < "1998-01-01"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "part").filter(col("p_type") === "LARGE")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("supp_region"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("supp_region") === "EUROPE", col("cents"))
+          .otherwise(0L)).as("europe_cents"),
+        sum(col("cents")).as("total_cents"))
+      .withColumn("share_bp", expr("europe_cents * 10000 DIV total_cents"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H q9 shape — product-type profit by supplier nation and
+    * year, cost proxied by p_retailprice (no partsupp in this
+    * schema). The p_name LIKE filter lands on the broadcast part dim
+    * BEFORE the fact join, so the fact scan is pruned by the join
+    * itself; profit is an exact int64 per row.
+    */
+  def q9ProfitShape(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").like("%widget%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"),
+        (round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long") -
+          round(col("p_retailprice") * 100).cast("long") *
+            col("l_quantity").cast("long")).as("profit_cents"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("profit_cents")).as("profit_cents"))
+      .orderBy(col("n_name"), col("o_year"))
+
+  /** TPC-H q10 shape — returned-item losses: quarter window, fact ⋈
+    * fact shuffle on orderkey, broadcast customer/nation dims, top-20
+    * by revenue. The ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    * no global sort ever materializes; tie-break on c_custkey makes
+    * the cut deterministic in both engines.
+    */
+  def q10Returned(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= "1997-01-01" &&
+            col("o_orderdate") < "1997-04-01"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H q11 shape — important stock value: group-by-sum gated by a
+    * HAVING against an UNCORRELATED scalar subquery (1.05× the mean
+    * per-supplier value — scale-free where the reference's fixed
+    * fraction is SF-dependent). Catalyst evaluates the scalar once
+    * and broadcasts the single-row result into the filter.
+    */
+  def q11ImportantValue(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT l.l_suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS value_e2
+      FROM graft_lineitem l
+      JOIN graft_supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY l.l_suppkey
+      HAVING sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT))
+           > (SELECT 1.05 * avg(v) FROM
+                (SELECT sum(CAST(round(l2.l_extendedprice * 100) AS BIGINT)
+                            * CAST(l2.l_quantity AS BIGINT)) AS v
+                 FROM graft_lineitem l2 GROUP BY l2.l_suppkey))
+      ORDER BY value_e2 DESC, l.l_suppkey""")
+  }
+
+  /** TPC-H q12 shape — lateness vs order priority (no shipmode
+    * column: buckets are l_shipdate − o_orderdate bands). The
+    * conditional two-column count over a fact-fact join; the CASE
+    * computes at scan side of the agg, so the exchange carries 3
+    * buckets × 2 counters, nothing else.
+    */
+  def q12LatePriority(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= "1997-01-01" &&
+            col("o_orderdate") < "1998-01-01"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+          "late60plus")
+          .when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 21 DAY"),
+            "late21to60")
+          .otherwise("within21").as("late_bucket"))
+      .groupBy(col("late_bucket"))
+      .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("late_bucket"))
+
+  /** TPC-H q15 shape — top supplier: a named revenue CTE read twice
+    * (join probe + MAX scalar). Catalyst inlines both references; the
+    * scalar side collapses to a single broadcast row, so revenue is
+    * computed in one shuffle and the "= max" filter never re-scans.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS total_cents
+        FROM graft_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s.s_suppkey, s.s_name, r.total_cents
+      FROM graft_supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      WHERE r.total_cents = (SELECT max(total_cents) FROM revenue)
+      ORDER BY s.s_suppkey""")
+  }
+
+  /** TPC-H q16 shape — supplier count by part attributes: NOT IN
+    * anti-join against a "bad supplier" subquery, then COUNT DISTINCT
+    * per (brand, size). The part↔supplier relation rides through
+    * lineitem (no partsupp); the distinct count re-shuffles only
+    * (brand, size, suppkey) triples.
+    */
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT p.p_brand, p.p_size,
+             CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM graft_lineitem l JOIN graft_part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand <> 'Brand#12'
+        AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+        AND p.p_size <= 25
+        AND l.l_suppkey NOT IN (SELECT s_suppkey FROM graft_supplier
+                                WHERE s_acctbal < 1000)
+      GROUP BY p.p_brand, p.p_size
+      ORDER BY supplier_cnt DESC, p.p_brand, p.p_size""")
   }
 
   /** Left-semi join: customers having orders (EXISTS). */
@@ -717,6 +1011,17 @@ object ReferenceQueries {
     "q13_order_counts" -> (q13OrderCounts _),
     "q19_disjunctive" -> (q19Disjunctive _),
     "q20_bulk_suppliers" -> (q20BulkSuppliers _),
+    "q2_min_cost" -> (q2MinCost _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q6_forecast" -> (q6Forecast _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q9_profit_shape" -> (q9ProfitShape _),
+    "q10_returned" -> (q10Returned _),
+    "q11_important_value" -> (q11ImportantValue _),
+    "q12_late_priority" -> (q12LatePriority _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "topk_orders" -> (topkOrders _),
@@ -968,6 +1273,186 @@ object ReferenceQueries {
                                        FROM lineitem l2
                                        WHERE l2.l_partkey = l.l_partkey))
          ORDER BY s.s_name""",
+    "q2_min_cost" ->
+      """SELECT DISTINCT
+                CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                s.s_name, n.n_name, p.p_partkey, p.p_name,
+                CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  AS min_price_cents
+         FROM part p, lineitem l, supplier s, nation n, region r
+         WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+           AND s.s_nationkey = n.n_nationkey
+           AND n.n_regionkey = r.r_regionkey
+           AND r.r_name = 'EUROPE' AND p.p_size <= 10
+           AND l.l_extendedprice =
+               (SELECT min(l2.l_extendedprice)
+                FROM lineitem l2, supplier s2, nation n2, region r2
+                WHERE l2.l_partkey = p.p_partkey
+                  AND s2.s_suppkey = l2.l_suppkey
+                  AND s2.s_nationkey = n2.n_nationkey
+                  AND n2.n_regionkey = r2.r_regionkey
+                  AND r2.r_name = 'EUROPE')
+         ORDER BY acctbal_cents DESC, n.n_name, s.s_name, p.p_partkey
+         LIMIT 100""",
+    "q4_order_priority" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate)
+         GROUP BY o.o_orderpriority
+         ORDER BY o.o_orderpriority""",
+    "q6_forecast" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT))
+                     AS BIGINT) AS revenue_e4
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+    "q7_volume_shipping" ->
+      """SELECT supp_region, cust_region, l_year,
+                CAST(sum(cents) AS BIGINT) AS revenue_cents
+         FROM (SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+                      CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                      CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT) AS cents
+               FROM lineitem l
+               JOIN orders o ON o.o_orderkey = l.l_orderkey
+               JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               JOIN customer c ON c.c_custkey = o.o_custkey
+               JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+               JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+               JOIN region r1 ON r1.r_regionkey = n1.n_regionkey
+               JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+               WHERE ((r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+                   OR (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'))
+                 AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+         GROUP BY supp_region, cust_region, l_year
+         ORDER BY supp_region, cust_region, l_year""",
+    "q8_market_share" ->
+      """SELECT o_year,
+                CAST(sum(CASE WHEN supp_region = 'EUROPE' THEN cents
+                              ELSE 0 END) AS BIGINT) AS europe_cents,
+                CAST(sum(cents) AS BIGINT) AS total_cents,
+                CAST(sum(CASE WHEN supp_region = 'EUROPE' THEN cents
+                              ELSE 0 END) * 10000 // sum(cents)
+                     AS BIGINT) AS share_bp
+         FROM (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                      r1.r_name AS supp_region,
+                      CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT) AS cents
+               FROM lineitem l
+               JOIN orders o ON o.o_orderkey = l.l_orderkey
+               JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               JOIN customer c ON c.c_custkey = o.o_custkey
+               JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+               JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+               JOIN region r1 ON r1.r_regionkey = n1.n_regionkey
+               JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+               JOIN part p ON p.p_partkey = l.l_partkey
+               WHERE r2.r_name = 'AMERICA' AND p.p_type = 'LARGE'
+                 AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+         GROUP BY o_year
+         ORDER BY o_year""",
+    "q9_profit_shape" ->
+      """SELECT n_name, o_year,
+                CAST(sum(profit_cents) AS BIGINT) AS profit_cents
+         FROM (SELECT n.n_name,
+                      CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                      CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)
+                      - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                        * CAST(l.l_quantity AS BIGINT) AS profit_cents
+               FROM lineitem l
+               JOIN orders o ON o.o_orderkey = l.l_orderkey
+               JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               JOIN nation n ON n.n_nationkey = s.s_nationkey
+               JOIN part p ON p.p_partkey = l.l_partkey
+               WHERE p.p_name LIKE '%widget%')
+         GROUP BY n_name, o_year
+         ORDER BY n_name, o_year""",
+    "q10_returned" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+                CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                    * 100) AS BIGINT)) AS BIGINT)
+                  AS revenue_cents
+         FROM lineitem l
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n ON n.n_nationkey = c.c_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+         GROUP BY c.c_custkey, c.c_name, n.n_name
+         ORDER BY revenue_cents DESC, c.c_custkey
+         LIMIT 20""",
+    "q11_important_value" ->
+      """SELECT l.l_suppkey,
+                CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                  AS value_e2
+         FROM lineitem l
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         GROUP BY l.l_suppkey
+         HAVING sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(l.l_quantity AS BIGINT))
+              > (SELECT 1.05 * avg(v) FROM
+                   (SELECT sum(CAST(round(l2.l_extendedprice * 100)
+                                    AS BIGINT)
+                               * CAST(l2.l_quantity AS BIGINT)) AS v
+                    FROM lineitem l2 GROUP BY l2.l_suppkey))
+         ORDER BY value_e2 DESC, l.l_suppkey""",
+    "q12_late_priority" ->
+      """SELECT late_bucket,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                  AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT)
+                  AS low_line_count
+         FROM (SELECT o.o_orderpriority,
+                      CASE WHEN l.l_shipdate > o.o_orderdate
+                                + INTERVAL 60 DAY THEN 'late60plus'
+                           WHEN l.l_shipdate > o.o_orderdate
+                                + INTERVAL 21 DAY THEN 'late21to60'
+                           ELSE 'within21' END AS late_bucket
+               FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+               WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                 AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+         GROUP BY late_bucket
+         ORDER BY late_bucket""",
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+                  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 100) AS BIGINT)) AS BIGINT)
+                    AS total_cents
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s.s_suppkey, s.s_name, r.total_cents
+         FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+         WHERE r.total_cents = (SELECT max(total_cents) FROM revenue)
+         ORDER BY s.s_suppkey""",
+    "q16_supplier_cnt" ->
+      """SELECT p.p_brand, p.p_size,
+                CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand <> 'Brand#12'
+           AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+           AND p.p_size <= 25
+           AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                   WHERE s_acctbal < 1000)
+         GROUP BY p.p_brand, p.p_size
+         ORDER BY supplier_cnt DESC, p.p_brand, p.p_size""",
     "incremental_window" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
          round(value, 4) AS value_r

@@ -131,6 +131,55 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q6_forecast: all predicates and the 2-column projection reach " +
+      "the scan") {
+    val plan = formatted("q6_forecast")
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    // the date range AND both value predicates must push — at 100 TB
+    // this query IS its scan and row-group pruning is the whole cost
+    for (p <- Seq("GreaterThanOrEqual(l_shipdate,", "LessThan(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)", "LessThan(l_quantity,24.0)"))
+      assert(plan.contains(p), s"$p not pushed:\n" + plan.take(2500))
+    val readSchema = plan.linesIterator
+      .find(_.trim.startsWith("ReadSchema:")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_returnflag"),
+      s"scan not pruned to the 4 referenced columns: $readSchema")
+  }
+
+  test("q10_returned: top-20 folds to TakeOrderedAndProject over " +
+      "broadcast dim joins") {
+    val plan = formatted("q10_returned")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Sort ["), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("TPC-H shape family: dims broadcast, no quadratic join anywhere") {
+    // q7/q8/q9 star joins: every dim side must broadcast — the single
+    // shuffle join allowed is the lineitem⋈orders fact-fact exchange;
+    // the subquery shapes (q2/q4/q11/q15/q16/q13/q19/q20) must
+    // decorrelate to joins, never a per-row re-execution or cartesian
+    for (name <- Seq("q7_volume_shipping", "q8_market_share",
+        "q9_profit_shape", "q12_late_priority")) {
+      val plan = formatted(name)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: dims not broadcast:\n" + plan.take(1500))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a quadratic join:\n" + plan.take(1500))
+    }
+    for (name <- Seq("q2_min_cost", "q4_order_priority",
+        "q11_important_value", "q15_top_supplier", "q16_supplier_cnt",
+        "q13_order_counts", "q19_disjunctive", "q20_bulk_suppliers")) {
+      val plan = formatted(name)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a quadratic join:\n" + plan.take(1500))
+    }
+  }
+
   test("blocklist_match: one-pass automaton — NO join in the plan") {
     // the whole point of the Aho–Corasick formulation: the oracle
     // DEFINES the semantics as a documents × patterns contains-join,
