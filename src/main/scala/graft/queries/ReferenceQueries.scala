@@ -765,6 +765,54 @@ object ReferenceQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Value-RANGE window frame (the §2.8 family's remaining frame
+    * kind): per-user sliding 1-hour totals — `RANGE BETWEEN 3.6e9
+    * PRECEDING AND CURRENT ROW` over epoch-microseconds. Unlike a
+    * ROWS frame, peers (equal timestamps) enter the frame together in
+    * both engines, so the result is deterministic without a unique
+    * order key; values ride as exact integer cents. At scale this is
+    * the windowed-rate primitive (events/hour, spend/hour) computed
+    * in one pass per user partition — no self-join time-range probe.
+    */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val base = ev.select(col("event_id"), col("user_id"),
+      Tables.microsOf(ev, "ts").as("ts_us"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    base
+      .withColumn("hour_cents", sum(col("cents")).over(w))
+      .withColumn("n_in_hour", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("hour_cents"), col("n_in_hour"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  /** GROUPING SETS (the §2.6 family beyond rollup/cube): one scan
+    * produces all four aggregation granularities — (priority, year),
+    * priority, year, grand total — with the set-marker NULLs folded
+    * to sentinel labels so the frame is hash-comparable. Spark plans
+    * a single Expand + one aggregate exchange: the input is read ONCE
+    * however many sets are requested, which is the operator's whole
+    * advantage over unioned re-scans at 100 TB.
+    */
+  def groupingSetsRev(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql("""
+      SELECT COALESCE(priority, 'ALL') AS priority,
+             COALESCE(o_year, -1) AS o_year,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM (SELECT o_orderpriority AS priority,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM graft_orders)
+      GROUP BY GROUPING SETS ((priority, o_year), (priority), (o_year), ())
+      ORDER BY priority, o_year""")
+  }
+
   // ------------------------------------------------------------------ §2.3
   /** Set ops the reference lacks (∅ in SURVEY §2.3) but a complete
     * engine provides: users who clicked, minus users with a late-
@@ -1022,6 +1070,8 @@ object ReferenceQueries {
     "q12_late_priority" -> (q12LatePriority _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "window_range_frame" -> (windowRangeFrame _),
+    "grouping_sets_rev" -> (groupingSetsRev _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "topk_orders" -> (topkOrders _),
@@ -1453,6 +1503,32 @@ object ReferenceQueries {
                                    WHERE s_acctbal < 1000)
          GROUP BY p.p_brand, p.p_size
          ORDER BY supplier_cnt DESC, p.p_brand, p.p_size""",
+    "window_range_frame" ->
+      """SELECT event_id, user_id, ts_us,
+                CAST(sum(cents) OVER
+                  (PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS hour_cents,
+                CAST(count(*) OVER
+                  (PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_in_hour
+         FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+         ORDER BY user_id, ts_us, event_id""",
+    "grouping_sets_rev" ->
+      """SELECT COALESCE(priority, 'ALL') AS priority,
+                COALESCE(o_year, -1) AS o_year,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(cents) AS BIGINT) AS total_cents
+         FROM (SELECT o_orderpriority AS priority,
+                      CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders)
+         GROUP BY GROUPING SETS ((priority, o_year), (priority),
+                                 (o_year), ())
+         ORDER BY priority, o_year""",
     "incremental_window" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
          round(value, 4) AS value_r

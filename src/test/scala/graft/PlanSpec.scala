@@ -180,6 +180,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("grouping_sets_rev: all four granularities from ONE scan via " +
+      "Expand, never unioned re-scans") {
+    val plan = formatted("grouping_sets_rev")
+    assert(plan.contains("Expand"), plan.take(2000))
+    // count detail-section entries ("(n) Scan parquet") — formatted
+    // explain also repeats each node in the tree rendering
+    val scans = plan.linesIterator
+      .count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"expected exactly 1 scan, got $scans:\n" +
+      plan.take(2000))
+  }
+
+  test("window_range_frame: one Window pass per user partition, no " +
+      "time-range self-join") {
+    val plan = formatted("window_range_frame")
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Join"), s"sliding-hour total must not plan " +
+      s"a self-join:\n" + plan.take(2000))
+  }
+
   test("blocklist_match: one-pass automaton — NO join in the plan") {
     // the whole point of the Aho–Corasick formulation: the oracle
     // DEFINES the semantics as a documents × patterns contains-join,
