@@ -486,6 +486,24 @@ object ReferenceQueries {
         sum(round(col("l_extendedprice") * 100).cast("long") *
             round(col("l_discount") * 100).cast("long")).as("revenue_e4"))
 
+  /** nation⋈region locality dim shared by the q7/q8 star shapes:
+    * nationkey aliased to `keyAlias`, region name optionally surfaced
+    * as `regionAlias`, optionally pre-filtered to one region. A pure
+    * 25×5-row dim — callers wrap it in `broadcast(...)`.
+    */
+  private def nationRegionDim(s: SparkSession, dir: String,
+      keyAlias: String, regionAlias: Option[String] = None,
+      regionName: Option[String] = None): DataFrame = {
+    val region = regionName.foldLeft(t(s, dir, "region")) {
+      (r, n) => r.filter(col("r_name") === n)
+    }
+    val out = col("n_nationkey").as(keyAlias) +:
+      regionAlias.map(a => col("r_name").as(a)).toSeq
+    t(s, dir, "nation")
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .select(out: _*)
+  }
+
   /** TPC-H q7 shape — volume shipping between two localities (regions
     * here: nations are supplier-sparse at small SF): the disjunctive
     * two-sided locality predicate evaluates AFTER both dim chains
@@ -495,12 +513,8 @@ object ReferenceQueries {
     * broadcast.
     */
   def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
-    val n1 = t(s, dir, "nation")
-      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey").as("s_nk"), col("r_name").as("supp_region"))
-    val n2 = t(s, dir, "nation")
-      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey").as("c_nk"), col("r_name").as("cust_region"))
+    val n1 = nationRegionDim(s, dir, "s_nk", regionAlias = Some("supp_region"))
+    val n2 = nationRegionDim(s, dir, "c_nk", regionAlias = Some("cust_region"))
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= "1996-01-01" &&
         col("l_shipdate") < "1998-01-01")
@@ -527,14 +541,8 @@ object ReferenceQueries {
     * the oracle comparison is exact, not float-ratio.
     */
   def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
-    val sn = t(s, dir, "nation")
-      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey").as("s_nk"), col("r_name").as("supp_region"))
-    val cn = t(s, dir, "nation")
-      .join(t(s, dir, "region")
-          .filter(col("r_name") === "AMERICA"),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey").as("c_nk"))
+    val sn = nationRegionDim(s, dir, "s_nk", regionAlias = Some("supp_region"))
+    val cn = nationRegionDim(s, dir, "c_nk", regionName = Some("AMERICA"))
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders")
           .filter(col("o_orderdate") >= "1996-01-01" &&

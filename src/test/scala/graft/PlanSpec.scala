@@ -162,7 +162,7 @@ class PlanSpec extends AnyFunSuite {
     // the subquery shapes (q2/q4/q11/q15/q16/q13/q19/q20) must
     // decorrelate to joins, never a per-row re-execution or cartesian
     for (name <- Seq("q7_volume_shipping", "q8_market_share",
-        "q9_profit_shape", "q12_late_priority")) {
+        "q9_profit_shape")) {
       val plan = formatted(name)
       assert(plan.contains("BroadcastHashJoin"),
         s"$name: dims not broadcast:\n" + plan.take(1500))
@@ -170,9 +170,14 @@ class PlanSpec extends AnyFunSuite {
         !plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a quadratic join:\n" + plan.take(1500))
     }
+    // q12 sits here, not in the dim-broadcast list: its only join is
+    // the lineitem⋈orders fact-fact edge, which at scale correctly
+    // shuffles (any BroadcastHashJoin in its sf0.001 plan is a size
+    // artifact, not an invariant worth pinning)
     for (name <- Seq("q2_min_cost", "q4_order_priority",
         "q11_important_value", "q15_top_supplier", "q16_supplier_cnt",
-        "q13_order_counts", "q19_disjunctive", "q20_bulk_suppliers")) {
+        "q13_order_counts", "q19_disjunctive", "q20_bulk_suppliers",
+        "q12_late_priority")) {
       val plan = formatted(name)
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
