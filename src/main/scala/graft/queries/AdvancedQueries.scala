@@ -201,6 +201,51 @@ object AdvancedQueries {
       .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Staged copy of `events` for [[dppJoin]]: the fact laid out
+    * `partitionBy(event_type)` (the K1 sink's dynamic-partition
+    * layout) next to a 5-row event-type weight dim — cached per dir
+    * (the events stage-cache pattern; immutable inputs, fixed-data
+    * assumption as everywhere).
+    */
+  private val dppStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dppStage(s: SparkSession, dir: String): String =
+    dppStageCache.computeIfAbsent(Tables.versioned(dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_dpp").toString
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.partitionBy("event_type").parquet(s"$out/fact")
+      s.createDataFrame(Seq(("click", 1L), ("error", 9L),
+          ("purchase", 3L), ("signup", 7L), ("view", 8L)))
+        .toDF("event_type", "w")
+        .write.parquet(s"$out/dim")
+      out
+    })
+
+  /** Dynamic partition pruning: the partitioned fact joins a FILTERED
+    * weight dim, and Catalyst's PartitionPruning rule reuses the dim's
+    * broadcast as a runtime partition filter on the fact scan
+    * (`PartitionFilters: [.. dynamicpruning#..]`, pinned in PlanSpec)
+    * — only the 3 surviving partition directories are ever read, with
+    * no partition predicate spelled in the query. At 100 TB this is
+    * the date-/tenant-partitioned fact ⋈ filtered dim shape: the scan
+    * cost tracks the dim's selectivity, not the table size.
+    */
+  def dppJoin(s: SparkSession, dir: String): DataFrame = {
+    val stage = dppStage(s, dir)
+    val fact = s.read.parquet(s"$stage/fact")
+    val dim = s.read.parquet(s"$stage/dim").filter(col("w") <= 7)
+    fact.join(broadcast(dim), Seq("event_type"))
+      .groupBy(col("event_type"), col("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("event_type"), col("n_events"),
+        (col("cents") * col("w")).as("weighted_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** Deterministic 1-in-10ish sample: md5 prefix compare — the same
     * rows are selected by any engine, any partitioning, any run
     * (unlike TABLESAMPLE/rand, which are seed- and plan-dependent).
@@ -1752,7 +1797,8 @@ object AdvancedQueries {
     "moving_sum_7d" -> (movingSum7d _),
     "interval_union" -> (intervalUnion _),
     "percentile_bound" -> (percentileBound _),
-    "zorder_key" -> (zorderKey _))
+    "zorder_key" -> (zorderKey _),
+    "dpp_join" -> (dppJoin _))
 
   val oracle: Map[String, String] = Map(
     // the 3 synchronous LPA rounds unrolled: per round one
@@ -2327,6 +2373,21 @@ object AdvancedQueries {
                             FOR i IN range(0, 16)])
                 AS BIGINT) AS zkey
          FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber""",
+    // the dim is re-declared inline with the SAME weights + filter the
+    // staged dim parquet carries; the fact side reads the RAW events
+    // table, so the oracle also proves the partitioned staged copy
+    // preserved every row and value
+    "dpp_join" ->
+      """WITH dim(event_type, w) AS (VALUES
+           ('click', 1), ('error', 9), ('purchase', 3),
+           ('signup', 7), ('view', 8))
+         SELECT e.event_type, count(*) AS n_events,
+                CAST(sum(CAST(round(e.value * 100) AS BIGINT)) * d.w
+                     AS BIGINT) AS weighted_cents
+         FROM events e JOIN dim d USING (event_type)
+         WHERE d.w <= 7
+         GROUP BY e.event_type, d.w
+         ORDER BY e.event_type""",
     "unpivot_events" ->
       """SELECT user_id, event_type, count(*) AS n
          FROM events GROUP BY user_id, event_type

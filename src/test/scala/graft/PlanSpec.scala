@@ -26,6 +26,60 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("dpp_join: the filtered dim prunes fact partitions at RUNTIME " +
+      "(dynamic partition pruning, no spelled partition predicate)") {
+    val plan = formatted("dpp_join")
+    // the fact scan must carry a dynamicpruning subquery in its
+    // PartitionFilters — the broadcast dim's surviving keys become a
+    // runtime partition predicate, so the scan reads 3 of 5
+    // partition directories without the query spelling the filter
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic pruning subquery on the fact scan:\n" +
+        plan.take(3000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("AQE splits a skewed shuffle-join partition (the built-in skew " +
+      "path next to the manual salting escalation)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // 150k of 200k rows share key 0: one reducer partition ~50x the
+      // rest. AQE must split it at runtime rather than leave one
+      // straggler task — the mechanism the engine leans on for
+      // moderate skew before the salting escalation engages
+      val left = s.range(0, 200000L)
+        .select(when(col("id") < 150000L, 0L)
+          .otherwise(pmod(col("id"), lit(64L))).as("k"),
+          col("id").as("v"))
+      val right = s.range(0, 64L)
+        .select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right, "k").agg(sum(col("v") + col("w")).as("t"))
+      val total = j.collect()(0).getLong(0)
+      assert(total > 0L)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not mark the skewed partition split:\n" +
+          plan.take(3000))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+  }
+
   test("ann_ivf_indexed: the persisted-index scan is PARTITION-PRUNED " +
       "to the probed lists") {
     val plan = formatted("ann_ivf_indexed")
