@@ -127,6 +127,15 @@ object Classifier {
     (w, history.toSeq)
   }
 
+  /** Raw probabilities with trained weights: (id, y, p) where
+    * p = σ(w·x) — the unrounded per-row exact arithmetic the
+    * evaluation-metric queries quantize themselves (e6 keys for the
+    * AUC rank decomposition, decile bins for calibration).
+    */
+  def probabilities(feat: DataFrame, w: Array[Double]): DataFrame =
+    feat.select(col("id"), col("y").cast("long").as("y"),
+      fastSigmoid(zExpr(w)).as("p"))
+
   /** Score rows with trained weights: p = σ(w·x), pred = p ≥ 0.5.
     * Per-row exact arithmetic over exact weights → replayable.
     */

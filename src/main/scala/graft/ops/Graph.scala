@@ -208,6 +208,50 @@ object Graph {
     visited
   }
 
+  /** Bounded-hop WEIGHTED single-source-set shortest paths — the
+    * distributed Bellman–Ford relaxation, the weighted completion of
+    * [[bfsHops]]: after `rounds` rounds, dist(v) is the EXACT minimum
+    * total weight over paths from any seed using ≤ `rounds` edges
+    * (nodes unreachable within the bound are absent). Edge weights are
+    * positive int64; seeds start at distance 0.
+    *
+    * Scale shape: each round is ONE equi-join of the current distance
+    * table against the pinned edge table on src, then one
+    * min-aggregate over (previous ∪ relaxed) — min is associative and
+    * commutative, so map-side partial aggregation makes the shuffle
+    * carry at most one (id, dist) pair per node per partition, and
+    * the result is exact int64, independent of partitioning and
+    * merge order (no float accumulation anywhere). A fixed round
+    * count keeps the loop lazily chained (the pageRankE12 shape — no
+    * mid-loop action); the edge table is read every round, so it
+    * alone is pinned. Unlike bfsHops, the full distance table joins
+    * each round rather than a shrinking frontier: a weighted relaxed
+    * distance can improve on a PRIOR round's label, so settled nodes
+    * can't be excluded without a priority queue — the classic
+    * Bellman-Ford/Δ-stepping trade. The min-agg keeps each round's
+    * output at |reached| rows, so rounds cost |reached ∪ frontier
+    * incidence|, still never |V|·rounds.
+    */
+  def ssspBoundedHops(edges: DataFrame, seeds: DataFrame,
+                      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist
+        .select(col("id").as("src"), col("dist").as("d0"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("id"), (col("d0") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+    }
+    val out = Dedup.materialize(dist)
+    e.unpersist()
+    out
+  }
+
   /** Synchronous label propagation (Raghavan et al., Phys. Rev. E
     * 2007) over a SYMMETRIC edge set, made fully deterministic: every
     * node starts labeled with its own id, and each round every node

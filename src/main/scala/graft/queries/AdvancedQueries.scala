@@ -680,6 +680,76 @@ object AdvancedQueries {
       .orderBy(col("id"))
   }
 
+  /** Bounded-hop WEIGHTED shortest paths — the weighted completion of
+    * `bfs_hops` ([[graft.ops.Graph.ssspBoundedHops]], 3 distributed
+    * Bellman–Ford relaxation rounds): over the same customer–supplier
+    * order graph with edge weight = the number of lineitems linking
+    * the pair (a transfer-cost proxy, exact int64), from the same
+    * seed set (custkey % 199 = 0), dist(v) = the exact minimum total
+    * weight over ≤3-edge paths. Each round is one equi-join on src +
+    * one min-aggregate (map-side combinable, order-independent), so
+    * the trajectory is partitioning-independent and the oracle
+    * unrolls the 3 rounds as join + UNION ALL + min CTEs — no
+    * recursive CTE.
+    */
+  private val bktLock = new Object
+
+  /** STORAGE-co-located join driven end-to-end: orders and customer
+    * are written once per (session, dir) as 8-bucket catalog tables
+    * on the join key ([[graft.ops.Sink.bucketedSave]] — bucketBy +
+    * sortBy + saveAsTable into a temp-location database), then joined
+    * under a merge hint: both sides' outputPartitioning already
+    * satisfies the join distribution, so the SortMergeJoin runs with
+    * ZERO pre-join Exchange (PlanSpec pins it on this query's plan).
+    * This is the layout answer for a 100 TB fact table joined daily
+    * on one key — the shuffle is paid ONCE at write time; every
+    * subsequent join rides the bucket files. SinkSpec covers the
+    * mechanism; this row makes it driver-visible with a full oracle
+    * over the raw (unbucketed) tables — bucketing must be
+    * result-invariant.
+    */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val db = "graft_bkt"
+    val ver = Integer.toHexString(graft.Tables.versioned(dir).hashCode)
+    val ot = s"$db.orders_b_$ver"
+    val ct = s"$db.customer_b_$ver"
+    bktLock.synchronized {
+      if (!s.catalog.databaseExists(db))
+        s.sql(s"CREATE DATABASE $db LOCATION '" +
+          java.nio.file.Files.createTempDirectory("graft_bkt") + "'")
+      if (!s.catalog.tableExists(ot))
+        graft.ops.Sink.bucketedSave(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")), ot, "o_custkey", 8)
+      if (!s.catalog.tableExists(ct))
+        graft.ops.Sink.bucketedSave(
+          t(s, dir, "customer").select(col("c_custkey"),
+            col("c_nationkey")), ct, "c_custkey", 8)
+    }
+    val o = s.table(ot).select(col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val c = s.table(ct)
+    o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  def ssspWeighted(s: SparkSession, dir: String): DataFrame = {
+    val ge = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("src"),
+        (lit(1L << 40) + col("l_suppkey")).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val edges = ge.unionAll(
+      ge.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val seeds = ge.filter(col("src") % 199 === 0)
+      .select(col("src").cast("long").as("id"))
+    Graph.ssspBoundedHops(edges, seeds, rounds = 3)
+      .orderBy(col("id"))
+  }
+
   /** Deterministic label propagation (3 synchronous rounds, min-label
     * tie-break — [[graft.ops.Graph.labelPropagation]]) over the same
     * customer–supplier order graph as `pagerank`/`kcore`/`bfs_hops`:
@@ -1776,6 +1846,8 @@ object AdvancedQueries {
     "pagerank" -> (pagerank _),
     "kcore" -> (kcore _),
     "bfs_hops" -> (bfsHopsQ _),
+    "sssp_weighted" -> (ssspWeighted _),
+    "bucketed_join" -> (bucketedJoin _),
     "label_prop" -> (labelProp _),
     "modularity" -> (modularity _),
     "topk_freq" -> (topkFreq _),
@@ -1904,6 +1976,46 @@ object AdvancedQueries {
            UNION ALL SELECT id, 2 FROM h2
            UNION ALL SELECT id, 3 FROM h3)
          ORDER BY id""",
+    // the bucketed catalog tables must be result-invariant vs the raw
+    // parquet join — the oracle is the plain join/agg over the
+    // unbucketed sources
+    "bucketed_join" ->
+      """SELECT c_nationkey,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // the 3 Bellman–Ford relaxation rounds unrolled: per round one
+    // src equi-join + UNION ALL with the previous table + a min
+    // aggregate — dist after round r = exact min-weight ≤r-edge path
+    "sssp_weighted" ->
+      """WITH ge AS (SELECT o_custkey AS src,
+                            1099511627776 + l_suppkey AS dst,
+                            CAST(count(*) AS BIGINT) AS w
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                     GROUP BY 1, 2),
+         e AS (SELECT src, dst, w FROM ge
+               UNION ALL SELECT dst, src, w FROM ge),
+         d0 AS (SELECT DISTINCT CAST(src AS BIGINT) AS id,
+                       CAST(0 AS BIGINT) AS dist
+                FROM ge WHERE src % 199 = 0),
+         d1 AS (SELECT id, min(dist) AS dist FROM (
+                  SELECT id, dist FROM d0
+                  UNION ALL
+                  SELECT e.dst, d.dist + e.w
+                  FROM d0 d JOIN e ON d.id = e.src) u GROUP BY id),
+         d2 AS (SELECT id, min(dist) AS dist FROM (
+                  SELECT id, dist FROM d1
+                  UNION ALL
+                  SELECT e.dst, d.dist + e.w
+                  FROM d1 d JOIN e ON d.id = e.src) u GROUP BY id),
+         d3 AS (SELECT id, min(dist) AS dist FROM (
+                  SELECT id, dist FROM d2
+                  UNION ALL
+                  SELECT e.dst, d.dist + e.w
+                  FROM d2 d JOIN e ON d.id = e.src) u GROUP BY id)
+         SELECT id, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY id""",
     "dq_expectations" ->
       """WITH rep AS (
            SELECT 'orders' AS tbl, 'o_custkey' AS col,

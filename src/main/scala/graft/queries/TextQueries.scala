@@ -1755,7 +1755,141 @@ object TextQueries {
     out
   }
 
+  /** The (score_e6, y) frame the evaluation metrics consume: raw
+    * classifier probabilities quantized to e6 integers (the
+    * quantization is what bounds the AUC rank domain at 10⁶+1 values
+    * at ANY corpus size — see [[graft.ops.Eval]]).
+    */
+  private def qtScoresE6(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classifier.probabilities(
+        graft.ops.Classifier.features(
+          t(s, dir, "documents"), "doc_id", "text", "lang"),
+        qtTrained(s, dir)._1)
+      .select(expr("CAST(floor(p * 1e6 + 0.5) AS BIGINT)").as("score_e6"),
+        col("y"))
+
+  /** Model evaluation I — exact ROC AUC of the trained quality
+    * classifier against the `lang = 'en'` labels (Mann–Whitney
+    * rank-sum with midrank tie credit, [[graft.ops.Eval.aucExact]]):
+    * no global sort, no single-reducer window, rank products in
+    * DECIMAL(38,0), the reported AUC an exact ×10⁶ integer. The
+    * oracle replays the trained weights (the qtCtes unroll), the e6
+    * quantization, and the whole rank decomposition in HUGEINT SQL.
+    */
+  def qualityAuc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.aucExact(qtScoresE6(s, dir))
+
+  /** Model evaluation II — 0.5-threshold confusion matrix +
+    * accuracy/precision/recall/F1 as exact ×10⁶ integers from ONE
+    * 1-row aggregate ([[graft.ops.Eval.confusion]]); the oracle
+    * recomputes every cell from the replayed scores.
+    *
+    * On this corpus the row it hash-pins is the classifier's
+    * DEGENERATE truth: 3 GD steps on weak surface features against a
+    * 38.6% base rate converge below 0.5 for every document (tp = fp
+    * = 0, precision NULL — never a fabricated 0) — the metric
+    * catching an all-negative quality filter before it silently
+    * drops a corpus, the modularity-pins-LPA's-failure discipline.
+    */
+  def qualityConfusion(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.confusion(
+      graft.ops.Classifier.score(
+        graft.ops.Classifier.features(
+          t(s, dir, "documents"), "doc_id", "text", "lang"),
+        qtTrained(s, dir)._1))
+
+  /** Model evaluation III — decile reliability/calibration table
+    * ([[graft.ops.Eval.calibration]]): per-bin support, mean
+    * predicted probability, empirical positive rate, and the signed
+    * gap, all exact ×10⁶ integers over a ≤10-row shuffle domain.
+    */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.calibration(qtScoresE6(s, dir))
+
+  /** Model evaluation IV — the metric family on a SECOND, structurally
+    * different scorer: the heuristic lang-ID as an 'en' detector.
+    * score_e6 = the en-marker share of ALL marker hits (exact integer
+    * ratio; marker-less docs sit at the uninformative 500000
+    * midpoint), pred = the langId argmax choosing 'en', y = the
+    * labeled lang. AUC + confusion come from the same
+    * [[graft.ops.Eval]] operators as the classifier metrics and
+    * unpivot into ONE (metric, value) long table — the
+    * pipeline-report shape (filter_funnel's stack discipline).
+    *
+    * What it measures here is a SECOND failure mode, hash-pinned the
+    * way `modularity` pins LPA's bipartite collapse: the synthetic
+    * corpus text is English-ish word salad regardless of the labeled
+    * `lang`, so the marker heuristic predicts 'en' for ~77% of
+    * everything — recall 0.92 but precision 0.38, AUC ≈ 0.488.
+    * Where quality_confusion catches a DEGENERATE predictor (the
+    * under-trained classifier never crosses 0.5: tp = 0), this
+    * catches an OVER-FIRING one; correct behavior on separable data
+    * is property-pinned in EvalSpec.
+    */
+  def langidEval(s: SparkSession, dir: String): DataFrame = {
+    val toksC = filter(split(lower(col("text")), "\\s+"),
+      t => length(t) > 0)
+    val cnts = TextOps.LangMarkers.map { case (lang, ms) =>
+      lang -> size(filter(toksC, t => t.isInCollection(ms)))
+    }
+    val en = cnts.head._2
+    val tot = cnts.map(_._2).reduce(_ + _)
+    val scores = t(s, dir, "documents")
+      .select(en.cast("long").as("en_cnt"), tot.cast("long").as("tot"),
+        TextOps.langId(col("text")).as("pl"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .select(
+        expr("""CASE WHEN tot > 0 THEN en_cnt * 1000000 DIV tot
+                     ELSE 500000 END""").as("score_e6"),
+        col("y"),
+        when(col("pl") === "en", 1).otherwise(0).as("pred"))
+    val auc = graft.ops.Eval.aucExact(scores)
+    val cm = graft.ops.Eval.confusion(scores)
+    auc.select(expr(
+        """stack(3, 'auc_e6', auc_e6, 'n_neg', n_neg, 'n_pos', n_pos)
+           AS (metric, value)"""))
+      .unionAll(cm.select(expr(
+        """stack(11, 'acc_e6', acc_e6, 'f1_e6', f1_e6, 'fn', fn,
+                 'fp', fp, 'kappa_den', kappa_den, 'kappa_e6', kappa_e6,
+                 'kappa_num', kappa_num, 'prec_e6', prec_e6,
+                 'rec_e6', rec_e6, 'tn', tn, 'tp', tp)
+           AS (metric, value)""")))
+      .orderBy(col("metric"))
+  }
+
+  /** Deterministic reservoir-equivalent k-per-group sampling
+    * (Efraimidis–Spirakis A-Res with hash priorities): each language
+    * keeps the k = 4 documents with the LARGEST
+    * mix64(doc_id ⊕ mix64(seed)) key — a uniform k-subset per group
+    * under the hash's permutation, RNG-free and reproducible on any
+    * executor. The scale shape is the [[graft.functions.TopKMax]]
+    * bounded aggregator (≤ k rows per group per partition, map-side
+    * combined — the shuffle carries k·groups·partitions structs),
+    * NOT the ranking window that ships every row to its group's
+    * reducer: per-group capping is the data-mixing operator a corpus
+    * blend runs over billions of rows per group. The oracle replays
+    * the full SplitMix64 chain in UBIGINT SQL (the epoch_shuffle
+    * discipline) and ranks with DuckDB's own window.
+    */
+  def reservoirSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKMax.topk_max
+    import graft.functions.dsl.shuffle_key
+    val d = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+      shuffle_key(col("doc_id"), 777L).as("skey"))
+    d.groupBy(col("lang"))
+      .agg(topk_max(col("skey"), col("doc_id"), 4).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.v").as("skey"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reservoir_sample" -> (reservoirSample _),
+    "langid_eval" -> (langidEval _),
+    "quality_auc" -> (qualityAuc _),
+    "quality_confusion" -> (qualityConfusion _),
+    "quality_calibration" -> (qualityCalibration _),
     "quality_train" -> (qualityTrain _),
     "quality_train_incremental" -> (qualityTrainIncremental _),
     "quality_classify" -> (qualityClassify _),
@@ -1925,7 +2059,250 @@ object TextQueries {
               CAST(y AS INTEGER) AS y
        FROM sc ORDER BY id"""
 
+  /** The evaluation frame's replay: scored probabilities from the
+    * recomputed final weights, quantized to e6 (the engine's
+    * qtScoresE6 twin — identical double arithmetic, then floor).
+    */
+  private def qtProbCte: String =
+    s"""qp AS (
+         SELECT id, CAST(y AS BIGINT) AS y,
+                CAST(floor(p * 1e6 + 0.5) AS BIGINT) AS score_e6,
+                CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred
+         FROM (SELECT f.id, f.y,
+                      0.5 + 0.5 * z / (1.0 + abs(z)) AS p
+               FROM (SELECT f.*, w.w0 + w.w1 * x1 + w.w2 * x2
+                                + w.w3 * x3 + w.w4 * x4 AS z
+                     FROM qf f CROSS JOIN qw_$QtIters w) f) pr)"""
+
+  /** The Mann–Whitney decomposition replayed: per-value counts, the
+    * two-level cumulative (bucket offsets + within-bucket window —
+    * the engine's exact decomposition, though DuckDB could one-level
+    * it), 2×-midranks, HUGEINT rank-sum products (the engine's
+    * DECIMAL(38,0) twin), integer floor division.
+    */
+  /** The Mann–Whitney chain over a (score_e6, y) source CTE: the
+    * engine's exact two-level decomposition (bucket offsets +
+    * within-bucket cumulative — DuckDB could one-level it, but the
+    * twin mirrors the decomposition), 2×-midranks, HUGEINT rank-sum
+    * products (the engine's DECIMAL(38,0) twin). Ends at `ag`
+    * (np, nn, prs2); `aucSelectSql` is the final division.
+    */
+  private def aucChainCtes(src: String): String =
+    s"""bv AS (SELECT score_e6, score_e6 // 16384 AS bkt,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(y) AS BIGINT) AS pos
+              FROM $src GROUP BY score_e6),
+       boff AS (SELECT bkt,
+                       CAST(coalesce(sum(bn) OVER (ORDER BY bkt
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS offs
+                FROM (SELECT bkt, sum(cnt) AS bn FROM bv GROUP BY bkt) b),
+       rk AS (SELECT bv.pos, bv.cnt,
+                     2 * (boff.offs
+                          + CAST(coalesce(sum(bv.cnt) OVER (
+                              PARTITION BY bv.bkt ORDER BY bv.score_e6
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT))
+                       + bv.cnt + 1 AS rank2
+              FROM bv JOIN boff USING (bkt)),
+       ag AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
+                     CAST(sum(cnt - pos) AS BIGINT) AS nn,
+                     sum(CAST(pos AS HUGEINT) * rank2) AS prs2
+              FROM rk)"""
+
+  private val aucSelectSql: String =
+    """CASE WHEN np > 0 AND nn > 0 THEN
+         CAST((prs2 - CAST(np AS HUGEINT) * (np + 1)) * 1000000
+              // (2 * CAST(np AS HUGEINT) * nn) AS BIGINT)
+       END"""
+
+  private def qualityAucOracleSql: String =
+    s"""WITH $qtCtes, $qtProbCte,
+       ${aucChainCtes("qp")}
+       SELECT np AS n_pos, nn AS n_neg, $aucSelectSql AS auc_e6
+       FROM ag"""
+
+  private def qualityConfusionOracleSql: String =
+    s"""WITH $qtCtes, $qtProbCte,
+       cm AS (SELECT
+                CAST(sum(CASE WHEN y = 1 AND pred = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN y = 0 AND pred = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN y = 1 AND pred = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(sum(CASE WHEN y = 0 AND pred = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM qp),
+       ck AS (SELECT *,
+                (tp + fp + fn + tn) * (tp + tn)
+                  - ((tp + fp) * (tp + fn) + (fp + tn) * (fn + tn))
+                  AS kappa_num,
+                (tp + fp + fn + tn) * (tp + fp + fn + tn)
+                  - ((tp + fp) * (tp + fn) + (fp + tn) * (fn + tn))
+                  AS kappa_den
+              FROM cm)
+       SELECT tp, fp, fn, tn,
+              CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
+                AS acc_e6,
+              CASE WHEN tp + fp > 0
+                   THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+              END AS prec_e6,
+              CASE WHEN tp + fn > 0
+                   THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+              END AS rec_e6,
+              CASE WHEN 2 * tp + fp + fn > 0
+                   THEN CAST(2 * tp * 1000000 // (2 * tp + fp + fn)
+                             AS BIGINT)
+              END AS f1_e6,
+              kappa_num, kappa_den,
+              CASE WHEN kappa_den > 0 THEN
+                (CASE WHEN kappa_num < 0 THEN -1 ELSE 1 END)
+                * CAST(abs(kappa_num) * 1000000 // kappa_den AS BIGINT)
+              END AS kappa_e6
+       FROM ck"""
+
+  private def qualityCalibrationOracleSql: String =
+    s"""WITH $qtCtes, $qtProbCte
+       SELECT least(score_e6 // 100000, 9) AS bin,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y) AS BIGINT) AS n_pos,
+              CAST(sum(score_e6) // count(*) AS BIGINT) AS mean_p_e6,
+              CAST(sum(y) * 1000000 // count(*) AS BIGINT)
+                AS pos_rate_e6,
+              CAST(sum(y) * 1000000 // count(*)
+                   - sum(score_e6) // count(*) AS BIGINT) AS gap_e6
+       FROM qp GROUP BY 1 ORDER BY bin"""
+
+  /** langid_eval's replay: marker counts → integer score + argmax
+    * pred, the shared AUC chain, the confusion cells, all unpivoted
+    * to the (metric, value) long table.
+    */
+  private def langidEvalOracleSql: String = {
+    val sEn = markerCount(TextOps.LangMarkers(0)._2)
+    val sDe = markerCount(TextOps.LangMarkers(1)._2)
+    val sEs = markerCount(TextOps.LangMarkers(2)._2)
+    val sFr = markerCount(TextOps.LangMarkers(3)._2)
+    s"""WITH s AS (SELECT
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             $sEn AS s_en, $sDe AS s_de, $sEs AS s_es, $sFr AS s_fr
+           FROM documents),
+       sp AS (SELECT CAST(y AS BIGINT) AS y,
+                     CASE WHEN s_en + s_de + s_es + s_fr > 0
+                          THEN CAST(s_en AS BIGINT) * 1000000
+                               // (s_en + s_de + s_es + s_fr)
+                          ELSE 500000 END AS score_e6,
+                     CASE WHEN s_en > 0 AND s_en >= s_de
+                               AND s_en >= s_es AND s_en >= s_fr
+                          THEN 1 ELSE 0 END AS pred
+              FROM s),
+       ${aucChainCtes("sp")},
+       cm AS (SELECT
+                CAST(sum(CASE WHEN y = 1 AND pred = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN y = 0 AND pred = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN y = 1 AND pred = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(sum(CASE WHEN y = 0 AND pred = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM sp),
+       ck AS (SELECT *,
+                (tp + fp + fn + tn) * (tp + tn)
+                  - ((tp + fp) * (tp + fn) + (fp + tn) * (fn + tn))
+                  AS kappa_num,
+                (tp + fp + fn + tn) * (tp + fp + fn + tn)
+                  - ((tp + fp) * (tp + fn) + (fp + tn) * (fn + tn))
+                  AS kappa_den
+              FROM cm)
+       SELECT metric, value FROM (
+         SELECT 'auc_e6' AS metric, $aucSelectSql AS value FROM ag
+         UNION ALL SELECT 'n_neg', nn FROM ag
+         UNION ALL SELECT 'n_pos', np FROM ag
+         UNION ALL SELECT 'tp', tp FROM cm
+         UNION ALL SELECT 'fp', fp FROM cm
+         UNION ALL SELECT 'fn', fn FROM cm
+         UNION ALL SELECT 'tn', tn FROM cm
+         UNION ALL SELECT 'acc_e6',
+           CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
+           FROM cm
+         UNION ALL SELECT 'prec_e6',
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT) END
+           FROM cm
+         UNION ALL SELECT 'rec_e6',
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT) END
+           FROM cm
+         UNION ALL SELECT 'f1_e6',
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST(2 * tp * 1000000 // (2 * tp + fp + fn)
+                          AS BIGINT) END
+           FROM cm
+         UNION ALL SELECT 'kappa_num', kappa_num FROM ck
+         UNION ALL SELECT 'kappa_den', kappa_den FROM ck
+         UNION ALL SELECT 'kappa_e6',
+           CASE WHEN kappa_den > 0 THEN
+             (CASE WHEN kappa_num < 0 THEN -1 ELSE 1 END)
+             * CAST(abs(kappa_num) * 1000000 // kappa_den AS BIGINT)
+           END
+           FROM ck) u
+       ORDER BY metric"""
+  }
+
+  /** reservoir_sample's replay: the SplitMix64 key chain in UBIGINT
+    * split-multiply SQL (salt generated from the kernel at map-build
+    * time — the epoch_shuffle discipline), signed reinterpretation,
+    * then DuckDB's own per-group ranking window as the definition the
+    * bounded aggregator must equal.
+    */
+  private def reservoirSampleOracleSql: String = {
+    val salt = java.lang.Long.toUnsignedString(
+      graft.functions.Kernels.mix64(777L))
+    s"""WITH sc AS (SELECT lang, doc_id,
+                  xor(CAST(doc_id AS UBIGINT), $salt::UBIGINT) AS u
+                FROM documents),
+       m1 AS (SELECT lang, doc_id,
+                CAST((CAST(u AS HUGEINT) + 11400714819323198485)
+                     % 18446744073709551616 AS UBIGINT) AS z1 FROM sc),
+       m2 AS (SELECT lang, doc_id,
+                CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT)
+                       * 13787848793156543929)
+                      + (((CAST(xor(z1, z1 >> 30) // 4294967296 AS HUGEINT)
+                           * 484763065) % 4294967296) * 4294967296))
+                     % 18446744073709551616 AS UBIGINT) AS z2 FROM m1),
+       m3 AS (SELECT lang, doc_id,
+                CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT)
+                       * 10723151780598845931)
+                      + (((CAST(xor(z2, z2 >> 27) // 4294967296 AS HUGEINT)
+                           * 321982955) % 4294967296) * 4294967296))
+                     % 18446744073709551616 AS UBIGINT) AS z3 FROM m2),
+       h AS (SELECT lang, doc_id, xor(z3, z3 >> 31) AS hv FROM m3),
+       sk AS (SELECT lang, doc_id,
+                CAST(CAST(hv AS HUGEINT)
+                  - (CASE WHEN hv >= 9223372036854775808::UBIGINT
+                     THEN 18446744073709551616::HUGEINT
+                     ELSE 0::HUGEINT END) AS BIGINT) AS skey FROM h),
+       r AS (SELECT lang, doc_id, skey,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY skey DESC, doc_id) AS rn FROM sk)
+       SELECT lang, CAST(rn AS INTEGER) AS rank, doc_id, skey
+       FROM r WHERE rn <= 4 ORDER BY lang, rank"""
+  }
+
   val oracle: Map[String, String] = Map(
+    // the bounded-aggregator k-per-group sample vs the ranking-window
+    // DEFINITION over the replayed hash priorities
+    "reservoir_sample" -> reservoirSampleOracleSql,
+    // the full Mann–Whitney AUC / confusion-matrix / calibration
+    // replay: trained weights recomputed via the unrolled GD chain,
+    // then each metric's exact-integer arithmetic mirrored; the
+    // langid_eval twin runs the same chain over the marker-ratio
+    // score and unpivots to the (metric, value) report
+    "langid_eval" -> langidEvalOracleSql,
+    "quality_auc" -> qualityAucOracleSql,
+    "quality_confusion" -> qualityConfusionOracleSql,
+    "quality_calibration" -> qualityCalibrationOracleSql,
     // in-engine GD training replayed as unrolled 1-row gradient
     // aggregates (e12 int64) — the weight trajectory hash-compares as
     // exact doubles; scoring reuses the recomputed final weights

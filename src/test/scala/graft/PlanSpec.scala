@@ -26,6 +26,24 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("bucketed_join: the driven query joins bucketed tables with " +
+      "no pre-join Exchange (shuffle paid once at write time)") {
+    val plan = formatted("bucketed_join")
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    // the only exchanges allowed are AFTER the join: the nationkey
+    // aggregation and the final order — a non-bucketed plan would
+    // carry two more (one per join side, on the join key). Count the
+    // formatted detail headers "(n) Exchange" so the tree/detail
+    // duplication doesn't double-count nodes.
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"expected <=2 post-join exchanges, found $exchanges:\n" +
+        plan.take(3000))
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+    // both scans must be the bucketed catalog tables, not raw parquet
+    assert("orders_b_".r.findAllIn(plan).nonEmpty, plan.take(2000))
+  }
+
   test("dpp_join: the filtered dim prunes fact partitions at RUNTIME " +
       "(dynamic partition pruning, no spelled partition predicate)") {
     val plan = formatted("dpp_join")
