@@ -120,6 +120,44 @@ object Eval {
                   * (abs(kappa_num) * 1000000 DIV kappa_den) END""")
           .as("kappa_e6"))
 
+  /** Precision/recall curve points for a list of score thresholds
+    * from ONE pass: aggregate the corpus to per-distinct-score
+    * (cnt, pos) rows (the aucExact value domain, ≤10⁶+1 rows at any
+    * corpus size), then take every threshold's (tp, fp) as a pair of
+    * conditional sums in a SINGLE aggregate over that domain — the
+    * whole curve costs one corpus scan plus one bounded-domain
+    * aggregate, where the naive form rescans the corpus per
+    * threshold. fn/tn derive from the totals; precision NULL when a
+    * threshold fires on nothing. Input: (score_e6: long, y: 0/1
+    * long); thresholds in e6 units, emitted as `thr_e6` rows.
+    */
+  def prCurve(scores: DataFrame, thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "prCurve needs at least one threshold")
+    val byVal = scores.groupBy(col("score_e6"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(sum(when(col("score_e6") >= t, col("pos")).otherwise(0L))
+          .as(s"tp_$i"),
+        sum(when(col("score_e6") >= t, col("cnt") - col("pos"))
+          .otherwise(0L)).as(s"fp_$i"))
+    } ++ Seq(sum(col("pos")).as("np"),
+      sum(col("cnt") - col("pos")).as("nn"))
+    val one = byVal.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = thresholds.zipWithIndex
+      .map { case (t, i) => s"${t}L, tp_$i, fp_$i" }.mkString(", ")
+    one.select(
+        expr(s"stack(${thresholds.size}, $stackArgs) AS (thr_e6, tp, fp)"),
+        col("np"), col("nn"))
+      .select(col("thr_e6"), col("tp"), col("fp"),
+        (col("np") - col("tp")).as("fn"),
+        (col("nn") - col("fp")).as("tn"),
+        expr("CASE WHEN tp + fp > 0 THEN tp * 1000000 DIV (tp + fp) END")
+          .as("prec_e6"),
+        expr("CASE WHEN np > 0 THEN tp * 1000000 DIV np END")
+          .as("rec_e6"))
+      .orderBy(col("thr_e6"))
+  }
+
   /** Reliability (calibration) table: scores binned into deciles
     * (bin = min(score_e6 div 10⁵, 9)), per-bin support, mean predicted
     * probability and empirical positive rate as exact ×10⁶ integers —

@@ -1826,25 +1826,40 @@ object TextQueries {
     * catches an OVER-FIRING one; correct behavior on separable data
     * is property-pinned in EvalSpec.
     */
-  def langidEval(s: SparkSession, dir: String): DataFrame = {
-    val toksC = filter(split(lower(col("text")), "\\s+"),
-      t => length(t) > 0)
-    val cnts = TextOps.LangMarkers.map { case (lang, ms) =>
-      lang -> size(filter(toksC, t => t.isInCollection(ms)))
-    }
-    val en = cnts.head._2
-    val tot = cnts.map(_._2).reduce(_ + _)
-    val scores = t(s, dir, "documents")
-      .select(en.cast("long").as("en_cnt"), tot.cast("long").as("tot"),
-        TextOps.langId(col("text")).as("pl"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+  /** The lang-ID 'en'-detector score frame over any documents-shaped
+    * input (batch table or a streaming micro-batch): tokenize ONCE
+    * into a column, then take the four marker counts off it —
+    * inlining filter(split(...)) into every count would re-split the
+    * text per marker list (no CSE across lambda trees; measured ~5 s
+    * → sub-second at sf0.1). pred derives from the counts directly:
+    * the langId argmax picks 'en' iff s_en > 0 and s_en >= each later
+    * language (first-declared wins ties) — the exact condition the
+    * oracle spells. Output: (score_e6, y, pred).
+    */
+  private def langidScores(df: DataFrame): DataFrame =
+    df.select(col("lang"),
+        filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0).as("toks"))
+      .select(col("lang") :: TextOps.LangMarkers.map { case (l, ms) =>
+        size(filter(col("toks"), t => t.isInCollection(ms)))
+          .cast("long").as(s"s_$l")
+      }.toList: _*)
       .select(
-        expr("""CASE WHEN tot > 0 THEN en_cnt * 1000000 DIV tot
+        expr("""CASE WHEN s_en + s_de + s_es + s_fr > 0
+                     THEN s_en * 1000000 DIV (s_en + s_de + s_es + s_fr)
                      ELSE 500000 END""").as("score_e6"),
-        col("y"),
-        when(col("pl") === "en", 1).otherwise(0).as("pred"))
-    val auc = graft.ops.Eval.aucExact(scores)
-    val cm = graft.ops.Eval.confusion(scores)
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        expr("""CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es
+                          AND s_en >= s_fr THEN 1 ELSE 0 END""")
+          .as("pred"))
+
+  def langidEval(s: SparkSession, dir: String): DataFrame = {
+    // both metric legs read the same tiny (score, y, pred) frame —
+    // pin it so the corpus is scanned once, not once per leg
+    val pinned = graft.ops.Dedup.materialize(
+      langidScores(t(s, dir, "documents")))
+    val auc = graft.ops.Eval.aucExact(pinned)
+    val cm = graft.ops.Eval.confusion(pinned)
     auc.select(expr(
         """stack(3, 'auc_e6', auc_e6, 'n_neg', n_neg, 'n_pos', n_pos)
            AS (metric, value)"""))
@@ -1884,8 +1899,70 @@ object TextQueries {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Model evaluation V — the whole precision/recall CURVE from one
+    * pass ([[graft.ops.Eval.prCurve]]): decile thresholds over the
+    * lang-ID 'en'-detector score. Every threshold's confusion comes
+    * from conditional sums over the per-distinct-score value domain
+    * (≤10⁶+1 rows at any corpus size), so the 9-point curve costs one
+    * corpus scan + one bounded aggregate — the threshold-tuning query
+    * a pipeline runs before picking its quality gate, priced
+    * independent of corpus size past the first map stage.
+    */
+  def langidPrCurve(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.prCurve(
+      langidScores(t(s, dir, "documents")).select(col("score_e6"),
+        col("y")),
+      (1L to 9L).map(_ * 100000L))
+
+  /** The EIGHTH driver-visible stream shape — model-quality
+    * MONITORING at ingest: documents replayed as ≥2 real
+    * micro-batches (the docStage file source), each batch scored by
+    * the stateless lang-ID detector and reduced to its confusion
+    * cells inside `foreachBatch` (one 1-row aggregate per batch; the
+    * driver accumulates 4 longs per batch, never rows). This is the
+    * per-batch quality dashboard a production gate alarms on —
+    * batch-level accuracy drift is visible where a whole-corpus
+    * metric would average it away. Batches are the doc_id-parity
+    * splits in mtime order, so the oracle recomputes every batch's
+    * cells exactly (GROUP BY doc_id % 2).
+    */
+  def streamEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = docStage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stream = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage, schema, maxFilesPerTrigger = Some(1))
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    val collectBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val r = graft.ops.Eval.confusion(langidScores(batch)).head()
+      buf.synchronized {
+        buf += ((batchId, r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+          r.getAs[Long]("fn"), r.getAs[Long]("tn")))
+      }
+    }
+    val q = stream.writeStream.foreachBatch(collectBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    require(buf.size >= 2,
+      s"stream_eval expected >=2 micro-batches, got ${buf.size}")
+    import s.implicits._
+    buf.toSeq.sortBy(_._1).map { case (b, tp, fp, fn, tn) =>
+      // exact integer accuracy, same arithmetic as Eval.confusion —
+      // computed on the driver from the 4 collected cells
+      (b, tp + fp + fn + tn, tp, fp, fn, tn,
+        (tp + tn) * 1000000L / (tp + fp + fn + tn))
+    }.toDF("batch", "n", "tp", "fp", "fn", "tn", "acc_e6")
+      .orderBy(col("batch"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "reservoir_sample" -> (reservoirSample _),
+    "langid_pr_curve" -> (langidPrCurve _),
+    "stream_eval" -> (streamEval _),
     "langid_eval" -> (langidEval _),
     "quality_auc" -> (qualityAuc _),
     "quality_confusion" -> (qualityConfusion _),
@@ -2178,16 +2255,22 @@ object TextQueries {
     * pred, the shared AUC chain, the confusion cells, all unpivoted
     * to the (metric, value) long table.
     */
-  private def langidEvalOracleSql: String = {
+  /** The lang-ID 'en'-detector score frame's replay (`s` + `sp`
+    * CTEs), shared by langid_eval / langid_pr_curve / stream_eval.
+    * `extraS`/`extraSp` propagate additional grouping columns through
+    * each level (e.g. `"doc_id % 2 AS batch,"` then `"batch,"` —
+    * trailing commas included).
+    */
+  private def langidSpCtes(extraS: String, extraSp: String = ""): String = {
     val sEn = markerCount(TextOps.LangMarkers(0)._2)
     val sDe = markerCount(TextOps.LangMarkers(1)._2)
     val sEs = markerCount(TextOps.LangMarkers(2)._2)
     val sFr = markerCount(TextOps.LangMarkers(3)._2)
-    s"""WITH s AS (SELECT
+    s"""s AS (SELECT $extraS
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
              $sEn AS s_en, $sDe AS s_de, $sEs AS s_es, $sFr AS s_fr
            FROM documents),
-       sp AS (SELECT CAST(y AS BIGINT) AS y,
+       sp AS (SELECT $extraSp CAST(y AS BIGINT) AS y,
                      CASE WHEN s_en + s_de + s_es + s_fr > 0
                           THEN CAST(s_en AS BIGINT) * 1000000
                                // (s_en + s_de + s_es + s_fr)
@@ -2195,7 +2278,11 @@ object TextQueries {
                      CASE WHEN s_en > 0 AND s_en >= s_de
                                AND s_en >= s_es AND s_en >= s_fr
                           THEN 1 ELSE 0 END AS pred
-              FROM s),
+              FROM s)"""
+  }
+
+  private def langidEvalOracleSql: String =
+    s"""WITH ${langidSpCtes("")},
        ${aucChainCtes("sp")},
        cm AS (SELECT
                 CAST(sum(CASE WHEN y = 1 AND pred = 1
@@ -2248,7 +2335,55 @@ object TextQueries {
            END
            FROM ck) u
        ORDER BY metric"""
+
+  /** langid_pr_curve's replay: per-threshold conditional sums over
+    * the replayed score frame, one UNION ALL arm per threshold.
+    */
+  private def langidPrCurveOracleSql: String = {
+    val arms = (1L to 9L).map(_ * 100000L).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS thr_e6,
+            CAST(sum(CASE WHEN score_e6 >= $t THEN y ELSE 0 END)
+                 AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN score_e6 >= $t AND y = 0 THEN 1 ELSE 0
+                          END) AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN score_e6 < $t THEN y ELSE 0 END)
+                 AS BIGINT) AS fn,
+            CAST(sum(CASE WHEN score_e6 < $t AND y = 0 THEN 1 ELSE 0
+                          END) AS BIGINT) AS tn
+          FROM sp"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${langidSpCtes("")}
+       SELECT thr_e6, tp, fp, fn, tn,
+              CASE WHEN tp + fp > 0
+                   THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+              END AS prec_e6,
+              CASE WHEN tp + fn > 0
+                   THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+              END AS rec_e6
+       FROM ($arms) u ORDER BY thr_e6"""
   }
+
+  /** stream_eval's replay: the per-micro-batch confusion cells are a
+    * pure function of the doc_id-parity split (the docStage staging
+    * contract: file i = doc_id % 2 = i, mtime-ordered,
+    * maxFilesPerTrigger = 1).
+    */
+  private def streamEvalOracleSql: String =
+    s"""WITH ${langidSpCtes("doc_id % 2 AS batch,", "batch,")},
+       g AS (SELECT batch,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tn
+             FROM sp GROUP BY batch)
+       SELECT CAST(batch AS BIGINT) AS batch, n, tp, fp, fn, tn,
+              CAST((tp + tn) * 1000000 // n AS BIGINT) AS acc_e6
+       FROM g ORDER BY batch"""
 
   /** reservoir_sample's replay: the SplitMix64 key chain in UBIGINT
     * split-multiply SQL (salt generated from the kernel at map-build
@@ -2294,6 +2429,12 @@ object TextQueries {
     // the bounded-aggregator k-per-group sample vs the ranking-window
     // DEFINITION over the replayed hash priorities
     "reservoir_sample" -> reservoirSampleOracleSql,
+    // the one-pass PR curve: every threshold's confusion recomputed
+    // as conditional sums over the replayed scores
+    "langid_pr_curve" -> langidPrCurveOracleSql,
+    // per-micro-batch monitoring cells = GROUP BY the doc_id parity
+    // that defines the staged batches
+    "stream_eval" -> streamEvalOracleSql,
     // the full Mann–Whitney AUC / confusion-matrix / calibration
     // replay: trained weights recomputed via the unrolled GD chain,
     // then each metric's exact-integer arithmetic mirrored; the

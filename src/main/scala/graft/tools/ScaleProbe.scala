@@ -158,7 +158,16 @@ object ScaleProbe {
       ("ann_lsh", graft.queries.ScaleQueries.queries("ann_lsh"), false),
       ("pagerank", graft.queries.AdvancedQueries.queries("pagerank"), false),
       ("ann_ivfpq", graft.queries.ScaleQueries.queries("ann_ivfpq"), true),
-      ("quality_train", graft.queries.TextQueries.queries("quality_train"), true))
+      ("quality_train", graft.queries.TextQueries.queries("quality_train"), true),
+      // r8 continuation: the evaluation family (cold — quality_auc
+      // trains via the shared qtCache memo, and the training pass is
+      // part of its cost story), the Bellman–Ford rounds, and the
+      // bounded-aggregator sampler (both warm — no trained state)
+      ("quality_auc", graft.queries.TextQueries.queries("quality_auc"), true),
+      ("sssp_weighted",
+        graft.queries.AdvancedQueries.queries("sssp_weighted"), false),
+      ("reservoir_sample",
+        graft.queries.TextQueries.queries("reservoir_sample"), false))
     def timeOnce(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }

@@ -102,6 +102,30 @@ class EvalSpec extends AnyFunSuite {
     assert(rc.isNullAt(rc.fieldIndex("kappa_e6")))
   }
 
+  test("prCurve: per-threshold confusion from one bounded-domain pass") {
+    val df = scoresDf(Seq((900000L, 1L), (700000L, 0L), (600000L, 1L),
+      (100000L, 0L)))
+    val rows = Eval.prCurve(df, Seq(500000L, 800000L)).collect()
+    assert(rows.length == 2)
+    val lo = rows(0)
+    assert(lo.getAs[Long]("thr_e6") == 500000L &&
+      lo.getAs[Long]("tp") == 2 && lo.getAs[Long]("fp") == 1 &&
+      lo.getAs[Long]("fn") == 0 && lo.getAs[Long]("tn") == 1 &&
+      lo.getAs[Long]("prec_e6") == 666666L &&
+      lo.getAs[Long]("rec_e6") == 1000000L)
+    val hi = rows(1)
+    assert(hi.getAs[Long]("thr_e6") == 800000L &&
+      hi.getAs[Long]("tp") == 1 && hi.getAs[Long]("fp") == 0 &&
+      hi.getAs[Long]("fn") == 1 && hi.getAs[Long]("tn") == 2 &&
+      hi.getAs[Long]("prec_e6") == 1000000L &&
+      hi.getAs[Long]("rec_e6") == 500000L)
+    // a threshold above every score: nothing predicted positive →
+    // precision NULL, recall 0
+    val none = Eval.prCurve(df, Seq(999999L)).head()
+    assert(none.isNullAt(none.fieldIndex("prec_e6")) &&
+      none.getAs[Long]("rec_e6") == 0L)
+  }
+
   test("calibration: bins partition the corpus, gap is exact") {
     val df = scoresDf(Seq((50000L, 0L), (150000L, 0L), (150000L, 1L),
       (999999L, 1L), (1000000L, 1L)))

@@ -44,6 +44,27 @@ class PlanSpec extends AnyFunSuite {
     assert("orders_b_".r.findAllIn(plan).nonEmpty, plan.take(2000))
   }
 
+  test("langid_pr_curve: 9 thresholds, ONE corpus scan — the curve is " +
+      "conditional sums over the bounded score domain") {
+    val plan = formatted("langid_pr_curve")
+    // one scan serves every threshold; the naive form rescans per
+    // threshold (9 scans). Count detail headers, not tree rows.
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 documents scan, found $scans")
+    // column pruning: only text (scores) + lang (labels) read
+    assert(plan.contains("ReadSchema: struct<text:string,lang:string>"),
+      plan.take(2000))
+    // exactly the two designed shuffles: corpus → score domain
+    // (hashpartitioning(score_e6)), domain → 1 row (SinglePartition);
+    // everything the second carries is 20 int64 cells per partition
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"expected <=2 exchanges (bounded-domain + 1-row), found $exchanges")
+    // both aggregate levels map-side combine before their exchange
+    assert(plan.contains("partial_count"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("dpp_join: the filtered dim prunes fact partitions at RUNTIME " +
       "(dynamic partition pruning, no spelled partition predicate)") {
     val plan = formatted("dpp_join")
