@@ -680,19 +680,14 @@ object AdvancedQueries {
       .orderBy(col("id"))
   }
 
-  /** Bounded-hop WEIGHTED shortest paths — the weighted completion of
-    * `bfs_hops` ([[graft.ops.Graph.ssspBoundedHops]], 3 distributed
-    * Bellman–Ford relaxation rounds): over the same customer–supplier
-    * order graph with edge weight = the number of lineitems linking
-    * the pair (a transfer-cost proxy, exact int64), from the same
-    * seed set (custkey % 199 = 0), dist(v) = the exact minimum total
-    * weight over ≤3-edge paths. Each round is one equi-join on src +
-    * one min-aggregate (map-side combinable, order-independent), so
-    * the trajectory is partitioning-independent and the oracle
-    * unrolls the 3 rounds as join + UNION ALL + min CTEs — no
-    * recursive CTE.
-    */
+  // guards the write-once bucketed-table setup below
   private val bktLock = new Object
+  // versioned-dir → unique table-name suffix: a per-JVM counter, never
+  // a 32-bit string hash (two dirs colliding in hashCode would silently
+  // serve one dir's bucketed tables to the other's query)
+  private val bktSuffix =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val bktCounter = new java.util.concurrent.atomic.AtomicInteger
 
   /** STORAGE-co-located join driven end-to-end: orders and customer
     * are written once per (session, dir) as 8-bucket catalog tables
@@ -710,7 +705,8 @@ object AdvancedQueries {
     */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val db = "graft_bkt"
-    val ver = Integer.toHexString(graft.Tables.versioned(dir).hashCode)
+    val ver = bktSuffix.computeIfAbsent(graft.Tables.versioned(dir),
+      _ => s"v${bktCounter.getAndIncrement()}")
     val ot = s"$db.orders_b_$ver"
     val ct = s"$db.customer_b_$ver"
     bktLock.synchronized {
@@ -735,6 +731,18 @@ object AdvancedQueries {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Bounded-hop WEIGHTED shortest paths — the weighted completion of
+    * `bfs_hops` ([[graft.ops.Graph.ssspBoundedHops]], 3 distributed
+    * Bellman–Ford relaxation rounds): over the same customer–supplier
+    * order graph with edge weight = the number of lineitems linking
+    * the pair (a transfer-cost proxy, exact int64), from the same
+    * seed set (custkey % 199 = 0), dist(v) = the exact minimum total
+    * weight over ≤3-edge paths. Each round is one equi-join on src +
+    * one min-aggregate (map-side combinable, order-independent), so
+    * the trajectory is partitioning-independent and the oracle
+    * unrolls the 3 rounds as join + UNION ALL + min CTEs — no
+    * recursive CTE.
+    */
   def ssspWeighted(s: SparkSession, dir: String): DataFrame = {
     val ge = t(s, dir, "orders")
       .join(t(s, dir, "lineitem"),

@@ -1937,7 +1937,11 @@ object TextQueries {
       .empty[(Long, Long, Long, Long, Long)]
     val collectBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
       val r = graft.ops.Eval.confusion(langidScores(batch)).head()
-      buf.synchronized {
+      // an EMPTY micro-batch (a 0-row staged file) aggregates to one
+      // all-NULL row — skip it rather than unbox NULL→0 and divide by
+      // zero; the oracle's GROUP BY emits no row for an empty parity
+      // class either, so skipping is exactly result-aligned
+      if (!r.isNullAt(r.fieldIndex("tp"))) buf.synchronized {
         buf += ((batchId, r.getAs[Long]("tp"), r.getAs[Long]("fp"),
           r.getAs[Long]("fn"), r.getAs[Long]("tn")))
       }
@@ -2199,18 +2203,27 @@ object TextQueries {
        SELECT np AS n_pos, nn AS n_neg, $aucSelectSql AS auc_e6
        FROM ag"""
 
-  private def qualityConfusionOracleSql: String =
-    s"""WITH $qtCtes, $qtProbCte,
-       cm AS (SELECT
-                CAST(sum(CASE WHEN y = 1 AND pred = 1
-                              THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-                CAST(sum(CASE WHEN y = 0 AND pred = 1
-                              THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-                CAST(sum(CASE WHEN y = 1 AND pred = 0
-                              THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-                CAST(sum(CASE WHEN y = 0 AND pred = 0
-                              THEN 1 ELSE 0 END) AS BIGINT) AS tn
-              FROM qp),
+  /** The four confusion cells as conditional sums over a (y, pred)
+    * source — the one spelling shared by every confusion-style oracle
+    * (quality_confusion, langid_eval, stream_eval).
+    */
+  private val confusionCellsSql: String =
+    """CAST(sum(CASE WHEN y = 1 AND pred = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN y = 0 AND pred = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN y = 1 AND pred = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN y = 0 AND pred = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tn"""
+
+  /** cm (the cells) + ck (kappa numerator/denominator) over a
+    * (y, pred) source CTE — the confusion analogue of
+    * [[aucChainCtes]], factored so a kappa edge-case fix cannot
+    * silently miss one of the oracle twins.
+    */
+  private def confusionChainCtes(src: String): String =
+    s"""cm AS (SELECT $confusionCellsSql FROM $src),
        ck AS (SELECT *,
                 (tp + fp + fn + tn) * (tp + tn)
                   - ((tp + fp) * (tp + fn) + (fp + tn) * (fn + tn))
@@ -2218,25 +2231,38 @@ object TextQueries {
                 (tp + fp + fn + tn) * (tp + fp + fn + tn)
                   - ((tp + fp) * (tp + fn) + (fp + tn) * (fn + tn))
                   AS kappa_den
-              FROM cm)
+              FROM cm)"""
+
+  // the derived-metric expressions over cm/ck columns, shared verbatim
+  // by the single-row and unpivoted confusion oracles
+  private val accSql: String =
+    "CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)"
+  private val precSql: String =
+    """CASE WHEN tp + fp > 0
+            THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT) END"""
+  private val recSql: String =
+    """CASE WHEN tp + fn > 0
+            THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT) END"""
+  private val f1Sql: String =
+    """CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp * 1000000 // (2 * tp + fp + fn)
+                      AS BIGINT) END"""
+  private val kappaSql: String =
+    """CASE WHEN kappa_den > 0 THEN
+         (CASE WHEN kappa_num < 0 THEN -1 ELSE 1 END)
+         * CAST(abs(kappa_num) * 1000000 // kappa_den AS BIGINT)
+       END"""
+
+  private def qualityConfusionOracleSql: String =
+    s"""WITH $qtCtes, $qtProbCte,
+       ${confusionChainCtes("qp")}
        SELECT tp, fp, fn, tn,
-              CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
-                AS acc_e6,
-              CASE WHEN tp + fp > 0
-                   THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT)
-              END AS prec_e6,
-              CASE WHEN tp + fn > 0
-                   THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT)
-              END AS rec_e6,
-              CASE WHEN 2 * tp + fp + fn > 0
-                   THEN CAST(2 * tp * 1000000 // (2 * tp + fp + fn)
-                             AS BIGINT)
-              END AS f1_e6,
+              $accSql AS acc_e6,
+              $precSql AS prec_e6,
+              $recSql AS rec_e6,
+              $f1Sql AS f1_e6,
               kappa_num, kappa_den,
-              CASE WHEN kappa_den > 0 THEN
-                (CASE WHEN kappa_num < 0 THEN -1 ELSE 1 END)
-                * CAST(abs(kappa_num) * 1000000 // kappa_den AS BIGINT)
-              END AS kappa_e6
+              $kappaSql AS kappa_e6
        FROM ck"""
 
   private def qualityCalibrationOracleSql: String =
@@ -2284,24 +2310,7 @@ object TextQueries {
   private def langidEvalOracleSql: String =
     s"""WITH ${langidSpCtes("")},
        ${aucChainCtes("sp")},
-       cm AS (SELECT
-                CAST(sum(CASE WHEN y = 1 AND pred = 1
-                              THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-                CAST(sum(CASE WHEN y = 0 AND pred = 1
-                              THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-                CAST(sum(CASE WHEN y = 1 AND pred = 0
-                              THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-                CAST(sum(CASE WHEN y = 0 AND pred = 0
-                              THEN 1 ELSE 0 END) AS BIGINT) AS tn
-              FROM sp),
-       ck AS (SELECT *,
-                (tp + fp + fn + tn) * (tp + tn)
-                  - ((tp + fp) * (tp + fn) + (fp + tn) * (fn + tn))
-                  AS kappa_num,
-                (tp + fp + fn + tn) * (tp + fp + fn + tn)
-                  - ((tp + fp) * (tp + fn) + (fp + tn) * (fn + tn))
-                  AS kappa_den
-              FROM cm)
+       ${confusionChainCtes("sp")}
        SELECT metric, value FROM (
          SELECT 'auc_e6' AS metric, $aucSelectSql AS value FROM ag
          UNION ALL SELECT 'n_neg', nn FROM ag
@@ -2310,30 +2319,13 @@ object TextQueries {
          UNION ALL SELECT 'fp', fp FROM cm
          UNION ALL SELECT 'fn', fn FROM cm
          UNION ALL SELECT 'tn', tn FROM cm
-         UNION ALL SELECT 'acc_e6',
-           CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
-           FROM cm
-         UNION ALL SELECT 'prec_e6',
-           CASE WHEN tp + fp > 0
-                THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT) END
-           FROM cm
-         UNION ALL SELECT 'rec_e6',
-           CASE WHEN tp + fn > 0
-                THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT) END
-           FROM cm
-         UNION ALL SELECT 'f1_e6',
-           CASE WHEN 2 * tp + fp + fn > 0
-                THEN CAST(2 * tp * 1000000 // (2 * tp + fp + fn)
-                          AS BIGINT) END
-           FROM cm
+         UNION ALL SELECT 'acc_e6', $accSql FROM cm
+         UNION ALL SELECT 'prec_e6', $precSql FROM cm
+         UNION ALL SELECT 'rec_e6', $recSql FROM cm
+         UNION ALL SELECT 'f1_e6', $f1Sql FROM cm
          UNION ALL SELECT 'kappa_num', kappa_num FROM ck
          UNION ALL SELECT 'kappa_den', kappa_den FROM ck
-         UNION ALL SELECT 'kappa_e6',
-           CASE WHEN kappa_den > 0 THEN
-             (CASE WHEN kappa_num < 0 THEN -1 ELSE 1 END)
-             * CAST(abs(kappa_num) * 1000000 // kappa_den AS BIGINT)
-           END
-           FROM ck) u
+         UNION ALL SELECT 'kappa_e6', $kappaSql FROM ck) u
        ORDER BY metric"""
 
   /** langid_pr_curve's replay: per-threshold conditional sums over
@@ -2354,12 +2346,8 @@ object TextQueries {
     }.mkString(" UNION ALL ")
     s"""WITH ${langidSpCtes("")}
        SELECT thr_e6, tp, fp, fn, tn,
-              CASE WHEN tp + fp > 0
-                   THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT)
-              END AS prec_e6,
-              CASE WHEN tp + fn > 0
-                   THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT)
-              END AS rec_e6
+              $precSql AS prec_e6,
+              $recSql AS rec_e6
        FROM ($arms) u ORDER BY thr_e6"""
   }
 
@@ -2372,17 +2360,10 @@ object TextQueries {
     s"""WITH ${langidSpCtes("doc_id % 2 AS batch,", "batch,")},
        g AS (SELECT batch,
                CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS tp,
-               CAST(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS fp,
-               CAST(sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS fn,
-               CAST(sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS tn
+               $confusionCellsSql
              FROM sp GROUP BY batch)
        SELECT CAST(batch AS BIGINT) AS batch, n, tp, fp, fn, tn,
-              CAST((tp + tn) * 1000000 // n AS BIGINT) AS acc_e6
+              $accSql AS acc_e6
        FROM g ORDER BY batch"""
 
   /** reservoir_sample's replay: the SplitMix64 key chain in UBIGINT
