@@ -137,6 +137,27 @@ object AdvancedQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Per-user EMA smoothing ([[graft.ops.Ema.smooth]], α = 1/4) over
+    * the event stream — the SEQUENTIAL-STATE member of the
+    * time-series family: each step's int64 truncation feeds the next,
+    * so no window/prefix-sum form exists and the physical shape is
+    * the secondary sort (one hash shuffle on user_id, then a linear
+    * per-partition scan — state is one long per open key). The oracle
+    * unrolls the recurrence as a DuckDB RECURSIVE CTE joining step rn
+    * to rn+1, so the ENTIRE smoothed trajectory hash-compares — the
+    * trained-state discipline applied to streaming-style state.
+    */
+  def emaSmooth(s: SparkSession, dir: String): DataFrame = {
+    val rawEv = Tables.raw(s, dir, "events")
+    graft.ops.Ema.smooth(
+      rawEv.select(col("user_id"),
+        Tables.microsOf(rawEv, "ts").as("us"), col("event_id"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+          .as("v_e6")),
+      aNum = 1, aDen = 4)
+      .orderBy(col("user_id"), col("rn"))
+  }
+
   def movingSum7d(s: SparkSession, dir: String): DataFrame = {
     val sevenDaysUs = 7L * 86400L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
@@ -1874,6 +1895,7 @@ object AdvancedQueries {
     "approx_distinct_bound" -> (approxDistinctBound _),
     "skew_join" -> (skewJoin _),
     "sessionize" -> (sessionize _),
+    "ema_smooth" -> (emaSmooth _),
     "moving_sum_7d" -> (movingSum7d _),
     "interval_union" -> (intervalUnion _),
     "percentile_bound" -> (percentileBound _),
@@ -2676,6 +2698,28 @@ object AdvancedQueries {
       """SELECT event_id, user_id, event_type FROM events
          WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) <= '19'
          ORDER BY event_id""",
+    // the rounding recurrence unrolled as a RECURSIVE CTE: step rn
+    // joins step rn+1; `//` trunc = the engine's int64 `/` on this
+    // non-negative domain
+    "ema_smooth" ->
+      """WITH RECURSIVE s AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+                  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_e6
+           FROM events),
+         r0 AS (SELECT user_id, event_id, v_e6,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) AS BIGINT) AS rn
+                FROM s),
+         ema AS (
+           SELECT user_id, rn, event_id, v_e6, v_e6 AS ema_e6
+           FROM r0 WHERE rn = 1
+           UNION ALL
+           SELECT n.user_id, n.rn, n.event_id, n.v_e6,
+                  (1 * n.v_e6 + 3 * e.ema_e6) // 4
+           FROM ema e JOIN r0 n
+             ON n.user_id = e.user_id AND n.rn = e.rn + 1)
+         SELECT user_id, rn, event_id, v_e6, ema_e6 FROM ema
+         ORDER BY user_id, rn""",
     "moving_sum_7d" ->
       """SELECT user_id, event_id, epoch_us(ts) AS tsu,
            CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (

@@ -1806,6 +1806,29 @@ object TextQueries {
   def qualityCalibration(s: SparkSession, dir: String): DataFrame =
     graft.ops.Eval.calibration(qtScoresE6(s, dir))
 
+  /** The SECOND in-engine trainer — a depth-1 decision stump over the
+    * same surface-feature frame the GD classifier trains on
+    * ([[graft.ops.Stump.train]]): all 36 candidate splits (4 features
+    * × the 9-decile e6 grid) evaluated from ONE scan + ONE 1-row
+    * 74-cell integer aggregate, each split's weighted Gini kept as
+    * the exact rational (gini_num, gini_den) with the comparable
+    * ⌊num·10¹²/den⌋ score, winner = lexicographic min of
+    * (score_e12, feature, thr_e6). The oracle replays the feature
+    * quantization, every conditional sum, the HUGEINT score division,
+    * and the argmin window — the whole model SEARCH hash-compared,
+    * not just the winner.
+    *
+    * What it hash-pins on this corpus: the stump finds what the
+    * under-trained GD classifier cannot express — a single threshold
+    * with signal — while the Gini table shows how weak that signal is
+    * (every split's impurity sits near the 2·p·(1−p) parent base
+    * rate), the honest readout for surface features on word salad.
+    */
+  def qualityStump(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stump.train(
+      graft.ops.Classifier.features(
+        t(s, dir, "documents"), "doc_id", "text", "lang"))
+
   /** Model evaluation IV — the metric family on a SECOND, structurally
     * different scorer: the heuristic lang-ID as an 'en' detector.
     * score_e6 = the en-marker share of ALL marker hits (exact integer
@@ -1971,6 +1994,7 @@ object TextQueries {
     "quality_auc" -> (qualityAuc _),
     "quality_confusion" -> (qualityConfusion _),
     "quality_calibration" -> (qualityCalibration _),
+    "quality_stump" -> (qualityStump _),
     "quality_train" -> (qualityTrain _),
     "quality_train_incremental" -> (qualityTrainIncremental _),
     "quality_classify" -> (qualityClassify _),
@@ -2265,6 +2289,65 @@ object TextQueries {
               $kappaSql AS kappa_e6
        FROM ck"""
 
+  /** quality_stump's replay: e6-quantized features unpivoted against
+    * the threshold grid, every candidate's conditional sums, the
+    * exact-rational Gini, the HUGEINT ⌊num·10¹²/den⌋ score (trunc =
+    * the engine's BigInt floordiv on this non-negative domain), and
+    * the deterministic argmin window.
+    */
+  private def qualityStumpOracleSql: String = {
+    val grid = graft.ops.Stump.GridE6.map(t => s"($t)").mkString(",")
+    s"""WITH qf AS (${qtFeatureSelect("TRUE")}),
+       fe AS (SELECT
+                CAST(floor(x1 * 1e6 + 0.5) AS BIGINT) AS x1_e6,
+                CAST(floor(x2 * 1e6 + 0.5) AS BIGINT) AS x2_e6,
+                CAST(floor(x3 * 1e6 + 0.5) AS BIGINT) AS x3_e6,
+                CAST(floor(x4 * 1e6 + 0.5) AS BIGINT) AS x4_e6,
+                CAST(y AS BIGINT) AS yl
+              FROM qf),
+       u AS (SELECT 'x1' AS feature, x1_e6 AS f, yl FROM fe
+             UNION ALL SELECT 'x2', x2_e6, yl FROM fe
+             UNION ALL SELECT 'x3', x3_e6, yl FROM fe
+             UNION ALL SELECT 'x4', x4_e6, yl FROM fe),
+       g AS (SELECT CAST(thr_e6 AS BIGINT) AS thr_e6
+             FROM (VALUES $grid) v(thr_e6)),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(yl) AS BIGINT) AS p FROM fe),
+       c AS (SELECT u.feature, g.thr_e6,
+               CAST(sum(CASE WHEN u.f <= g.thr_e6 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_left,
+               CAST(sum(CASE WHEN u.f <= g.thr_e6 THEN u.yl ELSE 0 END)
+                    AS BIGINT) AS pos_left
+             FROM u CROSS JOIN g GROUP BY u.feature, g.thr_e6),
+       d AS (SELECT feature, thr_e6, n_left, pos_left,
+               (SELECT n FROM tot) - n_left AS n_right,
+               (SELECT p FROM tot) - pos_left AS pos_right
+             FROM c),
+       e AS (SELECT *,
+               2 * pos_left * (n_left - pos_left) * n_right
+                 + 2 * pos_right * (n_right - pos_right) * n_left
+                 AS gini_num,
+               n_left * n_right AS gini_den
+             FROM d),
+       sc AS (SELECT *,
+                CASE WHEN gini_den > 0 THEN
+                  CAST(CAST(gini_num AS HUGEINT) * 1000000000000
+                       // gini_den AS BIGINT)
+                END AS score_e12
+              FROM e),
+       w AS (SELECT feature, thr_e6,
+               row_number() OVER (ORDER BY
+                 CASE WHEN score_e12 IS NULL THEN 1 ELSE 0 END,
+                 score_e12, feature, thr_e6) AS rn
+             FROM sc)
+       SELECT sc.feature, sc.thr_e6, n_left, pos_left, n_right,
+              pos_right, gini_num, gini_den, score_e12,
+              CAST(CASE WHEN w.rn = 1 THEN 1 ELSE 0 END AS INTEGER)
+                AS chosen
+       FROM sc JOIN w USING (feature, thr_e6)
+       ORDER BY sc.feature, sc.thr_e6"""
+  }
+
   private def qualityCalibrationOracleSql: String =
     s"""WITH $qtCtes, $qtProbCte
        SELECT least(score_e6 // 100000, 9) AS bin,
@@ -2425,6 +2508,9 @@ object TextQueries {
     "quality_auc" -> qualityAucOracleSql,
     "quality_confusion" -> qualityConfusionOracleSql,
     "quality_calibration" -> qualityCalibrationOracleSql,
+    // the stump trainer's whole candidate search replayed: quantized
+    // features × threshold grid, exact-rational Gini, argmin window
+    "quality_stump" -> qualityStumpOracleSql,
     // in-engine GD training replayed as unrolled 1-row gradient
     // aggregates (e12 int64) — the weight trajectory hash-compares as
     // exact doubles; scoring reuses the recomputed final weights

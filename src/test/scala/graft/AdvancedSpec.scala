@@ -663,4 +663,28 @@ class AdvancedSpec extends AnyFunSuite {
       .orderBy("month").collect()
     assert(got.toSeq == full.toSeq)
   }
+
+  test("Ema.smooth: hand trajectory incl. truncation, key reset, " +
+      "(us, event_id) tie-break; partitioning-invariant") {
+    import spark.implicits._
+    // user 1: 300 → (1·200 + 3·300)/4 = 275 → (1·100 + 3·275)/4 = 231
+    // (exercises trunc: 925/4 = 231.25); two rows share us=2, so the
+    // event_id tiebreak decides which is step 2 vs 3
+    // user 2: a single event smooths to itself
+    val df = Seq(
+      (1L, 1L, 10L, 300L), (1L, 2L, 11L, 200L), (1L, 2L, 12L, 100L),
+      (2L, 1L, 20L, 7L))
+      .toDF("user_id", "us", "event_id", "v_e6")
+    val got = graft.ops.Ema.smooth(df, 1, 4)
+      .orderBy("user_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 10L, 300L), (1L, 2L, 11L, 275L), (1L, 3L, 12L, 231L),
+      (2L, 1L, 20L, 7L)))
+    val gotP = graft.ops.Ema.smooth(df.repartition(5), 1, 4)
+      .orderBy("user_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(gotP.toSeq == got.toSeq,
+      "the secondary sort must make the recurrence layout-independent")
+  }
 }

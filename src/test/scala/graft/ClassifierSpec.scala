@@ -81,4 +81,45 @@ class ClassifierSpec extends AnyFunSuite {
       assert(math.abs(scored(id) - p) < 5e-7, s"doc $id: ${scored(id)} vs $p")
     }
   }
+
+  test("Stump.train: perfect x1 split wins with score 0, tie broken " +
+      "by (feature, thr); degenerate splits score NULL; " +
+      "partitioning-invariant") {
+    import spark.implicits._
+    // x1 separates perfectly (0.05, 0.15 | 0.85, 0.95); x2..x4 are the
+    // constant 0.5 → every one of their candidate splits is degenerate
+    val f = Seq(
+      (0.05, 0.5, 0.5, 0.5, 0.0), (0.15, 0.5, 0.5, 0.5, 0.0),
+      (0.85, 0.5, 0.5, 0.5, 1.0), (0.95, 0.5, 0.5, 0.5, 1.0))
+      .toDF("x1", "x2", "x3", "x4", "y")
+    val rows = graft.ops.Stump.train(f).collect()
+    assert(rows.length == 36)
+    val chosen = rows.filter(_.getAs[Int]("chosen") == 1)
+    assert(chosen.length == 1)
+    val c = chosen.head
+    // thresholds 200000..800000 all split x1 (2|2) with score 0; the
+    // (feature, thr) tiebreak picks the smallest
+    assert(c.getAs[String]("feature") == "x1" &&
+      c.getAs[Long]("thr_e6") == 200000L &&
+      c.getAs[Long]("n_left") == 2 && c.getAs[Long]("pos_left") == 0 &&
+      c.getAs[Long]("score_e12") == 0L)
+    // x1 @ 100000: (1|3) with one positive-side impurity:
+    // num = 2·0·1·3 + 2·2·1·1 = 4, den = 3, score = ⌊4e12/3⌋
+    val t1 = rows.find(r => r.getAs[String]("feature") == "x1" &&
+      r.getAs[Long]("thr_e6") == 100000L).get
+    assert(t1.getAs[Long]("gini_num") == 4 &&
+      t1.getAs[Long]("gini_den") == 3 &&
+      t1.getAs[Long]("score_e12") == 1333333333333L)
+    // the constant features: 500000 puts all 4 left → den 0, NULL
+    val deg = rows.find(r => r.getAs[String]("feature") == "x2" &&
+      r.getAs[Long]("thr_e6") == 500000L).get
+    assert(deg.getAs[Long]("gini_den") == 0 &&
+      deg.isNullAt(deg.fieldIndex("score_e12")))
+    assert(rows.filter(r => r.getAs[String]("feature") != "x1")
+      .forall(r => r.isNullAt(r.fieldIndex("score_e12"))))
+    // the one-scan aggregate must be layout-independent
+    val rp = graft.ops.Stump.train(f.repartition(7)).collect()
+    assert(rp.map(_.toString).sorted.toSeq ==
+      rows.map(_.toString).sorted.toSeq)
+  }
 }
