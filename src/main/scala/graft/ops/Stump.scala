@@ -48,8 +48,12 @@ object Stump {
     * gini_num, gini_den, score_e12, chosen) ordered by
     * (feature, thr_e6); exactly one row has chosen = 1.
     */
-  def train(feat: DataFrame): DataFrame = {
-    val s = feat.sparkSession
+  /** The whole candidate search as ONE 1-row aggregate — exposed so
+    * PlanSpec can pin the scale shape (single scan, partial+final
+    * HashAggregate, the shuffle carries 74 int64 cells, never rows);
+    * [[train]]'s remaining work is driver arithmetic over this row.
+    */
+  def searchFrame(feat: DataFrame): DataFrame = {
     val e6 = Features.map(f =>
       floor(col(f) * lit(1e6) + lit(0.5)).cast("long").as(s"${f}_e6"))
     val yL = col("y").cast("long").as("yl")
@@ -63,7 +67,12 @@ object Stump {
       sum(when(col(s"${f}_e6") <= t, col("yl")).otherwise(0L))
         .as(s"pl_${f}_$t"))).flatten ++
       Seq(count(lit(1)).as("n"), sum(col("yl")).as("p"))
-    val row = q.agg(aggs.head, aggs.tail: _*).head()
+    q.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def train(feat: DataFrame): DataFrame = {
+    val s = feat.sparkSession
+    val row = searchFrame(feat).head()
     val n = row.getAs[Long]("n")
     val p = row.getAs[Long]("p")
     require(n > 0, "stump training needs a non-empty corpus")

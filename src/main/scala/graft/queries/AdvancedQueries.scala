@@ -1253,6 +1253,49 @@ object AdvancedQueries {
     * windowed aggregate (`stream_daily`), custom state
     * (`stream_sessionize`), and two-sided join state (this).
     */
+  /** The NINTH driver-visible stream shape — STREAMING per-key EMA
+    * ([[graft.streaming.IncrementalStream.emaStream]], α = 1/4): the
+    * events stream replayed as ≥2 real micro-batches through
+    * `flatMapGroupsWithState` carrying an ARITHMETIC accumulator
+    * (rn, ema) per user — where sessionize's state is an interval and
+    * dedup's is identity, this one is a numeric recurrence the next
+    * batch CONTINUES from, the online-smoothing deployment of
+    * `ema_smooth`. Time-contiguous staging preserves per-user order
+    * across batches, so the streamed trajectory is BIT-EQUAL to the
+    * batch recurrence and shares its oracle: the DuckDB RECURSIVE
+    * CTE replay — cross-batch state hand-off hash-checked row by row.
+    */
+  def streamEma(s: SparkSession, dir: String): DataFrame =
+      withStreamStatePartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.raw(s, dir, "events").schema
+    val name = s"stream_ema_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stage = stageEventsTimeSplit(s, dir, n = 2)
+    val src = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"),
+        unix_micros(Tables.eventTimeOf(schema, "ts")).as("us"),
+        col("event_id"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v_e6"))
+    val smoothed = graft.streaming.IncrementalStream
+      .emaStream(src, aNum = 1, aDen = 4)
+    val q = smoothed.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    requireMultiBatch(q, "stream_ema")
+    val out = s.table(name)
+      .orderBy(col("user_id"), col("rn"))
+      .localCheckpoint(true) // pin: the memory table dies with the query
+    q.stop()
+    s.catalog.dropTempView(name) // release the memory sink's rows
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    // stage dir is session-cached (stageCache) — not deleted per query
+    out
+  }
+
   def streamJoin(s: SparkSession, dir: String): DataFrame =
       withStreamStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
@@ -1860,6 +1903,7 @@ object AdvancedQueries {
     "stream_daily" -> (streamDailyCounts _),
     "stream_enrich" -> (streamEnrich _),
     "stream_sessionize" -> (streamSessionize _),
+    "stream_ema" -> (streamEma _),
     "stream_join" -> (streamJoin _),
     "stream_dedup" -> (streamDedup _),
     "stream_cdc" -> (streamCdc _),
@@ -1901,6 +1945,29 @@ object AdvancedQueries {
     "percentile_bound" -> (percentileBound _),
     "zorder_key" -> (zorderKey _),
     "dpp_join" -> (dppJoin _))
+
+  /** ema_smooth / stream_ema shared replay: the truncating int64
+    * recurrence unrolled as a RECURSIVE CTE joining step rn to rn+1.
+    */
+  private val emaOracleSql: String =
+    """WITH RECURSIVE s AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+                CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_e6
+         FROM events),
+       r0 AS (SELECT user_id, event_id, v_e6,
+                CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY us, event_id) AS BIGINT) AS rn
+              FROM s),
+       ema AS (
+         SELECT user_id, rn, event_id, v_e6, v_e6 AS ema_e6
+         FROM r0 WHERE rn = 1
+         UNION ALL
+         SELECT n.user_id, n.rn, n.event_id, n.v_e6,
+                (1 * n.v_e6 + 3 * e.ema_e6) // 4
+         FROM ema e JOIN r0 n
+           ON n.user_id = e.user_id AND n.rn = e.rn + 1)
+       SELECT user_id, rn, event_id, v_e6, ema_e6 FROM ema
+       ORDER BY user_id, rn"""
 
   val oracle: Map[String, String] = Map(
     // the 3 synchronous LPA rounds unrolled: per round one
@@ -2700,26 +2767,10 @@ object AdvancedQueries {
          ORDER BY event_id""",
     // the rounding recurrence unrolled as a RECURSIVE CTE: step rn
     // joins step rn+1; `//` trunc = the engine's int64 `/` on this
-    // non-negative domain
-    "ema_smooth" ->
-      """WITH RECURSIVE s AS (
-           SELECT user_id, event_id, epoch_us(ts) AS us,
-                  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_e6
-           FROM events),
-         r0 AS (SELECT user_id, event_id, v_e6,
-                  CAST(row_number() OVER (PARTITION BY user_id
-                    ORDER BY us, event_id) AS BIGINT) AS rn
-                FROM s),
-         ema AS (
-           SELECT user_id, rn, event_id, v_e6, v_e6 AS ema_e6
-           FROM r0 WHERE rn = 1
-           UNION ALL
-           SELECT n.user_id, n.rn, n.event_id, n.v_e6,
-                  (1 * n.v_e6 + 3 * e.ema_e6) // 4
-           FROM ema e JOIN r0 n
-             ON n.user_id = e.user_id AND n.rn = e.rn + 1)
-         SELECT user_id, rn, event_id, v_e6, ema_e6 FROM ema
-         ORDER BY user_id, rn""",
+    // non-negative domain. stream_ema shares it verbatim: the
+    // streamed trajectory must be BIT-EQUAL to the batch recurrence
+    "ema_smooth" -> emaOracleSql,
+    "stream_ema" -> emaOracleSql,
     "moving_sum_7d" ->
       """SELECT user_id, event_id, epoch_us(ts) AS tsu,
            CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (

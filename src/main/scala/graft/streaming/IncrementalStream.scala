@@ -200,6 +200,47 @@ object IncrementalStream {
       .toDF("user_id", "session_id", "n_events", "start_us", "end_us")
   }
 
+  /** STREAMING per-key EMA — the streaming form of
+    * [[graft.ops.Ema.smooth]] and the numeric-recurrence member of
+    * the stateful shapes (sessionize carries interval state, dedup
+    * carries identity state; this carries an arithmetic accumulator
+    * the next batch CONTINUES from). State per key is two longs
+    * (rn, ema); each micro-batch sorts its own rows per key by
+    * (us, event_id) and applies the same truncating int64 recurrence
+    * as the batch operator, so when batches arrive time-contiguously
+    * (the file-stage contract: boundary ties kept in the earlier
+    * split) the streamed trajectory is BIT-EQUAL to the batch one —
+    * every row emitted exactly once (Update mode).
+    *
+    * Scale: state is bounded by distinct live keys, partitioned by
+    * key across executors and checkpointed; per-batch work is the
+    * same hash shuffle + per-key scan as the batch shape.
+    */
+  def emaStream(stream: DataFrame, aNum: Long, aDen: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("user_id").cast("long"), col("us").cast("long"),
+        col("event_id").cast("long"), col("v_e6").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+        val arr = rows.toArray.sortBy(r => (r._2, r._3))
+        var (rn, ema) = state.getOption.getOrElse((0L, 0L))
+        val out = arr.map { case (_, _, id, v) =>
+          if (rn == 0L) { rn = 1L; ema = v }
+          else { rn += 1; ema = (aNum * v + (aDen - aNum) * ema) / aDen }
+          (user, rn, id, v, ema)
+        }
+        state.update((rn, ema))
+        out.iterator
+      }
+      .toDF("user_id", "rn", "event_id", "v_e6", "ema_e6")
+  }
+
   /** Stream-stream event-time interval join: rows of `right` that land
     * within `[lTs, lTs + window]` of a matching `left` row. Both sides
     * are watermarked and the time bounds ride in the join condition,

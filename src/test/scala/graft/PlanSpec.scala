@@ -400,4 +400,50 @@ class PlanSpec extends AnyFunSuite {
       "containment predicate no longer sits directly on the scan:\n" +
         plan.take(2000))
   }
+
+  test("quality_stump: the candidate search is ONE scan + one 1-row " +
+      "map-side-combined aggregate; the 36-row table never shuffles") {
+    // the search aggregate is what runs at corpus scale — pin ITS
+    // shape (the emitted 36-row result frame is driver-local by
+    // design, the bounded-collect contract)
+    val search = graft.ops.Stump.searchFrame(
+      graft.ops.Classifier.features(
+        Tables(spark, sf, "documents"), "doc_id", "text", "lang"))
+    val plan = search.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 documents scan, found $scans")
+    // only text+lang feed the features (column pruning through the
+    // tokenizer expressions)
+    assert(plan.contains("ReadSchema: struct<text:string,lang:string>"),
+      plan.take(2000))
+    // the one exchange is the 1-row final aggregate; partial sums
+    // combine map-side so the shuffle carries cells, never rows
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"stump search grew a shuffle, found $exchanges:\n" +
+        plan.take(2000))
+    assert(plan.contains("partial_"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("ema_smooth: exactly one hash Exchange on the key, then an " +
+      "in-partition sort — the secondary-sort shape, no global sort " +
+      "before the scan stage") {
+    val plan = formatted("ema_smooth")
+    // one shuffle for the key co-location + the oracle's total-order
+    // rangepartitioning — nothing else
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"expected <=2 exchanges (key hash + oracle sort), found " +
+        s"$exchanges:\n" + plan.take(3000))
+    assert(plan.contains("hashpartitioning(user_id"),
+      "the recurrence must co-locate each key in one partition:\n" +
+        plan.take(2000))
+    // pruned read: 4 columns only
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,ts:timestamp") ||
+      plan.contains("ReadSchema: struct<event_id:bigint,ts:timestamp_ntz"),
+      plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

@@ -466,4 +466,58 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == Map("click" -> 3L, "view" -> 2L), s"got: $got")
   }
+
+  test("checkpoint recovery: the EMA's NUMERIC state (rn, ema) reloads " +
+      "across an incarnation rebuild — the post-restart step continues " +
+      "the recurrence instead of restarting it") {
+    val tmp = Files.createTempDirectory("graft-ckpt-ema").toFile
+    val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+    val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+    import spark.implicits._
+    def buildQuery(buf: scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long, Long, Long)]) = {
+      val schema = spark.read.parquet(inDir.getAbsolutePath).schema
+      IncrementalStream.emaStream(
+          IncrementalStream.readAppendStream(
+            spark, inDir.getAbsolutePath, schema), aNum = 1, aDen = 4)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4)))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+    }
+    // incarnation 1: user 1 takes two steps — ema 100, then
+    // (200 + 3·100)/4 = 125; the (rn = 2, ema = 125) state lives only
+    // in the checkpoint when the query stops ("crashes")
+    Seq((1L, 1L, 101L, 100L), (1L, 2L, 102L, 200L))
+      .toDF("user_id", "us", "event_id", "v_e6")
+      .coalesce(1).write.mode("overwrite").parquet(inDir.getAbsolutePath)
+    val buf1 = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    val q1 = buildQuery(buf1); q1.processAllAvailable(); q1.stop()
+    assert(buf1.sorted.toSeq == Seq((1L, 1L, 101L, 100L, 100L),
+      (1L, 2L, 102L, 200L, 125L)), s"incarnation 1 got: $buf1")
+    // file 2 arrives while the query is DOWN: user 1's third event and
+    // a brand-new user
+    Seq((1L, 3L, 103L, 300L), (2L, 1L, 104L, 77L))
+      .toDF("user_id", "us", "event_id", "v_e6")
+      .coalesce(1).write.mode("append").parquet(inDir.getAbsolutePath)
+    // incarnation 2: a brand-new query object on the SAME checkpoint.
+    // Emitting rn = 3, ema = (300 + 3·125)/4 = 168 is possible ONLY if
+    // the rebuilt query reloaded incarnation 1's (rn, ema) — an
+    // offsets-only resume with fresh state would emit rn = 1, ema = 300
+    val buf2 = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    val q2 = buildQuery(buf2); q2.processAllAvailable(); q2.stop()
+    val resumedRows = q2.recentProgress.map(_.numInputRows).sum
+    assert(resumedRows == 2,
+      s"incarnation 2 must resume from the checkpointed offset; " +
+        s"processed $resumedRows")
+    assert(buf2.sorted.toSeq == Seq((1L, 3L, 103L, 300L, 168L),
+      (2L, 1L, 104L, 77L, 77L)), s"incarnation 2 got: $buf2")
+  }
 }
