@@ -1660,13 +1660,27 @@ object TextQueries {
     * phase-tagged; the oracle replays both phases, so the online
     * update's weights hash-compare bit-exactly too.
     */
+  /** Base-corpus (90%) feature frame + its trained weights, shared by
+    * the incremental trainer and the holdout evaluation (the qtCache
+    * pattern incl. its fixed-data assumption).
+    */
+  private val qtBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Array[Double], Seq[(Int, Array[Double], Long, Long)])]()
+  private def qtFeaturesAll(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classifier.features(
+      t(s, dir, "documents"), "doc_id", "text", "lang")
+  private def qtBaseTrained(s: SparkSession, dir: String) =
+    qtBaseCache.computeIfAbsent(graft.Tables.versioned(dir), _ =>
+      graft.ops.Classifier.train(
+        qtFeaturesAll(s, dir).filter(pmod(col("id"), lit(10)) =!= 9),
+        iters = QtIters, lr = QtLr))
+
   def qualityTrainIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val all = graft.ops.Classifier.features(
-      t(s, dir, "documents"), "doc_id", "text", "lang")
-    val base = all.filter(pmod(col("id"), lit(10)) =!= 9)
-    val delta = all.filter(pmod(col("id"), lit(10)) === 9)
-    val (wb, hist) = graft.ops.Classifier.train(base, QtIters, QtLr)
+    val delta = qtFeaturesAll(s, dir)
+      .filter(pmod(col("id"), lit(10)) === 9)
+    val (wb, hist) = qtBaseTrained(s, dir)
     val (wd, sse, n) = graft.ops.Classifier.step(delta, wb, QtLr)
     (hist.map { case (it, w, s0, n0) =>
         ("base", it, w(0), w(1), w(2), w(3), w(4), s0, n0)
@@ -1778,6 +1792,26 @@ object TextQueries {
     */
   def qualityAuc(s: SparkSession, dir: String): DataFrame =
     graft.ops.Eval.aucExact(qtScoresE6(s, dir))
+
+  /** Model evaluation VI — the HOLDOUT discipline: weights trained on
+    * the 90% base corpus (doc_id % 10 ≠ 9, the delta convention) are
+    * evaluated by exact AUC on the UNSEEN 10% only. `quality_auc`
+    * measures fit on the training corpus; this is the
+    * generalization-gap twin a pipeline actually gates deployment on
+    * (train/test separation as a first-class query, not a harness
+    * convention). Shares the base training with
+    * `quality_train_incremental` via the dir-keyed memo; the oracle
+    * replays the 3-step base GD chain, scores the held-out rows with
+    * the final weights, and reruns the whole Mann–Whitney
+    * decomposition over just those scores.
+    */
+  def qualityAucHoldout(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.aucExact(
+      graft.ops.Classifier.probabilities(
+          qtFeaturesAll(s, dir).filter(pmod(col("id"), lit(10)) === 9),
+          qtBaseTrained(s, dir)._1)
+        .select(expr("CAST(floor(p * 1e6 + 0.5) AS BIGINT)")
+          .as("score_e6"), col("y")))
 
   /** Model evaluation II — 0.5-threshold confusion matrix +
     * accuracy/precision/recall/F1 as exact ×10⁶ integers from ONE
@@ -1995,6 +2029,7 @@ object TextQueries {
     "quality_confusion" -> (qualityConfusion _),
     "quality_calibration" -> (qualityCalibration _),
     "quality_stump" -> (qualityStump _),
+    "quality_auc_holdout" -> (qualityAucHoldout _),
     "quality_train" -> (qualityTrain _),
     "quality_train_incremental" -> (qualityTrainIncremental _),
     "quality_classify" -> (qualityClassify _),
@@ -2277,6 +2312,27 @@ object TextQueries {
          * CAST(abs(kappa_num) * 1000000 // kappa_den AS BIGINT)
        END"""
 
+  /** quality_auc_holdout's replay: the 3-step GD chain over the 90%
+    * base, the held-out 10% scored with the final weights, the full
+    * Mann–Whitney decomposition over just those scores.
+    */
+  private def qualityAucHoldoutOracleSql: String =
+    s"""WITH qf AS (${qtFeatureSelect("doc_id % 10 != 9")}),
+       qfd AS (${qtFeatureSelect("doc_id % 10 = 9")}),
+       qw_0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
+                       0.0 AS w3, 0.0 AS w4),
+       ${(1 to QtIters).map(qtStepCtes(_, "qf")).mkString(",\n")},
+       hp AS (SELECT CAST(y AS BIGINT) AS y,
+                     CAST(floor(p * 1e6 + 0.5) AS BIGINT) AS score_e6
+              FROM (SELECT f.y,
+                           0.5 + 0.5 * z / (1.0 + abs(z)) AS p
+                    FROM (SELECT f.*, w.w0 + w.w1 * x1 + w.w2 * x2
+                                     + w.w3 * x3 + w.w4 * x4 AS z
+                          FROM qfd f CROSS JOIN qw_$QtIters w) f) pr),
+       ${aucChainCtes("hp")}
+       SELECT np AS n_pos, nn AS n_neg, $aucSelectSql AS auc_e6
+       FROM ag"""
+
   private def qualityConfusionOracleSql: String =
     s"""WITH $qtCtes, $qtProbCte,
        ${confusionChainCtes("qp")}
@@ -2511,6 +2567,9 @@ object TextQueries {
     // the stump trainer's whole candidate search replayed: quantized
     // features × threshold grid, exact-rational Gini, argmin window
     "quality_stump" -> qualityStumpOracleSql,
+    // the generalization gap: base-trained weights, held-out scores,
+    // the full rank decomposition over just the unseen 10%
+    "quality_auc_holdout" -> qualityAucHoldoutOracleSql,
     // in-engine GD training replayed as unrolled 1-row gradient
     // aggregates (e12 int64) — the weight trajectory hash-compares as
     // exact doubles; scoring reuses the recomputed final weights
