@@ -185,6 +185,54 @@ object ScaleQueries {
       .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
   }
 
+  /** MMR-diversified top-k — Maximal Marginal Relevance (Carbonell &
+    * Goldstein, SIGIR 1998), the standard diversity-aware re-ranker a
+    * training-data pipeline uses to pick REPRESENTATIVE examples
+    * instead of 5 near-copies of the nearest neighbor: from the exact
+    * top-20 candidates for one query vector (vec_id 0), greedily
+    * select 5 maximizing λ·rel − (1−λ)·max_{j∈S} sim(i,j) with
+    * λ = 0.7, every quantity an exact sim_e4 integer (the mine_pairs
+    * convention) so the greedy argmax chain is bit-deterministic:
+    * score = 7·rel_e4 − 3·maxsim_e4 (the ×10 basis drops the
+    * division), ties broken by cid.
+    *
+    * 100 TB shape: stage 1 is the distributed exact top-k
+    * (TakeOrderedAndProject over the broadcast query — or the
+    * LSH/IVF candidate path for the approximate variant); stage 2 is
+    * k² = 400 pairwise sims over the 20 pinned candidate rows and a
+    * 5-step greedy over ≤20 integers — bounded driver state by the
+    * codebook contract, independent of corpus size. The oracle
+    * replays the relevance ranking, all 380 pairwise sims, and the
+    * greedy chain as 5 unrolled argmax CTEs.
+    */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val top = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        round(cosine_sim(col("embedding"), col("qv")) * 10000)
+          .cast("long").as("rel_e4"))
+      .orderBy(col("rel_e4").desc, col("cid")).limit(20)
+      .localCheckpoint(true) // 20 rows pinned; read twice below
+    val a = top.select(col("cid").as("i"), col("cv").as("iv"))
+    val b = top.select(col("cid").as("j"), col("cv").as("jv"))
+    // all 380 candidate-pair sims through the SAME kernel the
+    // relevance leg used — bounded collect (k² by design constant)
+    val simMap = a.crossJoin(broadcast(b)).filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        round(cosine_sim(col("iv"), col("jv")) * 10000)
+          .cast("long").as("sim_e4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val rels = top.select(col("cid"), col("rel_e4")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import s.implicits._
+    graft.ops.Mmr.greedy(rels, (i, j) => simMap((i, j)), k = 5)
+      .toDF("rank", "cid", "rel_e4", "maxsim_e4", "score")
+  }
+
   /** Margin-based nearest-neighbor PAIR MINING — the ratio margin of
     * Artetxe & Schwenk, "Margin-based Parallel Corpus Mining with
     * Multilingual Sentence Embeddings" (ACL 2019), the standard
@@ -1062,6 +1110,7 @@ object ScaleQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
     "ann_topk" -> (annTopk _),
+    "mmr_rerank" -> (mmrRerank _),
     "mine_pairs" -> (minePairs _),
     "ann_lsh" -> (annLsh _),
     "ann_lsh_recall" -> (annLshRecall _),
@@ -1502,6 +1551,48 @@ object ScaleQueries {
        ORDER BY qid, rnk"""
   }
 
+  /** mmr_rerank's replay: relevance top-20, all pairwise sims, and
+    * the greedy chain as 5 unrolled argmax CTEs (sel_k accumulates
+    * the selected set; step k+1 maxes sim against it).
+    */
+  private def mmrOracleSql: String = {
+    val cosSql = (x: String, y: String) =>
+      s"""CAST(round(list_dot_product($x, $y)
+             / sqrt(list_dot_product($x, $x) * list_dot_product($y, $y))
+             * 10000) AS BIGINT)"""
+    val steps = (2 to 5).map { k =>
+      s"""cand_$k AS (SELECT t.cid, t.rel_e4, max(ps.sim_e4) AS ms
+            FROM top t JOIN ps ON ps.i = t.cid
+              AND ps.j IN (SELECT cid FROM sel_${k - 1})
+            WHERE t.cid NOT IN (SELECT cid FROM sel_${k - 1})
+            GROUP BY t.cid, t.rel_e4),
+         s_$k AS (SELECT cid, rel_e4, ms AS maxsim_e4,
+                    7 * rel_e4 - 3 * ms AS score
+                  FROM cand_$k ORDER BY score DESC, cid LIMIT 1),
+         sel_$k AS (SELECT cid FROM sel_${k - 1}
+                    UNION ALL SELECT cid FROM s_$k)"""
+    }.mkString(",\n")
+    val rows = (1 to 5).map(k =>
+      s"""SELECT CAST($k AS INTEGER) AS rank, cid, rel_e4, maxsim_e4,
+            score FROM s_$k""").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id = 0),
+       c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings WHERE vec_id <> 0),
+       rel AS (SELECT cid, cv, ${cosSql("cv", "qv")} AS rel_e4
+               FROM c CROSS JOIN q),
+       top AS (SELECT * FROM rel ORDER BY rel_e4 DESC, cid LIMIT 20),
+       ps AS (SELECT a.cid AS i, b.cid AS j,
+                ${cosSql("a.cv", "b.cv")} AS sim_e4
+              FROM top a JOIN top b ON a.cid <> b.cid),
+       s_1 AS (SELECT cid, rel_e4, CAST(0 AS BIGINT) AS maxsim_e4,
+                 7 * rel_e4 AS score
+               FROM top ORDER BY score DESC, cid LIMIT 1),
+       sel_1 AS (SELECT cid FROM s_1),
+       $steps
+       $rows ORDER BY rank"""
+  }
+
   val oracle: Map[String, String] = Map(
     // full LSH / IVF candidate-set + re-rank replays (promoted from
     // rows-only in r7 — the simhash/CMS/fingerprint precedent applied
@@ -1796,6 +1887,11 @@ object ScaleQueries {
          WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
                / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5
          ORDER BY id_a, id_b""",
+    // the greedy MMR chain unrolled: relevance top-20, all pairwise
+    // sims, then 5 argmax steps each excluding the selected set and
+    // maxing sim against it — every quantity the same sim_e4 integer
+    // the engine collects
+    "mmr_rerank" -> mmrOracleSql,
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id % 20 = 0),

@@ -143,6 +143,25 @@ class EvalSpec extends AnyFunSuite {
     assert(b9.getAs[Long]("n") == 2)
   }
 
+  test("Mmr.greedy: diversity beats redundant relevance, maxsim is " +
+      "over the whole selected set, ties break by id") {
+    // A (rel 9000) wins round 1 on pure relevance; B (8900) is a
+    // near-copy of A (sim 9900) so diverse C (8000) beats it in round
+    // 2; B lands third carrying its max sim to the selected set
+    val rels = Map(1L -> 9000L, 2L -> 8900L, 3L -> 8000L)
+    val sims = Map((2L, 1L) -> 9900L, (1L, 2L) -> 9900L,
+      (3L, 1L) -> 0L, (1L, 3L) -> 0L, (2L, 3L) -> 0L, (3L, 2L) -> 0L)
+    val got = graft.ops.Mmr.greedy(rels, (i, j) => sims((i, j)), k = 3)
+    assert(got == Seq(
+      (1, 1L, 9000L, 0L, 63000L),
+      (2, 3L, 8000L, 0L, 56000L),
+      (3, 2L, 8900L, 9900L, 32600L)), s"got: $got")
+    // equal scores: the smaller id wins; k beyond the pool truncates
+    val tied = graft.ops.Mmr.greedy(
+      Map(5L -> 100L, 4L -> 100L), (_, _) => 0L, k = 9)
+    assert(tied.map(_._2) == Seq(4L, 5L))
+  }
+
   test("ssspBoundedHops: weighted shortcut beats fewer hops, " +
     "round bound respected") {
     // 1 →(10)→ 2, 1 →(1)→ 3 →(1)→ 2: the 2-hop path to 2 costs 2
