@@ -63,4 +63,123 @@ object Ema {
       }
       .toDF("user_id", "rn", "event_id", "v_e6", "ema_e6")
   }
+
+  /** Holt's LINEAR-trend smoothing (double exponential smoothing,
+    * Holt 1957) — the two-state member of the recurrence family: the
+    * EMA tracks a level only and lags any drifting series; Holt adds
+    * a trend state so the one-step forecast `level + trend` stays on
+    * a moving signal. Same exactness discipline as [[smooth]]: both
+    * states are int64 at e6 scale and every step uses truncating
+    * division (Scala `/` = DuckDB `//`, identical on all signs — the
+    * trend state DOES go negative), so the full (level, trend)
+    * trajectory unrolls as a DuckDB RECURSIVE CTE.
+    *
+    *   l_1 = v_1, b_1 = 0
+    *   l_t = (aNum·v_t + (aDen−aNum)·(l_{t−1} + b_{t−1})) / aDen
+    *   b_t = (bNum·(l_t − l_{t−1}) + (bDen−bNum)·b_{t−1}) / bDen
+    *   fc_t = l_t + b_t          (the one-step-ahead forecast)
+    *
+    * 100 TB shape: identical to [[smooth]] — one hash shuffle on the
+    * key, then an in-partition (us, event_id) sort and a linear scan;
+    * state is two longs per open key, partitions never exchange
+    * state. Input/output contract mirrors [[smooth]] with the two
+    * state columns and the forecast appended.
+    */
+  def holtLinear(df: DataFrame, aNum: Long, aDen: Long,
+                 bNum: Long, bDen: Long): DataFrame = {
+    require(aDen > 0 && aNum > 0 && aNum <= aDen,
+      s"alpha = $aNum/$aDen must lie in (0, 1]")
+    require(bDen > 0 && bNum > 0 && bNum <= bDen,
+      s"beta = $bNum/$bDen must lie in (0, 1]")
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("user_id").cast("long"), col("us").cast("long"),
+        col("event_id").cast("long"), col("v_e6").cast("long"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var curUser = 0L
+        var lev = 0L
+        var tr = 0L
+        var rn = 0L
+        var started = false
+        it.map { case (u, _, id, v) =>
+          if (!started || u != curUser) {
+            curUser = u; lev = v; tr = 0L; rn = 1L; started = true
+          } else {
+            rn += 1
+            val prevLev = lev
+            lev = (aNum * v + (aDen - aNum) * (prevLev + tr)) / aDen
+            tr = (bNum * (lev - prevLev) + (bDen - bNum) * tr) / bDen
+          }
+          (u, rn, id, v, lev, tr, lev + tr)
+        }
+      }
+      .toDF("user_id", "rn", "event_id", "v_e6", "level_e6", "trend_e6",
+        "fc_e6")
+  }
+
+  /** Streaming-style anomaly flagging over the EMA recurrence — the
+    * thresholding pass [[smooth]]'s scaladoc promises: alongside the
+    * level EMA, track an EMA of the ABSOLUTE one-step deviation
+    * (the robust, quantile-free analogue of a running σ), and flag a
+    * row when its deviation from the PRIOR level exceeds
+    * `kNum/kDen ×` the prior deviation-EMA plus a floor `minDevE6`
+    * (the floor keeps a flat warm-up from flagging every first
+    * wobble; the prior-state comparison keeps the flag causal — a
+    * spike must not desensitize its own test). Warm-up rows
+    * (rn ≤ warmup) are never flagged but still train both states.
+    *
+    *   flag_t = rn > warmup  ∧  kDen·|v_t − ema_{t−1}|
+    *                             > kNum·dev_{t−1} + kDen·minDevE6
+    *   dev_t  = (aNum·|v_t − ema_{t−1}| + (aDen−aNum)·dev_{t−1}) / aDen
+    *   ema_t  = (aNum·v_t + (aDen−aNum)·ema_{t−1}) / aDen
+    *
+    * All state is int64/e6 with truncating division and the
+    * comparison is cross-multiplied (no division at all), so the flag
+    * trajectory is bit-replayable — the property that lets the
+    * STREAMED deployment ([[graft.streaming.IncrementalStream
+    * .anomalyStream]]) share one oracle with this batch shape.
+    * 100 TB shape: identical to [[smooth]]; state is three longs per
+    * open key.
+    */
+  def anomaly(df: DataFrame, aNum: Long, aDen: Long,
+              kNum: Long, kDen: Long, minDevE6: Long,
+              warmup: Long = 3L): DataFrame = {
+    require(aDen > 0 && aNum > 0 && aNum <= aDen,
+      s"alpha = $aNum/$aDen must lie in (0, 1]")
+    require(kDen > 0 && kNum > 0, s"k = $kNum/$kDen must be positive")
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("user_id").cast("long"), col("us").cast("long"),
+        col("event_id").cast("long"), col("v_e6").cast("long"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var curUser = 0L
+        var ema = 0L
+        var dev = 0L
+        var rn = 0L
+        var started = false
+        it.map { case (u, _, id, v) =>
+          if (!started || u != curUser) {
+            curUser = u; ema = v; dev = 0L; rn = 1L; started = true
+            (u, rn, id, v, ema, dev, 0)
+          } else {
+            rn += 1
+            val d = math.abs(v - ema)
+            val flag =
+              if (rn > warmup && kDen * d > kNum * dev + kDen * minDevE6) 1
+              else 0
+            dev = (aNum * d + (aDen - aNum) * dev) / aDen
+            ema = (aNum * v + (aDen - aNum) * ema) / aDen
+            (u, rn, id, v, ema, dev, flag)
+          }
+        }
+      }
+      .toDF("user_id", "rn", "event_id", "v_e6", "ema_e6", "dev_e6",
+        "is_anom")
+  }
 }

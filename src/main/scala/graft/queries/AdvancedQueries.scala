@@ -158,6 +158,49 @@ object AdvancedQueries {
       .orderBy(col("user_id"), col("rn"))
   }
 
+  /** Per-user Holt linear-trend smoothing ([[graft.ops.Ema
+    * .holtLinear]], α = 1/4, β = 1/8) — the TWO-state member of the
+    * recurrence family: level + trend, so the one-step forecast
+    * `level + trend` tracks a drifting series the plain EMA lags.
+    * The trend state goes NEGATIVE on falling series, which is why
+    * the truncating-division discipline matters: Scala int64 `/` and
+    * DuckDB `//` both truncate toward zero on all signs, so the full
+    * (level, trend) trajectory unrolls as a RECURSIVE CTE and
+    * hash-compares bit-for-bit.
+    */
+  def holtLinearQ(s: SparkSession, dir: String): DataFrame = {
+    val rawEv = Tables.raw(s, dir, "events")
+    graft.ops.Ema.holtLinear(
+      rawEv.select(col("user_id"),
+        Tables.microsOf(rawEv, "ts").as("us"), col("event_id"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+          .as("v_e6")),
+      aNum = 1, aDen = 4, bNum = 1, bDen = 8)
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Per-user EMA anomaly flagging ([[graft.ops.Ema.anomaly]],
+    * α = 1/4, k = 5/2, floor 0.5 in value units, warm-up 3) — the
+    * thresholding pass the smoother exists for: a row is flagged when
+    * its deviation from the PRIOR level exceeds k× the prior
+    * deviation-EMA plus the floor (causal — a spike never
+    * desensitizes its own test). The flag comparison is
+    * cross-multiplied, so no division enters the decision and the
+    * whole (ema, dev, flag) trajectory replays as a RECURSIVE CTE.
+    * `stream_anomaly` shares this oracle verbatim.
+    */
+  def emaAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val rawEv = Tables.raw(s, dir, "events")
+    graft.ops.Ema.anomaly(
+      rawEv.select(col("user_id"),
+        Tables.microsOf(rawEv, "ts").as("us"), col("event_id"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+          .as("v_e6")),
+      aNum = 1, aDen = 4, kNum = 5, kDen = 2, minDevE6 = 500000L,
+      warmup = 3L)
+      .orderBy(col("user_id"), col("rn"))
+  }
+
   def movingSum7d(s: SparkSession, dir: String): DataFrame = {
     val sevenDaysUs = 7L * 86400L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
@@ -1296,6 +1339,51 @@ object AdvancedQueries {
     out
   }
 
+  /** The TENTH driver-visible stream shape — STREAMING anomaly
+    * flagging ([[graft.streaming.IncrementalStream.anomalyStream]],
+    * α = 1/4, k = 5/2, floor 0.5, warm-up 3): the events stream
+    * replayed as ≥2 real micro-batches through
+    * `flatMapGroupsWithState` carrying (rn, ema, dev) per user and
+    * EMITTING A DECISION per row — where stream_ema's state feeds a
+    * later reader, this one acts online, the alerting path of a
+    * metrics pipeline. Time-contiguous staging preserves per-user
+    * order across batches, so the streamed flag trajectory is
+    * BIT-EQUAL to the batch operator's and shares `ema_anomaly`'s
+    * RECURSIVE-CTE oracle — cross-batch (rn, ema, dev) hand-off
+    * hash-checked row by row, including the flags themselves.
+    */
+  def streamAnomaly(s: SparkSession, dir: String): DataFrame =
+      withStreamStatePartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.raw(s, dir, "events").schema
+    val name = s"stream_anomaly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stage = stageEventsTimeSplit(s, dir, n = 2)
+    val src = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"),
+        unix_micros(Tables.eventTimeOf(schema, "ts")).as("us"),
+        col("event_id"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v_e6"))
+    val flagged = graft.streaming.IncrementalStream
+      .anomalyStream(src, aNum = 1, aDen = 4, kNum = 5, kDen = 2,
+        minDevE6 = 500000L, warmup = 3L)
+    val q = flagged.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    requireMultiBatch(q, "stream_anomaly")
+    val out = s.table(name)
+      .orderBy(col("user_id"), col("rn"))
+      .localCheckpoint(true) // pin: the memory table dies with the query
+    q.stop()
+    s.catalog.dropTempView(name) // release the memory sink's rows
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    // stage dir is session-cached (stageCache) — not deleted per query
+    out
+  }
+
   def streamJoin(s: SparkSession, dir: String): DataFrame =
       withStreamStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
@@ -1904,6 +1992,7 @@ object AdvancedQueries {
     "stream_enrich" -> (streamEnrich _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_ema" -> (streamEma _),
+    "stream_anomaly" -> (streamAnomaly _),
     "stream_join" -> (streamJoin _),
     "stream_dedup" -> (streamDedup _),
     "stream_cdc" -> (streamCdc _),
@@ -1940,6 +2029,8 @@ object AdvancedQueries {
     "skew_join" -> (skewJoin _),
     "sessionize" -> (sessionize _),
     "ema_smooth" -> (emaSmooth _),
+    "holt_linear" -> (holtLinearQ _),
+    "ema_anomaly" -> (emaAnomaly _),
     "moving_sum_7d" -> (movingSum7d _),
     "interval_union" -> (intervalUnion _),
     "percentile_bound" -> (percentileBound _),
@@ -1968,6 +2059,69 @@ object AdvancedQueries {
            ON n.user_id = e.user_id AND n.rn = e.rn + 1)
        SELECT user_id, rn, event_id, v_e6, ema_e6 FROM ema
        ORDER BY user_id, rn"""
+
+  /** holt_linear replay: the TWO-state recurrence unrolled; the new
+    * level feeds the same row's trend update, so the level expression
+    * is repeated inline (a recursive branch cannot reference its own
+    * aliases). `//` trunc = Scala int64 `/` on ALL signs — verified,
+    * and the trend genuinely goes negative on falling series.
+    */
+  private val holtOracleSql: String =
+    """WITH RECURSIVE s AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+                CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_e6
+         FROM events),
+       r0 AS (SELECT user_id, event_id, v_e6,
+                CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY us, event_id) AS BIGINT) AS rn
+              FROM s),
+       h AS (
+         SELECT user_id, rn, event_id, v_e6,
+                v_e6 AS level_e6, CAST(0 AS BIGINT) AS trend_e6
+         FROM r0 WHERE rn = 1
+         UNION ALL
+         SELECT n.user_id, n.rn, n.event_id, n.v_e6,
+                (1 * n.v_e6 + 3 * (h.level_e6 + h.trend_e6)) // 4,
+                (1 * ((1 * n.v_e6 + 3 * (h.level_e6 + h.trend_e6)) // 4
+                      - h.level_e6)
+                 + 7 * h.trend_e6) // 8
+         FROM h JOIN r0 n
+           ON n.user_id = h.user_id AND n.rn = h.rn + 1)
+       SELECT user_id, rn, event_id, v_e6, level_e6, trend_e6,
+              level_e6 + trend_e6 AS fc_e6
+       FROM h ORDER BY user_id, rn"""
+
+  /** ema_anomaly / stream_anomaly shared replay: (ema, dev) state plus
+    * the causal flag — the flag tests the CURRENT row against the
+    * PRIOR state (n.rn > warmup, cross-multiplied k = 5/2, floor
+    * 0.5e6), then both states update. No division enters the flag.
+    */
+  private val anomalyOracleSql: String =
+    """WITH RECURSIVE s AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+                CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_e6
+         FROM events),
+       r0 AS (SELECT user_id, event_id, v_e6,
+                CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY us, event_id) AS BIGINT) AS rn
+              FROM s),
+       a AS (
+         SELECT user_id, rn, event_id, v_e6,
+                v_e6 AS ema_e6, CAST(0 AS BIGINT) AS dev_e6,
+                0 AS is_anom
+         FROM r0 WHERE rn = 1
+         UNION ALL
+         SELECT n.user_id, n.rn, n.event_id, n.v_e6,
+                (1 * n.v_e6 + 3 * a.ema_e6) // 4,
+                (1 * abs(n.v_e6 - a.ema_e6) + 3 * a.dev_e6) // 4,
+                CASE WHEN n.rn > 3
+                      AND 2 * abs(n.v_e6 - a.ema_e6)
+                          > 5 * a.dev_e6 + 2 * 500000
+                     THEN 1 ELSE 0 END
+         FROM a JOIN r0 n
+           ON n.user_id = a.user_id AND n.rn = a.rn + 1)
+       SELECT user_id, rn, event_id, v_e6, ema_e6, dev_e6, is_anom
+       FROM a ORDER BY user_id, rn"""
 
   val oracle: Map[String, String] = Map(
     // the 3 synchronous LPA rounds unrolled: per round one
@@ -2771,6 +2925,11 @@ object AdvancedQueries {
     // streamed trajectory must be BIT-EQUAL to the batch recurrence
     "ema_smooth" -> emaOracleSql,
     "stream_ema" -> emaOracleSql,
+    "holt_linear" -> holtOracleSql,
+    // stream_anomaly shares the batch replay verbatim: the streamed
+    // (rn, ema, dev, flag) trajectory must be BIT-EQUAL to batch
+    "ema_anomaly" -> anomalyOracleSql,
+    "stream_anomaly" -> anomalyOracleSql,
     "moving_sum_7d" ->
       """SELECT user_id, event_id, epoch_us(ts) AS tsu,
            CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (

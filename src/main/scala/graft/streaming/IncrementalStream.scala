@@ -241,6 +241,58 @@ object IncrementalStream {
       .toDF("user_id", "rn", "event_id", "v_e6", "ema_e6")
   }
 
+  /** STREAMING anomaly flagging — the online deployment of
+    * [[graft.ops.Ema.anomaly]] and the DECISION-emitting member of
+    * the stateful shapes (ema carries a smoother the pipeline reads
+    * later; this one acts on each row as it arrives, the alerting
+    * path of a metrics pipeline). State per key is four longs
+    * (rn, ema, dev); each micro-batch sorts its own rows per key and
+    * applies the same flag-then-update int64 recurrence as the batch
+    * operator, so under time-contiguous arrival the streamed flag
+    * trajectory is BIT-EQUAL to the batch one and the two share a
+    * single RECURSIVE-CTE oracle. Scale: state bounded by live keys,
+    * partitioned and checkpointed; the flag needs no division, so no
+    * float ever enters the state.
+    */
+  def anomalyStream(stream: DataFrame, aNum: Long, aDen: Long,
+                    kNum: Long, kDen: Long, minDevE6: Long,
+                    warmup: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("user_id").cast("long"), col("us").cast("long"),
+        col("event_id").cast("long"), col("v_e6").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long),
+          (Long, Long, Long, Long, Long, Long, Int)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+        val arr = rows.toArray.sortBy(r => (r._2, r._3))
+        var (rn, ema, dev) = state.getOption.getOrElse((0L, 0L, 0L))
+        val out = arr.map { case (_, _, id, v) =>
+          if (rn == 0L) {
+            rn = 1L; ema = v; dev = 0L
+            (user, rn, id, v, ema, dev, 0)
+          } else {
+            rn += 1
+            val d = math.abs(v - ema)
+            val flag =
+              if (rn > warmup && kDen * d > kNum * dev + kDen * minDevE6) 1
+              else 0
+            dev = (aNum * d + (aDen - aNum) * dev) / aDen
+            ema = (aNum * v + (aDen - aNum) * ema) / aDen
+            (user, rn, id, v, ema, dev, flag)
+          }
+        }
+        state.update((rn, ema, dev))
+        out.iterator
+      }
+      .toDF("user_id", "rn", "event_id", "v_e6", "ema_e6", "dev_e6",
+        "is_anom")
+  }
+
   /** Stream-stream event-time interval join: rows of `right` that land
     * within `[lTs, lTs + window]` of a matching `left` row. Both sides
     * are watermarked and the time bounds ride in the join condition,

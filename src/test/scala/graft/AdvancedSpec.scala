@@ -687,4 +687,57 @@ class AdvancedSpec extends AnyFunSuite {
     assert(gotP.toSeq == got.toSeq,
       "the secondary sort must make the recurrence layout-independent")
   }
+
+  test("Ema.holtLinear: hand trajectory with NEGATIVE-trend " +
+      "truncation (Scala / truncates toward zero, so -25/8 = -3, " +
+      "-67/8 = -8 — floor would give -4/-9); partitioning-invariant") {
+    import spark.implicits._
+    // α = 1/4, β = 1/8, falling series 300 → 200 → 100:
+    //  rn2: lev = (200 + 3·300)/4 = 275, tr = (275-300)/8 = -3
+    //  rn3: lev = (100 + 3·(275-3))/4 = 916/4 = 229,
+    //       tr = ((229-275) + 7·(-3))/8 = -67/8 = -8
+    val df = Seq(
+      (1L, 1L, 10L, 300L), (1L, 2L, 11L, 200L), (1L, 3L, 12L, 100L),
+      (2L, 1L, 20L, 7L))
+      .toDF("user_id", "us", "event_id", "v_e6")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Ema.holtLinear(d, 1, 4, 1, 8)
+        .orderBy("user_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+          r.getLong(5), r.getLong(6)))
+    val got = run(df)
+    assert(got.toSeq == Seq(
+      (1L, 1L, 300L, 0L, 300L), (1L, 2L, 275L, -3L, 272L),
+      (1L, 3L, 229L, -8L, 221L), (2L, 1L, 7L, 0L, 7L)))
+    assert(run(df.repartition(5)).toSeq == got.toSeq,
+      "the secondary sort must make the recurrence layout-independent")
+  }
+
+  test("Ema.anomaly: causal flag — the spike is flagged against the " +
+      "PRIOR state and only desensitizes LATER tests; warm-up rows " +
+      "train but never flag; partitioning-invariant") {
+    import spark.implicits._
+    // α = 1/4, k = 5/2, floor 10, warm-up 1, series 100 100 200 104:
+    //  rn2: d=0,   2·0   > 5·0  + 20 ? no  → dev 0,  ema 100
+    //  rn3: d=100, 2·100 > 5·0  + 20 ? YES → dev 25, ema 125
+    //  rn4: d=21,  2·21  > 5·25 + 20 ? no  → dev 24, ema 119
+    val df = Seq(
+      (1L, 1L, 10L, 100L), (1L, 2L, 11L, 100L), (1L, 3L, 12L, 200L),
+      (1L, 4L, 13L, 104L))
+      .toDF("user_id", "us", "event_id", "v_e6")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Ema.anomaly(d, 1, 4, 5, 2, minDevE6 = 10L, warmup = 1L)
+        .orderBy("user_id", "rn").collect()
+        .map(r => (r.getLong(1), r.getLong(4), r.getLong(5), r.getInt(6)))
+    val got = run(df)
+    assert(got.toSeq == Seq(
+      (1L, 100L, 0L, 0), (2L, 100L, 0L, 0), (3L, 125L, 25L, 1),
+      (4L, 119L, 24L, 0)))
+    assert(run(df.repartition(5)).toSeq == got.toSeq,
+      "the secondary sort must make the recurrence layout-independent")
+    // warm-up: the same series with warmup = 3 never flags rn 3
+    val gotW = graft.ops.Ema.anomaly(df, 1, 4, 5, 2, 10L, warmup = 3L)
+      .orderBy("user_id", "rn").collect().map(_.getInt(6))
+    assert(gotW.toSeq == Seq(0, 0, 0, 0))
+  }
 }

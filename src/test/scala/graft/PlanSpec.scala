@@ -446,4 +446,22 @@ class PlanSpec extends AnyFunSuite {
       plan.take(2000))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("holt_linear / ema_anomaly: the multi-state recurrences keep " +
+      "ema_smooth's secondary-sort shape — widening the state never " +
+      "adds a shuffle") {
+    for (q <- Seq("holt_linear", "ema_anomaly")) {
+      val plan = formatted(q)
+      val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 2,
+        s"$q: expected <=2 exchanges (key hash + oracle sort), found " +
+          s"$exchanges:\n" + plan.take(3000))
+      assert(plan.contains("hashpartitioning(user_id"),
+        s"$q must co-locate each key in one partition:\n" +
+          plan.take(2000))
+      assert(plan.contains("ReadSchema: struct<event_id:bigint,ts:timestamp"),
+        s"$q scan not pruned to 4 columns:\n" + plan.take(2000))
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
 }
