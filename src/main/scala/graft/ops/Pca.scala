@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed principal-component analysis by the classical
+  * two-stage shape: ONE corpus pass computes the exact centered
+  * covariance (the only part that touches data volume), then the
+  * power iteration runs on the driver over the collected d×d matrix
+  * (von Mises–Pollaczek iteration — the textbook top-eigenvector
+  * method, e.g. Golub & Van Loan §7.3). The reference has no linear
+  * algebra at all; this extends the engine's trainer family
+  * (k-means / PQ / GD classifier / decision stump) with the missing
+  * member: a SPECTRAL statistic of the whole corpus.
+  *
+  * Exactness discipline (the house trained-state convention): vectors
+  * quantize once to e6 int64, per-dimension means use truncating
+  * int64 division, the covariance cells are exact integer sums of
+  * centered products (order-independent, so partial-aggregate merge
+  * order cannot perturb them), and each power step is
+  * w = C·v in arbitrary-precision integers followed by max-abs
+  * renormalization back to e6 via truncating division — no square
+  * root, no float, anywhere. The whole (iter, d, v_e6) trajectory
+  * therefore replays bit-for-bit in DuckDB (HUGEINT is 128-bit;
+  * magnitudes here peak ~10²³, thirty orders below its range, and
+  * Scala BigInt `/` and DuckDB `//` both truncate toward zero —
+  * verified on negative operands).
+  *
+  * 100 TB shape: the covariance pass is one scan + one aggregate of
+  * d(d+1)/2 integer cells (2,080 at d = 64) with map-side partial
+  * combine — the exchange carries cells, never rows. The driver
+  * collect is d² cells, a design constant like the ≤2¹⁴ codebook
+  * bound (`Similarity.scala`). Each power step is d² driver
+  * multiplies — free. Overflow headroom: centered e6 components are
+  * ≤ ~1.2·10⁶, products ≤ ~1.5·10¹², so int64 cell sums hold ~6·10⁶
+  * rows per cell; past that the cells aggregate would need a
+  * decimal(38,0) sum (one-line change, same values) — the loud ANSI
+  * overflow error marks the boundary rather than wrapping silently.
+  */
+object Pca {
+
+  /** e6-quantized vectors: (idCol, xe: array<long>). The float→double
+    * widening is exact and `floor(x·10⁶ + 0.5)` matches the DuckDB
+    * replay's identical double expression.
+    */
+  def quantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol),
+      transform(col(vecCol).cast("array<double>"),
+        x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("xe"))
+
+  /** Per-dimension e6 means by truncating int64 division — one
+    * aggregate of d cells.
+    */
+  def meansE6(xe: DataFrame): Array[Long] = {
+    val rows = xe.select(posexplode(col("xe")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .collect()
+    val mu = new Array[Long](rows.length)
+    rows.foreach(r => mu(r.getInt(0)) = r.getLong(1) / r.getLong(2))
+    mu
+  }
+
+  /** The distributed stage: exact upper-triangle covariance cells
+    * (i ≤ j, 0-based) of the centered e6 vectors — (i, j, s) with
+    * s = Σ rows (xe[i] − mu[i])·(xe[j] − mu[j]). The double
+    * `posexplode` materializes N·d(d+1)/2 rows BEFORE the aggregate,
+    * but map-side partial combine collapses each task to ≤ d(d+1)/2
+    * cells, so the one exchange carries cells, never rows — the same
+    * economics as the k-means update (`Similarity.kmeansTrain`).
+    */
+  def covCells(xe: DataFrame, muE6: Array[Long]): DataFrame = {
+    val muLit = typedLit(muE6.toSeq)
+    xe.select(zip_with(col("xe"), muLit, (x, m) => x - m).as("c"))
+      .select(col("c"), posexplode(col("c")).as(Seq("i", "ci")))
+      .select(col("i"), col("ci"), posexplode(col("c")).as(Seq("j", "cj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("ci") * col("cj")).as("s"))
+  }
+
+  /** Driver-side power iteration in BigInt: v₀ = (10⁶, …, 10⁶),
+    * w = C·v, v′ = trunc(w·10⁶ / max|w|). Returns the trajectory
+    * v₁ … v_iters, each an e6 int64 vector (|v| ≤ 10⁶ by
+    * construction). Deterministic: no randomness, no float.
+    */
+  def powerTrajectory(cov: Array[Array[BigInt]], iters: Int)
+      : Seq[Array[Long]] = {
+    val d = cov.length
+    var v: Array[BigInt] = Array.fill(d)(BigInt(1000000L))
+    (1 to iters).map { _ =>
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      require(m > 0, "power iteration hit the zero vector " +
+        "(rank-deficient covariance with an exactly orthogonal start)")
+      v = w.map(wi => wi * 1000000L / m)
+      v.map(_.toLong)
+    }
+  }
+
+  /** Train once per (session-agnostic) corpus: means + full mirrored
+    * covariance + trajectory. Keyed by the versioned dir upstream
+    * (the bpeMergeCache pattern) — this method itself is pure.
+    */
+  def train(emb: DataFrame, idCol: String, vecCol: String, iters: Int)
+      : (Array[Long], Seq[Array[Long]]) = {
+    val xe = quantized(emb, idCol, vecCol)
+    val mu = meansE6(xe)
+    val d = mu.length
+    val cov = Array.fill(d)(new Array[BigInt](d))
+    for (i <- 0 until d; j <- 0 until d) cov(i)(j) = BigInt(0)
+    // bounded driver collect: d(d+1)/2 cells — a design constant
+    covCells(xe, mu).collect().foreach { r =>
+      val (i, j, s) = (r.getInt(0), r.getInt(1), BigInt(r.getLong(2)))
+      cov(i)(j) = s; cov(j)(i) = s
+    }
+    (mu, powerTrajectory(cov, iters))
+  }
+
+  /** Scan-stage projection of every vector onto the trained direction:
+    * proj_e6 = trunc(Σ_d (xe[d] − mu[d])·v[d] / 10⁶). Map-only — the
+    * centered dot product runs inside whole-stage codegen
+    * (zip_with + aggregate over plan literals), no shuffle, no UDF.
+    */
+  def project(emb: DataFrame, idCol: String, vecCol: String,
+              muE6: Array[Long], vE6: Array[Long]): DataFrame = {
+    val muLit = typedLit(muE6.toSeq)
+    val vLit = typedLit(vE6.toSeq)
+    val centered = zip_with(col("xe"), muLit, (x, m) => x - m)
+    val prods = zip_with(centered, vLit, (c, v) => c * v)
+    val praw = aggregate(prods, lit(0L), (acc, x) => acc + x)
+    quantized(emb, idCol, vecCol)
+      .select(col(idCol), praw.as("praw"))
+      // DIV = integral division truncating toward zero on bigint,
+      // matching BigInt `/` and DuckDB `//` (praw goes negative)
+      .selectExpr(idCol, "praw DIV 1000000 AS proj_e6")
+  }
+}

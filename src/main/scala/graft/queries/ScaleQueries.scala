@@ -1022,6 +1022,93 @@ object ScaleQueries {
       .toDF("n_pairs", "mean_ratio_in_band", "ratios_positive")
   }
 
+  /** PCA trained once per corpus ([[graft.ops.Pca]], 3 power
+    * iterations) — the memoCodebook pattern: deterministic plain
+    * arrays keyed by the versioned dir.
+    */
+  private def pcaTrained(s: SparkSession, dir: String)
+      : (Array[Long], Seq[Array[Long]]) =
+    memoCodebook[(Array[Long], Seq[Array[Long]])](
+      s"pca:${graft.Tables.versioned(dir)}") {
+      graft.ops.Pca.train(t(s, dir, "embeddings"), "vec_id", "embedding",
+        iters = 3)
+    }
+
+  /** The power-iteration TRAJECTORY (iter, d, v_e6) — the spectral
+    * member of the trained-state family: like `quality_train`'s
+    * weight trajectory and `kmeans_gate`'s codebook, the driver-side
+    * math is exact integer arithmetic (BigInt C·v, max-abs truncating
+    * renormalization), so all three iterations hash-compare against
+    * DuckDB's HUGEINT replay of the SAME covariance → power chain.
+    * The driver-visible frame is a LocalTableScan (192 rows of
+    * already-trained state, the quality_stump precedent); the
+    * distributed work is [[graft.ops.Pca.covCells]]'s one-scan
+    * cell aggregate, plan-pinned by PlanSpec.
+    */
+  def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, traj) = pcaTrained(s, dir)
+    traj.zipWithIndex
+      .flatMap { case (v, it) => v.indices.map(d => (it + 1, d, v(d))) }
+      .toDF("iter", "d", "v_e6")
+      .orderBy(col("iter"), col("d"))
+  }
+
+  /** Every vector projected onto the trained direction — the
+    * map-only serving stage: centered e6 dot product against plan
+    * literals (zip_with + aggregate inside whole-stage codegen, no
+    * UDF, no shuffle), then truncating e6 rescale. The at-scale use
+    * is dimensionality triage: sort/bucket a 100 TB embedding corpus
+    * by its dominant direction for locality before an index build.
+    */
+  def pcaProject(s: SparkSession, dir: String): DataFrame = {
+    val (mu, traj) = pcaTrained(s, dir)
+    graft.ops.Pca.project(t(s, dir, "embeddings"), "vec_id", "embedding",
+        mu, traj.last)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Driver-visible PCA quality gate: the exact explained-variance
+    * share of the trained direction, as integers — num = Σ praw²
+    * (praw = centered·v before rescale), den = |v|²·Σ|c|² (the trace
+    * term), explained_pct = ⌊100·num/den⌋. The gate pins
+    * `above_avg_dim`: the trained direction must explain ≥ 1/d of
+    * total variance (any direction achieves 1/d ON AVERAGE; the top
+    * eigendirection always exceeds it, and 3 power iterations from
+    * the uniform start must have gotten there). All integer — the
+    * oracle recomputes num/den in HUGEINT and the flag exactly.
+    */
+  def pcaGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (mu, traj) = pcaTrained(s, dir)
+    val v = traj.last
+    val xe = graft.ops.Pca.quantized(
+      t(s, dir, "embeddings"), "vec_id", "embedding")
+    val muLit = typedLit(mu.toSeq)
+    val vLit = typedLit(v.toSeq)
+    val centered = zip_with(col("xe"), muLit, (x, m) => x - m)
+    val praw = aggregate(
+      zip_with(centered, vLit, (c, vv) => c * vv), lit(0L), (a, x) => a + x)
+    val c2 = aggregate(
+      zip_with(centered, centered, (a, b) => a * b), lit(0L), (a, x) => a + x)
+    // exact sums as decimal(38,0): praw² peaks ~6·10²⁷, Σ over the
+    // corpus stays far under 10³⁸ (HUGEINT-range in the oracle)
+    val agg = xe.select(
+        (praw.cast("decimal(38,0)") * praw.cast("decimal(38,0)")).as("p2"),
+        c2.cast("decimal(38,0)").as("c2"))
+      .agg(count(lit(1)).as("n"), sum(col("p2")).as("num"),
+        sum(col("c2")).as("tr")).head()
+    val n = agg.getLong(0)
+    val num = BigInt(agg.getDecimal(1).toBigInteger)
+    val tr = BigInt(agg.getDecimal(2).toBigInteger)
+    val v2 = v.map(x => BigInt(x) * x).sum
+    val den = v2 * tr
+    val pct = if (den > 0) (num * 100 / den).toLong else 0L
+    val aboveAvg = if (den > 0 && num * v.length >= den) 1 else 0
+    Seq((n, pct, aboveAvg))
+      .toDF("n_vectors", "explained_pct", "above_avg_dim")
+  }
+
   /** End-to-end near-dup removal: the surviving corpus after dropping
     * every non-canonical member (id ≠ cluster min) of the exact
     * windowed-Jaccard connected components — the final step a dedup
@@ -1137,7 +1224,10 @@ object ScaleQueries {
     "pq_encode" -> (pqEncode _),
     "pq_gate" -> (pqGate _),
     "embed_quantize" -> (embedQuantize _),
-    "embed_quantize_gate" -> (embedQuantizeGate _))
+    "embed_quantize_gate" -> (embedQuantizeGate _),
+    "pca_power" -> (pcaPower _),
+    "pca_project" -> (pcaProject _),
+    "pca_gate" -> (pcaGate _))
 
   /** Shared DuckDB CTE chain closing the exact windowed-Jaccard pair
     * set into min-label components — the oracle twin of
@@ -1593,7 +1683,81 @@ object ScaleQueries {
        $rows ORDER BY rank"""
   }
 
+  /** Shared PCA replay chain: e6 quantization → truncating-division
+    * means → exact integer covariance cells (mirrored from the upper
+    * triangle) → three power iterations in HUGEINT with max-abs
+    * truncating renormalization. Every step is the identical integer
+    * arithmetic the Spark side runs (BigInt driver math; magnitudes
+    * peak ~10²³ ≪ HUGEINT's 1.7·10³⁸).
+    */
+  private val pcaChainSql: String =
+    """WITH e AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS xe
+           FROM embeddings),
+       x AS (SELECT vec_id, unnest(range(0, len(xe))) AS d,
+                    unnest(xe) AS v
+             FROM e),
+       mu AS (SELECT d, CAST(sum(v) // count(*) AS BIGINT) AS m
+              FROM x GROUP BY d),
+       c AS (SELECT vec_id, d, v - m AS cv FROM x JOIN mu USING (d)),
+       cell0 AS (SELECT a.d AS i, b.d AS j,
+                        sum(CAST(a.cv AS HUGEINT) * b.cv) AS s
+                 FROM c a JOIN c b
+                   ON a.vec_id = b.vec_id AND b.d >= a.d
+                 GROUP BY 1, 2),
+       cells AS (SELECT i, j, s FROM cell0
+                 UNION ALL
+                 SELECT j AS i, i AS j, s FROM cell0 WHERE j > i),
+       v0 AS (SELECT d, CAST(1000000 AS HUGEINT) AS v FROM mu),
+       w1 AS (SELECT cells.i AS d, sum(cells.s * v0.v) AS w
+              FROM cells JOIN v0 ON cells.j = v0.d GROUP BY 1),
+       v1 AS (SELECT d, (w * 1000000) // (SELECT max(abs(w)) FROM w1)
+                   AS v FROM w1),
+       w2 AS (SELECT cells.i AS d, sum(cells.s * v1.v) AS w
+              FROM cells JOIN v1 ON cells.j = v1.d GROUP BY 1),
+       v2 AS (SELECT d, (w * 1000000) // (SELECT max(abs(w)) FROM w2)
+                   AS v FROM w2),
+       w3 AS (SELECT cells.i AS d, sum(cells.s * v2.v) AS w
+              FROM cells JOIN v2 ON cells.j = v2.d GROUP BY 1),
+       v3 AS (SELECT d, (w * 1000000) // (SELECT max(abs(w)) FROM w3)
+                   AS v FROM w3)"""
+
   val oracle: Map[String, String] = Map(
+    // the full spectral-trainer replay: all three power-iteration
+    // vectors hash-compare (the quality_train trajectory discipline
+    // applied to an eigensolver)
+    "pca_power" -> (pcaChainSql +
+      """
+       SELECT iter, CAST(d AS INTEGER) AS d, CAST(v AS BIGINT) AS v_e6
+       FROM (SELECT 1 AS iter, d, v FROM v1
+             UNION ALL SELECT 2, d, v FROM v2
+             UNION ALL SELECT 3, d, v FROM v3)
+       ORDER BY iter, d"""),
+    "pca_project" -> (pcaChainSql +
+      """,
+       p AS (SELECT c.vec_id, sum(CAST(c.cv AS HUGEINT) * v3.v) AS praw
+             FROM c JOIN v3 USING (d) GROUP BY c.vec_id)
+       SELECT vec_id, CAST(praw // 1000000 AS BIGINT) AS proj_e6
+       FROM p ORDER BY vec_id"""),
+    // exact explained-variance share: num = Σ praw², den = |v|²·Σ|c|²
+    // — all integers, so the ⌊100·num/den⌋ percentage and the
+    // above-average-dimension flag replay exactly
+    "pca_gate" -> (pcaChainSql +
+      """,
+       p AS (SELECT c.vec_id,
+                    sum(CAST(c.cv AS HUGEINT) * v3.v) AS praw,
+                    sum(CAST(c.cv AS HUGEINT) * c.cv) AS c2
+             FROM c JOIN v3 USING (d) GROUP BY c.vec_id),
+       tot AS (SELECT count(*) AS n, sum(praw * praw) AS num,
+                      sum(c2) AS tr
+               FROM p),
+       vv AS (SELECT sum(v * v) AS v2, count(*) AS nd FROM v3)
+       SELECT n AS n_vectors,
+              CAST((num * 100) // (v2 * tr) AS BIGINT) AS explained_pct,
+              CAST(CASE WHEN num * nd >= v2 * tr THEN 1 ELSE 0 END
+                   AS INTEGER) AS above_avg_dim
+       FROM tot, vv"""),
     // full LSH / IVF candidate-set + re-rank replays (promoted from
     // rows-only in r7 — the simhash/CMS/fingerprint precedent applied
     // to SRP sign bits and the sampled-codebook argmax)

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Pca
+
+class PcaSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("power iteration reaches the exact eigenvector of a rank-1 " +
+      "covariance: vectors ±(0.5, 0.1) give C = 4·outer((5e5,1e5)), " +
+      "whose eigendirection (5,1) is the e6 fixed point (1e6, 2e5)") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(0.5f, 0.1f)), (2L, Seq(-0.5f, -0.1f)),
+      (3L, Seq(0.5f, 0.1f)), (4L, Seq(-0.5f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val (mu, traj) = Pca.train(emb, "vec_id", "embedding", iters = 3)
+    assert(mu.toSeq == Seq(0L, 0L))
+    // iter 1 already lands on the eigendirection (the start vector is
+    // not orthogonal to it) and iters 2, 3 must stay there exactly
+    traj.foreach(v => assert(v.toSeq == Seq(1000000L, 200000L),
+      s"trajectory step was ${v.toSeq}"))
+  }
+
+  test("covCells is partitioning-invariant (integer sums commute) and " +
+      "emits the exact upper triangle") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(0.5f, 0.1f)), (2L, Seq(-0.5f, -0.1f)),
+      (3L, Seq(0.5f, 0.1f)), (4L, Seq(-0.5f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Pca.covCells(Pca.quantized(df, "vec_id", "embedding"),
+          Array(0L, 0L))
+        .orderBy("i", "j").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val got = cells(emb)
+    assert(got == Seq((0, 0, 1000000000000L), (0, 1, 200000000000L),
+      (1, 1, 40000000000L)))
+    assert(cells(emb.repartition(5)) == got,
+      "partial-aggregate merge order must not perturb integer cells")
+  }
+
+  test("project truncates toward zero on NEGATIVE dot products " +
+      "(Spark DIV = BigInt / = DuckDB //), and centers by mu") {
+    import spark.implicits._
+    // mu = (1e6, 0); centered first vector = (-5e5, 1e5): praw with
+    // v = (1e6, 2e5) is -5e11 + 2e10 = -4.8e11 → proj_e6 = -480000
+    // (exactly divisible); the second vector uses v = (3, 1e5) on
+    // centered (5e5, -1e5) giving praw = 15e5 - 1e10 → trunc toward
+    // zero of -9998500000/1e6 = -9998 (floor would be -9999)
+    val emb = Seq(
+      (1L, Seq(0.5f, 0.1f)), (2L, Seq(1.5f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val mu = Array(1000000L, 0L)
+    val got = Pca.project(emb, "vec_id", "embedding", mu,
+        Array(1000000L, 200000L))
+      .orderBy("vec_id").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(-480000L, 480000L))
+    val gotTrunc = Pca.project(emb, "vec_id", "embedding", mu,
+        Array(3L, 100000L))
+      .orderBy("vec_id").collect().map(_.getLong(1)).toSeq
+    assert(gotTrunc == Seq(9998L, -9998L),
+      "DIV must truncate toward zero, not floor")
+  }
+}

@@ -447,6 +447,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("pca covariance: ONE embeddings scan (embedding column only) " +
+      "feeding a map-side-combined cell aggregate — the exchange " +
+      "carries d(d+1)/2 integer cells, never rows") {
+    val xe = graft.ops.Pca.quantized(
+      Tables(spark, sf, "embeddings"), "vec_id", "embedding")
+    val cells = graft.ops.Pca.covCells(xe, new Array[Long](64))
+    val plan = cells.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 embeddings scan, found $scans")
+    assert(plan.contains("ReadSchema: struct<embedding:array<float>>"),
+      "covariance must prune to the vector column:\n" + plan.take(2000))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"cell aggregate grew a shuffle, found $exchanges:\n" +
+        plan.take(2000))
+    assert(plan.contains("partial_"),
+      "cell sums must combine map-side:\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("pca_project: map-only serving — the centered dot product is " +
+      "plan literals inside the scan stage, no join, only the oracle " +
+      "sort exchanges") {
+    val plan = formatted("pca_project")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"projection grew a shuffle beyond the oracle sort:\n" +
+        plan.take(2000))
+    assert(!plan.contains("Join"), "projection must not join:\n" +
+      plan.take(2000))
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 embeddings scan, found $scans")
+  }
+
   test("holt_linear / ema_anomaly: the multi-state recurrences keep " +
       "ema_smooth's secondary-sort shape — widening the state never " +
       "adds a shuffle") {
