@@ -1426,6 +1426,61 @@ object AdvancedQueries {
     out
   }
 
+  /** The ELEVENTH driver-visible stream shape — stream-stream LEFT
+    * OUTER interval join ([[graft.streaming.IncrementalStream
+    * .intervalJoinOuter]]): clicks with no purchase within 24 h emit
+    * null-extended, but ONLY once the watermark (1 h delay) passes
+    * the click's window — the state-EVICTION semantics the inner
+    * `stream_join` never exercises, and the one that bounds join
+    * state at 100 TB (an uncloseable window would be unbounded
+    * state). Clicks whose window the final watermark never closes
+    * stay in state unemitted — the oracle excludes exactly those
+    * (click_us + 24 h ≥ max event time − 1 h). Time-contiguous
+    * staging makes eviction RACE-FREE: an evicted click can never
+    * have matched a later purchase, because later batches start past
+    * the watermark that evicted it — so the streamed set equals
+    * (batch inner join) ∪ (unmatched, window-closed clicks),
+    * which the oracle recomputes.
+    */
+  def streamOuterJoin(s: SparkSession, dir: String): DataFrame =
+      withStreamStatePartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.raw(s, dir, "events").schema
+    val name = s"stream_ojoin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stage = stageEventsTimeSplit(s, dir, n = 2)
+    def side(evType: String): DataFrame = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
+      .withColumn("ts", Tables.eventTimeOf(schema, "ts"))
+      .filter(col("event_type") === evType)
+    val clicks = side("click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buys = side("purchase")
+      .select(col("user_id").as("buy_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    val joined = graft.streaming.IncrementalStream
+      .intervalJoinOuter(clicks, "click_ts", buys, "buy_ts",
+        col("user_id") === col("buy_user"), "24 hours", "1 hour")
+      .select(col("user_id"), col("click_id"), col("buy_id"),
+        unix_micros(col("click_ts").cast("timestamp")).as("click_us"),
+        unix_micros(col("buy_ts").cast("timestamp")).as("buy_us"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    requireMultiBatch(q, "stream_outer_join")
+    val out = s.table(name)
+      .orderBy(col("user_id"), col("click_id"), col("buy_id"))
+      .localCheckpoint(true) // pin: the memory table dies with the query
+    q.stop()
+    s.catalog.dropTempView(name) // release the memory sink's rows
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    // stage dir is session-cached (stageCache) — not deleted per query
+    out
+  }
+
   /** Driver-visible STREAMING DEDUPLICATION — the fifth streaming
     * shape (after windowed agg, stream-static enrich, custom state,
     * and two-sided join state: KEYED DEDUP STATE): first occurrence
@@ -1994,6 +2049,7 @@ object AdvancedQueries {
     "stream_ema" -> (streamEma _),
     "stream_anomaly" -> (streamAnomaly _),
     "stream_join" -> (streamJoin _),
+    "stream_outer_join" -> (streamOuterJoin _),
     "stream_dedup" -> (streamDedup _),
     "stream_cdc" -> (streamCdc _),
     "join_outer" -> (joinOuter _),
@@ -2996,6 +3052,41 @@ object AdvancedQueries {
           AND epoch_us(p.ts) >= epoch_us(c.ts)
           AND epoch_us(p.ts) <= epoch_us(c.ts) + 86400000000
          ORDER BY c.user_id, click_id, buy_id""",
+    // the eviction decomposition: (full inner join) UNION (unmatched
+    // clicks whose 24 h window the FINAL watermark closed; still-open
+    // windows stay in state unemitted, exactly as the stream leaves
+    // them). The watermark is defined per BRANCH (each side tracks the
+    // max event time of ITS filtered rows), and the query's global
+    // watermark is the MIN of the two minus the 1 h delay — NOT the
+    // global max; the distinction is one row at sf0.001
+    "stream_outer_join" ->
+      """WITH mx AS (SELECT least(
+                       (SELECT max(epoch_us(ts)) FROM events
+                        WHERE event_type = 'click'),
+                       (SELECT max(epoch_us(ts)) FROM events
+                        WHERE event_type = 'purchase'))
+                     - 3600000000 AS wm),
+         clicks AS (SELECT user_id, event_id AS click_id,
+                           epoch_us(ts) AS click_us
+                    FROM events WHERE event_type = 'click'),
+         buys AS (SELECT user_id, event_id AS buy_id,
+                         epoch_us(ts) AS buy_us
+                  FROM events WHERE event_type = 'purchase'),
+         matched AS (SELECT c.user_id, c.click_id, b.buy_id,
+                            c.click_us, b.buy_us
+                     FROM clicks c JOIN buys b
+                       ON c.user_id = b.user_id
+                      AND b.buy_us >= c.click_us
+                      AND b.buy_us <= c.click_us + 86400000000)
+         SELECT user_id, click_id, buy_id, click_us, buy_us FROM matched
+         UNION ALL
+         SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS buy_id,
+                c.click_us, CAST(NULL AS BIGINT) AS buy_us
+         FROM clicks c
+         WHERE NOT EXISTS (SELECT 1 FROM matched m
+                           WHERE m.click_id = c.click_id)
+           AND c.click_us + 86400000000 < (SELECT wm FROM mx)
+         ORDER BY user_id, click_id, buy_id""",
     "stream_sessionize" ->
       """WITH f AS (
            SELECT user_id, event_id, epoch_us(ts) AS tsu,

@@ -320,6 +320,34 @@ object IncrementalStream {
           col(rTs) <= col(lTs) + expr(s"INTERVAL $window"),
         "inner")
 
+  /** Stream-stream event-time LEFT OUTER interval join — the
+    * WATERMARK-EVICTION semantics the inner join never exercises: a
+    * left row with no match emits null-extended only when the
+    * watermark passes its join window's upper bound (the row can no
+    * longer match ANY future right row), i.e. when its state evicts.
+    * Until then it waits in the state store; at query end, rows whose
+    * window the final watermark never closed remain in state and are
+    * NOT emitted — exactly the at-scale contract (a forever-open
+    * window would mean unbounded state).
+    *
+    * Determinism note (what makes this oracle-able): under
+    * time-contiguous multi-batch arrival, a row evicted at a batch
+    * boundary (watermark W > lTs + window) can never have matched a
+    * later right row — later batches start at ≥ the prior batch's max
+    * event time > W ≥ lTs + window — so the emitted set decomposes
+    * exactly into (full inner join) ∪ (unmatched left rows with
+    * lTs + window < final watermark), both SQL-recomputable.
+    */
+  def intervalJoinOuter(left: DataFrame, lTs: String,
+                        right: DataFrame, rTs: String,
+                        keyEq: org.apache.spark.sql.Column,
+                        window: String, watermark: String): DataFrame =
+    withEventTime(left, lTs).withWatermark(lTs, watermark)
+      .join(withEventTime(right, rTs).withWatermark(rTs, watermark),
+        keyEq && col(rTs) >= col(lTs) &&
+          col(rTs) <= col(lTs) + expr(s"INTERVAL $window"),
+        "leftOuter")
+
   /** Run a streaming frame to a parquet sink with checkpointing,
     * processing everything currently available (the cron-run
     * equivalent: one `Trigger.AvailableNow` invocation per schedule

@@ -197,6 +197,64 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 12L, 22L)), s"got: $got")
   }
 
+  test("left-outer interval join: null-extension emits ONLY on " +
+      "watermark eviction — a closed window emits, an open one stays " +
+      "in state unemitted, and the watermark is the min across the " +
+      "two branches") {
+    val tmp = Files.createTempDirectory("graft-sojoin").toFile
+    val lDir = new java.io.File(tmp, "l"); lDir.mkdirs()
+    val rDir = new java.io.File(tmp, "r"); rDir.mkdirs()
+    val baseMs = 86400000L
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    import spark.implicits._
+    def buildQuery() = {
+      val lSchema = spark.read.parquet(lDir.getAbsolutePath).schema
+      val rSchema = spark.read.parquet(rDir.getAbsolutePath).schema
+      IncrementalStream.intervalJoinOuter(
+        IncrementalStream.readAppendStream(spark, lDir.getAbsolutePath, lSchema),
+        "click_ts",
+        IncrementalStream.readAppendStream(spark, rDir.getAbsolutePath, rSchema),
+        "buy_ts",
+        col("user_id") === col("buy_user"), "60 minutes", "10 minutes")
+        .writeStream.format("memory").queryName("sojoin_out")
+        .outputMode("append").start()
+    }
+    // batch 1: click 10 will match (inner emits as it arrives);
+    // click 11 never matches — its window [0, 60] needs the watermark
+    // past t70 to close
+    Seq((1L, 10L, ts(0)), (2L, 11L, ts(0)))
+      .toDF("user_id", "click_id", "click_ts")
+      .write.mode("overwrite").parquet(lDir.getAbsolutePath)
+    Seq((1L, 20L, ts(30)))
+      .toDF("buy_user", "buy_id", "buy_ts")
+      .write.mode("overwrite").parquet(rDir.getAbsolutePath)
+    val q = buildQuery(); q.processAllAvailable()
+    val afterB1 = spark.table("sojoin_out")
+      .select("user_id", "click_id", "buy_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(afterB1 == Set((1L, 10L, 20L)),
+      s"click 11 must still be waiting in state, got: $afterB1")
+    // batch 2 advances BOTH branches far past click 11's window (the
+    // watermark is min(left max, right max) − delay, so both sides
+    // must move) — plus a fresh click whose window stays open and so
+    // must NOT emit
+    Seq((3L, 12L, ts(1000)))
+      .toDF("user_id", "click_id", "click_ts")
+      .write.mode("append").parquet(lDir.getAbsolutePath)
+    Seq((9L, 21L, ts(1000)))
+      .toDF("buy_user", "buy_id", "buy_ts")
+      .write.mode("append").parquet(rDir.getAbsolutePath)
+    q.processAllAvailable(); q.stop()
+    val afterB2 = spark.table("sojoin_out")
+      .select("user_id", "click_id", "buy_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(afterB2 == Set((1L, 10L, 20L), (2L, 11L, -1L)),
+      s"click 11 must emit null-extended on eviction and click 12 " +
+        s"(window open) must not emit, got: $afterB2")
+  }
+
   test("streaming canonical dedup keeps the batch representative (min id)") {
     val tmp = Files.createTempDirectory("graft-cdedup").toFile
     val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
