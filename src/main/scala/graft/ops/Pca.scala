@@ -123,6 +123,57 @@ object Pca {
     * centered dot product runs inside whole-stage codegen
     * (zip_with + aggregate over plan literals), no shuffle, no UDF.
     */
+  /** Per-dimension variance numerators (population, e12 scale):
+    * vn[d] = trunc(Σ (xe[d] − mu[d])² / n) — the covariance diagonal
+    * as one d-cell aggregate.
+    */
+  def varianceE12(xe: DataFrame, muE6: Array[Long]): Array[Long] = {
+    val muLit = typedLit(muE6.toSeq)
+    val rows = xe
+      .select(posexplode(zip_with(col("xe"), muLit, (x, m) => x - m))
+        .as(Seq("d", "c")))
+      .groupBy(col("d"))
+      .agg(sum(col("c") * col("c")).as("ss"), count(lit(1)).as("n"))
+      .collect()
+    val vn = new Array[Long](rows.length)
+    rows.foreach(r => vn(r.getInt(0)) = r.getLong(1) / r.getLong(2))
+    vn
+  }
+
+  /** Exact integer square root (⌊√x⌋): double sqrt is within 1 of the
+    * truth for x ≤ 2⁵², so one ±1 adjustment makes it exact — the
+    * same correction the DuckDB replay applies, so both engines land
+    * on the identical integer with no libm-precision bet.
+    */
+  def isqrt(x: Long): Long = {
+    require(x >= 0, s"isqrt of negative $x")
+    var s = math.sqrt(x.toDouble).toLong
+    if ((s + 1) * (s + 1) <= x) s += 1
+    if (s * s > x) s -= 1
+    s
+  }
+
+  /** Z-score standardization with the EXACT integer pipeline:
+    * z_e6 = trunc((xe[d] − mu[d])·10⁶ / sd[d]) where
+    * sd[d] = ⌊√(vn[d])⌋ (e6-scale population σ). Constant dimensions
+    * (sd = 0) standardize to 0. Map-only serving: mu/sd are plan
+    * literals, the explode + arithmetic run in the scan stage —
+    * standardization of a 100 TB corpus is one pass, zero shuffle.
+    */
+  def standardize(emb: DataFrame, idCol: String, vecCol: String,
+                  muE6: Array[Long], sdE6: Array[Long]): DataFrame = {
+    val muLit = typedLit(muE6.toSeq)
+    val sdLit = typedLit(sdE6.toSeq)
+    quantized(emb, idCol, vecCol)
+      .select(col(idCol),
+        posexplode(zip_with(col("xe"), muLit, (x, m) => x - m))
+          .as(Seq("d", "c")))
+      .withColumn("sd", element_at(sdLit, col("d") + 1))
+      .selectExpr(idCol, "d",
+        "CASE WHEN sd = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (c * 1000000) DIV sd END AS z_e6")
+  }
+
   def project(emb: DataFrame, idCol: String, vecCol: String,
               muE6: Array[Long], vE6: Array[Long]): DataFrame = {
     val muLit = typedLit(muE6.toSeq)

@@ -1034,6 +1034,29 @@ object ScaleQueries {
         iters = 3)
     }
 
+  /** Z-score standardization of the embedding corpus with the exact
+    * integer pipeline (([[graft.ops.Pca.standardize]]): e6 means by
+    * truncating division, population σ as the EXACT integer square
+    * root of the e12 variance (⌊√x⌋ computed identically in both
+    * engines via double-sqrt + one ±1 correction — no libm-precision
+    * bet), then map-only z_e6 = trunc(c·10⁶/sd) against plan
+    * literals. The feature-scaling pass an embedding pipeline runs
+    * before distance-based anything; at 100 TB it is one scan-stage
+    * pass, zero shuffle, with the d-cell moment aggregate paid once.
+    */
+  def embedStandardize(s: SparkSession, dir: String): DataFrame = {
+    val (mu, sd) = memoCodebook[(Array[Long], Array[Long])](
+      s"std:${graft.Tables.versioned(dir)}") {
+      val xe = graft.ops.Pca.quantized(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      val mu0 = graft.ops.Pca.meansE6(xe)
+      (mu0, graft.ops.Pca.varianceE12(xe, mu0).map(graft.ops.Pca.isqrt))
+    }
+    graft.ops.Pca.standardize(t(s, dir, "embeddings"), "vec_id",
+        "embedding", mu, sd)
+      .orderBy(col("vec_id"), col("d"))
+  }
+
   /** The power-iteration TRAJECTORY (iter, d, v_e6) — the spectral
     * member of the trained-state family: like `quality_train`'s
     * weight trajectory and `kmeans_gate`'s codebook, the driver-side
@@ -1227,7 +1250,8 @@ object ScaleQueries {
     "embed_quantize_gate" -> (embedQuantizeGate _),
     "pca_power" -> (pcaPower _),
     "pca_project" -> (pcaProject _),
-    "pca_gate" -> (pcaGate _))
+    "pca_gate" -> (pcaGate _),
+    "embed_standardize" -> (embedStandardize _))
 
   /** Shared DuckDB CTE chain closing the exact windowed-Jaccard pair
     * set into min-label components — the oracle twin of
@@ -1758,6 +1782,37 @@ object ScaleQueries {
               CAST(CASE WHEN num * nd >= v2 * tr THEN 1 ELSE 0 END
                    AS INTEGER) AS above_avg_dim
        FROM tot, vv"""),
+    // exact-isqrt z-score: double sqrt is within 1 of ⌊√x⌋ for
+    // x ≤ 2⁵², so one ±1 correction lands both engines on the same
+    // integer — no libm bet; the division is the verified trunc //
+    "embed_standardize" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS xe
+           FROM embeddings),
+       x AS (SELECT vec_id, unnest(range(0, len(xe))) AS d,
+                    unnest(xe) AS v
+             FROM e),
+       mu AS (SELECT d, CAST(sum(v) // count(*) AS BIGINT) AS m,
+                     count(*) AS n
+              FROM x GROUP BY d),
+       vr AS (SELECT x.d,
+                     CAST(sum(CAST(v - m AS HUGEINT) * (v - m))
+                          // max(n) AS BIGINT) AS vn
+              FROM x JOIN mu USING (d) GROUP BY x.d),
+       sd0 AS (SELECT d, CAST(floor(sqrt(CAST(vn AS DOUBLE)))
+                              AS BIGINT) AS s, vn
+               FROM vr),
+       sd AS (SELECT d,
+                     s + (CASE WHEN (s+1)*(s+1) <= vn THEN 1 ELSE 0 END)
+                       - (CASE WHEN s*s > vn THEN 1 ELSE 0 END) AS sd
+              FROM sd0)
+       SELECT x.vec_id, CAST(x.d AS INTEGER) AS d,
+              CAST(CASE WHEN sd = 0 THEN 0
+                        ELSE ((v - m) * 1000000) // sd END
+                   AS BIGINT) AS z_e6
+       FROM x JOIN mu USING (d) JOIN sd USING (d)
+       ORDER BY vec_id, d""",
     // full LSH / IVF candidate-set + re-rank replays (promoted from
     // rows-only in r7 — the simhash/CMS/fingerprint precedent applied
     // to SRP sign bits and the sampled-codebook argmax)

@@ -65,4 +65,53 @@ class PcaSpec extends AnyFunSuite {
     assert(gotTrunc == Seq(9998L, -9998L),
       "DIV must truncate toward zero, not floor")
   }
+
+  test("isqrt is exact at perfect-square boundaries and at the e12 " +
+      "variance scale") {
+    for (s <- Seq(0L, 1L, 2L, 3L, 999999L, 1000000L, 1224744L,
+        35000000L)) {
+      val sq = s * s
+      assert(Pca.isqrt(sq) == s, s"isqrt($sq)")
+      if (sq > 0) assert(Pca.isqrt(sq - 1) == s - 1, s"isqrt(${sq - 1})")
+      if (s > 0) {
+        assert(Pca.isqrt(sq + 1) == s, s"isqrt(${sq + 1})")
+        assert(Pca.isqrt(sq + 2 * s) == s,
+          s"isqrt(${sq + 2 * s}) — last value before the next square")
+      }
+    }
+  }
+
+  test("standardize: hand z-scores incl. a constant (sd = 0) " +
+      "dimension and negative truncation") {
+    import spark.implicits._
+    // dim0: values ±0.5 → mu = 0, vn = 25e10, sd = 500000;
+    //   z = ±(5e5·1e6)/5e5 = ±1000000
+    // dim1: constant 0.25 → sd = 0 → z = 0
+    // dim2: values 0.3, 0.0, 0.0 → mu = 1e5, c = (2e5, -1e5, -1e5),
+    //   vn = (4e10+1e10+1e10)/3 = 2e10, sd = isqrt = 141421,
+    //   z = 2e11/141421 = 1414214 (trunc), -1e11/141421 = -707108
+    val emb = Seq(
+      (1L, Seq(0.5f, 0.25f, 0.3f)), (2L, Seq(-0.5f, 0.25f, 0.0f)),
+      (3L, Seq(0.5f, 0.25f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val xe = Pca.quantized(emb, "vec_id", "embedding")
+    val mu = Pca.meansE6(xe)
+    // mu dim0: (5e5 - 5e5 + 5e5)/3 = 166666 (trunc)
+    assert(mu.toSeq == Seq(166666L, 250000L, 100000L))
+    val sd = Pca.varianceE12(xe, mu).map(Pca.isqrt)
+    assert(sd(1) == 0L, "constant dimension must have sd 0")
+    val got = Pca.standardize(emb, "vec_id", "embedding", mu, sd)
+      .orderBy("vec_id", "d").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every constant-dim z is 0; others are finite and truncated
+    assert(got.filter(_._2 == 1).forall(_._3 == 0L))
+    val z2 = got.filter(_._2 == 2).map(_._3).toSeq
+    assert(z2(1) < 0 && z2(0) > 0, s"signs: $z2")
+    // replay the dim-2 arithmetic by hand against the operator
+    val c2 = Seq(300000L - 100000L, -100000L, -100000L)
+    val vn2 = c2.map(c => c * c).sum / 3
+    val sd2 = Pca.isqrt(vn2)
+    assert(z2 == c2.map(c => c * 1000000L / sd2),
+      s"dim-2 z-scores: $z2")
+  }
 }
