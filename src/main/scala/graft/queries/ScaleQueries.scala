@@ -1044,17 +1044,55 @@ object ScaleQueries {
     * before distance-based anything; at 100 TB it is one scan-stage
     * pass, zero shuffle, with the d-cell moment aggregate paid once.
     */
-  def embedStandardize(s: SparkSession, dir: String): DataFrame = {
-    val (mu, sd) = memoCodebook[(Array[Long], Array[Long])](
+  private def stdMoments(s: SparkSession, dir: String)
+      : (Array[Long], Array[Long]) =
+    memoCodebook[(Array[Long], Array[Long])](
       s"std:${graft.Tables.versioned(dir)}") {
       val xe = graft.ops.Pca.quantized(
         t(s, dir, "embeddings"), "vec_id", "embedding")
       val mu0 = graft.ops.Pca.meansE6(xe)
       (mu0, graft.ops.Pca.varianceE12(xe, mu0).map(graft.ops.Pca.isqrt))
     }
+
+  def embedStandardize(s: SparkSession, dir: String): DataFrame = {
+    val (mu, sd) = stdMoments(s, dir)
     graft.ops.Pca.standardize(t(s, dir, "embeddings"), "vec_id",
         "embedding", mu, sd)
       .orderBy(col("vec_id"), col("d"))
+  }
+
+  /** Exact Pearson correlation matrix of the embedding dimensions —
+    * the feature-triage statistic (which dimensions are redundant /
+    * anti-correlated) as pure integers: for i < j,
+    * corr_e6 = trunc(Σcᵢcⱼ · 10⁶ / (sdᵢ·sdⱼ·n)), with sd the exact
+    * integer σ ([[graft.ops.Pca.isqrt]]) and zero-variance dimensions
+    * emitting 0. The distributed work is the SAME one-scan cell
+    * aggregate as `pca_power` (d(d+1)/2 integer cells — PlanSpec
+    * pins it); the d² division runs driver-side in BigInt (the ·10⁶
+    * numerator tops int64 at sf0.1) and the oracle replays it in
+    * HUGEINT. Denominator composition (floor-σ before the product)
+    * is deliberate and identical on both sides — a deterministic
+    * convention, like every e-scale rounding point in the trained
+    * families.
+    */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (mu, sd) = stdMoments(s, dir)
+    val xe = graft.ops.Pca.quantized(
+      t(s, dir, "embeddings"), "vec_id", "embedding")
+    val n = xe.count()
+    val rows = graft.ops.Pca.covCells(xe, mu).filter(col("j") > col("i"))
+      .collect()
+      .map { r =>
+        val (i, j, cs) = (r.getInt(0), r.getInt(1), r.getLong(2))
+        val den = BigInt(sd(i)) * sd(j) * n
+        val corr =
+          if (den == 0) 0L
+          else (BigInt(cs) * 1000000L / den).toLong
+        (i, j, corr)
+      }
+      .sortBy(r => (r._1, r._2))
+    rows.toSeq.toDF("i", "j", "corr_e6").orderBy(col("i"), col("j"))
   }
 
   /** The power-iteration TRAJECTORY (iter, d, v_e6) — the spectral
@@ -1251,7 +1289,8 @@ object ScaleQueries {
     "pca_power" -> (pcaPower _),
     "pca_project" -> (pcaProject _),
     "pca_gate" -> (pcaGate _),
-    "embed_standardize" -> (embedStandardize _))
+    "embed_standardize" -> (embedStandardize _),
+    "corr_matrix" -> (corrMatrix _))
 
   /** Shared DuckDB CTE chain closing the exact windowed-Jaccard pair
     * set into min-label components — the oracle twin of
@@ -1813,6 +1852,47 @@ object ScaleQueries {
                    AS BIGINT) AS z_e6
        FROM x JOIN mu USING (d) JOIN sd USING (d)
        ORDER BY vec_id, d""",
+    // the covariance cells over the exact-isqrt sigmas: floor-sigma
+    // BEFORE the product, numerator in HUGEINT (tops int64 at sf0.1)
+    "corr_matrix" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS xe
+           FROM embeddings),
+       x AS (SELECT vec_id, unnest(range(0, len(xe))) AS d,
+                    unnest(xe) AS v
+             FROM e),
+       mu AS (SELECT d, CAST(sum(v) // count(*) AS BIGINT) AS m,
+                     count(*) AS n
+              FROM x GROUP BY d),
+       c AS (SELECT vec_id, d, v - m AS cv FROM x JOIN mu USING (d)),
+       vr AS (SELECT d,
+                     CAST(sum(CAST(cv AS HUGEINT) * cv)
+                          // count(*) AS BIGINT) AS vn
+              FROM c GROUP BY d),
+       sd0 AS (SELECT d, CAST(floor(sqrt(CAST(vn AS DOUBLE)))
+                              AS BIGINT) AS s, vn
+               FROM vr),
+       sd AS (SELECT d,
+                     s + (CASE WHEN (s+1)*(s+1) <= vn THEN 1 ELSE 0 END)
+                       - (CASE WHEN s*s > vn THEN 1 ELSE 0 END) AS sd
+              FROM sd0),
+       cells AS (SELECT a.d AS i, b.d AS j,
+                        sum(CAST(a.cv AS HUGEINT) * b.cv) AS cs
+                 FROM c a JOIN c b
+                   ON a.vec_id = b.vec_id AND b.d > a.d
+                 GROUP BY 1, 2),
+       nn AS (SELECT max(n) AS n FROM mu)
+       SELECT CAST(cells.i AS INTEGER) AS i,
+              CAST(cells.j AS INTEGER) AS j,
+              CAST(CASE WHEN si.sd = 0 OR sj.sd = 0 THEN 0
+                        ELSE (cs * 1000000)
+                             // (CAST(si.sd AS HUGEINT) * sj.sd
+                                * (SELECT n FROM nn)) END
+                   AS BIGINT) AS corr_e6
+       FROM cells JOIN sd si ON cells.i = si.d
+                  JOIN sd sj ON cells.j = sj.d
+       ORDER BY i, j""",
     // full LSH / IVF candidate-set + re-rank replays (promoted from
     // rows-only in r7 — the simhash/CMS/fingerprint precedent applied
     // to SRP sign bits and the sampled-codebook argmax)
