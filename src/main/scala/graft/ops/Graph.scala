@@ -95,6 +95,58 @@ object Graph {
     out
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over a DIRECTED
+    * edge set (src = hub side, dst = authority side), fixed
+    * iterations, ALL-INTEGER: h₀ = 10⁶ per hub, then per iteration
+    *
+    *   a_raw(d) = Σ_{(s,d)∈E} h(s);  a = trunc(a_raw·10⁶ / max a_raw)
+    *   h_raw(s) = Σ_{(s,d)∈E} a(d);  h = trunc(h_raw·10⁶ / max h_raw)
+    *
+    * Max-norm instead of the textbook L2 keeps every step integral
+    * (the PCA power-step renormalization — `Pca.powerTrajectory`):
+    * integer sums are shuffle-order-independent, so the scores are
+    * bit-identical across partition counts and replayable in SQL.
+    * Same per-iteration economics as [[pageRankE12]]: one equi-join
+    * of the score table with the edges plus one hash aggregate, per
+    * direction; the max is a 1-row aggregate broadcast back (never a
+    * data shuffle). Overflow: scores ≤ 10⁶, raw sums ≤ degree·10⁶,
+    * the ·10⁶ renormalization numerator ≤ degree·10¹² ≪ 2⁶³ for any
+    * degree below 9·10⁶ — then the sums would need decimal(38,0),
+    * loudly (ANSI).
+    *
+    * Returns (id, side ∈ {hub, auth}, score_e6) after `iters`
+    * iterations. Like the PageRank loop, score tables chain lazily —
+    * no mid-loop action.
+    */
+  def hitsE6(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var h = e.select(col("src").as("id")).distinct()
+      .withColumn("s", lit(1000000L))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e.join(h.select(col("id").as("mid"), col("s")),
+          col("src") === col("mid"))
+        .groupBy(col("dst")).agg(sum(col("s")).as("raw"))
+      a = araw.crossJoin(broadcast(araw.agg(max(col("raw")).as("mx"))))
+        .select(col("dst").as("id"),
+          expr("(raw * 1000000) DIV mx").as("s"))
+      val hraw = e.join(a.select(col("id").as("mid"), col("s")),
+          col("dst") === col("mid"))
+        .groupBy(col("src")).agg(sum(col("s")).as("raw"))
+      h = hraw.crossJoin(broadcast(hraw.agg(max(col("raw")).as("mx"))))
+        .select(col("src").as("id"),
+          expr("(raw * 1000000) DIV mx").as("s"))
+    }
+    val out = Dedup.materialize(
+      h.select(col("id"), lit("hub").as("side"), col("s").as("score_e6"))
+        .unionByName(a.select(col("id"), lit("auth").as("side"),
+          col("s").as("score_e6"))))
+    e.unpersist()
+    out
+  }
+
   /** Triangle count over an UNDIRECTED edge set given as (id_a, id_b)
     * with `id_a < id_b`, id-oriented: wedges (a<b<c) built by one
     * self-equi-join, closed by a semi-join against the edge set. Every

@@ -698,6 +698,24 @@ object AdvancedQueries {
       .orderBy(col("rank_e12").desc, col("id")).limit(100)
   }
 
+  /** HITS hubs & authorities ([[graft.ops.Graph.hitsE6]], 2
+    * iterations) over the DIRECTED customer→supplier order graph —
+    * the bipartite companion to `pagerank`'s symmetric walk: hubs
+    * (customers) score by the authority of the suppliers they buy
+    * from, authorities (suppliers) by the hub-ness of their buyers.
+    * All-integer max-norm iterations, so the full score table
+    * hash-compares against the oracle's unrolled two-round replay.
+    */
+  def hitsRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1L << 40) + col("l_suppkey")).as("dst"))
+    Graph.hitsE6(edges, iters = 2)
+      .orderBy(col("side"), col("id"))
+  }
+
   /** k-core (k=8) of the same symmetrized customer–supplier order
     * graph `pagerank` walks: iterated peeling to the unique maximal
     * min-degree-≥ 8 subgraph (see [[graft.ops.Graph.kCore]] — throws
@@ -2062,6 +2080,7 @@ object AdvancedQueries {
     "bloom_prune" -> (bloomPrune _),
     "scd2_intervals" -> (scd2Intervals _),
     "pagerank" -> (pagerank _),
+    "hits_rank" -> (hitsRank _),
     "kcore" -> (kcore _),
     "bfs_hops" -> (bfsHopsQ _),
     "sssp_weighted" -> (ssspWeighted _),
@@ -2180,6 +2199,36 @@ object AdvancedQueries {
        FROM a ORDER BY user_id, rn"""
 
   val oracle: Map[String, String] = Map(
+    // two HITS iterations unrolled: per round an edge⋈score join +
+    // per-endpoint sum, then the max-norm truncating renormalization
+    // (sums are HUGEINT in DuckDB, BIGINT in the engine — same values,
+    // cast at the end)
+    "hits_rank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                            1099511627776 + l_suppkey AS dst
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         h0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS s
+                FROM e0),
+         a1r AS (SELECT dst AS id, sum(h0.s) AS raw
+                 FROM e0 JOIN h0 ON e0.src = h0.id GROUP BY dst),
+         a1 AS (SELECT id, (raw * 1000000) // (SELECT max(raw) FROM a1r)
+                     AS s FROM a1r),
+         h1r AS (SELECT src AS id, sum(a1.s) AS raw
+                 FROM e0 JOIN a1 ON e0.dst = a1.id GROUP BY src),
+         h1 AS (SELECT id, (raw * 1000000) // (SELECT max(raw) FROM h1r)
+                     AS s FROM h1r),
+         a2r AS (SELECT dst AS id, sum(h1.s) AS raw
+                 FROM e0 JOIN h1 ON e0.src = h1.id GROUP BY dst),
+         a2 AS (SELECT id, (raw * 1000000) // (SELECT max(raw) FROM a2r)
+                     AS s FROM a2r),
+         h2r AS (SELECT src AS id, sum(a2.s) AS raw
+                 FROM e0 JOIN a2 ON e0.dst = a2.id GROUP BY src),
+         h2 AS (SELECT id, (raw * 1000000) // (SELECT max(raw) FROM h2r)
+                     AS s FROM h2r)
+         SELECT id, side, CAST(s AS BIGINT) AS score_e6 FROM (
+           SELECT id, 'hub' AS side, s FROM h2
+           UNION ALL SELECT id, 'auth' AS side, s FROM a2)
+         ORDER BY side, id""",
     // the 3 synchronous LPA rounds unrolled: per round one
     // neighbor-label join, a frequency count, and a row_number argmax
     // (count DESC, label ASC) — the full trajectory replayed

@@ -167,7 +167,17 @@ object ScaleProbe {
       ("sssp_weighted",
         graft.queries.AdvancedQueries.queries("sssp_weighted"), false),
       ("reservoir_sample",
-        graft.queries.TextQueries.queries("reservoir_sample"), false))
+        graft.queries.TextQueries.queries("reservoir_sample"), false),
+      // r8 continuation II: the second-moment family (all cold — the
+      // trained direction / moment vectors memoize per dir, so a
+      // best-of-2 would time only the serving pass; the covariance
+      // scan IS the scaling story: cells are O(d²·partitions)
+      // regardless of corpus size, so the exponent should track the
+      // scan, not the statistic)
+      ("pca_power", graft.queries.ScaleQueries.queries("pca_power"), true),
+      ("corr_matrix", graft.queries.ScaleQueries.queries("corr_matrix"), true),
+      ("embed_standardize",
+        graft.queries.ScaleQueries.queries("embed_standardize"), true))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped
