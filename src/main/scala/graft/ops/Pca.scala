@@ -99,6 +99,70 @@ object Pca {
     }
   }
 
+  /** RAW sufficient statistics for the INCREMENTAL covariance: per
+    * dimension the plain e6 sums S[d] = Σ xe[d], per pair (i ≤ j) the
+    * uncentered products P[i][j] = Σ xe[i]·xe[j], plus the row count.
+    * These are PURELY ADDITIVE — stats(base ∪ Δ) = stats(base) +
+    * stats(Δ) exactly, no truncation anywhere — which is what makes
+    * the spectral state maintainable at |Δ| cost: the scaled centered
+    * covariance n·C = n·P − S·Sᵀ is then EXACT integer algebra (the
+    * n²-scaled covariance, same eigenvectors), so the delta-updated
+    * trajectory is bit-equal to a full retrain by construction, not
+    * by tolerance. Same one-scan cell economics as [[covCells]].
+    */
+  def rawStats(xe: DataFrame): (Long, Array[BigInt], Array[Array[BigInt]]) = {
+    val sums = xe.select(posexplode(col("xe")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .collect()
+    val d = sums.length
+    if (d == 0) return (0L, Array.empty, Array.empty)
+    val s = new Array[BigInt](d)
+    var n = 0L
+    sums.foreach { r => s(r.getInt(0)) = BigInt(r.getLong(1)); n = r.getLong(2) }
+    val p = Array.fill(d)(new Array[BigInt](d))
+    for (i <- 0 until d; j <- 0 until d) p(i)(j) = BigInt(0)
+    // products in decimal(38,0): xe² tops ~3.6·10¹¹ per row, and the
+    // int64 sum bound (~2.5·10⁷ rows) is too close to real corpus
+    // sizes to bake in — decimal sums are exact at any scale
+    xe.select(col("xe"), posexplode(col("xe")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("xe")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("pp"))
+      .collect()
+      .foreach { r =>
+        val v = BigInt(r.getDecimal(2).toBigInteger)
+        p(r.getInt(0))(r.getInt(1)) = v
+        p(r.getInt(1))(r.getInt(0)) = v
+      }
+    (n, s, p)
+  }
+
+  /** Merge raw statistics (pure integer addition). */
+  def mergeStats(a: (Long, Array[BigInt], Array[Array[BigInt]]),
+                 b: (Long, Array[BigInt], Array[Array[BigInt]]))
+      : (Long, Array[BigInt], Array[Array[BigInt]]) = {
+    if (a._1 == 0) return b
+    if (b._1 == 0) return a
+    val d = a._2.length
+    (a._1 + b._1,
+      Array.tabulate(d)(i => a._2(i) + b._2(i)),
+      Array.tabulate(d)(i => Array.tabulate(d)(j => a._3(i)(j) + b._3(i)(j))))
+  }
+
+  /** The n-scaled centered covariance from raw stats:
+    * C[i][j] = n·P[i][j] − S[i]·S[j] — exact, no division, same
+    * eigenvectors as the covariance itself (positive scaling).
+    */
+  def scaledCov(stats: (Long, Array[BigInt], Array[Array[BigInt]]))
+      : Array[Array[BigInt]] = {
+    val (n, s, p) = stats
+    val d = s.length
+    Array.tabulate(d)(i => Array.tabulate(d)(j =>
+      BigInt(n) * p(i)(j) - s(i) * s(j)))
+  }
+
   /** Train once per (session-agnostic) corpus: means + full mirrored
     * covariance + trajectory. Keyed by the versioned dir upstream
     * (the bpeMergeCache pattern) — this method itself is pure.

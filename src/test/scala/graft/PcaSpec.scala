@@ -81,6 +81,32 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("rawStats are purely additive: base + delta equals the full " +
+      "corpus cell-for-cell, and the scaled covariance keeps the " +
+      "rank-1 eigendirection") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(0.5f, 0.1f)), (2L, Seq(-0.5f, -0.1f)),
+      (3L, Seq(0.5f, 0.1f)), (9L, Seq(-0.5f, -0.1f)))
+    val full = rows.toDF("vec_id", "embedding")
+    val base = rows.filter(_._1 % 10 != 9).toDF("vec_id", "embedding")
+    val delta = rows.filter(_._1 % 10 == 9).toDF("vec_id", "embedding")
+    def st(df: org.apache.spark.sql.DataFrame) =
+      Pca.rawStats(Pca.quantized(df, "vec_id", "embedding"))
+    val merged = Pca.mergeStats(st(base), st(delta))
+    val whole = st(full)
+    assert(merged._1 == whole._1)
+    assert(merged._2.toSeq == whole._2.toSeq)
+    assert(merged._3.map(_.toSeq).toSeq == whole._3.map(_.toSeq).toSeq,
+      "uncentered products must merge exactly")
+    // same ±(0.5, 0.1) corpus as the covCells test: zero mean, so
+    // n·P − S·Sᵀ = n·P is n× the covariance — same (1e6, 2e5) fixed
+    // point under max-norm power iteration
+    val traj = Pca.powerTrajectory(Pca.scaledCov(merged), iters = 2)
+    traj.foreach(v => assert(v.toSeq == Seq(1000000L, 200000L),
+      s"scaled-cov trajectory step was ${v.toSeq}"))
+  }
+
   test("standardize: hand z-scores incl. a constant (sd = 0) " +
       "dimension and negative truncation") {
     import spark.implicits._
