@@ -578,4 +578,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(buf2.sorted.toSeq == Seq((1L, 3L, 103L, 300L, 168L),
       (2L, 1L, 104L, 77L, 77L)), s"incarnation 2 got: $buf2")
   }
+
+  test("checkpoint recovery: the anomaly flagger's (rn, ema, dev) " +
+      "state reloads across an incarnation rebuild — post-restart " +
+      "FLAG DECISIONS are made against the pre-crash deviation state") {
+    val tmp = Files.createTempDirectory("graft-ckpt-anom").toFile
+    val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+    val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+    import spark.implicits._
+    def buildQuery(buf: scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long, Long, Long, Long, Int)]) = {
+      val schema = spark.read.parquet(inDir.getAbsolutePath).schema
+      IncrementalStream.anomalyStream(
+          IncrementalStream.readAppendStream(
+            spark, inDir.getAbsolutePath, schema),
+          aNum = 1, aDen = 4, kNum = 5, kDen = 2, minDevE6 = 10L,
+          warmup = 1L)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getInt(6)))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+    }
+    // incarnation 1: 100 then a 200 spike — flagged (2·100 > 20),
+    // leaving (rn = 2, ema = 125, dev = 25) only in the checkpoint
+    Seq((1L, 1L, 101L, 100L), (1L, 2L, 102L, 200L))
+      .toDF("user_id", "us", "event_id", "v_e6")
+      .coalesce(1).write.mode("overwrite").parquet(inDir.getAbsolutePath)
+    val buf1 = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Int)]
+    val q1 = buildQuery(buf1); q1.processAllAvailable(); q1.stop()
+    assert(buf1.sorted.toSeq == Seq(
+      (1L, 1L, 101L, 100L, 100L, 0L, 0),
+      (1L, 2L, 102L, 200L, 125L, 25L, 1)), s"incarnation 1 got: $buf1")
+    // while down: a 185 that must NOT flag (2·60 = 120 ≯ 5·25 + 20 =
+    // 145 — the decision needs the RELOADED dev = 25; a fresh-state
+    // resume would also emit rn = 1) and a 400 that must flag against
+    // the post-185 state
+    Seq((1L, 3L, 103L, 185L), (1L, 4L, 104L, 400L))
+      .toDF("user_id", "us", "event_id", "v_e6")
+      .coalesce(1).write.mode("append").parquet(inDir.getAbsolutePath)
+    val buf2 = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Int)]
+    val q2 = buildQuery(buf2); q2.processAllAvailable(); q2.stop()
+    assert(buf2.sorted.toSeq == Seq(
+      (1L, 3L, 103L, 185L, 140L, 33L, 0),
+      (1L, 4L, 104L, 400L, 205L, 89L, 1)), s"incarnation 2 got: $buf2")
+  }
 }
