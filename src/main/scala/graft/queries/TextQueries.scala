@@ -465,6 +465,42 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** TEMPERATURE-rebalanced mixture (the UniMax/multilingual-sampling
+    * move): per-language quotas ∝ √count instead of count, so
+    * low-resource languages get upweighted relative to proportional —
+    * α = 0.5 sampling temperature, the standard antidote to
+    * high-resource domination in a training mix. Unlike
+    * [[mixtureSample]]'s static recipe weights, these weights derive
+    * from the DATA: w_g = ⌊√n_g⌋ via the exact integer square root
+    * ([[graft.ops.Pca.isqrt]] — same ±1-corrected double sqrt in both
+    * engines), budget = 40% of the corpus, quota_g =
+    * budget·w_g / Σw (truncating), selection the stable LCG
+    * rank within each language. The per-group moment collect is
+    * bounded by |langs|; one shuffle, partitioned by lang.
+    */
+  def mixtureTemperature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val budget = counts.map(_._2).sum * 2 / 5
+    val ws = counts.map { case (l, n) => (l, graft.ops.Pca.isqrt(n)) }
+    val wsum = ws.map(_._2).sum
+    val quotas = ws.toSeq
+      .map { case (l, w) => (l, budget * w / wsum) }
+      .toDF("lang", "quota")
+    val wdw = Window.partitionBy(col("lang"))
+      .orderBy(col("rk"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rk", expr("(doc_id * 2654435761) % 4294967296"))
+      .withColumn("rn", row_number().over(wdw))
+      .join(broadcast(quotas), Seq("lang"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C4-style text normalization: plant markup + control characters
     * around the document (so the op has real work on every row), then
     * strip tags, collapse whitespace/control runs to single spaces,
@@ -2060,6 +2096,7 @@ object TextQueries {
     "inverted_index" -> (invertedIndex _),
     "stratified_sample" -> (stratifiedSample _),
     "mixture_sample" -> (mixtureSample _),
+    "mixture_temperature" -> (mixtureTemperature _),
     "normalize_text" -> (normalizeText _),
     "domain_stats" -> (domainStats _),
     "lm_surprisal" -> (lmSurprisal _),
@@ -2652,6 +2689,31 @@ object TextQueries {
                     FROM d)
          SELECT doc_id, source, w FROM r
          WHERE rn <= n_total * 2 // 5 * w // 50
+         ORDER BY doc_id""",
+    // data-derived α = 0.5 temperature weights: w_g = exact ⌊√n_g⌋
+    // (±1-corrected double sqrt), quota = (total·2//5)·w // Σw — the
+    // same truncation order as the engine's driver arithmetic
+    "mixture_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents
+                    GROUP BY lang),
+         s0 AS (SELECT lang, n,
+                       CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s
+                FROM c),
+         w AS (SELECT lang,
+                      s + (CASE WHEN (s+1)*(s+1) <= n THEN 1 ELSE 0 END)
+                        - (CASE WHEN s*s > n THEN 1 ELSE 0 END) AS w
+               FROM s0),
+         q AS (SELECT lang,
+                      ((SELECT sum(n) FROM c) * 2 // 5) * w
+                        // (SELECT sum(w) FROM w) AS quota
+               FROM w),
+         r AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY (doc_id * 2654435761) % 4294967296,
+                                 doc_id) AS rn
+               FROM documents)
+         SELECT doc_id, lang FROM r JOIN q USING (lang)
+         WHERE rn <= quota
          ORDER BY doc_id""",
     "text_stats" ->
       """SELECT doc_id,
