@@ -574,6 +574,34 @@ object ScaleQueries {
         k = 3, centroidEvery = 149, nprobe = 7)
       .orderBy(col("qid"), col("rnk"))
 
+  /** RETRIEVAL-QUALITY evaluation of the IVF index, per query — the
+    * granular companion to `ann_ivf_recall`'s single floor number:
+    * for every query vector, the EXACT nearest neighbor (brute-force
+    * top-1) and its rank inside the IVF top-3 (0 = missed). All
+    * integers, so the evaluation row set hash-compares — this is the
+    * table an index-tuning session actually reads (WHICH queries
+    * miss, and whether the true neighbor sat at rank 2–3 or outside),
+    * where the recall gate only says how many. Cost: the exact
+    * baseline is the chunked bounded-broadcast theta join `ann_topk`
+    * already prices; the join back to the IVF result is
+    * queries×k rows.
+    */
+  def annRankEval(s: SparkSession, dir: String): DataFrame = {
+    val exact1 = exactTopK(s, dir, k = 1)
+      .select(col("qid"), col("cid").as("true_cid"))
+    val ivf = graft.ops.Similarity.ivfTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", queryPred = col("vec_id") % 20 === 0,
+        k = 3, centroidEvery = 149, nprobe = 7)
+      .select(col("qid").as("iqid"), col("cid").as("icid"), col("rnk"))
+    exact1.join(ivf,
+        col("qid") === col("iqid") && col("true_cid") === col("icid"),
+        "left")
+      .select(col("qid"), col("true_cid"),
+        coalesce(col("rnk"), lit(0)).as("ivf_rank"),
+        when(col("rnk").isNotNull, lit(1)).otherwise(lit(0)).as("hit"))
+      .orderBy(col("qid"))
+  }
+
   /** IVF over a TRAINED spherical-k-means coarse quantizer — the
     * Faiss-style production shape (`ann_ivf` keeps the data-sampled
     * codebook as the training-free baseline). nlist tracks the corpus
@@ -1299,6 +1327,7 @@ object ScaleQueries {
     "ann_lsh" -> (annLsh _),
     "ann_lsh_recall" -> (annLshRecall _),
     "ann_ivf" -> (annIvf _),
+    "ann_rank_eval" -> (annRankEval _),
     "ann_ivf_indexed" -> (annIvfIndexed _),
     "ann_ivf_recall" -> (annIvfRecall _),
     "ann_ivf_trained" -> (annIvfTrained _),
@@ -1444,6 +1473,15 @@ object ScaleQueries {
     * persisted-index-served query).
     */
   private def annIvfOracleSqlFor(qidWhere: String): String =
+    annIvfChainFor(qidWhere) + """
+       SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 3
+       ORDER BY qid, rnk"""
+
+  /** The IVF replay WITHOUT its final projection — shared by the
+    * ann_ivf oracles and the retrieval-evaluation join
+    * (`ann_rank_eval`), which composes it with the exact-top-1 chain.
+    */
+  private def annIvfChainFor(qidWhere: String): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings),
        cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
@@ -1472,9 +1510,7 @@ object ScaleQueries {
        r AS (SELECT qid, cid, sim_r,
                CAST(row_number() OVER (PARTITION BY qid
                     ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
-             FROM s2)
-       SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 3
-       ORDER BY qid, rnk"""
+             FROM s2)"""
 
   /** All-pairs word-trigram Jaccard recompute shared by the
     * `dedup_minhash` and `dedup_salted` oracles (both operators must
@@ -1976,6 +2012,28 @@ object ScaleQueries {
     // to SRP sign bits and the sampled-codebook argmax)
     "ann_lsh" -> annLshOracleSql,
     "ann_ivf" -> annIvfOracleSql,
+    // the IVF chain composed with the exact-top-1 chain: per query,
+    // the true NN's rank inside the IVF top-3 (0 = missed)
+    "ann_rank_eval" -> (annIvfChainFor("TRUE") + """,
+       exq AS (SELECT vec_id AS qid, v AS qv FROM e
+               WHERE vec_id % 20 = 0),
+       exs AS (SELECT exq.qid, e.vec_id AS cid,
+                 round(list_dot_product(qv, e.v)
+                       / sqrt(list_dot_product(qv, qv)
+                              * list_dot_product(e.v, e.v)), 4) AS xs
+               FROM exq JOIN e ON exq.qid <> e.vec_id),
+       exr AS (SELECT qid, cid,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY xs DESC, cid) AS xr
+               FROM exs),
+       ex1 AS (SELECT qid, cid FROM exr WHERE xr = 1)
+       SELECT ex1.qid, ex1.cid AS true_cid,
+              CAST(coalesce(r2.rnk, 0) AS INTEGER) AS ivf_rank,
+              CAST(CASE WHEN r2.rnk IS NOT NULL THEN 1 ELSE 0 END
+                   AS INTEGER) AS hit
+       FROM ex1 LEFT JOIN (SELECT qid, cid, rnk FROM r WHERE rnk <= 3) r2
+         ON ex1.qid = r2.qid AND ex1.cid = r2.cid
+       ORDER BY ex1.qid"""),
     // the persisted partition-pruned index must agree with the
     // in-plan join on the served query
     "ann_ivf_indexed" -> annIvfOracleSqlFor("vec_id = 0"),
