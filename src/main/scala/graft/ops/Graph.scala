@@ -135,7 +135,9 @@ object Graph {
     var a: DataFrame = null
     def normalized(raw: DataFrame): DataFrame = {
       val m = Dedup.materialize(raw)
-      val mx = m.agg(max(col("raw"))).head().getLong(0)
+      val mxRow = m.agg(max(col("raw"))).head()
+      require(!mxRow.isNullAt(0), "hitsE6 over an empty edge set")
+      val mx = mxRow.getLong(0)
       require(mx > 0, "HITS hit an all-zero score vector")
       m.select(col("id"), expr(s"(raw * 1000000) DIV ${mx}L").as("s"))
     }

@@ -87,6 +87,7 @@ object Pca {
   def powerTrajectory(cov: Array[Array[BigInt]], iters: Int)
       : Seq[Array[Long]] = {
     val d = cov.length
+    require(d > 0, "power iteration over an empty (0-dimensional) matrix")
     var v: Array[BigInt] = Array.fill(d)(BigInt(1000000L))
     (1 to iters).map { _ =>
       val w = Array.tabulate(d)(i =>
@@ -172,6 +173,8 @@ object Pca {
     val xe = quantized(emb, idCol, vecCol)
     val mu = meansE6(xe)
     val d = mu.length
+    require(d > 0, "Pca.train over an empty corpus (no vectors, or " +
+      "zero-length vectors)")
     val cov = Array.fill(d)(new Array[BigInt](d))
     for (i <- 0 until d; j <- 0 until d) cov(i)(j) = BigInt(0)
     // bounded driver collect: d(d+1)/2 cells — a design constant

@@ -484,6 +484,9 @@ object TextQueries {
     val docs = t(s, dir, "documents")
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    // empty corpus → empty sample (row-level semantics, not a trainer)
+    if (counts.isEmpty)
+      return docs.select(col("doc_id"), col("lang")).limit(0)
     val budget = counts.map(_._2).sum * 2 / 5
     val ws = counts.map { case (l, n) => (l, graft.ops.Pca.isqrt(n)) }
     val wsum = ws.map(_._2).sum

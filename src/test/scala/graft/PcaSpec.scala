@@ -66,6 +66,21 @@ class PcaSpec extends AnyFunSuite {
       "DIV must truncate toward zero, not floor")
   }
 
+  test("empty inputs fail LOUDLY (trainers) — no silent zero-row " +
+      "models") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Pca.train(empty, "vec_id", "embedding", iters = 1)
+    }
+    assert(e1.getMessage.contains("empty corpus"), e1.getMessage)
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Graph.hitsE6(emptyEdges, iters = 1).collect()
+    }
+    assert(e2.getMessage.contains("empty edge set"), e2.getMessage)
+  }
+
   test("isqrt is exact at perfect-square boundaries and at the e12 " +
       "variance scale") {
     for (s <- Seq(0L, 1L, 2L, 3L, 999999L, 1000000L, 1224744L,
