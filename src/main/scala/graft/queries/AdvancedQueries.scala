@@ -201,6 +201,50 @@ object AdvancedQueries {
       .orderBy(col("user_id"), col("rn"))
   }
 
+  /** Forecast BACKTEST — the evaluation the recurrence family exists
+    * for: per user, the one-step-ahead MAE of the Holt forecast
+    * (level + trend) against the plain EMA's implicit forecast (its
+    * level), every error an exact e6 integer (|v_{t+1} − fc_t|,
+    * |v_{t+1} − ema_t|), means by truncating DIV, and the
+    * model-selection verdict `holt_wins` decided on the raw error
+    * SUMS (same denominator — no division enters the comparison).
+    * This is the query that justifies deploying the two-state model:
+    * it must EARN its extra state on the actual corpus. Same
+    * single-shuffle shape as the recurrences themselves plus one
+    * per-user lag window; the oracle runs BOTH recursive chains and
+    * replays the same join/lag/aggregate.
+    */
+  def forecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val rawEv = Tables.raw(s, dir, "events")
+    val base = rawEv.select(col("user_id"),
+      Tables.microsOf(rawEv, "ts").as("us"), col("event_id"),
+      floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v_e6"))
+    val holt = graft.ops.Ema.holtLinear(base, 1, 4, 1, 8)
+      .select(col("user_id"), col("rn"), col("v_e6"), col("fc_e6"))
+    val ema = graft.ops.Ema.smooth(base, 1, 4)
+      .select(col("user_id").as("eu"), col("rn").as("ern"),
+        col("ema_e6"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val j = holt.join(ema,
+        col("user_id") === col("eu") && col("rn") === col("ern"))
+      .select(col("user_id"), col("rn"), col("v_e6"), col("fc_e6"),
+        col("ema_e6"))
+      .withColumn("prev_fc", lag(col("fc_e6"), 1).over(w))
+      .withColumn("prev_ema", lag(col("ema_e6"), 1).over(w))
+      .filter(col("rn") > 1)
+    j.select(col("user_id"),
+        abs(col("v_e6") - col("prev_fc")).as("eh"),
+        abs(col("v_e6") - col("prev_ema")).as("ee"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_steps"),
+        sum(col("eh")).as("sh"), sum(col("ee")).as("se"))
+      .selectExpr("user_id", "n_steps",
+        "sh DIV n_steps AS holt_mae_e6",
+        "se DIV n_steps AS ema_mae_e6",
+        "CAST(CASE WHEN sh < se THEN 1 ELSE 0 END AS INT) AS holt_wins")
+      .orderBy(col("user_id"))
+  }
+
   def movingSum7d(s: SparkSession, dir: String): DataFrame = {
     val sevenDaysUs = 7L * 86400L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
@@ -2106,6 +2150,7 @@ object AdvancedQueries {
     "ema_smooth" -> (emaSmooth _),
     "holt_linear" -> (holtLinearQ _),
     "ema_anomaly" -> (emaAnomaly _),
+    "forecast_backtest" -> (forecastBacktest _),
     "moving_sum_7d" -> (movingSum7d _),
     "interval_union" -> (intervalUnion _),
     "percentile_bound" -> (percentileBound _),
@@ -3031,6 +3076,52 @@ object AdvancedQueries {
     "ema_smooth" -> emaOracleSql,
     "stream_ema" -> emaOracleSql,
     "holt_linear" -> holtOracleSql,
+    // both recursive chains + the lag self-join + integer MAEs; the
+    // holt_wins verdict compares raw error SUMS (same denominator)
+    "forecast_backtest" ->
+      """WITH RECURSIVE s AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+                  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_e6
+           FROM events),
+         r0 AS (SELECT user_id, event_id, v_e6,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY us, event_id) AS BIGINT) AS rn
+                FROM s),
+         ema AS (
+           SELECT user_id, rn, v_e6, v_e6 AS ema_e6
+           FROM r0 WHERE rn = 1
+           UNION ALL
+           SELECT n.user_id, n.rn, n.v_e6,
+                  (1 * n.v_e6 + 3 * e.ema_e6) // 4
+           FROM ema e JOIN r0 n
+             ON n.user_id = e.user_id AND n.rn = e.rn + 1),
+         h AS (
+           SELECT user_id, rn, v_e6,
+                  v_e6 AS level_e6, CAST(0 AS BIGINT) AS trend_e6
+           FROM r0 WHERE rn = 1
+           UNION ALL
+           SELECT n.user_id, n.rn, n.v_e6,
+                  (1 * n.v_e6 + 3 * (h.level_e6 + h.trend_e6)) // 4,
+                  (1 * ((1 * n.v_e6 + 3 * (h.level_e6 + h.trend_e6)) // 4
+                        - h.level_e6)
+                   + 7 * h.trend_e6) // 8
+           FROM h JOIN r0 n
+             ON n.user_id = h.user_id AND n.rn = h.rn + 1),
+         j AS (SELECT e.user_id, e.rn, e.v_e6, e.ema_e6,
+                      h.level_e6 + h.trend_e6 AS fc_e6
+               FROM ema e JOIN h
+                 ON e.user_id = h.user_id AND e.rn = h.rn),
+         er AS (SELECT c.user_id,
+                       abs(c.v_e6 - p.fc_e6) AS eh,
+                       abs(c.v_e6 - p.ema_e6) AS ee
+                FROM j c JOIN j p
+                  ON c.user_id = p.user_id AND c.rn = p.rn + 1)
+         SELECT user_id, count(*) AS n_steps,
+                CAST(sum(eh) // count(*) AS BIGINT) AS holt_mae_e6,
+                CAST(sum(ee) // count(*) AS BIGINT) AS ema_mae_e6,
+                CAST(CASE WHEN sum(eh) < sum(ee) THEN 1 ELSE 0 END
+                     AS INTEGER) AS holt_wins
+         FROM er GROUP BY user_id ORDER BY user_id""",
     // stream_anomaly shares the batch replay verbatim: the streamed
     // (rn, ema, dev, flag) trajectory must be BIT-EQUAL to batch
     "ema_anomaly" -> anomalyOracleSql,
