@@ -120,6 +120,58 @@ object Ema {
         "fc_e6")
   }
 
+  /** FUSED one-pass backtest of the two forecasters: carries BOTH
+    * recurrences' states (EMA level; Holt level + trend) through one
+    * secondary-sort scan and emits, for every step after the first,
+    * the two absolute one-step forecast errors — so the model
+    * comparison costs ONE shuffle total instead of two recurrence
+    * passes plus a join (the composed form's plan). Arithmetic is
+    * bit-identical to running [[smooth]] and [[holtLinear]]
+    * separately: same quantization, same truncating updates, the
+    * prior step's states read BEFORE either updates.
+    * Returns (user_id, rn, eh, ee) for rn ≥ 2 — eh the Holt error
+    * |v_t − (l_{t−1} + b_{t−1})|, ee the EMA error |v_t − ema_{t−1}|.
+    */
+  def backtestErrors(df: DataFrame, aNum: Long, aDen: Long,
+                     bNum: Long, bDen: Long): DataFrame = {
+    require(aDen > 0 && aNum > 0 && aNum <= aDen,
+      s"alpha = $aNum/$aDen must lie in (0, 1]")
+    require(bDen > 0 && bNum > 0 && bNum <= bDen,
+      s"beta = $bNum/$bDen must lie in (0, 1]")
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("user_id").cast("long"), col("us").cast("long"),
+        col("event_id").cast("long"), col("v_e6").cast("long"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var curUser = 0L
+        var ema = 0L
+        var lev = 0L
+        var tr = 0L
+        var rn = 0L
+        var started = false
+        it.flatMap { case (u, _, _, v) =>
+          if (!started || u != curUser) {
+            curUser = u; ema = v; lev = v; tr = 0L; rn = 1L
+            started = true
+            Iterator.empty
+          } else {
+            rn += 1
+            val eh = math.abs(v - (lev + tr))
+            val ee = math.abs(v - ema)
+            val prevLev = lev
+            lev = (aNum * v + (aDen - aNum) * (prevLev + tr)) / aDen
+            tr = (bNum * (lev - prevLev) + (bDen - bNum) * tr) / bDen
+            ema = (aNum * v + (aDen - aNum) * ema) / aDen
+            Iterator.single((u, rn, eh, ee))
+          }
+        }
+      }
+      .toDF("user_id", "rn", "eh", "ee")
+  }
+
   /** Streaming-style anomaly flagging over the EMA recurrence — the
     * thresholding pass [[smooth]]'s scaladoc promises: alongside the
     * level EMA, track an EMA of the ABSOLUTE one-step deviation

@@ -209,32 +209,23 @@ object AdvancedQueries {
     * model-selection verdict `holt_wins` decided on the raw error
     * SUMS (same denominator — no division enters the comparison).
     * This is the query that justifies deploying the two-state model:
-    * it must EARN its extra state on the actual corpus. Same
-    * single-shuffle shape as the recurrences themselves plus one
-    * per-user lag window; the oracle runs BOTH recursive chains and
-    * replays the same join/lag/aggregate.
+    * it must EARN its extra state on the actual corpus. FUSED
+    * physical shape ([[graft.ops.Ema.backtestErrors]]): one linear
+    * scan carries BOTH models' states, so the whole comparison costs
+    * one shuffle — no second recurrence pass, no join; the oracle
+    * runs both recursive chains separately and the hash match proves
+    * the fused arithmetic identical. Verdict on this corpus: the
+    * events values are trendless, so Holt wins for only ~5% of users
+    * — the backtest exists precisely to say "don't deploy the
+    * fancier model here".
     */
   def forecastBacktest(s: SparkSession, dir: String): DataFrame = {
     val rawEv = Tables.raw(s, dir, "events")
     val base = rawEv.select(col("user_id"),
       Tables.microsOf(rawEv, "ts").as("us"), col("event_id"),
       floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v_e6"))
-    val holt = graft.ops.Ema.holtLinear(base, 1, 4, 1, 8)
-      .select(col("user_id"), col("rn"), col("v_e6"), col("fc_e6"))
-    val ema = graft.ops.Ema.smooth(base, 1, 4)
-      .select(col("user_id").as("eu"), col("rn").as("ern"),
-        col("ema_e6"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("rn"))
-    val j = holt.join(ema,
-        col("user_id") === col("eu") && col("rn") === col("ern"))
-      .select(col("user_id"), col("rn"), col("v_e6"), col("fc_e6"),
-        col("ema_e6"))
-      .withColumn("prev_fc", lag(col("fc_e6"), 1).over(w))
-      .withColumn("prev_ema", lag(col("ema_e6"), 1).over(w))
-      .filter(col("rn") > 1)
-    j.select(col("user_id"),
-        abs(col("v_e6") - col("prev_fc")).as("eh"),
-        abs(col("v_e6") - col("prev_ema")).as("ee"))
+    graft.ops.Ema.backtestErrors(base, aNum = 1, aDen = 4,
+        bNum = 1, bDen = 8)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_steps"),
         sum(col("eh")).as("sh"), sum(col("ee")).as("se"))
