@@ -140,6 +140,64 @@ object Pca {
     (n, s, p)
   }
 
+  /** [[rawStats]] in ONE pass via the custom aggregate
+    * ([[graft.functions.VectorStatsAgg]]): the buffer is a single
+    * flat int64 array, so the covariance scan runs inside one
+    * ObjectHashAggregate with no row generation — the exploded form
+    * materializes N·d(d+1)/2 rows through a 2,080-group hash map;
+    * this does the same adds in-place and ships one ~17 KB buffer per
+    * partition. Cell-for-cell equal to [[rawStats]] (PcaSpec pins
+    * it); overflow throws via addExact/multiplyExact instead of the
+    * decimal(38,0) widening the SQL path uses.
+    */
+  def rawStatsFused(xe: DataFrame)
+      : (Long, Array[BigInt], Array[Array[BigInt]]) = {
+    import graft.functions.VectorStatsAgg.vector_stats
+    val flat = xe.agg(vector_stats(col("xe"))).head().getSeq[Long](0)
+    if (flat == null || flat.isEmpty) return (0L, Array.empty, Array.empty)
+    val len = flat.length
+    val d = (1 to 8192).find(dd => 1 + dd + dd * (dd + 1) / 2 == len)
+      .getOrElse(throw new IllegalStateException(
+        s"stats buffer length $len matches no dimension"))
+    val n = flat.head
+    val s = Array.tabulate(d)(i => BigInt(flat(1 + i)))
+    val p = Array.fill(d)(new Array[BigInt](d))
+    var idx = 1 + d
+    for (i <- 0 until d; j <- i until d) {
+      p(i)(j) = BigInt(flat(idx)); p(j)(i) = p(i)(j); idx += 1
+    }
+    (n, s, p)
+  }
+
+  /** Trunc-mean e6 means and e12 population variances from raw
+    * moments — exact: Σcᵢ² = Pᵢᵢ − 2mᵢSᵢ + n·mᵢ² for the integer mᵢ.
+    */
+  def momentsFromStats(stats: (Long, Array[BigInt], Array[Array[BigInt]]))
+      : (Array[Long], Array[Long]) = {
+    val (n, s, p) = stats
+    require(n > 0, "moments over an empty corpus")
+    val mu = s.map(si => (si / n).toLong)
+    val vn = Array.tabulate(s.length) { i =>
+      val c2 = p(i)(i) - 2 * BigInt(mu(i)) * s(i) + BigInt(n) * mu(i) * mu(i)
+      (c2 / n).toLong
+    }
+    (mu, vn)
+  }
+
+  /** The CENTERED covariance cells from raw moments — exact for the
+    * integer trunc-means: Σ(xᵢ−mᵢ)(xⱼ−mⱼ) = Pᵢⱼ − mᵢSⱼ − mⱼSᵢ +
+    * n·mᵢmⱼ, so this equals [[covCells]]'s distributed sums
+    * bit-for-bit while costing zero extra scans.
+    */
+  def covFromStats(stats: (Long, Array[BigInt], Array[Array[BigInt]]),
+                   muE6: Array[Long]): Array[Array[BigInt]] = {
+    val (n, s, p) = stats
+    val d = s.length
+    Array.tabulate(d)(i => Array.tabulate(d)(j =>
+      p(i)(j) - BigInt(muE6(i)) * s(j) - BigInt(muE6(j)) * s(i) +
+        BigInt(n) * muE6(i) * muE6(j)))
+  }
+
   /** Merge raw statistics (pure integer addition). */
   def mergeStats(a: (Long, Array[BigInt], Array[Array[BigInt]]),
                  b: (Long, Array[BigInt], Array[Array[BigInt]]))
@@ -169,20 +227,22 @@ object Pca {
     * (the bpeMergeCache pattern) — this method itself is pure.
     */
   def train(emb: DataFrame, idCol: String, vecCol: String, iters: Int)
-      : (Array[Long], Seq[Array[Long]]) = {
-    val xe = quantized(emb, idCol, vecCol)
-    val mu = meansE6(xe)
-    val d = mu.length
-    require(d > 0, "Pca.train over an empty corpus (no vectors, or " +
-      "zero-length vectors)")
-    val cov = Array.fill(d)(new Array[BigInt](d))
-    for (i <- 0 until d; j <- 0 until d) cov(i)(j) = BigInt(0)
-    // bounded driver collect: d(d+1)/2 cells — a design constant
-    covCells(xe, mu).collect().foreach { r =>
-      val (i, j, s) = (r.getInt(0), r.getInt(1), BigInt(r.getLong(2)))
-      cov(i)(j) = s; cov(j)(i) = s
-    }
-    (mu, powerTrajectory(cov, iters))
+      : (Array[Long], Seq[Array[Long]]) =
+    trainFromStats(rawStatsFused(quantized(emb, idCol, vecCol)), iters)
+
+  /** The driver half of [[train]], reusable from a memoized stats
+    * object: trunc-means, the exact centered covariance via
+    * [[covFromStats]], then the power iteration. (The original
+    * two-scan form — [[meansE6]] + a [[covCells]] collect — computes
+    * the identical matrix; it remains as the compositional reference,
+    * equality pinned by PcaSpec.)
+    */
+  def trainFromStats(stats: (Long, Array[BigInt], Array[Array[BigInt]]),
+                     iters: Int): (Array[Long], Seq[Array[Long]]) = {
+    require(stats._1 > 0, "Pca.train over an empty corpus (no vectors, " +
+      "or zero-length vectors)")
+    val (mu, _) = momentsFromStats(stats)
+    (mu, powerTrajectory(covFromStats(stats, mu), iters))
   }
 
   /** Scan-stage projection of every vector onto the trained direction:

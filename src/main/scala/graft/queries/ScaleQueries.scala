@@ -1058,8 +1058,7 @@ object ScaleQueries {
       : (Array[Long], Seq[Array[Long]]) =
     memoCodebook[(Array[Long], Seq[Array[Long]])](
       s"pca:${graft.Tables.versioned(dir)}") {
-      graft.ops.Pca.train(t(s, dir, "embeddings"), "vec_id", "embedding",
-        iters = 3)
+      graft.ops.Pca.trainFromStats(pcaStats(s, dir), iters = 3)
     }
 
   /** Z-score standardization of the embedding corpus with the exact
@@ -1072,15 +1071,25 @@ object ScaleQueries {
     * before distance-based anything; at 100 TB it is one scan-stage
     * pass, zero shuffle, with the d-cell moment aggregate paid once.
     */
-  private def stdMoments(s: SparkSession, dir: String)
-      : (Array[Long], Array[Long]) =
-    memoCodebook[(Array[Long], Array[Long])](
-      s"std:${graft.Tables.versioned(dir)}") {
-      val xe = graft.ops.Pca.quantized(
-        t(s, dir, "embeddings"), "vec_id", "embedding")
-      val mu0 = graft.ops.Pca.meansE6(xe)
-      (mu0, graft.ops.Pca.varianceE12(xe, mu0).map(graft.ops.Pca.isqrt))
+  /** The ONE corpus scan the whole second-moment family shares: fused
+    * raw statistics (count, sums, upper-triangle products) per dir —
+    * PCA training, z-score moments, and the correlation matrix all
+    * derive from it driver-side via exact integer identities, so the
+    * family costs one ObjectHashAggregate pass total per corpus.
+    */
+  private def pcaStats(s: SparkSession, dir: String)
+      : (Long, Array[BigInt], Array[Array[BigInt]]) =
+    memoCodebook[(Long, Array[BigInt], Array[Array[BigInt]])](
+      s"pcastats:${graft.Tables.versioned(dir)}") {
+      graft.ops.Pca.rawStatsFused(graft.ops.Pca.quantized(
+        t(s, dir, "embeddings"), "vec_id", "embedding"))
     }
+
+  private def stdMoments(s: SparkSession, dir: String)
+      : (Array[Long], Array[Long]) = {
+    val (mu, vn) = graft.ops.Pca.momentsFromStats(pcaStats(s, dir))
+    (mu, vn.map(graft.ops.Pca.isqrt))
+  }
 
   def embedStandardize(s: SparkSession, dir: String): DataFrame = {
     val (mu, sd) = stdMoments(s, dir)
@@ -1105,22 +1114,17 @@ object ScaleQueries {
     */
   def corrMatrix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val stats = pcaStats(s, dir)
+    val n = stats._1
     val (mu, sd) = stdMoments(s, dir)
-    val xe = graft.ops.Pca.quantized(
-      t(s, dir, "embeddings"), "vec_id", "embedding")
-    val n = xe.count()
-    val rows = graft.ops.Pca.covCells(xe, mu).filter(col("j") > col("i"))
-      .collect()
-      .map { r =>
-        val (i, j, cs) = (r.getInt(0), r.getInt(1), r.getLong(2))
-        val den = BigInt(sd(i)) * sd(j) * n
-        val corr =
-          if (den == 0) 0L
-          else (BigInt(cs) * 1000000L / den).toLong
-        (i, j, corr)
-      }
-      .sortBy(r => (r._1, r._2))
-    rows.toSeq.toDF("i", "j", "corr_e6").orderBy(col("i"), col("j"))
+    val cov = graft.ops.Pca.covFromStats(stats, mu)
+    val d = mu.length
+    val rows = for (i <- 0 until d; j <- i + 1 until d) yield {
+      val den = BigInt(sd(i)) * sd(j) * n
+      val corr = if (den == 0) 0L else (cov(i)(j) * 1000000L / den).toLong
+      (i, j, corr)
+    }
+    rows.toDF("i", "j", "corr_e6").orderBy(col("i"), col("j"))
   }
 
   /** The power-iteration TRAJECTORY (iter, d, v_e6) — the spectral
@@ -1177,11 +1181,11 @@ object ScaleQueries {
     import s.implicits._
     val baseStats = memoCodebook[(Long, Array[BigInt], Array[Array[BigInt]])](
       s"pcaraw:${graft.Tables.versioned(dir)}") {
-      graft.ops.Pca.rawStats(graft.ops.Pca.quantized(
+      graft.ops.Pca.rawStatsFused(graft.ops.Pca.quantized(
         t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) =!= 9),
         "vec_id", "embedding"))
     }
-    val deltaStats = graft.ops.Pca.rawStats(graft.ops.Pca.quantized(
+    val deltaStats = graft.ops.Pca.rawStatsFused(graft.ops.Pca.quantized(
       t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 9),
       "vec_id", "embedding"))
     val traj = graft.ops.Pca.powerTrajectory(

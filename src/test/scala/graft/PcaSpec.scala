@@ -122,6 +122,32 @@ class PcaSpec extends AnyFunSuite {
       s"scaled-cov trajectory step was ${v.toSeq}"))
   }
 
+  test("rawStatsFused (one-pass custom aggregate) equals the exploded " +
+      "path cell-for-cell on real data, and the derived centered " +
+      "covariance equals covCells' distributed sums") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val xe = Pca.quantized(emb, "vec_id", "embedding")
+    val fused = Pca.rawStatsFused(xe)
+    val exploded = Pca.rawStats(xe)
+    assert(fused._1 == exploded._1)
+    assert(fused._2.toSeq == exploded._2.toSeq)
+    assert(fused._3.map(_.toSeq).toSeq == exploded._3.map(_.toSeq).toSeq,
+      "fused products must equal exploded products")
+    // the identity Σ(xi−mi)(xj−mj) = Pij − miSj − mjSi + n·mimj must
+    // reproduce the distributed centered sums EXACTLY
+    val (mu, _) = Pca.momentsFromStats(fused)
+    assert(mu.toSeq == Pca.meansE6(xe).toSeq)
+    val cov = Pca.covFromStats(fused, mu)
+    Pca.covCells(xe, mu).collect().foreach { r =>
+      val (i, j, s) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      assert(cov(i)(j) == BigInt(s), s"cell ($i,$j)")
+    }
+    // and the variance diagonal must match the exploded variance op
+    val (_, vn) = Pca.momentsFromStats(fused)
+    assert(vn.toSeq == Pca.varianceE12(xe, mu).toSeq)
+  }
+
   test("standardize: hand z-scores incl. a constant (sd = 0) " +
       "dimension and negative truncation") {
     import spark.implicits._

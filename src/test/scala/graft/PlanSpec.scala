@@ -447,6 +447,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("pca fused stats: ONE embeddings scan into ONE " +
+      "ObjectHashAggregate — no Generate, the exchange ships one " +
+      "flat stats buffer per partition") {
+    val xe = graft.ops.Pca.quantized(
+      Tables(spark, sf, "embeddings"), "vec_id", "embedding")
+    val frame = xe.agg(
+      graft.functions.VectorStatsAgg.vector_stats(
+        org.apache.spark.sql.functions.col("xe")))
+    val plan = frame.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 embeddings scan, found $scans")
+    assert(plan.contains("ReadSchema: struct<embedding:array<float>>"),
+      plan.take(2000))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"found $exchanges exchanges:\n" +
+      plan.take(2000))
+    assert(!plan.contains("Generate"),
+      "the fused aggregate must not explode rows:\n" + plan.take(2000))
+    assert(plan.contains("partial_"),
+      "stats buffers must combine map-side:\n" + plan.take(2000))
+  }
+
   test("pca covariance: ONE embeddings scan (embedding column only) " +
       "feeding a map-side-combined cell aggregate — the exchange " +
       "carries d(d+1)/2 integer cells, never rows") {
