@@ -154,6 +154,15 @@ object Pca {
       : (Long, Array[BigInt], Array[Array[BigInt]]) = {
     import graft.functions.VectorStatsAgg.vector_stats
     val flat = xe.agg(vector_stats(col("xe"))).head().getSeq[Long](0)
+    parseFlatStats(flat)
+  }
+
+  /** Decode [[graft.functions.VectorStatsAgg]]'s flat buffer
+    * [n, S₀..S_{d−1}, upper-tri P] into the (n, S, mirrored P) form
+    * the driver algebra consumes.
+    */
+  def parseFlatStats(flat: Seq[Long])
+      : (Long, Array[BigInt], Array[Array[BigInt]]) = {
     if (flat == null || flat.isEmpty) return (0L, Array.empty, Array.empty)
     val len = flat.length
     val d = (1 to 8192).find(dd => 1 + dd + dd * (dd + 1) / 2 == len)

@@ -1197,6 +1197,41 @@ object ScaleQueries {
       .orderBy(col("iter"), col("d"))
   }
 
+  /** PER-GROUP spectral training — the fused aggregate composing with
+    * `groupBy`: one corpus scan yields every label's raw second-moment
+    * statistics (`groupBy(label).agg(vector_stats)`), then each
+    * label's top direction trains driver-side with the same BigInt
+    * power iteration (2 steps) over its exact centered covariance.
+    * This is how a pipeline gets per-domain / per-language principal
+    * directions without one job per group — the grouped-aggregation
+    * shape is the whole point, and the per-label collect stays
+    * bounded (|labels| flat buffers). The oracle replays every
+    * label's chain with window-partitioned max-norms.
+    */
+  def pcaByLabel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorStatsAgg.vector_stats
+    val emb = t(s, dir, "embeddings")
+    val xe = emb.select(col("label"),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("xe"))
+    val perLabel = xe.groupBy(col("label"))
+      .agg(vector_stats(col("xe")).as("stats"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+    val rows = perLabel.flatMap { case (label, flat) =>
+      val stats = graft.ops.Pca.parseFlatStats(flat)
+      val (mu, _) = graft.ops.Pca.momentsFromStats(stats)
+      val traj = graft.ops.Pca.powerTrajectory(
+        graft.ops.Pca.covFromStats(stats, mu), iters = 2)
+      traj.zipWithIndex.flatMap { case (v, it) =>
+        v.indices.map(d => (it + 1, label, d, v(d)))
+      }
+    }.toSeq.sortBy(r => (r._1, r._2, r._3))
+    rows.toDF("iter", "label", "d", "v_e6")
+      .orderBy(col("iter"), col("label"), col("d"))
+  }
+
   /** Driver-visible PCA quality gate: the exact explained-variance
     * share of the trained direction, as integers — num = Σ praw²
     * (praw = centered·v before rescale), den = |v|²·Σ|c|² (the trace
@@ -1360,7 +1395,8 @@ object ScaleQueries {
     "pca_gate" -> (pcaGate _),
     "embed_standardize" -> (embedStandardize _),
     "corr_matrix" -> (corrMatrix _),
-    "pca_incremental" -> (pcaIncremental _))
+    "pca_incremental" -> (pcaIncremental _),
+    "pca_by_label" -> (pcaByLabel _))
 
   /** Shared DuckDB CTE chain closing the exact windowed-Jaccard pair
     * set into min-label components — the oracle twin of
@@ -1898,6 +1934,50 @@ object ScaleQueries {
               CAST(CASE WHEN num * nd >= v2 * tr THEN 1 ELSE 0 END
                    AS INTEGER) AS above_avg_dim
        FROM tot, vv"""),
+    // every label's covariance chain + 2 power steps, the max-norm
+    // window-partitioned by label — the grouped form of pca_power
+    "pca_by_label" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS xe
+           FROM embeddings),
+       x AS (SELECT vec_id, label, unnest(range(0, len(xe))) AS d,
+                    unnest(xe) AS v
+             FROM e),
+       mu AS (SELECT label, d, CAST(sum(v) // count(*) AS BIGINT) AS m
+              FROM x GROUP BY label, d),
+       c AS (SELECT vec_id, x.label, x.d, v - m AS cv
+             FROM x JOIN mu ON x.label = mu.label AND x.d = mu.d),
+       cell0 AS (SELECT a.label, a.d AS i, b.d AS j,
+                        sum(CAST(a.cv AS HUGEINT) * b.cv) AS s
+                 FROM c a JOIN c b
+                   ON a.vec_id = b.vec_id AND b.d >= a.d
+                 GROUP BY 1, 2, 3),
+       cells AS (SELECT label, i, j, s FROM cell0
+                 UNION ALL
+                 SELECT label, j AS i, i AS j, s FROM cell0 WHERE j > i),
+       v0 AS (SELECT label, d, CAST(1000000 AS HUGEINT) AS v FROM mu),
+       w1 AS (SELECT cells.label, cells.i AS d, sum(cells.s * v0.v) AS w
+              FROM cells JOIN v0
+                ON cells.label = v0.label AND cells.j = v0.d
+              GROUP BY 1, 2),
+       v1 AS (SELECT label, d,
+                     (w * 1000000)
+                       // max(abs(w)) OVER (PARTITION BY label) AS v
+              FROM w1),
+       w2 AS (SELECT cells.label, cells.i AS d, sum(cells.s * v1.v) AS w
+              FROM cells JOIN v1
+                ON cells.label = v1.label AND cells.j = v1.d
+              GROUP BY 1, 2),
+       v2 AS (SELECT label, d,
+                     (w * 1000000)
+                       // max(abs(w)) OVER (PARTITION BY label) AS v
+              FROM w2)
+       SELECT iter, label, CAST(d AS INTEGER) AS d,
+              CAST(v AS BIGINT) AS v_e6
+       FROM (SELECT 1 AS iter, label, d, v FROM v1
+             UNION ALL SELECT 2, label, d, v FROM v2)
+       ORDER BY iter, label, d""",
     // the incremental contract checked the strong way: the oracle
     // recomputes the RAW sufficient statistics over the FULL corpus
     // (the delta-maintained engine stats must equal them exactly —
