@@ -1197,6 +1197,84 @@ object ScaleQueries {
       .orderBy(col("iter"), col("d"))
   }
 
+  /** Per-session parity-split staging of `embeddings` for the moment
+    * stream (the docStage pattern: two single-file splits in mtime
+    * order, so a file source replays them as two real micro-batches).
+    */
+  private val embStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def embStage(s: SparkSession, dir: String): String =
+    embStageCache.computeIfAbsent(graft.Tables.versioned(dir), _ => {
+      import java.nio.file.Files
+      val stage = Files.createTempDirectory("graft_stream_emb")
+      val emb = t(s, dir, "embeddings")
+      val base = System.currentTimeMillis() - 10 * 60000L
+      for (i <- 0 until 2) {
+        val tmp = stage.resolve(s"__tmp_$i")
+        emb.filter(pmod(col("vec_id"), lit(2)) === i)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = Files.list(tmp).filter(p =>
+          p.getFileName.toString.startsWith("part-")).findFirst().get()
+        val dest = stage.resolve(f"emb_$i%04d.parquet")
+        Files.move(part, dest)
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+      }
+      stage.toString
+    })
+
+  /** The TWELFTH driver-visible stream shape — INDEX STATISTICS
+    * maintained from a stream: embeddings replayed as ≥2 real
+    * micro-batches, each batch reduced to ONE fused stats buffer
+    * ([[graft.functions.VectorStatsAgg]] — a 1-row aggregate per
+    * batch, the driver accumulates ~2.1k longs, never rows) and
+    * merged into the running raw moments, whose additivity is the
+    * same property `pca_incremental` exploits at rest. After every
+    * batch the RUNNING per-dimension mean and exact-isqrt σ are
+    * emitted, so the oracle checks the whole trajectory: batch 0 =
+    * the parity-0 slice's moments, batch 1 = the full corpus — the
+    * cross-batch merge is hash-verified, not just the final state.
+    * This is the online form of the pcaStats scan: a feature store
+    * keeping its normalization statistics current as shards arrive.
+    */
+  def streamMoments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = embStage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stream = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage, schema, maxFilesPerTrigger = Some(1))
+    var acc: (Long, Array[BigInt], Array[Array[BigInt]]) =
+      (0L, Array.empty, Array.empty)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Long)]
+    val collectBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val st = graft.ops.Pca.rawStatsFused(
+        graft.ops.Pca.quantized(batch, "vec_id", "embedding"))
+      buf.synchronized {
+        if (st._1 > 0) acc = graft.ops.Pca.mergeStats(acc, st)
+        if (acc._1 > 0) {
+          val (mu, vn) = graft.ops.Pca.momentsFromStats(acc)
+          buf ++= mu.indices.map(d =>
+            (batchId, d, mu(d), graft.ops.Pca.isqrt(vn(d))))
+        }
+      }
+    }
+    val q = stream.writeStream.foreachBatch(collectBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val batches = buf.map(_._1).distinct
+    require(batches.size >= 2,
+      s"stream_moments expected >=2 micro-batches, got ${batches.size}")
+    import s.implicits._
+    buf.toSeq.sortBy(r => (r._1, r._2))
+      .toDF("batch", "d", "mu_e6", "sd_e6")
+      .orderBy(col("batch"), col("d"))
+  }
+
   /** PER-GROUP spectral training — the fused aggregate composing with
     * `groupBy`: one corpus scan yields every label's raw second-moment
     * statistics (`groupBy(label).agg(vector_stats)`), then each
@@ -1396,7 +1474,8 @@ object ScaleQueries {
     "embed_standardize" -> (embedStandardize _),
     "corr_matrix" -> (corrMatrix _),
     "pca_incremental" -> (pcaIncremental _),
-    "pca_by_label" -> (pcaByLabel _))
+    "pca_by_label" -> (pcaByLabel _),
+    "stream_moments" -> (streamMoments _))
 
   /** Shared DuckDB CTE chain closing the exact windowed-Jaccard pair
     * set into min-label components — the oracle twin of
@@ -1934,6 +2013,39 @@ object ScaleQueries {
               CAST(CASE WHEN num * nd >= v2 * tr THEN 1 ELSE 0 END
                    AS INTEGER) AS above_avg_dim
        FROM tot, vv"""),
+    // the running-moments trajectory: batch 0 = the parity-0 slice's
+    // trunc-mean/exact-isqrt-sigma, batch 1 = the full corpus (raw
+    // moments are additive, so the stream's merge must land exactly
+    // on the whole-corpus statistics)
+    "stream_moments" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS xe
+           FROM embeddings),
+       x AS (SELECT vec_id, unnest(range(0, len(xe))) AS d,
+                    unnest(xe) AS v
+             FROM e),
+       s0 AS (SELECT d, sum(v) AS sv,
+                     sum(CAST(v AS HUGEINT) * v) AS pv, count(*) AS n
+              FROM x WHERE vec_id % 2 = 0 GROUP BY d),
+       s1 AS (SELECT d, sum(v) AS sv,
+                     sum(CAST(v AS HUGEINT) * v) AS pv, count(*) AS n
+              FROM x GROUP BY d),
+       u AS (SELECT CAST(0 AS BIGINT) AS batch, d, sv, pv, n FROM s0
+             UNION ALL
+             SELECT CAST(1 AS BIGINT) AS batch, d, sv, pv, n FROM s1),
+       m AS (SELECT batch, d, CAST(sv // n AS BIGINT) AS mu,
+                    CAST((pv - 2 * (sv // n) * sv
+                          + n * (sv // n) * (sv // n)) // n AS BIGINT)
+                      AS vn
+             FROM u),
+       q0 AS (SELECT batch, d, mu, vn,
+                     CAST(floor(sqrt(CAST(vn AS DOUBLE))) AS BIGINT) AS r
+              FROM m)
+       SELECT batch, CAST(d AS INTEGER) AS d, mu AS mu_e6,
+              r + (CASE WHEN (r+1)*(r+1) <= vn THEN 1 ELSE 0 END)
+                - (CASE WHEN r*r > vn THEN 1 ELSE 0 END) AS sd_e6
+       FROM q0 ORDER BY batch, d""",
     // every label's covariance chain + 2 power steps, the max-norm
     // window-partitioned by label — the grouped form of pca_power
     "pca_by_label" ->
