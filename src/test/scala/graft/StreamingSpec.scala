@@ -630,4 +630,60 @@ class StreamingSpec extends AnyFunSuite {
       (1L, 3L, 103L, 185L, 140L, 33L, 0),
       (1L, 4L, 104L, 400L, 205L, 89L, 1)), s"incarnation 2 got: $buf2")
   }
+
+  test("checkpoint recovery: stream-stream JOIN state reloads across " +
+      "an incarnation rebuild — a click buffered before the crash " +
+      "matches a purchase that arrives after it") {
+    val tmp = Files.createTempDirectory("graft-ckpt-sjoin").toFile
+    val lDir = new java.io.File(tmp, "l"); lDir.mkdirs()
+    val rDir = new java.io.File(tmp, "r"); rDir.mkdirs()
+    val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+    val baseMs = 86400000L
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    import spark.implicits._
+    def buildQuery(buf: scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long)]) = {
+      val lSchema = spark.read.parquet(lDir.getAbsolutePath).schema
+      val rSchema = spark.read.parquet(rDir.getAbsolutePath).schema
+      IncrementalStream.intervalJoin(
+        IncrementalStream.readAppendStream(spark, lDir.getAbsolutePath, lSchema),
+        "click_ts",
+        IncrementalStream.readAppendStream(spark, rDir.getAbsolutePath, rSchema),
+        "buy_ts",
+        col("user_id") === col("buy_user"), "60 minutes", "1 day")
+        .select("user_id", "click_id", "buy_id")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+    }
+    // incarnation 1: a click with NO matching purchase yet — it lives
+    // only in the join state store when the query stops
+    Seq((1L, 10L, ts(0)))
+      .toDF("user_id", "click_id", "click_ts")
+      .write.mode("overwrite").parquet(lDir.getAbsolutePath)
+    Seq((9L, 20L, ts(5)))
+      .toDF("buy_user", "buy_id", "buy_ts")
+      .write.mode("overwrite").parquet(rDir.getAbsolutePath)
+    val buf1 = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Long)]
+    val q1 = buildQuery(buf1); q1.processAllAvailable(); q1.stop()
+    assert(buf1.isEmpty, s"nothing should match in incarnation 1: $buf1")
+    // while down: the matching purchase arrives (in-window, t30)
+    Seq((1L, 21L, ts(30)))
+      .toDF("buy_user", "buy_id", "buy_ts")
+      .write.mode("append").parquet(rDir.getAbsolutePath)
+    // incarnation 2: the match can only emit if the click RELOADED
+    // from the checkpointed join state — a fresh-state resume would
+    // never see click 10 again (its file offset is already committed)
+    val buf2 = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Long)]
+    val q2 = buildQuery(buf2); q2.processAllAvailable(); q2.stop()
+    assert(buf2.toSet == Set((1L, 10L, 21L)), s"got: $buf2")
+  }
 }
