@@ -1319,34 +1319,30 @@ object ScaleQueries {
     * eigendirection always exceeds it, and 3 power iterations from
     * the uniform start must have gotten there). All integer — the
     * oracle recomputes num/den in HUGEINT and the flag exactly.
+    *
+    * Zero extra scans (r8 continuation): Σ praw² = Σ(cᵀv)² = vᵀCv and
+    * Σ|c|² = trace(C) are both quadratic forms of the SAME centered
+    * covariance the fused-stats memo already holds, so the whole gate
+    * is driver BigInt over `pcaStats` — the first draft re-scanned
+    * the corpus with per-row decimal sums; identical values (the
+    * oracle's per-row form equals vᵀCv exactly), proven by the
+    * unchanged hash row.
     */
   def pcaGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val stats = pcaStats(s, dir)
+    val n = stats._1
     val (mu, traj) = pcaTrained(s, dir)
     val v = traj.last
-    val xe = graft.ops.Pca.quantized(
-      t(s, dir, "embeddings"), "vec_id", "embedding")
-    val muLit = typedLit(mu.toSeq)
-    val vLit = typedLit(v.toSeq)
-    val centered = zip_with(col("xe"), muLit, (x, m) => x - m)
-    val praw = aggregate(
-      zip_with(centered, vLit, (c, vv) => c * vv), lit(0L), (a, x) => a + x)
-    val c2 = aggregate(
-      zip_with(centered, centered, (a, b) => a * b), lit(0L), (a, x) => a + x)
-    // exact sums as decimal(38,0): praw² peaks ~6·10²⁷, Σ over the
-    // corpus stays far under 10³⁸ (HUGEINT-range in the oracle)
-    val agg = xe.select(
-        (praw.cast("decimal(38,0)") * praw.cast("decimal(38,0)")).as("p2"),
-        c2.cast("decimal(38,0)").as("c2"))
-      .agg(count(lit(1)).as("n"), sum(col("p2")).as("num"),
-        sum(col("c2")).as("tr")).head()
-    val n = agg.getLong(0)
-    val num = BigInt(agg.getDecimal(1).toBigInteger)
-    val tr = BigInt(agg.getDecimal(2).toBigInteger)
+    val cov = graft.ops.Pca.covFromStats(stats, mu)
+    val d = v.length
+    val num = (for (i <- 0 until d; j <- 0 until d)
+      yield BigInt(v(i)) * v(j) * cov(i)(j)).sum
+    val tr = (0 until d).map(i => cov(i)(i)).sum
     val v2 = v.map(x => BigInt(x) * x).sum
     val den = v2 * tr
     val pct = if (den > 0) (num * 100 / den).toLong else 0L
-    val aboveAvg = if (den > 0 && num * v.length >= den) 1 else 0
+    val aboveAvg = if (den > 0 && num * d >= den) 1 else 0
     Seq((n, pct, aboveAvg))
       .toDF("n_vectors", "explained_pct", "above_avg_dim")
   }
