@@ -1047,6 +1047,33 @@ object AdvancedQueries {
       .toDF("n_rows", "rows_preserved", "checksum_equal", "digest_nonzero")
   }
 
+  /** Per-PARTITION sync manifest — the reconciliation artifact an
+    * incremental warehouse sync keeps per day-partition: row count,
+    * id bounds, and an ORDER-INVARIANT content digest (the sum of
+    * per-row `shuffle_key` values — integer addition commutes, so the
+    * digest is partition-layout- and arrival-order-independent, and
+    * comparing manifests pinpoints WHICH day diverged where
+    * `sync_checksum`'s single global digest only says THAT something
+    * did). Fully oracle-replayed: the digest's SplitMix64 chain runs
+    * bit-for-bit in UBIGINT SQL (the reservoir_sample precedent), so
+    * this is the one checksum surface whose VALUE the driver gate
+    * checks, not just its stability. One scan + one day-grouped
+    * aggregate; the digest sum rides as decimal(38,0) (exact at any
+    * row count).
+    */
+  def partitionManifest(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl.shuffle_key
+    t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_id"),
+        shuffle_key(col("event_id"), 424242L).as("h"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        sum(col("h").cast("decimal(38,0)")).as("digest"))
+      .orderBy(col("day"))
+  }
+
   /** MERGE / CDC-apply (see [[graft.ops.Merge.upsert]]): a
     * deterministic change batch — sparse balance updates for
     * custkey % 10 = 3 (only the changed column rides, NULLs inherit),
@@ -2108,6 +2135,7 @@ object AdvancedQueries {
     "join_outer" -> (joinOuter _),
     "window_ranks" -> (windowRanks _),
     "sync_checksum" -> (syncChecksum _),
+    "partition_manifest" -> (partitionManifest _),
     "format_roundtrip" -> (formatRoundtrip _),
     "merge_upsert" -> (mergeUpsert _),
     "gap_fill" -> (gapFill _),
@@ -2704,6 +2732,42 @@ object AdvancedQueries {
                 CAST(1 AS INTEGER) AS checksum_equal,
                 CAST(1 AS INTEGER) AS digest_nonzero
          FROM lineitem""",
+    // the digest's mix64 chain replayed bit-for-bit in UBIGINT
+    // split-multiply SQL (the reservoir_sample idiom), signed
+    // reinterpretation, then the day-grouped exact sum
+    "partition_manifest" -> {
+      val salt = java.lang.Long.toUnsignedString(
+        graft.functions.Kernels.mix64(424242L))
+      s"""WITH sc AS (SELECT CAST(ts AS DATE) AS day, event_id,
+                  xor(CAST(event_id AS UBIGINT), $salt::UBIGINT) AS u
+                FROM events),
+       m1 AS (SELECT day, event_id,
+                CAST((CAST(u AS HUGEINT) + 11400714819323198485)
+                     % 18446744073709551616 AS UBIGINT) AS z1 FROM sc),
+       m2 AS (SELECT day, event_id,
+                CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT)
+                       * 13787848793156543929)
+                      + (((CAST(xor(z1, z1 >> 30) // 4294967296 AS HUGEINT)
+                           * 484763065) % 4294967296) * 4294967296))
+                     % 18446744073709551616 AS UBIGINT) AS z2 FROM m1),
+       m3 AS (SELECT day, event_id,
+                CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT)
+                       * 10723151780598845931)
+                      + (((CAST(xor(z2, z2 >> 27) // 4294967296 AS HUGEINT)
+                           * 321982955) % 4294967296) * 4294967296))
+                     % 18446744073709551616 AS UBIGINT) AS z3 FROM m2),
+       h AS (SELECT day, event_id, xor(z3, z3 >> 31) AS hv FROM m3),
+       sg AS (SELECT day, event_id,
+                CAST(hv AS HUGEINT)
+                  - CASE WHEN hv >= 9223372036854775808::UBIGINT
+                         THEN 18446744073709551616::HUGEINT
+                         ELSE 0::HUGEINT END AS sh
+              FROM h)
+       SELECT day, count(*) AS n_rows, min(event_id) AS min_id,
+              max(event_id) AS max_id,
+              CAST(sum(sh) AS DECIMAL(38,0)) AS digest
+       FROM sg GROUP BY day ORDER BY day"""
+    },
     "merge_upsert" ->
       """WITH changes AS (
            SELECT c_custkey AS k, CAST(NULL AS VARCHAR) AS c_name,
