@@ -1275,6 +1275,26 @@ object ScaleQueries {
       .orderBy(col("batch"), col("d"))
   }
 
+  /** Multivariate outlier scoring over the standardized embeddings —
+    * the diagonal Mahalanobis distance: score = Σ_d z_e6², an exact
+    * int64 per vector (z from the same exact-isqrt standardization
+    * `embed_standardize` serves), top-20 by score with id tie-break.
+    * The screening pass an embedding pipeline runs before trusting a
+    * batch (encoder regressions and corrupt rows land far from the
+    * moment envelope). Scan-stage z + a per-vector partial-combined
+    * sum (explode rows stay partition-local, so the exchange carries
+    * one scored row per vector), then TakeOrderedAndProject.
+    */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val (mu, sd) = stdMoments(s, dir)
+    graft.ops.Pca.standardize(t(s, dir, "embeddings"), "vec_id",
+        "embedding", mu, sd)
+      .groupBy(col("vec_id"))
+      .agg(sum(col("z_e6") * col("z_e6")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(20)
+  }
+
   /** PER-GROUP spectral training — the fused aggregate composing with
     * `groupBy`: one corpus scan yields every label's raw second-moment
     * statistics (`groupBy(label).agg(vector_stats)`), then each
@@ -1471,7 +1491,8 @@ object ScaleQueries {
     "corr_matrix" -> (corrMatrix _),
     "pca_incremental" -> (pcaIncremental _),
     "pca_by_label" -> (pcaByLabel _),
-    "stream_moments" -> (streamMoments _))
+    "stream_moments" -> (streamMoments _),
+    "embed_outliers" -> (embedOutliers _))
 
   /** Shared DuckDB CTE chain closing the exact windowed-Jaccard pair
     * set into min-label components — the oracle twin of
@@ -2158,6 +2179,38 @@ object ScaleQueries {
                    AS BIGINT) AS z_e6
        FROM x JOIN mu USING (d) JOIN sd USING (d)
        ORDER BY vec_id, d""",
+    // the standardize chain + the diagonal-Mahalanobis score and
+    // top-20 (score DESC, id tie-break)
+    "embed_outliers" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS xe
+           FROM embeddings),
+       x AS (SELECT vec_id, unnest(range(0, len(xe))) AS d,
+                    unnest(xe) AS v
+             FROM e),
+       mu AS (SELECT d, CAST(sum(v) // count(*) AS BIGINT) AS m,
+                     count(*) AS n
+              FROM x GROUP BY d),
+       vr AS (SELECT x.d,
+                     CAST(sum(CAST(v - m AS HUGEINT) * (v - m))
+                          // max(n) AS BIGINT) AS vn
+              FROM x JOIN mu USING (d) GROUP BY x.d),
+       sd0 AS (SELECT d, CAST(floor(sqrt(CAST(vn AS DOUBLE)))
+                              AS BIGINT) AS s, vn
+               FROM vr),
+       sd AS (SELECT d,
+                     s + (CASE WHEN (s+1)*(s+1) <= vn THEN 1 ELSE 0 END)
+                       - (CASE WHEN s*s > vn THEN 1 ELSE 0 END) AS sd
+              FROM sd0),
+       z AS (SELECT x.vec_id,
+                    CAST(CASE WHEN sd = 0 THEN 0
+                              ELSE ((v - m) * 1000000) // sd END
+                         AS BIGINT) AS z_e6
+             FROM x JOIN mu USING (d) JOIN sd USING (d))
+       SELECT vec_id, CAST(sum(z_e6 * z_e6) AS BIGINT) AS score
+       FROM z GROUP BY vec_id
+       ORDER BY score DESC, vec_id LIMIT 20""",
     // the covariance cells over the exact-isqrt sigmas: floor-sigma
     // BEFORE the product, numerator in HUGEINT (tops int64 at sf0.1)
     "corr_matrix" ->
