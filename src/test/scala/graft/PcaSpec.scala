@@ -81,6 +81,20 @@ class PcaSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("empty edge set"), e2.getMessage)
   }
 
+  test("VectorStatsAgg rejects a mid-stream vector-length change " +
+      "instead of corrupting the packed buffer") {
+    val agg = new graft.functions.VectorStatsAgg
+    val b = agg.reduce(agg.zero, Seq(1L, 2L))
+    val e = intercept[IllegalArgumentException] {
+      agg.reduce(b, Seq(1L, 2L, 3L))
+    }
+    assert(e.getMessage.contains("vector length changed"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      agg.merge(b, agg.reduce(agg.zero, Seq(1L)))
+    }
+    assert(e2.getMessage.contains("different dims"), e2.getMessage)
+  }
+
   test("isqrt is exact at perfect-square boundaries and at the e12 " +
       "variance scale") {
     for (s <- Seq(0L, 1L, 2L, 3L, 999999L, 1000000L, 1224744L,
