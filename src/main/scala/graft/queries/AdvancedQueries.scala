@@ -1047,6 +1047,50 @@ object AdvancedQueries {
       .toDF("n_rows", "rows_preserved", "checksum_equal", "digest_nonzero")
   }
 
+  /** Grid-bucketed SPATIAL radius self-join — the banding pattern
+    * applied to 2-D space (the cell trick every spatial engine uses:
+    * bucket by ⌊coord/D⌋, probe the 3×3 neighborhood, verify exact):
+    * customers get deterministic integer coordinates on a
+    * 100k×100k grid (SplitMix64 of the key — the synthesize→parse
+    * tradition, replayable), and the query returns every pair within
+    * Euclidean distance D = 1200 with its EXACT integer distance².
+    * Candidate generation is an EQUI-join on cell ids (one side
+    * explodes its 9 neighbor cells), so the work is
+    * O(n · density·9) — never the n²/2 all-pairs — and the verify
+    * filter is pure integer arithmetic. The same shape serves
+    * geo dedup, store-proximity joins, and collision checks at
+    * 100 TB: cell size tracks the radius, AQE handles hot cells (or
+    * the dedup_salted escalation applies verbatim).
+    */
+  def spatialJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl.shuffle_key
+    val d = 1200L
+    val pts = t(s, dir, "customer").select(col("c_custkey").as("id"),
+        pmod(shuffle_key(col("c_custkey"), 1L), lit(100000L)).as("x"),
+        pmod(shuffle_key(col("c_custkey"), 2L), lit(100000L)).as("y"))
+      .withColumn("cx", expr(s"x DIV $d"))
+      .withColumn("cy", expr(s"y DIV $d"))
+    val probes = pts.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"),
+        explode(typedLit(Seq(-1L, 0L, 1L))).as("dx"),
+        col("cx"), col("cy"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("cx") + col("dx")).as("pcx"),
+        explode(typedLit(Seq(-1L, 0L, 1L))).as("dy"), col("cy"))
+      .select(col("id_a"), col("xa"), col("ya"), col("pcx"),
+        (col("cy") + col("dy")).as("pcy"))
+    probes.join(pts.select(col("id").as("id_b"), col("x").as("xb"),
+          col("y").as("yb"), col("cx").as("pcx"), col("cy").as("pcy")),
+        Seq("pcx", "pcy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("dist2") <= lit(d * d))
+      .select(col("id_a"), col("id_b"), col("dist2"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Per-PARTITION sync manifest — the reconciliation artifact an
     * incremental warehouse sync keeps per day-partition: row count,
     * id bounds, and an ORDER-INVARIANT content digest (the sum of
@@ -2136,6 +2180,7 @@ object AdvancedQueries {
     "window_ranks" -> (windowRanks _),
     "sync_checksum" -> (syncChecksum _),
     "partition_manifest" -> (partitionManifest _),
+    "spatial_join" -> (spatialJoin _),
     "format_roundtrip" -> (formatRoundtrip _),
     "merge_upsert" -> (mergeUpsert _),
     "gap_fill" -> (gapFill _),
@@ -2732,6 +2777,55 @@ object AdvancedQueries {
                 CAST(1 AS INTEGER) AS checksum_equal,
                 CAST(1 AS INTEGER) AS digest_nonzero
          FROM lineitem""",
+    // all-pairs exact recompute: both coordinates' mix64 chains
+    // replayed in UBIGINT SQL (two columns through the shared
+    // stages), floorMod to the grid, then the independent n²/2
+    // distance check the cell join must reproduce exactly
+    "spatial_join" -> {
+      def add(u: String) =
+        s"CAST((CAST($u AS HUGEINT) + 11400714819323198485) " +
+          s"% 18446744073709551616 AS UBIGINT)"
+      def mul(z: String, sh: Int, c: String, cLo: String) =
+        s"CAST(((CAST(xor($z, $z >> $sh) % 4294967296 AS HUGEINT) * $c) " +
+          s"+ (((CAST(xor($z, $z >> $sh) // 4294967296 AS HUGEINT) " +
+          s"* $cLo) % 4294967296) * 4294967296)) " +
+          s"% 18446744073709551616 AS UBIGINT)"
+      def fin(z: String) =
+        s"CAST(xor($z, $z >> 31) AS HUGEINT) " +
+          s"- CASE WHEN xor($z, $z >> 31) >= 9223372036854775808::UBIGINT " +
+          s"THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END"
+      val s1 = java.lang.Long.toUnsignedString(
+        graft.functions.Kernels.mix64(1L))
+      val s2 = java.lang.Long.toUnsignedString(
+        graft.functions.Kernels.mix64(2L))
+      val c2 = "13787848793156543929"; val c2lo = "484763065"
+      val c3 = "10723151780598845931"; val c3lo = "321982955"
+      s"""WITH sc AS (SELECT c_custkey AS id,
+                  xor(CAST(c_custkey AS UBIGINT), $s1::UBIGINT) AS u1,
+                  xor(CAST(c_custkey AS UBIGINT), $s2::UBIGINT) AS u2
+                FROM customer),
+       m1 AS (SELECT id, ${add("u1")} AS z11, ${add("u2")} AS z12
+              FROM sc),
+       m2 AS (SELECT id, ${mul("z11", 30, c2, c2lo)} AS z21,
+                         ${mul("z12", 30, c2, c2lo)} AS z22
+              FROM m1),
+       m3 AS (SELECT id, ${mul("z21", 27, c3, c3lo)} AS z31,
+                         ${mul("z22", 27, c3, c3lo)} AS z32
+              FROM m2),
+       pt AS (SELECT id,
+                CAST(((${fin("z31")}) % 100000 + 100000) % 100000
+                     AS BIGINT) AS x,
+                CAST(((${fin("z32")}) % 100000 + 100000) % 100000
+                     AS BIGINT) AS y
+              FROM m3)
+       SELECT a.id AS id_a, b.id AS id_b,
+              (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                AS dist2
+       FROM pt a JOIN pt b ON a.id < b.id
+       WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= 1440000
+       ORDER BY id_a, id_b"""
+    },
     // the digest's mix64 chain replayed bit-for-bit in UBIGINT
     // split-multiply SQL (the reservoir_sample idiom), signed
     // reinterpretation, then the day-grouped exact sum

@@ -447,6 +447,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("spatial_join: candidate generation is an EQUI-join on cell " +
+      "ids — no CartesianProduct/BNLJ anywhere in the plan") {
+    val plan = formatted("spatial_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "spatial candidates must come from the cell equi-join:\n" +
+        plan.take(3000))
+    assert(plan.contains("Join") || plan.contains("join"),
+      plan.take(1000))
+  }
+
   test("pca fused stats: ONE embeddings scan into ONE " +
       "ObjectHashAggregate — no Generate, the exchange ships one " +
       "flat stats buffer per partition") {
