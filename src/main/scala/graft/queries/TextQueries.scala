@@ -504,6 +504,38 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** EXACT per-group quantiles by the bounded-domain counting
+    * pattern — the scalable alternative to sorting raw rows or
+    * settling for approx_percentile: count per (lang, n_chars)
+    * [the value domain is small regardless of corpus size], cumulate
+    * within the group, and pick the smallest value whose cumulative
+    * count reaches the EXPLICIT position rule (lower median
+    * pos = (n+1) DIV 2; p90 pos = (9n+9) DIV 10) — the rule is
+    * spelled out on both sides, so no engine's private quantile
+    * definition enters the oracle. Shuffle carries |domain| counting
+    * rows per group, never the corpus.
+    */
+  def medianExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, dir, "documents")
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    cum.filter(col("cum") >= expr("(n + 1) DIV 2"))
+      .groupBy(col("lang")).agg(min(col("n_chars")).as("median_chars"),
+        max(col("n")).as("n"))
+      .join(
+        cum.filter(col("cum") >= expr("(9 * n + 9) DIV 10"))
+          .groupBy(col("lang"))
+          .agg(min(col("n_chars")).as("p90_chars")),
+        Seq("lang"))
+      .select(col("lang"), col("n"), col("median_chars"), col("p90_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** C4-style text normalization: plant markup + control characters
     * around the document (so the op has real work on every row), then
     * strip tags, collapse whitespace/control runs to single spaces,
@@ -2100,6 +2132,7 @@ object TextQueries {
     "stratified_sample" -> (stratifiedSample _),
     "mixture_sample" -> (mixtureSample _),
     "mixture_temperature" -> (mixtureTemperature _),
+    "median_exact" -> (medianExact _),
     "normalize_text" -> (normalizeText _),
     "domain_stats" -> (domainStats _),
     "lm_surprisal" -> (lmSurprisal _),
@@ -2693,6 +2726,24 @@ object TextQueries {
          SELECT doc_id, source, w FROM r
          WHERE rn <= n_total * 2 // 5 * w // 50
          ORDER BY doc_id""",
+    // the explicit position rule spelled out on both sides (lower
+    // median (n+1)//2, p90 (9n+9)//10) — no engine's private
+    // quantile definition enters the compare
+    "median_exact" ->
+      """WITH c AS (SELECT lang, n_chars, count(*) AS c
+                    FROM documents GROUP BY lang, n_chars),
+         q AS (SELECT lang, n_chars, c,
+                      sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum,
+                      sum(c) OVER (PARTITION BY lang) AS n
+               FROM c)
+         SELECT q.lang, CAST(max(q.n) AS BIGINT) AS n,
+                min(CASE WHEN cum >= (n + 1) // 2
+                         THEN n_chars END) AS median_chars,
+                min(CASE WHEN cum >= (9 * n + 9) // 10
+                         THEN n_chars END) AS p90_chars
+         FROM q GROUP BY q.lang ORDER BY q.lang""",
     // data-derived α = 0.5 temperature weights: w_g = exact ⌊√n_g⌋
     // (±1-corrected double sqrt), quota = (total·2//5)·w // Σw — the
     // same truncation order as the engine's driver arithmetic
