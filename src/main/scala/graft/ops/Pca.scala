@@ -231,6 +231,43 @@ object Pca {
       BigInt(n) * p(i)(j) - s(i) * s(j)))
   }
 
+  /** DEFLATED power iteration for the SECOND principal direction:
+    * same BigInt recurrence, but after each multiply the first
+    * direction is projected out with a truncating integer Gram-
+    * Schmidt step — t = trunc(wᵀv₁ / v₁ᵀv₁), w′ = w − t·v₁ — before
+    * the max-norm renormalization. Computing the scalar t FIRST (one
+    * truncating division) keeps every magnitude ≤ ~10²³, the same
+    * HUGEINT-safe envelope as the plain iteration; the start vector
+    * alternates ±10⁶ so it is never parallel to a uniform v₁.
+    * The projection is trunc-approximate (exact orthogonality would
+    * need rationals), which is fine: it is a deterministic, bit-
+    * replayable recurrence, and three steps of it converge to the
+    * dominant direction of the v₁-complement exactly as the classic
+    * deflation argument says (Hotelling 1933).
+    */
+  def powerTrajectoryDeflated(cov: Array[Array[BigInt]],
+                              v1: Array[Long], iters: Int)
+      : Seq[Array[Long]] = {
+    val d = cov.length
+    require(d > 0, "deflated power iteration over an empty matrix")
+    require(v1.length == d, "v1 dimension mismatch")
+    val v1b = v1.map(BigInt(_))
+    val v1n2 = v1b.map(x => x * x).sum
+    require(v1n2 > 0, "v1 is the zero vector")
+    var u: Array[BigInt] =
+      Array.tabulate(d)(i => BigInt(if (i % 2 == 0) 1000000L else -1000000L))
+    (1 to iters).map { _ =>
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * u(j)).sum)
+      val t = w.indices.map(i => w(i) * v1b(i)).sum / v1n2
+      val wc = Array.tabulate(d)(i => w(i) - t * v1b(i))
+      val m = wc.map(_.abs).max
+      require(m > 0, "deflated iteration hit the zero vector")
+      u = wc.map(wi => wi * 1000000L / m)
+      u.map(_.toLong)
+    }
+  }
+
   /** Train once per (session-agnostic) corpus: means + full mirrored
     * covariance + trajectory. Keyed by the versioned dir upstream
     * (the bpeMergeCache pattern) — this method itself is pure.

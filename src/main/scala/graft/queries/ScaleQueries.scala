@@ -1330,6 +1330,26 @@ object ScaleQueries {
       .orderBy(col("iter"), col("label"), col("d"))
   }
 
+  /** The SECOND principal direction by deflated power iteration
+    * ([[graft.ops.Pca.powerTrajectoryDeflated]]): the trained v₁
+    * projected out with a truncating integer Gram–Schmidt step after
+    * every multiply, then the usual max-norm — all from the SAME
+    * memoized stats scan, zero extra corpus reads. Emits the full
+    * 3-step trajectory; the oracle replays the deflation chain in
+    * HUGEINT on top of the shared v₁ chain.
+    */
+  def pcaSecond(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stats = pcaStats(s, dir)
+    val (mu, traj) = pcaTrained(s, dir)
+    val u = graft.ops.Pca.powerTrajectoryDeflated(
+      graft.ops.Pca.covFromStats(stats, mu), traj.last, iters = 3)
+    u.zipWithIndex
+      .flatMap { case (v, it) => v.indices.map(d => (it + 1, d, v(d))) }
+      .toDF("iter", "d", "u_e6")
+      .orderBy(col("iter"), col("d"))
+  }
+
   /** Driver-visible PCA quality gate: the exact explained-variance
     * share of the trained direction, as integers — num = Σ praw²
     * (praw = centered·v before rescale), den = |v|²·Σ|c|² (the trace
@@ -1492,7 +1512,8 @@ object ScaleQueries {
     "pca_incremental" -> (pcaIncremental _),
     "pca_by_label" -> (pcaByLabel _),
     "stream_moments" -> (streamMoments _),
-    "embed_outliers" -> (embedOutliers _))
+    "embed_outliers" -> (embedOutliers _),
+    "pca_second" -> (pcaSecond _))
 
   /** Shared DuckDB CTE chain closing the exact windowed-Jaccard pair
     * set into min-label components — the oracle twin of
@@ -1967,7 +1988,7 @@ object ScaleQueries {
              list_transform(CAST(embedding AS DOUBLE[]),
                x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS xe
            FROM embeddings),
-       x AS (SELECT vec_id, unnest(range(0, len(xe))) AS d,
+       x AS MATERIALIZED (SELECT vec_id, unnest(range(0, len(xe))) AS d,
                     unnest(xe) AS v
              FROM e),
        mu AS (SELECT d, CAST(sum(v) // count(*) AS BIGINT) AS m
@@ -1978,21 +1999,24 @@ object ScaleQueries {
                  FROM c a JOIN c b
                    ON a.vec_id = b.vec_id AND b.d >= a.d
                  GROUP BY 1, 2),
-       cells AS (SELECT i, j, s FROM cell0
+       cells AS MATERIALIZED (SELECT i, j, s FROM cell0
                  UNION ALL
                  SELECT j AS i, i AS j, s FROM cell0 WHERE j > i),
        v0 AS (SELECT d, CAST(1000000 AS HUGEINT) AS v FROM mu),
        w1 AS (SELECT cells.i AS d, sum(cells.s * v0.v) AS w
               FROM cells JOIN v0 ON cells.j = v0.d GROUP BY 1),
-       v1 AS (SELECT d, (w * 1000000) // (SELECT max(abs(w)) FROM w1)
+       v1 AS MATERIALIZED (SELECT d,
+                   (w * 1000000) // (SELECT max(abs(w)) FROM w1)
                    AS v FROM w1),
        w2 AS (SELECT cells.i AS d, sum(cells.s * v1.v) AS w
               FROM cells JOIN v1 ON cells.j = v1.d GROUP BY 1),
-       v2 AS (SELECT d, (w * 1000000) // (SELECT max(abs(w)) FROM w2)
+       v2 AS MATERIALIZED (SELECT d,
+                   (w * 1000000) // (SELECT max(abs(w)) FROM w2)
                    AS v FROM w2),
        w3 AS (SELECT cells.i AS d, sum(cells.s * v2.v) AS w
               FROM cells JOIN v2 ON cells.j = v2.d GROUP BY 1),
-       v3 AS (SELECT d, (w * 1000000) // (SELECT max(abs(w)) FROM w3)
+       v3 AS MATERIALIZED (SELECT d,
+                   (w * 1000000) // (SELECT max(abs(w)) FROM w3)
                    AS v FROM w3)"""
 
   val oracle: Map[String, String] = Map(
@@ -2030,6 +2054,47 @@ object ScaleQueries {
               CAST(CASE WHEN num * nd >= v2 * tr THEN 1 ELSE 0 END
                    AS INTEGER) AS above_avg_dim
        FROM tot, vv"""),
+    // the deflation chain on top of the shared v₁ replay: per step
+    // one C·u multiply, the truncating Gram–Schmidt scalar t computed
+    // FIRST (keeping magnitudes in the plain iteration's envelope),
+    // the projection, then the max-norm
+    "pca_second" -> (pcaChainSql +
+      """,
+       u0 AS (SELECT d, CAST(CASE WHEN d % 2 = 0 THEN 1000000
+                                  ELSE -1000000 END AS HUGEINT) AS v
+              FROM mu),
+       uw1 AS MATERIALIZED (SELECT cells.i AS d, sum(cells.s * u0.v) AS w
+               FROM cells JOIN u0 ON cells.j = u0.d GROUP BY 1),
+       t1 AS (SELECT (SELECT sum(uw1.w * v3.v)
+                      FROM uw1 JOIN v3 USING (d))
+                     // (SELECT sum(v * v) FROM v3) AS t),
+       uc1 AS MATERIALIZED (SELECT uw1.d, uw1.w - (SELECT t FROM t1) * v3.v AS w
+               FROM uw1 JOIN v3 USING (d)),
+       u1 AS MATERIALIZED (SELECT d, (w * 1000000) // (SELECT max(abs(w)) FROM uc1)
+                   AS v FROM uc1),
+       uw2 AS MATERIALIZED (SELECT cells.i AS d, sum(cells.s * u1.v) AS w
+               FROM cells JOIN u1 ON cells.j = u1.d GROUP BY 1),
+       t2 AS (SELECT (SELECT sum(uw2.w * v3.v)
+                      FROM uw2 JOIN v3 USING (d))
+                     // (SELECT sum(v * v) FROM v3) AS t),
+       uc2 AS MATERIALIZED (SELECT uw2.d, uw2.w - (SELECT t FROM t2) * v3.v AS w
+               FROM uw2 JOIN v3 USING (d)),
+       u2 AS MATERIALIZED (SELECT d, (w * 1000000) // (SELECT max(abs(w)) FROM uc2)
+                   AS v FROM uc2),
+       uw3 AS MATERIALIZED (SELECT cells.i AS d, sum(cells.s * u2.v) AS w
+               FROM cells JOIN u2 ON cells.j = u2.d GROUP BY 1),
+       t3 AS (SELECT (SELECT sum(uw3.w * v3.v)
+                      FROM uw3 JOIN v3 USING (d))
+                     // (SELECT sum(v * v) FROM v3) AS t),
+       uc3 AS MATERIALIZED (SELECT uw3.d, uw3.w - (SELECT t FROM t3) * v3.v AS w
+               FROM uw3 JOIN v3 USING (d)),
+       u3 AS MATERIALIZED (SELECT d, (w * 1000000) // (SELECT max(abs(w)) FROM uc3)
+                   AS v FROM uc3)
+       SELECT iter, CAST(d AS INTEGER) AS d, CAST(v AS BIGINT) AS u_e6
+       FROM (SELECT 1 AS iter, d, v FROM u1
+             UNION ALL SELECT 2, d, v FROM u2
+             UNION ALL SELECT 3, d, v FROM u3)
+       ORDER BY iter, d"""),
     // the running-moments trajectory: batch 0 = the parity-0 slice's
     // trunc-mean/exact-isqrt-sigma, batch 1 = the full corpus (raw
     // moments are additive, so the stream's merge must land exactly

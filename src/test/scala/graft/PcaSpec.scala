@@ -110,6 +110,32 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("deflated power iteration lands near-orthogonal to v1 on a " +
+      "two-direction corpus and picks up the second direction's sign " +
+      "structure") {
+    import spark.implicits._
+    // dominant direction (5, 1) (points ±(0.5, 0.1) twice), secondary
+    // (-1, 5) at lower variance (points ±(-0.02, 0.10))
+    val emb = Seq(
+      (1L, Seq(0.5f, 0.1f)), (2L, Seq(-0.5f, -0.1f)),
+      (3L, Seq(0.5f, 0.1f)), (4L, Seq(-0.5f, -0.1f)),
+      (5L, Seq(-0.02f, 0.10f)), (6L, Seq(0.02f, -0.10f)))
+      .toDF("vec_id", "embedding")
+    val stats = Pca.rawStatsFused(Pca.quantized(emb, "vec_id", "embedding"))
+    val (mu, _) = Pca.momentsFromStats(stats)
+    val cov = Pca.covFromStats(stats, mu)
+    val v1 = Pca.powerTrajectory(cov, 3).last
+    val u = Pca.powerTrajectoryDeflated(cov, v1, 3).last
+    // exact-integer orthogonality bound: cos²(u, v1) ≤ 1%
+    val dot = u.indices.map(i => BigInt(u(i)) * v1(i)).sum
+    val u2 = u.map(x => BigInt(x) * x).sum
+    val v2 = v1.map(x => BigInt(x) * x).sum
+    assert(dot * dot * 100 <= u2 * v2,
+      s"u=$u v1=${v1.toSeq} not near-orthogonal")
+    // the second direction must oppose signs (the (-1, 5) structure)
+    assert(u(0).sign != u(1).sign, s"u=${u.toSeq}")
+  }
+
   test("rawStats are purely additive: base + delta equals the full " +
       "corpus cell-for-cell, and the scaled covariance keeps the " +
       "rank-1 eigendirection") {
