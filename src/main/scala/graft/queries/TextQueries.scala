@@ -1567,6 +1567,30 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer FERTILITY per language — tokens-per-word of the
+    * trained BPE, the standard tokenizer-quality table a multilingual
+    * pipeline reads before committing to a vocabulary (high fertility
+    * = the language pays more sequence length per word). Exact
+    * integers: per-language token/word sums from the scan-stage
+    * encoder, fertility = tokens·10⁶ DIV words. The oracle replays
+    * training AND encoding (the bpe_encode chain) then the rollup.
+    */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val enc = Bpe.encodeTokenCounts(docs, "text", "doc_id",
+      trainedMerges(s, dir))
+    docs.select(col("doc_id"), col("lang"))
+      .join(enc.select(col("doc_id"), col("n_words"), col("n_tokens")),
+        Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(sum(coalesce(col("n_words"), lit(0L))).as("n_words"),
+        sum(coalesce(col("n_tokens"), lit(0L))).as("n_tokens"))
+      .selectExpr("lang", "n_words", "n_tokens",
+        "CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_tokens * 1000000) DIV n_words END AS fertility_e6")
+      .orderBy(col("lang"))
+  }
+
   /** Tokenizer losslessness, pinned: for every word, stripping the
     * separators from its trained-BPE symbol string must reproduce the
     * word exactly (BPE merges only ever JOIN adjacent symbols, so
@@ -1658,7 +1682,10 @@ object TextQueries {
     * matching the engine folding only over the merges that exist), and
     * docs with zero alpha words survive via the final LEFT JOIN.
     */
-  private def bpeEncodeOracle(nMerges: Int): String = {
+  /** The training + per-doc encode chain through `tc` — shared by the
+    * per-doc oracle and the per-language fertility rollup.
+    */
+  private def bpeEncodeChain(nMerges: Int): String = {
     val levels = (1 to nMerges).map { i =>
       s"""e$i AS (
            SELECT doc_id,
@@ -1677,12 +1704,32 @@ object TextQueries {
        tc AS (
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
                 CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_tokens
-         FROM e$nMerges GROUP BY doc_id)
+         FROM e$nMerges GROUP BY doc_id)"""
+  }
+
+  private def bpeEncodeOracle(nMerges: Int): String =
+    bpeEncodeChain(nMerges) + """
        SELECT d.doc_id,
               CAST(coalesce(tc.n_words, 0) AS BIGINT) AS n_words,
               CAST(coalesce(tc.n_tokens, 0) AS BIGINT) AS n_tokens
        FROM documents d LEFT JOIN tc USING (doc_id) ORDER BY d.doc_id"""
-  }
+
+  /** The per-language rollup of the same chain: exact integer
+    * fertility (tokens·10⁶ DIV words).
+    */
+  private def bpeFertilityOracle(nMerges: Int): String =
+    bpeEncodeChain(nMerges) + """,
+       f AS (SELECT d.lang,
+                    sum(coalesce(tc.n_words, 0)) AS ws,
+                    sum(coalesce(tc.n_tokens, 0)) AS ts
+             FROM documents d LEFT JOIN tc USING (doc_id)
+             GROUP BY d.lang)
+       SELECT lang, CAST(ws AS BIGINT) AS n_words,
+              CAST(ts AS BIGINT) AS n_tokens,
+              CAST(CASE WHEN ws = 0 THEN 0
+                        ELSE (ts * 1000000) // ws END AS BIGINT)
+                AS fertility_e6
+       FROM f ORDER BY lang"""
 
   // ------------------------------------------------------------------------
   /** Fixed hyperparameters for the trained quality classifier — the
@@ -2133,6 +2180,7 @@ object TextQueries {
     "mixture_sample" -> (mixtureSample _),
     "mixture_temperature" -> (mixtureTemperature _),
     "median_exact" -> (medianExact _),
+    "bpe_fertility" -> (bpeFertility _),
     "normalize_text" -> (normalizeText _),
     "domain_stats" -> (domainStats _),
     "lm_surprisal" -> (lmSurprisal _),
@@ -2700,6 +2748,7 @@ object TextQueries {
          SELECT id, fp FROM fps ORDER BY id, fp""",
     "bpe_merges" -> bpeOracle(BpeMerges),
     "bpe_encode" -> bpeEncodeOracle(BpeMerges),
+    "bpe_fertility" -> bpeFertilityOracle(BpeMerges),
     // what losslessness REQUIRES: every word decodes back, with the
     // word count recomputed independently from the text — any mangled
     // word in the engine's merge fold breaks the hash
