@@ -1062,15 +1062,23 @@ object AdvancedQueries {
     * 100 TB: cell size tracks the radius, AQE handles hot cells (or
     * the dedup_salted escalation applies verbatim).
     */
-  def spatialJoin(s: SparkSession, dir: String): DataFrame = {
+  private val SpatialD = 1200L
+
+  /** The synthesized grid points + cell ids the spatial queries
+    * share.
+    */
+  private def spatialPoints(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.dsl.shuffle_key
-    val d = 1200L
-    val pts = t(s, dir, "customer").select(col("c_custkey").as("id"),
+    t(s, dir, "customer").select(col("c_custkey").as("id"),
         pmod(shuffle_key(col("c_custkey"), 1L), lit(100000L)).as("x"),
         pmod(shuffle_key(col("c_custkey"), 2L), lit(100000L)).as("y"))
-      .withColumn("cx", expr(s"x DIV $d"))
-      .withColumn("cy", expr(s"y DIV $d"))
-    val probes = pts.select(col("id").as("id_a"), col("x").as("xa"),
+      .withColumn("cx", expr(s"x DIV $SpatialD"))
+      .withColumn("cy", expr(s"y DIV $SpatialD"))
+  }
+
+  /** The 9-cell probe expansion of `src` (columns prefixed `a`). */
+  private def spatialProbes(src: DataFrame): DataFrame =
+    src.select(col("id").as("id_a"), col("x").as("xa"),
         col("y").as("ya"),
         explode(typedLit(Seq(-1L, 0L, 1L))).as("dx"),
         col("cx"), col("cy"))
@@ -1079,16 +1087,48 @@ object AdvancedQueries {
         explode(typedLit(Seq(-1L, 0L, 1L))).as("dy"), col("cy"))
       .select(col("id_a"), col("xa"), col("ya"), col("pcx"),
         (col("cy") + col("dy")).as("pcy"))
-    probes.join(pts.select(col("id").as("id_b"), col("x").as("xb"),
+
+  def spatialJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = spatialPoints(s, dir)
+    spatialProbes(pts)
+      .join(pts.select(col("id").as("id_b"), col("x").as("xb"),
           col("y").as("yb"), col("cx").as("pcx"), col("cy").as("pcy")),
         Seq("pcx", "pcy"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist2",
         (col("xa") - col("xb")) * (col("xa") - col("xb")) +
           (col("ya") - col("yb")) * (col("ya") - col("yb")))
-      .filter(col("dist2") <= lit(d * d))
+      .filter(col("dist2") <= lit(SpatialD * SpatialD))
       .select(col("id_a"), col("id_b"), col("dist2"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Bounded-radius k-nearest-neighbors (k = 3 within D) for the
+    * query subset — the point-lookup form of [[spatialJoin]]: the
+    * SAME cell decomposition generates candidates (complete for
+    * radius D, so the ranked result is EXACT, not approximate), only
+    * the probe side shrinks to the queries. The standard
+    * "nearest stores / nearest duplicates within tolerance" serving
+    * shape; per query the work is its 9 cells' density, independent
+    * of corpus size.
+    */
+  def spatialKnn(s: SparkSession, dir: String): DataFrame = {
+    val pts = spatialPoints(s, dir)
+    val cands = spatialProbes(pts.filter(pmod(col("id"), lit(20)) === 0))
+      .join(pts.select(col("id").as("nid"), col("x").as("xb"),
+          col("y").as("yb"), col("cx").as("pcx"), col("cy").as("pcy")),
+        Seq("pcx", "pcy"))
+      .filter(col("id_a") =!= col("nid"))
+      .withColumn("dist2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("dist2") <= lit(SpatialD * SpatialD))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("dist2"), col("nid"))
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("id_a").as("qid"), col("nid"), col("dist2"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
   }
 
   /** Per-PARTITION sync manifest — the reconciliation artifact an
@@ -2181,6 +2221,7 @@ object AdvancedQueries {
     "sync_checksum" -> (syncChecksum _),
     "partition_manifest" -> (partitionManifest _),
     "spatial_join" -> (spatialJoin _),
+    "spatial_knn" -> (spatialKnn _),
     "format_roundtrip" -> (formatRoundtrip _),
     "merge_upsert" -> (mergeUpsert _),
     "gap_fill" -> (gapFill _),
@@ -2306,6 +2347,50 @@ object AdvancedQueries {
            ON n.user_id = a.user_id AND n.rn = a.rn + 1)
        SELECT user_id, rn, event_id, v_e6, ema_e6, dev_e6, is_anom
        FROM a ORDER BY user_id, rn"""
+
+  /** The spatial point chain shared by the spatial_join / spatial_knn
+    * oracles: both coordinates' SplitMix64 chains in UBIGINT
+    * split-multiply SQL, signed reinterpretation, floorMod to the
+    * 100k grid.
+    */
+  private val spatialPtChainSql: String = {
+    def add(u: String) =
+      s"CAST((CAST($u AS HUGEINT) + 11400714819323198485) " +
+        s"% 18446744073709551616 AS UBIGINT)"
+    def mul(z: String, sh: Int, c: String, cLo: String) =
+      s"CAST(((CAST(xor($z, $z >> $sh) % 4294967296 AS HUGEINT) * $c) " +
+        s"+ (((CAST(xor($z, $z >> $sh) // 4294967296 AS HUGEINT) " +
+        s"* $cLo) % 4294967296) * 4294967296)) " +
+        s"% 18446744073709551616 AS UBIGINT)"
+    def fin(z: String) =
+      s"CAST(xor($z, $z >> 31) AS HUGEINT) " +
+        s"- CASE WHEN xor($z, $z >> 31) >= 9223372036854775808::UBIGINT " +
+        s"THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END"
+    val s1 = java.lang.Long.toUnsignedString(
+      graft.functions.Kernels.mix64(1L))
+    val s2 = java.lang.Long.toUnsignedString(
+      graft.functions.Kernels.mix64(2L))
+    val c2 = "13787848793156543929"; val c2lo = "484763065"
+    val c3 = "10723151780598845931"; val c3lo = "321982955"
+    s"""WITH sc AS (SELECT c_custkey AS id,
+                  xor(CAST(c_custkey AS UBIGINT), $s1::UBIGINT) AS u1,
+                  xor(CAST(c_custkey AS UBIGINT), $s2::UBIGINT) AS u2
+                FROM customer),
+       m1 AS (SELECT id, ${add("u1")} AS z11, ${add("u2")} AS z12
+              FROM sc),
+       m2 AS (SELECT id, ${mul("z11", 30, c2, c2lo)} AS z21,
+                         ${mul("z12", 30, c2, c2lo)} AS z22
+              FROM m1),
+       m3 AS (SELECT id, ${mul("z21", 27, c3, c3lo)} AS z31,
+                         ${mul("z22", 27, c3, c3lo)} AS z32
+              FROM m2),
+       pt AS MATERIALIZED (SELECT id,
+                CAST(((${fin("z31")}) % 100000 + 100000) % 100000
+                     AS BIGINT) AS x,
+                CAST(((${fin("z32")}) % 100000 + 100000) % 100000
+                     AS BIGINT) AS y
+              FROM m3)"""
+  }
 
   val oracle: Map[String, String] = Map(
     // two HITS iterations unrolled: per round an edge⋈score join +
@@ -2781,51 +2866,29 @@ object AdvancedQueries {
     // replayed in UBIGINT SQL (two columns through the shared
     // stages), floorMod to the grid, then the independent n²/2
     // distance check the cell join must reproduce exactly
-    "spatial_join" -> {
-      def add(u: String) =
-        s"CAST((CAST($u AS HUGEINT) + 11400714819323198485) " +
-          s"% 18446744073709551616 AS UBIGINT)"
-      def mul(z: String, sh: Int, c: String, cLo: String) =
-        s"CAST(((CAST(xor($z, $z >> $sh) % 4294967296 AS HUGEINT) * $c) " +
-          s"+ (((CAST(xor($z, $z >> $sh) // 4294967296 AS HUGEINT) " +
-          s"* $cLo) % 4294967296) * 4294967296)) " +
-          s"% 18446744073709551616 AS UBIGINT)"
-      def fin(z: String) =
-        s"CAST(xor($z, $z >> 31) AS HUGEINT) " +
-          s"- CASE WHEN xor($z, $z >> 31) >= 9223372036854775808::UBIGINT " +
-          s"THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END"
-      val s1 = java.lang.Long.toUnsignedString(
-        graft.functions.Kernels.mix64(1L))
-      val s2 = java.lang.Long.toUnsignedString(
-        graft.functions.Kernels.mix64(2L))
-      val c2 = "13787848793156543929"; val c2lo = "484763065"
-      val c3 = "10723151780598845931"; val c3lo = "321982955"
-      s"""WITH sc AS (SELECT c_custkey AS id,
-                  xor(CAST(c_custkey AS UBIGINT), $s1::UBIGINT) AS u1,
-                  xor(CAST(c_custkey AS UBIGINT), $s2::UBIGINT) AS u2
-                FROM customer),
-       m1 AS (SELECT id, ${add("u1")} AS z11, ${add("u2")} AS z12
-              FROM sc),
-       m2 AS (SELECT id, ${mul("z11", 30, c2, c2lo)} AS z21,
-                         ${mul("z12", 30, c2, c2lo)} AS z22
-              FROM m1),
-       m3 AS (SELECT id, ${mul("z21", 27, c3, c3lo)} AS z31,
-                         ${mul("z22", 27, c3, c3lo)} AS z32
-              FROM m2),
-       pt AS (SELECT id,
-                CAST(((${fin("z31")}) % 100000 + 100000) % 100000
-                     AS BIGINT) AS x,
-                CAST(((${fin("z32")}) % 100000 + 100000) % 100000
-                     AS BIGINT) AS y
-              FROM m3)
+    "spatial_join" -> (spatialPtChainSql + """
        SELECT a.id AS id_a, b.id AS id_b,
               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
                 AS dist2
        FROM pt a JOIN pt b ON a.id < b.id
        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
              <= 1440000
-       ORDER BY id_a, id_b"""
-    },
+       ORDER BY id_a, id_b"""),
+    // bounded-radius kNN from the same independent all-pairs
+    // recompute: rank by (dist², id) within the D-ball per query
+    "spatial_knn" -> (spatialPtChainSql + """
+       SELECT qid, nid, dist2, rnk FROM (
+         SELECT q.id AS qid, b.id AS nid,
+                (q.x - b.x) * (q.x - b.x) + (q.y - b.y) * (q.y - b.y)
+                  AS dist2,
+                CAST(row_number() OVER (PARTITION BY q.id
+                  ORDER BY (q.x - b.x) * (q.x - b.x)
+                           + (q.y - b.y) * (q.y - b.y), b.id)
+                     AS INTEGER) AS rnk
+         FROM pt q JOIN pt b ON q.id % 20 = 0 AND b.id <> q.id
+         WHERE (q.x - b.x) * (q.x - b.x) + (q.y - b.y) * (q.y - b.y)
+               <= 1440000)
+       WHERE rnk <= 3 ORDER BY qid, rnk"""),
     // the digest's mix64 chain replayed bit-for-bit in UBIGINT
     // split-multiply SQL (the reservoir_sample idiom), signed
     // reinterpretation, then the day-grouped exact sum
