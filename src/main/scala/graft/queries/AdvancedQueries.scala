@@ -1158,6 +1158,82 @@ object AdvancedQueries {
       .orderBy(col("day"))
   }
 
+  /** The THIRTEENTH driver-visible stream shape — the sync MANIFEST
+    * maintained from the stream: events replayed as ≥2 real
+    * micro-batches, each batch reduced to its per-day
+    * (count, min, max, digest-sum) cells inside `foreachBatch` and
+    * merged into the running manifest driver-side (counts, sums and
+    * the shuffle-key digest are all ADDITIVE; min/max merge by
+    * min/max). The final manifest must equal the batch recompute —
+    * it SHARES `partition_manifest`'s oracle verbatim (the
+    * stream_ema shared-oracle discipline), so the cross-batch merge
+    * of every cell including the value-checked digest is
+    * hash-verified. This is how an ingest keeps its reconciliation
+    * artifact current without re-scanning history.
+    */
+  def streamManifest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.functions.dsl.shuffle_key
+    val schema = Tables.raw(s, dir, "events").schema
+    val stage = stageEventsTimeSplit(s, dir, n = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stream = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
+    // running manifest: day -> (n, min, max, digest)
+    val acc = scala.collection.mutable
+      .Map.empty[java.sql.Date, (Long, Long, Long, BigInt)]
+    var batches = 0
+    val collectBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val cells = batch
+        .select(to_date(Tables.eventTimeOf(schema, "ts")).as("day"),
+          col("event_id"),
+          shuffle_key(col("event_id"), 424242L).as("h"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("mn"),
+          max(col("event_id")).as("mx"),
+          sum(col("h").cast("decimal(38,0)")).as("dg"))
+        .collect()
+      acc.synchronized {
+        if (cells.nonEmpty) batches += 1
+        cells.foreach { r =>
+          val day = r.getDate(0)
+          val add = (r.getLong(1), r.getLong(2), r.getLong(3),
+            BigInt(r.getDecimal(4).toBigInteger))
+          acc.get(day) match {
+            case None => acc(day) = add
+            case Some((n0, mn0, mx0, d0)) =>
+              acc(day) = (n0 + add._1, math.min(mn0, add._2),
+                math.max(mx0, add._3), d0 + add._4)
+          }
+        }
+      }
+    }
+    val q = stream.writeStream.foreachBatch(collectBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    require(batches >= 2,
+      s"stream_manifest expected >=2 non-empty micro-batches, got $batches")
+    // explicit schema: the digest sums top 10²⁰, past the default
+    // BigDecimal encoder's (38,18) integral capacity — decimal(38,0)
+    // like the batch query's in-plan cast
+    import org.apache.spark.sql.types._
+    val schemaOut = StructType(Seq(
+      StructField("day", DateType), StructField("n_rows", LongType),
+      StructField("min_id", LongType), StructField("max_id", LongType),
+      StructField("digest", DecimalType(38, 0))))
+    val rows = acc.toSeq.sortBy(_._1.getTime).map { case (day, (n, mn, mx, dg)) =>
+      org.apache.spark.sql.Row(day, n, mn, mx,
+        new java.math.BigDecimal(dg.bigInteger))
+    }
+    s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        schemaOut)
+      .orderBy(col("day"))
+  }
+
   /** MERGE / CDC-apply (see [[graft.ops.Merge.upsert]]): a
     * deterministic change batch — sparse balance updates for
     * custkey % 10 = 3 (only the changed column rides, NULLs inherit),
@@ -2220,6 +2296,7 @@ object AdvancedQueries {
     "window_ranks" -> (windowRanks _),
     "sync_checksum" -> (syncChecksum _),
     "partition_manifest" -> (partitionManifest _),
+    "stream_manifest" -> (streamManifest _),
     "spatial_join" -> (spatialJoin _),
     "spatial_knn" -> (spatialKnn _),
     "format_roundtrip" -> (formatRoundtrip _),
@@ -2391,6 +2468,46 @@ object AdvancedQueries {
                      AS BIGINT) AS y
               FROM m3)"""
   }
+
+  /** The manifest replay shared by `partition_manifest` and
+    * `stream_manifest` (the streamed final state must equal the
+    * batch recompute): the digest's mix64 chain in UBIGINT
+    * split-multiply SQL, signed reinterpretation, the day-grouped
+    * exact sums.
+    */
+  private val manifestOracleSql: String = {
+      val salt = java.lang.Long.toUnsignedString(
+        graft.functions.Kernels.mix64(424242L))
+      s"""WITH sc AS (SELECT CAST(ts AS DATE) AS day, event_id,
+                  xor(CAST(event_id AS UBIGINT), $salt::UBIGINT) AS u
+                FROM events),
+       m1 AS (SELECT day, event_id,
+                CAST((CAST(u AS HUGEINT) + 11400714819323198485)
+                     % 18446744073709551616 AS UBIGINT) AS z1 FROM sc),
+       m2 AS (SELECT day, event_id,
+                CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT)
+                       * 13787848793156543929)
+                      + (((CAST(xor(z1, z1 >> 30) // 4294967296 AS HUGEINT)
+                           * 484763065) % 4294967296) * 4294967296))
+                     % 18446744073709551616 AS UBIGINT) AS z2 FROM m1),
+       m3 AS (SELECT day, event_id,
+                CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT)
+                       * 10723151780598845931)
+                      + (((CAST(xor(z2, z2 >> 27) // 4294967296 AS HUGEINT)
+                           * 321982955) % 4294967296) * 4294967296))
+                     % 18446744073709551616 AS UBIGINT) AS z3 FROM m2),
+       h AS (SELECT day, event_id, xor(z3, z3 >> 31) AS hv FROM m3),
+       sg AS (SELECT day, event_id,
+                CAST(hv AS HUGEINT)
+                  - CASE WHEN hv >= 9223372036854775808::UBIGINT
+                         THEN 18446744073709551616::HUGEINT
+                         ELSE 0::HUGEINT END AS sh
+              FROM h)
+       SELECT day, count(*) AS n_rows, min(event_id) AS min_id,
+              max(event_id) AS max_id,
+              CAST(sum(sh) AS DECIMAL(38,0)) AS digest
+       FROM sg GROUP BY day ORDER BY day"""
+    }
 
   val oracle: Map[String, String] = Map(
     // two HITS iterations unrolled: per round an edge⋈score join +
@@ -2892,39 +3009,10 @@ object AdvancedQueries {
     // the digest's mix64 chain replayed bit-for-bit in UBIGINT
     // split-multiply SQL (the reservoir_sample idiom), signed
     // reinterpretation, then the day-grouped exact sum
-    "partition_manifest" -> {
-      val salt = java.lang.Long.toUnsignedString(
-        graft.functions.Kernels.mix64(424242L))
-      s"""WITH sc AS (SELECT CAST(ts AS DATE) AS day, event_id,
-                  xor(CAST(event_id AS UBIGINT), $salt::UBIGINT) AS u
-                FROM events),
-       m1 AS (SELECT day, event_id,
-                CAST((CAST(u AS HUGEINT) + 11400714819323198485)
-                     % 18446744073709551616 AS UBIGINT) AS z1 FROM sc),
-       m2 AS (SELECT day, event_id,
-                CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT)
-                       * 13787848793156543929)
-                      + (((CAST(xor(z1, z1 >> 30) // 4294967296 AS HUGEINT)
-                           * 484763065) % 4294967296) * 4294967296))
-                     % 18446744073709551616 AS UBIGINT) AS z2 FROM m1),
-       m3 AS (SELECT day, event_id,
-                CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT)
-                       * 10723151780598845931)
-                      + (((CAST(xor(z2, z2 >> 27) // 4294967296 AS HUGEINT)
-                           * 321982955) % 4294967296) * 4294967296))
-                     % 18446744073709551616 AS UBIGINT) AS z3 FROM m2),
-       h AS (SELECT day, event_id, xor(z3, z3 >> 31) AS hv FROM m3),
-       sg AS (SELECT day, event_id,
-                CAST(hv AS HUGEINT)
-                  - CASE WHEN hv >= 9223372036854775808::UBIGINT
-                         THEN 18446744073709551616::HUGEINT
-                         ELSE 0::HUGEINT END AS sh
-              FROM h)
-       SELECT day, count(*) AS n_rows, min(event_id) AS min_id,
-              max(event_id) AS max_id,
-              CAST(sum(sh) AS DECIMAL(38,0)) AS digest
-       FROM sg GROUP BY day ORDER BY day"""
-    },
+    "partition_manifest" -> manifestOracleSql,
+    // the streamed manifest's final state must equal the batch
+    // recompute — shared oracle, the stream_ema discipline
+    "stream_manifest" -> manifestOracleSql,
     "merge_upsert" ->
       """WITH changes AS (
            SELECT c_custkey AS k, CAST(NULL AS VARCHAR) AS c_name,
