@@ -1076,32 +1076,9 @@ object AdvancedQueries {
       .withColumn("cy", expr(s"y DIV $SpatialD"))
   }
 
-  /** The 9-cell probe expansion of `src` (columns prefixed `a`). */
-  private def spatialProbes(src: DataFrame): DataFrame =
-    src.select(col("id").as("id_a"), col("x").as("xa"),
-        col("y").as("ya"),
-        explode(typedLit(Seq(-1L, 0L, 1L))).as("dx"),
-        col("cx"), col("cy"))
-      .select(col("id_a"), col("xa"), col("ya"),
-        (col("cx") + col("dx")).as("pcx"),
-        explode(typedLit(Seq(-1L, 0L, 1L))).as("dy"), col("cy"))
-      .select(col("id_a"), col("xa"), col("ya"), col("pcx"),
-        (col("cy") + col("dy")).as("pcy"))
-
-  def spatialJoin(s: SparkSession, dir: String): DataFrame = {
-    val pts = spatialPoints(s, dir)
-    spatialProbes(pts)
-      .join(pts.select(col("id").as("id_b"), col("x").as("xb"),
-          col("y").as("yb"), col("cx").as("pcx"), col("cy").as("pcy")),
-        Seq("pcx", "pcy"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dist2",
-        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
-          (col("ya") - col("yb")) * (col("ya") - col("yb")))
-      .filter(col("dist2") <= lit(SpatialD * SpatialD))
-      .select(col("id_a"), col("id_b"), col("dist2"))
+  def spatialJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Spatial.radiusPairs(spatialPoints(s, dir), SpatialD)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** Bounded-radius k-nearest-neighbors (k = 3 within D) for the
     * query subset — the point-lookup form of [[spatialJoin]]: the
@@ -1112,24 +1089,10 @@ object AdvancedQueries {
     * shape; per query the work is its 9 cells' density, independent
     * of corpus size.
     */
-  def spatialKnn(s: SparkSession, dir: String): DataFrame = {
-    val pts = spatialPoints(s, dir)
-    val cands = spatialProbes(pts.filter(pmod(col("id"), lit(20)) === 0))
-      .join(pts.select(col("id").as("nid"), col("x").as("xb"),
-          col("y").as("yb"), col("cx").as("pcx"), col("cy").as("pcy")),
-        Seq("pcx", "pcy"))
-      .filter(col("id_a") =!= col("nid"))
-      .withColumn("dist2",
-        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
-          (col("ya") - col("yb")) * (col("ya") - col("yb")))
-      .filter(col("dist2") <= lit(SpatialD * SpatialD))
-    val w = Window.partitionBy(col("id_a"))
-      .orderBy(col("dist2"), col("nid"))
-    cands.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(col("id_a").as("qid"), col("nid"), col("dist2"), col("rnk"))
+  def spatialKnn(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Spatial.knnWithinRadius(spatialPoints(s, dir),
+        queryPred = pmod(col("id"), lit(20)) === 0, d = SpatialD, k = 3)
       .orderBy(col("qid"), col("rnk"))
-  }
 
   /** Per-PARTITION sync manifest — the reconciliation artifact an
     * incremental warehouse sync keeps per day-partition: row count,

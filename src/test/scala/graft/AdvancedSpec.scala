@@ -740,4 +740,31 @@ class AdvancedSpec extends AnyFunSuite {
       .orderBy("user_id", "rn").collect().map(_.getInt(6))
     assert(gotW.toSeq == Seq(0, 0, 0, 0))
   }
+
+  test("Spatial: cell-boundary completeness — a diagonal-cell pair at " +
+      "dist²=2 and an exactly-at-radius pair are found; beyond-radius " +
+      "candidates in adjacent cells are verified away") {
+    import spark.implicits._
+    val d = 1200L
+    val pts = Seq(
+      (20L, 1200L, 1200L), // query (cell 1,1)
+      (1L, 1199L, 1199L),  // diagonal cell (0,0), dist² = 2
+      (2L, 2400L, 1200L),  // dist = D exactly (inclusive boundary)
+      (3L, 2401L, 1200L),  // dist = D+1 — candidate, must verify away
+      (4L, 0L, 2400L),     // adjacent cell, dist² = 2·1200² > D²
+      (5L, 5000L, 5000L))  // far — never a candidate
+      .toDF("id", "x", "y")
+    val pairs = graft.ops.Spatial.radiusPairs(pts, d)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // (2, 3) are distance 1 apart — a real pair within the same cell
+    assert(pairs == Seq((1L, 20L, 2L), (2L, 3L, 1L), (2L, 20L, d * d)),
+      s"got $pairs")
+    val knn = graft.ops.Spatial.knnWithinRadius(pts,
+        pmod(col("id"), lit(20)) === 0, d, k = 3)
+      .orderBy("qid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(knn == Seq((20L, 1L, 2L, 1), (20L, 2L, d * d, 2)), s"got $knn")
+  }
 }
