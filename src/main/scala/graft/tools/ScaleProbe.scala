@@ -175,6 +175,10 @@ object ScaleProbe {
       // regardless of corpus size, so the exponent should track the
       // scan, not the statistic)
       ("pca_power", graft.queries.ScaleQueries.queries("pca_power"), true),
+      // r8 closer: the second spectral graph member — per half-step one
+      // edge⋈score join + aggregate, so the exponent should track the
+      // edge volume like pagerank's
+      ("hits_rank", graft.queries.AdvancedQueries.queries("hits_rank"), false),
       ("corr_matrix", graft.queries.ScaleQueries.queries("corr_matrix"), true),
       ("embed_standardize",
         graft.queries.ScaleQueries.queries("embed_standardize"), true))
