@@ -1121,6 +1121,29 @@ object AdvancedQueries {
       .orderBy(col("day"))
   }
 
+  /** Spatial CLUSTERS — the composition the spatial join exists for
+    * (venue/location dedup): the within-D graph over a customer
+    * subset (id % 10 = 0; the thinning keeps the disk graph
+    * subcritical at every SF, so components stay local instead of
+    * percolating into one giant blob) run through the SAME
+    * large-star/small-star connected components the text dedup
+    * pipeline uses ([[graft.ops.Dedup.connectedComponents]] — min-id
+    * labels), with edge-less points as their own singleton clusters.
+    * The oracle recomputes components INDEPENDENTLY: a recursive
+    * transitive-closure CTE over the all-pairs edge set, min
+    * reachable id per node.
+    */
+  def spatialClusters(s: SparkSession, dir: String): DataFrame = {
+    val sub = spatialPoints(s, dir).filter(pmod(col("id"), lit(10)) === 0)
+    val pairs = graft.ops.Spatial.radiusPairs(sub, 2000L)
+      .select(col("id_a"), col("id_b"))
+    val labels = graft.ops.Dedup.connectedComponents(pairs)
+    val singles = sub.select(col("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    labels.unionByName(singles).orderBy(col("id"))
+  }
+
   /** The THIRTEENTH driver-visible stream shape — the sync MANIFEST
     * maintained from the stream: events replayed as ≥2 real
     * micro-batches, each batch reduced to its per-day
@@ -2262,6 +2285,7 @@ object AdvancedQueries {
     "stream_manifest" -> (streamManifest _),
     "spatial_join" -> (spatialJoin _),
     "spatial_knn" -> (spatialKnn _),
+    "spatial_clusters" -> (spatialClusters _),
     "format_roundtrip" -> (formatRoundtrip _),
     "merge_upsert" -> (mergeUpsert _),
     "gap_fill" -> (gapFill _),
@@ -2954,6 +2978,22 @@ object AdvancedQueries {
        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
              <= 1440000
        ORDER BY id_a, id_b"""),
+    // independent component recompute: recursive transitive closure
+    // over the all-pairs within-D edge set, min reachable id per node
+    // (singletons seed themselves); D = 2000 on the id % 10 subset
+    "spatial_clusters" -> (spatialPtChainSql.replaceFirst("WITH ",
+      "WITH RECURSIVE ") + """,
+       sub AS (SELECT id, x, y FROM pt WHERE id % 10 = 0),
+       e0 AS (SELECT a.id AS s, b.id AS t
+              FROM sub a JOIN sub b ON a.id <> b.id
+              WHERE (a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y) <= 4000000),
+       reach AS (SELECT id, id AS r FROM sub
+                 UNION
+                 SELECT e0.t AS id, reach.r
+                 FROM reach JOIN e0 ON e0.s = reach.id)
+       SELECT id, min(r) AS cluster_id FROM reach
+       GROUP BY id ORDER BY id"""),
     // bounded-radius kNN from the same independent all-pairs
     // recompute: rank by (dist², id) within the D-ball per query
     "spatial_knn" -> (spatialPtChainSql + """
