@@ -447,15 +447,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("spatial_join: candidate generation is an EQUI-join on cell " +
-      "ids — no CartesianProduct/BNLJ anywhere in the plan") {
-    val plan = formatted("spatial_join")
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      "spatial candidates must come from the cell equi-join:\n" +
-        plan.take(3000))
-    assert(plan.contains("Join") || plan.contains("join"),
-      plan.take(1000))
+  test("spatial_join / spatial_knn / forecast_backtest: candidate " +
+      "generation is equi-join everywhere — no CartesianProduct/BNLJ " +
+      "(ann_rank_eval is excluded deliberately: its exact-baseline " +
+      "leg IS the bounded-broadcast theta join, whose physical form " +
+      "is a size-gated BNLJ by design — the ann_topk contract)") {
+    for (name <- Seq("spatial_join", "spatial_knn",
+        "forecast_backtest")) {
+      val plan = formatted(name)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a quadratic join:\n" + plan.take(3000))
+    }
   }
 
   test("pca fused stats: ONE embeddings scan into ONE " +
