@@ -1105,8 +1105,11 @@ object AdvancedQueries {
     * bit-for-bit in UBIGINT SQL (the reservoir_sample precedent), so
     * this is the one checksum surface whose VALUE the driver gate
     * checks, not just its stability. One scan + one day-grouped
-    * aggregate; the digest sum rides as decimal(38,0) (exact at any
-    * row count).
+    * aggregate; the digest is the per-day sum WRAPPED mod 2⁶⁴ and
+    * reinterpreted signed — a plain BIGINT cell (house rule: emitted
+    * numeric cells stay within int64 — the r8 decimal(38,0) form was
+    * value-correct but un-hashable by the driver gate). Wrap-around
+    * addition still commutes, so order/partition invariance holds.
     */
   def partitionManifest(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.dsl.shuffle_key
@@ -1117,7 +1120,8 @@ object AdvancedQueries {
       .agg(count(lit(1)).as("n_rows"),
         min(col("event_id")).as("min_id"),
         max(col("event_id")).as("max_id"),
-        sum(col("h").cast("decimal(38,0)")).as("digest"))
+        graft.ops.Manifest.wrapSigned64(
+          sum(col("h").cast("decimal(38,0)"))).as("digest"))
       .orderBy(col("day"))
   }
 
@@ -1148,76 +1152,47 @@ object AdvancedQueries {
     * maintained from the stream: events replayed as ≥2 real
     * micro-batches, each batch reduced to its per-day
     * (count, min, max, digest-sum) cells inside `foreachBatch` and
-    * merged into the running manifest driver-side (counts, sums and
-    * the shuffle-key digest are all ADDITIVE; min/max merge by
-    * min/max). The final manifest must equal the batch recompute —
-    * it SHARES `partition_manifest`'s oracle verbatim (the
-    * stream_ema shared-oracle discipline), so the cross-batch merge
-    * of every cell including the value-checked digest is
+    * PERSISTED to a [[graft.ops.Manifest]] cell store keyed by batch
+    * id — idempotent on checkpoint replay (same batch id overwrites
+    * the same directory) and durable across incarnation rebuilds
+    * (the running manifest is a merge over the tiny cell store, not
+    * driver memory, so a restart loses nothing; proven by
+    * StreamingSpec's manifest incarnation-rebuild test). The final
+    * manifest must equal the batch recompute — it SHARES
+    * `partition_manifest`'s oracle verbatim (the stream_ema
+    * shared-oracle discipline), so the cross-batch merge of every
+    * cell including the value-checked wrapped digest is
     * hash-verified. This is how an ingest keeps its reconciliation
     * artifact current without re-scanning history.
     */
   def streamManifest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    import graft.functions.dsl.shuffle_key
     val schema = Tables.raw(s, dir, "events").schema
     val stage = stageEventsTimeSplit(s, dir, n = 2)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_manifest").toString
     val stream = graft.streaming.IncrementalStream
       .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
-    // running manifest: day -> (n, min, max, digest)
-    val acc = scala.collection.mutable
-      .Map.empty[java.sql.Date, (Long, Long, Long, BigInt)]
-    var batches = 0
-    val collectBatch: (DataFrame, Long) => Unit = (batch, _) => {
-      val cells = batch
-        .select(to_date(Tables.eventTimeOf(schema, "ts")).as("day"),
-          col("event_id"),
-          shuffle_key(col("event_id"), 424242L).as("h"))
-        .groupBy(col("day"))
-        .agg(count(lit(1)).as("n"), min(col("event_id")).as("mn"),
-          max(col("event_id")).as("mx"),
-          sum(col("h").cast("decimal(38,0)")).as("dg"))
-        .collect()
-      acc.synchronized {
-        if (cells.nonEmpty) batches += 1
-        cells.foreach { r =>
-          val day = r.getDate(0)
-          val add = (r.getLong(1), r.getLong(2), r.getLong(3),
-            BigInt(r.getDecimal(4).toBigInteger))
-          acc.get(day) match {
-            case None => acc(day) = add
-            case Some((n0, mn0, mx0, d0)) =>
-              acc(day) = (n0 + add._1, math.min(mn0, add._2),
-                math.max(mx0, add._3), d0 + add._4)
-          }
-        }
-      }
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val persistBatch: (DataFrame, Long) => Unit = (batch, id) => {
+      val cells = graft.ops.Manifest.dayCells(batch,
+        to_date(Tables.eventTimeOf(schema, "ts")), col("event_id"),
+        salt = 424242L).persist()
+      try {
+        if (cells.count() > 0) batches.incrementAndGet()
+        graft.ops.Manifest.writeBatchCells(cells, store, id)
+      } finally cells.unpersist()
     }
-    val q = stream.writeStream.foreachBatch(collectBatch)
+    val q = stream.writeStream.foreachBatch(persistBatch)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-    require(batches >= 2,
-      s"stream_manifest expected >=2 non-empty micro-batches, got $batches")
-    // explicit schema: the digest sums top 10²⁰, past the default
-    // BigDecimal encoder's (38,18) integral capacity — decimal(38,0)
-    // like the batch query's in-plan cast
-    import org.apache.spark.sql.types._
-    val schemaOut = StructType(Seq(
-      StructField("day", DateType), StructField("n_rows", LongType),
-      StructField("min_id", LongType), StructField("max_id", LongType),
-      StructField("digest", DecimalType(38, 0))))
-    val rows = acc.toSeq.sortBy(_._1.getTime).map { case (day, (n, mn, mx, dg)) =>
-      org.apache.spark.sql.Row(day, n, mn, mx,
-        new java.math.BigDecimal(dg.bigInteger))
-    }
-    s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-        schemaOut)
-      .orderBy(col("day"))
+    require(batches.get() >= 2,
+      s"stream_manifest expected >=2 non-empty micro-batches, got " +
+        batches.get())
+    graft.ops.Manifest.current(s, store).orderBy(col("day"))
   }
 
   /** MERGE / CDC-apply (see [[graft.ops.Merge.upsert]]): a
@@ -2460,7 +2435,10 @@ object AdvancedQueries {
     * `stream_manifest` (the streamed final state must equal the
     * batch recompute): the digest's mix64 chain in UBIGINT
     * split-multiply SQL, signed reinterpretation, the day-grouped
-    * exact sums.
+    * exact HUGEINT sums wrapped mod 2⁶⁴ and reinterpreted signed —
+    * the emitted digest is a plain BIGINT on both sides (round-9
+    * house rule: emitted cells stay within int64; the exact sum
+    * ranges over ±2×10²⁰ and is un-hashable by the driver gate).
     */
   private val manifestOracleSql: String = {
       val salt = java.lang.Long.toUnsignedString(
@@ -2489,11 +2467,18 @@ object AdvancedQueries {
                   - CASE WHEN hv >= 9223372036854775808::UBIGINT
                          THEN 18446744073709551616::HUGEINT
                          ELSE 0::HUGEINT END AS sh
-              FROM h)
-       SELECT day, count(*) AS n_rows, min(event_id) AS min_id,
-              max(event_id) AS max_id,
-              CAST(sum(sh) AS DECIMAL(38,0)) AS digest
-       FROM sg GROUP BY day ORDER BY day"""
+              FROM h),
+       grp AS (SELECT day, count(*) AS n_rows, min(event_id) AS min_id,
+                 max(event_id) AS max_id,
+                 ((sum(sh) % 18446744073709551616::HUGEINT)
+                   + 18446744073709551616::HUGEINT)
+                  % 18446744073709551616::HUGEINT AS m
+               FROM sg GROUP BY day)
+       SELECT day, n_rows, min_id, max_id,
+              CAST(m - CASE WHEN m >= 9223372036854775808::HUGEINT
+                            THEN 18446744073709551616::HUGEINT
+                            ELSE 0::HUGEINT END AS BIGINT) AS digest
+       FROM grp ORDER BY day"""
     }
 
   val oracle: Map[String, String] = Map(
