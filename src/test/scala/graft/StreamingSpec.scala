@@ -686,4 +686,76 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = buildQuery(buf2); q2.processAllAvailable(); q2.stop()
     assert(buf2.toSet == Set((1L, 10L, 21L)), s"got: $buf2")
   }
+
+  test("checkpoint recovery: the streamed MANIFEST survives an " +
+      "incarnation rebuild (persisted cell store, idempotent on batch " +
+      "replay; merged manifest equals the batch recompute)") {
+    import graft.ops.Manifest
+    val tmp = Files.createTempDirectory("graft-ckpt-mf").toFile
+    val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+    val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+    val store = new java.io.File(tmp, "store").getAbsolutePath
+    def d(day: Int) = java.sql.Date.valueOf(f"2024-01-$day%02d")
+    import spark.implicits._
+    def buildQuery() = {
+      val schema = spark.read.parquet(inDir.getAbsolutePath).schema
+      IncrementalStream.readAppendStream(
+          spark, inDir.getAbsolutePath, schema)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                         id: Long) =>
+          Manifest.writeBatchCells(
+            Manifest.dayCells(batch, col("day"), col("event_id"),
+              salt = 424242L), store, id)
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    // incarnation 1: day 1 complete, day 2 partial — its cells live
+    // only in the PERSISTED store when the query stops ("crashes")
+    Seq((d(1), 1L), (d(1), 2L), (d(1), 3L), (d(2), 10L), (d(2), 11L))
+      .toDF("day", "event_id").coalesce(1).write.mode("overwrite")
+      .parquet(inDir.getAbsolutePath)
+    val q1 = buildQuery(); q1.processAllAvailable(); q1.stop()
+    // while down: the rest of day 2 plus day 3 arrive
+    Seq((d(2), 12L), (d(2), 13L), (d(3), 20L))
+      .toDF("day", "event_id").coalesce(1).write.mode("append")
+      .parquet(inDir.getAbsolutePath)
+    // incarnation 2: a brand-new query on the SAME checkpoint+store.
+    // The merged day-2 cell (n=4, ids 10..13, cross-batch digest sum)
+    // is only possible if incarnation 1's contribution persisted —
+    // the r8 driver-Map design lost it here by construction
+    val q2 = buildQuery(); q2.processAllAvailable(); q2.stop()
+    val resumedRows = q2.recentProgress.map(_.numInputRows).sum
+    assert(resumedRows == 3,
+      s"incarnation 2 must resume from the checkpointed offset; " +
+        s"processed $resumedRows")
+    def manifestSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("day", "n_rows", "min_id", "max_id", "digest")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val got = manifestSet(Manifest.current(spark, store))
+    // control: the batch recompute over the final input (the shared-
+    // oracle equivalence partition_manifest certifies at driver SF)
+    val wantDf = Manifest
+      .dayCells(spark.read.parquet(inDir.getAbsolutePath),
+        col("day"), col("event_id"), salt = 424242L)
+      .select(col("day"), col("n").as("n_rows"),
+        col("mn").as("min_id"), col("mx").as("max_id"),
+        Manifest.wrapSigned64(col("dg")).as("digest"))
+    assert(got == manifestSet(wantDf), s"got: $got")
+    assert(got.map(_._1) == Set("2024-01-01", "2024-01-02",
+      "2024-01-03") && got.exists(c => c._1 == "2024-01-02" &&
+        c._2 == 4L && c._3 == 10L && c._4 == 13L),
+      s"day-2 cell must merge across incarnations: $got")
+    // replaying a batch id must OVERWRITE, not double-count (the
+    // recovery path re-delivers the in-flight batch after a crash)
+    val lastBatch = spark.read.parquet(inDir.getAbsolutePath)
+      .filter(col("event_id") >= 12L)
+    Manifest.writeBatchCells(
+      Manifest.dayCells(lastBatch, col("day"), col("event_id"),
+        salt = 424242L), store, batchId = 1L)
+    assert(manifestSet(Manifest.current(spark, store)) == got,
+      "batch-id replay must be idempotent")
+  }
+
 }
