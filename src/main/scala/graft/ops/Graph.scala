@@ -117,29 +117,30 @@ object Graph {
     * Returns (id, side ∈ {hub, auth}, score_e6) after `iters`
     * iterations. Unlike the PageRank loop (whose renormalization is a
     * per-node constant, so rank tables can chain LAZILY), the max-norm
-    * needs a GLOBAL scalar mid-loop — left lazy, every
+    * needs a GLOBAL scalar mid-loop — left fully lazy, every
     * `broadcast(agg(max))` subtree would replay the whole upstream
     * join chain and the plan re-evaluates the base join 2^(2·iters)
     * times (measured: 16 s for 2 iterations at sf0.1 vs 1.4 s
-    * synchronized). So each half-step materializes its raw sums once
-    * and reads the max as a driver scalar — the k-means SSE-collect
-    * convention: one bounded 1-row action per half-step, the trained
-    * literal baked into the next plan.
+    * synchronized). So each half-step materializes its raw sums ONCE
+    * (one bounded action) and the max rides as a broadcast 1-row
+    * cross join over the materialized sums — computed inside the NEXT
+    * half-step's own job instead of a per-half-step driver `.head()`
+    * (r8's shape; folding the max into the job halved the action
+    * count, 4 → 2 per iteration). An all-zero score vector surfaces
+    * as an ANSI divide-by-zero — loud, like the r8 `require`.
     */
   def hitsE6(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    require(!e.isEmpty, "hitsE6 over an empty edge set")
     var h = e.select(col("src").as("id")).distinct()
       .withColumn("s", lit(1000000L))
     var a: DataFrame = null
     def normalized(raw: DataFrame): DataFrame = {
       val m = Dedup.materialize(raw)
-      val mxRow = m.agg(max(col("raw"))).head()
-      require(!mxRow.isNullAt(0), "hitsE6 over an empty edge set")
-      val mx = mxRow.getLong(0)
-      require(mx > 0, "HITS hit an all-zero score vector")
-      m.select(col("id"), expr(s"(raw * 1000000) DIV ${mx}L").as("s"))
+      m.crossJoin(broadcast(m.agg(max(col("raw")).as("mx"))))
+        .select(col("id"), expr("(raw * 1000000) DIV mx").as("s"))
     }
     for (_ <- 1 to iters) {
       a = normalized(

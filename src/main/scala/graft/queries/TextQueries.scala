@@ -450,10 +450,25 @@ object TextQueries {
     * (sample the draw distribution, cut at the quota quantile) —
     * the Bernoulli form of it is `stratified_sample`.
     */
+  /** The mixtures' stable per-row draw: a Knuth LCG over doc_id,
+    * `(doc_id · 2654435761) mod 2³²` — spelled as a SPLIT multiply
+    * (16-bit limbs) so every intermediate stays within int64 for ANY
+    * doc_id: the naive product overflows int64 once doc_id ≳ 3.5×10⁹
+    * (ANSI Spark throws, DuckDB errors — a latent cross-engine
+    * divergence in a query whose point is exact replay). Identical
+    * limb algebra rides in the oracle SQL; values are unchanged for
+    * in-range ids (the split is exact, not an approximation).
+    */
+  private val lcgRank: org.apache.spark.sql.Column = expr(
+    """pmod((pmod(doc_id, 4294967296) % 65536) * 2654435761
+         + (((pmod(doc_id, 4294967296) DIV 65536) * 2654435761) % 65536)
+           * 65536,
+         4294967296)""")
+
   def mixtureSample(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      .withColumn("rk", expr("(doc_id * 2654435761) % 4294967296"))
+      .withColumn("rk", lcgRank)
       .withColumn("w", expr("CAST(substring(source, 4) AS INT) % 4 + 1"))
     val wdw = Window.partitionBy(col("source"))
       .orderBy(col("rk"), col("doc_id"))
@@ -496,7 +511,7 @@ object TextQueries {
     val wdw = Window.partitionBy(col("lang"))
       .orderBy(col("rk"), col("doc_id"))
     docs.select(col("doc_id"), col("lang"))
-      .withColumn("rk", expr("(doc_id * 2654435761) % 4294967296"))
+      .withColumn("rk", lcgRank)
       .withColumn("rn", row_number().over(wdw))
       .join(broadcast(quotas), Seq("lang"))
       .filter(col("rn") <= col("quota"))
@@ -2764,7 +2779,10 @@ object TextQueries {
          FROM w ORDER BY doc_id""",
     "mixture_sample" ->
       """WITH d AS (SELECT doc_id, source,
-                           (doc_id * 2654435761) % 4294967296 AS rk,
+                           (((doc_id % 4294967296) % 65536) * 2654435761
+                            + ((((doc_id % 4294967296) // 65536)
+                                * 2654435761) % 65536) * 65536)
+                           % 4294967296 AS rk,
                            CAST(substr(source, 4) AS INT) % 4 + 1 AS w
                     FROM documents),
               r AS (SELECT doc_id, source, w,
@@ -2812,7 +2830,10 @@ object TextQueries {
                FROM w),
          r AS (SELECT doc_id, lang,
                       row_number() OVER (PARTITION BY lang
-                        ORDER BY (doc_id * 2654435761) % 4294967296,
+                        ORDER BY (((doc_id % 4294967296) % 65536) * 2654435761
+                                  + ((((doc_id % 4294967296) // 65536)
+                                      * 2654435761) % 65536) * 65536)
+                                 % 4294967296,
                                  doc_id) AS rn
                FROM documents)
          SELECT doc_id, lang FROM r JOIN q USING (lang)
