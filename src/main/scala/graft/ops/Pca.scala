@@ -360,4 +360,26 @@ object Pca {
       // matching BigInt `/` and DuckDB `//` (praw goes negative)
       .selectExpr(idCol, "praw DIV 1000000 AS proj_e6")
   }
+
+  /** Projection onto the trained 2-D basis (v₁ and the deflated u₂ —
+    * [[powerTrajectoryDeflated]]'s direction): the standard
+    * visualization / clustering prep after a spectral train. ONE
+    * corpus scan computes both dot products — the basis rides as two
+    * plan literals, so this stays the map-only serving shape
+    * [[project]] set (zero shuffle, scan-stage arithmetic); same
+    * truncating e6 rescale per axis.
+    */
+  def project2(emb: DataFrame, idCol: String, vecCol: String,
+               muE6: Array[Long], v1E6: Array[Long],
+               v2E6: Array[Long]): DataFrame = {
+    val muLit = typedLit(muE6.toSeq)
+    val centered = zip_with(col("xe"), muLit, (x, m) => x - m)
+    def praw(vE6: Array[Long]) = aggregate(
+      zip_with(centered, typedLit(vE6.toSeq), (c, v) => c * v),
+      lit(0L), (acc, x) => acc + x)
+    quantized(emb, idCol, vecCol)
+      .select(col(idCol), praw(v1E6).as("p1raw"), praw(v2E6).as("p2raw"))
+      .selectExpr(idCol, "p1raw DIV 1000000 AS p1_e6",
+        "p2raw DIV 1000000 AS p2_e6")
+  }
 }

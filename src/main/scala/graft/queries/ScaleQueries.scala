@@ -1340,14 +1340,38 @@ object ScaleQueries {
     */
   def pcaSecond(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stats = pcaStats(s, dir)
-    val (mu, traj) = pcaTrained(s, dir)
-    val u = graft.ops.Pca.powerTrajectoryDeflated(
-      graft.ops.Pca.covFromStats(stats, mu), traj.last, iters = 3)
-    u.zipWithIndex
+    pcaDeflated(s, dir).zipWithIndex
       .flatMap { case (v, it) => v.indices.map(d => (it + 1, d, v(d))) }
       .toDF("iter", "d", "u_e6")
       .orderBy(col("iter"), col("d"))
+  }
+
+  /** The deflated second-direction trajectory, memoized like
+    * `pcaTrained` — `pca_second` emits it and `pca_project2` projects
+    * onto its final step; both ride the same fused-stats scan.
+    */
+  private def pcaDeflated(s: SparkSession, dir: String)
+      : Seq[Array[Long]] =
+    memoCodebook[Seq[Array[Long]]](
+      s"pcadefl:${graft.Tables.versioned(dir)}") {
+      val stats = pcaStats(s, dir)
+      val (mu, traj) = pcaTrained(s, dir)
+      graft.ops.Pca.powerTrajectoryDeflated(
+        graft.ops.Pca.covFromStats(stats, mu), traj.last, iters = 3)
+    }
+
+  /** Projection onto the trained 2-D basis (v₁, deflated u₂) — the
+    * visualization / clustering prep composing `pca_project` with
+    * `pca_second`'s direction ([[graft.ops.Pca.project2]]): both axes
+    * from the SAME memoized stats scan, the corpus read ONCE with the
+    * basis as plan literals (zero new scans, zero shuffle). The
+    * oracle replays both chains and both per-row dot products.
+    */
+  def pcaProject2(s: SparkSession, dir: String): DataFrame = {
+    val (mu, traj) = pcaTrained(s, dir)
+    graft.ops.Pca.project2(t(s, dir, "embeddings"), "vec_id",
+        "embedding", mu, traj.last, pcaDeflated(s, dir).last)
+      .orderBy(col("vec_id"))
   }
 
   /** Driver-visible PCA quality gate: the exact explained-variance
@@ -1513,7 +1537,8 @@ object ScaleQueries {
     "pca_by_label" -> (pcaByLabel _),
     "stream_moments" -> (streamMoments _),
     "embed_outliers" -> (embedOutliers _),
-    "pca_second" -> (pcaSecond _))
+    "pca_second" -> (pcaSecond _),
+    "pca_project2" -> (pcaProject2 _))
 
   /** Shared DuckDB CTE chain closing the exact windowed-Jaccard pair
     * set into min-label components — the oracle twin of
@@ -2019,6 +2044,43 @@ object ScaleQueries {
                    (w * 1000000) // (SELECT max(abs(w)) FROM w3)
                    AS v FROM w3)"""
 
+  /** The deflated-direction CTE chain shared by `pca_second` and
+    * `pca_project2` (rides on top of pcaChainSql's v-chain): per step
+    * one C·u multiply, the truncating Gram-Schmidt scalar t FIRST,
+    * the projection, then the max-norm.
+    */
+  private val pcaDeflationSql: String = """,
+       u0 AS (SELECT d, CAST(CASE WHEN d % 2 = 0 THEN 1000000
+                                  ELSE -1000000 END AS HUGEINT) AS v
+              FROM mu),
+       uw1 AS MATERIALIZED (SELECT cells.i AS d, sum(cells.s * u0.v) AS w
+               FROM cells JOIN u0 ON cells.j = u0.d GROUP BY 1),
+       t1 AS (SELECT (SELECT sum(uw1.w * v3.v)
+                      FROM uw1 JOIN v3 USING (d))
+                     // (SELECT sum(v * v) FROM v3) AS t),
+       uc1 AS MATERIALIZED (SELECT uw1.d, uw1.w - (SELECT t FROM t1) * v3.v AS w
+               FROM uw1 JOIN v3 USING (d)),
+       u1 AS MATERIALIZED (SELECT d, (w * 1000000) // (SELECT max(abs(w)) FROM uc1)
+                   AS v FROM uc1),
+       uw2 AS MATERIALIZED (SELECT cells.i AS d, sum(cells.s * u1.v) AS w
+               FROM cells JOIN u1 ON cells.j = u1.d GROUP BY 1),
+       t2 AS (SELECT (SELECT sum(uw2.w * v3.v)
+                      FROM uw2 JOIN v3 USING (d))
+                     // (SELECT sum(v * v) FROM v3) AS t),
+       uc2 AS MATERIALIZED (SELECT uw2.d, uw2.w - (SELECT t FROM t2) * v3.v AS w
+               FROM uw2 JOIN v3 USING (d)),
+       u2 AS MATERIALIZED (SELECT d, (w * 1000000) // (SELECT max(abs(w)) FROM uc2)
+                   AS v FROM uc2),
+       uw3 AS MATERIALIZED (SELECT cells.i AS d, sum(cells.s * u2.v) AS w
+               FROM cells JOIN u2 ON cells.j = u2.d GROUP BY 1),
+       t3 AS (SELECT (SELECT sum(uw3.w * v3.v)
+                      FROM uw3 JOIN v3 USING (d))
+                     // (SELECT sum(v * v) FROM v3) AS t),
+       uc3 AS MATERIALIZED (SELECT uw3.d, uw3.w - (SELECT t FROM t3) * v3.v AS w
+               FROM uw3 JOIN v3 USING (d)),
+       u3 AS MATERIALIZED (SELECT d, (w * 1000000) // (SELECT max(abs(w)) FROM uc3)
+                   AS v FROM uc3)"""
+
   val oracle: Map[String, String] = Map(
     // the full spectral-trainer replay: all three power-iteration
     // vectors hash-compare (the quality_train trajectory discipline
@@ -2058,43 +2120,23 @@ object ScaleQueries {
     // one C·u multiply, the truncating Gram–Schmidt scalar t computed
     // FIRST (keeping magnitudes in the plain iteration's envelope),
     // the projection, then the max-norm
-    "pca_second" -> (pcaChainSql +
-      """,
-       u0 AS (SELECT d, CAST(CASE WHEN d % 2 = 0 THEN 1000000
-                                  ELSE -1000000 END AS HUGEINT) AS v
-              FROM mu),
-       uw1 AS MATERIALIZED (SELECT cells.i AS d, sum(cells.s * u0.v) AS w
-               FROM cells JOIN u0 ON cells.j = u0.d GROUP BY 1),
-       t1 AS (SELECT (SELECT sum(uw1.w * v3.v)
-                      FROM uw1 JOIN v3 USING (d))
-                     // (SELECT sum(v * v) FROM v3) AS t),
-       uc1 AS MATERIALIZED (SELECT uw1.d, uw1.w - (SELECT t FROM t1) * v3.v AS w
-               FROM uw1 JOIN v3 USING (d)),
-       u1 AS MATERIALIZED (SELECT d, (w * 1000000) // (SELECT max(abs(w)) FROM uc1)
-                   AS v FROM uc1),
-       uw2 AS MATERIALIZED (SELECT cells.i AS d, sum(cells.s * u1.v) AS w
-               FROM cells JOIN u1 ON cells.j = u1.d GROUP BY 1),
-       t2 AS (SELECT (SELECT sum(uw2.w * v3.v)
-                      FROM uw2 JOIN v3 USING (d))
-                     // (SELECT sum(v * v) FROM v3) AS t),
-       uc2 AS MATERIALIZED (SELECT uw2.d, uw2.w - (SELECT t FROM t2) * v3.v AS w
-               FROM uw2 JOIN v3 USING (d)),
-       u2 AS MATERIALIZED (SELECT d, (w * 1000000) // (SELECT max(abs(w)) FROM uc2)
-                   AS v FROM uc2),
-       uw3 AS MATERIALIZED (SELECT cells.i AS d, sum(cells.s * u2.v) AS w
-               FROM cells JOIN u2 ON cells.j = u2.d GROUP BY 1),
-       t3 AS (SELECT (SELECT sum(uw3.w * v3.v)
-                      FROM uw3 JOIN v3 USING (d))
-                     // (SELECT sum(v * v) FROM v3) AS t),
-       uc3 AS MATERIALIZED (SELECT uw3.d, uw3.w - (SELECT t FROM t3) * v3.v AS w
-               FROM uw3 JOIN v3 USING (d)),
-       u3 AS MATERIALIZED (SELECT d, (w * 1000000) // (SELECT max(abs(w)) FROM uc3)
-                   AS v FROM uc3)
+    "pca_second" -> (pcaChainSql + pcaDeflationSql +
+      """
        SELECT iter, CAST(d AS INTEGER) AS d, CAST(v AS BIGINT) AS u_e6
        FROM (SELECT 1 AS iter, d, v FROM u1
              UNION ALL SELECT 2, d, v FROM u2
              UNION ALL SELECT 3, d, v FROM u3)
        ORDER BY iter, d"""),
+    // both chains + both per-row dot products: the 2-D basis projection
+    "pca_project2" -> (pcaChainSql + pcaDeflationSql +
+      """,
+       p AS (SELECT c.vec_id, sum(CAST(c.cv AS HUGEINT) * v3.v) AS p1raw
+             FROM c JOIN v3 USING (d) GROUP BY c.vec_id),
+       q AS (SELECT c.vec_id, sum(CAST(c.cv AS HUGEINT) * u3.v) AS p2raw
+             FROM c JOIN u3 USING (d) GROUP BY c.vec_id)
+       SELECT vec_id, CAST(p1raw // 1000000 AS BIGINT) AS p1_e6,
+              CAST(p2raw // 1000000 AS BIGINT) AS p2_e6
+       FROM p JOIN q USING (vec_id) ORDER BY vec_id"""),
     // the running-moments trajectory: batch 0 = the parity-0 slice's
     // trunc-mean/exact-isqrt-sigma, batch 1 = the full corpus (raw
     // moments are additive, so the stream's merge must land exactly
