@@ -33,17 +33,26 @@ object OutreachPipeline {
       dedupLatest: Boolean = true)
 
   /** Build the conformed (pre-sink) frame for a resource. */
-  def conformed(spark: SparkSession, cfg: SyncConfig): DataFrame = {
+  def conformed(spark: SparkSession, cfg: SyncConfig): DataFrame =
+    conformedFrom(
+      spark.read.format("graft.sources.JsonApiSource")
+        .option("resource", cfg.resource)
+        .option("path", cfg.pagesDir)
+        .load(),
+      cfg)
+
+  /** The post-source half of [[conformed]] over an already-built
+    * pages frame — lets a caller point the SAME lifecycle at the
+    * source's HTTP mode (url/token options, e.g. through
+    * [[graft.sources.FixtureApiServer]]'s opaque-cursor chain)
+    * instead of a pages directory.
+    */
+  def conformedFrom(pages: DataFrame, cfg: SyncConfig): DataFrame = {
     val (lo, hi) = Incremental.replicationWindow(
       cfg.replicationType, cfg.startDate, cfg.today)
     val loTs = Instant.from(lo.atStartOfDay(ZoneOffset.UTC))
     val hiTs = Instant.from(hi.plusDays(1).atStartOfDay(ZoneOffset.UTC))
       .minusNanos(1000) // inclusive end-of-day at micro precision
-
-    val pages = spark.read.format("graft.sources.JsonApiSource")
-      .option("resource", cfg.resource)
-      .option("path", cfg.pagesDir)
-      .load()
 
     val windowed = pages.filter(col("attributes_updatedAt").between(
       lit(java.sql.Timestamp.from(loTs)), lit(java.sql.Timestamp.from(hiTs))))

@@ -947,6 +947,10 @@ object ReferenceQueries {
         replicationType = "full",
         startDate = java.time.LocalDate.of(2019, 1, 1),
         today = java.time.LocalDate.of(2020, 1, 1)))
+    prospectsSyncSelect(conformed)
+  }
+
+  private def prospectsSyncSelect(conformed: DataFrame): DataFrame =
     conformed.select(col("id"), col("type"),
         col("firstName").as("firstname"),
         col("lastName").as("lastname"),
@@ -959,6 +963,43 @@ object ReferenceQueries {
         col("relationships_account_data_id").as("account_id"),
         unix_micros(col("updatedAt")).as("updated_us"))
       .orderBy(col("id"))
+
+  /** The OPAQUE-CURSOR pagination path driven end-to-end — the
+    * reference's NATIVE page loop (outreach_etl.py:124-131 follows
+    * `links.next` blindly; it never extrapolates page URLs): the same
+    * three checked-in prospects fixture pages served by an in-process
+    * localhost JSON:API ([[graft.sources.FixtureApiServer]]) whose
+    * `links.next` carries a base64 cursor no number parser can
+    * extrapolate, so the DSv2 source MUST fall back to the sequential
+    * `JsonApiChainPartition` walk — pinned here by the 1-partition
+    * require (the numeric path would plan 3). OAuth token fetch, the
+    * chain walk, window filter, rename, and dedup-latest all run
+    * through the same lifecycle as `jsonapi_sync`, and the oracle
+    * re-reads the same fixture bytes — so the chained read is
+    * value-checked, not unit-only.
+    */
+  def jsonapiSyncChain(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.JsonApiToken.clear()
+    val server = new graft.sources.FixtureApiServer(
+      "prospects", syncFixtureDir)
+    try {
+      val pages = s.read.format("graft.sources.JsonApiSource")
+        .option("resource", "prospects")
+        .options(server.sourceOptions)
+        .load()
+      require(pages.rdd.getNumPartitions == 1,
+        "opaque cursor must plan ONE sequential chain partition, got " +
+          pages.rdd.getNumPartitions)
+      val conformed = graft.ops.OutreachPipeline.conformedFrom(pages,
+        graft.ops.OutreachPipeline.SyncConfig(
+          resource = "prospects", pagesDir = "", outDir = "",
+          replicationType = "full",
+          startDate = java.time.LocalDate.of(2019, 1, 1),
+          today = java.time.LocalDate.of(2020, 1, 1)))
+      // pin: materialize while the server is up (the frame is lazy;
+      // the caller's action would otherwise hit a stopped server)
+      prospectsSyncSelect(conformed).localCheckpoint(true)
+    } finally server.stop()
   }
 
   /** The S5 extension point DRIVEN end-to-end: `accounts` is routable
@@ -1046,6 +1087,7 @@ object ReferenceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "run_report" -> (runReport _),
     "jsonapi_sync" -> (jsonapiSync _),
+    "jsonapi_sync_chain" -> (jsonapiSyncChain _),
     "jsonapi_sync_accounts" -> (jsonapiSyncAccounts _),
     "jsonapi_sync_opportunities" -> (jsonapiSyncOpportunities _),
     "incremental_window" -> (incrementalWindow _),
@@ -1090,15 +1132,12 @@ object ReferenceQueries {
     "set_intersect" -> (setIntersect _),
     "agg_cube" -> (aggCube _))
 
-  val oracle: Map[String, String] = Map(
-    // independent replay of the whole ingest path: DuckDB reads the
-    // SAME checked-in fixture pages as raw JSON (absolute repo path —
-    // the one oracle input that is not a parquet table), flattens by
-    // struct access, applies the replication window, and upserts via
-    // row_number — so the DSv2 source's parse/flatten/type/dedup chain
-    // is value-checked against a second JSON parser
-    "jsonapi_sync" ->
-      """WITH raw AS (
+  /** Shared replay for `jsonapi_sync` and `jsonapi_sync_chain` — the
+    * chained HTTP read serves the SAME checked-in fixture bytes, so
+    * one oracle value-checks both ingest paths.
+    */
+  private val prospectsSyncOracle: String =
+    """WITH raw AS (
            SELECT unnest(data) AS r
            FROM read_json(
              '/root/repo/src/main/resources/jsonapi_sync/prospects/page*.json',
@@ -1127,7 +1166,18 @@ object ReferenceQueries {
          SELECT id, type, firstname, lastname, clickcount, score,
                 optedout, emails_0, emails_1, tags_0, hist_0_0, hist_0_1,
                 account_id, epoch_us(u) AS updated_us
-         FROM d WHERE rn = 1 ORDER BY id""",
+         FROM d WHERE rn = 1 ORDER BY id"""
+
+  val oracle: Map[String, String] = Map(
+    // independent replay of the whole ingest path: DuckDB reads the
+    // SAME checked-in fixture pages as raw JSON (absolute repo path —
+    // the one oracle input that is not a parquet table), flattens by
+    // struct access, applies the replication window, and upserts via
+    // row_number — so the DSv2 source's parse/flatten/type/dedup chain
+    // is value-checked against a second JSON parser
+    "jsonapi_sync" -> prospectsSyncOracle,
+    // identical bytes through the opaque-cursor CHAIN partition
+    "jsonapi_sync_chain" -> prospectsSyncOracle,
     // same independent-replay pattern as jsonapi_sync, over the
     // accounts fixture pages ingested through the RUNTIME-registered
     // schema — proving the extension path end-to-end
