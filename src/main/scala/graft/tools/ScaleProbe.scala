@@ -128,6 +128,30 @@ object ScaleProbe {
       .drop("__k")
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/lineitem.parquet")
+    generateEvents(spark, outDir, factor)
+  }
+
+  /** events at 10x: key-shifted copies like the graph tables —
+    * event_id/user_id offset per copy, ts/value untouched. That is
+    * the scaling shape the recurrence + manifest families meet in
+    * production: 10x USERS with same-length per-user series (the
+    * per-partition linear scan stays per-key-bounded), and the same
+    * ~30 day-partitions with 10x rows each (the manifest's grouped
+    * aggregate stays |days|-wide). Split out of [[generate]] so an
+    * outDir generated by an earlier round backfills events without
+    * regenerating everything.
+    */
+  def generateEvents(spark: SparkSession, outDir: String,
+                     factor: Int): Unit = {
+    val srcSf = "/root/testdata/sf0.1"
+    val copies = spark.range(0, factor).select(col("id").as("__k"))
+    val events = spark.read.parquet(s"$srcSf/events.parquet")
+    events.crossJoin(broadcast(copies))
+      .withColumn("event_id", col("event_id") + col("__k") * 100000000L)
+      .withColumn("user_id", col("user_id") + col("__k") * 10000000L)
+      .drop("__k")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -146,6 +170,11 @@ object ScaleProbe {
     if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
       System.err.println(s"[scale-probe] generating ${factor}x slice in $outDir")
       generate(spark, outDir, factor)
+    } else if (!new java.io.File(s"$outDir/events.parquet").exists()) {
+      // r9 backfill: pre-r9 slices lack the events table the
+      // recurrence/manifest probes read
+      System.err.println(s"[scale-probe] backfilling ${factor}x events")
+      generateEvents(spark, outDir, factor)
     }
     // third field: time COLD (single run) instead of best-of-2 — the
     // trained-family queries memoize their training per (dir, version)
@@ -181,7 +210,15 @@ object ScaleProbe {
       ("hits_rank", graft.queries.AdvancedQueries.queries("hits_rank"), false),
       ("corr_matrix", graft.queries.ScaleQueries.queries("corr_matrix"), true),
       ("embed_standardize",
-        graft.queries.ScaleQueries.queries("embed_standardize"), true))
+        graft.queries.ScaleQueries.queries("embed_standardize"), true),
+      // r9: the recurrence family (per-key per-partition linear scan —
+      // cost/row should be flat, so the exponent tracks row volume /
+      // parallelism) and the manifest (ONE day-grouped aggregate over
+      // a |days|-wide exchange — should be near-flat at 10x)
+      ("ema_smooth", graft.queries.AdvancedQueries.queries("ema_smooth"),
+        false),
+      ("partition_manifest",
+        graft.queries.AdvancedQueries.queries("partition_manifest"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped
@@ -211,10 +248,14 @@ object ScaleProbe {
     // warm-up exists to remove, so the failure count rides in every
     // emitted JSON line (warm_failed>0 = exponents suspect), not just
     // on stderr
+    // optional comma-separated subset for targeted probe runs (full
+    // run when unset — the SCALE.md table refresh mode)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSet)
+    val picked = targets.filter { case (n, _, _) => only.forall(_.contains(n)) }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.01")
     var warmFailed = 0
-    for ((name, fn, _) <- targets)
+    for ((name, fn, _) <- picked)
       try fn(spark, warmDir).count()
       catch { case e: Throwable =>
         warmFailed += 1
@@ -222,7 +263,7 @@ object ScaleProbe {
           s"(cold-JVM skew NOT removed): ${e.getMessage}")
       }
     val dirs = Seq("sf0.1" -> "/root/testdata/sf0.1", s"sf${factor}x" -> outDir)
-    val rows = for ((name, fn, cold) <- targets) yield {
+    val rows = for ((name, fn, cold) <- picked) yield {
       val ts = dirs.map { case (label, d) =>
         label -> (if (cold) timeOnce(fn(spark, d).count())
                   else bestOf2(fn(spark, d).count()))
