@@ -236,6 +236,44 @@ object AdvancedQueries {
       .orderBy(col("user_id"))
   }
 
+  /** SEASONALITY detection — the model-selection step BEFORE the
+    * recurrence family (deploy a seasonal model only where
+    * seasonality exists): per event_type, the daily count series'
+    * lag-7 seasonal-naive absolute error against the lag-1 naive
+    * error, both exact integer sums over the SAME day set (a row
+    * counts only when BOTH predecessors exist — different day sets
+    * would silently compare different denominators). Predecessors
+    * come from explicit day-arithmetic EQUI-joins, not row-offset
+    * `lag` — a missing day would misalign a row-lag by one (the
+    * events corpus happens to be day-dense, but the operator must
+    * not bet on it). ratio_e6 = ⌊sae7·10⁶ / sae1⌋ < 10⁶ ⇔ the
+    * weekly-seasonal forecaster beats naive ⇔ `seasonal` = 1.
+    * Scale: ONE corpus scan (the daily aggregate); everything after
+    * runs on the |types × days| table — hundreds of rows at any
+    * corpus size, broadcast-joinable by construction.
+    */
+  def seasonalityStrength(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type").as("et"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    def lagged(k: Int, as: String) = daily.select(col("et"),
+      date_add(col("day"), k).as("day"), col("n").as(as))
+    val joined = daily
+      .join(lagged(1, "n1"), Seq("et", "day"))
+      .join(lagged(7, "n7"), Seq("et", "day"))
+    joined
+      .groupBy(col("et").as("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("n") - col("n1"))).as("sae1"),
+        sum(abs(col("n") - col("n7"))).as("sae7"))
+      .selectExpr("event_type", "n_days", "sae1", "sae7",
+        "CASE WHEN sae1 = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE (sae7 * 1000000) DIV sae1 END AS ratio_e6",
+        "CAST(CASE WHEN sae7 < sae1 THEN 1 ELSE 0 END AS INT) " +
+          "AS seasonal")
+      .orderBy(col("event_type"))
+  }
+
   def movingSum7d(s: SparkSession, dir: String): DataFrame = {
     val sevenDaysUs = 7L * 86400L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
@@ -2295,6 +2333,7 @@ object AdvancedQueries {
     "holt_linear" -> (holtLinearQ _),
     "ema_anomaly" -> (emaAnomaly _),
     "forecast_backtest" -> (forecastBacktest _),
+    "seasonality_strength" -> (seasonalityStrength _),
     "moving_sum_7d" -> (movingSum7d _),
     "interval_union" -> (intervalUnion _),
     "percentile_bound" -> (percentileBound _),
@@ -3366,6 +3405,28 @@ object AdvancedQueries {
     "holt_linear" -> holtOracleSql,
     // both recursive chains + the lag self-join + integer MAEs; the
     // holt_wins verdict compares raw error SUMS (same denominator)
+    // daily counts joined to their own day-7/day-1 predecessors by
+    // DATE arithmetic; both error sums over the both-present day set
+    "seasonality_strength" ->
+      """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+                               count(*) AS n
+                        FROM events GROUP BY 1, 2),
+         j AS (SELECT d.et, d.day, d.n, p1.n AS n1, p7.n AS n7
+               FROM daily d
+               JOIN daily p1 ON p1.et = d.et AND p1.day = d.day - 1
+               JOIN daily p7 ON p7.et = d.et AND p7.day = d.day - 7),
+         g AS (SELECT et AS event_type, count(*) AS n_days,
+                      sum(abs(n - n1)) AS sae1,
+                      sum(abs(n - n7)) AS sae7
+               FROM j GROUP BY 1)
+         SELECT event_type, n_days, CAST(sae1 AS BIGINT) AS sae1,
+                CAST(sae7 AS BIGINT) AS sae7,
+                CAST(CASE WHEN sae1 = 0 THEN 1000000
+                          ELSE (sae7 * 1000000) // sae1 END AS BIGINT)
+                  AS ratio_e6,
+                CAST(CASE WHEN sae7 < sae1 THEN 1 ELSE 0 END AS INTEGER)
+                  AS seasonal
+         FROM g ORDER BY event_type""",
     "forecast_backtest" ->
       """WITH RECURSIVE s AS (
            SELECT user_id, event_id, epoch_us(ts) AS us,
