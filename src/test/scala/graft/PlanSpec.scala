@@ -536,4 +536,49 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"))
     }
   }
+
+  test("pca_project2: the 2-D basis projection keeps pca_project's " +
+      "one-scan map-only shape — the second axis is free") {
+    val plan = formatted("pca_project2")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"projection grew a shuffle beyond the oracle sort:\n" +
+        plan.take(2000))
+    assert(!plan.contains("Join"), "projection must not join:\n" +
+      plan.take(2000))
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 embeddings scan, found $scans")
+  }
+
+  test("seasonality_strength: predecessor lookups are equi-joins on " +
+      "the |types x days| aggregate — one corpus scan feeds all " +
+      "three arms, never a quadratic join") {
+    val plan = formatted("seasonality_strength")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "predecessor lookup planned quadratic:\n" + plan.take(2000))
+    // the daily aggregate feeds the base and both lag arms; Spark
+    // re-scans per arm (no reuse of an un-pinned aggregate), but each
+    // scan must prune to the 2 referenced columns — the corpus cost
+    // is 3 pruned scans, the joins run on |types x days| rows
+    val readSchemas = plan.linesIterator
+      .filter(_.trim.startsWith("ReadSchema:")).toSeq
+    assert(readSchemas.nonEmpty &&
+      readSchemas.forall(rs => rs.contains("event_type") &&
+        rs.contains("ts") && !rs.contains("user_id") &&
+        !rs.contains("props")),
+      s"events scan not pruned to (event_type, ts): $readSchemas")
+  }
+
+  test("partition_manifest: one scan, one day-grouped partial+final " +
+      "aggregate; the digest wrap is post-aggregation arithmetic") {
+    val plan = formatted("partition_manifest")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 events scan, found $scans")
+    val hashAggs = "\\(\\d+\\) HashAggregate".r.findAllIn(plan).size
+    assert(hashAggs == 2,
+      s"expected partial+final aggregate pair, found $hashAggs:\n" +
+        plan.take(2000))
+    assert(!plan.contains("Join"))
+  }
 }
