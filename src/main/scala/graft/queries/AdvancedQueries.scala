@@ -252,16 +252,23 @@ object AdvancedQueries {
     * runs on the |types × days| table — hundreds of rows at any
     * corpus size, broadcast-joinable by construction.
     */
-  def seasonalityStrength(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .groupBy(col("event_type").as("et"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+  def seasonalityStrength(s: SparkSession, dir: String): DataFrame =
+    seasonalityFrom(
+      t(s, dir, "events")
+        .groupBy(col("event_type").as("et"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
+
+  /** The post-daily arithmetic shared by `seasonality_strength` and
+    * its streamed deployment `stream_seasonal` (which maintains the
+    * SAME (et, day, n) cells incrementally): lag joins + per-type
+    * error sums over whatever daily table the caller maintained.
+    */
+  private def seasonalityFrom(daily: DataFrame): DataFrame = {
     def lagged(k: Int, as: String) = daily.select(col("et"),
       date_add(col("day"), k).as("day"), col("n").as(as))
-    val joined = daily
+    daily
       .join(lagged(1, "n1"), Seq("et", "day"))
       .join(lagged(7, "n7"), Seq("et", "day"))
-    joined
       .groupBy(col("et").as("event_type"))
       .agg(count(lit(1)).as("n_days"),
         sum(abs(col("n") - col("n1"))).as("sae1"),
@@ -272,6 +279,53 @@ object AdvancedQueries {
         "CAST(CASE WHEN sae7 < sae1 THEN 1 ELSE 0 END AS INT) " +
           "AS seasonal")
       .orderBy(col("event_type"))
+  }
+
+  /** The FOURTEENTH driver-visible stream shape — seasonality
+    * detection maintained FROM the stream: events replayed as ≥2 real
+    * micro-batches, each batch reduced to its (event_type, day, n)
+    * count cells and PERSISTED to the batch-id-keyed parquet store
+    * (the [[graft.ops.Manifest.writeBatchCells]] idempotence/
+    * durability discipline the 13th shape established — counts are
+    * additive, so the merged daily table equals the batch recompute
+    * regardless of how arrivals split). The final lag-join arithmetic
+    * runs over the merged |types × days| cells and SHARES
+    * `seasonality_strength`'s oracle verbatim — the cross-batch
+    * daily merge is hash-verified through the seasonal verdicts
+    * themselves. This is how a metrics pipeline keeps its
+    * model-selection signal current without re-scanning history.
+    */
+  def streamSeasonal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.raw(s, dir, "events").schema
+    val stage = stageEventsTimeSplit(s, dir, n = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_seasonal").toString
+    val stream = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val persistBatch: (DataFrame, Long) => Unit = (batch, id) => {
+      val cells = batch
+        .groupBy(col("event_type").as("et"),
+          to_date(Tables.eventTimeOf(schema, "ts")).as("day"))
+        .agg(count(lit(1)).as("n")).persist()
+      try {
+        if (cells.count() > 0) batches.incrementAndGet()
+        graft.ops.Manifest.writeBatchCells(cells, store, id)
+      } finally cells.unpersist()
+    }
+    val q = stream.writeStream.foreachBatch(persistBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    require(batches.get() >= 2,
+      s"stream_seasonal expected >=2 non-empty micro-batches, got " +
+        batches.get())
+    val daily = s.read.parquet(store)
+      .groupBy(col("et"), col("day")).agg(sum(col("n")).as("n"))
+    seasonalityFrom(daily)
   }
 
   def movingSum7d(s: SparkSession, dir: String): DataFrame = {
@@ -2334,6 +2388,7 @@ object AdvancedQueries {
     "ema_anomaly" -> (emaAnomaly _),
     "forecast_backtest" -> (forecastBacktest _),
     "seasonality_strength" -> (seasonalityStrength _),
+    "stream_seasonal" -> (streamSeasonal _),
     "moving_sum_7d" -> (movingSum7d _),
     "interval_union" -> (intervalUnion _),
     "percentile_bound" -> (percentileBound _),
@@ -2519,6 +2574,32 @@ object AdvancedQueries {
                             ELSE 0::HUGEINT END AS BIGINT) AS digest
        FROM grp ORDER BY day"""
     }
+
+  /** Shared replay for `seasonality_strength` and its streamed
+    * deployment `stream_seasonal`: daily counts joined to their own
+    * day-7/day-1 predecessors by DATE arithmetic; both error sums
+    * over the both-present day set.
+    */
+  private val seasonalityOracleSql: String =
+    """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+                               count(*) AS n
+                        FROM events GROUP BY 1, 2),
+         j AS (SELECT d.et, d.day, d.n, p1.n AS n1, p7.n AS n7
+               FROM daily d
+               JOIN daily p1 ON p1.et = d.et AND p1.day = d.day - 1
+               JOIN daily p7 ON p7.et = d.et AND p7.day = d.day - 7),
+         g AS (SELECT et AS event_type, count(*) AS n_days,
+                      sum(abs(n - n1)) AS sae1,
+                      sum(abs(n - n7)) AS sae7
+               FROM j GROUP BY 1)
+         SELECT event_type, n_days, CAST(sae1 AS BIGINT) AS sae1,
+                CAST(sae7 AS BIGINT) AS sae7,
+                CAST(CASE WHEN sae1 = 0 THEN 1000000
+                          ELSE (sae7 * 1000000) // sae1 END AS BIGINT)
+                  AS ratio_e6,
+                CAST(CASE WHEN sae7 < sae1 THEN 1 ELSE 0 END AS INTEGER)
+                  AS seasonal
+         FROM g ORDER BY event_type"""
 
   val oracle: Map[String, String] = Map(
     // two HITS iterations unrolled: per round an edge⋈score join +
@@ -3407,26 +3488,9 @@ object AdvancedQueries {
     // holt_wins verdict compares raw error SUMS (same denominator)
     // daily counts joined to their own day-7/day-1 predecessors by
     // DATE arithmetic; both error sums over the both-present day set
-    "seasonality_strength" ->
-      """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
-                               count(*) AS n
-                        FROM events GROUP BY 1, 2),
-         j AS (SELECT d.et, d.day, d.n, p1.n AS n1, p7.n AS n7
-               FROM daily d
-               JOIN daily p1 ON p1.et = d.et AND p1.day = d.day - 1
-               JOIN daily p7 ON p7.et = d.et AND p7.day = d.day - 7),
-         g AS (SELECT et AS event_type, count(*) AS n_days,
-                      sum(abs(n - n1)) AS sae1,
-                      sum(abs(n - n7)) AS sae7
-               FROM j GROUP BY 1)
-         SELECT event_type, n_days, CAST(sae1 AS BIGINT) AS sae1,
-                CAST(sae7 AS BIGINT) AS sae7,
-                CAST(CASE WHEN sae1 = 0 THEN 1000000
-                          ELSE (sae7 * 1000000) // sae1 END AS BIGINT)
-                  AS ratio_e6,
-                CAST(CASE WHEN sae7 < sae1 THEN 1 ELSE 0 END AS INTEGER)
-                  AS seasonal
-         FROM g ORDER BY event_type""",
+    "seasonality_strength" -> seasonalityOracleSql,
+    // the streamed deployment must land on the identical verdicts
+    "stream_seasonal" -> seasonalityOracleSql,
     "forecast_backtest" ->
       """WITH RECURSIVE s AS (
            SELECT user_id, event_id, epoch_us(ts) AS us,
