@@ -1287,6 +1287,66 @@ object AdvancedQueries {
     graft.ops.Manifest.current(s, store).orderBy(col("day"))
   }
 
+  /** Manifest DIFF — the reconciliation DECISION the manifest exists
+    * for: compare the events manifest against a deterministically
+    * PERTURBED replica (the warehouse copy after a bad sync) and
+    * classify every day: `missing` (day d₀+3 absent from the
+    * replica), `count_drift` (day d₀+10 lost its min-id row — counts
+    * and bounds catch it), `content_drift` (day d₀+17 had one
+    * INTERIOR id substituted, id → id+1 — count, min and max are all
+    * UNCHANGED, so the order-invariant digest is the ONLY cell that
+    * catches it; this row is why the digest earns its place), and
+    * `match` everywhere else. Composition: feed the non-match days to
+    * `interval_union` to get the minimal re-pull windows. Plan: both
+    * sides reduce to |days| manifest cells before the single
+    * full-outer join — the corpus is scanned once per side, the join
+    * carries ~30 rows; perturbation anchors (first day, drop id,
+    * substitute id) ride as broadcast 1-row aggregates. The oracle
+    * replays BOTH sides' digest chains and the same perturbation
+    * arithmetic.
+    */
+  def manifestDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Manifest
+    val ev = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_id"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    val evD = ev.crossJoin(broadcast(d0))
+    val dropId = evD.filter(col("day") === date_add(col("d0"), 10))
+      .agg(min(col("event_id")).as("drop_x"))
+    val minSub = evD.filter(col("day") === date_add(col("d0"), 17))
+      .agg(min(col("event_id")).as("m0"))
+    val subId = evD.crossJoin(broadcast(minSub))
+      .filter(col("day") === date_add(col("d0"), 17) &&
+        col("event_id") > col("m0"))
+      .agg(min(col("event_id")).as("sub_x"))
+    val replica = evD.crossJoin(broadcast(dropId))
+      .crossJoin(broadcast(subId))
+      .filter(col("day") =!= date_add(col("d0"), 3))
+      .filter(!(col("day") === date_add(col("d0"), 10) &&
+        col("event_id") === col("drop_x")))
+      .select(col("day"),
+        when(col("day") === date_add(col("d0"), 17) &&
+            col("event_id") === col("sub_x"),
+          col("event_id") + 1).otherwise(col("event_id")).as("event_id"))
+    def cells(src: DataFrame, p: String): DataFrame =
+      Manifest.dayCells(src, col("day"), col("event_id"), salt = 424242L)
+        .select(col("day"), col("n").as(s"n_$p"), col("mn").as(s"mn_$p"),
+          col("mx").as(s"mx_$p"),
+          Manifest.wrapSigned64(col("dg")).as(s"dg_$p"))
+    cells(ev, "a").join(cells(replica, "b"), Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("n_b").isNull, "missing")
+          .when(col("n_a").isNull, "extra")
+          .when(col("n_a") =!= col("n_b") ||
+            col("mn_a") =!= col("mn_b") ||
+            col("mx_a") =!= col("mx_b"), "count_drift")
+          .when(col("dg_a") =!= col("dg_b"), "content_drift")
+          .otherwise("match").as("status"))
+      .orderBy(col("day"))
+  }
+
   /** MERGE / CDC-apply (see [[graft.ops.Merge.upsert]]): a
     * deterministic change batch — sparse balance updates for
     * custkey % 10 = 3 (only the changed column rides, NULLs inherit),
@@ -2350,6 +2410,7 @@ object AdvancedQueries {
     "sync_checksum" -> (syncChecksum _),
     "partition_manifest" -> (partitionManifest _),
     "stream_manifest" -> (streamManifest _),
+    "manifest_diff" -> (manifestDiff _),
     "spatial_join" -> (spatialJoin _),
     "spatial_knn" -> (spatialKnn _),
     "spatial_clusters" -> (spatialClusters _),
@@ -2534,46 +2595,94 @@ object AdvancedQueries {
     * house rule: emitted cells stay within int64; the exact sum
     * ranges over ±2×10²⁰ and is un-hashable by the driver gate).
     */
-  private val manifestOracleSql: String = {
+  /** The per-day manifest CTE chain over a named (day, event_id)
+    * relation `src`, all CTEs prefixed `p` — produces `${p}grp` with
+    * (day, n_rows, min_id, max_id, digest) where digest is the
+    * wrapped signed-int64 sum (the engine's
+    * [[graft.ops.Manifest.wrapSigned64]] twin). Parameterized so
+    * `manifest_diff` can run the SAME chain over both sides of a
+    * reconciliation.
+    */
+  private def manifestChainSql(src: String, p: String): String = {
       val salt = java.lang.Long.toUnsignedString(
         graft.functions.Kernels.mix64(424242L))
-      s"""WITH sc AS (SELECT CAST(ts AS DATE) AS day, event_id,
+      s"""${p}sc AS (SELECT day, event_id,
                   xor(CAST(event_id AS UBIGINT), $salt::UBIGINT) AS u
-                FROM events),
-       m1 AS (SELECT day, event_id,
+                FROM $src),
+       ${p}m1 AS (SELECT day, event_id,
                 CAST((CAST(u AS HUGEINT) + 11400714819323198485)
-                     % 18446744073709551616 AS UBIGINT) AS z1 FROM sc),
-       m2 AS (SELECT day, event_id,
+                     % 18446744073709551616 AS UBIGINT) AS z1 FROM ${p}sc),
+       ${p}m2 AS (SELECT day, event_id,
                 CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT)
                        * 13787848793156543929)
                       + (((CAST(xor(z1, z1 >> 30) // 4294967296 AS HUGEINT)
                            * 484763065) % 4294967296) * 4294967296))
-                     % 18446744073709551616 AS UBIGINT) AS z2 FROM m1),
-       m3 AS (SELECT day, event_id,
+                     % 18446744073709551616 AS UBIGINT) AS z2 FROM ${p}m1),
+       ${p}m3 AS (SELECT day, event_id,
                 CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT)
                        * 10723151780598845931)
                       + (((CAST(xor(z2, z2 >> 27) // 4294967296 AS HUGEINT)
                            * 321982955) % 4294967296) * 4294967296))
-                     % 18446744073709551616 AS UBIGINT) AS z3 FROM m2),
-       h AS (SELECT day, event_id, xor(z3, z3 >> 31) AS hv FROM m3),
-       sg AS (SELECT day, event_id,
+                     % 18446744073709551616 AS UBIGINT) AS z3 FROM ${p}m2),
+       ${p}h AS (SELECT day, event_id, xor(z3, z3 >> 31) AS hv FROM ${p}m3),
+       ${p}sg AS (SELECT day, event_id,
                 CAST(hv AS HUGEINT)
                   - CASE WHEN hv >= 9223372036854775808::UBIGINT
                          THEN 18446744073709551616::HUGEINT
                          ELSE 0::HUGEINT END AS sh
-              FROM h),
-       grp AS (SELECT day, count(*) AS n_rows, min(event_id) AS min_id,
+              FROM ${p}h),
+       ${p}grp AS (SELECT day, count(*) AS n_rows, min(event_id) AS min_id,
                  max(event_id) AS max_id,
-                 ((sum(sh) % 18446744073709551616::HUGEINT)
-                   + 18446744073709551616::HUGEINT)
-                  % 18446744073709551616::HUGEINT AS m
-               FROM sg GROUP BY day)
-       SELECT day, n_rows, min_id, max_id,
-              CAST(m - CASE WHEN m >= 9223372036854775808::HUGEINT
-                            THEN 18446744073709551616::HUGEINT
-                            ELSE 0::HUGEINT END AS BIGINT) AS digest
-       FROM grp ORDER BY day"""
+                 CAST(((sum(sh) % 18446744073709551616::HUGEINT)
+                        + 18446744073709551616::HUGEINT)
+                       % 18446744073709551616::HUGEINT
+                      - CASE WHEN ((sum(sh) % 18446744073709551616::HUGEINT)
+                                    + 18446744073709551616::HUGEINT)
+                                   % 18446744073709551616::HUGEINT
+                                   >= 9223372036854775808::HUGEINT
+                             THEN 18446744073709551616::HUGEINT
+                             ELSE 0::HUGEINT END AS BIGINT) AS digest
+               FROM ${p}sg GROUP BY day)"""
     }
+
+  private val manifestOracleSql: String =
+    s"""WITH esrc AS (SELECT CAST(ts AS DATE) AS day, event_id
+                      FROM events),
+       ${manifestChainSql("esrc", "")}
+       SELECT day, n_rows, min_id, max_id, digest
+       FROM grp ORDER BY day"""
+
+  private val manifestDiffOracleSql: String =
+    s"""WITH d0v AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+       asrc AS (SELECT CAST(ts AS DATE) AS day, event_id FROM events),
+       dropid AS (SELECT min(event_id) AS x FROM asrc, d0v
+                  WHERE day = d0 + 10),
+       minsub AS (SELECT min(event_id) AS m0 FROM asrc, d0v
+                  WHERE day = d0 + 17),
+       subid AS (SELECT min(event_id) AS x FROM asrc, d0v, minsub
+                 WHERE day = d0 + 17 AND event_id > m0),
+       bsrc AS (SELECT day,
+                  CASE WHEN day = (SELECT d0 FROM d0v) + 17
+                        AND event_id = (SELECT x FROM subid)
+                       THEN event_id + 1 ELSE event_id END AS event_id
+                FROM asrc
+                WHERE day <> (SELECT d0 FROM d0v) + 3
+                  AND NOT (day = (SELECT d0 FROM d0v) + 10
+                           AND event_id = (SELECT x FROM dropid))),
+       ${manifestChainSql("asrc", "a_")},
+       ${manifestChainSql("bsrc", "b_")}
+       SELECT coalesce(a_grp.day, b_grp.day) AS day,
+              coalesce(a_grp.n_rows, 0) AS n_a,
+              coalesce(b_grp.n_rows, 0) AS n_b,
+              CASE WHEN b_grp.day IS NULL THEN 'missing'
+                   WHEN a_grp.day IS NULL THEN 'extra'
+                   WHEN a_grp.n_rows <> b_grp.n_rows
+                     OR a_grp.min_id <> b_grp.min_id
+                     OR a_grp.max_id <> b_grp.max_id THEN 'count_drift'
+                   WHEN a_grp.digest <> b_grp.digest THEN 'content_drift'
+                   ELSE 'match' END AS status
+       FROM a_grp FULL OUTER JOIN b_grp ON a_grp.day = b_grp.day
+       ORDER BY day"""
 
   /** Shared replay for `seasonality_strength` and its streamed
     * deployment `stream_seasonal`: daily counts joined to their own
@@ -3121,6 +3230,8 @@ object AdvancedQueries {
     // the streamed manifest's final state must equal the batch
     // recompute — shared oracle, the stream_ema discipline
     "stream_manifest" -> manifestOracleSql,
+    // both sides' digest chains + the same perturbation arithmetic
+    "manifest_diff" -> manifestDiffOracleSql,
     "merge_upsert" ->
       """WITH changes AS (
            SELECT c_custkey AS k, CAST(NULL AS VARCHAR) AS c_name,
