@@ -1347,6 +1347,29 @@ object AdvancedQueries {
       .orderBy(col("day"))
   }
 
+  /** The RE-PULL plan derived from `manifest_diff`: non-match days
+    * merged into minimal contiguous windows (gaps-and-islands:
+    * day − row_number is constant exactly on consecutive runs), each
+    * with its day span — the input a sync scheduler hands to the
+    * date-range partitioned source (S4) to repair only what drifted.
+    * The global window runs over the non-match DAY LIST — bounded by
+    * |days|, never the corpus (the same |days|-wide economics as the
+    * manifest itself), so the single-partition sort is a design
+    * constant, not a scale hazard.
+    */
+  def backfillWindows(s: SparkSession, dir: String): DataFrame = {
+    val bad = manifestDiff(s, dir)
+      .filter(col("status") =!= "match").select(col("day"))
+    val w = Window.orderBy(col("day"))
+    bad.withColumn("rn", row_number().over(w))
+      .withColumn("grp", date_sub(col("day"), col("rn")))
+      .groupBy(col("grp"))
+      .agg(min(col("day")).as("from_day"), max(col("day")).as("to_day"),
+        count(lit(1)).as("n_days"))
+      .select(col("from_day"), col("to_day"), col("n_days"))
+      .orderBy(col("from_day"))
+  }
+
   /** MERGE / CDC-apply (see [[graft.ops.Merge.upsert]]): a
     * deterministic change batch — sparse balance updates for
     * custkey % 10 = 3 (only the changed column rides, NULLs inherit),
@@ -2411,6 +2434,7 @@ object AdvancedQueries {
     "partition_manifest" -> (partitionManifest _),
     "stream_manifest" -> (streamManifest _),
     "manifest_diff" -> (manifestDiff _),
+    "backfill_windows" -> (backfillWindows _),
     "spatial_join" -> (spatialJoin _),
     "spatial_knn" -> (spatialKnn _),
     "spatial_clusters" -> (spatialClusters _),
@@ -2652,7 +2676,10 @@ object AdvancedQueries {
        SELECT day, n_rows, min_id, max_id, digest
        FROM grp ORDER BY day"""
 
-  private val manifestDiffOracleSql: String =
+  /** The diff WITH-body (through the `diff` CTE) shared by
+    * `manifest_diff` and `backfill_windows`.
+    */
+  private val manifestDiffCoreSql: String =
     s"""WITH d0v AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
        asrc AS (SELECT CAST(ts AS DATE) AS day, event_id FROM events),
        dropid AS (SELECT min(event_id) AS x FROM asrc, d0v
@@ -2670,8 +2697,8 @@ object AdvancedQueries {
                   AND NOT (day = (SELECT d0 FROM d0v) + 10
                            AND event_id = (SELECT x FROM dropid))),
        ${manifestChainSql("asrc", "a_")},
-       ${manifestChainSql("bsrc", "b_")}
-       SELECT coalesce(a_grp.day, b_grp.day) AS day,
+       ${manifestChainSql("bsrc", "b_")},
+       diff AS (SELECT coalesce(a_grp.day, b_grp.day) AS day,
               coalesce(a_grp.n_rows, 0) AS n_a,
               coalesce(b_grp.n_rows, 0) AS n_b,
               CASE WHEN b_grp.day IS NULL THEN 'missing'
@@ -2681,8 +2708,20 @@ object AdvancedQueries {
                      OR a_grp.max_id <> b_grp.max_id THEN 'count_drift'
                    WHEN a_grp.digest <> b_grp.digest THEN 'content_drift'
                    ELSE 'match' END AS status
-       FROM a_grp FULL OUTER JOIN b_grp ON a_grp.day = b_grp.day
-       ORDER BY day"""
+       FROM a_grp FULL OUTER JOIN b_grp ON a_grp.day = b_grp.day)"""
+
+  private val manifestDiffOracleSql: String =
+    manifestDiffCoreSql +
+      " SELECT day, n_a, n_b, status FROM diff ORDER BY day"
+
+  private val backfillWindowsOracleSql: String =
+    manifestDiffCoreSql + """,
+       bad AS (SELECT day FROM diff WHERE status <> 'match'),
+       r AS (SELECT day, row_number() OVER (ORDER BY day) AS rn FROM bad),
+       g AS (SELECT day, day - CAST(rn AS INTEGER) AS grp FROM r)
+       SELECT min(day) AS from_day, max(day) AS to_day,
+              count(*) AS n_days
+       FROM g GROUP BY grp ORDER BY from_day"""
 
   /** Shared replay for `seasonality_strength` and its streamed
     * deployment `stream_seasonal`: daily counts joined to their own
@@ -3232,6 +3271,8 @@ object AdvancedQueries {
     "stream_manifest" -> manifestOracleSql,
     // both sides' digest chains + the same perturbation arithmetic
     "manifest_diff" -> manifestDiffOracleSql,
+    // the re-pull plan: non-match days merged into contiguous windows
+    "backfill_windows" -> backfillWindowsOracleSql,
     "merge_upsert" ->
       """WITH changes AS (
            SELECT c_custkey AS k, CAST(NULL AS VARCHAR) AS c_name,
