@@ -978,10 +978,29 @@ object ReferenceQueries {
     * re-reads the same fixture bytes — so the chained read is
     * value-checked, not unit-only.
     */
-  def jsonapiSyncChain(s: SparkSession, dir: String): DataFrame = {
+  def jsonapiSyncChain(s: SparkSession, dir: String): DataFrame =
+    syncThroughServer(s, flaky = false)
+
+  /** The RETRY path driven end-to-end — the reference's transient-
+    * failure weather (outreach_etl.py:152-155's bare retry loop,
+    * minus its double-append bug): the SAME opaque-cursor chain sync,
+    * but every page URL 500s exactly once before serving, so the
+    * bounded retry+backoff in [[graft.sources.JsonApiHttp.get]] must
+    * absorb one failure per page to produce the identical result —
+    * which the shared prospects oracle then value-checks. The
+    * `flakyFailures` require pins that the retry path actually
+    * ENGAGED (≥3 distinct URLs took their 500): a healthy server
+    * would make this row meaningless. Turns the §2.12 retry infra
+    * from unit-only into a driver-checked component.
+    */
+  def jsonapiSyncRetry(s: SparkSession, dir: String): DataFrame =
+    syncThroughServer(s, flaky = true)
+
+  private def syncThroughServer(s: SparkSession,
+                                flaky: Boolean): DataFrame = {
     graft.sources.JsonApiToken.clear()
     val server = new graft.sources.FixtureApiServer(
-      "prospects", syncFixtureDir)
+      "prospects", syncFixtureDir, flaky = flaky)
     try {
       val pages = s.read.format("graft.sources.JsonApiSource")
         .option("resource", "prospects")
@@ -998,7 +1017,11 @@ object ReferenceQueries {
           today = java.time.LocalDate.of(2020, 1, 1)))
       // pin: materialize while the server is up (the frame is lazy;
       // the caller's action would otherwise hit a stopped server)
-      prospectsSyncSelect(conformed).localCheckpoint(true)
+      val out = prospectsSyncSelect(conformed).localCheckpoint(true)
+      if (flaky) require(server.flakyFailures >= 3,
+        s"retry path did not engage: only ${server.flakyFailures} " +
+          "URLs took their transient 500 (expected one per page)")
+      out
     } finally server.stop()
   }
 
@@ -1088,6 +1111,7 @@ object ReferenceQueries {
     "run_report" -> (runReport _),
     "jsonapi_sync" -> (jsonapiSync _),
     "jsonapi_sync_chain" -> (jsonapiSyncChain _),
+    "jsonapi_sync_retry" -> (jsonapiSyncRetry _),
     "jsonapi_sync_accounts" -> (jsonapiSyncAccounts _),
     "jsonapi_sync_opportunities" -> (jsonapiSyncOpportunities _),
     "incremental_window" -> (incrementalWindow _),
@@ -1178,6 +1202,8 @@ object ReferenceQueries {
     "jsonapi_sync" -> prospectsSyncOracle,
     // identical bytes through the opaque-cursor CHAIN partition
     "jsonapi_sync_chain" -> prospectsSyncOracle,
+    // identical bytes through per-page transient 500s + bounded retry
+    "jsonapi_sync_retry" -> prospectsSyncOracle,
     // same independent-replay pattern as jsonapi_sync, over the
     // accounts fixture pages ingested through the RUNTIME-registered
     // schema — proving the extension path end-to-end

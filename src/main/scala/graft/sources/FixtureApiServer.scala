@@ -21,8 +21,16 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * and meta ride through byte-identical fields, so a sync through
   * this server must equal the pagesDir scan of the same fixtures.
   */
-class FixtureApiServer(resource: String, pagesDir: String) {
+class FixtureApiServer(resource: String, pagesDir: String,
+                       flaky: Boolean = false) {
   private val mapper = new ObjectMapper()
+  // flaky mode: every distinct URL 500s exactly ONCE before serving —
+  // the transient-failure weather a real API shows; a reader without
+  // bounded retry loses pages, one with it must produce the identical
+  // sync result (reference behavior: the bare retry loop at
+  // outreach_etl.py:152-155, minus its double-append bug)
+  private val failedOnce =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val pageFiles = {
     val fs = new java.io.File(pagesDir).listFiles()
     require(fs != null && fs.nonEmpty, s"no fixture pages in $pagesDir")
@@ -66,6 +74,8 @@ class FixtureApiServer(resource: String, pagesDir: String) {
   })
   server.createContext(s"/api/$resource", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
+      if (flaky && failedOnce.add(ex.getRequestURI.toString))
+        { send(ex, 500, """{"error":"transient"}"""); return }
       if (Option(ex.getRequestHeaders.getFirst("Authorization"))
           .forall(!_.startsWith("Bearer ")))
         { send(ex, 401, """{"error":"unauthorized"}"""); return }
@@ -81,6 +91,12 @@ class FixtureApiServer(resource: String, pagesDir: String) {
   server.start()
 
   def stop(): Unit = server.stop(0)
+
+  /** Distinct URLs that have taken their one flaky 500 — lets a
+    * driven query REQUIRE the retry path actually engaged rather
+    * than silently passing against a healthy server.
+    */
+  def flakyFailures: Int = failedOnce.size
 
   /** The DSv2 option set a sync needs to read through this server
     * (mock OAuth credentials — fixture-only, validated loosely).
