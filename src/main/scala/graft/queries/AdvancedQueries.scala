@@ -1370,6 +1370,52 @@ object AdvancedQueries {
       .orderBy(col("from_day"))
   }
 
+  /** Small-file COMPACTION driven end-to-end ([[graft.ops.Sink
+    * .compact]] — the K1 maintenance op every incremental sink needs
+    * at scale: a year of 15-minute ticks is ~35k files/partition and
+    * listing+open cost dominates reads long before data size does):
+    * the events table is staged as 64 deliberately-tiny files, the
+    * crash-recoverable swap compacts them, and the row emits what the
+    * oracle can INDEPENDENTLY derive — the row count plus
+    * content-preservation and file-reduction flags whose expected
+    * values are invariants (1), with the checksum comparison
+    * ([[graft.ops.Sink.tableChecksum]], order-invariant) and the
+    * file-count assertion computed engine-side. A compaction that
+    * loses or duplicates a row, or fails to reduce files, turns a
+    * flag to 0 and hash-fails the gate.
+    */
+  def compactRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    val staged = s"$base/events_small"
+    val src = t(s, dir, "events")
+    src.repartition(64).write.parquet(staged)
+    val hPath = new Path(staged)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def nDataFiles: Int = {
+      val it = fs.listFiles(hPath, true)
+      var n = 0
+      while (it.hasNext) {
+        if (!it.next().getPath.getName.startsWith("_")) n += 1
+      }
+      n
+    }
+    val filesBefore = nDataFiles
+    graft.ops.Sink.compact(s, staged)
+    val filesAfter = nDataFiles
+    val (nSrc, digSrc) = graft.ops.Sink.tableChecksum(src)
+    val (nOut, digOut) =
+      graft.ops.Sink.tableChecksum(s.read.parquet(staged))
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(base))
+    import s.implicits._
+    Seq((nOut,
+      if (nSrc == nOut && digSrc.compareTo(digOut) == 0) 1 else 0,
+      if (filesAfter < filesBefore) 1 else 0))
+      .toDF("n_rows", "checksum_match", "files_reduced")
+  }
+
   /** MERGE / CDC-apply (see [[graft.ops.Merge.upsert]]): a
     * deterministic change batch — sparse balance updates for
     * custkey % 10 = 3 (only the changed column rides, NULLs inherit),
@@ -2435,6 +2481,7 @@ object AdvancedQueries {
     "stream_manifest" -> (streamManifest _),
     "manifest_diff" -> (manifestDiff _),
     "backfill_windows" -> (backfillWindows _),
+    "compact_roundtrip" -> (compactRoundtrip _),
     "spatial_join" -> (spatialJoin _),
     "spatial_knn" -> (spatialKnn _),
     "spatial_clusters" -> (spatialClusters _),
@@ -3273,6 +3320,11 @@ object AdvancedQueries {
     "manifest_diff" -> manifestDiffOracleSql,
     // the re-pull plan: non-match days merged into contiguous windows
     "backfill_windows" -> backfillWindowsOracleSql,
+    // preservation invariants the oracle derives independently
+    "compact_roundtrip" ->
+      """SELECT count(*) AS n_rows, CAST(1 AS INTEGER) AS checksum_match,
+                CAST(1 AS INTEGER) AS files_reduced
+         FROM events""",
     "merge_upsert" ->
       """WITH changes AS (
            SELECT c_custkey AS k, CAST(NULL AS VARCHAR) AS c_name,
