@@ -218,7 +218,15 @@ object ScaleProbe {
       ("ema_smooth", graft.queries.AdvancedQueries.queries("ema_smooth"),
         false),
       ("partition_manifest",
-        graft.queries.AdvancedQueries.queries("partition_manifest"), false))
+        graft.queries.AdvancedQueries.queries("partition_manifest"), false),
+      // r9 closers: the reconciliation diff (two manifest scans + a
+      // |days|-wide full outer join — should track the scans) and
+      // seasonality (three pruned scans reduced before any join)
+      ("manifest_diff",
+        graft.queries.AdvancedQueries.queries("manifest_diff"), false),
+      ("seasonality_strength",
+        graft.queries.AdvancedQueries.queries("seasonality_strength"),
+        false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped
