@@ -248,15 +248,18 @@ object AdvancedQueries {
     * events corpus happens to be day-dense, but the operator must
     * not bet on it). ratio_e6 = ⌊sae7·10⁶ / sae1⌋ < 10⁶ ⇔ the
     * weekly-seasonal forecaster beats naive ⇔ `seasonal` = 1.
-    * Scale: ONE corpus scan (the daily aggregate); everything after
-    * runs on the |types × days| table — hundreds of rows at any
-    * corpus size, broadcast-joinable by construction.
+    * Scale: ONE corpus scan — the daily aggregate is PINNED
+    * (materialize, the inverted_index precedent) because the base
+    * plus two lag arms would otherwise re-scan the corpus three
+    * times (Spark does not reuse an un-pinned aggregate subtree);
+    * everything after runs on the |types × days| table — hundreds of
+    * rows at any corpus size, broadcast-joinable by construction.
     */
   def seasonalityStrength(s: SparkSession, dir: String): DataFrame =
-    seasonalityFrom(
+    seasonalityFrom(graft.ops.Dedup.materialize(
       t(s, dir, "events")
         .groupBy(col("event_type").as("et"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n")))
+        .agg(count(lit(1)).as("n"))))
 
   /** The post-daily arithmetic shared by `seasonality_strength` and
     * its streamed deployment `stream_seasonal` (which maintains the

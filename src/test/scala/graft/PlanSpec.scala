@@ -551,23 +551,20 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("seasonality_strength: predecessor lookups are equi-joins on " +
-      "the |types x days| aggregate — one corpus scan feeds all " +
-      "three arms, never a quadratic join") {
+      "the PINNED |types x days| aggregate — zero parquet scans in " +
+      "the final plan, never a quadratic join") {
     val plan = formatted("seasonality_strength")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       "predecessor lookup planned quadratic:\n" + plan.take(2000))
-    // the daily aggregate feeds the base and both lag arms; Spark
-    // re-scans per arm (no reuse of an un-pinned aggregate), but each
-    // scan must prune to the 2 referenced columns — the corpus cost
-    // is 3 pruned scans, the joins run on |types x days| rows
-    val readSchemas = plan.linesIterator
-      .filter(_.trim.startsWith("ReadSchema:")).toSeq
-    assert(readSchemas.nonEmpty &&
-      readSchemas.forall(rs => rs.contains("event_type") &&
-        rs.contains("ts") && !rs.contains("user_id") &&
-        !rs.contains("props")),
-      s"events scan not pruned to (event_type, ts): $readSchemas")
+    // the daily aggregate is materialized once (the base plus two lag
+    // arms would otherwise re-scan the corpus three times — Spark
+    // does not reuse an un-pinned aggregate subtree), so the final
+    // plan joins three reads of the checkpoint, not three scans
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"expected the pinned daily aggregate (0 parquet scans in the " +
+        s"final plan), found $scans:\n" + plan.take(2000))
   }
 
   test("partition_manifest: one scan, one day-grouped partial+final " +
