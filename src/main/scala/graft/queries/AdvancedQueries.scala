@@ -1312,12 +1312,24 @@ object AdvancedQueries {
     import graft.ops.Manifest
     val ev = t(s, dir, "events")
       .select(to_date(col("ts")).as("day"), col("event_id"))
-    val d0 = ev.agg(min(col("day")).as("d0"))
+    // A-side cells PINNED: the |days|-wide table then serves (a) the
+    // A side of the diff and (b) the perturbation anchors d0 /
+    // drop_x / m0 as tiny derived aggregates — the first draft
+    // re-scanned the corpus per anchor (6 scans total); this shape
+    // scans it 3 times (A cells, sub_x below, B cells), the floor
+    // without checkpointing raw corpus rows.
+    val cellsA = graft.ops.Dedup.materialize(
+      Manifest.dayCells(ev, col("day"), col("event_id"), salt = 424242L))
+    val d0 = cellsA.agg(min(col("day")).as("d0"))
+    val dropId = cellsA.crossJoin(broadcast(d0))
+      .filter(col("day") === date_add(col("d0"), 10))
+      .agg(min(col("mn")).as("drop_x"))
+    val minSub = cellsA.crossJoin(broadcast(d0))
+      .filter(col("day") === date_add(col("d0"), 17))
+      .agg(min(col("mn")).as("m0"))
     val evD = ev.crossJoin(broadcast(d0))
-    val dropId = evD.filter(col("day") === date_add(col("d0"), 10))
-      .agg(min(col("event_id")).as("drop_x"))
-    val minSub = evD.filter(col("day") === date_add(col("d0"), 17))
-      .agg(min(col("event_id")).as("m0"))
+    // the substituted id (2nd-smallest of day d0+17) needs a corpus
+    // pass — min/max per day are in the cells, the runner-up is not
     val subId = evD.crossJoin(broadcast(minSub))
       .filter(col("day") === date_add(col("d0"), 17) &&
         col("event_id") > col("m0"))
@@ -1331,12 +1343,14 @@ object AdvancedQueries {
         when(col("day") === date_add(col("d0"), 17) &&
             col("event_id") === col("sub_x"),
           col("event_id") + 1).otherwise(col("event_id")).as("event_id"))
+    def sided(cellsDf: DataFrame, p: String): DataFrame =
+      cellsDf.select(col("day"), col("n").as(s"n_$p"),
+        col("mn").as(s"mn_$p"), col("mx").as(s"mx_$p"),
+        Manifest.wrapSigned64(col("dg")).as(s"dg_$p"))
     def cells(src: DataFrame, p: String): DataFrame =
-      Manifest.dayCells(src, col("day"), col("event_id"), salt = 424242L)
-        .select(col("day"), col("n").as(s"n_$p"), col("mn").as(s"mn_$p"),
-          col("mx").as(s"mx_$p"),
-          Manifest.wrapSigned64(col("dg")).as(s"dg_$p"))
-    cells(ev, "a").join(cells(replica, "b"), Seq("day"), "full_outer")
+      sided(Manifest.dayCells(src, col("day"), col("event_id"),
+        salt = 424242L), p)
+    sided(cellsA, "a").join(cells(replica, "b"), Seq("day"), "full_outer")
       .select(col("day"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),
