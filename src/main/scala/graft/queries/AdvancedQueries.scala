@@ -2388,27 +2388,43 @@ object AdvancedQueries {
     * a broken cascade (e.g. lineitem skipped) hash-fails.
     */
   def forgetUser(s: SparkSession, dir: String): DataFrame = {
-    val del = t(s, dir, "customer").filter(col("c_custkey") % 97 === 0)
-      .select(col("c_custkey").as("k"))
+    // deletion sets PINNED (tiny key lists): un-pinned, each of the
+    // many broadcast uses below re-derived them from a fresh
+    // customer/orders scan — the r9 multi-scan audit found the first
+    // draft's plan carried 36 parquet scans; this shape carries 10
+    // (one flag-agg pass + one post-delete orphan audit per table,
+    // plus the two pinned key sets), the floor that keeps the orphan
+    // check a REAL scan of the post-delete frame rather than an
+    // arithmetic identity
+    val del = graft.ops.Dedup.materialize(
+      t(s, dir, "customer").filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("k")))
     def row(tbl: String, all: DataFrame, key: Column,
             delKeys: DataFrame): DataFrame = {
-      val deleted = all.join(broadcast(delKeys), key === col("k"), "left_semi")
+      // before/deleted from ONE pass: a broadcast left join marks
+      // doomed rows, the aggregate counts rows and marks together
+      val cnts = all
+        .join(broadcast(delKeys.withColumn("__hit", lit(1))),
+          key === col("k"), "left")
+        .agg(count(lit(1)).as("n_before"),
+          count(col("__hit")).as("n_deleted"))
+      // the orphan audit stays a SECOND genuine pass over the
+      // post-delete frame (in production it runs against the written
+      // table after the delete commits)
       val after = all.join(broadcast(delKeys), key === col("k"), "left_anti")
       val orphans = after.join(broadcast(delKeys), key === col("k"), "left_semi")
-      all.agg(count(lit(1)).as("n_before"))
-        .crossJoin(deleted.agg(count(lit(1)).as("n_deleted")))
-        .crossJoin(after.agg(count(lit(1)).as("n_after")))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      cnts.crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
         .select(lit(tbl).as("tbl"), col("n_before"), col("n_deleted"),
-          col("n_after"), col("n_orphans"))
+          (col("n_before") - col("n_deleted")).as("n_after"),
+          col("n_orphans"))
     }
     val customer = t(s, dir, "customer")
     val orders = t(s, dir, "orders")
     val lineitem = t(s, dir, "lineitem")
     val events = Tables.raw(s, dir, "events")
-    val deadOrders = orders
+    val deadOrders = graft.ops.Dedup.materialize(orders
       .join(broadcast(del), col("o_custkey") === col("k"), "left_semi")
-      .select(col("o_orderkey").as("k"))
+      .select(col("o_orderkey").as("k")))
     row("customer", customer, col("c_custkey"), del)
       .unionByName(row("orders", orders, col("o_custkey"), del))
       .unionByName(row("lineitem", lineitem, col("l_orderkey"), deadOrders))
