@@ -801,6 +801,47 @@ object AdvancedQueries {
         col("is_current"))
       .orderBy(col("user_id"), col("version"))
 
+  /** SCD2 AS-OF lookup — the query the Type-2 history EXISTS for
+    * (point-in-time dimension enrichment: "what was this user's state
+    * as of date D?"): every 20th user probed at three fixed dates
+    * (first-day + 5/15/25), each probe joined to its covering
+    * validity interval (valid_from ≤ p < valid_to, open current
+    * version included). The dim is PINNED — in production the SCD2
+    * dim IS a stored warehouse table, so the pin stands in for the
+    * table the intervals were loaded to, and the probe spine derives
+    * from the pinned dim (distinct keys + min day), not fresh corpus
+    * scans (the round-9 multi-scan convention). Plan: equi-join on
+    * user_id carries the locality; the interval predicate evaluates
+    * against each user's own version list — never a cartesian. The
+    * oracle replays the window-numbered intervals and the same three
+    * probe timestamps.
+    */
+  def scd2Asof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = graft.ops.Dedup.materialize(
+      Scd.type2(t(s, dir, "events"),
+          keyCols = Seq("user_id"), orderCol = "ts", tieCol = "event_id",
+          attrCols = Seq("event_type", "value"))
+        .select(col("user_id"), col("version"), col("event_type"),
+          unix_micros(col("valid_from").cast("timestamp")).as("f"),
+          unix_micros(col("valid_to").cast("timestamp")).as("t")))
+    val d0 = dim
+      .agg(min(to_date(timestamp_micros(col("f")))).as("d0"))
+    val probes = dim.select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(20)) === 0)
+      .crossJoin(broadcast(d0))
+      .crossJoin(Seq(5, 15, 25).toDF("o"))
+      .select(col("user_id"),
+        unix_micros(date_add(col("d0"), col("o")).cast("timestamp"))
+          .as("probe_us"))
+    probes.join(dim.withColumnRenamed("user_id", "du"),
+        col("user_id") === col("du") && col("f") <= col("probe_us") &&
+          (col("t").isNull || col("probe_us") < col("t")))
+      .select(col("user_id"), col("probe_us"), col("version"),
+        col("event_type"))
+      .orderBy(col("user_id"), col("probe_us"))
+  }
+
   /** Exact-integer PageRank (3 iterations, damping 85/100, e12
     * fixed-point) over the symmetrized customer–supplier order graph:
     * edge (c, S) when customer c ordered from supplier S; supplier
@@ -2524,6 +2565,7 @@ object AdvancedQueries {
     "fuzzy_join" -> (fuzzyJoin _),
     "bloom_prune" -> (bloomPrune _),
     "scd2_intervals" -> (scd2Intervals _),
+    "scd2_asof" -> (scd2Asof _),
     "pagerank" -> (pagerank _),
     "hits_rank" -> (hitsRank _),
     "kcore" -> (kcore _),
@@ -3437,6 +3479,24 @@ object AdvancedQueries {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, version""",
+    // the point-in-time lookup over the same window-numbered history
+    "scd2_asof" ->
+      """WITH dim AS (SELECT user_id,
+                  CAST(row_number() OVER w AS INTEGER) AS version,
+                  event_type, epoch_us(ts) AS f,
+                  epoch_us(lead(ts) OVER w) AS t
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+         probes AS (SELECT DISTINCT user_id,
+                      epoch_us(CAST(d0 + o AS TIMESTAMP)) AS probe_us
+                    FROM events, d0, (VALUES (5), (15), (25)) AS v(o)
+                    WHERE user_id % 20 = 0)
+         SELECT p.user_id, p.probe_us, d.version, d.event_type
+         FROM probes p JOIN dim d
+           ON d.user_id = p.user_id AND d.f <= p.probe_us
+          AND (d.t IS NULL OR p.probe_us < d.t)
+         ORDER BY p.user_id, p.probe_us""",
     // 3 power iterations unrolled; every sum is CAST back to BIGINT
     // (DuckDB promotes integer sums to HUGEINT, which would
     // hash-mismatch Spark's BIGINT even at identical values)
