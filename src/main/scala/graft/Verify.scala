@@ -67,7 +67,16 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        assertInt64Hashable(spark, name, s"$outDir/$name")
+        try assertInt64Hashable(spark, name, s"$outDir/$name")
+        catch { case e: Throwable =>
+          // a breaching query must leave NO artifact: the dump is
+          // already on disk at this point, and check.py / the driver
+          // would happily hash it — deleting it turns the breach into
+          // a loud missing-result err instead of a quiet mismatch
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(s"$outDir/$name"))
+          throw e
+        }
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

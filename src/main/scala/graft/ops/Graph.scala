@@ -139,8 +139,15 @@ object Graph {
     var a: DataFrame = null
     def normalized(raw: DataFrame): DataFrame = {
       val m = Dedup.materialize(raw)
+      // explicit all-zero-vector guard: relying on ANSI divide-by-zero
+      // alone would turn into silent NULLs if a session ever ran with
+      // spark.sql.ansi.enabled=false; assert_true keys on the column
+      // (not a literal), so it cannot be constant-folded away
       m.crossJoin(broadcast(m.agg(max(col("raw")).as("mx"))))
-        .select(col("id"), expr("(raw * 1000000) DIV mx").as("s"))
+        .select(col("id"), expr(
+          "CASE WHEN mx <= 0 THEN CAST(assert_true(mx > 0, " +
+            "'hitsE6: all-zero score vector — HITS undefined') AS BIGINT) " +
+            "ELSE (raw * 1000000) DIV mx END").as("s"))
     }
     for (_ <- 1 to iters) {
       a = normalized(

@@ -328,7 +328,12 @@ object AdvancedQueries {
         batches.get())
     val daily = s.read.parquet(store)
       .groupBy(col("et"), col("day")).agg(sum(col("n")).as("n"))
-    seasonalityFrom(daily)
+    // pin before deleting the temp cell store (same store-lifetime
+    // rule as stream_manifest: no lazy read of a deleted directory,
+    // no leaked disk per run)
+    val out = graft.ops.Dedup.materialize(seasonalityFrom(daily))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    out
   }
 
   def movingSum7d(s: SparkSession, dir: String): DataFrame = {
@@ -1328,7 +1333,14 @@ object AdvancedQueries {
     require(batches.get() >= 2,
       s"stream_manifest expected >=2 non-empty micro-batches, got " +
         batches.get())
-    graft.ops.Manifest.current(s, store).orderBy(col("day"))
+    // pin the merged manifest BEFORE deleting the temp cell store: the
+    // un-pinned frame would lazily re-read the store at the caller's
+    // action, silently depending on the directory surviving — and an
+    // undeleted store leaks disk per run
+    val out = graft.ops.Dedup.materialize(
+      graft.ops.Manifest.current(s, store).orderBy(col("day")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    out
   }
 
   /** Manifest DIFF — the reconciliation DECISION the manifest exists
