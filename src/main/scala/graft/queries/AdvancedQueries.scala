@@ -456,23 +456,42 @@ object AdvancedQueries {
       .select(col("event_id"), col("user_id"), col("event_type"))
       .orderBy(col("event_id"))
 
-  /** Sketch aggregates: HLL++ approximate distinct users per type next
-    * to the exact count. Rows-only (HLL implementations differ across
-    * engines); accuracy bound asserted in AdvancedSpec.
+  /** Sketch aggregates: HOUSE HyperLogLog ([[graft.ops.Hll]])
+    * approximate distinct users per type next to the exact count — a
+    * full replacement for the engine-specific HLL++
+    * (`approx_count_distinct`) whose register state no other engine
+    * can replay. Every sketch step is a plain integer aggregate both
+    * engines compute identically, so the ESTIMATE itself is
+    * oracle-checked bit for bit (this was the suite's only rows-only
+    * resident through round 9).
+    *
+    * Scale shape: the distinct (group, user) projection is pinned
+    * once and feeds both the sketch (shuffle carries at most
+    * groups × 1024 register cells) and the exact companion the
+    * accuracy gate compares against — a production rollup would keep
+    * only the sketch arm. Accuracy: ≤ 2.7% on events at every test
+    * SF (gated at 5% by `approx_distinct_bound`); raw-regime behavior
+    * covered by HllSpec up to 5·10⁵ distinct keys.
     */
-  def approxDistinct(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
-      .orderBy(col("event_type"))
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.Dedup.materialize(
+      t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct())
+    val est = graft.ops.Hll.distinctCount(pairs, Seq("event_type"),
+      col("user_id"), salt = 777000L, outCol = "approx_users")
+    val exact = pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_users"))
+    est.join(exact, Seq("event_type")).orderBy(col("event_type"))
+  }
 
   /** Driver-visible accuracy gate for [[approxDistinct]]: asserts
-    * every group's HLL++ estimate is within 5% of the exact distinct
-    * count (measured relative error ≤ 0.4% at every test SF; exact
-    * below the sketch's dense-mode threshold at sf ≤ 0.01). The sketch
-    * itself is rows-only — HLL implementations differ across engines —
-    * but the error bound and group coverage are oracle-checkable.
+    * every group's house-HLL estimate is within 5% of the exact
+    * distinct count (measured relative error ≤ 2.7% at every test
+    * SF). Since round 10 the estimate itself is ALSO value-checked
+    * (the house sketch replays in DuckDB SQL); the gate remains as
+    * the semantic accuracy contract — a bit-equal wrong estimator
+    * would still hash-match, the 5% envelope is what makes it an
+    * approximate-distinct OPERATOR.
     */
   def approxDistinctBound(s: SparkSession, dir: String): DataFrame =
     approxDistinct(s, dir)
@@ -3569,8 +3588,69 @@ object AdvancedQueries {
                   FROM r4) WHERE ds >= 8 AND dd >= 8)
          SELECT src AS id, count(*) AS deg FROM r5
          GROUP BY src ORDER BY src""",
-    // the HLL estimate isn't SQL-portable; the oracle pins group
-    // coverage and the 5%-error assertion (see approxDistinctBound)
+    // the house HLL replayed end to end: the mix64 chain in UBIGINT
+    // split-multiply SQL (the manifest-digest precedent), registers
+    // as integer max aggregates, the exact HUGEINT Z-sum, and the
+    // same rational-alpha raw estimate / linear-counting branch —
+    // the ESTIMATE hash-compares, not just its error envelope
+    "approx_distinct" -> {
+      val salt = java.lang.Long.toUnsignedString(
+        graft.functions.Kernels.mix64(777000L))
+      s"""WITH pr AS (SELECT DISTINCT event_type, user_id FROM events),
+         sc AS (SELECT event_type,
+                  xor(CAST(user_id AS UBIGINT), $salt::UBIGINT) AS u
+                FROM pr),
+         m1 AS (SELECT event_type,
+                  CAST((CAST(u AS HUGEINT) + 11400714819323198485)
+                       % 18446744073709551616 AS UBIGINT) AS z1 FROM sc),
+         m2 AS (SELECT event_type,
+                  CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT)
+                         * 13787848793156543929)
+                        + (((CAST(xor(z1, z1 >> 30) // 4294967296
+                               AS HUGEINT)
+                             * 484763065) % 4294967296) * 4294967296))
+                       % 18446744073709551616 AS UBIGINT) AS z2 FROM m1),
+         m3 AS (SELECT event_type,
+                  CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT)
+                         * 10723151780598845931)
+                        + (((CAST(xor(z2, z2 >> 27) // 4294967296
+                               AS HUGEINT)
+                             * 321982955) % 4294967296) * 4294967296))
+                       % 18446744073709551616 AS UBIGINT) AS z3 FROM m2),
+         hh AS (SELECT event_type, xor(z3, z3 >> 31) AS hv FROM m3),
+         bw AS (SELECT event_type, CAST(hv & 1023 AS BIGINT) AS bucket,
+                  hv >> 10 AS w FROM hh),
+         rh AS (SELECT event_type, bucket,
+                  CASE WHEN w = 0 THEN 55
+                       ELSE CAST(bit_count(xor(w, w - 1)) AS INTEGER)
+                  END AS rho
+                FROM bw),
+         regs AS (SELECT event_type, bucket, max(rho) AS r
+                  FROM rh GROUP BY 1, 2),
+         st AS (SELECT event_type, count(*) AS nz,
+                  sum(CAST(1::UBIGINT << (55 - r) AS HUGEINT)) AS s_nz
+                FROM regs GROUP BY 1),
+         ed AS (SELECT event_type, 1024 - nz AS v,
+                  CAST(s_nz + (1024 - nz)
+                         * 36028797018963968::HUGEINT AS DOUBLE) AS sd
+                FROM st),
+         er AS (SELECT event_type, v,
+                  279039421980170247588980719616::DOUBLE
+                    / (10250790.0 * sd) AS est_raw FROM ed),
+         ee AS (SELECT event_type,
+                  CASE WHEN v > 0 AND est_raw <= 2560.0
+                       THEN 1024.0 * ln(1024.0 / CAST(v AS DOUBLE))
+                       ELSE est_raw END AS est
+                FROM er),
+         ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                FROM events GROUP BY 1)
+         SELECT ee.event_type,
+                CAST(floor(est + 0.5) AS BIGINT) AS approx_users,
+                exact_users
+         FROM ee JOIN ex USING (event_type) ORDER BY event_type"""
+    },
+    // the gate keeps the semantic accuracy contract (a bit-equal
+    // wrong estimator would still hash-match the row above)
     "approx_distinct_bound" ->
       """SELECT count(DISTINCT event_type) AS n_groups,
                 CAST(5 AS INTEGER) AS err_bound_pct,

@@ -43,7 +43,7 @@ class AdvancedSpec extends AnyFunSuite {
     assert(salted.size == 1001)
   }
 
-  test("approx_count_distinct within 5% of exact on events") {
+  test("house HLL estimate within 5% of exact on events") {
     val rows = queries.AdvancedQueries.approxDistinct(spark, "/root/testdata/sf0.001")
       .collect()
     rows.foreach { r =>
