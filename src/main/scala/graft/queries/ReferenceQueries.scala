@@ -72,6 +72,42 @@ object ReferenceQueries {
       .orderBy(col("orderkey"), col("linenumber"))
   }
 
+  /** PERMISSIVE schema-drift mode driven end to end (SURVEY.md §7.4;
+    * `conform_cast` covers the strict default). The reference's
+    * runtime TOLERATES drift: `update_dF_dtypes_from_schema` types
+    * only declared columns and leaves everything else untouched
+    * (etl_tools.py:45-61), so an undeclared attribute or a list
+    * element beyond the schema's declared indices (e.g. `tags_1`
+    * when only `tags_0` is declared — flatten is unbounded, the
+    * schema caps at 16 slots, SURVEY.md §1.2) rides through UNTYPED
+    * and lands in the warehouse via autodetect. This query replays
+    * exactly that: a drifted "page" (raw string-typed declared
+    * columns + an over-arity list slot + an undeclared scalar) through
+    * `castFromSchema(strict = false)` — declared columns cast to
+    * their types, the absent `loaded_at` seeded as a typed NULL, the
+    * two drift columns carried through as-is. Same narrow codegen
+    * projection as strict mode: free at any scale.
+    */
+  def conformDrift(s: SparkSession, dir: String): DataFrame = {
+    // the drifted page: declared fields arrive as raw JSON strings,
+    // plus the over-arity list slot tags_1 and undeclared channel
+    val page = t(s, dir, "lineitem").select(
+      col("l_orderkey").cast("string").as("orderkey"),
+      col("l_linenumber").cast("string").as("linenumber"),
+      col("l_quantity").cast("string").as("quantity"),
+      col("l_returnflag").as("tags_0"),
+      col("l_linestatus").as("tags_1"),
+      col("l_tax").as("extra_tax"))
+    val declared = StructType(Seq(
+      StructField("orderkey", LongType),
+      StructField("linenumber", LongType),
+      StructField("quantity", DoubleType),
+      StructField("tags_0", StringType),
+      StructField("loaded_at", DateType))) // declared, absent → NULL
+    Conform.castFromSchema(page, declared, strict = false)
+      .orderBy(col("orderkey"), col("linenumber"))
+  }
+
   // ------------------------------------------------------------------- U1
   /** Union-accumulate: page-wise vertical union by name with missing
     * columns → NULL (reference: pd.concat outreach_etl.py:154,183,212).
@@ -1117,6 +1153,7 @@ object ReferenceQueries {
     "incremental_window" -> (incrementalWindow _),
     "flatten_props" -> (flattenProps _),
     "conform_cast" -> (conformCast _),
+    "conform_drift" -> (conformDrift _),
     "union_accumulate" -> (unionAccumulate _),
     "dedup_latest" -> (dedupLatest _),
     "agg_rollup_counts" -> (aggRollupCounts _),
@@ -1628,6 +1665,17 @@ object ReferenceQueries {
       """SELECT l_orderkey AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
          l_quantity AS quantity, l_returnflag AS returnflag,
          CAST(l_shipdate AS DATE) AS shipdate
+         FROM lineitem ORDER BY orderkey, linenumber""",
+    // permissive drift mode: declared columns round-trip through the
+    // raw-string page back to their declared types; the absent
+    // loaded_at is a typed NULL; the over-arity tags_1 and undeclared
+    // extra_tax ride through with their ARRIVAL types (string/double)
+    "conform_drift" ->
+      """SELECT l_orderkey AS orderkey,
+         CAST(l_linenumber AS BIGINT) AS linenumber,
+         l_quantity AS quantity, l_returnflag AS tags_0,
+         CAST(NULL AS DATE) AS loaded_at,
+         l_linestatus AS tags_1, l_tax AS extra_tax
          FROM lineitem ORDER BY orderkey, linenumber""",
     "union_accumulate" ->
       """SELECT event_id, user_id, round(value, 4) AS value_r
