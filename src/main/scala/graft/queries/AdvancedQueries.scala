@@ -866,6 +866,32 @@ object AdvancedQueries {
       .orderBy(col("user_id"), col("probe_us"))
   }
 
+  /** SKEW-HARDENED SCD2 — [[graft.ops.Scd.type2Salted]] driven on a
+    * genuinely hot business key: `event_type` has only 5 values, so
+    * the plain [[graft.ops.Scd.type2]] window would pool 20% of the
+    * corpus in ONE task (the hazard type2's scaladoc documents and
+    * previously punted upstream). The salted variant buckets each key
+    * by the change's epoch-week (order-aligned, a pure function of
+    * ts), numbers versions inside (key, week), and stitches with a
+    * broadcast |keys × weeks| offset table — the hot key spreads over
+    * |weeks| tasks. The oracle is the PLAIN GLOBAL-WINDOW replay, so
+    * hash equality proves salting is indistinguishable from the
+    * single-task window; PlanSpec pins the corpus-side Window to
+    * partition on (event_type, __bucket), never the key alone.
+    */
+  def scd2Salted(s: SparkSession, dir: String): DataFrame = {
+    val week = expr("datediff(to_date(ts), DATE'1970-01-01') div 7")
+    Scd.type2Salted(t(s, dir, "events"),
+        keyCols = Seq("event_type"), orderCol = "ts", tieCol = "event_id",
+        attrCols = Seq("value"), bucket = week)
+      .select(col("event_type"), col("version"), col("event_id"),
+        col("value"),
+        unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"),
+        unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
+        col("is_current"))
+      .orderBy(col("event_type"), col("version"))
+  }
+
   /** Exact-integer PageRank (3 iterations, damping 85/100, e12
     * fixed-point) over the symmetrized customer–supplier order graph:
     * edge (c, S) when customer c ordered from supplier S; supplier
@@ -2597,6 +2623,7 @@ object AdvancedQueries {
     "bloom_prune" -> (bloomPrune _),
     "scd2_intervals" -> (scd2Intervals _),
     "scd2_asof" -> (scd2Asof _),
+    "scd2_salted" -> (scd2Salted _),
     "pagerank" -> (pagerank _),
     "hits_rank" -> (hitsRank _),
     "kcore" -> (kcore _),
@@ -3510,6 +3537,20 @@ object AdvancedQueries {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, version""",
+    // the salted two-phase must be INDISTINGUISHABLE from the plain
+    // global window — the oracle IS that global window over the hot
+    // 5-value key
+    "scd2_salted" ->
+      """SELECT event_type,
+                CAST(row_number() OVER w AS INTEGER) AS version,
+                event_id, value,
+                epoch_us(ts) AS valid_from_us,
+                epoch_us(lead(ts) OVER w) AS valid_to_us,
+                CAST(CASE WHEN lead(ts) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+         ORDER BY event_type, version""",
     // the point-in-time lookup over the same window-numbered history
     "scd2_asof" ->
       """WITH dim AS (SELECT user_id,

@@ -447,6 +447,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("scd2_salted: the corpus-side window is SALTED — row_number " +
+      "partitions on (key, bucket), so the hot 5-value key never " +
+      "pools in one task; the key-only window runs only over the " +
+      "aggregated |keys x buckets| offset table, stitched back by " +
+      "broadcast join") {
+    val plan = formatted("scd2_salted")
+    assert("row_number\\(\\) windowspecdefinition\\(event_type#\\d+, __bucket"
+        .r.findFirstIn(plan).isDefined,
+      "corpus row_number must partition on (event_type, __bucket):\n" +
+        plan.take(3000))
+    // the per-bucket stats reduction that bounds the key-only window
+    assert("Keys \\[2\\]: \\[event_type#\\d+, __bucket".r
+        .findFirstIn(plan).isDefined,
+      "expected the (key, bucket) stats aggregate:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the offset stitch must broadcast the tiny stats table:\n" +
+        plan.take(3000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("spatial_join / spatial_knn / forecast_backtest: candidate " +
       "generation is equi-join everywhere — no CartesianProduct/BNLJ " +
       "(ann_rank_eval is excluded deliberately: its exact-baseline " +
