@@ -121,6 +121,19 @@ object Similarity {
       .orderBy(col("centroid_id")).limit(maxCentroids)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    ivfIndexWriteWithCodebook(emb, idCol, vecCol, indexDir, codebook)
+    codebook
+  }
+
+  /** [[ivfIndexWrite]] with a caller-supplied coarse quantizer — the
+    * shape index MAINTENANCE needs: base build and every later delta
+    * batch must assign under the SAME codebook or list membership
+    * drifts between the stored lists and the probe computation.
+    */
+  def ivfIndexWriteWithCodebook(emb: DataFrame, idCol: String,
+                                vecCol: String, indexDir: String,
+                                codebook: Array[(Long, Seq[Float])])
+      : Unit = {
     val centsLit = typedLit(codebook.map(_._2).toSeq)
     val idsLit = typedLit(codebook.map(_._1).toSeq)
     Dedup.spread(emb.select(col(idCol).cast("long").as("cid"),
@@ -129,7 +142,49 @@ object Similarity {
         nearest_centroids(col("cv"), centsLit, idsLit, 1), lit(1)))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(indexDir)
-    codebook
+  }
+
+  /** APPEND a delta batch to a persisted [[ivfIndexWrite]] index and
+    * COMPACT the touched lists in one motion — the maintenance loop a
+    * serving tier runs nightly instead of rebuilding from history
+    * (the `minhash_incremental` incremental-index precedent at the
+    * storage layer). Delta vectors are assigned under the SHARED
+    * codebook (scan-stage argmax, zero shuffle), then each touched
+    * list is rewritten as existing-rows ∪ delta via DYNAMIC partition
+    * overwrite — untouched lists' files are never read or rewritten,
+    * so the cost is O(|delta| + rows in touched lists), independent
+    * of index size. The merged rows are PINNED (localCheckpoint)
+    * before the overwrite touches the partitions they were read from
+    * (read-merge-overwrite on the same path is the classic
+    * self-clobber hazard). Merge consistency — search(base ∪ Δ) ≡
+    * search(rebuilt-from-everything) — is what `ann_ivf_delta`
+    * hash-checks: assignment depends only on (vector, codebook), so
+    * WHEN a row arrived cannot change WHERE it lives.
+    */
+  def ivfIndexAppendDelta(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String,
+                          codebook: Array[(Long, Seq[Float])],
+                          delta: DataFrame, idCol: String,
+                          vecCol: String): Unit = {
+    val centsLit = typedLit(codebook.map(_._2).toSeq)
+    val idsLit = typedLit(codebook.map(_._1).toSeq)
+    val assigned = delta
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<float>").as("cv"))
+      .withColumn("centroid_id", try_element_at(
+        nearest_centroids(col("cv"), centsLit, idsLit, 1), lit(1)))
+      .localCheckpoint(true)
+    // bounded collect: one id per touched list, ≤ |codebook| by design
+    val touched = assigned.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    val merged = spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(touched: _*))
+      .unionByName(assigned)
+      .repartition(col("centroid_id"))
+      .localCheckpoint(true) // pin BEFORE overwriting the source lists
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("centroid_id").parquet(indexDir)
   }
 
   /** Single-query search over a persisted [[ivfIndexWrite]] index:

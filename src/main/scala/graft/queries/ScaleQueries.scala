@@ -676,19 +676,72 @@ object ScaleQueries {
     * ann_ivf replay restricted to this query: the persisted index and
     * the in-plan equi-join MUST return identical neighbors.
     */
-  def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val (path, codebook) = memoCodebook(s"ivf-index:${graft.Tables.versioned(dir)}") {
+  /** The rebuilt-from-everything persisted index + its shared codebook
+    * (memoized per dir): serves `ann_ivf_indexed` directly and is the
+    * ground truth `ann_ivf_delta`'s incrementally-maintained index
+    * must be indistinguishable from.
+    */
+  private def fullIvfIndex(s: SparkSession, dir: String)
+      : (String, Array[(Long, Seq[Float])]) =
+    memoCodebook(s"ivf-index:${graft.Tables.versioned(dir)}") {
       val p = java.nio.file.Files
         .createTempDirectory("graft_ivf_index").toString
-      val cb = Similarity.ivfIndexWrite(emb, "vec_id", "embedding", p)
+      val cb = Similarity.ivfIndexWrite(t(s, dir, "embeddings"),
+        "vec_id", "embedding", p)
       (p, cb)
     }
+
+  def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (path, codebook) = fullIvfIndex(s, dir)
     val qv = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<float>"))
       .head().getSeq[Float](0)
     Similarity.ivfIndexedSearch(s, path, codebook,
         qid = 0L, qv = qv, nprobe = 7, k = 3)
+      .orderBy(col("rnk"))
+  }
+
+  /** INCREMENTAL IVF index maintenance driven end to end
+    * ([[graft.ops.Similarity.ivfIndexAppendDelta]]): the base index
+    * is built from 6/7 of the corpus, the remaining 1/7 — including
+    * the query vector itself (vec_id 0 ≡ 0 mod 7) — arrives as a
+    * delta batch appended under the SHARED codebook with the touched
+    * lists compacted via dynamic partition overwrite. The served
+    * search runs over the maintained index; `delta_consistent` pins
+    * set-equality against the same search over the
+    * rebuilt-from-everything index ([[fullIvfIndex]] — assignment
+    * depends only on (vector, codebook), so arrival order cannot move
+    * a row between lists). The oracle replays the full-corpus IVF
+    * search for this query and pins the flag — maintenance must be
+    * indistinguishable from rebuild, the `hll_incremental` /
+    * `minhash_incremental` contract at the storage layer.
+    */
+  def annIvfDelta(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (fullPath, codebook) = fullIvfIndex(s, dir)
+    val deltaPath = memoCodebook(s"ivf-delta:${graft.Tables.versioned(dir)}") {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivf_delta").toString
+      Similarity.ivfIndexWriteWithCodebook(
+        emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+        p, codebook)
+      Similarity.ivfIndexAppendDelta(s, p, codebook,
+        emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
+      p
+    }
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<float>"))
+      .head().getSeq[Float](0)
+    def search(path: String) =
+      Similarity.ivfIndexedSearch(s, path, codebook,
+        qid = 0L, qv = qv, nprobe = 7, k = 3)
+    val served = search(deltaPath)
+    val rebuilt = search(fullPath)
+    val consistent = served.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(served).isEmpty
+    served.withColumn("delta_consistent",
+        lit(if (consistent) 1 else 0))
       .orderBy(col("rnk"))
   }
 
@@ -1506,6 +1559,7 @@ object ScaleQueries {
     "ann_ivf" -> (annIvf _),
     "ann_rank_eval" -> (annRankEval _),
     "ann_ivf_indexed" -> (annIvfIndexed _),
+    "ann_ivf_delta" -> (annIvfDelta _),
     "ann_ivf_recall" -> (annIvfRecall _),
     "ann_ivf_trained" -> (annIvfTrained _),
     "ann_ivf_trained_recall" -> (annIvfTrainedRecall _),
@@ -2389,6 +2443,14 @@ object ScaleQueries {
     // the persisted partition-pruned index must agree with the
     // in-plan join on the served query
     "ann_ivf_indexed" -> annIvfOracleSqlFor("vec_id = 0"),
+    // the maintained (base + delta, compacted) index must serve the
+    // SAME rows as the full-corpus replay; the consistency flag pins
+    // set-equality against the rebuilt index
+    "ann_ivf_delta" -> (annIvfChainFor("vec_id = 0") + """
+       SELECT qid, cid, sim_r, rnk,
+              CAST(1 AS INTEGER) AS delta_consistent
+       FROM r WHERE rnk <= 3
+       ORDER BY qid, rnk"""),
     // the TRAINED variant, promoted r7: the Lloyd loop itself unrolls
     // into SQL because cell sums are e12 int64 (order-independent)
     "ann_ivf_trained" -> annIvfTrainedOracleSql,
