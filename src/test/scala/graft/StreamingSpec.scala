@@ -579,6 +579,64 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 1L, 104L, 77L, 77L)), s"incarnation 2 got: $buf2")
   }
 
+  test("checkpoint recovery under SCHEMA EVOLUTION: an incarnation " +
+      "rebuilt with an ADDED input column resumes the keyed (rn, ema) " +
+      "state — upstream adding a field must not invalidate the state " +
+      "store") {
+    val tmp = Files.createTempDirectory("graft-ckpt-evo").toFile
+    val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+    val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+    import spark.implicits._
+    def buildQuery(schema: org.apache.spark.sql.types.StructType,
+        buf: scala.collection.mutable.ArrayBuffer[
+          (Long, Long, Long, Long, Long)]) =
+      IncrementalStream.emaStream(
+          IncrementalStream.readAppendStream(
+            spark, inDir.getAbsolutePath, schema), aNum = 1, aDen = 4)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4)))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+    // incarnation 1 reads the v1 schema (no `source` column); user 1's
+    // (rn = 2, ema = 125) lives only in the checkpoint at stop
+    Seq((1L, 1L, 101L, 100L), (1L, 2L, 102L, 200L))
+      .toDF("user_id", "us", "event_id", "v_e6")
+      .coalesce(1).write.mode("overwrite").parquet(inDir.getAbsolutePath)
+    val v1 = spark.read.parquet(inDir.getAbsolutePath).schema
+    val buf1 = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    val q1 = buildQuery(v1, buf1); q1.processAllAvailable(); q1.stop()
+    assert(buf1.sorted.toSeq == Seq((1L, 1L, 101L, 100L, 100L),
+      (1L, 2L, 102L, 200L, 125L)), s"incarnation 1 got: $buf1")
+    // while the query is DOWN the producer EVOLVES the schema: file 2
+    // carries an added `source` column
+    Seq((1L, 3L, 103L, 300L, "mobile"), (2L, 1L, 104L, 77L, "web"))
+      .toDF("user_id", "us", "event_id", "v_e6", "source")
+      .coalesce(1).write.mode("append").parquet(inDir.getAbsolutePath)
+    // incarnation 2 is rebuilt against the EVOLVED v2 schema. The
+    // projection drops the added column before the keyed state, so the
+    // state-store schema is unchanged — emitting rn = 3 / ema = 168
+    // proves the pre-evolution state reloaded under the new reader
+    // schema (fresh state would emit rn = 1 / ema = 300)
+    val v2 = org.apache.spark.sql.types.StructType(v1.fields :+
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType))
+    val buf2 = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    val q2 = buildQuery(v2, buf2); q2.processAllAvailable(); q2.stop()
+    val resumedRows = q2.recentProgress.map(_.numInputRows).sum
+    assert(resumedRows == 2,
+      s"incarnation 2 must resume from the checkpointed offset; " +
+        s"processed $resumedRows")
+    assert(buf2.sorted.toSeq == Seq((1L, 3L, 103L, 300L, 168L),
+      (2L, 1L, 104L, 77L, 77L)), s"incarnation 2 got: $buf2")
+  }
+
   test("checkpoint recovery: the anomaly flagger's (rn, ema, dev) " +
       "state reloads across an incarnation rebuild — post-restart " +
       "FLAG DECISIONS are made against the pre-crash deviation state") {
