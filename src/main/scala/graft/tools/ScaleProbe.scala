@@ -226,7 +226,17 @@ object ScaleProbe {
         graft.queries.AdvancedQueries.queries("manifest_diff"), false),
       ("seasonality_strength",
         graft.queries.AdvancedQueries.queries("seasonality_strength"),
-        false))
+        false),
+      // r10: the streaming family — their bench cost is CLAIMED to be
+      // fixed micro-batch overhead at test SF; these two measure the
+      // per-row marginal cost directly (keyed dedup state and
+      // two-sided join state over 10x events). Warm (best-of-2): the
+      // per-dir stage split is session-cached, so run 2 times only
+      // the streaming execution itself
+      ("stream_dedup",
+        graft.queries.AdvancedQueries.queries("stream_dedup"), false),
+      ("stream_join",
+        graft.queries.AdvancedQueries.queries("stream_join"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped
