@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Regenerate the certified-state count claims from the newest
+CORRECTNESS_r*.json so doc drift cannot recur (the r8 ADVICE class:
+hand-synced counts in README/SCALE/verify-SKILL going stale).
+
+Usage:
+    python3 scripts/regen_counts.py            # print canonical counts
+    python3 scripts/regen_counts.py --check    # exit 1 if any doc
+                                               # carries a stale count
+
+The canonical numbers come from one place — the driver's correctness
+artifact — and --check greps the three count-bearing docs for
+"<n>/<n>" claims that disagree with it. Run after any round that adds
+or retires queries, and paste the printed block wherever a count is
+quoted.
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOCS = ["README.md", "SCALE.md", ".claude/skills/verify/SKILL.md"]
+
+
+def newest_artifact():
+    arts = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    if not arts:
+        sys.exit("no CORRECTNESS_r*.json artifact found")
+    return arts[-1]
+
+
+def counts(path):
+    data = json.load(open(path))
+    n = len(data)
+    no_oracle = sorted(k for k, v in data.items()
+                       if v.get("err") == "no_oracle")
+    with_oracle = n - len(no_oracle)
+    green = sorted(k for k, v in data.items() if v.get("hash_match"))
+    red = sorted(k for k, v in data.items()
+                 if not v.get("hash_match") and v.get("err") != "no_oracle")
+    return n, with_oracle, no_oracle, len(green), red
+
+
+def main():
+    art = newest_artifact()
+    n, with_oracle, no_oracle, n_green, red = counts(art)
+    print(f"artifact:       {os.path.basename(art)}")
+    print(f"queries:        {n}")
+    print(f"with oracle:    {with_oracle}")
+    print(f"oracle green:   {n_green}/{with_oracle}")
+    print(f"no_oracle rows: {len(no_oracle)}"
+          + (f" ({', '.join(no_oracle)})" if no_oracle else ""))
+    if red:
+        print(f"RED rows:       {', '.join(red)}")
+    if "--check" not in sys.argv:
+        return
+    # any "<a>/<b> ... hash-match|passed" claim in the docs must quote
+    # the canonical green/oracle pair
+    stale = []
+    pat = re.compile(r"(\d+)/(\d+)(?=[^\n]{0,60}(?:hash-match|passed))")
+    for doc in DOCS:
+        p = os.path.join(REPO, doc)
+        if not os.path.exists(p):
+            continue
+        for i, line in enumerate(open(p), 1):
+            for m in pat.finditer(line):
+                a, b = int(m.group(1)), int(m.group(2))
+                if (a, b) != (n_green, with_oracle):
+                    stale.append(f"{doc}:{i}: claims {a}/{b}, "
+                                 f"artifact says {n_green}/{with_oracle}")
+    if stale:
+        print("\nSTALE COUNT CLAIMS:")
+        print("\n".join(stale))
+        sys.exit(1)
+    print("\ndocs agree with the artifact")
+
+
+if __name__ == "__main__":
+    main()
