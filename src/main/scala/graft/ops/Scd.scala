@@ -67,6 +67,12 @@ object Scd {
     * `scd2_salted` hash-checks it against the plain global-window
     * oracle, which is the whole point: salting must be
     * indistinguishable from the single-task window.
+    *
+    * Scan economics: the local pass and the stats aggregate each read
+    * the (pruned) change-log columns once — two narrow scans. That is
+    * the floor without pinning corpus rows (the r9 multi-scan
+    * convention pins reused AGGREGATES; checkpointing the full change
+    * log to save one pruned scan would be the worse trade at 100 TB).
     */
   def type2Salted(changes: DataFrame, keyCols: Seq[String],
                   orderCol: String, tieCol: String,
