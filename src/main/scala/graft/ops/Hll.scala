@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: one scan-stage hash per row, shuffle carries at most
   * |groups| × 1024 register cells (map-side max-combine), and the
   * registers are MERGEABLE by max — the incremental-maintenance
-  * property `hll_incremental` exercises with the DataSketches blob,
-  * available here as plain (group, bucket, r) rows.
+  * property `hll_incremental` drives end to end (old ⊕ delta
+  * registers hash-checked against the oracle's one-pass replay),
+  * with state as plain (group, bucket, r) rows instead of opaque
+  * blobs.
   *
   * Accuracy (σ = 1.04/√m ≈ 3.25%): measured ≤ 2.7% on the events
   * corpus at every test SF, ≤ 6.3% on synthetic cardinalities up to

@@ -505,50 +505,52 @@ object AdvancedQueries {
         when(coalesce(col("__viol"), lit(0L)) === 0, 1)
           .otherwise(0).as("all_within"))
 
-  /** Incremental DISTINCT-count maintenance via mergeable HLL sketch
-    * state (DataSketches `hll_sketch_agg`/`hll_union_agg`) — the gap
-    * [[graft.ops.Incremental.aggState]] cannot cover: count-distinct
-    * is not algebraic, so the incremental-rollup pattern needs a
-    * sketch whose binary state re-aggregates. Per-month distinct
-    * customers are sketched separately on the old and delta order
-    * partitions, union-merged, and checked two ways: the merged
-    * estimate must agree with a one-pass sketch of the full data
-    * (merge consistency) and land within 5% of the exact distinct
-    * recompute (accuracy). At 100 TB the old side is |months| stored
-    * sketch blobs (~2.5 KB each at lgK=12) — the nightly distinct-user
-    * rollup reads the delta partition only, never the history.
-    * Estimates are engine-specific → gate form (flags + recomputed
-    * month count), same contract as `approx_distinct_bound`.
+  /** Incremental DISTINCT-count maintenance via the house HLL's
+    * mergeable registers ([[graft.ops.Hll]] — r10, replacing the
+    * DataSketches blob whose estimate no other engine could replay) —
+    * the gap [[graft.ops.Incremental.aggState]] cannot cover:
+    * count-distinct is not algebraic, so the incremental-rollup
+    * pattern needs state that re-aggregates. Per-month registers are
+    * built SEPARATELY on the old and delta order partitions and
+    * merged by max per (month, bucket); max-merge is exactly the
+    * one-pass sketch by construction, so the DuckDB oracle replays
+    * the ONE-PASS estimate and the hash proves, in one check, both
+    * merge consistency (old ⊕ Δ ≡ one pass) and cross-engine
+    * replayability of every per-month ESTIMATE — strictly stronger
+    * than the old pinned-flag gate form. Accuracy stays a loud
+    * in-engine contract (`require`, the requireMultiBatch style):
+    * mean per-month relative error ≤ 5% (measured ≤ 2.1% at every
+    * test SF; individual small months run up to ~9% ≈ 2.8σ at
+    * m = 1024, which is why the semantic bound is on the mean).
+    *
+    * At 100 TB the old side is |months| × ≤1024 plain integer
+    * register ROWS (not opaque blobs — queryable, diffable, and
+    * mergeable in any engine); the nightly rollup reads the delta
+    * partition only, never the history.
     */
   def hllIncremental(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    import graft.ops.Hll
     val orders = t(s, dir, "orders").select(
       date_trunc("month", col("o_orderdate")).cast("date").as("month"),
       col("o_custkey"), col("o_orderdate"))
     val cutoff = lit("1997-06-01")
-    def sketch(part: DataFrame): DataFrame =
-      part.groupBy(col("month"))
-        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
-    val merged = sketch(orders.filter(col("o_orderdate") < cutoff))
-      .unionByName(sketch(orders.filter(col("o_orderdate") >= cutoff)))
-      .groupBy(col("month"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
-    val onePass = orders.groupBy(col("month"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(12)))
-          .as("est_onepass"),
-        countDistinct(col("o_custkey")).as("exact"))
-    val row = merged.join(onePass, Seq("month"))
-      .agg(count(lit(1)).as("n_months"),
-        sum(when(abs(col("est_merged") - col("exact")) * 100
-          <= col("exact") * 5, 0L).otherwise(1L)).as("__acc_viol"),
-        sum(when(abs(col("est_merged") - col("est_onepass")) * 100
-          <= greatest(col("est_onepass"), lit(1L)), 0L).otherwise(1L))
-          .as("__merge_viol"))
-      .head()
-    Seq((row.getLong(0), 5,
-        if (row.getLong(1) == 0L) 1 else 0,
-        if (row.getLong(2) == 0L) 1 else 0))
-      .toDF("n_months", "err_bound_pct", "within_bound", "merge_consistent")
+    def regs(part: DataFrame): DataFrame =
+      Hll.registers(part, Seq("month"), col("o_custkey"), salt = 424242L)
+    val merged = regs(orders.filter(col("o_orderdate") < cutoff))
+      .unionByName(regs(orders.filter(col("o_orderdate") >= cutoff)))
+      .groupBy(col("month"), col("bucket")).agg(max(col("r")).as("r"))
+    val est = Hll.estimate(merged, Seq("month"), "est_users")
+    val exact = orders.groupBy(col("month"))
+      .agg(countDistinct(col("o_custkey")).as("exact_users"))
+    val out = graft.ops.Dedup.materialize(
+      est.join(exact, Seq("month")).orderBy(col("month")))
+    val meanErr = out
+      .agg(avg(abs(col("est_users") - col("exact_users"))
+        / col("exact_users"))).head().getDouble(0)
+    require(meanErr <= 0.05,
+      f"hll_incremental: mean per-month relative error $meanErr%.4f " +
+        "breaches the 5% accuracy contract")
+    out
   }
 
   /** Time-range self-join: same-user event pairs within 6 hours —
@@ -2751,6 +2753,64 @@ object AdvancedQueries {
     * split-multiply SQL, signed reinterpretation, floorMod to the
     * 100k grid.
     */
+  /** One-pass house-HLL replay ([[graft.ops.Hll]]) over a caller-
+    * supplied CTE `pr` with columns (g, k): the mix64 chain in
+    * UBIGINT split-multiply SQL, integer ρ = bit_count(w ⊕ (w−1)),
+    * max registers, the exact HUGEINT Z-sum, rational α_m, and the
+    * linear-counting branch. Yields CTE `ee` with (g, est) — shared
+    * by the `approx_distinct` and `hll_incremental` oracles.
+    */
+  private def hllChainSql(prCte: String, salt: Long): String = {
+    val saltMix = java.lang.Long.toUnsignedString(
+      graft.functions.Kernels.mix64(salt))
+    s"""WITH pr AS ($prCte),
+         hsc AS (SELECT g,
+                  xor(CAST(k AS UBIGINT), $saltMix::UBIGINT) AS u
+                FROM pr),
+         hm1 AS (SELECT g,
+                  CAST((CAST(u AS HUGEINT) + 11400714819323198485)
+                       % 18446744073709551616 AS UBIGINT) AS z1 FROM hsc),
+         hm2 AS (SELECT g,
+                  CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT)
+                         * 13787848793156543929)
+                        + (((CAST(xor(z1, z1 >> 30) // 4294967296
+                               AS HUGEINT)
+                             * 484763065) % 4294967296) * 4294967296))
+                       % 18446744073709551616 AS UBIGINT) AS z2 FROM hm1),
+         hm3 AS (SELECT g,
+                  CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT)
+                         * 10723151780598845931)
+                        + (((CAST(xor(z2, z2 >> 27) // 4294967296
+                               AS HUGEINT)
+                             * 321982955) % 4294967296) * 4294967296))
+                       % 18446744073709551616 AS UBIGINT) AS z3 FROM hm2),
+         hh AS (SELECT g, xor(z3, z3 >> 31) AS hv FROM hm3),
+         bw AS (SELECT g, CAST(hv & 1023 AS BIGINT) AS bucket,
+                  hv >> 10 AS w FROM hh),
+         rh AS (SELECT g, bucket,
+                  CASE WHEN w = 0 THEN 55
+                       ELSE CAST(bit_count(xor(w, w - 1)) AS INTEGER)
+                  END AS rho
+                FROM bw),
+         regs AS (SELECT g, bucket, max(rho) AS r
+                  FROM rh GROUP BY 1, 2),
+         st AS (SELECT g, count(*) AS nz,
+                  sum(CAST(1::UBIGINT << (55 - r) AS HUGEINT)) AS s_nz
+                FROM regs GROUP BY 1),
+         ed AS (SELECT g, 1024 - nz AS v,
+                  CAST(s_nz + (1024 - nz)
+                         * 36028797018963968::HUGEINT AS DOUBLE) AS sd
+                FROM st),
+         er AS (SELECT g, v,
+                  279039421980170247588980719616::DOUBLE
+                    / (10250790.0 * sd) AS est_raw FROM ed),
+         ee AS (SELECT g,
+                  CASE WHEN v > 0 AND est_raw <= 2560.0
+                       THEN 1024.0 * ln(1024.0 / CAST(v AS DOUBLE))
+                       ELSE est_raw END AS est
+                FROM er)"""
+  }
+
   private val spatialPtChainSql: String = {
     def add(u: String) =
       s"CAST((CAST($u AS HUGEINT) + 11400714819323198485) " +
@@ -3152,17 +3212,24 @@ object AdvancedQueries {
          SELECT tbl, col, expectation, violations,
                 violations = 0 AS pass
          FROM rep ORDER BY tbl, col, expectation""",
-    // the oracle is the FULL recompute — maintenance must be
-    // indistinguishable from recomputing over everything
-    // n_months recomputed; the accuracy and merge-consistency flags
-    // are pinned (sketch estimates are engine-specific)
-    "hll_incremental" ->
-      """SELECT count(DISTINCT date_trunc('month', o_orderdate))
-                  AS n_months,
-                CAST(5 AS INTEGER) AS err_bound_pct,
-                CAST(1 AS INTEGER) AS within_bound,
-                CAST(1 AS INTEGER) AS merge_consistent
-         FROM orders""",
+    // the oracle is the ONE-PASS house-HLL replay: the Spark side
+    // computes old ⊕ delta merged registers, so hash equality proves
+    // merge consistency AND cross-engine replay of every per-month
+    // estimate in one check (r10 — was a pinned-flag gate over
+    // engine-specific DataSketches blobs)
+    "hll_incremental" -> (hllChainSql(
+      "SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) " +
+        "AS g, o_custkey AS k FROM orders",
+      salt = 424242L) + """,
+         ex AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                         AS month,
+                       count(DISTINCT o_custkey) AS exact_users
+                FROM orders GROUP BY 1)
+         SELECT ee.g AS month,
+                CAST(floor(est + 0.5) AS BIGINT) AS est_users,
+                exact_users
+         FROM ee JOIN ex ON ee.g = ex.month
+         ORDER BY month"""),
     // the oracle recomputes the view from the FULL join: equality
     // proves the delta algebra (old ∪ Δa⋈new ∪ old⋈Δb) is exact
     "join_incremental" ->
@@ -3634,62 +3701,16 @@ object AdvancedQueries {
     // as integer max aggregates, the exact HUGEINT Z-sum, and the
     // same rational-alpha raw estimate / linear-counting branch —
     // the ESTIMATE hash-compares, not just its error envelope
-    "approx_distinct" -> {
-      val salt = java.lang.Long.toUnsignedString(
-        graft.functions.Kernels.mix64(777000L))
-      s"""WITH pr AS (SELECT DISTINCT event_type, user_id FROM events),
-         sc AS (SELECT event_type,
-                  xor(CAST(user_id AS UBIGINT), $salt::UBIGINT) AS u
-                FROM pr),
-         m1 AS (SELECT event_type,
-                  CAST((CAST(u AS HUGEINT) + 11400714819323198485)
-                       % 18446744073709551616 AS UBIGINT) AS z1 FROM sc),
-         m2 AS (SELECT event_type,
-                  CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT)
-                         * 13787848793156543929)
-                        + (((CAST(xor(z1, z1 >> 30) // 4294967296
-                               AS HUGEINT)
-                             * 484763065) % 4294967296) * 4294967296))
-                       % 18446744073709551616 AS UBIGINT) AS z2 FROM m1),
-         m3 AS (SELECT event_type,
-                  CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT)
-                         * 10723151780598845931)
-                        + (((CAST(xor(z2, z2 >> 27) // 4294967296
-                               AS HUGEINT)
-                             * 321982955) % 4294967296) * 4294967296))
-                       % 18446744073709551616 AS UBIGINT) AS z3 FROM m2),
-         hh AS (SELECT event_type, xor(z3, z3 >> 31) AS hv FROM m3),
-         bw AS (SELECT event_type, CAST(hv & 1023 AS BIGINT) AS bucket,
-                  hv >> 10 AS w FROM hh),
-         rh AS (SELECT event_type, bucket,
-                  CASE WHEN w = 0 THEN 55
-                       ELSE CAST(bit_count(xor(w, w - 1)) AS INTEGER)
-                  END AS rho
-                FROM bw),
-         regs AS (SELECT event_type, bucket, max(rho) AS r
-                  FROM rh GROUP BY 1, 2),
-         st AS (SELECT event_type, count(*) AS nz,
-                  sum(CAST(1::UBIGINT << (55 - r) AS HUGEINT)) AS s_nz
-                FROM regs GROUP BY 1),
-         ed AS (SELECT event_type, 1024 - nz AS v,
-                  CAST(s_nz + (1024 - nz)
-                         * 36028797018963968::HUGEINT AS DOUBLE) AS sd
-                FROM st),
-         er AS (SELECT event_type, v,
-                  279039421980170247588980719616::DOUBLE
-                    / (10250790.0 * sd) AS est_raw FROM ed),
-         ee AS (SELECT event_type,
-                  CASE WHEN v > 0 AND est_raw <= 2560.0
-                       THEN 1024.0 * ln(1024.0 / CAST(v AS DOUBLE))
-                       ELSE est_raw END AS est
-                FROM er),
+    "approx_distinct" -> (hllChainSql(
+      "SELECT DISTINCT event_type AS g, user_id AS k FROM events",
+      salt = 777000L) + """,
          ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
                 FROM events GROUP BY 1)
-         SELECT ee.event_type,
+         SELECT ee.g AS event_type,
                 CAST(floor(est + 0.5) AS BIGINT) AS approx_users,
                 exact_users
-         FROM ee JOIN ex USING (event_type) ORDER BY event_type"""
-    },
+         FROM ee JOIN ex ON ee.g = ex.event_type
+         ORDER BY event_type"""),
     // the gate keeps the semantic accuracy contract (a bit-equal
     // wrong estimator would still hash-match the row above)
     "approx_distinct_bound" ->
