@@ -236,7 +236,18 @@ object ScaleProbe {
       ("stream_dedup",
         graft.queries.AdvancedQueries.queries("stream_dedup"), false),
       ("stream_join",
-        graft.queries.AdvancedQueries.queries("stream_join"), false))
+        graft.queries.AdvancedQueries.queries("stream_join"), false),
+      // r10 closers: the salted SCD2 (two pruned scans + the salted
+      // window — should track row volume), the house HLL (scan-stage
+      // hash + register cells — should be near-flat past the scan),
+      // and the maintained IVF index (cold — the base build + delta
+      // merge IS the maintenance cost story; memoized per dir)
+      ("scd2_salted",
+        graft.queries.AdvancedQueries.queries("scd2_salted"), false),
+      ("approx_distinct",
+        graft.queries.AdvancedQueries.queries("approx_distinct"), false),
+      ("ann_ivf_delta",
+        graft.queries.ScaleQueries.queries("ann_ivf_delta"), true))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped
