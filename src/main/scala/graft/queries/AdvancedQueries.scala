@@ -2539,10 +2539,10 @@ object AdvancedQueries {
     * feeding partial aggregates), so the table is still read once and
     * every partial is map-side combined. The wide 1-row result then
     * unpivots via `stack` into the catalog row shape. At 100 TB the
-    * exact-distinct Expand is the knob to turn: swap `countDistinct`
-    * for `approx_count_distinct` per column (the HLL error bound this
-    * suite gates in `approx_distinct_bound`) and the same one-scan
-    * plan profiles any width. Counts only — min/max stay typed in the
+    * exact-distinct Expand is the knob to turn: [[profileSketch]] IS
+    * that turn — the same one-scan stack shape with the house HLL
+    * replacing exact distinct, every estimate value-checked. Counts
+    * only — min/max stay typed in the
     * engine and are deliberately not stringified here, so the oracle
     * needs no cross-engine number-formatting contract.
     */
@@ -2560,6 +2560,36 @@ object AdvancedQueries {
       .select(col("column_name"), col("n_non_null"), col("n_distinct"),
         col("n_rows"))
       .orderBy(col("column_name"))
+  }
+
+  /** SKETCH-based dataset profiling — the 100 TB form
+    * [[profileTable]]'s scaladoc promises ("swap countDistinct →
+    * approx on the same plan"), made real with the house HLL
+    * ([[graft.ops.Hll]]) so the per-column ESTIMATES are
+    * value-checked, not gate-bounded. One events scan `stack`s four
+    * int64-keyed column views into (col_name, k) pairs; the pinned
+    * distinct pair set feeds both the register sketch (shuffle ≤
+    * 4 × 1024 cells) and the exact companion the profile compares
+    * against. At 100 TB the exact arm is the thing you drop; the
+    * sketch arm's shuffle is corpus-size-independent past the scan
+    * (measured exponent 0.32 for the same shape, SCALE.md).
+    */
+  def profileSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Hll
+    val pairs = graft.ops.Dedup.materialize(
+      t(s, dir, "events").select(expr(
+        "stack(4, " +
+          "'user_id', user_id, " +
+          "'event_id', event_id, " +
+          "'day', CAST(datediff(to_date(ts), DATE'1970-01-01') AS BIGINT), " +
+          "'value_e4', CAST(floor(value * 10000 + 0.5) AS BIGINT)" +
+        ") AS (col_name, k)"))
+      .distinct())
+    val est = Hll.distinctCount(pairs, Seq("col_name"), col("k"),
+      salt = 99L, outCol = "approx_distinct")
+    val exact = pairs.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    est.join(exact, Seq("col_name")).orderBy(col("col_name"))
   }
 
   def dqExpectations(s: SparkSession, dir: String): DataFrame = {
@@ -2594,6 +2624,7 @@ object AdvancedQueries {
     "skew_stats" -> (skewStats _),
     "length_deciles" -> (lengthDeciles _),
     "profile_table" -> (profileTable _),
+    "profile_sketch" -> (profileSketch _),
     "forget_user" -> (forgetUser _),
     "attribution" -> (attribution _),
     "topk_per_group" -> (topkPerGroup _),
@@ -3701,6 +3732,25 @@ object AdvancedQueries {
     // as integer max aggregates, the exact HUGEINT Z-sum, and the
     // same rational-alpha raw estimate / linear-counting branch —
     // the ESTIMATE hash-compares, not just its error envelope
+    // per-column sketch profiling: one chain over the stacked
+    // (column, key) relation — g IS the column name
+    "profile_sketch" -> (hllChainSql(
+      "SELECT DISTINCT col_name AS g, k FROM (" +
+        "SELECT 'user_id' AS col_name, user_id AS k FROM events " +
+        "UNION ALL SELECT 'event_id', event_id FROM events " +
+        "UNION ALL SELECT 'day', " +
+        "CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) " +
+        "AS BIGINT) FROM events " +
+        "UNION ALL SELECT 'value_e4', " +
+        "CAST(floor(value * 10000 + 0.5) AS BIGINT) FROM events)",
+      salt = 99L) + """,
+         ex AS (SELECT g AS col_name, count(*) AS exact_distinct
+                FROM pr GROUP BY 1)
+         SELECT ee.g AS col_name,
+                CAST(floor(est + 0.5) AS BIGINT) AS approx_distinct,
+                exact_distinct
+         FROM ee JOIN ex ON ee.g = ex.col_name
+         ORDER BY col_name"""),
     "approx_distinct" -> (hllChainSql(
       "SELECT DISTINCT event_type AS g, user_id AS k FROM events",
       salt = 777000L) + """,
