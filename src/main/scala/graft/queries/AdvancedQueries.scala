@@ -336,6 +336,64 @@ object AdvancedQueries {
     out
   }
 
+  /** The FIFTEENTH driver-visible stream shape — approximate
+    * DISTINCT-count maintained FROM the stream: events replayed as
+    * ≥2 real micro-batches, each batch reduced to its house-HLL
+    * register cells ([[graft.ops.Hll.registers]] — plain
+    * (event_type, bucket, ρmax) integer rows) and PERSISTED to the
+    * batch-id-keyed parquet store (the [[graft.ops.Manifest
+    * .writeBatchCells]] idempotence/durability discipline the
+    * manifest and seasonal shapes established). Registers merge by
+    * MAX, so the running sketch over the tiny cell store equals the
+    * one-pass batch sketch BIT FOR BIT regardless of how arrivals
+    * split — the final estimate SHARES `approx_distinct`'s oracle
+    * chain verbatim (the stream_ema shared-oracle discipline). This
+    * is how an ingest keeps a distinct-users dashboard current
+    * without re-scanning history: per batch one register reduction
+    * over only the arriving rows, state = |groups| × ≤1024 integer
+    * cells per batch.
+    */
+  def streamDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.raw(s, dir, "events").schema
+    val stage = stageEventsTimeSplit(s, dir, n = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_hllstore").toString
+    val stream = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val persistBatch: (DataFrame, Long) => Unit = (batch, id) => {
+      val cells = graft.ops.Hll.registers(
+        batch.select(col("event_type"), col("user_id")),
+        Seq("event_type"), col("user_id"), salt = 777000L).persist()
+      try {
+        if (cells.count() > 0) batches.incrementAndGet()
+        graft.ops.Manifest.writeBatchCells(cells, store, id)
+      } finally cells.unpersist()
+    }
+    val q = stream.writeStream.foreachBatch(persistBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    require(batches.get() >= 2,
+      s"stream_distinct expected >=2 non-empty micro-batches, got " +
+        batches.get())
+    val regs = s.read.parquet(store)
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("r")).as("r"))
+    val est = graft.ops.Hll.estimate(regs, Seq("event_type"),
+      "approx_users")
+    val exact = t(s, dir, "events").groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    // pin before deleting the temp cell store (the stream_manifest
+    // store-lifetime rule)
+    val out = graft.ops.Dedup.materialize(
+      est.join(exact, Seq("event_type")).orderBy(col("event_type")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    out
+  }
+
   def movingSum7d(s: SparkSession, dir: String): DataFrame = {
     val sevenDaysUs = 7L * 86400L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
@@ -2687,6 +2745,7 @@ object AdvancedQueries {
     "forecast_backtest" -> (forecastBacktest _),
     "seasonality_strength" -> (seasonalityStrength _),
     "stream_seasonal" -> (streamSeasonal _),
+    "stream_distinct" -> (streamDistinct _),
     "moving_sum_7d" -> (movingSum7d _),
     "interval_union" -> (intervalUnion _),
     "percentile_bound" -> (percentileBound _),
@@ -2841,6 +2900,22 @@ object AdvancedQueries {
                        ELSE est_raw END AS est
                 FROM er)"""
   }
+
+  /** The house-HLL distinct-users replay shared by `approx_distinct`
+    * (batch) and `stream_distinct` (streamed register store — the
+    * max-merge is bit-equal to one pass, so both shapes answer to
+    * this one chain).
+    */
+  private lazy val approxDistinctOracleSql: String = hllChainSql(
+    "SELECT DISTINCT event_type AS g, user_id AS k FROM events",
+    salt = 777000L) + """,
+         ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                FROM events GROUP BY 1)
+         SELECT ee.g AS event_type,
+                CAST(floor(est + 0.5) AS BIGINT) AS approx_users,
+                exact_users
+         FROM ee JOIN ex ON ee.g = ex.event_type
+         ORDER BY event_type"""
 
   private val spatialPtChainSql: String = {
     def add(u: String) =
@@ -3751,16 +3826,11 @@ object AdvancedQueries {
                 exact_distinct
          FROM ee JOIN ex ON ee.g = ex.col_name
          ORDER BY col_name"""),
-    "approx_distinct" -> (hllChainSql(
-      "SELECT DISTINCT event_type AS g, user_id AS k FROM events",
-      salt = 777000L) + """,
-         ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
-                FROM events GROUP BY 1)
-         SELECT ee.g AS event_type,
-                CAST(floor(est + 0.5) AS BIGINT) AS approx_users,
-                exact_users
-         FROM ee JOIN ex ON ee.g = ex.event_type
-         ORDER BY event_type"""),
+    "approx_distinct" -> approxDistinctOracleSql,
+    // the streamed register store max-merges to the SAME registers as
+    // one pass, so the 15th stream shape shares the batch oracle
+    // verbatim — the stream_ema discipline
+    "stream_distinct" -> approxDistinctOracleSql,
     // the gate keeps the semantic accuracy contract (a bit-equal
     // wrong estimator would still hash-match the row above)
     "approx_distinct_bound" ->
