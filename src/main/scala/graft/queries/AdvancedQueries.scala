@@ -1222,6 +1222,57 @@ object AdvancedQueries {
     * gate pattern as `kmeans_gate` (the bitmap itself is not
     * SQL-expressible).
     */
+  /** HOUSE Bloom filter — the cross-engine-replayable companion to
+    * [[bloomPrune]] (Spark's `BloomFilter` bitmap is impl-specific,
+    * so that row is gate-form; here every membership DECISION,
+    * including each false positive, hash-checks). m = 128 bits,
+    * k = 3 hashes: bit_i = shuffle_key(key, 5000+i) & (m−1) — m is
+    * DELIBERATELY small so the filter runs in the genuinely
+    * approximate regime at the test SFs (the cms_freq discipline:
+    * real false positives exist and their exact identities
+    * hash-compare; a production filter sizes m ≈ 10·n for ~1% FP,
+    * same plan). The build side (every-7th supplier) collapses to a
+    * 2-long word bitmap collected driver-side (bounded by m/64 BY
+    * DESIGN) and inlined as a plan literal, so the probe is pure
+    * scan-stage bit arithmetic — the real Bloom deployment shape: a
+    * tiny bitmap broadcast into the scan, no join for the filter
+    * itself. Emitted: every distinct probed suppkey that PASSES,
+    * flagged true member (1) or false positive (0); the oracle
+    * rebuilds the position set from the build keys with the same
+    * three mix64 chains and replays the all-k-bits-present rule.
+    */
+  def bloomHouse(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl.shuffle_key
+    val build = t(s, dir, "supplier")
+      .filter(pmod(col("s_suppkey"), lit(7)) === 0)
+      .select(col("s_suppkey").as("k"))
+    def positions(key: Column): Column = array(
+      shuffle_key(key, 5001L).bitwiseAND(lit(127L)),
+      shuffle_key(key, 5002L).bitwiseAND(lit(127L)),
+      shuffle_key(key, 5003L).bitwiseAND(lit(127L)))
+    val words = new Array[Long](2)
+    build.select(explode(positions(col("k"))).as("p")).distinct()
+      .collect().foreach { r =>
+        val p = r.getLong(0)
+        words((p >> 6).toInt) |= (1L << (p & 63).toInt)
+      }
+    val probe = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("k")).distinct()
+      .withColumn("words", typedLit(words.toSeq))
+      .withColumn("ps", positions(col("k")))
+      // (word >> s) & 1 extracts bit s for s in 0..63 regardless of
+      // shift signedness — only the low bit survives the mask
+      .withColumn("hits", expr(
+        "aggregate(ps, 0, (acc, p) -> acc + CAST((element_at(words, " +
+          "CAST(p DIV 64 AS INT) + 1) >> CAST(p % 64 AS INT)) & 1 " +
+          "AS INT))"))
+    probe.filter(col("hits") === 3)
+      .join(broadcast(build.withColumn("m", lit(1))), Seq("k"), "left")
+      .select(col("k").as("l_suppkey"),
+        coalesce(col("m"), lit(0)).cast("int").as("is_member"))
+      .orderBy(col("l_suppkey"))
+  }
+
   def bloomPrune(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = t(s, dir, "lineitem")
@@ -2712,6 +2763,7 @@ object AdvancedQueries {
     "gap_fill" -> (gapFill _),
     "fuzzy_join" -> (fuzzyJoin _),
     "bloom_prune" -> (bloomPrune _),
+    "bloom_house" -> (bloomHouse _),
     "scd2_intervals" -> (scd2Intervals _),
     "scd2_asof" -> (scd2Asof _),
     "scd2_salted" -> (scd2Salted _),
@@ -3689,6 +3741,52 @@ object AdvancedQueries {
          FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 1
          ORDER BY id_a, id_b""",
+    // every membership decision replayed: the three mix64 chains in
+    // UBIGINT SQL rebuild the bit-position set from the build keys,
+    // and a probe passes iff all k=3 positions are present — the
+    // false-positive set itself hash-compares
+    "bloom_house" -> {
+      def sm(i: Long) = java.lang.Long.toUnsignedString(
+        graft.functions.Kernels.mix64(i))
+      s"""WITH build AS (SELECT s_suppkey AS k FROM supplier
+                     WHERE s_suppkey % 7 = 0),
+       probe AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+       allk AS (SELECT 'b' AS side, k FROM build
+                UNION ALL SELECT 'p' AS side, k FROM probe),
+       un AS (SELECT side, k, xor(CAST(k AS UBIGINT), sm) AS u
+              FROM allk, (VALUES (${sm(5001L)}::UBIGINT),
+                                 (${sm(5002L)}::UBIGINT),
+                                 (${sm(5003L)}::UBIGINT)) AS salts(sm)),
+       z1t AS (SELECT side, k,
+                 CAST((CAST(u AS HUGEINT) + 11400714819323198485)
+                      % 18446744073709551616 AS UBIGINT) AS z1 FROM un),
+       z2t AS (SELECT side, k,
+                 CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT)
+                        * 13787848793156543929)
+                       + (((CAST(xor(z1, z1 >> 30) // 4294967296
+                              AS HUGEINT)
+                            * 484763065) % 4294967296) * 4294967296))
+                      % 18446744073709551616 AS UBIGINT) AS z2 FROM z1t),
+       z3t AS (SELECT side, k,
+                 CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT)
+                        * 10723151780598845931)
+                       + (((CAST(xor(z2, z2 >> 27) // 4294967296
+                              AS HUGEINT)
+                            * 321982955) % 4294967296) * 4294967296))
+                      % 18446744073709551616 AS UBIGINT) AS z3 FROM z2t),
+       hvt AS (SELECT side, k, xor(z3, z3 >> 31) AS hv FROM z3t),
+       pos AS (SELECT side, k, CAST(hv & 127 AS BIGINT) AS p FROM hvt),
+       bits AS (SELECT DISTINCT p FROM pos WHERE side = 'b'),
+       hits AS (SELECT pos.k AS k, count(*) AS c
+                FROM pos JOIN bits USING (p) WHERE side = 'p'
+                GROUP BY pos.k)
+       SELECT h.k AS l_suppkey,
+              CAST(CASE WHEN b2.k IS NOT NULL THEN 1 ELSE 0 END
+                   AS INTEGER) AS is_member
+       FROM hits h LEFT JOIN (SELECT DISTINCT k FROM build) b2
+         ON h.k = b2.k
+       WHERE c = 3 ORDER BY l_suppkey"""
+    },
     // n_total/n_exact recomputed exactly; the bitmap's three gate
     // flags are pinned (see bloomPrune)
     "bloom_prune" ->
