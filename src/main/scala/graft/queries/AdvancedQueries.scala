@@ -444,6 +444,45 @@ object AdvancedQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Mergeable QUANTILE sketch with REPLAYABLE estimates — the
+    * quantile member of the house sketch family (HLL `approx_
+    * distinct`, CMS `cms_freq`, SpaceSaving `topk_freq`, Bloom
+    * `bloom_house`): an equi-width histogram over order totals in
+    * cents, bin = cents DIV 2¹⁴, so sketch state is bounded by
+    * ~3.7k count cells per group REGARDLESS of value cardinality
+    * (where `median_exact`'s bounded-domain counting needs |distinct
+    * values|) and sketches MERGE by plain addition — the incremental
+    * rollup shape. The estimate is the lower edge of the bin holding
+    * the integer ceil rank (the `percentile_bound` rank discipline) —
+    * all integer arithmetic, so the APPROXIMATE VALUES hash-compare
+    * cross-engine, where GK/t-digest summaries are engine-specific
+    * and `percentile_bound` can only gate them. Error ≤ one bin
+    * width (163.84 USD, ~0.1% at the p50 scale); the cumulative
+    * window runs over |groups × bins| cells, never rows.
+    */
+  def quantileHist(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("g"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("g"), expr("cents DIV 16384").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum(col("c"))
+        .over(Window.partitionBy(col("g")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("c"))
+        .over(Window.partitionBy(col("g"))))
+    cum.groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("bin")))
+          .as("b50"),
+        min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("bin")))
+          .as("b90"))
+      .select(col("g").as("o_orderpriority"), col("n"),
+        (col("b50") * 16384).as("p50_bin_cents"),
+        (col("b90") * 16384).as("p90_bin_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Z-order (Morton) layout key over the lineitem (part, supplier)
     * dimensions — the sort key [[graft.ops.Sink.zorderedSave]] lays
     * files out by. Value-checked: DuckDB recomputes the bit interleave
@@ -2801,6 +2840,7 @@ object AdvancedQueries {
     "moving_sum_7d" -> (movingSum7d _),
     "interval_union" -> (intervalUnion _),
     "percentile_bound" -> (percentileBound _),
+    "quantile_hist" -> (quantileHist _),
     "zorder_key" -> (zorderKey _),
     "dpp_join" -> (dppJoin _))
 
@@ -3936,6 +3976,26 @@ object AdvancedQueries {
                 CAST(5 AS INTEGER) AS err_bound_pct,
                 CAST(1 AS INTEGER) AS all_within
          FROM events""",
+    // the histogram quantile's APPROXIMATE VALUES replayed exactly:
+    // integer bin counts, integer ceil ranks, bin-edge estimates
+    "quantile_hist" ->
+      """WITH c AS (SELECT o_orderpriority AS g,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    // 16384 AS bin,
+                  count(*) AS c
+                FROM orders GROUP BY 1, 2),
+         cc AS (SELECT g, bin, c,
+                  sum(c) OVER (PARTITION BY g ORDER BY bin) AS cum,
+                  sum(c) OVER (PARTITION BY g) AS n
+                FROM c)
+         SELECT g AS o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+                CAST(min(CASE WHEN cum >= (n + 1) // 2
+                          THEN bin END) * 16384 AS BIGINT)
+                  AS p50_bin_cents,
+                CAST(min(CASE WHEN cum >= (9 * n + 9) // 10
+                          THEN bin END) * 16384 AS BIGINT)
+                  AS p90_bin_cents
+         FROM cc GROUP BY g ORDER BY g""",
     // like the HLL gate: exact percentiles recomputed, sketch bound
     // pinned to 1 (a drifting percentile_approx breaks the hash)
     "percentile_bound" ->
