@@ -177,6 +177,10 @@ object Similarity {
     // bounded collect: one id per touched list, ≤ |codebook| by design
     val touched = assigned.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0))
+    // an empty delta touches nothing: return before the dynamic
+    // overwrite (an empty isin() filter would also read zero lists,
+    // but making the no-op explicit keeps the index bit-untouched)
+    if (touched.isEmpty) return
     val merged = spark.read.parquet(indexDir)
       .filter(col("centroid_id").isin(touched: _*))
       .unionByName(assigned)

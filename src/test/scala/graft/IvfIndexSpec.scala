@@ -72,5 +72,11 @@ class IvfIndexSpec extends AnyFunSuite {
       .select(col("cid")).collect().map(_.getLong(0)).toSet
     assert(got.exists(_ % 4 == 1) && got.subsetOf(all.toSet),
       s"expected list-1 members (incl. appended), got $got")
+    // an EMPTY delta is a byte-level no-op — no list rewritten
+    val preEmpty = files(base)
+    Similarity.ivfIndexAppendDelta(spark, base, codebook,
+      emb(Seq.empty), "vec_id", "embedding")
+    assert(files(base) == preEmpty,
+      "empty delta must not rewrite any list")
   }
 }

@@ -447,6 +447,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("house sketch family: profile_sketch runs over the pinned pair " +
+      "set (0 parquet scans in the final plan); bloom_house's filter " +
+      "is scan-stage bit arithmetic (only the is_member flag joins); " +
+      "quantile_hist's window runs over the aggregated bin cells") {
+    val ps = formatted("profile_sketch")
+    assert(!ps.contains("Scan parquet"),
+      "profile_sketch must read only its pinned distinct pair set:\n" +
+        ps.take(2000))
+    val bh = formatted("bloom_house")
+    val joins = "Join".r.findAllIn(bh).size
+    assert(bh.contains("aggregate(") || bh.contains("hits"),
+      "bloom_house must test the bitmap literal in the scan stage:\n" +
+        bh.take(2000))
+    assert(!bh.contains("CartesianProduct") &&
+      !bh.contains("BroadcastNestedLoopJoin"),
+      s"bloom_house plans a quadratic join:\n" + bh.take(3000))
+    val qh = formatted("quantile_hist")
+    // the bin expression keys the aggregate as _groupingexpression
+    assert("Keys \\[2\\]: \\[g#\\d+, ".r.findFirstIn(qh).isDefined,
+      "quantile_hist must aggregate to (group, bin) cells before any " +
+        "window:\n" + qh.take(3000))
+    assert(!qh.contains("CartesianProduct"))
+  }
+
   test("scd2_salted: the corpus-side window is SALTED — row_number " +
       "partitions on (key, bucket), so the hot 5-value key never " +
       "pools in one task; the key-only window runs only over the " +
