@@ -68,4 +68,74 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select((leftCols.map(col) :+ col(out)).toSeq: _*)
   }
+
+  /** NEAREST as-of: each left row gains the right payload whose time
+    * is CLOSEST in either direction for the same key — the
+    * sensor-fusion / feature-attach shape (pandas `merge_asof`
+    * direction='nearest'). Composition: the [[asofBackward]]
+    * carry-forward pass plus a mirrored carry-BACK pass over the SAME
+    * keyed union — Catalyst plans ONE hash exchange feeding two
+    * in-partition sorts + Window nodes, so the cost stays one shuffle
+    * of |L|+|R|, no range probe, no pair blowup.
+    *
+    * Resolution per left row is TOTAL and engine-independent:
+    * min |Δt|, ties toward the EARLIER right time (the backward
+    * candidate), then `tieCol` ASC — both carries keep the
+    * min-`tieCol` member of an equal-time group, so an oracle can
+    * replay the rule as ORDER BY (|Δt|, t, tie) LIMIT 1.
+    *
+    * Contracts: `timeCol` (same name both sides) and `tieCol` are
+    * numeric; `tolerance` (same unit as `timeCol`) drops candidates
+    * farther than the bound. Output: left columns + `asof_<payload>`
+    * + `asof_t` (the matched right time, NULL when nothing qualifies).
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCol: String,
+                  timeCol: String, payloadCol: String, tieCol: String,
+                  tolerance: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val leftCols = left.columns
+    val out = s"asof_$payloadCol"
+    val pType = right.schema(payloadCol).dataType
+    val pStruct = StructType(Seq(StructField("t", LongType),
+      StructField("tb", LongType), StructField("v", pType)))
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(pStruct))
+    val r = right
+      .select(col(keyCol), col(timeCol), col(tieCol), col(payloadCol))
+      .withColumn("__side", lit(0))
+      .withColumn("__p", struct(col(timeCol).cast("long").as("t"),
+        col(tieCol).cast("long").as("tb"), col(payloadCol).as("v")))
+      .select(col(keyCol), col(timeCol), col("__side"), col("__p"))
+    val unioned = l
+      .select((leftCols.map(col) :+ col("__side") :+ col("__p")).toSeq: _*)
+      .unionByName(r, allowMissingColumns = true)
+    // tb DESC inside an equal-time group makes `last` carry the
+    // MIN-tie member — the member the oracle's (|Δ|, t, tie ASC)
+    // ordering selects; __side asc keeps equal-time rights visible
+    val frame: org.apache.spark.sql.expressions.WindowSpec => Column =
+      w => last(col("__p"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val wB = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).asc, col("__side").asc,
+        col("__p").getField("tb").desc_nulls_first)
+    val wF = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).desc, col("__side").asc,
+        col("__p").getField("tb").desc_nulls_first)
+    val tl = col(timeCol).cast("long")
+    def delta(c: Column) = abs(c.getField("t") - tl)
+    def inTol(c: Column) = tolerance
+      .map(t => when(delta(c) <= t, c)).getOrElse(c)
+    val withC = unioned
+      .withColumn("__bv", inTol(frame(wB)))
+      .withColumn("__fv", inTol(frame(wF)))
+      .withColumn("__n",
+        when(col("__bv").isNull, col("__fv"))
+          .when(col("__fv").isNull, col("__bv"))
+          .when(delta(col("__bv")) <= delta(col("__fv")), col("__bv"))
+          .otherwise(col("__fv")))
+    withC.filter(col("__side") === 1)
+      .select((leftCols.map(col) :+
+        col("__n").getField("v").as(out) :+
+        col("__n").getField("t").as("asof_t")).toSeq: _*)
+  }
 }

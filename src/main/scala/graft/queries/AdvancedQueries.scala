@@ -36,6 +36,41 @@ object AdvancedQueries {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST as-of ([[graft.ops.AsOfJoin.asofNearest]]) — the
+    * direction='nearest' member of the as-of family (backward:
+    * `asof_join`; point-in-time interval: `scd2_asof`): every 20th
+    * user probed at three OFF-GRID timestamps (day d₀+5/15/25 at
+    * 11:37, so the nearest event genuinely differs from the backward
+    * one when the next event is closer), each probe attached to that
+    * user's closest event in either direction. One keyed shuffle
+    * serves both direction carries. The oracle replays the total
+    * resolution rule — ORDER BY (|Δt|, t, event_id) LIMIT 1 per
+    * probe — so the tie semantics are hash-pinned, not just the
+    * happy path.
+    */
+  def asofNearestQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.raw(s, dir, "events")
+    val ev = raw.select(col("user_id"),
+      Tables.microsOf(raw, "ts").as("t_us"), col("event_id"))
+    val d0 = ev.agg(min(to_date(timestamp_micros(col("t_us")))).as("d0"))
+    val probes = ev.select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(20)) === 0)
+      .crossJoin(broadcast(d0))
+      .crossJoin(Seq(5, 15, 25).toDF("o"))
+      .select(col("user_id"),
+        (unix_micros(date_add(col("d0"), col("o")).cast("timestamp"))
+          + lit(41820000000L)).as("t_us"))
+      .withColumn("probe_us", col("t_us"))
+    graft.ops.AsOfJoin.asofNearest(probes, ev,
+        keyCol = "user_id", timeCol = "t_us", payloadCol = "event_id",
+        tieCol = "event_id")
+      .select(col("user_id"), col("probe_us"),
+        col("asof_event_id").as("nearest_event_id"),
+        abs(col("asof_t") - col("probe_us")).as("delta_us"))
+      .orderBy(col("user_id"), col("probe_us"))
+  }
+
   /** Pivot: per-user event-type count matrix (fixed column set so the
     * plan is a single hash aggregate, no second pass to discover
     * pivot values).
@@ -2824,6 +2859,7 @@ object AdvancedQueries {
     "unpivot_events" -> (unpivotEvents _),
     "range_join" -> (rangeJoin _),
     "asof_join" -> (asofJoin _),
+    "asof_nearest" -> (asofNearestQ _),
     "pivot_events" -> (pivotEvents _),
     "sample_deterministic" -> (sampleDeterministic _),
     "approx_distinct" -> (approxDistinct _),
@@ -4194,6 +4230,27 @@ object AdvancedQueries {
               AND c.ts <= p.ts) AS asof_click_us
          FROM events p WHERE p.event_type = 'purchase'
          ORDER BY event_id""",
+    // the total nearest rule replayed: (|delta|, t, tie) LIMIT 1 per
+    // probe — hash-pins the tie semantics, not just the happy path
+    "asof_nearest" ->
+      """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+         probes AS (SELECT DISTINCT user_id,
+                      epoch_us(CAST(d0 + o AS TIMESTAMP))
+                        + 41820000000 AS probe_us
+                    FROM events, d0, (VALUES (5), (15), (25)) AS v(o)
+                    WHERE user_id % 20 = 0),
+         cand AS (SELECT p.user_id, p.probe_us, e.event_id,
+                    abs(epoch_us(e.ts) - p.probe_us) AS d,
+                    epoch_us(e.ts) AS t
+                  FROM probes p JOIN events e
+                    ON e.user_id = p.user_id),
+         r AS (SELECT *, row_number() OVER (
+                 PARTITION BY user_id, probe_us
+                 ORDER BY d, t, event_id) AS rn
+               FROM cand)
+         SELECT user_id, probe_us, event_id AS nearest_event_id,
+                CAST(d AS BIGINT) AS delta_us
+         FROM r WHERE rn = 1 ORDER BY user_id, probe_us""",
     "pivot_events" ->
       """SELECT user_id,
            count(*) FILTER (WHERE event_type = 'click') AS click,

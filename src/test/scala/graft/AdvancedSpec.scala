@@ -43,6 +43,28 @@ class AdvancedSpec extends AnyFunSuite {
     assert(salted.size == 1001)
   }
 
+  test("asofNearest: direction, equal-delta tie toward backward, " +
+      "equal-time tie toward min tieCol, tolerance drop") {
+    val right = Seq(
+      (1L, 100L, 10L, "a"),  // backward, delta 3 — wins over forward
+      (1L, 110L, 11L, "b"),  // forward, delta 7
+      (2L, 200L, 20L, "c"),  // equal delta with the next row
+      (2L, 220L, 21L, "d"),  // probe t=210: both delta 10 → backward c
+      (3L, 300L, 30L, "e"),  // equal time as next
+      (3L, 300L, 31L, "f"),  // probe t=300: tie → min tieCol = e
+      (4L, 400L, 40L, "g")   // probe t=900: beyond tolerance → null
+    ).toDF("k", "t", "id", "v")
+    val left = Seq((1L, 103L), (2L, 210L), (3L, 300L), (4L, 900L))
+      .toDF("k", "t")
+    val got = graft.ops.AsOfJoin.asofNearest(left, right,
+        keyCol = "k", timeCol = "t", payloadCol = "v", tieCol = "id",
+        tolerance = Some(100L))
+      .select("k", "asof_v").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(got == Map(1L -> Some("a"), 2L -> Some("c"),
+      3L -> Some("e"), 4L -> None), s"got: $got")
+  }
+
   test("house HLL estimate within 5% of exact on events") {
     val rows = queries.AdvancedQueries.approxDistinct(spark, "/root/testdata/sf0.001")
       .collect()
