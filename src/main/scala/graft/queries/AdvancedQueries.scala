@@ -429,6 +429,69 @@ object AdvancedQueries {
     out
   }
 
+  /** The SIXTEENTH driver-visible stream shape — the quantile
+    * HISTOGRAM ([[quantileHist]]'s mergeable form) maintained FROM
+    * the stream: each micro-batch reduces to its per-(event_type,
+    * value-bin) count cells and persists them to the batch-id-keyed
+    * store (the manifest/seasonal/HLL durability discipline). Counts
+    * merge by ADDITION, so the merged histogram equals the batch
+    * recompute regardless of arrival split and the rank-edge p50/p90
+    * estimates hash-check against a plain batch oracle. With
+    * `stream_distinct` this closes the pair a streaming metrics
+    * pipeline actually runs: distinct-users AND latency/value
+    * percentiles per key, both as tiny mergeable cell stores, history
+    * never re-scanned.
+    */
+  def streamQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.raw(s, dir, "events").schema
+    val stage = stageEventsTimeSplit(s, dir, n = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_qhist").toString
+    val stream = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val persistBatch: (DataFrame, Long) => Unit = (batch, id) => {
+      val cells = batch
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("event_type"), expr("cents DIV 512").as("bin"))
+        .agg(count(lit(1)).as("c")).persist()
+      try {
+        if (cells.count() > 0) batches.incrementAndGet()
+        graft.ops.Manifest.writeBatchCells(cells, store, id)
+      } finally cells.unpersist()
+    }
+    val q = stream.writeStream.foreachBatch(persistBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    require(batches.get() >= 2,
+      s"stream_quantile expected >=2 non-empty micro-batches, got " +
+        batches.get())
+    val counts = s.read.parquet(store)
+      .groupBy(col("event_type"), col("bin")).agg(sum(col("c")).as("c"))
+    val cum = counts
+      .withColumn("cum", sum(col("c"))
+        .over(Window.partitionBy(col("event_type")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("c"))
+        .over(Window.partitionBy(col("event_type"))))
+    val out = graft.ops.Dedup.materialize(cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("bin")))
+          .as("b50"),
+        min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("bin")))
+          .as("b90"))
+      .select(col("event_type"), col("n"),
+        (col("b50") * 512).as("p50_bin_cents"),
+        (col("b90") * 512).as("p90_bin_cents"))
+      .orderBy(col("event_type")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    out
+  }
+
   def movingSum7d(s: SparkSession, dir: String): DataFrame = {
     val sevenDaysUs = 7L * 86400L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
@@ -2873,6 +2936,7 @@ object AdvancedQueries {
     "seasonality_strength" -> (seasonalityStrength _),
     "stream_seasonal" -> (streamSeasonal _),
     "stream_distinct" -> (streamDistinct _),
+    "stream_quantile" -> (streamQuantile _),
     "moving_sum_7d" -> (movingSum7d _),
     "interval_union" -> (intervalUnion _),
     "percentile_bound" -> (percentileBound _),
@@ -4012,6 +4076,27 @@ object AdvancedQueries {
                 CAST(5 AS INTEGER) AS err_bound_pct,
                 CAST(1 AS INTEGER) AS all_within
          FROM events""",
+    // the streamed histogram merges by addition, so the batch
+    // recompute over events IS its oracle (the stream_ema discipline)
+    "stream_quantile" ->
+      """WITH c AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    // 512 AS bin,
+                  count(*) AS c
+                FROM events GROUP BY 1, 2),
+         cc AS (SELECT event_type, bin, c,
+                  sum(c) OVER (PARTITION BY event_type
+                               ORDER BY bin) AS cum,
+                  sum(c) OVER (PARTITION BY event_type) AS n
+                FROM c)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                CAST(min(CASE WHEN cum >= (n + 1) // 2
+                          THEN bin END) * 512 AS BIGINT)
+                  AS p50_bin_cents,
+                CAST(min(CASE WHEN cum >= (9 * n + 9) // 10
+                          THEN bin END) * 512 AS BIGINT)
+                  AS p90_bin_cents
+         FROM cc GROUP BY event_type ORDER BY event_type""",
     // the histogram quantile's APPROXIMATE VALUES replayed exactly:
     // integer bin counts, integer ceil ranks, bin-edge estimates
     "quantile_hist" ->
