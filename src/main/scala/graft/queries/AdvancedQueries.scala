@@ -748,6 +748,48 @@ object AdvancedQueries {
     out
   }
 
+  /** SLIDING-WINDOW distinct users (trailing 7 days) via house-HLL
+    * register algebra — the query that shows WHY the registers are
+    * worth storing: sliding distinct counts are not algebraic (a
+    * day's contribution can't be subtracted back out), so the exact
+    * form re-scans every window; with per-day REGISTERS the trailing
+    * week is a max-merge of 7 tiny cell sets — the Druid/ClickHouse
+    * HLL-column pattern. Engine side: per-(day, bucket) registers
+    * built once (|days| × ≤1024 cells), each day's cells EXPANDED to
+    * the ≤7 target days they serve, max-merged per target, estimated.
+    * max-over-union ≡ max-of-maxes, so the oracle's one-pass chain
+    * over the expanded (target, user) pair set computes the identical
+    * registers — the estimate hash-compares. The exact companion
+    * (corpus × 7 expansion) rides for the accuracy story; production
+    * drops it — that is the point.
+    */
+  def hllSliding(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Hll
+    val pairs = graft.ops.Dedup.materialize(
+      t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct())
+    val days = pairs.select(col("day")).distinct()
+      .withColumnRenamed("day", "target")
+    val regs = Hll.registers(pairs, Seq("day"), col("user_id"),
+      salt = 777000L)
+    val merged = regs
+      .withColumn("target",
+        explode(sequence(col("day"), date_add(col("day"), 6))))
+      .join(broadcast(days), Seq("target"))
+      .groupBy(col("target"), col("bucket")).agg(max(col("r")).as("r"))
+    val est = Hll.estimate(merged, Seq("target"), "approx_users_7d")
+    val exact = pairs
+      .withColumn("target",
+        explode(sequence(col("day"), date_add(col("day"), 6))))
+      .join(broadcast(days), Seq("target"))
+      .select(col("target"), col("user_id")).distinct()
+      .groupBy(col("target")).agg(count(lit(1)).as("exact_users_7d"))
+    est.join(exact, Seq("target"))
+      .select(col("target").as("day"), col("approx_users_7d"),
+        col("exact_users_7d"))
+      .orderBy(col("day"))
+  }
+
   /** Time-range self-join: same-user event pairs within 6 hours —
     * banded equi-join ([[graft.ops.RangeJoin]]), no nested loop.
     */
@@ -2865,6 +2907,7 @@ object AdvancedQueries {
     "agg_incremental" -> (aggIncremental _),
     "join_incremental" -> (joinIncremental _),
     "hll_incremental" -> (hllIncremental _),
+    "hll_sliding" -> (hllSliding _),
     "dq_expectations" -> (dqExpectations _),
     "event_transitions" -> (eventTransitions _),
     "skew_stats" -> (skewStats _),
@@ -3510,6 +3553,30 @@ object AdvancedQueries {
          SELECT tbl, col, expectation, violations,
                 violations = 0 AS pass
          FROM rep ORDER BY tbl, col, expectation""",
+    // max-over-union ≡ max-of-maxes: the engine's per-day registers
+    // expanded + merged must equal the one-pass chain over the
+    // expanded (target, user) pair set — sliding distinct via
+    // register algebra, estimate hash-compared
+    "hll_sliding" -> (hllChainSql(
+      "SELECT DISTINCT d.day AS g, p.user_id AS k " +
+        "FROM (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id " +
+        "FROM events) p " +
+        "JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d " +
+        "ON p.day BETWEEN d.day - 6 AND d.day",
+      salt = 777000L) + """,
+         ex AS (SELECT d.day, count(DISTINCT p.user_id)
+                         AS exact_users_7d
+                FROM (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                      FROM events) p
+                JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day
+                      FROM events) d
+                  ON p.day BETWEEN d.day - 6 AND d.day
+                GROUP BY 1)
+         SELECT ee.g AS day,
+                CAST(floor(est + 0.5) AS BIGINT) AS approx_users_7d,
+                exact_users_7d
+         FROM ee JOIN ex ON ee.g = ex.day
+         ORDER BY day"""),
     // the oracle is the ONE-PASS house-HLL replay: the Spark side
     // computes old ⊕ delta merged registers, so hash equality proves
     // merge consistency AND cross-engine replay of every per-month
