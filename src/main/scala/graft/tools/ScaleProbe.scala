@@ -247,7 +247,12 @@ object ScaleProbe {
       ("approx_distinct",
         graft.queries.AdvancedQueries.queries("approx_distinct"), false),
       ("ann_ivf_delta",
-        graft.queries.ScaleQueries.queries("ann_ivf_delta"), true))
+        graft.queries.ScaleQueries.queries("ann_ivf_delta"), true),
+      // r10 final: sliding distinct over the register store — the
+      // window merge runs over |days x 1024| cells, so past the
+      // distinct-pair scan the exponent should be near-flat
+      ("hll_sliding",
+        graft.queries.AdvancedQueries.queries("hll_sliding"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped
