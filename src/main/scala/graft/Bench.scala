@@ -114,9 +114,6 @@ object Bench {
     }
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val probeA = safeProbe()
-    val mid = suite.size / 2
-    var probeBOpt: Option[Double] = None
     // a sample pair is UNCORROBORATED when the two best runs disagree
     // >2x with >0.25 s between them — the reported best-of-N is then a
     // guess between two stories, so the query earns one extra sample
@@ -128,35 +125,74 @@ object Bench {
       val s = ts.sorted
       s.size >= 2 && s(1) > 2 * s(0) && s(1) - s(0) > 0.25
     }
-    val firstPass = suite.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == mid && probeBOpt.isEmpty) probeBOpt = Some(safeProbe())
-      val ts = (1 to repeat).flatMap(_ => timeOnce(name, fn))
-      name -> (if (uncorroborated(ts))
-        ts ++ timeOnce(name, suite.find(_._1 == name).get._2)
-      else ts)
-    }
-    val probeB = probeBOpt.getOrElse(safeProbe())
-    val probeC = safeProbe()
-    val probes = Seq(probeA, probeB, probeC)
-    // a -1 (failed) sample means the weather is UNKNOWN, not contended
-    val contended = probes.forall(_ >= 0) && probes.max > 2 * probes.min
-    // Self-adjudication pass: on the canonical sf0.1 run, any query
-    // whose best-of-N exceeds 3x its idle reference gets ONE more run
-    // (min still wins). On an idle host this re-runs nothing; during a
-    // contention episode it gives every distorted query a second
-    // chance after the episode, and names the survivors in "rerun" so
-    // a judge can see which values were weather-corrected.
     // the references are sf0.1 / local[32] measurements: on another
     // core count most parallel-heavy queries would read as false
-    // outliers and the pass would re-run half the suite for nothing
+    // outliers and the outlier pass would re-run half the suite for
+    // nothing
     val applyRef = sfDir.stripSuffix("/").endsWith("sf0.1") &&
       cpus == "32"
-    val results = firstPass.map { case (name, ts) =>
-      val ref = if (applyRef) idleRefSf01.get(name) else None
-      val outlier = ts.nonEmpty && ref.exists(r => ts.min > 3 * r)
-      if (outlier) (name, ts ++ timeOnce(name, suite.find(_._1 == name).get._2), true)
-      else (name, ts, false)
+    // One full sweep: per-query best-of-N with the adaptive third
+    // sample, begin/mid/end host probes, and the idle-reference
+    // outlier pass. Extracted so a contention-polluted sweep can be
+    // RE-RUN rather than committed (the r10 artifact recorded
+    // contended:true + a nominal anchor regression that the idle
+    // closing run disproved — fix the artifact, not the code).
+    def sweep(): (Seq[(String, Seq[Double], Boolean)], Seq[Double], Boolean) = {
+      val probeA = safeProbe()
+      val mid = suite.size / 2
+      var probeBOpt: Option[Double] = None
+      val firstPass = suite.zipWithIndex.map { case ((name, fn), i) =>
+        if (i == mid && probeBOpt.isEmpty) probeBOpt = Some(safeProbe())
+        val ts = (1 to repeat).flatMap(_ => timeOnce(name, fn))
+        (name, fn,
+          if (uncorroborated(ts)) ts ++ timeOnce(name, fn) else ts)
+      }
+      val probeB = probeBOpt.getOrElse(safeProbe())
+      val probeC = safeProbe()
+      val probes = Seq(probeA, probeB, probeC)
+      // a -1 (failed) sample means the weather is UNKNOWN, not contended
+      val contended = probes.forall(_ >= 0) && probes.max > 2 * probes.min
+      // Self-adjudication pass: on the canonical sf0.1 run, any query
+      // whose best-of-N exceeds 3x its idle reference gets ONE more run
+      // (min still wins). On an idle host this re-runs nothing; during
+      // a contention episode it gives every distorted query a second
+      // chance after the episode, and names the survivors in "rerun"
+      // so a judge can see which values were weather-corrected.
+      val results = firstPass.map { case (name, fn, ts) =>
+        val ref = if (applyRef) idleRefSf01.get(name) else None
+        val outlier = ts.nonEmpty && ref.exists(r => ts.min > 3 * r)
+        if (outlier) (name, ts ++ timeOnce(name, fn), true)
+        else (name, ts, false)
+      }
+      (results, probes, contended)
     }
+    // Bounded whole-sweep retry: a sweep whose own weather evidence
+    // says its numbers are untrustworthy (probe spread = contention
+    // EPISODE, or probe floor >1.5x idle = sustained load) is re-run
+    // up to SPARK_GRAFT_BENCH_RETRIES times (default 1), and the
+    // sweep with the best (lowest) probe floor is the one emitted —
+    // so the committed artifact is idle-comparable whenever any
+    // attempt saw an idle host. `attempts` rides in the total_only
+    // line; retry exhaustion is visible as attempts > 1 with
+    // contended/host_slow still set.
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "1")
+      .toInt.max(0)
+    def probeFloor(ps: Seq[Double]): Double = {
+      val v = ps.filter(_ >= 0)
+      if (v.isEmpty) Double.MaxValue else v.min
+    }
+    var attempts = 1
+    var bestSweep = sweep()
+    while (attempts <= maxRetries &&
+        (bestSweep._3 || (applyRef &&
+          probeFloor(bestSweep._2) / BenchIdleRef.probeIdleSec > 1.5))) {
+      System.err.println(s"[bench] sweep $attempts weather-polluted " +
+        s"(probes=${bestSweep._2.mkString(",")}) — retrying")
+      attempts += 1
+      val next = sweep()
+      if (probeFloor(next._2) < probeFloor(bestSweep._2)) bestSweep = next
+    }
+    val (results, probes, contended) = bestSweep
     val rerun = results.collect { case (k, _, true) => s""""$k"""" }
       .mkString("[", ",", "]")
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
@@ -222,7 +258,7 @@ object Bench {
     // (probe_s/contended/rerun) always survive truncation.
     val detailLine = s"""{"metric":"total_detail","value":$total,"unit":"sec","runs":$repeat,"samples":$samples,"sf":"$sfDir"}"""
     val compactLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"noisy":$noisy,"failed":$failed,"sf":"$sfDir"}"""
-    val totalLine = s"""{"metric":"total_only","value":$total,"unit":"sec","runs":$repeat,"nq":${results.size},"anchor41":$anchorTotal,"anchor41_nq":${results.count(r => anchor41.contains(r._1))},"failed_n":${results.count(_._2.isEmpty)},"probe_s":$probeJson,"probe_ratio":$probeRatio,"host_slow":$hostSlow,"contended":$contended,"rerun":$rerun}"""
+    val totalLine = s"""{"metric":"total_only","value":$total,"unit":"sec","runs":$repeat,"nq":${results.size},"anchor41":$anchorTotal,"anchor41_nq":${results.count(r => anchor41.contains(r._1))},"failed_n":${results.count(_._2.isEmpty)},"probe_s":$probeJson,"probe_ratio":$probeRatio,"host_slow":$hostSlow,"contended":$contended,"attempts":$attempts,"rerun":$rerun}"""
     println(detailLine)
     println(compactLine)
     println(totalLine)

@@ -59,16 +59,46 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, centroidEvery: Int = 97,
               nprobe: Int = 3, maxCentroids: Int = 1 << 14): DataFrame = {
-    // distributed TakeOrdered: the driver receives at most maxCentroids
-    // (id, vector) rows regardless of corpus size
-    val codebook = emb.filter(col(idCol) % centroidEvery === 0)
+    val codebook = sampledCodebook(emb, idCol, vecCol, centroidEvery,
+      maxCentroids)
+    ivfTopKWithCodebook(emb, idCol, vecCol, queryPred, k, nprobe, codebook)
+  }
+
+  /** Deterministic every-`stride`-th sampled coarse quantizer — the
+    * training-free codebook every IVF shape here shares. Distributed
+    * TakeOrdered: the driver receives at most `maxCentroids`
+    * (id, vector) rows regardless of corpus size.
+    */
+  def sampledCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                      stride: Int, maxCentroids: Int = 1 << 14)
+      : Array[(Long, Seq[Float])] =
+    emb.filter(col(idCol) % stride === 0)
       .select(col(idCol).cast("long").as("centroid_id"),
         col(vecCol).cast("array<float>").as("centroid_v"))
       .orderBy(col("centroid_id")).limit(maxCentroids)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    ivfTopKWithCodebook(emb, idCol, vecCol, queryPred, k, nprobe, codebook)
-  }
+
+  /** Sampling stride that makes nlist track √n (the Faiss sizing
+    * guideline: nlist ≈ 4·√n): stride = max(1, ⌊√n / 4⌋), so
+    * n/stride ≈ 4√n lists and the build-time assignment argmax costs
+    * O(n·√n·d) instead of the O(n²·d) a FIXED stride degenerates to
+    * (nlist ∝ n — the one >0.5 exponent in the r10 SCALE.md table).
+    * Derived from a COUNT, never a sample, so the rule is
+    * deterministic and replays in the DuckDB oracle as
+    * `GREATEST(1, CAST(floor(sqrt(count(*)) / 4) AS BIGINT))` —
+    * identical IEEE sqrt/floor on both engines.
+    */
+  def sqrtStride(n: Long): Int =
+    math.max(1L, math.floor(math.sqrt(n.toDouble) / 4.0).toLong).toInt
+
+  /** Probe budget tracking the list count (the `ann_ivf` scaladoc
+    * rule that a FIXED nprobe collapses as nlist grows): probe
+    * max(7, nlist/8) lists — a roughly constant list fraction with
+    * the small-index floor the test SFs need. Integer division on a
+    * non-negative count, so DuckDB's `count(*) // 8` replays it.
+    */
+  def derivedNprobe(nlist: Int): Int = math.max(7, nlist / 8)
 
   /** [[ivfTopK]] with the coarse quantizer supplied by the caller —
     * the production shape, where the codebook comes from a TRAINED
@@ -110,17 +140,19 @@ object Similarity {
     * in-plan equi-join variant is [[ivfTopK]]; this is the
     * index-build-once / search-many shape a serving tier uses).
     * Returns the sampled codebook the searches must share.
+    *
+    * `centroidEvery` ≤ 0 (the default) derives the stride from a
+    * cheap corpus COUNT via [[sqrtStride]], so nlist tracks 4·√n and
+    * the build stays O(n^1.5) — a fixed stride makes nlist ∝ n and
+    * the build quadratic.
     */
   def ivfIndexWrite(emb: DataFrame, idCol: String, vecCol: String,
-                    indexDir: String, centroidEvery: Int = 149,
+                    indexDir: String, centroidEvery: Int = 0,
                     maxCentroids: Int = 1 << 14)
       : Array[(Long, Seq[Float])] = {
-    val codebook = emb.filter(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).cast("long").as("centroid_id"),
-        col(vecCol).cast("array<float>").as("centroid_v"))
-      .orderBy(col("centroid_id")).limit(maxCentroids)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val stride =
+      if (centroidEvery > 0) centroidEvery else sqrtStride(emb.count())
+    val codebook = sampledCodebook(emb, idCol, vecCol, stride, maxCentroids)
     ivfIndexWriteWithCodebook(emb, idCol, vecCol, indexDir, codebook)
     codebook
   }
@@ -150,22 +182,62 @@ object Similarity {
     * (the `minhash_incremental` incremental-index precedent at the
     * storage layer). Delta vectors are assigned under the SHARED
     * codebook (scan-stage argmax, zero shuffle), then each touched
-    * list is rewritten as existing-rows ∪ delta via DYNAMIC partition
-    * overwrite — untouched lists' files are never read or rewritten,
-    * so the cost is O(|delta| + rows in touched lists), independent
-    * of index size. The merged rows are PINNED (localCheckpoint)
-    * before the overwrite touches the partitions they were read from
-    * (read-merge-overwrite on the same path is the classic
-    * self-clobber hazard). Merge consistency — search(base ∪ Δ) ≡
-    * search(rebuilt-from-everything) — is what `ann_ivf_delta`
-    * hash-checks: assignment depends only on (vector, codebook), so
-    * WHEN a row arrived cannot change WHERE it lives.
+    * list is rewritten as existing-rows ∪ delta — untouched lists'
+    * files are never read or rewritten, so the cost is O(|delta| +
+    * rows in touched lists), independent of index size. Merge
+    * consistency — search(base ∪ Δ) ≡ search(rebuilt-from-everything)
+    * — is what `ann_ivf_delta` hash-checks: assignment depends only
+    * on (vector, codebook), so WHEN a row arrived cannot change WHERE
+    * it lives.
+    *
+    * CRASH CONSISTENCY (stage → publish → clean): the merged lists
+    * are first written to `stagingDir` — RELIABLE storage, not
+    * executor-local checkpoint blocks, which an executor loss during
+    * the overwrite would drop while the only durable copy of the
+    * touched lists is already half-replaced — and only then published
+    * into the index by [[ivfIndexPublishStaged]] (dynamic partition
+    * overwrite reading the staging dir, never the index). A crash
+    * before publish leaves the index bit-identical to the old state;
+    * a crash DURING publish can leave a touched list old, merged, or
+    * momentarily absent (Spark's dynamic-overwrite commit deletes a
+    * partition dir before renaming its replacement in), but the
+    * staged copy survives, and because publish is IDEMPOTENT —
+    * re-running it rewrites exactly the staged lists — recovery is
+    * "re-run [[ivfIndexPublishStaged]] until it succeeds, then delete
+    * the staging dir". The staging dir is deleted ONLY after a
+    * successful publish; `IvfIndexSpec` injects both crash windows
+    * and pins old-state equality / recovery-to-rebuild equality.
     */
   def ivfIndexAppendDelta(spark: org.apache.spark.sql.SparkSession,
                           indexDir: String,
                           codebook: Array[(Long, Seq[Float])],
                           delta: DataFrame, idCol: String,
-                          vecCol: String): Unit = {
+                          vecCol: String,
+                          stagingDirOpt: Option[String] = None): Unit = {
+    val staging = stagingDirOpt.getOrElse(
+      indexDir.stripSuffix("/") + ".staging")
+    val touched = ivfIndexStageDelta(spark, indexDir, staging, codebook,
+      delta, idCol, vecCol)
+    // an empty delta stages nothing: return before the publish (an
+    // empty staged frame would also rewrite zero lists, but making
+    // the no-op explicit keeps the index bit-untouched)
+    if (touched.isEmpty) return
+    ivfIndexPublishStaged(spark, indexDir, staging)
+    deleteDir(spark, staging) // only after a successful publish
+  }
+
+  /** Stage half of the maintenance loop: write the MERGED form
+    * (existing rows ∪ assigned delta) of every list the delta touches
+    * to `stagingDir` as a durable parquet table partitioned by list
+    * id. The index itself is only READ — a crash anywhere in here
+    * leaves it bit-identical to the old state. Returns the touched
+    * list ids (empty ⇒ nothing staged).
+    */
+  def ivfIndexStageDelta(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, stagingDir: String,
+                         codebook: Array[(Long, Seq[Float])],
+                         delta: DataFrame, idCol: String,
+                         vecCol: String): Array[Long] = {
     val centsLit = typedLit(codebook.map(_._2).toSeq)
     val idsLit = typedLit(codebook.map(_._1).toSeq)
     val assigned = delta
@@ -173,22 +245,39 @@ object Similarity {
         col(vecCol).cast("array<float>").as("cv"))
       .withColumn("centroid_id", try_element_at(
         nearest_centroids(col("cv"), centsLit, idsLit, 1), lit(1)))
-      .localCheckpoint(true)
     // bounded collect: one id per touched list, ≤ |codebook| by design
     val touched = assigned.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0))
-    // an empty delta touches nothing: return before the dynamic
-    // overwrite (an empty isin() filter would also read zero lists,
-    // but making the no-op explicit keeps the index bit-untouched)
-    if (touched.isEmpty) return
-    val merged = spark.read.parquet(indexDir)
+    if (touched.isEmpty) return touched
+    spark.read.parquet(indexDir)
       .filter(col("centroid_id").isin(touched: _*))
       .unionByName(assigned)
       .repartition(col("centroid_id"))
-      .localCheckpoint(true) // pin BEFORE overwriting the source lists
-    merged.write.mode("overwrite")
+      .write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(stagingDir)
+    touched
+  }
+
+  /** Publish half of the maintenance loop: dynamic partition
+    * overwrite of the staged lists into the index, reading ONLY the
+    * staging dir (the index is never both read and overwritten in
+    * one job). IDEMPOTENT — the staged table already holds each
+    * touched list's complete merged content, so re-running after any
+    * partial failure converges to the same final index; see
+    * [[ivfIndexAppendDelta]] for the recovery contract.
+    */
+  def ivfIndexPublishStaged(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, stagingDir: String): Unit =
+    spark.read.parquet(stagingDir)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("centroid_id").parquet(indexDir)
+
+  private def deleteDir(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   /** Single-query search over a persisted [[ivfIndexWrite]] index:
@@ -218,6 +307,96 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(lit(qid).as("qid"), col("cid"), col("sim_r"), col("rnk"))
+  }
+
+  /** PERSIST an IVF-PQ index (Jégou et al. TPAMI 2011 IVFADC): the
+    * searchable corpus state is (cid, m-byte code) partitioned BY
+    * LIST ID — no raw vectors. At m=16 one-byte codes over 64-d
+    * float vectors that is a 16× smaller table than the vectors it
+    * stands for (the scaladoc promise [[ivfpqTopK]] makes, landed at
+    * the storage layer): the index tier a serving fleet keeps hot
+    * while the raw vectors stay cold in parquet. Codes are computed
+    * by [[pqEncode]] under the supplied (pre-trained) sub-codebooks;
+    * list assignment is the scan-stage argmax under the shared coarse
+    * quantizer — one corpus scan, zero shuffle before the
+    * partitioned write.
+    */
+  def ivfpqIndexWrite(emb: DataFrame, idCol: String, vecCol: String,
+                      indexDir: String,
+                      coarseCodebook: Array[(Long, Seq[Float])],
+                      pqCodebooks: Array[Array[Array[Float]]]): Unit = {
+    val centsLit = typedLit(coarseCodebook.map(_._2).toSeq)
+    val idsLit = typedLit(coarseCodebook.map(_._1).toSeq)
+    val (encoded, _) = pqEncode(emb, idCol, vecCol,
+      m = pqCodebooks.length, k = pqCodebooks.head.length, iters = 0,
+      codebooksOpt = Some(pqCodebooks))
+    encoded
+      .withColumn("centroid_id", try_element_at(
+        nearest_centroids(col("v"), centsLit, idsLit, 1), lit(1)))
+      .select(col("id").as("cid"), col("code"), col("centroid_id"))
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(indexDir)
+  }
+
+  /** Single-query search over a persisted [[ivfpqIndexWrite]] index —
+    * IVFADC+R against STORED codes: the query's `nprobe` list ids are
+    * computed driver-side from the shared coarse codebook and inlined
+    * as an IN filter, so the code scan reads ONLY those list
+    * partitions (`PartitionFilters`, pinned by PlanSpec); ADC ranks
+    * the probed codes on cosine(query, reconstruct(code)) to a
+    * `rerank`-deep shortlist (bounded driver collect, ≤ rerank ids);
+    * and the exact re-rank reads raw vectors through an
+    * `isin(shortlist)` filter PUSHED INTO the vector scan — raw
+    * vectors beyond the shortlist are never deserialized
+    * (`IvfIndexSpec` pins the PushedFilters). `rawVectors` must carry
+    * (cid, cv) for the same corpus the index was built from.
+    */
+  def ivfpqIndexedSearch(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String,
+                         coarseCodebook: Array[(Long, Seq[Float])],
+                         pqCodebooks: Array[Array[Array[Float]]],
+                         rawVectors: DataFrame,
+                         qid: Long, qv: Seq[Float],
+                         nprobe: Int, k: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centsLit = typedLit(coarseCodebook.map(_._2).toSeq)
+    val idsLit = typedLit(coarseCodebook.map(_._1).toSeq)
+    val probes = spark.range(1).select(
+        nearest_centroids(typedLit(qv), centsLit, idsLit, nprobe).as("p"))
+      .head().getSeq[Long](0)
+    val shortlist = ivfpqAdcFrame(spark, indexDir, pqCodebooks, qid, qv,
+        probes, rerank)
+      .collect().map(_.getLong(0)) // bounded by design: ≤ rerank ids
+    val w = Window.orderBy(col("sim_r").desc, col("cid"))
+    rawVectors
+      .filter(col("cid").isin(shortlist: _*))
+      .withColumn("sim_r", round(cosine_sim(typedLit(qv), col("cv")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(lit(qid).as("qid"), col("cid"), col("sim_r"), col("rnk"))
+  }
+
+  /** The ADC stage of [[ivfpqIndexedSearch]] as a frame (shortlist
+    * cids, ADC-ranked): a TakeOrdered over the probed code partitions
+    * with the same tie order as [[ivfpqTopK]]'s window (quantized sim
+    * DESC, cid). Split out so `IvfIndexSpec` can pin the plan — the
+    * probed list ids must land in the scan's `PartitionFilters`
+    * (storage-layer pruning), and the stage touches no raw vectors.
+    */
+  def ivfpqAdcFrame(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String,
+                    pqCodebooks: Array[Array[Array[Float]]],
+                    qid: Long, qv: Seq[Float],
+                    probes: Seq[Long], rerank: Int): DataFrame = {
+    val recon = pqReconstructExpr(pqCodebooks, col("code"))
+    spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(probes: _*))
+      .filter(col("cid") =!= qid)
+      .withColumn("__sim_adc", cosine_sim(typedLit(qv), recon))
+      .orderBy(col("__sim_adc").desc, col("cid"))
+      .limit(rerank)
+      .select(col("cid"))
   }
 
   /** Spherical k-means training (Lloyd iterations) — the "train the
@@ -705,5 +884,52 @@ object Similarity {
         val mx = element_at(mxLit, (i + 1).cast("int"))
         mn + (q.cast("double") * (mx - mn)) / lit(255.0)
       }))
+  }
+
+  /** SQ-ADC top-k: approximate nearest neighbors ranked on
+    * cosine(query, [[sqDecode]](code)) — the asymmetric-distance
+    * search that makes the SQ8 codes a SEARCH state, not just a
+    * compression gate — with the `rerank`-deep shortlist re-ranked on
+    * exact vectors (the +R discipline of [[ivfpqTopK]]). SQ has no
+    * inverted lists, so the ADC stage is the brute-force baseline
+    * over CODES: 4× less candidate state than raw-vector brute force,
+    * scanned via the same chunked bounded-broadcast theta join as
+    * `ann_topk` (no broadcast scales with the corpus; the
+    * list-pruned path at 100 TB is IVF over the same codes). The
+    * reconstruction is float-rounded (`array<float>`) so the ADC leg
+    * rides the same codegen'd float-cosine kernel as the PQ family —
+    * and because SQ8 encode/decode is fixed-order double math with NO
+    * trained state (unlike PQ), every rank here replays in DuckDB:
+    * the `ann_sq_topk` oracle recomputes stats → codes →
+    * reconstructions → both rank stages and hash-matches the values,
+    * where PQ's oracle must unroll Lloyd trainings to do the same.
+    */
+  def sqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryPred: Column, k: Int, rerank: Int,
+             mns: Array[Double], mxs: Array[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val decoded = sqDecode(sqEncode(emb, idCol, vecCol, mns, mxs), mns, mxs)
+      .select(col("id").as("cid"),
+        col("v_hat").cast("array<float>").as("rv"))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<float>").as("qv"))
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("__sim_adc").desc, col("cid"))
+    val shortlist = Hints.chunkedBroadcastThetaJoin(
+        Dedup.spread(decoded), queries,
+        chunkKey = col("qid"), cond = col("qid") =!= col("cid"))
+      .withColumn("__sim_adc", cosine_sim(col("qv"), col("rv")))
+      .withColumn("__arnk", row_number().over(wAdc))
+      .filter(col("__arnk") <= rerank)
+      .select(col("qid"), col("qv"), col("cid"))
+    val raw = emb.select(col(idCol).as("cid"),
+      col(vecCol).cast("array<float>").as("cv"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_r").desc, col("cid"))
+    shortlist.join(raw, Seq("cid"))
+      .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
   }
 }

@@ -453,10 +453,15 @@ object AdvancedQueries {
       .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     val persistBatch: (DataFrame, Long) => Unit = (batch, id) => {
+      // FLOOR division (not Spark's trunc-toward-zero DIV): division
+      // by a power of two is exact in doubles, so floor(x/512.0)
+      // equals DuckDB's integer `//` for NEGATIVE cents too — the
+      // engines would diverge under DIV if values ever went negative
       val cells = batch
         .select(col("event_type"),
           floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-        .groupBy(col("event_type"), expr("cents DIV 512").as("bin"))
+        .groupBy(col("event_type"),
+          floor(col("cents") / lit(512.0)).cast("long").as("bin"))
         .agg(count(lit(1)).as("c")).persist()
       try {
         if (cells.count() > 0) batches.incrementAndGet()
@@ -559,10 +564,14 @@ object AdvancedQueries {
     * window runs over |groups × bins| cells, never rows.
     */
   def quantileHist(s: SparkSession, dir: String): DataFrame = {
+    // floor division via exact power-of-two double division — equals
+    // DuckDB's `//` for any sign, where Spark's DIV truncates toward
+    // zero and would diverge on negative cents (see streamQuantile)
     val counts = t(s, dir, "orders")
       .select(col("o_orderpriority").as("g"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      .groupBy(col("g"), expr("cents DIV 16384").as("bin"))
+      .groupBy(col("g"),
+        floor(col("cents") / lit(16384.0)).cast("long").as("bin"))
       .agg(count(lit(1)).as("c"))
     val cum = counts
       .withColumn("cum", sum(col("c"))
@@ -2855,16 +2864,26 @@ object AdvancedQueries {
     * approx on the same plan"), made real with the house HLL
     * ([[graft.ops.Hll]]) so the per-column ESTIMATES are
     * value-checked, not gate-bounded. One events scan `stack`s four
-    * int64-keyed column views into (col_name, k) pairs; the pinned
+    * int64-keyed column views into (col_name, k) rows; the pinned
     * distinct pair set feeds both the register sketch (shuffle ≤
     * 4 × 1024 cells) and the exact companion the profile compares
-    * against. At 100 TB the exact arm is the thing you drop; the
-    * sketch arm's shuffle is corpus-size-independent past the scan
-    * (measured exponent 0.32 for the same shape, SCALE.md).
+    * against, and the RAW rows feed the second sketch family
+    * (round 11): a per-column mergeable QUANTILE histogram — ≤4096
+    * equi-width bins whose width is derived from the column's own
+    * [min, max] as binw = ⌈(mxk−mnk+1)/4096⌉ (all integer, so the
+    * p50/p90 bin-edge ESTIMATES replay in SQL like `quantile_hist`'s;
+    * `(k−mnk) DIV binw` is floor-safe because k ≥ mnk by
+    * construction). Profile state per column: 1024 HLL registers +
+    * ≤4096 count cells + 3 moments — every piece merges (max / + /
+    * min-max), which is what makes the profiler a one-pass,
+    * re-aggregatable ANALYZE at 100 TB. The exact-distinct arm is the
+    * thing you drop at scale; the sketch arms' shuffles are
+    * corpus-size-independent past the scan (measured exponent 0.32
+    * for the HLL shape, SCALE.md).
     */
   def profileSketch(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Hll
-    val pairs = graft.ops.Dedup.materialize(
+    val raw = graft.ops.Dedup.materialize(
       t(s, dir, "events").select(expr(
         "stack(4, " +
           "'user_id', user_id, " +
@@ -2872,12 +2891,38 @@ object AdvancedQueries {
           "'day', CAST(datediff(to_date(ts), DATE'1970-01-01') AS BIGINT), " +
           "'value_e4', CAST(floor(value * 10000 + 0.5) AS BIGINT)" +
         ") AS (col_name, k)"))
-      .distinct())
+      .filter(col("k").isNotNull))
+    val pairs = graft.ops.Dedup.materialize(raw.distinct())
     val est = Hll.distinctCount(pairs, Seq("col_name"), col("k"),
       salt = 99L, outCol = "approx_distinct")
     val exact = pairs.groupBy(col("col_name"))
       .agg(count(lit(1)).as("exact_distinct"))
-    est.join(exact, Seq("col_name")).orderBy(col("col_name"))
+    // quantile histogram: per-column integer bin width from the
+    // column's own range, capped at 4096 bins; rank-edge p50/p90 over
+    // the cumulative cells (the quantile_hist discipline, per column)
+    val stats = raw.groupBy(col("col_name"))
+      .agg(min(col("k")).as("mnk"), max(col("k")).as("mxk"),
+        count(lit(1)).as("n_values"))
+      .withColumn("binw", expr("(mxk - mnk + 4096) DIV 4096"))
+    val cells = raw.join(broadcast(stats), Seq("col_name"))
+      .groupBy(col("col_name"), expr("(k - mnk) DIV binw").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cum = cells
+      .withColumn("cum", sum(col("c"))
+        .over(Window.partitionBy(col("col_name")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("c"))
+        .over(Window.partitionBy(col("col_name"))))
+    val quant = cum.groupBy(col("col_name"))
+      .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col("bin")))
+          .as("b50"),
+        min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("bin")))
+          .as("b90"))
+    val prof = quant.join(stats, Seq("col_name"))
+      .select(col("col_name"), col("n_values"), col("binw"),
+        (col("mnk") + col("b50") * col("binw")).as("p50_est"),
+        (col("mnk") + col("b90") * col("binw")).as("p90_est"))
+    est.join(exact, Seq("col_name")).join(prof, Seq("col_name"))
+      .orderBy(col("col_name"))
   }
 
   def dqExpectations(s: SparkSession, dir: String): DataFrame = {
@@ -3085,6 +3130,19 @@ object AdvancedQueries {
     * linear-counting branch. Yields CTE `ee` with (g, est) — shared
     * by the `approx_distinct` and `hll_incremental` oracles.
     */
+  /** The four stacked int64 column views of `events` shared by the
+    * profile_sketch oracle's HLL arm and its quantile-histogram arm —
+    * one definition so the two arms cannot drift.
+    */
+  private val profileStackSql: String =
+    "SELECT 'user_id' AS col_name, user_id AS k FROM events " +
+      "UNION ALL SELECT 'event_id', event_id FROM events " +
+      "UNION ALL SELECT 'day', " +
+      "CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) " +
+      "AS BIGINT) FROM events " +
+      "UNION ALL SELECT 'value_e4', " +
+      "CAST(floor(value * 10000 + 0.5) AS BIGINT) FROM events"
+
   private def hllChainSql(prCte: String, salt: Long): String = {
     val saltMix = java.lang.Long.toUnsignedString(
       graft.functions.Kernels.mix64(salt))
@@ -4113,23 +4171,45 @@ object AdvancedQueries {
     // same rational-alpha raw estimate / linear-counting branch —
     // the ESTIMATE hash-compares, not just its error envelope
     // per-column sketch profiling: one chain over the stacked
-    // (column, key) relation — g IS the column name
+    // (column, key) relation — g IS the column name; plus (r11) the
+    // per-column quantile histogram replay (integer binw from the
+    // column's own range, rank-edge p50/p90 bin-edge values)
     "profile_sketch" -> (hllChainSql(
       "SELECT DISTINCT col_name AS g, k FROM (" +
-        "SELECT 'user_id' AS col_name, user_id AS k FROM events " +
-        "UNION ALL SELECT 'event_id', event_id FROM events " +
-        "UNION ALL SELECT 'day', " +
-        "CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) " +
-        "AS BIGINT) FROM events " +
-        "UNION ALL SELECT 'value_e4', " +
-        "CAST(floor(value * 10000 + 0.5) AS BIGINT) FROM events)",
+        profileStackSql + ") WHERE k IS NOT NULL",
       salt = 99L) + """,
          ex AS (SELECT g AS col_name, count(*) AS exact_distinct
-                FROM pr GROUP BY 1)
+                FROM pr GROUP BY 1),
+         praw AS (SELECT col_name, k FROM (""" + profileStackSql + """)
+                  WHERE k IS NOT NULL),
+         pstv AS (SELECT col_name, min(k) AS mnk, max(k) AS mxk,
+                    count(*) AS n_values,
+                    (max(k) - min(k) + 4096) // 4096 AS binw
+                  FROM praw GROUP BY 1),
+         phc AS (SELECT r.col_name, (r.k - s.mnk) // s.binw AS bin,
+                   count(*) AS c
+                 FROM praw r JOIN pstv s USING (col_name)
+                 GROUP BY 1, 2),
+         pcc AS (SELECT col_name, bin, c,
+                   sum(c) OVER (PARTITION BY col_name
+                                ORDER BY bin) AS cum,
+                   sum(c) OVER (PARTITION BY col_name) AS n
+                 FROM phc),
+         pqt AS (SELECT col_name,
+                   min(CASE WHEN cum >= (n + 1) // 2 THEN bin END)
+                     AS b50,
+                   min(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin END)
+                     AS b90
+                 FROM pcc GROUP BY col_name)
          SELECT ee.g AS col_name,
                 CAST(floor(est + 0.5) AS BIGINT) AS approx_distinct,
-                exact_distinct
+                exact_distinct,
+                s.n_values, CAST(s.binw AS BIGINT) AS binw,
+                CAST(s.mnk + pqt.b50 * s.binw AS BIGINT) AS p50_est,
+                CAST(s.mnk + pqt.b90 * s.binw AS BIGINT) AS p90_est
          FROM ee JOIN ex ON ee.g = ex.col_name
+              JOIN pstv s ON ee.g = s.col_name
+              JOIN pqt ON ee.g = pqt.col_name
          ORDER BY col_name"""),
     "approx_distinct" -> approxDistinctOracleSql,
     // the streamed register store max-merges to the SAME registers as
@@ -4147,8 +4227,8 @@ object AdvancedQueries {
     // recompute over events IS its oracle (the stream_ema discipline)
     "stream_quantile" ->
       """WITH c AS (SELECT event_type,
-                  CAST(floor(value * 100 + 0.5) AS BIGINT)
-                    // 512 AS bin,
+                  CAST(floor(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                             / 512.0) AS BIGINT) AS bin,
                   count(*) AS c
                 FROM events GROUP BY 1, 2),
          cc AS (SELECT event_type, bin, c,
@@ -4165,11 +4245,15 @@ object AdvancedQueries {
                   AS p90_bin_cents
          FROM cc GROUP BY event_type ORDER BY event_type""",
     // the histogram quantile's APPROXIMATE VALUES replayed exactly:
-    // integer bin counts, integer ceil ranks, bin-edge estimates
+    // integer bin counts, integer ceil ranks, bin-edge estimates.
+    // Binning is FLOOR division via exact power-of-two double
+    // division on both engines (DuckDB's integer `//` truncates
+    // toward zero like Spark's DIV — fine on these non-negative
+    // domains, but the floor form is sign-robust)
     "quantile_hist" ->
       """WITH c AS (SELECT o_orderpriority AS g,
-                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                    // 16384 AS bin,
+                  CAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                             / 16384.0) AS BIGINT) AS bin,
                   count(*) AS c
                 FROM orders GROUP BY 1, 2),
          cc AS (SELECT g, bin, c,

@@ -679,7 +679,13 @@ object ScaleQueries {
   /** The rebuilt-from-everything persisted index + its shared codebook
     * (memoized per dir): serves `ann_ivf_indexed` directly and is the
     * ground truth `ann_ivf_delta`'s incrementally-maintained index
-    * must be indistinguishable from.
+    * must be indistinguishable from. The quantizer stride is
+    * count-derived ([[Similarity.sqrtStride]] — nlist tracks 4·√n, so
+    * the BUILD is O(n^1.5) where the r10 fixed-149 stride made it
+    * O(n²)), and searches probe [[Similarity.derivedNprobe]] lists (a
+    * roughly constant list fraction — the `ann_ivf` scaladoc rule).
+    * Both rules are count-not-sample deterministic, so the oracle
+    * recomputes stride and nprobe in SQL.
     */
   private def fullIvfIndex(s: SparkSession, dir: String)
       : (String, Array[(Long, Seq[Float])]) =
@@ -698,7 +704,8 @@ object ScaleQueries {
       .select(col("embedding").cast("array<float>"))
       .head().getSeq[Float](0)
     Similarity.ivfIndexedSearch(s, path, codebook,
-        qid = 0L, qv = qv, nprobe = 7, k = 3)
+        qid = 0L, qv = qv,
+        nprobe = Similarity.derivedNprobe(codebook.length), k = 3)
       .orderBy(col("rnk"))
   }
 
@@ -735,7 +742,8 @@ object ScaleQueries {
       .head().getSeq[Float](0)
     def search(path: String) =
       Similarity.ivfIndexedSearch(s, path, codebook,
-        qid = 0L, qv = qv, nprobe = 7, k = 3)
+        qid = 0L, qv = qv,
+        nprobe = Similarity.derivedNprobe(codebook.length), k = 3)
     val served = search(deltaPath)
     val rebuilt = search(fullPath)
     val consistent = served.exceptAll(rebuilt).isEmpty &&
@@ -744,6 +752,93 @@ object ScaleQueries {
         lit(if (consistent) 1 else 0))
       .orderBy(col("rnk"))
   }
+
+  /** The persisted IVF-PQ index + the two codebooks its searches
+    * share (memoized per dir): the searchable state is (cid, 16-byte
+    * code) partitioned by list id — 16× smaller than the raw vectors,
+    * NO vector column ([[Similarity.ivfpqIndexWrite]]). PQ
+    * sub-codebooks come from the SAME train-once memo `ann_ivfpq`
+    * uses; the coarse quantizer is the count-derived √n-stride sample
+    * (the `fullIvfIndex` honesty rule).
+    */
+  private def fullIvfpqIndex(s: SparkSession, dir: String)
+      : (String, Array[(Long, Seq[Float])], Array[Array[Array[Float]]]) =
+    memoCodebook(s"ivfpq-index:${graft.Tables.versioned(dir)}") {
+      val emb = t(s, dir, "embeddings")
+      val cbs = memoCodebook(s"pq:${graft.Tables.versioned(dir)}:16:16:2") {
+        Similarity.kmeansTrainMulti(emb, "vec_id", "embedding",
+          m = 16, k = 16, iters = 2)._1
+      }
+      val coarse = Similarity.sampledCodebook(emb, "vec_id", "embedding",
+        Similarity.sqrtStride(emb.count()))
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_index").toString
+      Similarity.ivfpqIndexWrite(emb, "vec_id", "embedding", p, coarse, cbs)
+      (p, coarse, cbs)
+    }
+
+  /** [[Similarity.ivfpqIndexWrite]] + [[Similarity.ivfpqIndexedSearch]]
+    * driven end-to-end — the serving shape `ivfpqTopK`'s scaladoc
+    * promises: one query (vec_id 0) served by reading its probed CODE
+    * partitions only (partition-pruned scan, PlanSpec-pinned), ADC
+    * ranking over stored codes, and an exact re-rank whose raw-vector
+    * scan carries the ≤128-id shortlist as a PUSHED `In` filter —
+    * raw vectors beyond the shortlist are never read (IvfIndexSpec
+    * pin). The oracle replays the full IVFADC+R pipeline (16 Lloyd
+    * trainings, codes, reconstructions, both rank stages) restricted
+    * to this query, under the same √n-stride / derived-nprobe rules.
+    */
+  def annIvfpqIndexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (path, coarse, cbs) = fullIvfpqIndex(s, dir)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<float>"))
+      .head().getSeq[Float](0)
+    Similarity.ivfpqIndexedSearch(s, path, coarse, cbs,
+        emb.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<float>").as("cv")),
+        qid = 0L, qv = qv,
+        nprobe = Similarity.derivedNprobe(coarse.length), k = 3,
+        rerank = 128)
+      .orderBy(col("rnk"))
+  }
+
+  /** Per-dimension SQ8 stats, computed once per dir (they feed three
+    * driver queries; the aggregate is one corpus scan collecting 2·d
+    * doubles).
+    */
+  private def sqStatsMemo(s: SparkSession, dir: String)
+      : (Array[Double], Array[Double]) =
+    memoCodebook(s"sq-stats:${graft.Tables.versioned(dir)}") {
+      Similarity.sqStats(t(s, dir, "embeddings"), "embedding")
+    }
+
+  /** SQ-ADC top-3 ([[Similarity.sqTopK]]): every 20th vector queries
+    * the corpus ranked on cosine against the SQ8-reconstructed
+    * vectors, top-32 shortlist re-ranked exactly. FULLY hash-checked:
+    * unlike PQ, the SQ8 code path has no trained state, so the oracle
+    * recomputes stats → codes → float reconstructions → ADC ranks →
+    * exact re-rank value-for-value. Recall vs exact is gated by
+    * `ann_sq_recall`.
+    */
+  def annSqTopk(s: SparkSession, dir: String): DataFrame = {
+    val (mns, mxs) = sqStatsMemo(s, dir)
+    Similarity.sqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryPred = col("vec_id") % 20 === 0, k = 3, rerank = 32,
+        mns = mns, mxs = mxs)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Driver-visible recall gate for [[annSqTopk]] — same contract as
+    * [[annIvfRecall]]. SQ8 reconstructions sit within half a
+    * quantization step per dimension (`embed_quantize_gate`), so the
+    * ADC ordering tracks the exact one closely: measured top-3 recall
+    * is 1.0 at every test SF (sf0.001/0.01/0.1); the 90 floor leaves
+    * regen margin.
+    */
+  def annSqRecall(s: SparkSession, dir: String): DataFrame =
+    recallGate(annSqTopk(s, dir), exactGroundTruth(s, dir, k = 3),
+      k = 3, floorPct = 90)
 
   /** Embedding-cosine near-duplicate pairs over an id window —
     * exact, oracle-checked member of the embedding-dedup family
@@ -1565,6 +1660,9 @@ object ScaleQueries {
     "ann_ivf_trained_recall" -> (annIvfTrainedRecall _),
     "ann_ivfpq" -> (annIvfpq _),
     "ann_ivfpq_recall" -> (annIvfpqRecall _),
+    "ann_ivfpq_indexed" -> (annIvfpqIndexed _),
+    "ann_sq_topk" -> (annSqTopk _),
+    "ann_sq_recall" -> (annSqRecall _),
     "embed_neardup" -> (embedNeardup _),
     "dedup_clusters" -> (dedupClusters _),
     "cc_exact" -> (ccExact _),
@@ -1716,12 +1814,19 @@ object ScaleQueries {
   /** The IVF replay WITHOUT its final projection — shared by the
     * ann_ivf oracles and the retrieval-evaluation join
     * (`ann_rank_eval`), which composes it with the exact-top-1 chain.
+    * Stride/nprobe default to the in-plan family's fixed 149/7; the
+    * persisted-index oracles pass [[sqrtStrideSql]] /
+    * [[derivedNprobeSql]] instead (the engine's count-derived rules
+    * recomputed in SQL).
     */
-  private def annIvfChainFor(qidWhere: String): String =
+  private def annIvfChainFor(qidWhere: String,
+                             strideSql: String = "149",
+                             nprobeSql: String = "7"): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings),
        cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-              WHERE vec_id % 149 = 0 ORDER BY centroid_id LIMIT 16384),
+              WHERE vec_id % $strideSql = 0
+              ORDER BY centroid_id LIMIT 16384),
        sim AS (SELECT e.vec_id, cb.centroid_id,
                  list_dot_product(e.v, cb.cv)
                  / sqrt(list_dot_product(e.v, e.v)
@@ -1733,7 +1838,7 @@ object ScaleQueries {
               FROM sim WHERE NOT isnan(s)),
        asg AS (SELECT vec_id AS cid, centroid_id FROM rk WHERE rn = 1),
        pb AS (SELECT vec_id AS qid, centroid_id FROM rk
-              WHERE rn <= 7 AND vec_id % 20 = 0 AND ($qidWhere)),
+              WHERE rn <= $nprobeSql AND vec_id % 20 = 0 AND ($qidWhere)),
        cand AS (SELECT pb.qid, asg.cid
                 FROM pb JOIN asg USING (centroid_id)
                 WHERE pb.qid <> asg.cid),
@@ -1747,6 +1852,22 @@ object ScaleQueries {
                CAST(row_number() OVER (PARTITION BY qid
                     ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
              FROM s2)"""
+
+  /** [[graft.ops.Similarity.sqrtStride]] replayed in SQL: stride =
+    * max(1, ⌊√n / 4⌋) from the corpus count — identical IEEE
+    * sqrt/floor to the engine's.
+    */
+  private val sqrtStrideSql: String =
+    """(SELECT GREATEST(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) / 4)
+        AS BIGINT)) FROM embeddings)"""
+
+  /** [[graft.ops.Similarity.derivedNprobe]] replayed in SQL:
+    * max(7, nlist // 8) over the sampled codebook CTE `cb` (integer
+    * floor division on a non-negative count — same as Scala's
+    * truncating `/`).
+    */
+  private val derivedNprobeSql: String =
+    "(SELECT GREATEST(7, count(*) // 8) FROM cb)"
 
   /** All-pairs word-trigram Jaccard recompute shared by the
     * `dedup_minhash` and `dedup_salted` oracles (both operators must
@@ -1952,7 +2073,17 @@ object ScaleQueries {
     * ann_ivf replay), ADC ranking on cosine(query, reconstruction)
     * to the top-128 shortlist, and the exact re-rank to top-3.
     */
-  private def annIvfpqOracleSql: String = {
+  private def annIvfpqOracleSql: String =
+    annIvfpqOracleSqlFor("TRUE", "149", "7")
+
+  /** [[annIvfpqOracleSql]] with the query restriction and the coarse
+    * quantizer's stride/nprobe parameterized — `ann_ivfpq` replays
+    * the in-plan 149/7 shape over all queries; `ann_ivfpq_indexed`
+    * replays the persisted index's √n-stride / derived-nprobe sizing
+    * for its one served query.
+    */
+  private def annIvfpqOracleSqlFor(qidWhere: String, strideSql: String,
+                                   nprobeSql: String): String = {
     val m = 16; val sub = 4
     val chains = (0 until m).map { j =>
       lloydCtes(s"q${j}_", 2, "16",
@@ -1980,7 +2111,8 @@ object ScaleQueries {
        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),
        cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-              WHERE vec_id % 149 = 0 ORDER BY centroid_id LIMIT 16384),
+              WHERE vec_id % $strideSql = 0
+              ORDER BY centroid_id LIMIT 16384),
        sim AS (SELECT e.vec_id, cb.centroid_id,
                  ${cosSql("e.v", "cb.cv")} AS s
                FROM e CROSS JOIN cb),
@@ -1990,7 +2122,8 @@ object ScaleQueries {
               FROM sim WHERE NOT isnan(s)),
        asg AS (SELECT vec_id AS cid, centroid_id FROM rk WHERE rn = 1),
        pb AS (SELECT vec_id AS qid, centroid_id FROM rk
-              WHERE rn <= 7 AND vec_id % 20 = 0),
+              WHERE rn <= $nprobeSql AND vec_id % 20 = 0
+                AND ($qidWhere)),
        adc AS (
          SELECT qid, cid FROM (
            SELECT pb.qid, asg.cid,
@@ -2001,6 +2134,52 @@ object ScaleQueries {
                    JOIN e q ON pb.qid = q.vec_id
            WHERE pb.qid <> asg.cid) z
          WHERE arnk <= 128),
+       s2 AS (SELECT adc.qid, adc.cid,
+                round(${cosSql("q.v", "c.v")}, 4) AS sim_r
+              FROM adc JOIN e q ON adc.qid = q.vec_id
+                       JOIN e c ON adc.cid = c.vec_id),
+       r AS (SELECT qid, cid, sim_r,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
+             FROM s2)
+       SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 3
+       ORDER BY qid, rnk"""
+  }
+
+  /** Full [[annSqTopk]] replay: per-dimension [min, max] over the
+    * double-widened corpus ([[graft.ops.Similarity.sqStats]]), the
+    * affine SQ8 code (floor + clamp — exactly [[Similarity.sqEncode]]'s
+    * operation order), the dequantized reconstruction float-rounded
+    * (`REAL[]` cast — the engine ranks on `array<float>`
+    * reconstructions through the same cosine kernel as the PQ
+    * family), ADC top-32 per query by (sim DESC, cid), and the exact
+    * re-rank to top-3. No trained state anywhere, so every value
+    * hash-compares.
+    */
+  private def annSqTopkOracleSql: String = {
+    val dim = 64
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+              FROM e CROSS JOIN range(1, ${dim + 1}) t(i) GROUP BY i),
+       cells AS (SELECT e.vec_id, t.i, st.mn, st.mx, e.v[t.i] AS x
+                 FROM e CROSS JOIN range(1, ${dim + 1}) t(i)
+                 JOIN st ON st.i = t.i),
+       rc AS (SELECT vec_id,
+                CAST(CAST(list(CASE WHEN mx = mn THEN mn
+                       ELSE mn + (LEAST(255, GREATEST(0,
+                              floor((x - mn) * 255.0 / (mx - mn) + 0.5)))
+                            * (mx - mn)) / 255.0 END ORDER BY i)
+                     AS REAL[]) AS DOUBLE[]) AS rv
+              FROM cells GROUP BY vec_id),
+       adc AS (SELECT qid, cid FROM (
+                 SELECT q.vec_id AS qid, r.vec_id AS cid,
+                        row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY ${cosSql("q.v", "r.rv")} DESC,
+                            r.vec_id) AS arnk
+                 FROM e q JOIN rc r ON r.vec_id <> q.vec_id
+                 WHERE q.vec_id % 20 = 0) z
+               WHERE arnk <= 32),
        s2 AS (SELECT adc.qid, adc.cid,
                 round(${cosSql("q.v", "c.v")}, 4) AS sim_r
               FROM adc JOIN e q ON adc.qid = q.vec_id
@@ -2441,12 +2620,18 @@ object ScaleQueries {
          ON ex1.qid = r2.qid AND ex1.cid = r2.cid
        ORDER BY ex1.qid"""),
     // the persisted partition-pruned index must agree with the
-    // in-plan join on the served query
-    "ann_ivf_indexed" -> annIvfOracleSqlFor("vec_id = 0"),
+    // full-corpus replay on the served query, under the index's OWN
+    // sizing rules: √n-derived stride and count-derived nprobe,
+    // recomputed in SQL
+    "ann_ivf_indexed" -> (annIvfChainFor("vec_id = 0",
+      sqrtStrideSql, derivedNprobeSql) + """
+       SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 3
+       ORDER BY qid, rnk"""),
     // the maintained (base + delta, compacted) index must serve the
     // SAME rows as the full-corpus replay; the consistency flag pins
     // set-equality against the rebuilt index
-    "ann_ivf_delta" -> (annIvfChainFor("vec_id = 0") + """
+    "ann_ivf_delta" -> (annIvfChainFor("vec_id = 0",
+      sqrtStrideSql, derivedNprobeSql) + """
        SELECT qid, cid, sim_r, rnk,
               CAST(1 AS INTEGER) AS delta_consistent
        FROM r WHERE rnk <= 3
@@ -2461,6 +2646,22 @@ object ScaleQueries {
     // the IVFADC+R pipeline end-to-end (16 subspace trainings,
     // reconstruction, ADC shortlist, exact re-rank)
     "ann_ivfpq" -> annIvfpqOracleSql,
+    // the PERSISTED IVF-PQ index serving one query must agree with
+    // the same IVFADC+R replay under the index's own sizing rules
+    // (√n stride, derived nprobe — both recomputed in SQL)
+    "ann_ivfpq_indexed" -> annIvfpqOracleSqlFor("vec_id = 0",
+      sqrtStrideSql, derivedNprobeSql),
+    // SQ-ADC replayed END TO END: per-dim [min,max] stats, the affine
+    // int8 code, the float-rounded reconstruction, the ADC top-32
+    // shortlist, and the exact re-rank — all fixed-order double math
+    // (no trained state), so the VALUES hash-compare where PQ needs
+    // Lloyd unrolls
+    "ann_sq_topk" -> annSqTopkOracleSql,
+    "ann_sq_recall" ->
+      """SELECT count(*) AS n_queries,
+                CAST(90 AS INTEGER) AS recall_floor_pct,
+                CAST(1 AS INTEGER) AS floor_met
+         FROM embeddings WHERE vec_id % 20 = 0""",
     // the full HRW argmax replayed: per-(doc, shard) SplitMix64 scores
     // via the same UBIGINT split-multiply chain as cms_freq, argmax by
     // (score DESC, s ASC) row_number for n=8 and n=9, and the

@@ -252,7 +252,18 @@ object ScaleProbe {
       // window merge runs over |days x 1024| cells, so past the
       // distinct-pair scan the exponent should be near-flat
       ("hll_sliding",
-        graft.queries.AdvancedQueries.queries("hll_sliding"), false))
+        graft.queries.AdvancedQueries.queries("hll_sliding"), false),
+      // r11: the fused multi-subspace PQ trainer (cold — pq_encode
+      // trains all 8 sub-codebooks through the per-dir memo, and the
+      // one-scan-per-Lloyd-action claim is the scaling story; encode
+      // rides the same run)
+      ("pq_encode", graft.queries.ScaleQueries.queries("pq_encode"), true),
+      // r11: the persisted IVF build under the √n-stride codebook
+      // (cold — fullIvfIndex memoizes per dir): assignment is
+      // n·nlist·d with nlist ≈ 4√n, so the exponent should fall
+      // from the fixed-stride build's n² shape
+      ("ann_ivf_indexed",
+        graft.queries.ScaleQueries.queries("ann_ivf_indexed"), true))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped
@@ -309,6 +320,45 @@ object ScaleProbe {
     }
     println(rows.map { case (n, a, b, e) => f"$n: $a%.2fs -> $b%.2fs exp=$e%.2f" }
       .mkString("[scale-probe] ", " | ", ""))
+    // r11: the streaming family's bench FLOOR — per-query fixed cost
+    // of StreamingQuery spin-up + checkpoint setup + AvailableNow
+    // termination, measured on a FIXED 2-file, 128-row micro-input so
+    // nothing data-dependent rides the clock. Every stream_* query
+    // stages exactly 2 files (the multi-batch contract's minimum), so
+    // the family's bench total can't drop below ~16 × this number;
+    // SCALE.md records the split into fixed vs marginal cost.
+    if (only.isEmpty || only.exists(_.contains("stream_noop"))) {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("graft_noop_in")
+      val tiny = spark.range(0, 128)
+        .select(col("id"), (col("id") % 7).as("k"))
+      for (i <- 0 until 2) {
+        val tmp = stage.resolve(s"__tmp_$i")
+        tiny.filter(col("id") % 2 === i).coalesce(1)
+          .write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(p =>
+          p.getFileName.toString.startsWith("part-")).findFirst().get()
+        java.nio.file.Files.move(part, stage.resolve(f"f_$i%04d.parquet"))
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      }
+      def noopStream(): Long = {
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_noop_ckpt").toString
+        val sink: (DataFrame, Long) => Unit = (b, _) => { b.count(); () }
+        val q = spark.readStream.schema(tiny.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+          .writeStream.foreachBatch(sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(ckpt))
+        0L
+      }
+      noopStream() // JIT/codegen warm-up, untimed
+      val tNoop = (1 to 3).map(_ => timeOnce(noopStream())).min
+      println(f"""{"probe":"stream_noop_spinup","t_s":$tNoop%.3f,"batches":2,"warm_failed":$warmFailed}""")
+    }
     spark.stop()
   }
 }

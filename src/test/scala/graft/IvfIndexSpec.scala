@@ -78,5 +78,104 @@ class IvfIndexSpec extends AnyFunSuite {
       emb(Seq.empty), "vec_id", "embedding")
     assert(files(base) == preEmpty,
       "empty delta must not rewrite any list")
+    // the successful append cleaned its default staging dir
+    assert(!new java.io.File(base.stripSuffix("/") + ".staging").exists(),
+      "staging dir must be deleted after a successful publish")
+  }
+
+  private def content(dir: String): Set[(Long, Long)] = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(dir)
+      .select(col("cid"), col("centroid_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("crash consistency: staging never touches the index; a crash " +
+      "in EITHER window (before publish / mid-publish with a deleted " +
+      "list) recovers to the rebuilt state by re-running publish, " +
+      "which is idempotent") {
+    val base = Files.createTempDirectory("ivf_cc_base").toString
+    val full = Files.createTempDirectory("ivf_cc_full").toString
+    val staging = Files.createTempDirectory("ivf_cc_stage").toString + "/s"
+    val all = (0L until 40L)
+    val codebook = Array(0L, 1L, 2L, 3L)
+      .map(i => (i, vec((i % 4).toInt, 0.01f * (i % 3))))
+    // delta touches list 1 (absent in base: a NEW partition) and
+    // list 2 (existing: a rewritten partition) — both commit shapes
+    val deltaIds = Seq(41L, 42L, 45L)
+    Similarity.ivfIndexWriteWithCodebook(
+      emb(all.filterNot(_ % 4 == 1)), "vec_id", "embedding", base, codebook)
+    Similarity.ivfIndexWriteWithCodebook(
+      emb(all.filterNot(_ % 4 == 1) ++ deltaIds), "vec_id", "embedding",
+      full, codebook)
+    val oldContent = content(base)
+    // CRASH WINDOW 1: stage completes, publish never runs — the index
+    // must be bit-identical to the old state (stage only READS it)
+    val touched = Similarity.ivfIndexStageDelta(spark, base, staging,
+      codebook, emb(deltaIds), "vec_id", "embedding")
+    assert(touched.toSet == Set(1L, 2L), s"touched=${touched.toSet}")
+    assert(content(base) == oldContent,
+      "staging must not modify the index")
+    // recovery from window 1 = run publish
+    Similarity.ivfIndexPublishStaged(spark, base, staging)
+    assert(content(base) == content(full),
+      "published index must equal the rebuild")
+    // CRASH WINDOW 2: Spark's dynamic-overwrite commit deletes a
+    // partition dir before renaming its replacement in — simulate the
+    // worst interleaving (a touched list momentarily ABSENT)
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$base/centroid_id=2"))
+    assert(content(base) != content(full), "simulated crash state")
+    // recovery = re-run publish from the surviving staged copy
+    Similarity.ivfIndexPublishStaged(spark, base, staging)
+    assert(content(base) == content(full),
+      "re-running publish must restore the merged state")
+    // idempotence: publishing a third time changes nothing
+    Similarity.ivfIndexPublishStaged(spark, base, staging)
+    assert(content(base) == content(full), "publish must be idempotent")
+  }
+
+  test("ivfpq index: stored state is (cid, code) only — no vectors; " +
+      "the ADC stage is partition-pruned to the probed lists and " +
+      "reads nothing else") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("ivfpq_idx").toString
+    val all = (0L until 40L)
+    val coarse = Array(0L, 1L, 2L, 3L)
+      .map(i => (i, vec((i % 4).toInt, 0.01f * (i % 3))))
+    // m=2 hand-built sub-codebooks over the 2-dim slices
+    val pqCbs: Array[Array[Array[Float]]] = Array(
+      Array(Array(1f, 0f), Array(0f, 1f), Array(1f, 1f)),
+      Array(Array(1f, 0f), Array(0f, 1f), Array(1f, 1f)))
+    Similarity.ivfpqIndexWrite(emb(all), "vec_id", "embedding", dir,
+      coarse, pqCbs)
+    // the persisted schema carries codes, never vectors
+    val fields = spark.read.parquet(dir).schema.fieldNames.toSet
+    assert(fields == Set("cid", "code", "centroid_id"),
+      s"index must store (cid, code) partitioned by list, got $fields")
+    // ADC stage plan: probed lists land in PartitionFilters (storage-
+    // layer pruning) and the ONLY scan is the code index
+    val adc = Similarity.ivfpqAdcFrame(spark, dir, pqCbs,
+      qid = -1L, qv = vec(1, 0f), probes = Seq(1L), rerank = 8)
+    val plan = adc.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("centroid_id"),
+      s"probed lists not in PartitionFilters:\n${plan.take(2000)}")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1,
+      s"ADC stage must scan only the code index:\n${plan.take(2000)}")
+    // end-to-end: the served neighbors come from the probed list and
+    // re-rank exactly (list 1 = ids ≡ 1 mod 4)
+    val raw = emb(all).select(col("vec_id").as("cid"),
+      col("embedding").cast("array<float>").as("cv"))
+    val got = Similarity.ivfpqIndexedSearch(spark, dir, coarse, pqCbs,
+        raw, qid = -1L, qv = vec(1, 0f), nprobe = 1, k = 3, rerank = 8)
+      .collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getLong(1) % 4 == 1),
+      s"neighbors must come from the probed list, got " +
+        got.map(_.getLong(1)).mkString(","))
+    assert(got.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
   }
 }

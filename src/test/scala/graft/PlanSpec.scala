@@ -127,12 +127,32 @@ class PlanSpec extends AnyFunSuite {
     // post-scan Filter over all lists
     val scanLine = plan.linesIterator
       .find(_.contains("PartitionFilters")).getOrElse("")
-    assert(scanLine.contains("centroid_id") &&
-      (scanLine.contains("IN (") || scanLine.contains("isin") ||
-        scanLine.contains("centroid_id#")),
+    assert(scanLine.contains("centroid_id"),
       s"probed lists not in PartitionFilters:\n${plan.take(2000)}")
-    assert(scanLine.replaceAll("[^(]", "").nonEmpty, scanLine)
+    // the probe set rides as a membership predicate — IN below
+    // Spark's INSET conversion threshold (10 values), INSET above it
+    // (the derived nprobe crosses that at the test SFs)
+    assert(scanLine.contains("IN (") || scanLine.contains("INSET"),
+      s"no membership predicate on the partition column:\n$scanLine")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("ann_ivfpq_indexed: the exact re-rank reads raw vectors " +
+      "through the PUSHED shortlist filter — one scan, never a " +
+      "corpus-wide vector read") {
+    val plan = formatted("ann_ivfpq_indexed")
+    // the served frame is the +R stage: its ONLY scan is the raw
+    // vector table, entered through the ≤rerank-id shortlist as a
+    // pushed In filter (the ADC stage ran against the code index —
+    // partition-pruned, pinned by IvfIndexSpec)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1,
+      s"expected exactly the shortlist-filtered vector scan, " +
+        s"found $scans:\n${plan.take(2000)}")
+    val pushedLine = plan.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushedLine.contains("In(vec_id"),
+      s"shortlist not pushed into the vector scan:\n$pushedLine")
   }
 
   test("classifier gradient step: partial+final aggregate — the " +
