@@ -168,10 +168,21 @@ object Similarity {
       : Unit = {
     val centsLit = typedLit(codebook.map(_._2).toSeq)
     val idsLit = typedLit(codebook.map(_._1).toSeq)
+    // repartition BY LIST between assignment and the partitioned
+    // write: without it every writer task holds rows of ~every list
+    // and the job creates O(tasks × nlist) tiny files — at nlist ≈
+    // 4√n that file-open/footer overhead dominated the whole build
+    // (measured 10×: 212 s → 9 s for the ann_ivf_delta double build).
+    // One shuffle keyed on the list id makes each list one file, the
+    // layout the nprobe-pruned reads want anyway. A pathologically
+    // hot list (skewed corpus) would serialize into one task — the
+    // salting escalation (repartition on (list, salt)) is the knob,
+    // deliberately not paid here.
     Dedup.spread(emb.select(col(idCol).cast("long").as("cid"),
         col(vecCol).cast("array<float>").as("cv")))
       .withColumn("centroid_id", try_element_at(
         nearest_centroids(col("cv"), centsLit, idsLit, 1), lit(1)))
+      .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(indexDir)
   }
