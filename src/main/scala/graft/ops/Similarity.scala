@@ -388,6 +388,53 @@ object Similarity {
       .select(lit(qid).as("qid"), col("cid"), col("sim_r"), col("rnk"))
   }
 
+  /** APPEND a delta batch to a persisted [[ivfpqIndexWrite]] index —
+    * the PQ twin of [[ivfIndexAppendDelta]], sharing its
+    * crash-consistency contract verbatim (durable staging →
+    * idempotent [[ivfIndexPublishStaged]] → staging deleted only
+    * after success): delta vectors are ENCODED under the SHARED
+    * sub-codebooks and assigned under the SHARED coarse quantizer
+    * (retraining on arrival would silently re-key the whole index —
+    * the codebooks are fit-once state, exactly like the IVF
+    * codebook), then only the touched code lists are merged and
+    * republished. Cost O(|delta| + rows in touched lists); untouched
+    * lists' files never read or rewritten.
+    */
+  def ivfpqIndexAppendDelta(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String,
+                            coarseCodebook: Array[(Long, Seq[Float])],
+                            pqCodebooks: Array[Array[Array[Float]]],
+                            delta: DataFrame, idCol: String,
+                            vecCol: String,
+                            stagingDirOpt: Option[String] = None): Unit = {
+    // pqEncode reads the dimension from the frame — probe emptiness
+    // first so an empty delta is an explicit bit-level no-op
+    if (delta.isEmpty) return
+    val centsLit = typedLit(coarseCodebook.map(_._2).toSeq)
+    val idsLit = typedLit(coarseCodebook.map(_._1).toSeq)
+    val (encoded, _) = pqEncode(delta, idCol, vecCol,
+      m = pqCodebooks.length, k = pqCodebooks.head.length, iters = 0,
+      codebooksOpt = Some(pqCodebooks))
+    val assigned = encoded
+      .withColumn("centroid_id", try_element_at(
+        nearest_centroids(col("v"), centsLit, idsLit, 1), lit(1)))
+      .select(col("id").as("cid"), col("code"), col("centroid_id"))
+    // bounded collect: one id per touched list, ≤ |codebook| by design
+    val touched = assigned.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val staging = stagingDirOpt.getOrElse(
+      indexDir.stripSuffix("/") + ".staging")
+    spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(touched: _*))
+      .unionByName(assigned)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(staging)
+    ivfIndexPublishStaged(spark, indexDir, staging)
+    deleteDir(spark, staging) // only after a successful publish
+  }
+
   /** The ADC stage of [[ivfpqIndexedSearch]] as a frame (shortlist
     * cids, ADC-ranked): a TakeOrdered over the probed code partitions
     * with the same tie order as [[ivfpqTopK]]'s window (quantized sim

@@ -803,6 +803,51 @@ object ScaleQueries {
       .orderBy(col("rnk"))
   }
 
+  /** INCREMENTAL IVF-PQ index maintenance driven end to end — the PQ
+    * twin of [[annIvfDelta]] ([[Similarity.ivfpqIndexAppendDelta]]):
+    * the base CODE index is built from 6/7 of the corpus, the
+    * remaining 1/7 — including the query vector — arrives as a delta
+    * encoded and assigned under the SHARED codebooks (fit-once
+    * state; retraining on arrival would re-key the index), touched
+    * code lists compacted through the same durable-staging →
+    * idempotent-publish machinery. The served search must be
+    * indistinguishable from the rebuilt-from-everything index
+    * ([[fullIvfpqIndex]]) — `delta_consistent` pins set-equality and
+    * the oracle replays the full IVFADC+R pipeline for this query.
+    */
+  def annIvfpqDelta(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (fullPath, coarse, cbs) = fullIvfpqIndex(s, dir)
+    val deltaPath =
+      memoCodebook(s"ivfpq-delta:${graft.Tables.versioned(dir)}") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_delta").toString
+        Similarity.ivfpqIndexWrite(
+          emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+          p, coarse, cbs)
+        Similarity.ivfpqIndexAppendDelta(s, p, coarse, cbs,
+          emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
+        p
+      }
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<float>"))
+      .head().getSeq[Float](0)
+    val raw = emb.select(col("vec_id").as("cid"),
+      col("embedding").cast("array<float>").as("cv"))
+    def search(path: String) =
+      Similarity.ivfpqIndexedSearch(s, path, coarse, cbs, raw,
+        qid = 0L, qv = qv,
+        nprobe = Similarity.derivedNprobe(coarse.length), k = 3,
+        rerank = 128)
+    val served = search(deltaPath)
+    val rebuilt = search(fullPath)
+    val consistent = served.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(served).isEmpty
+    served.withColumn("delta_consistent",
+        lit(if (consistent) 1 else 0))
+      .orderBy(col("rnk"))
+  }
+
   /** Per-dimension SQ8 stats, computed once per dir (they feed three
     * driver queries; the aggregate is one corpus scan collecting 2·d
     * doubles).
@@ -1661,6 +1706,7 @@ object ScaleQueries {
     "ann_ivfpq" -> (annIvfpq _),
     "ann_ivfpq_recall" -> (annIvfpqRecall _),
     "ann_ivfpq_indexed" -> (annIvfpqIndexed _),
+    "ann_ivfpq_delta" -> (annIvfpqDelta _),
     "ann_sq_topk" -> (annSqTopk _),
     "ann_sq_recall" -> (annSqRecall _),
     "embed_neardup" -> (embedNeardup _),
@@ -2078,12 +2124,14 @@ object ScaleQueries {
 
   /** [[annIvfpqOracleSql]] with the query restriction and the coarse
     * quantizer's stride/nprobe parameterized — `ann_ivfpq` replays
-    * the in-plan 149/7 shape over all queries; `ann_ivfpq_indexed`
-    * replays the persisted index's √n-stride / derived-nprobe sizing
-    * for its one served query.
+    * the in-plan 149/7 shape over all queries; `ann_ivfpq_indexed` /
+    * `ann_ivfpq_delta` replay the persisted index's √n-stride /
+    * derived-nprobe sizing for their one served query (the delta row
+    * adds the pinned maintenance-consistency flag via `extraCols`).
     */
   private def annIvfpqOracleSqlFor(qidWhere: String, strideSql: String,
-                                   nprobeSql: String): String = {
+                                   nprobeSql: String,
+                                   extraCols: String = ""): String = {
     val m = 16; val sub = 4
     val chains = (0 until m).map { j =>
       lloydCtes(s"q${j}_", 2, "16",
@@ -2142,7 +2190,7 @@ object ScaleQueries {
                CAST(row_number() OVER (PARTITION BY qid
                     ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
              FROM s2)
-       SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 3
+       SELECT qid, cid, sim_r, rnk$extraCols FROM r WHERE rnk <= 3
        ORDER BY qid, rnk"""
   }
 
@@ -2651,6 +2699,12 @@ object ScaleQueries {
     // (√n stride, derived nprobe — both recomputed in SQL)
     "ann_ivfpq_indexed" -> annIvfpqOracleSqlFor("vec_id = 0",
       sqrtStrideSql, derivedNprobeSql),
+    // the maintained (base + encoded delta, compacted) CODE index
+    // must serve the SAME rows as the full replay; the consistency
+    // flag pins set-equality against the rebuilt index
+    "ann_ivfpq_delta" -> annIvfpqOracleSqlFor("vec_id = 0",
+      sqrtStrideSql, derivedNprobeSql,
+      extraCols = ", CAST(1 AS INTEGER) AS delta_consistent"),
     // SQ-ADC replayed END TO END: per-dim [min,max] stats, the affine
     // int8 code, the float-rounded reconstruction, the ADC top-32
     // shortlist, and the exact re-rank — all fixed-order double math

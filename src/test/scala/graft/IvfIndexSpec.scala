@@ -178,4 +178,51 @@ class IvfIndexSpec extends AnyFunSuite {
         got.map(_.getLong(1)).mkString(","))
     assert(got.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
   }
+
+  test("ivfpq append+compact: merged code content equals rebuild; " +
+      "untouched code lists' files are not rewritten; empty delta " +
+      "is a byte-level no-op") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("ivfpq_d_base").toString
+    val full = Files.createTempDirectory("ivfpq_d_full").toString
+    val all = (0L until 40L)
+    val coarse = Array(0L, 1L, 2L, 3L)
+      .map(i => (i, vec((i % 4).toInt, 0.01f * (i % 3))))
+    val pqCbs: Array[Array[Array[Float]]] = Array(
+      Array(Array(1f, 0f), Array(0f, 1f), Array(1f, 1f)),
+      Array(Array(1f, 0f), Array(0f, 1f), Array(1f, 1f)))
+    val deltaIds = all.filter(_ % 4 == 1)
+    Similarity.ivfpqIndexWrite(emb(all.filterNot(_ % 4 == 1)),
+      "vec_id", "embedding", base, coarse, pqCbs)
+    Similarity.ivfpqIndexWrite(emb(all), "vec_id", "embedding", full,
+      coarse, pqCbs)
+    def files(dir: String): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    val before = files(base)
+    Similarity.ivfpqIndexAppendDelta(spark, base, coarse, pqCbs,
+      emb(deltaIds), "vec_id", "embedding")
+    val after = files(base)
+    for ((part, fs) <- before if part != "centroid_id=1")
+      assert(after(part) == fs,
+        s"untouched code list $part was rewritten")
+    // content equality vs rebuild, CODES included — the delta rows
+    // must carry the same sub-codebook assignments a rebuild computes
+    def content(dir: String) = spark.read.parquet(dir)
+      .select(col("cid"), col("centroid_id").cast("long"),
+        col("code").cast("array<long>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .toSet
+    assert(content(base) == content(full),
+      "maintained code index must equal the rebuild, codes included")
+    assert(!new java.io.File(base.stripSuffix("/") + ".staging").exists(),
+      "staging dir must be deleted after a successful publish")
+    val preEmpty = files(base)
+    Similarity.ivfpqIndexAppendDelta(spark, base, coarse, pqCbs,
+      emb(Seq.empty), "vec_id", "embedding")
+    assert(files(base) == preEmpty,
+      "empty delta must not rewrite any code list")
+  }
 }
