@@ -799,6 +799,79 @@ object AdvancedQueries {
       .orderBy(col("day"))
   }
 
+  /** Audience OVERLAP between event types via HLL register algebra —
+    * the set-operation face of the house sketch (r11, completing
+    * union/merge from `hll_incremental` and windowed merge from
+    * `hll_sliding`): |A∩B| estimated by inclusion–exclusion
+    * est(A) + est(B) − est(A∪B), where the UNION estimate costs no
+    * new pass — registers max-merge, so a pair's union registers are
+    * computable from per-type cells alone. Engine shape: distinct
+    * (type, user) pairs pinned once; each row replicated to the
+    * unordered type pairs containing its type via two equi-joins
+    * against the broadcast pair list (the event-type domain is a
+    * bounded categorical dimension, so the pair list is a design
+    * constant); singles and unions estimated by the same chain —
+    * state is |types + pairs| × ≤1024 integer cells. The oracle
+    * replays singles AND unions in ONE hllChainSql over the stacked
+    * (g, k) relation (estimates depend only on each group's distinct
+    * key set, so the engine's separate jobs land on identical
+    * registers) and applies the same integer inclusion–exclusion —
+    * every APPROXIMATE value hash-compares. Exact companions ride
+    * for the accuracy story (mean |Δ|/union loudly required ≤ 5%,
+    * the hll_incremental contract form); at 100 TB you drop them.
+    */
+  def hllIntersect(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Hll
+    val salt = 555000L
+    val du = graft.ops.Dedup.materialize(
+      t(s, dir, "events")
+        .select(col("event_type").as("t"), col("user_id").as("u"))
+        .distinct())
+    // bounded collect: event_type is a categorical domain column
+    // (5 values in this corpus) — the same bounded-dimension contract
+    // as the dpp weight dim
+    val types = du.select(col("t")).distinct().orderBy(col("t"))
+      .collect().map(_.getString(0)).toSeq
+    import s.implicits._
+    val pairList = broadcast(
+      (for { a <- types; b <- types if a < b } yield (a, b))
+        .toDF("ta", "tb"))
+    val pairRows =
+      du.join(pairList, col("t") === col("ta"))
+        .unionByName(du.join(pairList, col("t") === col("tb")))
+        .select(concat(col("ta"), lit("|"), col("tb")).as("g"), col("u"))
+    val singles = Hll.distinctCount(du, Seq("t"), col("u"), salt, "est")
+    val unions = Hll.distinctCount(pairRows, Seq("g"), col("u"), salt,
+      "approx_union")
+    val exact = du.select(col("t").as("xa"), col("u"))
+      .join(du.select(col("t").as("xb"), col("u")), Seq("u"))
+      .filter(col("xa") < col("xb"))
+      .groupBy(col("xa"), col("xb"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    val out = graft.ops.Dedup.materialize(pairList
+      .join(singles.select(col("t").as("ta"), col("est").as("approx_a")),
+        Seq("ta"))
+      .join(singles.select(col("t").as("tb"), col("est").as("approx_b")),
+        Seq("tb"))
+      .join(unions, concat(col("ta"), lit("|"), col("tb")) === col("g"))
+      .join(exact,
+        col("ta") === col("xa") && col("tb") === col("xb"), "left")
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("approx_a"), col("approx_b"), col("approx_union"),
+        greatest(lit(0L),
+          col("approx_a") + col("approx_b") - col("approx_union"))
+          .as("approx_intersect"),
+        coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+      .orderBy(col("type_a"), col("type_b")))
+    val meanErr = out
+      .agg(avg(abs(col("approx_intersect") - col("exact_intersect"))
+        / col("approx_union"))).head().getDouble(0)
+    require(meanErr <= 0.05,
+      f"hll_intersect: mean |approx-exact|/union $meanErr%.4f " +
+        "breaches the 5% accuracy contract")
+    out
+  }
+
   /** Time-range self-join: same-user event pairs within 6 hours —
     * banded equi-join ([[graft.ops.RangeJoin]]), no nested loop.
     */
@@ -2953,6 +3026,7 @@ object AdvancedQueries {
     "join_incremental" -> (joinIncremental _),
     "hll_incremental" -> (hllIncremental _),
     "hll_sliding" -> (hllSliding _),
+    "hll_intersect" -> (hllIntersect _),
     "dq_expectations" -> (dqExpectations _),
     "event_transitions" -> (eventTransitions _),
     "skew_stats" -> (skewStats _),
@@ -4212,6 +4286,45 @@ object AdvancedQueries {
               JOIN pqt ON ee.g = pqt.col_name
          ORDER BY col_name"""),
     "approx_distinct" -> approxDistinctOracleSql,
+    // singles AND pair-unions through ONE register chain over the
+    // stacked (g, k) relation, then integer inclusion–exclusion —
+    // the intersection ESTIMATES hash-compare
+    "hll_intersect" -> (hllChainSql(
+      """SELECT DISTINCT g, k FROM (
+           SELECT event_type AS g, user_id AS k FROM events
+           UNION ALL
+           SELECT p.ta || '|' || p.tb AS g, d.u AS k
+           FROM (SELECT DISTINCT event_type AS t, user_id AS u
+                 FROM events) d
+           JOIN (SELECT a.t AS ta, b.t AS tb
+                 FROM (SELECT DISTINCT event_type AS t FROM events) a
+                 JOIN (SELECT DISTINCT event_type AS t FROM events) b
+                   ON a.t < b.t) p
+             ON d.t = p.ta OR d.t = p.tb)""",
+      salt = 555000L) + """,
+         ipl AS (SELECT a.t AS ta, b.t AS tb
+                 FROM (SELECT DISTINCT event_type AS t FROM events) a
+                 JOIN (SELECT DISTINCT event_type AS t FROM events) b
+                   ON a.t < b.t),
+         idu AS (SELECT DISTINCT event_type AS t, user_id AS u
+                 FROM events),
+         ixn AS (SELECT x.t AS ta, y.t AS tb,
+                   count(*) AS exact_intersect
+                 FROM idu x JOIN idu y ON x.u = y.u AND x.t < y.t
+                 GROUP BY 1, 2),
+         ief AS (SELECT g, CAST(floor(est + 0.5) AS BIGINT) AS est
+                 FROM ee)
+         SELECT ipl.ta AS type_a, ipl.tb AS type_b,
+                ea.est AS approx_a, eb.est AS approx_b,
+                eu.est AS approx_union,
+                GREATEST(0, ea.est + eb.est - eu.est)
+                  AS approx_intersect,
+                coalesce(x.exact_intersect, 0) AS exact_intersect
+         FROM ipl JOIN ief ea ON ea.g = ipl.ta
+              JOIN ief eb ON eb.g = ipl.tb
+              JOIN ief eu ON eu.g = ipl.ta || '|' || ipl.tb
+              LEFT JOIN ixn x ON x.ta = ipl.ta AND x.tb = ipl.tb
+         ORDER BY type_a, type_b"""),
     // the streamed register store max-merges to the SAME registers as
     // one pass, so the 15th stream shape shares the batch oracle
     // verbatim — the stream_ema discipline
