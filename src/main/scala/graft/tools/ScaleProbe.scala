@@ -263,7 +263,15 @@ object ScaleProbe {
       // n·nlist·d with nlist ≈ 4√n, so the exponent should fall
       // from the fixed-stride build's n² shape
       ("ann_ivf_indexed",
-        graft.queries.ScaleQueries.queries("ann_ivf_indexed"), true))
+        graft.queries.ScaleQueries.queries("ann_ivf_indexed"), true),
+      // r11 closers: the persisted IVF-PQ build (cold — PQ encode +
+      // coarse assignment + partitioned code write per dir memo) and
+      // the HLL set-algebra overlap (warm — register cells only past
+      // the distinct-pair scan, so the exponent should be near-flat)
+      ("ann_ivfpq_indexed",
+        graft.queries.ScaleQueries.queries("ann_ivfpq_indexed"), true),
+      ("hll_intersect",
+        graft.queries.AdvancedQueries.queries("hll_intersect"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped
