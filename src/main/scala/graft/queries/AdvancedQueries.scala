@@ -590,6 +590,54 @@ object AdvancedQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Balanced RANGE output sharding with boundaries from the
+    * mergeable quantile histogram — what a quantile sketch is FOR
+    * inside an engine: Spark's RangePartitioner places boundaries by
+    * reservoir SAMPLING (approximate and nondeterministic under
+    * retries); here the K−1 boundaries are read off the same integer
+    * histogram cells as `quantile_hist` (boundary_j = the lowest bin
+    * whose cumulative count reaches ⌈j·n/K⌉), so placement is
+    * deterministic, MERGEABLE (cells add — the boundaries for
+    * old ∪ delta need no rescan of history), and fully
+    * SQL-replayable. Rows are assigned by BIN (shard = number of
+    * boundaries ≤ the row's bin, a scan-stage comparison against the
+    * ≤K−1 collected boundary literals), so every bin lands wholly in
+    * one shard: shard sizes balance to within one bin's population
+    * and shard ranges are provably disjoint (assignment is monotone
+    * in the bin id). A megabin spanning several rank targets empties
+    * the intermediate shards — the histogram's resolution limit,
+    * visible in the output rather than silently rebalanced. Output:
+    * per-shard row count and [min, max] cents.
+    */
+  def rangeShard(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val rows = t(s, dir, "orders")
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+        .as("cents"))
+      .withColumn("bin", floor(col("cents") / lit(16384.0)).cast("long"))
+    val hist = rows.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    // global cumulative over |bins| CELLS (≤ domain/2¹⁴ — bounded by
+    // the quantile_hist state contract), never rows
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(lit(1))))
+    val js = s.range(1, k).select(col("id").as("j"))
+    // bounded collect: exactly K−1 boundary bins by construction
+    val bs = cum.crossJoin(broadcast(js))
+      .filter(col("cum") >= expr(s"(j * n + $k - 1) DIV $k"))
+      .groupBy(col("j")).agg(min(col("bin")).as("b"))
+      .orderBy(col("j")).collect().map(_.getLong(1)).toSeq
+    rows
+      .withColumn("shard_id",
+        size(filter(typedLit(bs), b => b <= col("bin"))))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy(col("shard_id"))
+  }
+
   /** Z-order (Morton) layout key over the lineitem (part, supplier)
     * dimensions — the sort key [[graft.ops.Sink.zorderedSave]] lays
     * files out by. Value-checked: DuckDB recomputes the bit interleave
@@ -3103,6 +3151,7 @@ object AdvancedQueries {
     "interval_union" -> (intervalUnion _),
     "percentile_bound" -> (percentileBound _),
     "quantile_hist" -> (quantileHist _),
+    "range_shard" -> (rangeShard _),
     "zorder_key" -> (zorderKey _),
     "dpp_join" -> (dppJoin _))
 
@@ -4381,6 +4430,30 @@ object AdvancedQueries {
                           THEN bin END) * 16384 AS BIGINT)
                   AS p90_bin_cents
          FROM cc GROUP BY g ORDER BY g""",
+    // histogram-driven range sharding replayed exactly: integer bin
+    // counts, integer ceil-rank boundaries, bin-monotone assignment
+    "range_shard" ->
+      """WITH r AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+                      AS BIGINT) AS cents,
+                    CAST(floor(CAST(floor(o_totalprice * 100 + 0.5)
+                      AS BIGINT) / 16384.0) AS BIGINT) AS bin
+               FROM orders),
+         h AS (SELECT bin, count(*) AS c FROM r GROUP BY 1),
+         cc AS (SELECT bin, c,
+                  sum(c) OVER (ORDER BY bin) AS cum,
+                  sum(c) OVER () AS n
+                FROM h),
+         bnd AS (SELECT j, min(bin) AS b
+                 FROM cc CROSS JOIN range(1, 8) t(j)
+                 WHERE cum >= (j * n + 7) // 8
+                 GROUP BY j)
+         SELECT shard_id, count(*) AS n_rows,
+                min(cents) AS min_cents, max(cents) AS max_cents
+         FROM (SELECT r.cents,
+                 CAST((SELECT count(*) FROM bnd WHERE bnd.b <= r.bin)
+                   AS INTEGER) AS shard_id
+               FROM r)
+         GROUP BY shard_id ORDER BY shard_id""",
     // like the HLL gate: exact percentiles recomputed, sketch bound
     // pinned to 1 (a drifting percentile_approx breaks the hash)
     "percentile_bound" ->

@@ -339,6 +339,35 @@ class DedupSpec extends AnyFunSuite {
       s"recall ${hits.toDouble / exact.size} below the 60% gate floor")
   }
 
+  test("sqTopK: full query coverage, ranks 1..k, partitioning-" +
+       "invariant, recall over the gate floor") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSession.spark
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (mns, mxs) = graft.ops.Similarity.sqStats(emb, "embedding")
+    def run(input: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.sqTopK(input, "vec_id", "embedding",
+          col("vec_id") % 20 === 0, k = 3, rerank = 32, mns, mxs)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val rows = run(emb)
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 25 && byQ.values.forall(_.length == 3))
+    assert(byQ.values.forall(_.map(_._4).sorted.sameElements(Seq(1, 2, 3))))
+    // determinism under physical layout: a repartitioned input must
+    // produce the identical row set (ADC and re-rank tie-break on
+    // rounded sim + cid, never on arrival order)
+    assert(run(emb.repartition(7)).toSet == rows.toSet,
+      "sqTopK result depends on input partitioning")
+    val exact = graft.queries.ScaleQueries.queries("ann_topk")(spark, dir)
+      .filter(col("rnk") <= 3).select("qid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = rows.count(r => exact((r._1, r._2)))
+    assert(hits * 100 >= exact.size * 90,
+      s"recall ${hits.toDouble / exact.size} below the 90% gate floor")
+  }
+
   test("pqEncode: shapes, in-range codes, reconstruction beats noise") {
     import org.apache.spark.sql.functions._
     val emb = TestSession.spark.read
