@@ -388,6 +388,54 @@ object Similarity {
       .select(lit(qid).as("qid"), col("cid"), col("sim_r"), col("rnk"))
   }
 
+  /** BATCH (query-fleet) search over a persisted [[ivfpqIndexWrite]]
+    * index — the mode a serving tier runs between single-query point
+    * lookups and full rebuilds: ALL queries served in ONE plan
+    * against the stored (cid, code) lists. Probe lists are computed
+    * in-plan (scan-stage `nearest_centroids` explode over the shared
+    * coarse-codebook literals), candidates are an EQUI-join on list
+    * id against the code table read from disk — raw vectors never
+    * touch the ADC stage — and the per-query `rerank` shortlist joins
+    * the vector table for the exact re-rank, exactly [[ivfpqTopK]]'s
+    * two-stage shape with the encode step replaced by the index read.
+    * `queries` = (qid, qv float[]); `rawVectors` = (cid, cv float[]).
+    */
+  def ivfpqIndexedBatchSearch(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String,
+                              coarseCodebook: Array[(Long, Seq[Float])],
+                              pqCodebooks: Array[Array[Array[Float]]],
+                              queries: DataFrame, rawVectors: DataFrame,
+                              nprobe: Int, k: Int, rerank: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centsLit = typedLit(coarseCodebook.map(_._2).toSeq)
+    val idsLit = typedLit(coarseCodebook.map(_._1).toSeq)
+    val probes = queries.withColumn("centroid_id",
+      explode(nearest_centroids(col("qv"), centsLit, idsLit, nprobe)))
+    // partition-dir inference reads the list id back as INT —
+    // normalize for the equi-join against the long probe ids
+    val lists = spark.read.parquet(indexDir)
+      .select(col("cid"), col("code"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val recon = pqReconstructExpr(pqCodebooks, col("code"))
+    val wApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("__sim_adc").desc, col("cid"))
+    val shortlist = lists.join(Hints.maybeBroadcast(probes),
+        Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("__sim_adc", cosine_sim(col("qv"), recon))
+      .withColumn("__arnk", row_number().over(wApprox))
+      .filter(col("__arnk") <= rerank)
+      .select(col("qid"), col("qv"), col("cid"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_r").desc, col("cid"))
+    shortlist.join(rawVectors, Seq("cid"))
+      .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
+  }
+
   /** APPEND a delta batch to a persisted [[ivfpqIndexWrite]] index —
     * the PQ twin of [[ivfIndexAppendDelta]], sharing its
     * crash-consistency contract verbatim (durable staging →

@@ -638,6 +638,48 @@ object AdvancedQueries {
       .orderBy(col("shard_id"))
   }
 
+  /** INCREMENTAL boundary maintenance for [[rangeShard]] — the
+    * mergeability claim driven end to end rather than asserted: the
+    * histogram cells are built SEPARATELY on the pre-cutoff and
+    * post-cutoff order partitions (the `hll_incremental` old ⊕ delta
+    * shape), added per bin, and the K−1 boundaries + shard stats read
+    * from the merged cells. Counts merge by plain addition, so the
+    * result is BIT-IDENTICAL to the one-pass computation — this query
+    * shares `range_shard`'s oracle verbatim, and the hash proves in
+    * one check that a nightly delta updates the shard map without
+    * rescanning history.
+    */
+  def rangeShardDelta(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val rows = t(s, dir, "orders")
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+        .as("cents"),
+        col("o_orderdate"))
+      .withColumn("bin", floor(col("cents") / lit(16384.0)).cast("long"))
+    val cutoff = lit("1997-06-01")
+    def cells(part: DataFrame): DataFrame =
+      part.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val hist = cells(rows.filter(col("o_orderdate") < cutoff))
+      .unionByName(cells(rows.filter(col("o_orderdate") >= cutoff)))
+      .groupBy(col("bin")).agg(sum(col("c")).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
+    val js = s.range(1, k).select(col("id").as("j"))
+    val bs = cum.crossJoin(broadcast(js))
+      .filter(col("cum") >= expr(s"(j * n + $k - 1) DIV $k"))
+      .groupBy(col("j")).agg(min(col("bin")).as("b"))
+      .orderBy(col("j")).collect().map(_.getLong(1)).toSeq
+    rows
+      .withColumn("shard_id",
+        size(filter(typedLit(bs), b => b <= col("bin"))))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy(col("shard_id"))
+  }
+
   /** Z-order (Morton) layout key over the lineitem (part, supplier)
     * dimensions — the sort key [[graft.ops.Sink.zorderedSave]] lays
     * files out by. Value-checked: DuckDB recomputes the bit interleave
@@ -3152,6 +3194,7 @@ object AdvancedQueries {
     "percentile_bound" -> (percentileBound _),
     "quantile_hist" -> (quantileHist _),
     "range_shard" -> (rangeShard _),
+    "range_shard_delta" -> (rangeShardDelta _),
     "zorder_key" -> (zorderKey _),
     "dpp_join" -> (dppJoin _))
 
@@ -3253,6 +3296,34 @@ object AdvancedQueries {
     * linear-counting branch. Yields CTE `ee` with (g, est) — shared
     * by the `approx_distinct` and `hll_incremental` oracles.
     */
+  /** The range_shard replay — ONE definition shared by `range_shard`
+    * and `range_shard_delta` (cells merge by addition, so the
+    * incrementally maintained shard map is bit-identical to the
+    * one-pass computation and shares this oracle verbatim).
+    */
+  private val rangeShardOracleSql: String =
+    """WITH r AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+                    AS BIGINT) AS cents,
+                  CAST(floor(CAST(floor(o_totalprice * 100 + 0.5)
+                    AS BIGINT) / 16384.0) AS BIGINT) AS bin
+             FROM orders),
+       h AS (SELECT bin, count(*) AS c FROM r GROUP BY 1),
+       cc AS (SELECT bin, c,
+                sum(c) OVER (ORDER BY bin) AS cum,
+                sum(c) OVER () AS n
+              FROM h),
+       bnd AS (SELECT j, min(bin) AS b
+               FROM cc CROSS JOIN range(1, 8) t(j)
+               WHERE cum >= (j * n + 7) // 8
+               GROUP BY j)
+       SELECT shard_id, count(*) AS n_rows,
+              min(cents) AS min_cents, max(cents) AS max_cents
+       FROM (SELECT r.cents,
+               CAST((SELECT count(*) FROM bnd WHERE bnd.b <= r.bin)
+                 AS INTEGER) AS shard_id
+             FROM r)
+       GROUP BY shard_id ORDER BY shard_id"""
+
   /** The four stacked int64 column views of `events` shared by the
     * profile_sketch oracle's HLL arm and its quantile-histogram arm —
     * one definition so the two arms cannot drift.
@@ -4432,28 +4503,11 @@ object AdvancedQueries {
          FROM cc GROUP BY g ORDER BY g""",
     // histogram-driven range sharding replayed exactly: integer bin
     // counts, integer ceil-rank boundaries, bin-monotone assignment
-    "range_shard" ->
-      """WITH r AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
-                      AS BIGINT) AS cents,
-                    CAST(floor(CAST(floor(o_totalprice * 100 + 0.5)
-                      AS BIGINT) / 16384.0) AS BIGINT) AS bin
-               FROM orders),
-         h AS (SELECT bin, count(*) AS c FROM r GROUP BY 1),
-         cc AS (SELECT bin, c,
-                  sum(c) OVER (ORDER BY bin) AS cum,
-                  sum(c) OVER () AS n
-                FROM h),
-         bnd AS (SELECT j, min(bin) AS b
-                 FROM cc CROSS JOIN range(1, 8) t(j)
-                 WHERE cum >= (j * n + 7) // 8
-                 GROUP BY j)
-         SELECT shard_id, count(*) AS n_rows,
-                min(cents) AS min_cents, max(cents) AS max_cents
-         FROM (SELECT r.cents,
-                 CAST((SELECT count(*) FROM bnd WHERE bnd.b <= r.bin)
-                   AS INTEGER) AS shard_id
-               FROM r)
-         GROUP BY shard_id ORDER BY shard_id""",
+    "range_shard" -> rangeShardOracleSql,
+    // histogram cells merge by ADDITION, so the incrementally
+    // maintained shard map shares the one-pass oracle VERBATIM (the
+    // stream_distinct / approx_distinct precedent)
+    "range_shard_delta" -> rangeShardOracleSql,
     // like the HLL gate: exact percentiles recomputed, sketch bound
     // pinned to 1 (a drifting percentile_approx breaks the hash)
     "percentile_bound" ->

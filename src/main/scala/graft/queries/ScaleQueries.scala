@@ -848,6 +848,28 @@ object ScaleQueries {
       .orderBy(col("rnk"))
   }
 
+  /** BATCH (query-fleet) search over the persisted IVF-PQ code index
+    * ([[Similarity.ivfpqIndexedBatchSearch]]): every 20th vector
+    * served in ONE plan against the stored (cid, code) lists — the
+    * ADC stage reads CODES from disk and never touches raw vectors;
+    * only the |Q|·rerank shortlist joins the vector table. The oracle
+    * is the full IVFADC+R replay over all queries under the index's
+    * √n-stride / derived-nprobe sizing.
+    */
+  def annIvfpqBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (path, coarse, cbs) = fullIvfpqIndex(s, dir)
+    Similarity.ivfpqIndexedBatchSearch(s, path, coarse, cbs,
+        queries = emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"),
+            col("embedding").cast("array<float>").as("qv")),
+        rawVectors = emb.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<float>").as("cv")),
+        nprobe = Similarity.derivedNprobe(coarse.length), k = 3,
+        rerank = 128)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Per-dimension SQ8 stats, computed once per dir (they feed three
     * driver queries; the aggregate is one corpus scan collecting 2·d
     * doubles).
@@ -1707,6 +1729,7 @@ object ScaleQueries {
     "ann_ivfpq_recall" -> (annIvfpqRecall _),
     "ann_ivfpq_indexed" -> (annIvfpqIndexed _),
     "ann_ivfpq_delta" -> (annIvfpqDelta _),
+    "ann_ivfpq_batch" -> (annIvfpqBatch _),
     "ann_sq_topk" -> (annSqTopk _),
     "ann_sq_recall" -> (annSqRecall _),
     "embed_neardup" -> (embedNeardup _),
@@ -2705,6 +2728,10 @@ object ScaleQueries {
     "ann_ivfpq_delta" -> annIvfpqOracleSqlFor("vec_id = 0",
       sqrtStrideSql, derivedNprobeSql,
       extraCols = ", CAST(1 AS INTEGER) AS delta_consistent"),
+    // the batch fleet mode over the same persisted code index: the
+    // full IVFADC+R replay across ALL queries under the √n sizing
+    "ann_ivfpq_batch" -> annIvfpqOracleSqlFor("TRUE",
+      sqrtStrideSql, derivedNprobeSql),
     // SQ-ADC replayed END TO END: per-dim [min,max] stats, the affine
     // int8 code, the float-rounded reconstruction, the ADC top-32
     // shortlist, and the exact re-rank — all fixed-order double math
