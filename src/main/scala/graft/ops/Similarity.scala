@@ -981,15 +981,24 @@ object Similarity {
     * reconstruction half used by the quantization-error gate.
     */
   def sqDecode(encoded: DataFrame, mns: Array[Double],
-               mxs: Array[Double]): DataFrame = {
+               mxs: Array[Double]): DataFrame =
+    encoded.withColumn("v_hat", sqDecodeExpr(col("code"), mns, mxs))
+
+  /** The ONE definition of SQ8 code → vector, shared by [[sqDecode]],
+    * [[sqTopK]]'s ADC leg, and [[ivfsqIndexedSearch]] — two copies
+    * could silently diverge in operation order and make ranking
+    * reconstruct different vectors than the quality gate measures
+    * (the [[pqReconstructExpr]] rule applied to SQ).
+    */
+  private def sqDecodeExpr(codeCol: Column, mns: Array[Double],
+                           mxs: Array[Double]): Column = {
     val mnLit = typedLit(mns.toSeq)
     val mxLit = typedLit(mxs.toSeq)
-    encoded.withColumn("v_hat",
-      transform(col("code"), (q, i) => {
-        val mn = element_at(mnLit, (i + 1).cast("int"))
-        val mx = element_at(mxLit, (i + 1).cast("int"))
-        mn + (q.cast("double") * (mx - mn)) / lit(255.0)
-      }))
+    transform(codeCol, (q, i) => {
+      val mn = element_at(mnLit, (i + 1).cast("int"))
+      val mx = element_at(mxLit, (i + 1).cast("int"))
+      mn + (q.cast("double") * (mx - mn)) / lit(255.0)
+    })
   }
 
   /** SQ-ADC top-k: approximate nearest neighbors ranked on
@@ -1010,6 +1019,69 @@ object Similarity {
     * reconstructions → both rank stages and hash-matches the values,
     * where PQ's oracle must unroll Lloyd trainings to do the same.
     */
+  /** PERSIST an IVF-SQ index: (cid, 64-byte SQ8 code) partitioned BY
+    * LIST ID — the third member of the persisted-index family
+    * ([[ivfIndexWrite]] raw vectors, [[ivfpqIndexWrite]] PQ codes),
+    * and the one whose ENTIRE lifecycle hash-replays: SQ8 has no
+    * trained state (stats are min/max aggregates, codes fixed-order
+    * double math), so stats → codes → list assignment → search all
+    * recompute in the oracle, where the PQ index's replay must
+    * unroll Lloyd trainings. 4× smaller searchable state than raw
+    * vectors at reconstruction error ≤ step/2 per dimension.
+    */
+  def ivfsqIndexWrite(emb: DataFrame, idCol: String, vecCol: String,
+                      indexDir: String,
+                      coarseCodebook: Array[(Long, Seq[Float])],
+                      mns: Array[Double], mxs: Array[Double]): Unit = {
+    val centsLit = typedLit(coarseCodebook.map(_._2).toSeq)
+    val idsLit = typedLit(coarseCodebook.map(_._1).toSeq)
+    sqEncode(emb, idCol, vecCol, mns, mxs)
+      .withColumn("centroid_id", try_element_at(
+        nearest_centroids(col("v").cast("array<float>"), centsLit,
+          idsLit, 1), lit(1)))
+      .select(col("id").as("cid"), col("code"), col("centroid_id"))
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(indexDir)
+  }
+
+  /** Single-query search over a persisted [[ivfsqIndexWrite]] index —
+    * same serving shape as [[ivfpqIndexedSearch]]: driver-computed
+    * probe ids → partition-pruned code scan → ADC TakeOrdered on
+    * cosine(query, float-rounded [[sqDecodeExpr]](code)) → exact
+    * re-rank through the pushed shortlist filter on `rawVectors`.
+    */
+  def ivfsqIndexedSearch(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String,
+                         coarseCodebook: Array[(Long, Seq[Float])],
+                         mns: Array[Double], mxs: Array[Double],
+                         rawVectors: DataFrame,
+                         qid: Long, qv: Seq[Float],
+                         nprobe: Int, k: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centsLit = typedLit(coarseCodebook.map(_._2).toSeq)
+    val idsLit = typedLit(coarseCodebook.map(_._1).toSeq)
+    val probes = spark.range(1).select(
+        nearest_centroids(typedLit(qv), centsLit, idsLit, nprobe).as("p"))
+      .head().getSeq[Long](0)
+    val recon = sqDecodeExpr(col("code"), mns, mxs).cast("array<float>")
+    val shortlist = spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(probes: _*))
+      .filter(col("cid") =!= qid)
+      .withColumn("__sim_adc", cosine_sim(typedLit(qv), recon))
+      .orderBy(col("__sim_adc").desc, col("cid"))
+      .limit(rerank)
+      .select(col("cid"))
+      .collect().map(_.getLong(0)) // bounded by design: ≤ rerank ids
+    val w = Window.orderBy(col("sim_r").desc, col("cid"))
+    rawVectors
+      .filter(col("cid").isin(shortlist: _*))
+      .withColumn("sim_r", round(cosine_sim(typedLit(qv), col("cv")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(lit(qid).as("qid"), col("cid"), col("sim_r"), col("rnk"))
+  }
+
   def sqTopK(emb: DataFrame, idCol: String, vecCol: String,
              queryPred: Column, k: Int, rerank: Int,
              mns: Array[Double], mxs: Array[Double]): DataFrame = {

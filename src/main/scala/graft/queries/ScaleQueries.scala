@@ -880,6 +880,51 @@ object ScaleQueries {
       Similarity.sqStats(t(s, dir, "embeddings"), "embedding")
     }
 
+  /** The persisted IVF-SQ index (memoized per dir): (cid, SQ8 code)
+    * lists under the SAME √n-stride coarse quantizer rule as the
+    * other persisted indexes, stats from [[sqStatsMemo]]. The unique
+    * property this index exists to demonstrate: NO trained state
+    * anywhere in its lifecycle, so build AND search replay fully.
+    */
+  private def fullIvfsqIndex(s: SparkSession, dir: String)
+      : (String, Array[(Long, Seq[Float])],
+         (Array[Double], Array[Double])) =
+    memoCodebook(s"ivfsq-index:${graft.Tables.versioned(dir)}") {
+      val emb = t(s, dir, "embeddings")
+      val coarse = Similarity.sampledCodebook(emb, "vec_id", "embedding",
+        Similarity.sqrtStride(emb.count()))
+      val stats = sqStatsMemo(s, dir)
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivfsq_index").toString
+      Similarity.ivfsqIndexWrite(emb, "vec_id", "embedding", p, coarse,
+        stats._1, stats._2)
+      (p, coarse, stats)
+    }
+
+  /** [[Similarity.ivfsqIndexWrite]] + [[Similarity.ivfsqIndexedSearch]]
+    * driven end to end — the FULLY-REPLAYABLE persisted ANN index:
+    * unlike `ann_ivfpq_indexed` (whose oracle must unroll 16 Lloyd
+    * trainings to reproduce the codes), every stage here — per-dim
+    * stats, affine codes, √n list assignment, partition-pruned ADC,
+    * pushed-shortlist exact re-rank — is fixed-order arithmetic the
+    * oracle recomputes directly. 4× smaller searchable state than the
+    * raw-vector index at ≤ step/2 reconstruction error.
+    */
+  def annIvfsqIndexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (path, coarse, (mns, mxs)) = fullIvfsqIndex(s, dir)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<float>"))
+      .head().getSeq[Float](0)
+    Similarity.ivfsqIndexedSearch(s, path, coarse, mns, mxs,
+        emb.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<float>").as("cv")),
+        qid = 0L, qv = qv,
+        nprobe = Similarity.derivedNprobe(coarse.length), k = 3,
+        rerank = 32)
+      .orderBy(col("rnk"))
+  }
+
   /** SQ-ADC top-3 ([[Similarity.sqTopK]]): every 20th vector queries
     * the corpus ranked on cosine against the SQ8-reconstructed
     * vectors, top-32 shortlist re-ranked exactly. FULLY hash-checked:
@@ -1731,6 +1776,7 @@ object ScaleQueries {
     "ann_ivfpq_delta" -> (annIvfpqDelta _),
     "ann_ivfpq_batch" -> (annIvfpqBatch _),
     "ann_sq_topk" -> (annSqTopk _),
+    "ann_ivfsq_indexed" -> (annIvfsqIndexed _),
     "ann_sq_recall" -> (annSqRecall _),
     "embed_neardup" -> (embedNeardup _),
     "dedup_clusters" -> (dedupClusters _),
@@ -2263,6 +2309,65 @@ object ScaleQueries {
        ORDER BY qid, rnk"""
   }
 
+  /** Full [[annIvfsqIndexed]] replay — the whole persisted-index
+    * lifecycle in SQL: SQ8 stats + float-rounded reconstructions (the
+    * [[annSqTopkOracleSql]] arm), the √n-stride coarse quantizer and
+    * derived-nprobe probe set (the persisted-IVF sizing rules), ADC
+    * top-32 over the probed lists' reconstructions, exact re-rank to
+    * top-3 for the one served query.
+    */
+  private def annIvfsqIndexedOracleSql: String = {
+    val dim = 64
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       sqst AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+                FROM e CROSS JOIN range(1, ${dim + 1}) t(i) GROUP BY i),
+       sqc AS (SELECT e.vec_id, t.i, sqst.mn, sqst.mx, e.v[t.i] AS x
+               FROM e CROSS JOIN range(1, ${dim + 1}) t(i)
+               JOIN sqst ON sqst.i = t.i),
+       rc AS (SELECT vec_id,
+                CAST(CAST(list(CASE WHEN mx = mn THEN mn
+                       ELSE mn + (LEAST(255, GREATEST(0,
+                              floor((x - mn) * 255.0 / (mx - mn) + 0.5)))
+                            * (mx - mn)) / 255.0 END ORDER BY i)
+                     AS REAL[]) AS DOUBLE[]) AS rv
+              FROM sqc GROUP BY vec_id),
+       cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+              WHERE vec_id % $sqrtStrideSql = 0
+              ORDER BY centroid_id LIMIT 16384),
+       sim AS (SELECT e.vec_id, cb.centroid_id,
+                 ${cosSql("e.v", "cb.cv")} AS s
+               FROM e CROSS JOIN cb),
+       rk AS (SELECT vec_id, centroid_id, s,
+                row_number() OVER (PARTITION BY vec_id
+                     ORDER BY s DESC, centroid_id) AS rn
+              FROM sim WHERE NOT isnan(s)),
+       asg AS (SELECT vec_id AS cid, centroid_id FROM rk WHERE rn = 1),
+       pb AS (SELECT vec_id AS qid, centroid_id FROM rk
+              WHERE rn <= $derivedNprobeSql AND vec_id = 0),
+       cand AS (SELECT pb.qid, asg.cid
+                FROM pb JOIN asg USING (centroid_id)
+                WHERE pb.qid <> asg.cid),
+       adc AS (SELECT qid, cid FROM (
+                 SELECT cand.qid, cand.cid,
+                        row_number() OVER (PARTITION BY cand.qid
+                          ORDER BY ${cosSql("q.v", "r.rv")} DESC,
+                            cand.cid) AS arnk
+                 FROM cand JOIN rc r ON cand.cid = r.vec_id
+                           JOIN e q ON cand.qid = q.vec_id) z
+               WHERE arnk <= 32),
+       s2 AS (SELECT adc.qid, adc.cid,
+                round(${cosSql("q.v", "c.v")}, 4) AS sim_r
+              FROM adc JOIN e q ON adc.qid = q.vec_id
+                       JOIN e c ON adc.cid = c.vec_id),
+       rr AS (SELECT qid, cid, sim_r,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
+             FROM s2)
+       SELECT qid, cid, sim_r, rnk FROM rr WHERE rnk <= 3
+       ORDER BY qid, rnk"""
+  }
+
   /** mmr_rerank's replay: relevance top-20, all pairwise sims, and
     * the greedy chain as 5 unrolled argmax CTEs (sel_k accumulates
     * the selected set; step k+1 maxes sim against it).
@@ -2738,6 +2843,9 @@ object ScaleQueries {
     // (no trained state), so the VALUES hash-compare where PQ needs
     // Lloyd unrolls
     "ann_sq_topk" -> annSqTopkOracleSql,
+    // the fully-replayable persisted index: stats, codes, √n list
+    // assignment, ADC, and re-rank ALL recomputed — no trained state
+    "ann_ivfsq_indexed" -> annIvfsqIndexedOracleSql,
     "ann_sq_recall" ->
       """SELECT count(*) AS n_queries,
                 CAST(90 AS INTEGER) AS recall_floor_pct,
