@@ -311,6 +311,21 @@ case class ByteHistogramExpr(child: Expression, nBands: Int)
   override def prettyName: String = "byte_histogram"
 }
 
+/** Perceptual dHash [hi, lo] of payload body bytes
+  * ([[Kernels.bodyDhash]]) — scan-stage codegen image near-dup
+  * signature; two non-negative 32-bit halves. Null payload → null.
+  */
+case class BodyDhashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.bodyDhash(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.bodyDhash($c)")
+  override protected def withNewChildInternal(c: Expression): BodyDhashExpr =
+    copy(child = c)
+  override def prettyName: String = "body_dhash"
+}
+
 /** Mean body-byte intensity in [0,1] ([[Kernels.bodyByteMean]]) —
   * scan-stage codegen grayscale-mean proxy. Null payload → null.
   */
@@ -707,6 +722,13 @@ object dsl {
   def byte_histogram(payload: Column, nBands: Int): Column =
     ExpressionUtils.column(ByteHistogramExpr(
       asBinary(ExpressionUtils.expression(payload)), nBands))
+
+  /** Perceptual dHash [hi, lo] longs of payload body bytes — the
+    * image near-dup signature ([[Kernels.bodyDhash]]).
+    */
+  def body_dhash(payload: Column): Column =
+    ExpressionUtils.column(BodyDhashExpr(
+      asBinary(ExpressionUtils.expression(payload))))
 
   /** Mean body-byte intensity in [0,1] (grayscale-mean proxy). */
   def body_mean(payload: Column): Column =

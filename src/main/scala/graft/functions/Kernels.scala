@@ -662,6 +662,47 @@ object Kernels {
     sum.toDouble / bodyLen / 255.0
   }
 
+  /** Perceptual difference-hash (dHash) of the payload body — the
+    * image near-dup signature computed over the decoded-pixel stand-in
+    * (body bytes after the container header; a real codec swaps in at
+    * [[graft.ops.Multimodal.decodeFeaturesBatched]]'s documented
+    * point and this kernel then runs over its luma grid instead).
+    * The classic recipe on an 8×9 grid: the body is split into 72
+    * equal position segments (position i → cell ⌊i·72/len⌋), each
+    * cell summing its byte values; bit b (row r = b/8, col c = b%8)
+    * is 1 iff cell[r·9+c] > cell[r·9+c+1] — horizontal gradient
+    * signs, which survive brightness/scale shifts that break exact
+    * hashing. Packed as [hi, lo] — two NON-NEGATIVE 32-bit halves in
+    * longs, so band extraction and Hamming replay in any engine
+    * without unsigned-64 gymnastics. All-integer, fixed-order: the
+    * DuckDB oracle recomputes every bit. Null payload → null
+    * (expression is null-safe); header-only/empty bodies yield the
+    * degenerate all-zero signature callers must exclude (a flat
+    * image has no gradient structure to hash).
+    */
+  def bodyDhash(b: Array[Byte]): ArrayData = {
+    val off = mediaBodyOffset(parseMediaHeader(b).getLong(0))
+    val len = b.length - off
+    val cells = new Array[Long](72)
+    var i = 0
+    while (i < len) {
+      cells(((i.toLong * 72L) / len).toInt) += (b(off + i) & 0xff).toLong
+      i += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var bit = 0
+    while (bit < 64) {
+      val r = bit / 8
+      val c = bit % 8
+      if (cells(r * 9 + c) > cells(r * 9 + c + 1)) {
+        if (bit < 32) hi |= 1L << bit else lo |= 1L << (bit - 32)
+      }
+      bit += 1
+    }
+    new GenericArrayData(Array(hi, lo))
+  }
+
   /** Minimal VALID container header bytes for (format, w, h) — the
     * synthesis side of the round-trip (tests + the DuckDB-checkable
     * header query). Formats: 1 PNG (depth 8), 2 JPEG (JFIF APP0 +

@@ -62,6 +62,22 @@ object Dedup {
   def shingleHashes(text: Column, n: Int): Column =
     shingle_set(text, n)
 
+  /** Distinct word `n`-gram shingles as STRINGS — the un-hashed twin
+    * of [[shingleHashes]] for operators whose downstream arithmetic
+    * (e.g. [[prefixJaccardPairs]]' global df-ordered prefix ranks)
+    * must replay verbatim in an external engine: string shingles
+    * order bytewise identically everywhere, where the xxhash64 values
+    * would force the oracle to replay the hash chain too. Fewer than
+    * `n` tokens → empty set (no full shingle), matching the kernel.
+    */
+  def shingleStrings(text: Column, n: Int): Column = {
+    val tok = tokens(text)
+    when(size(tok) >= n,
+      array_distinct(transform(sequence(lit(0), size(tok) - n),
+        i => concat_ws(" ", slice(tok, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Exact dedup: group by a digest of the dedup key, keep the lowest
     * id as the canonical representative. One shuffle on the digest.
     */
@@ -602,6 +618,82 @@ object Dedup {
       .withColumn("jaccard", sorted_jaccard(col("gs_a"), col("gs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** EXACT set-similarity self-join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo, Ma & Srikant, WWW'07; Xiao,
+    * Wang, Lin & Yu, PPJoin): every pair of documents whose set
+    * Jaccard reaches `thrNum/thrDen` — set elements from `gram`
+    * (distinct word tokens by default; word-`n`-shingles via
+    * [[shingleStrings]] for dedup-grade discrimination) — over the
+    * WHOLE corpus: no id window (unlike [[ngramJaccardPairs]]) and no
+    * approximation (unlike [[minhashPairs]]). The completeness lemma:
+    * order each document's distinct elements by a GLOBAL total order
+    * (document frequency ascending, token ascending — rarest first);
+    * if J(A,B) ≥ t then A and B must share a token inside each
+    * other's first s − ⌈t·s⌉ + 1 tokens (any pair missing each
+    * other's prefixes can intersect in at most ⌈t·s⌉ − 1 of the
+    * remaining tokens on the smaller side — below the t bound). So
+    * candidates are an EQUI-join on prefix tokens only.
+    *
+    * Scale shape: the corpus is never compared all-pairs — (1) the
+    * token table is a distinct (id, token) projection (one shuffle);
+    * (2) prefixes carry the globally RAREST tokens first, so the
+    * candidate join's per-token fanout is small by construction
+    * (stopwords never enter a prefix unless a document is almost all
+    * stopwords); (3) PPJoin's length filter rides the join condition
+    * (sizes outside [t·s, s/t] can't reach t), pruning before the
+    * pair materializes; (4) verification joins the candidate pairs —
+    * not the corpus — back to the token table, so its cost is
+    * candidate-bounded. All arithmetic is exact integers: the ceil is
+    * (num·s + den − 1) DIV den (positive operands, so trunc ≡ floor)
+    * and the threshold test is inter·den ≥ num·(s_a + s_b − inter) —
+    * no float enters until the reported rounded jaccard.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         thrNum: Int = 1, thrDen: Int = 2,
+                         gram: Column => Column = c =>
+                           array_distinct(tokens(c))): DataFrame = {
+    require(thrNum > 0 && thrDen >= thrNum,
+      s"threshold $thrNum/$thrDen must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val toks = spread(df.select(col(idCol).as("id"),
+        col(textCol).as("__text")))
+      .select(col("id"), explode(gram(col("__text"))).as("token"))
+      .distinct()
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("s"))
+    val dfs = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // global total order (df, token): both engines sort strings
+    // bytewise, so ranks — and therefore prefixes — replay exactly
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("token"))
+    // ⌈num·s/den⌉ — operands strictly positive, so Spark's
+    // trunc-toward-zero DIV and DuckDB's floor `//` agree exactly
+    val ceilTS = expr(s"($thrNum * s + ${thrDen - 1}) DIV $thrDen")
+    val pre = toks.join(dfs, "token").join(sizes, "id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("s") - ceilTS + 1)
+      .select(col("id"), col("token"), col("s"))
+    val a = pre.select(col("id").as("id_a"), col("token"),
+      col("s").as("s_a"))
+    val b = pre.select(col("id").as("id_b"), col("token"),
+      col("s").as("s_b"))
+    val cand = a.join(b,
+        a("token") === b("token") && col("id_b") > col("id_a") &&
+          col("s_b") * thrDen >= col("s_a") * thrNum &&
+          col("s_a") * thrDen >= col("s_b") * thrNum)
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = cand
+      .join(toks.select(col("id").as("id_a"), col("token")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("token")),
+        Seq("id_b", "token"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .filter(col("i") * thrDen >= (col("s_a") + col("s_b") - col("i")) * thrNum)
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") /
+          (col("s_a") + col("s_b") - col("i")), 4).as("jaccard"))
   }
 
   /** Benchmark decontamination (train/test overlap removal): for every

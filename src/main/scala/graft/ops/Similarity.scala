@@ -1082,6 +1082,55 @@ object Similarity {
       .select(lit(qid).as("qid"), col("cid"), col("sim_r"), col("rnk"))
   }
 
+  /** APPEND a delta batch to a persisted [[ivfsqIndexWrite]] index —
+    * the third member of the maintenance family
+    * ([[ivfIndexAppendDelta]] raw vectors, [[ivfpqIndexAppendDelta]]
+    * PQ codes), sharing the crash-consistency contract verbatim
+    * (durable staging → idempotent [[ivfIndexPublishStaged]] →
+    * staging deleted only after success). Delta vectors are encoded
+    * under the SHARED per-dimension stats and assigned under the
+    * SHARED coarse quantizer — both are fit-once state: re-deriving
+    * stats from base∪delta would silently re-code every stored row
+    * (an affine shift in every reconstruction), exactly the re-keying
+    * hazard the PQ twin documents for its codebooks. Because SQ8 has
+    * no trained state beyond those 2·d doubles, the maintained index
+    * remains FULLY oracle-replayable: stats, delta codes, list
+    * assignment, and the served search all recompute in SQL. Cost
+    * O(|delta| + rows in touched lists); untouched lists' files are
+    * never read or rewritten.
+    */
+  def ivfsqIndexAppendDelta(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String,
+                            coarseCodebook: Array[(Long, Seq[Float])],
+                            mns: Array[Double], mxs: Array[Double],
+                            delta: DataFrame, idCol: String,
+                            vecCol: String,
+                            stagingDirOpt: Option[String] = None): Unit = {
+    // probe emptiness first so an empty delta is a bit-level no-op
+    if (delta.isEmpty) return
+    val centsLit = typedLit(coarseCodebook.map(_._2).toSeq)
+    val idsLit = typedLit(coarseCodebook.map(_._1).toSeq)
+    val assigned = sqEncode(delta, idCol, vecCol, mns, mxs)
+      .withColumn("centroid_id", try_element_at(
+        nearest_centroids(col("v").cast("array<float>"), centsLit,
+          idsLit, 1), lit(1)))
+      .select(col("id").as("cid"), col("code"), col("centroid_id"))
+    // bounded collect: one id per touched list, ≤ |codebook| by design
+    val touched = assigned.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val staging = stagingDirOpt.getOrElse(
+      indexDir.stripSuffix("/") + ".staging")
+    spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(touched: _*))
+      .unionByName(assigned)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(staging)
+    ivfIndexPublishStaged(spark, indexDir, staging)
+    deleteDir(spark, staging) // only after a successful publish
+  }
+
   def sqTopK(emb: DataFrame, idCol: String, vecCol: String,
              queryPred: Column, k: Int, rerank: Int,
              mns: Array[Double], mxs: Array[Double]): DataFrame = {

@@ -296,6 +296,54 @@ object AdvancedQueries {
         .groupBy(col("event_type").as("et"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))))
 
+  /** Autocorrelation function of each event type's daily count
+    * series at lags 1 and 7 — the classical time-series diagnostic
+    * next to `seasonality_strength`'s MAE-ratio verdict (Box–Jenkins:
+    * a weekly cycle shows as acf(7) ≫ acf(1)). Exactness discipline:
+    * the six sufficient statistics (m, Σx, Σy, Σx², Σy², Σxy) are
+    * exact int64 sums over the lag-joined pairs; the Pearson
+    * numerator m·Σxy − Σx·Σy and the two variance terms stay integer
+    * (they can be NEGATIVE, so no DIV ever touches them — the κ_e6
+    * lesson); only the final r = num / √(dx·dy) goes through doubles,
+    * and every step there (int64 < 2⁵³ → exact double, one multiply,
+    * one sqrt, one divide, round) is IEEE-correctly-rounded in both
+    * engines — sqrt is exactly specified, unlike log. Degenerate
+    * series (zero variance on either side) yield NULL. Scale shape:
+    * the only corpus-wide shuffle builds the |types × days| daily
+    * cell table; each lag leg is a self-join + 6-cell aggregate over
+    * those cells, corpus-size-independent.
+    */
+  def acfDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = graft.ops.Dedup.materialize(
+      t(s, dir, "events")
+        .groupBy(col("event_type").as("et"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")))
+    def leg(k: Int) = {
+      val lagged = daily.select(col("et"),
+        date_add(col("day"), k).as("day"), col("n").as("nl"))
+      daily.join(lagged, Seq("et", "day"))
+        .groupBy(col("et"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("n")).as("sx"), sum(col("nl")).as("sy"),
+          sum(col("n") * col("n")).as("sxx"),
+          sum(col("nl") * col("nl")).as("syy"),
+          sum(col("n") * col("nl")).as("sxy"))
+        .withColumn("lag", lit(k))
+    }
+    leg(1).unionByName(leg(7))
+      .selectExpr("et AS event_type", "CAST(lag AS INT) AS lag", "m",
+        "m * sxy - sx * sy AS num",
+        "m * sxx - sx * sx AS dx",
+        "m * syy - sy * sy AS dy")
+      .withColumn("acf_r",
+        when(col("dx") > 0 && col("dy") > 0,
+          round(col("num").cast("double") /
+            sqrt(col("dx").cast("double") * col("dy").cast("double")), 4)))
+      .select(col("event_type"), col("lag"), col("m"), col("num"),
+        col("acf_r"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   /** The post-daily arithmetic shared by `seasonality_strength` and
     * its streamed deployment `stream_seasonal` (which maintains the
     * SAME (et, day, n) cells incrementally): lag joins + per-type
@@ -3186,6 +3234,7 @@ object AdvancedQueries {
     "ema_anomaly" -> (emaAnomaly _),
     "forecast_backtest" -> (forecastBacktest _),
     "seasonality_strength" -> (seasonalityStrength _),
+    "acf_daily" -> (acfDaily _),
     "stream_seasonal" -> (streamSeasonal _),
     "stream_distinct" -> (streamDistinct _),
     "stream_quantile" -> (streamQuantile _),
@@ -4753,6 +4802,38 @@ object AdvancedQueries {
     "seasonality_strength" -> seasonalityOracleSql,
     // the streamed deployment must land on the identical verdicts
     "stream_seasonal" -> seasonalityOracleSql,
+    // the ACF replay: identical daily cells, per-lag self-join, the
+    // six int64 sufficient statistics, integer numerator/variances,
+    // and the one exactly-rounded double step (mul, sqrt, div, round)
+    "acf_daily" ->
+      """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+                               count(*) AS n
+                        FROM events GROUP BY 1, 2),
+         legs AS (
+           SELECT d.et, 1 AS lag, d.n AS x, p.n AS y
+           FROM daily d JOIN daily p
+             ON p.et = d.et AND p.day = d.day - 1
+           UNION ALL
+           SELECT d.et, 7 AS lag, d.n AS x, p.n AS y
+           FROM daily d JOIN daily p
+             ON p.et = d.et AND p.day = d.day - 7),
+         g AS (SELECT et AS event_type, lag,
+                 count(*) AS m,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+               FROM legs GROUP BY 1, 2)
+         SELECT event_type, CAST(lag AS INTEGER) AS lag, m,
+                CAST(m * sxy - sx * sy AS BIGINT) AS num,
+                CASE WHEN m * sxx - sx * sx > 0
+                      AND m * syy - sy * sy > 0
+                     THEN round(CAST(m * sxy - sx * sy AS DOUBLE)
+                            / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                                   * CAST(m * syy - sy * sy AS DOUBLE)), 4)
+                     ELSE NULL END AS acf_r
+         FROM g ORDER BY event_type, lag""",
     "forecast_backtest" ->
       """WITH RECURSIVE s AS (
            SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -153,6 +153,25 @@ object ScaleQueries {
       .withColumn("jaccard", round(col("jaccard"), 4))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** EXACT unbounded set-similarity self-join via prefix filtering
+    * ([[graft.ops.Dedup.prefixJaccardPairs]] — AllPairs/PPJoin): every
+    * document pair with word-3-shingle Jaccard ≥ 1/2 over the WHOLE
+    * corpus (string shingles — [[graft.ops.Dedup.shingleStrings]] —
+    * so the df-ordered prefix ranks replay bytewise in the oracle).
+    * The third member of the near-dup triangle: `ngram_jaccard`
+    * is exact but id-windowed, `dedup_minhash` is unbounded but
+    * approximate — this one is exact AND unbounded, candidate
+    * generation pruned by the rarest-first prefix lemma plus the
+    * length filter instead of a window or an LSH gamble. The oracle
+    * replays the whole algorithm — df ranks, prefixes, candidate
+    * join, exact-integer verification — not just the output contract.
+    */
+  def ppjoinPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        thrNum = 1, thrDen = 2,
+        gram = Dedup.shingleStrings(_, 3))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Brute-force cosine top-5 per query vector (every 20th vector is a
     * query). The corpus is scanned with the query side broadcast in
     * BOUNDED chunks ([[graft.ops.Hints.chunkedBroadcastThetaJoin]]):
@@ -436,8 +455,19 @@ object ScaleQueries {
     */
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def memoCodebook[T <: AnyRef](key: String)(f: => T): T =
-    codebookCache.computeIfAbsent(key, _ => f).asInstanceOf[T]
+  // NOT computeIfAbsent: memo blocks nest (an index memo computes the
+  // stats/codebook memos it depends on), and a nested computeIfAbsent
+  // whose key hashes to the same bin throws "Recursive update" —
+  // bin-dependent, so it surfaced only for some (key, SF) pairs. The
+  // get/putIfAbsent two-step is reentrant; a concurrent duplicate
+  // compute is benign because every memoized value is deterministic.
+  private def memoCodebook[T <: AnyRef](key: String)(f: => T): T = {
+    val cached = codebookCache.get(key)
+    if (cached != null) return cached.asInstanceOf[T]
+    val v = f
+    val prev = codebookCache.putIfAbsent(key, v)
+    (if (prev != null) prev else v).asInstanceOf[T]
+  }
 
   /** Shared recall-gate core: join an approximate top-k result against
     * the exact one and emit (n_queries, recall_floor_pct, floor_met).
@@ -922,6 +952,55 @@ object ScaleQueries {
         qid = 0L, qv = qv,
         nprobe = Similarity.derivedNprobe(coarse.length), k = 3,
         rerank = 32)
+      .orderBy(col("rnk"))
+  }
+
+  /** INCREMENTAL IVF-SQ index maintenance driven end to end — the
+    * third member of the maintenance family, and the one whose
+    * maintained lifecycle replays FULLY
+    * ([[Similarity.ivfsqIndexAppendDelta]]): the base SQ-code index
+    * is built from 6/7 of the corpus, the remaining 1/7 — including
+    * the query vector — arrives as a delta encoded under the SHARED
+    * per-dim stats and assigned under the SHARED √n coarse quantizer
+    * (both fit-once state; re-deriving stats on arrival would re-code
+    * every stored row), touched lists compacted through the same
+    * durable-staging → idempotent-publish machinery. The served
+    * search must be indistinguishable from the rebuilt index
+    * ([[fullIvfsqIndex]]) — `delta_consistent` pins set-equality —
+    * and, unlike the PQ twin, the oracle recomputes the WHOLE
+    * maintained state: stats → codes → assignment → ADC → re-rank,
+    * no trained state anywhere.
+    */
+  def annIvfsqDelta(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (fullPath, coarse, (mns, mxs)) = fullIvfsqIndex(s, dir)
+    val deltaPath =
+      memoCodebook(s"ivfsq-delta:${graft.Tables.versioned(dir)}") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_ivfsq_delta").toString
+        Similarity.ivfsqIndexWrite(
+          emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+          p, coarse, mns, mxs)
+        Similarity.ivfsqIndexAppendDelta(s, p, coarse, mns, mxs,
+          emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
+        p
+      }
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<float>"))
+      .head().getSeq[Float](0)
+    val raw = emb.select(col("vec_id").as("cid"),
+      col("embedding").cast("array<float>").as("cv"))
+    def search(path: String) =
+      Similarity.ivfsqIndexedSearch(s, path, coarse, mns, mxs, raw,
+        qid = 0L, qv = qv,
+        nprobe = Similarity.derivedNprobe(coarse.length), k = 3,
+        rerank = 32)
+    val served = search(deltaPath)
+    val rebuilt = search(fullPath)
+    val consistent = served.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(served).isEmpty
+    served.withColumn("delta_consistent",
+        lit(if (consistent) 1 else 0))
       .orderBy(col("rnk"))
   }
 
@@ -1758,6 +1837,7 @@ object ScaleQueries {
     "repeated_spans" -> (repeatedSpans _),
     "dedup_simhash" -> (dedupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
+    "ppjoin_pairs" -> (ppjoinPairs _),
     "ann_topk" -> (annTopk _),
     "mmr_rerank" -> (mmrRerank _),
     "mine_pairs" -> (minePairs _),
@@ -1777,6 +1857,7 @@ object ScaleQueries {
     "ann_ivfpq_batch" -> (annIvfpqBatch _),
     "ann_sq_topk" -> (annSqTopk _),
     "ann_ivfsq_indexed" -> (annIvfsqIndexed _),
+    "ann_ivfsq_delta" -> (annIvfsqDelta _),
     "ann_sq_recall" -> (annSqRecall _),
     "embed_neardup" -> (embedNeardup _),
     "dedup_clusters" -> (dedupClusters _),
@@ -2316,7 +2397,7 @@ object ScaleQueries {
     * top-32 over the probed lists' reconstructions, exact re-rank to
     * top-3 for the one served query.
     */
-  private def annIvfsqIndexedOracleSql: String = {
+  private def annIvfsqIndexedOracleSql(extraCols: String = ""): String = {
     val dim = 64
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings),
@@ -2364,7 +2445,7 @@ object ScaleQueries {
                CAST(row_number() OVER (PARTITION BY qid
                     ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
              FROM s2)
-       SELECT qid, cid, sim_r, rnk FROM rr WHERE rnk <= 3
+       SELECT qid, cid, sim_r, rnk$extraCols FROM rr WHERE rnk <= 3
        ORDER BY qid, rnk"""
   }
 
@@ -2845,7 +2926,9 @@ object ScaleQueries {
     "ann_sq_topk" -> annSqTopkOracleSql,
     // the fully-replayable persisted index: stats, codes, √n list
     // assignment, ADC, and re-rank ALL recomputed — no trained state
-    "ann_ivfsq_indexed" -> annIvfsqIndexedOracleSql,
+    "ann_ivfsq_indexed" -> annIvfsqIndexedOracleSql(),
+    "ann_ivfsq_delta" -> annIvfsqIndexedOracleSql(
+      extraCols = ", CAST(1 AS INTEGER) AS delta_consistent"),
     "ann_sq_recall" ->
       """SELECT count(*) AS n_queries,
                 CAST(90 AS INTEGER) AS recall_floor_pct,
@@ -3126,6 +3209,45 @@ object ScaleQueries {
          WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
                / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5
          ORDER BY id_a, id_b""",
+    // the full AllPairs/PPJoin replay: distinct word-3-shingle sets,
+    // global (df, shingle) ranks, s − ⌈s/2⌉ + 1 prefixes, the length-filtered
+    // candidate join, and the exact-integer verification — candidate
+    // COMPLETENESS (= brute force) is DedupSpec's property test; the
+    // oracle proves the algorithm replays engine-for-engine
+    "ppjoin_pairs" ->
+      """WITH tk AS (
+           SELECT doc_id AS id,
+                  list_filter(regexp_split_to_array(lower(text), '\W+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         tok AS (
+           SELECT id,
+                  unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)])) AS token
+           FROM tk WHERE len(t) >= 3),
+         sz AS (SELECT id, count(*) AS s FROM tok GROUP BY id),
+         dfq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+         ord AS (SELECT tok.id, tok.token, sz.s,
+                   row_number() OVER (PARTITION BY tok.id
+                        ORDER BY dfq.df, tok.token) AS rnk
+                 FROM tok JOIN dfq USING (token) JOIN sz USING (id)),
+         pre AS (SELECT id, token, s FROM ord
+                 WHERE rnk <= s - ((1 * s + 1) // 2) + 1),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM pre a JOIN pre b ON a.token = b.token
+                    AND b.id > a.id
+                    AND b.s * 2 >= a.s * 1 AND a.s * 2 >= b.s * 1),
+         inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+                   FROM cand c JOIN tok a ON a.id = c.id_a
+                               JOIN tok b ON b.id = c.id_b
+                                         AND b.token = a.token
+                   GROUP BY c.id_a, c.id_b)
+         SELECT inter.id_a, inter.id_b,
+                round(i::DOUBLE / (sa.s + sb.s - i), 4) AS jaccard
+         FROM inter JOIN sz sa ON sa.id = inter.id_a
+                    JOIN sz sb ON sb.id = inter.id_b
+         WHERE i * 2 >= 1 * (sa.s + sb.s - i)
+         ORDER BY inter.id_a, inter.id_b""",
     // the greedy MMR chain unrolled: relevance top-20, all pairwise
     // sims, then 5 argmax steps each excluding the selected set and
     // maxing sim against it — every quantity the same sim_e4 integer

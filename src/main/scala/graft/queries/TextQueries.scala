@@ -319,6 +319,23 @@ object TextQueries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Perceptual image near-dup pairs
+    * ([[graft.ops.Multimodal.dhashNearDupPairs]]): the synthesized
+    * media payloads hashed with the 8×9-grid dHash (gradient-sign
+    * bits over body-byte segment sums), candidates via the 4×16-bit
+    * band pigeonhole (Hamming ≤ 3 forces a matching band), verified
+    * by XOR popcount. Completes the near-dup family across the
+    * binary columns: exact dups share all 64 bits, brightness-style
+    * perturbations that break exact hashing keep the gradient signs.
+    * All-integer and fixed-order, so the oracle recomputes every
+    * SEGMENT SUM, BIT, BAND, and the Hamming verdict from the
+    * synthesis rule — the signature is value-checked, not just the
+    * pair contract.
+    */
+  def multimodalDhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.dhashNearDupPairs(synthMedia(s, dir), maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Pure-SQL function surface: the same native kernels reached
     * through `spark.sql(...)` text — [[graft.GraftExtensions]]
     * registration is the operator under test here (every other query
@@ -2183,6 +2200,7 @@ object TextQueries {
     "multimodal_video" -> (multimodalVideo _),
     "unicode_nfc" -> (unicodeNfc _),
     "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_dhash" -> (multimodalDhash _),
     "sql_surface" -> (sqlSurface _),
     "repetition_stats" -> (repetitionStats _),
     "pii_scrub" -> (piiScrub _),
@@ -3415,6 +3433,58 @@ object TextQueries {
     // header fields arithmetically (the multimodal_header rule, body
     // offset per format), mean body intensity from the text bytes
     // (ASCII corpus: ord(char) = byte) in the kernel's division order
+    // full dHash replay from the synthesis rule: body = text bytes
+    // (ASCII corpus — the multimodal_meta parity), position i →
+    // segment ⌊(i−1)·72/len⌋ summing char codes, 64 gradient-sign
+    // bits packed into two non-negative 32-bit halves, the 4×16-bit
+    // band candidate join, and the XOR-popcount Hamming verdict —
+    // every signature value recomputed, not just the pairs
+    "multimodal_dhash" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS len
+                    FROM documents),
+         ch AS (SELECT doc_id,
+                  unnest([((i - 1) * 72) // len
+                          for i in range(1, len + 1)]) AS cell,
+                  unnest([ord(substring(text, CAST(i AS INTEGER), 1))
+                          for i in range(1, len + 1)]) AS v
+                FROM b WHERE len > 0),
+         cs AS (SELECT doc_id, cell, sum(v) AS s FROM ch GROUP BY 1, 2),
+         grid AS (SELECT b.doc_id, g.cell, coalesce(cs.s, 0) AS s
+                  FROM b CROSS JOIN range(0, 72) g(cell)
+                  LEFT JOIN cs ON cs.doc_id = b.doc_id
+                              AND cs.cell = g.cell),
+         bits AS (SELECT l.doc_id, t.bit,
+                    CASE WHEN l.s > r.s THEN CAST(1 AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END AS v
+                  FROM range(0, 64) t(bit)
+                  JOIN grid l ON l.cell = (t.bit // 8) * 9 + (t.bit % 8)
+                  JOIN grid r ON r.doc_id = l.doc_id
+                             AND r.cell = (t.bit // 8) * 9 + (t.bit % 8) + 1),
+         sig AS (SELECT doc_id,
+                   sum(CASE WHEN bit < 32
+                            THEN v * (CAST(1 AS BIGINT) << bit)
+                            ELSE 0 END) AS hi,
+                   sum(CASE WHEN bit >= 32
+                            THEN v * (CAST(1 AS BIGINT) << (bit - 32))
+                            ELSE 0 END) AS lo
+                 FROM bits GROUP BY doc_id),
+         s2 AS (SELECT * FROM sig WHERE NOT (hi = 0 AND lo = 0)),
+         band AS (SELECT doc_id,
+                    unnest([hi // 65536, hi % 65536,
+                            lo // 65536, lo % 65536]) AS bval,
+                    unnest([0, 1, 2, 3]) AS bidx
+                  FROM s2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM band a JOIN band b ON a.bidx = b.bidx
+                    AND a.bval = b.bval AND b.doc_id > a.doc_id)
+         SELECT c.id_a, c.id_b,
+                CAST(bit_count(xor(sa.hi, sb.hi))
+                     + bit_count(xor(sa.lo, sb.lo)) AS INTEGER) AS hamming
+         FROM cand c JOIN s2 sa ON sa.doc_id = c.id_a
+                     JOIN s2 sb ON sb.doc_id = c.id_b
+         WHERE bit_count(xor(sa.hi, sb.hi))
+               + bit_count(xor(sa.lo, sb.lo)) <= 3
+         ORDER BY c.id_a, c.id_b""",
     "multimodal_meta" ->
       """WITH b AS (
            SELECT doc_id,

@@ -435,4 +435,52 @@ class DedupSpec extends AnyFunSuite {
     assert(inc.groupBy("id_a", "id_b").count()
       .filter(col("count") > 1).isEmpty)
   }
+
+  test("prefixJaccardPairs (PPJoin) equals brute-force all-pairs " +
+      "Jaccard on random corpora — the prefix filter is COMPLETE") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu")
+    for (trial <- 1 to 3) {
+      val docs = (0L until 30L).map { i =>
+        val n = 3 + rnd.nextInt(6)
+        // sampling WITH replacement exercises the distinct-token rule
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.prefixJaccardPairs(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+        .map((p: (Long, Long)) => (p._2, p._1)) // (id_a, id_b)
+      val sets = docs.map { case (i, t) =>
+        i -> t.split("\\W+").filter(_.nonEmpty).toSet }.toMap
+      val want = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if b > a
+        sa = sets(a); sb = sets(b)
+        inter = (sa & sb).size
+        if inter * 2 >= (sa.size + sb.size - inter) * 1
+      } yield (a, b)).toSet
+      assert(got == want,
+        s"trial $trial: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("prefixJaccardPairs: jaccard values are exact; threshold 1/1 " +
+      "keeps only identical token sets") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),     // identical set → J = 1
+      (3L, "alpha beta gamma epsilon"),   // J = 3/5 = 0.6 vs 1,2
+      (4L, "zeta eta theta iota")         // disjoint
+    ).toDF("doc_id", "text")
+    val half = Dedup.prefixJaccardPairs(df, "doc_id", "text", 1, 2)
+      .collect().map(r => ((r.getLong(1), r.getLong(0)),
+        r.getDouble(2))).toMap
+    val halfPairs = half.keySet.map { case (b, a) => (a, b) }
+    assert(halfPairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $halfPairs")
+    assert(half((2L, 1L)) == 1.0)
+    assert(half((3L, 1L)) == 0.6)
+    val exact = Dedup.prefixJaccardPairs(df, "doc_id", "text", 1, 1)
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+    assert(exact.toSet == Set((2L, 1L)), s"got ${exact.toSet}")
+  }
 }

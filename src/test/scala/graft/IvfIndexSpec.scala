@@ -225,4 +225,51 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(files(base) == preEmpty,
       "empty delta must not rewrite any code list")
   }
+
+  test("ivfsq append+compact: merged SQ-code content equals rebuild; " +
+      "untouched lists' files are not rewritten; staging cleaned; " +
+      "empty delta is a byte-level no-op") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("ivfsq_d_base").toString
+    val full = Files.createTempDirectory("ivfsq_d_full").toString
+    val all = (0L until 40L)
+    val coarse = Array(0L, 1L, 2L, 3L)
+      .map(i => (i, vec((i % 4).toInt, 0.01f * (i % 3))))
+    // stats are FIT-ONCE state shared by base, delta, and rebuild —
+    // the contract the scaladoc documents
+    val (mns, mxs) = Similarity.sqStats(emb(all), "embedding")
+    val deltaIds = all.filter(_ % 4 == 1)
+    Similarity.ivfsqIndexWrite(emb(all.filterNot(_ % 4 == 1)),
+      "vec_id", "embedding", base, coarse, mns, mxs)
+    Similarity.ivfsqIndexWrite(emb(all), "vec_id", "embedding", full,
+      coarse, mns, mxs)
+    def files(dir: String): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    val before = files(base)
+    Similarity.ivfsqIndexAppendDelta(spark, base, coarse, mns, mxs,
+      emb(deltaIds), "vec_id", "embedding")
+    val after = files(base)
+    for ((part, fs) <- before if part != "centroid_id=1")
+      assert(after(part) == fs,
+        s"untouched SQ list $part was rewritten")
+    // content equality vs rebuild, CODES included — the delta rows
+    // must encode identically under the shared stats
+    def content(dir: String) = spark.read.parquet(dir)
+      .select(col("cid"), col("centroid_id").cast("long"),
+        col("code").cast("array<long>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .toSet
+    assert(content(base) == content(full),
+      "maintained SQ index must equal the rebuild, codes included")
+    assert(!new java.io.File(base.stripSuffix("/") + ".staging").exists(),
+      "staging dir must be deleted after a successful publish")
+    val preEmpty = files(base)
+    Similarity.ivfsqIndexAppendDelta(spark, base, coarse, mns, mxs,
+      emb(Seq.empty), "vec_id", "embedding")
+    assert(files(base) == preEmpty,
+      "empty delta must not rewrite any SQ list")
+  }
 }

@@ -336,4 +336,72 @@ class MultimodalSpec extends AnyFunSuite {
            AS v""").head()
     assert(r.getSeq[Long](0) == Seq(2L, 1L, 90000L, 8589934592L, 2L))
   }
+
+  test("bodyDhash: identical bodies → identical signature; a small " +
+      "brightness shift keeps gradient signs; halves are 32-bit") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    def payload(body: String): Array[Byte] =
+      Kernels.makeMediaHeader(1, 32, 32) ++ body.getBytes("UTF-8")
+    // a body with clear gradient structure (ramps up and down)
+    val base = "aaaabbbbccccddddeeeeffffgggghhhh" * 8
+    // +1 on every byte: every segment sum shifts equally, so every
+    // gradient SIGN — and therefore the whole signature — is unchanged
+    val brighter = base.map(c => (c + 1).toChar)
+    val media = Seq(
+      (1L, "image", payload(base)), (2L, "image", payload(base)),
+      (3L, "image", payload(brighter)),
+      (4L, "image", payload("zyxwvutsrqponmlkjihgfedcba" * 10)))
+      .toDF("media_id", "kind", "payload")
+    val sigs = Multimodal.perceptualDhash(media)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(sigs(1L) == sigs(2L), "identical bodies must hash equal")
+    assert(sigs(1L) == sigs(3L),
+      "uniform brightness shift must not change gradient signs")
+    for ((hi, lo) <- sigs.values) {
+      assert(hi >= 0L && hi < (1L << 32), s"hi out of 32-bit range: $hi")
+      assert(lo >= 0L && lo < (1L << 32), s"lo out of 32-bit range: $lo")
+    }
+    assert(sigs(1L) != sigs(4L), "opposite ramps must differ")
+    val pairs = Multimodal.dhashNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)),
+      s"got $pairs")
+  }
+
+  test("dhashNearDupPairs equals brute-force Hamming <= 3 on random " +
+      "corpora (band pigeonhole is complete); zero-sigs excluded") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 60L).map { i =>
+      // clusters of 3 share a base body; members get light edits so
+      // some pairs land at small nonzero Hamming
+      val base = Array.fill(144)((rnd.nextInt(26) + 'a').toByte)
+      (i, base)
+    }.flatMap { case (i, base) =>
+      Seq((i * 3, base),
+        (i * 3 + 1, { val b = base.clone(); b(7) = 'z'.toByte; b }),
+        (i * 3 + 2, Array.fill(144)((rnd.nextInt(26) + 'A').toByte)))
+    }
+    val media = docs.map { case (id, body) =>
+      (id, "image", Kernels.makeMediaHeader(1, 8, 8) ++ body) }
+      .toDF("media_id", "kind", "payload")
+    val sigs = Multimodal.perceptualDhash(media)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val live = sigs.filter { case (_, (h, l)) => h != 0L || l != 0L }
+    val want = (for {
+      a <- live.keys; b <- live.keys if b > a
+      d = java.lang.Long.bitCount(live(a)._1 ^ live(b)._1) +
+        java.lang.Long.bitCount(live(a)._2 ^ live(b)._2)
+      if d <= 3
+    } yield (a, b, d)).toSet
+    val got = Multimodal.dhashNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty, "fixture must exercise live pairs")
+  }
 }
