@@ -112,6 +112,11 @@ object GraftExtensions {
       org.apache.spark.sql.catalyst.expressions.Cast(args(0),
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+        org.apache.spark.sql.types.LongType))),
+    "hilbert_key" -> ((args: Seq[Expression]) => HilbertKeyExpr(
+      org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.catalyst.expressions.Cast(args(1),
         org.apache.spark.sql.types.LongType))))
 
   /** Register on an already-running session (new sessions: prefer

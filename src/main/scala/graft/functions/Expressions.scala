@@ -572,6 +572,22 @@ case class ZOrderExpr(left: Expression, right: Expression)
   override def prettyName: String = "zorder_key"
 }
 
+/** Hilbert-curve index of (x, y) on the order-16 curve
+  * ([[Kernels.hilbert2]]) — the locality-superior twin of
+  * [[ZOrderExpr]]; scan-stage codegen.
+  */
+case class HilbertKeyExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.hilbert2(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.hilbert2($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HilbertKeyExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "hilbert_key"
+}
+
 /** Column-level API over the custom expressions — import
   * `graft.functions.dsl._` alongside `org.apache.spark.sql.functions._`.
   */
@@ -675,6 +691,17 @@ object dsl {
   def zorder_key(a: Column, b: Column): Column = {
     import org.apache.spark.sql.types.LongType
     ExpressionUtils.column(ZOrderExpr(
+      Cast(ExpressionUtils.expression(a), LongType),
+      Cast(ExpressionUtils.expression(b), LongType)))
+  }
+
+  /** Hilbert-curve key over two long columns' low 16 bits (order-16
+    * curve) — the locality-superior layout alternative to
+    * [[zorder_key]].
+    */
+  def hilbert_key(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.types.LongType
+    ExpressionUtils.column(HilbertKeyExpr(
       Cast(ExpressionUtils.expression(a), LongType),
       Cast(ExpressionUtils.expression(b), LongType)))
   }

@@ -672,15 +672,28 @@ object Dedup {
     val pre = toks.join(dfs, "token").join(sizes, "id")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= col("s") - ceilTS + 1)
-      .select(col("id"), col("token"), col("s"))
+      .select(col("id"), col("token"), col("s"), col("rnk"))
     val a = pre.select(col("id").as("id_a"), col("token"),
-      col("s").as("s_a"))
+      col("s").as("s_a"), col("rnk").as("rnk_a"))
     val b = pre.select(col("id").as("id_b"), col("token"),
-      col("s").as("s_b"))
+      col("s").as("s_b"), col("rnk").as("rnk_b"))
+    // PPJoin's positional filter rides the join condition: a shared
+    // prefix element at ordered positions (i, j) bounds the overlap
+    // by 1 + min(s_a − i, s_b − j), which must reach the minimum
+    // intersection α = ⌈t·(s_a+s_b)/(1+t)⌉ forced by J ≥ t. For a
+    // true pair the EARLIEST shared prefix element satisfies the
+    // bound (its suffixes still hold the whole intersection), so
+    // per-row filtering before the pair-distinct stays complete
+    // while pruning the hot-element candidates the prefix lemma
+    // alone admits.
+    val alpha = expr(s"($thrNum * (s_a + s_b) + ${thrNum + thrDen - 1}) " +
+      s"DIV ${thrNum + thrDen}")
     val cand = a.join(b,
         a("token") === b("token") && col("id_b") > col("id_a") &&
           col("s_b") * thrDen >= col("s_a") * thrNum &&
-          col("s_a") * thrDen >= col("s_b") * thrNum)
+          col("s_a") * thrDen >= col("s_b") * thrNum &&
+          lit(1) + least(col("s_a") - col("rnk_a"),
+            col("s_b") - col("rnk_b")) >= alpha)
       .select(col("id_a"), col("id_b")).distinct()
     val inter = cand
       .join(toks.select(col("id").as("id_a"), col("token")), Seq("id_a"))

@@ -742,6 +742,30 @@ object AdvancedQueries {
       .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Hilbert-curve layout key over the same (partkey, suppkey) plane
+    * as `zorder_key` — the locality-superior space-filling curve
+    * (consecutive keys are ALWAYS Manhattan-1 grid neighbors, where
+    * Z-order jumps the plane at quadrant seams, so an hkey file range
+    * never spans far-apart boxes; HilbertSpec proves the
+    * bijection + unit-step property against an independent inverse
+    * walk and measures the locality win over zkey directly).
+    * Scan-stage codegen kernel ([[graft.functions.Kernels.hilbert2]]);
+    * the oracle unrolls all 16 rotation levels of the xy2d walk —
+    * pure integer CASE/XOR arithmetic — so every key value is
+    * recomputed, not contract-checked. Layout usage mirrors
+    * `zorder_key`: write files sorted by hkey
+    * ([[graft.ops.Sink.zorderedSave]] with this key), get tight
+    * min/max on BOTH dimensions.
+    */
+  def hilbertKey(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl.hilbert_key
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        hilbert_key(pmod(col("l_partkey"), lit(65536)),
+          pmod(col("l_suppkey"), lit(65536))).as("hkey"))
+      .orderBy(col("hkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** Staged copy of `events` for [[dppJoin]]: the fact laid out
     * `partitionBy(event_type)` (the K1 sink's dynamic-partition
     * layout) next to a 5-row event-type weight dim — cached per dir
@@ -3245,7 +3269,40 @@ object AdvancedQueries {
     "range_shard" -> (rangeShard _),
     "range_shard_delta" -> (rangeShardDelta _),
     "zorder_key" -> (zorderKey _),
+    "hilbert_key" -> (hilbertKey _),
     "dpp_join" -> (dppJoin _))
+
+  /** `hilbert_key`'s replay: the order-16 xy2d walk unrolled into 16
+    * chained CTEs. Each level s = 2^b updates (x, y, d) with the
+    * SAME integer arithmetic as [[graft.functions.Kernels.hilbert2]]:
+    * d += s²·((3·rx) xor ry), then the ry=0 rotation (flip by
+    * 65535−· when rx=1, swap x/y) — all expressions reference the
+    * PREVIOUS CTE's columns, so aliasing is unambiguous.
+    */
+  private def hilbertOracleSql: String = {
+    val steps = (15 to 0 by -1).zipWithIndex.map { case (b, k) =>
+      val s = 1L << b
+      s"""h${k + 1} AS (SELECT l_orderkey, l_linenumber,
+            CASE WHEN (y & $s) = 0
+                 THEN CASE WHEN (x & $s) > 0 THEN 65535 - y ELSE y END
+                 ELSE x END AS x,
+            CASE WHEN (y & $s) = 0
+                 THEN CASE WHEN (x & $s) > 0 THEN 65535 - x ELSE x END
+                 ELSE y END AS y,
+            d + $s * $s *
+              xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+                  CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d
+          FROM h$k)"""
+    }
+    s"""WITH h0 AS (SELECT l_orderkey, l_linenumber,
+          CAST(l_partkey % 65536 AS BIGINT) AS x,
+          CAST(l_suppkey % 65536 AS BIGINT) AS y,
+          CAST(0 AS BIGINT) AS d
+        FROM lineitem),
+       ${steps.mkString(",\n       ")}
+       SELECT l_orderkey, l_linenumber, d AS hkey
+       FROM h16 ORDER BY hkey, l_orderkey, l_linenumber"""
+  }
 
   /** ema_smooth / stream_ema shared replay: the truncating int64
     * recurrence unrolled as a RECURSIVE CTE joining step rn to rn+1.
@@ -4584,6 +4641,10 @@ object AdvancedQueries {
                             FOR i IN range(0, 16)])
                 AS BIGINT) AS zkey
          FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber""",
+    // the xy2d Hilbert walk unrolled: 16 chained CTEs, each one
+    // rotation level of pure integer CASE/XOR arithmetic — every key
+    // value recomputed from (partkey, suppkey)
+    "hilbert_key" -> hilbertOracleSql,
     // the dim is re-declared inline with the SAME weights + filter the
     // staged dim parquet carries; the fact side reads the RAW events
     // table, so the oracle also proves the partitioned staged copy

@@ -155,9 +155,16 @@ object ScaleQueries {
 
   /** EXACT unbounded set-similarity self-join via prefix filtering
     * ([[graft.ops.Dedup.prefixJaccardPairs]] — AllPairs/PPJoin): every
-    * document pair with word-3-shingle Jaccard ≥ 1/2 over the WHOLE
+    * document pair with word-5-shingle Jaccard ≥ 1/2 over the WHOLE
     * corpus (string shingles — [[graft.ops.Dedup.shingleStrings]] —
     * so the df-ordered prefix ranks replay bytewise in the oracle).
+    * Shingle width 5, not the minhash family's 3: prefix filtering
+    * needs a SPARSE element space to prune (candidates cost
+    * Σ_prefix-element df²; when the element space saturates, df ∝ n
+    * and the join degenerates quadratic — measured directly at 10×:
+    * exponent 1.94 at n=3 on this closed-vocabulary corpus vs the
+    * sparse regime at n=5; SCALE.md records both). Wider shingles are
+    * the standard practitioner lever for exactly this reason.
     * The third member of the near-dup triangle: `ngram_jaccard`
     * is exact but id-windowed, `dedup_minhash` is unbounded but
     * approximate — this one is exact AND unbounded, candidate
@@ -169,7 +176,7 @@ object ScaleQueries {
   def ppjoinPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         thrNum = 1, thrDen = 2,
-        gram = Dedup.shingleStrings(_, 3))
+        gram = Dedup.shingleStrings(_, 5))
       .orderBy(col("id_a"), col("id_b"))
 
   /** Brute-force cosine top-5 per query vector (every 20th vector is a
@@ -1327,6 +1334,45 @@ object ScaleQueries {
       .orderBy(col("iter"))
   }
 
+  /** Per-dimension embedding-distribution drift monitor — the
+    * EMBEDDING twin of `corpus_drift` (that one watches the token
+    * distribution; retraining an encoder or switching a data source
+    * shifts the VECTOR distribution, which token stats can't see).
+    * Split the corpus into halves (vec_id parity — deterministic, no
+    * count needed), quantize every cell to e6 fixed point
+    * (floor(x·10⁶ + 0.5), the ema convention — int64 sums are then
+    * order-independent and replayable), and report each dimension's
+    * mean shift with denominators cleared: drift_e6 =
+    * (s1·n2 − s2·n1) / (n1·n2) in DECIMAL(38,0) (s·n products
+    * overflow int64 at web-scale counts — the corpus_drift rule).
+    * The shift is SIGNED, so the division follows the κ_e6 lesson:
+    * DIV on |num| with the sign re-applied (Spark DIV truncates
+    * where DuckDB // floors — they differ exactly on negatives).
+    * One corpus scan → d×2 aggregate cells; everything after is
+    * |dims| arithmetic. The L1 summary Σ|drift| is the alarm a
+    * monitor thresholds on.
+    */
+  def embedDrift(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select((col("vec_id") % 2 === 0).as("early"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("i", "x")))
+      .select(col("early"), col("i"),
+        floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("x_e6"))
+      .groupBy(col("i"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("early"), col("x_e6")).otherwise(0L)).as("s1"),
+        sum(when(!col("early"), col("x_e6")).otherwise(0L)).as("s2"))
+      .withColumn("num", expr(
+        "CAST(s1 AS DECIMAL(38,0)) * n2 - CAST(s2 AS DECIMAL(38,0)) * n1"))
+      .withColumn("den", expr("CAST(n1 AS DECIMAL(38,0)) * n2"))
+      .selectExpr("CAST(i AS INT) AS dim", "n1", "n2",
+        """CAST(CASE WHEN den = 0 THEN NULL
+                     WHEN num >= 0 THEN num DIV den
+                     ELSE -((-num) DIV den) END AS BIGINT) AS drift_e6""")
+      .orderBy(col("dim"))
+
   /** Vector L2 norms via the native dot-product expression. */
   def embedNorm(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -1866,6 +1912,7 @@ object ScaleQueries {
     "triangle_count_degree" -> (triangleCountDegree _),
     "fingerprint_pairs" -> (fingerprintPairs _),
     "embed_norm" -> (embedNorm _),
+    "embed_drift" -> (embedDrift _),
     "embed_project" -> (embedProject _),
     "embed_project_gate" -> (embedProjectGate _),
     "kmeans_gate" -> (kmeansGate _),
@@ -3222,21 +3269,23 @@ object ScaleQueries {
            FROM documents),
          tok AS (
            SELECT id,
-                  unnest(list_distinct([array_to_string(t[i:i+2], ' ')
-                          for i in range(1, len(t) - 1)])) AS token
-           FROM tk WHERE len(t) >= 3),
+                  unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                          for i in range(1, len(t) - 3)])) AS token
+           FROM tk WHERE len(t) >= 5),
          sz AS (SELECT id, count(*) AS s FROM tok GROUP BY id),
          dfq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
          ord AS (SELECT tok.id, tok.token, sz.s,
                    row_number() OVER (PARTITION BY tok.id
                         ORDER BY dfq.df, tok.token) AS rnk
                  FROM tok JOIN dfq USING (token) JOIN sz USING (id)),
-         pre AS (SELECT id, token, s FROM ord
+         pre AS (SELECT id, token, s, rnk FROM ord
                  WHERE rnk <= s - ((1 * s + 1) // 2) + 1),
          cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
                   FROM pre a JOIN pre b ON a.token = b.token
                     AND b.id > a.id
-                    AND b.s * 2 >= a.s * 1 AND a.s * 2 >= b.s * 1),
+                    AND b.s * 2 >= a.s * 1 AND a.s * 2 >= b.s * 1
+                    AND 1 + least(a.s - a.rnk, b.s - b.rnk)
+                        >= (1 * (a.s + b.s) + 2) // 3),
          inter AS (SELECT c.id_a, c.id_b, count(*) AS i
                    FROM cand c JOIN tok a ON a.id = c.id_a
                                JOIN tok b ON b.id = c.id_b
@@ -3483,6 +3532,35 @@ object ScaleQueries {
          round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
          FROM embeddings ORDER BY vec_id""",
+    // the embed_drift replay: same e6 quantization, HUGEINT twin of
+    // the DECIMAL(38,0) cleared-denominator mean shift, floor `//`
+    // applied to |num| with the sign re-applied so both engines'
+    // integer divisions agree on negatives
+    "embed_drift" ->
+      """WITH cells AS (
+           SELECT vec_id % 2 = 0 AS early, t.i - 1 AS i,
+                  CAST(floor(v[t.i] * 1e6 + 0.5) AS BIGINT) AS x_e6
+           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings) e
+           CROSS JOIN range(1, 65) t(i)),
+         g AS (SELECT i,
+                 CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN early THEN x_e6 ELSE 0 END) AS BIGINT) AS s1,
+                 CAST(sum(CASE WHEN NOT early THEN x_e6 ELSE 0 END) AS BIGINT) AS s2
+               FROM cells GROUP BY i)
+         SELECT CAST(i AS INTEGER) AS dim, n1, n2,
+                CAST(CASE WHEN n1 * n2 = 0 THEN NULL
+                          WHEN CAST(s1 AS HUGEINT) * n2
+                               - CAST(s2 AS HUGEINT) * n1 >= 0
+                          THEN (CAST(s1 AS HUGEINT) * n2
+                                - CAST(s2 AS HUGEINT) * n1)
+                               // (CAST(n1 AS HUGEINT) * n2)
+                          ELSE -((-(CAST(s1 AS HUGEINT) * n2
+                                    - CAST(s2 AS HUGEINT) * n1))
+                                 // (CAST(n1 AS HUGEINT) * n2))
+                     END AS BIGINT) AS drift_e6
+         FROM g ORDER BY dim""",
     // generated from the SAME Achlioptas sign matrix the Spark side
     // bakes into its plan — identical fixed-order double arithmetic
     "embed_project" -> graft.ops.Projection.oracleSql(jlMat),

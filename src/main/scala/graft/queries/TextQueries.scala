@@ -1919,6 +1919,66 @@ object TextQueries {
     out
   }
 
+  /** The SEVENTEENTH driver-visible stream shape — PERCEPTUAL image
+    * dedup maintained FROM the stream: media payloads synthesized per
+    * arriving document (the `multimodal_dhash` rule, scan-stage per
+    * micro-batch), hashed with the dHash kernel, and canonicalized
+    * through the keyed keep-min-id state
+    * ([[graft.streaming.IncrementalStream.canonicalDedupStream]] —
+    * the exact-dedup stream shape keyed on the PERCEPTUAL signature
+    * instead of a content digest, which is how an image-ingest
+    * pipeline drops re-encoded near-dups on arrival without a batch
+    * re-scan). Update-mode emissions accumulate in the memory sink;
+    * the final state per signature recovers exactly because both
+    * cells are monotone (keep_id only decreases, n_copies only
+    * grows), so min/max over the update log IS the last state — no
+    * batch-id bookkeeping needed. The oracle recomputes every
+    * signature and the batch GROUP BY it must converge to;
+    * arrival-order independence is exactly the keep-MIN contract
+    * (first-arrival-wins would depend on the file split).
+    */
+  def streamDhash(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.functions.dsl._
+    val stage = docStage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val name =
+      s"stream_dhash_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stream = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage, schema, maxFilesPerTrigger = Some(1))
+    val media = stream.select(col("doc_id").cast("long").as("media_id"),
+      lit("image").as("kind"),
+      concat(
+        make_media_header(pmod(col("doc_id"), lit(4)) + 1,
+          pmod(col("doc_id"), lit(512)) + 16,
+          pmod(col("doc_id") * 3, lit(512)) + 16),
+        col("text").cast("binary")).as("payload"))
+    val sigs = Multimodal.perceptualDhash(media)
+      .select(concat_ws(":", col("hi"), col("lo")).as("sig"),
+        col("media_id"))
+    val deduped = graft.streaming.IncrementalStream
+      .canonicalDedupStream(sigs, "media_id", "sig")
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"stream_dhash expected >=2 non-empty micro-batches, got $batches")
+    val out = s.table(name)
+      .groupBy(col("key_digest"))
+      .agg(min(col("keep_id")).as("keep_id"),
+        max(col("n_copies")).as("n_copies"))
+      .orderBy(col("key_digest"))
+      .localCheckpoint(true) // pin: the memory table dies with the query
+    q.stop()
+    s.catalog.dropTempView(name)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    out
+  }
+
   /** The (score_e6, y) frame the evaluation metrics consume: raw
     * classifier probabilities quantized to e6 integers (the
     * quantization is what bounds the AUC rank domain at 10⁶+1 values
@@ -2201,6 +2261,7 @@ object TextQueries {
     "unicode_nfc" -> (unicodeNfc _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_dhash" -> (multimodalDhash _),
+    "stream_dhash" -> (streamDhash _),
     "sql_surface" -> (sqlSurface _),
     "repetition_stats" -> (repetitionStats _),
     "pii_scrub" -> (piiScrub _),
@@ -2236,6 +2297,42 @@ object TextQueries {
     "corpus_drift" -> (corpusDrift _),
     "bm25_rank" -> (bm25Rank _),
     "line_dedup" -> (lineDedup _))
+
+  /** The dHash signature replay shared by the `multimodal_dhash` and
+    * `stream_dhash` oracles: body = text bytes (ASCII corpus — the
+    * multimodal_meta parity), position i → segment ⌊(i−1)·72/len⌋
+    * summing char codes, 64 gradient-sign bits packed into two
+    * non-negative 32-bit halves. Ends with `sig(doc_id, hi, lo)`.
+    */
+  private val dhashSigCtes: String =
+    """b AS (SELECT doc_id, text, length(text) AS len
+             FROM documents),
+       ch AS (SELECT doc_id,
+                unnest([((i - 1) * 72) // len
+                        for i in range(1, len + 1)]) AS cell,
+                unnest([ord(substring(text, CAST(i AS INTEGER), 1))
+                        for i in range(1, len + 1)]) AS v
+              FROM b WHERE len > 0),
+       cs AS (SELECT doc_id, cell, sum(v) AS s FROM ch GROUP BY 1, 2),
+       grid AS (SELECT b.doc_id, g.cell, coalesce(cs.s, 0) AS s
+                FROM b CROSS JOIN range(0, 72) g(cell)
+                LEFT JOIN cs ON cs.doc_id = b.doc_id
+                            AND cs.cell = g.cell),
+       bits AS (SELECT l.doc_id, t.bit,
+                  CASE WHEN l.s > r.s THEN CAST(1 AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS v
+                FROM range(0, 64) t(bit)
+                JOIN grid l ON l.cell = (t.bit // 8) * 9 + (t.bit % 8)
+                JOIN grid r ON r.doc_id = l.doc_id
+                           AND r.cell = (t.bit // 8) * 9 + (t.bit % 8) + 1),
+       sig AS (SELECT doc_id,
+                 sum(CASE WHEN bit < 32
+                          THEN v * (CAST(1 AS BIGINT) << bit)
+                          ELSE 0 END) AS hi,
+                 sum(CASE WHEN bit >= 32
+                          THEN v * (CAST(1 AS BIGINT) << (bit - 32))
+                          ELSE 0 END) AS lo
+               FROM bits GROUP BY doc_id)"""
 
   private val tokSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -3439,35 +3536,17 @@ object TextQueries {
     // bits packed into two non-negative 32-bit halves, the 4×16-bit
     // band candidate join, and the XOR-popcount Hamming verdict —
     // every signature value recomputed, not just the pairs
+    // the streamed canonical dedup must converge to the batch GROUP BY
+    // over the replayed signatures: keep_id = min id, n_copies = count
+    "stream_dhash" ->
+      s"""WITH $dhashSigCtes
+         SELECT CAST(hi AS VARCHAR) || ':' || CAST(lo AS VARCHAR)
+                  AS key_digest,
+                min(doc_id) AS keep_id,
+                count(*) AS n_copies
+         FROM sig GROUP BY 1 ORDER BY key_digest""",
     "multimodal_dhash" ->
-      """WITH b AS (SELECT doc_id, text, length(text) AS len
-                    FROM documents),
-         ch AS (SELECT doc_id,
-                  unnest([((i - 1) * 72) // len
-                          for i in range(1, len + 1)]) AS cell,
-                  unnest([ord(substring(text, CAST(i AS INTEGER), 1))
-                          for i in range(1, len + 1)]) AS v
-                FROM b WHERE len > 0),
-         cs AS (SELECT doc_id, cell, sum(v) AS s FROM ch GROUP BY 1, 2),
-         grid AS (SELECT b.doc_id, g.cell, coalesce(cs.s, 0) AS s
-                  FROM b CROSS JOIN range(0, 72) g(cell)
-                  LEFT JOIN cs ON cs.doc_id = b.doc_id
-                              AND cs.cell = g.cell),
-         bits AS (SELECT l.doc_id, t.bit,
-                    CASE WHEN l.s > r.s THEN CAST(1 AS BIGINT)
-                         ELSE CAST(0 AS BIGINT) END AS v
-                  FROM range(0, 64) t(bit)
-                  JOIN grid l ON l.cell = (t.bit // 8) * 9 + (t.bit % 8)
-                  JOIN grid r ON r.doc_id = l.doc_id
-                             AND r.cell = (t.bit // 8) * 9 + (t.bit % 8) + 1),
-         sig AS (SELECT doc_id,
-                   sum(CASE WHEN bit < 32
-                            THEN v * (CAST(1 AS BIGINT) << bit)
-                            ELSE 0 END) AS hi,
-                   sum(CASE WHEN bit >= 32
-                            THEN v * (CAST(1 AS BIGINT) << (bit - 32))
-                            ELSE 0 END) AS lo
-                 FROM bits GROUP BY doc_id),
+      s"""WITH $dhashSigCtes,
          s2 AS (SELECT * FROM sig WHERE NOT (hi = 0 AND lo = 0)),
          band AS (SELECT doc_id,
                     unnest([hi // 65536, hi % 65536,

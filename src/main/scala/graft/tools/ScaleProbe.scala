@@ -271,7 +271,30 @@ object ScaleProbe {
       ("ann_ivfpq_indexed",
         graft.queries.ScaleQueries.queries("ann_ivfpq_indexed"), true),
       ("hll_intersect",
-        graft.queries.AdvancedQueries.queries("hll_intersect"), false))
+        graft.queries.AdvancedQueries.queries("hll_intersect"), false),
+      // r11 batch 2: the exact prefix-filtered set-similarity join
+      // (warm — no trained state; candidate volume is the scaling
+      // story: Σ_prefix-shingle df², data-dependent by design), the
+      // banded dHash near-dup (warm — (band, id) shuffles), the
+      // IVF-SQ maintenance (cold — base build + delta merge per dir
+      // memo, the ann_ivf_delta story on SQ codes), and the ACF
+      // diagnostic (warm — one daily-cell shuffle, then |types×days|
+      // arithmetic)
+      ("ppjoin_pairs",
+        graft.queries.ScaleQueries.queries("ppjoin_pairs"), false),
+      ("multimodal_dhash",
+        graft.queries.TextQueries.queries("multimodal_dhash"), false),
+      ("ann_ivfsq_delta",
+        graft.queries.ScaleQueries.queries("ann_ivfsq_delta"), true),
+      ("acf_daily",
+        graft.queries.AdvancedQueries.queries("acf_daily"), false),
+      // r11 batch 2 closers: the Hilbert layout key (warm — one
+      // scan-stage kernel + the layout sort) and the embedding drift
+      // monitor (warm — one scan → d×2 cells)
+      ("hilbert_key",
+        graft.queries.AdvancedQueries.queries("hilbert_key"), false),
+      ("embed_drift",
+        graft.queries.ScaleQueries.queries("embed_drift"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped
