@@ -60,7 +60,8 @@ object Graph {
     */
   def pageRankE12(edges: DataFrame, iters: Int = 3,
                   checkpointEvery: Int = 5,
-                  assumeDistinct: Boolean = false): DataFrame = {
+                  assumeDistinct: Boolean = false,
+                  seedOpt: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e0 = edges.select(col("src"), col("dst"))
     val e = (if (assumeDistinct) e0 else e0.distinct())
@@ -71,8 +72,22 @@ object Graph {
     val n = deg.count()
     require(n > 0, "pageRankE12 over an empty edge set")
     val reset = 150000000000L / n // 0.15 of the e12 rank mass per node
-    var ranks = deg
-      .select(col("id"), col("deg"), lit(1000000000000L / n).as("rank_e12"))
+    // WARM START (`seedOpt`): resume the power iteration from a prior
+    // run's (id, rank_e12) table — the graph-maintenance move: after
+    // a delta edge batch, old ranks are near the new fixed point, so
+    // far fewer iterations recover convergence than from uniform
+    // (pagerank_delta measures the win exactly). Nodes absent from
+    // the seed (newly arrived) start at the uniform share; departed
+    // seed rows drop out through the join on the NEW degree table.
+    var ranks = seedOpt match {
+      case Some(seed) =>
+        deg.join(seed.select(col("id"), col("rank_e12").as("__seed")),
+            Seq("id"), "left")
+          .select(col("id"), col("deg"),
+            coalesce(col("__seed"), lit(1000000000000L / n)).as("rank_e12"))
+      case None => deg
+        .select(col("id"), col("deg"), lit(1000000000000L / n).as("rank_e12"))
+    }
     for (i <- 1 to iters) {
       // disjoint column names on each side: ranks descends from e, so
       // unqualified src/dst references would be ambiguous self-joins

