@@ -657,10 +657,13 @@ object Dedup {
     require(thrNum > 0 && thrDen >= thrNum,
       s"threshold $thrNum/$thrDen must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val toks = spread(df.select(col(idCol).as("id"),
-        col(textCol).as("__text")))
-      .select(col("id"), explode(gram(col("__text"))).as("token"))
-      .distinct()
+    // pinned: five consumers (sizes, dfs, ranks, both verification
+    // legs) would otherwise each re-derive the distinct element set
+    // from the source scan — 10 scans and 5 gram recomputes
+    val toks = materialize(
+      spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+        .select(col("id"), explode(gram(col("__text"))).as("token"))
+        .distinct())
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("s"))
     val dfs = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // global total order (df, token): both engines sort strings

@@ -223,8 +223,11 @@ object Multimodal {
   def dhashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-band pigeonhole is only complete for Hamming <= 3, got $maxHamming")
-    val sigs = Dedup.spread(perceptualDhash(media))
-      .filter(!(col("hi") === 0 && col("lo") === 0))
+    // pinned: four consumers (two band legs, two verification legs)
+    // would otherwise each re-run the dHash kernel over the payloads
+    val sigs = Dedup.materialize(
+      Dedup.spread(perceptualDhash(media))
+        .filter(!(col("hi") === 0 && col("lo") === 0)))
     val bands = sigs.select(col("media_id"),
       posexplode(array(
         expr("hi DIV 65536"), expr("hi % 65536"),

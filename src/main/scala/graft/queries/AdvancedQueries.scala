@@ -1245,8 +1245,10 @@ object AdvancedQueries {
       posexplode(array((0 until d).map(r =>
         (shiftrightunsigned(shuffle_key(col("user_id"), 97L + r), 32) % w)
           .cast("int")): _*)).as(Seq("r", "b")))
-    val cells = buckets.groupBy(col("a"), col("r"), col("b"))
-      .agg(count(lit(1)).as("c"))
+    // pinned: ≤ 2·d·w = 128 cells; both sketch legs read this table
+    val cells = graft.ops.Dedup.materialize(
+      buckets.groupBy(col("a"), col("r"), col("b"))
+        .agg(count(lit(1)).as("c")))
     val est = cells.filter(col("a"))
       .select(col("r"), col("b"), col("c").as("ca"))
       .join(cells.filter(!col("a"))
