@@ -1082,6 +1082,49 @@ object Similarity {
       .select(lit(qid).as("qid"), col("cid"), col("sim_r"), col("rnk"))
   }
 
+  /** BATCH (query-fleet) search over a persisted [[ivfsqIndexWrite]]
+    * index — [[ivfpqIndexedBatchSearch]]'s shape with the SQ decode
+    * in the ADC stage: all queries in ONE plan, in-plan probe explode
+    * over the coarse-codebook literals, equi-join on list id against
+    * the (cid, SQ8 code) table read from disk (raw vectors never
+    * touch the ADC stage), per-query shortlist joins the vector table
+    * for the exact re-rank. Fully oracle-replayable end to end — SQ8
+    * has no trained state.
+    */
+  def ivfsqIndexedBatchSearch(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String,
+                              coarseCodebook: Array[(Long, Seq[Float])],
+                              mns: Array[Double], mxs: Array[Double],
+                              queries: DataFrame, rawVectors: DataFrame,
+                              nprobe: Int, k: Int, rerank: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centsLit = typedLit(coarseCodebook.map(_._2).toSeq)
+    val idsLit = typedLit(coarseCodebook.map(_._1).toSeq)
+    val probes = queries.withColumn("centroid_id",
+      explode(nearest_centroids(col("qv"), centsLit, idsLit, nprobe)))
+    val lists = spark.read.parquet(indexDir)
+      .select(col("cid"), col("code"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val recon = sqDecodeExpr(col("code"), mns, mxs).cast("array<float>")
+    val wApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("__sim_adc").desc, col("cid"))
+    val shortlist = lists.join(Hints.maybeBroadcast(probes),
+        Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("__sim_adc", cosine_sim(col("qv"), recon))
+      .withColumn("__arnk", row_number().over(wApprox))
+      .filter(col("__arnk") <= rerank)
+      .select(col("qid"), col("qv"), col("cid"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_r").desc, col("cid"))
+    shortlist.join(rawVectors, Seq("cid"))
+      .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
+  }
+
   /** APPEND a delta batch to a persisted [[ivfsqIndexWrite]] index —
     * the third member of the maintenance family
     * ([[ivfIndexAppendDelta]] raw vectors, [[ivfpqIndexAppendDelta]]

@@ -1011,6 +1011,28 @@ object ScaleQueries {
       .orderBy(col("rnk"))
   }
 
+  /** BATCH (query-fleet) search over the persisted IVF-SQ code index
+    * ([[Similarity.ivfsqIndexedBatchSearch]]): every 20th vector
+    * served in ONE plan against the stored (cid, SQ8 code) lists —
+    * `ann_ivfpq_batch`'s serving mode on the FULLY-replayable index,
+    * so the oracle recomputes the whole fleet's results (stats,
+    * codes, √n assignment, ADC, re-rank) with no trained state to
+    * unroll.
+    */
+  def annIvfsqBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (path, coarse, (mns, mxs)) = fullIvfsqIndex(s, dir)
+    Similarity.ivfsqIndexedBatchSearch(s, path, coarse, mns, mxs,
+        queries = emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"),
+            col("embedding").cast("array<float>").as("qv")),
+        rawVectors = emb.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<float>").as("cv")),
+        nprobe = Similarity.derivedNprobe(coarse.length), k = 3,
+        rerank = 32)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** SQ-ADC top-3 ([[Similarity.sqTopK]]): every 20th vector queries
     * the corpus ranked on cosine against the SQ8-reconstructed
     * vectors, top-32 shortlist re-ranked exactly. FULLY hash-checked:
@@ -1904,6 +1926,7 @@ object ScaleQueries {
     "ann_sq_topk" -> (annSqTopk _),
     "ann_ivfsq_indexed" -> (annIvfsqIndexed _),
     "ann_ivfsq_delta" -> (annIvfsqDelta _),
+    "ann_ivfsq_batch" -> (annIvfsqBatch _),
     "ann_sq_recall" -> (annSqRecall _),
     "embed_neardup" -> (embedNeardup _),
     "dedup_clusters" -> (dedupClusters _),
@@ -2444,7 +2467,9 @@ object ScaleQueries {
     * top-32 over the probed lists' reconstructions, exact re-rank to
     * top-3 for the one served query.
     */
-  private def annIvfsqIndexedOracleSql(extraCols: String = ""): String = {
+  private def annIvfsqIndexedOracleSql(extraCols: String = "",
+                                       queryPred: String = "vec_id = 0")
+      : String = {
     val dim = 64
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings),
@@ -2472,7 +2497,7 @@ object ScaleQueries {
               FROM sim WHERE NOT isnan(s)),
        asg AS (SELECT vec_id AS cid, centroid_id FROM rk WHERE rn = 1),
        pb AS (SELECT vec_id AS qid, centroid_id FROM rk
-              WHERE rn <= $derivedNprobeSql AND vec_id = 0),
+              WHERE rn <= $derivedNprobeSql AND ($queryPred)),
        cand AS (SELECT pb.qid, asg.cid
                 FROM pb JOIN asg USING (centroid_id)
                 WHERE pb.qid <> asg.cid),
@@ -2976,6 +3001,10 @@ object ScaleQueries {
     "ann_ivfsq_indexed" -> annIvfsqIndexedOracleSql(),
     "ann_ivfsq_delta" -> annIvfsqIndexedOracleSql(
       extraCols = ", CAST(1 AS INTEGER) AS delta_consistent"),
+    // the batch fleet mode on the fully-replayable index: the whole
+    // lifecycle recomputed across ALL queries
+    "ann_ivfsq_batch" -> annIvfsqIndexedOracleSql(
+      queryPred = "vec_id % 20 = 0"),
     "ann_sq_recall" ->
       """SELECT count(*) AS n_queries,
                 CAST(90 AS INTEGER) AS recall_floor_pct,
