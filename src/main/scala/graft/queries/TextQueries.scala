@@ -887,6 +887,60 @@ object TextQueries {
     pinned.orderBy(col("gram"))
   }
 
+  /** INCREMENTAL inverted-index maintenance — the retrieval member of
+    * the maintenance family (`hll_incremental` registers,
+    * `minhash_incremental` LSH buckets, `ann_*_delta` lists,
+    * `range_shard_delta` histogram cells): the stored index state is
+    * the df ≤ 20 posting lists PLUS the over-band STOP LIST (gram,
+    * df) — the piece naive designs drop, and without which a delta
+    * batch would RESURRECT a stopword gram with incomplete postings
+    * (its base postings were never stored; Lucene keeps df for every
+    * term for exactly this reason). Maintenance is then O(|Δ| +
+    * touched grams): delta postings left-anti the stop list, FULL
+    * OUTER merge with the stored lists (sorted-array concat —
+    * additive, no raw-history rescan), and the post-merge df ≤ 20
+    * band drops base grams the delta pushed over. The contract is
+    * the family's: merged ≡ the full-corpus recompute, so the oracle
+    * is `inverted_index`'s verbatim — every posting list
+    * hash-compared.
+    */
+  def invertedDelta(s: SparkSession, dir: String): DataFrame = {
+    val grams = expr(
+      """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+        |          (x, i) -> concat(x, ' ', toks[i + 1]))""".stripMargin)
+    def pairs(pred: org.apache.spark.sql.Column) =
+      t(s, dir, "documents").filter(pred)
+      .select(col("doc_id"), graft.ops.Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .distinct()
+    val basePairs = pairs(pmod(col("doc_id"), lit(7)) =!= 0).persist()
+    val baseDf = basePairs.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df_b")).persist()
+    // the stored state: in-band posting lists + the over-band stop list
+    val baseIndex = basePairs
+      .join(baseDf.filter(col("df_b") <= 20), Seq("gram"))
+      .groupBy(col("gram"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids_b"))
+    val stop = baseDf.filter(col("df_b") > 20).select(col("gram"))
+    val deltaPost = pairs(pmod(col("doc_id"), lit(7)) === 0)
+      .join(stop, Seq("gram"), "left_anti")
+      .groupBy(col("gram"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids_d"))
+    val empty = array().cast("array<bigint>")
+    val merged = baseIndex.join(deltaPost, Seq("gram"), "full_outer")
+      .select(col("gram"), array_sort(concat(
+        coalesce(col("ids_b"), empty),
+        coalesce(col("ids_d"), empty))).as("ids"))
+      .filter(size(col("ids")) <= 20)
+      .select(col("gram"), size(col("ids")).cast("long").as("df"),
+        array_join(transform(col("ids"), x => x.cast("string")), ",")
+          .as("postings"))
+    val pinned = graft.ops.Dedup.materialize(merged)
+    basePairs.unpersist()
+    baseDf.unpersist()
+    pinned.orderBy(col("gram"))
+  }
+
   /** Unigram LM surprisal (CCNet-style quality signal) in EXACT integer
     * arithmetic: per-document mean inverse unigram probability,
     * `surprisal_e6 = (Σ_t tf_t · min(10⁶·N div cnt_t, 10¹²)) div n_tokens`
@@ -2270,6 +2324,7 @@ object TextQueries {
     "corpus_vocab" -> (corpusVocab _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "inverted_index" -> (invertedIndex _),
+    "inverted_delta" -> (invertedDelta _),
     "stratified_sample" -> (stratifiedSample _),
     "mixture_sample" -> (mixtureSample _),
     "mixture_temperature" -> (mixtureTemperature _),
@@ -3278,6 +3333,27 @@ object TextQueries {
                     i -> CAST(ids[i] - coalesce(ids[i - 1], 0) AS VARCHAR)),
                   ',') AS postings_delta
          FROM lists ORDER BY gram""",
+    // maintenance must be indistinguishable from the full recompute —
+    // the incremental family's contract, so the oracle is
+    // inverted_index's verbatim
+    "inverted_delta" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\W+'),
+                              x -> len(x) > 0) AS ts
+           FROM documents),
+         big AS (
+           SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS gram
+           FROM toks, unnest(range(1, len(ts))) AS t(i)),
+         post AS (SELECT DISTINCT doc_id, gram FROM big),
+         rare AS (SELECT gram, count(*) AS df FROM post
+                  GROUP BY gram HAVING count(*) <= 20)
+         SELECT p.gram, r.df,
+                string_agg(CAST(p.doc_id AS VARCHAR), ','
+                           ORDER BY p.doc_id) AS postings
+         FROM post p JOIN rare r ON p.gram = r.gram
+         GROUP BY p.gram, r.df
+         ORDER BY p.gram""",
     "inverted_index" ->
       """WITH toks AS (
            SELECT doc_id,

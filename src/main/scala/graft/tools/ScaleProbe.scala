@@ -302,7 +302,12 @@ object ScaleProbe {
       ("cms_join_est",
         graft.queries.AdvancedQueries.queries("cms_join_est"), false),
       ("pagerank_delta",
-        graft.queries.AdvancedQueries.queries("pagerank_delta"), false))
+        graft.queries.AdvancedQueries.queries("pagerank_delta"), false),
+      // r11 batch 4: incremental posting-list maintenance (warm —
+      // base/delta gram explodes + the full-outer merge on touched
+      // grams; exponent should track the gram pair volume)
+      ("inverted_delta",
+        graft.queries.TextQueries.queries("inverted_delta"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped
