@@ -1306,6 +1306,39 @@ object ScaleQueries {
   def ccExact(s: SparkSession, dir: String): DataFrame =
     exactPairLabels(t(s, dir, "documents")).orderBy(col("id"))
 
+  /** INCREMENTAL connected-components maintenance — the cluster-label
+    * member of the maintenance family: when a delta batch of
+    * documents arrives, the old labels are NOT thrown away; each
+    * stored component contracts to a STAR (cluster_id → member
+    * edges — connectivity-preserving, and min-id labels survive
+    * because the root IS the component min), the star edges union
+    * the delta-touched pair set, and one CC pass over that much
+    * smaller graph reproduces the full rebuild's labels exactly —
+    * the oracle is `cc_exact`'s full-corpus recursive closure
+    * verbatim, so maintenance is hash-indistinguishable from
+    * rebuild. State cost: |non-singleton nodes| star edges +
+    * delta-touched pairs, never the base pair set. (Here the
+    * delta-touched pairs come from the exact windowed kernel for
+    * oracle-ability; at 100 TB they come from the LSH index probe —
+    * `minhash_incremental` — whose cost is ∝ |Δ| × bucket occupancy.)
+    */
+  def ccDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val basePairs = Dedup.ngramJaccardPairs(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0), "doc_id", "text",
+        n = 3, window = 20, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val oldLabels = Dedup.connectedComponents(basePairs)
+    val deltaEdges = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, window = 20, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+      .filter(col("id_a") % 7 === 0 || col("id_b") % 7 === 0)
+    val star = oldLabels.filter(col("id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("id_a"), col("id").as("id_b"))
+    Dedup.connectedComponents(star.unionByName(deltaEdges))
+      .orderBy(col("id"))
+  }
+
   /** Triangle count over the exact windowed-Jaccard similarity graph
     * (same edge set as `cc_exact`): a triangle is any id_a < id_b <
     * id_c with all three edges present. Standard ordered-wedge plan —
@@ -1931,6 +1964,7 @@ object ScaleQueries {
     "embed_neardup" -> (embedNeardup _),
     "dedup_clusters" -> (dedupClusters _),
     "cc_exact" -> (ccExact _),
+    "cc_delta" -> (ccDelta _),
     "triangle_count" -> (triangleCount _),
     "triangle_count_degree" -> (triangleCountDegree _),
     "fingerprint_pairs" -> (fingerprintPairs _),
@@ -3475,6 +3509,11 @@ object ScaleQueries {
                       * list_dot_product(b.v, b.v)) >= 0.15
          ORDER BY id_a, id_b""",
     "cc_exact" ->
+      s"""WITH RECURSIVE $ccLabelsSql
+         SELECT id, cluster_id FROM lab ORDER BY id""",
+    // maintenance ≡ rebuild: the star-contraction merge must land on
+    // the full-corpus closure's labels exactly
+    "cc_delta" ->
       s"""WITH RECURSIVE $ccLabelsSql
          SELECT id, cluster_id FROM lab ORDER BY id""",
     // shares the g/p pair CTEs with cc_exact (the recursive lab CTE

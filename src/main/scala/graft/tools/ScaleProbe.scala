@@ -307,7 +307,11 @@ object ScaleProbe {
       // base/delta gram explodes + the full-outer merge on touched
       // grams; exponent should track the gram pair volume)
       ("inverted_delta",
-        graft.queries.TextQueries.queries("inverted_delta"), false))
+        graft.queries.TextQueries.queries("inverted_delta"), false),
+      // r11 batch 5: incremental CC maintenance (warm — star edges +
+      // delta-touched pairs through the large-star/small-star rounds)
+      ("cc_delta",
+        graft.queries.ScaleQueries.queries("cc_delta"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped
