@@ -1822,6 +1822,56 @@ object AdvancedQueries {
         t(s, dir, "customer"), "c_custkey", "c_name")
       .orderBy(col("id_a"), col("id_b"))
 
+  /** END-TO-END entity resolution — the record-linkage pipeline
+    * composed from certified parts, the `training_pipeline` discipline
+    * applied to MDM: (1) blocking + candidate pairs via the FastSS
+    * deletion-neighborhood edit-distance-1 join (`fuzzy_join`'s
+    * operator — never an all-pairs string comparison), (2) entity
+    * formation by connected components over the match pairs (min-key
+    * roots), (3) survivorship/consolidation per entity: the lowest
+    * key's name is canonical, balances merge as exact per-row cents
+    * (round → int64 → sum, the q14 rule), membership counted.
+    * Singleton customers are entities too (left-anti absence from the
+    * labels ⇒ self-entity — the `dedup_canonical` rule). One pair
+    * join + one CC pass + two hash aggregates; nothing rescans the
+    * customer table per entity.
+    */
+  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    // match rule = name edit-distance ≤ 1 AND same nation. The nation
+    // agreement is not decoration: sequential TPC-H names are an
+    // edit-1 CHAIN (…001 ↔ …002 ↔ …), and transitive closure over the
+    // name signal alone snowballs the whole table into ONE entity —
+    // the classic ER failure mode that blocking attributes exist to
+    // break. (Measured: 1 entity without the rule, per-nation chain
+    // fragments with it.)
+    val nat = cust.select(col("c_custkey"), col("c_nationkey"))
+    val pairs = graft.ops.FuzzyJoin.editDistance1Pairs(
+        cust, "c_custkey", "c_name")
+      .select(col("id_a"), col("id_b"))
+      .join(nat.select(col("c_custkey").as("id_a"),
+        col("c_nationkey").as("nk_a")), Seq("id_a"))
+      .join(nat.select(col("c_custkey").as("id_b"),
+        col("c_nationkey").as("nk_b")), Seq("id_b"))
+      .filter(col("nk_a") === col("nk_b"))
+      .select(col("id_a"), col("id_b"))
+    val labels = graft.ops.Dedup.connectedComponents(pairs)
+    val full = cust
+      .join(labels.withColumnRenamed("id", "c_custkey"),
+        Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("cluster_id"), col("c_custkey")).as("entity_id"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val g = full.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("cents")).as("acctbal_cents"))
+    g.join(cust.select(col("c_custkey").as("entity_id"),
+        col("c_name").as("canonical_name")), Seq("entity_id"))
+      .select(col("entity_id"), col("n_members"),
+        col("canonical_name"), col("acctbal_cents"))
+      .orderBy(col("entity_id"))
+  }
+
   /** Daily gap-fill over each user's `value` series: complete daily
     * grid from first to last event day, carrying the day's last
     * observation forward across gaps (see
@@ -3317,6 +3367,7 @@ object AdvancedQueries {
     "merge_upsert" -> (mergeUpsert _),
     "gap_fill" -> (gapFill _),
     "fuzzy_join" -> (fuzzyJoin _),
+    "entity_resolution" -> (entityResolution _),
     "bloom_prune" -> (bloomPrune _),
     "bloom_house" -> (bloomHouse _),
     "scd2_intervals" -> (scd2Intervals _),
@@ -4498,6 +4549,35 @@ object AdvancedQueries {
          FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 1
          ORDER BY id_a, id_b""",
+    // the whole ER pipeline replayed: levenshtein match pairs, the
+    // recursive closure to min-key entities, singleton self-entities,
+    // and the survivorship consolidation (canonical name + exact-cents
+    // balance merge)
+    "entity_resolution" ->
+      """WITH RECURSIVE p AS (
+           SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+           FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+           WHERE levenshtein(a.c_name, b.c_name) <= 1
+             AND a.c_nationkey = b.c_nationkey),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT w.id, e2.dst FROM reach w JOIN e e2 ON w.r = e2.src),
+         lab AS (SELECT id, min(r) AS entity_id FROM reach GROUP BY id),
+         full_lab AS (
+           SELECT c.c_custkey AS id,
+                  coalesce(lab.entity_id, c.c_custkey) AS entity_id,
+                  CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer c LEFT JOIN lab ON lab.id = c.c_custkey),
+         g AS (SELECT entity_id, count(*) AS n_members,
+                      CAST(sum(cents) AS BIGINT) AS acctbal_cents
+               FROM full_lab GROUP BY entity_id)
+         SELECT g.entity_id, g.n_members, c.c_name AS canonical_name,
+                g.acctbal_cents
+         FROM g JOIN customer c ON c.c_custkey = g.entity_id
+         ORDER BY g.entity_id""",
     // every membership decision replayed: the three mix64 chains in
     // UBIGINT SQL rebuild the bit-position set from the build keys,
     // and a probe passes iff all k=3 positions are present — the

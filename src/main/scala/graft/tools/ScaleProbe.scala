@@ -129,6 +129,28 @@ object ScaleProbe {
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/lineitem.parquet")
     generateEvents(spark, outDir, factor)
+    generateCustomer(spark, outDir, factor)
+  }
+
+  /** 10x `customer` for the ER probe: key-shifted copies with the
+    * copy digit appended TWICE to the name — two substitutions, so
+    * cross-copy name pairs sit at edit distance ≥ 2 and the copies
+    * stay disjoint under the distance-1 matcher (a bare copy would
+    * pair every name with its 9 identical twins — factor² pair
+    * growth that says nothing about the operator).
+    */
+  def generateCustomer(spark: SparkSession, outDir: String,
+                       factor: Int): Unit = {
+    val srcSf = "/root/testdata/sf0.1"
+    val copies = spark.range(0, factor).select(col("id").as("__k"))
+    spark.read.parquet(s"$srcSf/customer.parquet")
+      .crossJoin(broadcast(copies))
+      .withColumn("c_custkey", col("c_custkey") + col("__k") * 1000000L)
+      .withColumn("c_name",
+        concat(col("c_name"), lit("-"), col("__k"), col("__k")))
+      .drop("__k")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/customer.parquet")
   }
 
   /** events at 10x: key-shifted copies like the graph tables —
@@ -175,6 +197,13 @@ object ScaleProbe {
       // recurrence/manifest probes read
       System.err.println(s"[scale-probe] backfilling ${factor}x events")
       generateEvents(spark, outDir, factor)
+    }
+    if (new java.io.File(s"$outDir/documents.parquet").exists() &&
+        !new java.io.File(s"$outDir/customer.parquet").exists()) {
+      // r11 backfill: pre-r11 slices lack the customer table the ER
+      // probe reads
+      System.err.println(s"[scale-probe] backfilling ${factor}x customer")
+      generateCustomer(spark, outDir, factor)
     }
     // third field: time COLD (single run) instead of best-of-2 — the
     // trained-family queries memoize their training per (dir, version)
@@ -311,7 +340,11 @@ object ScaleProbe {
       // r11 batch 5: incremental CC maintenance (warm — star edges +
       // delta-touched pairs through the large-star/small-star rounds)
       ("cc_delta",
-        graft.queries.ScaleQueries.queries("cc_delta"), false))
+        graft.queries.ScaleQueries.queries("cc_delta"), false),
+      // r11 batch 6: end-to-end ER (warm — deletion-neighborhood
+      // equi-join + CC + two aggregates over the customer table)
+      ("entity_resolution",
+        graft.queries.AdvancedQueries.queries("entity_resolution"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped
