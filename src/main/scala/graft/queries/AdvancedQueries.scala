@@ -344,6 +344,41 @@ object AdvancedQueries {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** Per-type OLS trend of the daily count series — the REGRESSION
+    * member next to `acf_daily`'s correlation diagnostic (is traffic
+    * growing, and how fast?): slope = (m·Σxy − Σx·Σy)/(m·Σx² − (Σx)²)
+    * with x = epoch day, y = daily count. Same exactness discipline
+    * as ACF: the five sufficient statistics are int64 sums over the
+    * |types × days| cells (epoch days ~2·10⁴ keep the x-side products
+    * small — x is TIME, not volume; past ~10⁹ events/type/day the
+    * num·10⁶ scaling below goes DECIMAL(38,0), the corpus_drift
+    * widening rule), the numerator/denominator stay integer, and the reported
+    * slope_e6 (counts/day ×10⁶) divides |num| with the sign
+    * re-applied (the κ_e6 rule — slopes are signed). A final
+    * `trending` verdict (slope > 0) makes the monitor thresholdable.
+    */
+  def trendDaily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("event_type"), datediff(col("day"),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("x"),
+        col("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .selectExpr("event_type", "m",
+        "m * sxy - sx * sy AS num", "m * sxx - sx * sx AS den")
+      .selectExpr("event_type", "m", "num",
+        """CAST(CASE WHEN den = 0 THEN NULL
+                     WHEN num >= 0 THEN (num * 1000000) DIV den
+                     ELSE -(((-num) * 1000000) DIV den)
+                END AS BIGINT) AS slope_e6""",
+        "CAST(CASE WHEN num > 0 THEN 1 ELSE 0 END AS INT) AS trending")
+      .orderBy(col("event_type"))
+
   /** The post-daily arithmetic shared by `seasonality_strength` and
     * its streamed deployment `stream_seasonal` (which maintains the
     * SAME (et, day, n) cells incrementally): lag joins + per-type
@@ -3406,6 +3441,7 @@ object AdvancedQueries {
     "forecast_backtest" -> (forecastBacktest _),
     "seasonality_strength" -> (seasonalityStrength _),
     "acf_daily" -> (acfDaily _),
+    "trend_daily" -> (trendDaily _),
     "stream_seasonal" -> (streamSeasonal _),
     "stream_distinct" -> (streamDistinct _),
     "stream_quantile" -> (streamQuantile _),
@@ -5141,6 +5177,36 @@ object AdvancedQueries {
     "seasonality_strength" -> seasonalityOracleSql,
     // the streamed deployment must land on the identical verdicts
     "stream_seasonal" -> seasonalityOracleSql,
+    // the OLS replay: identical daily cells, epoch-day x, the five
+    // int64 sufficient statistics, and the signed |num|-DIV-then-sign
+    // slope
+    "trend_daily" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                               count(*) AS y
+                        FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01', day)
+                      AS BIGINT) AS x,
+                 y
+               FROM daily),
+         g AS (SELECT event_type, count(*) AS m,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+               FROM c GROUP BY event_type)
+         SELECT event_type, m,
+                CAST(m * sxy - sx * sy AS BIGINT) AS num,
+                CAST(CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+                          WHEN m * sxy - sx * sy >= 0
+                          THEN ((m * sxy - sx * sy) * 1000000)
+                               // (m * sxx - sx * sx)
+                          ELSE -(((-(m * sxy - sx * sy)) * 1000000)
+                                 // (m * sxx - sx * sx))
+                     END AS BIGINT) AS slope_e6,
+                CAST(CASE WHEN m * sxy - sx * sy > 0 THEN 1 ELSE 0 END
+                     AS INTEGER) AS trending
+         FROM g ORDER BY event_type""",
     // the ACF replay: identical daily cells, per-lag self-join, the
     // six int64 sufficient statistics, integer numerator/variances,
     // and the one exactly-rounded double step (mul, sqrt, div, round)
