@@ -132,6 +132,45 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
   }
 
+  /** ONE max-probe search serving a whole recall-vs-nprobe tuning
+    * curve: the probe explode runs at `nprobeMax` and every candidate
+    * retains its FIRST-PROBE rank (the smallest probe rank of any
+    * probed list containing it), so the candidate set at any
+    * nprobe ≤ nprobeMax is exactly the `first_probe <= nprobe`
+    * subset. The sweep an index-tuning session runs (recall@k per
+    * probe budget) therefore costs ONE corpus assignment + ONE probe
+    * join; ranking per curve point is a window over the already-tiny
+    * candidate table. Same zero-shuffle scan-stage assignment as
+    * [[ivfTopKWithCodebook]].
+    */
+  def ivfProbeCandidates(emb: DataFrame, idCol: String, vecCol: String,
+                         queryPred: Column, nprobeMax: Int,
+                         codebook: Array[(Long, Seq[Float])]): DataFrame = {
+    val centsLit = typedLit(codebook.map(_._2).toSeq)
+    val idsLit = typedLit(codebook.map(_._1).toSeq)
+    def nearest(v: Column, n: Int): Column =
+      nearest_centroids(v, centsLit, idsLit, n)
+    val lists = Dedup.spread(
+        emb.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+      .withColumn("centroid_id",
+        try_element_at(nearest(col("cv"), 1), lit(1)))
+    val probes = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), col("qv"),
+        posexplode(nearest(col("qv"), nprobeMax))
+          .as(Seq("p0", "centroid_id")))
+      .withColumn("probe_rank", (col("p0") + 1).cast("int"))
+      .drop("p0")
+    lists.join(Hints.maybeBroadcast(probes), Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
+      // duplicate (qid, cid) via multiple probed lists collapse to the
+      // earliest probe; sim_r is identical across duplicates
+      .groupBy(col("qid"), col("cid"))
+      .agg(min(col("probe_rank")).as("first_probe"),
+        max(col("sim_r")).as("sim_r"))
+  }
+
   /** PERSIST an IVF index as a partitioned table: (cid, cv) rows
     * written under `indexDir` partitioned BY LIST ID, so a search
     * that probes `nprobe` lists reads exactly `nprobe` directory

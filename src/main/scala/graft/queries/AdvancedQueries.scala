@@ -580,6 +580,66 @@ object AdvancedQueries {
     out
   }
 
+  /** The EIGHTEENTH driver-visible stream shape — a TOP-K dashboard
+    * maintained FROM the stream: per micro-batch the arriving rows
+    * reduce to (event_type, user_id, n) count cells persisted to the
+    * batch-id-keyed store; counts merge by ADDITION, so the merged
+    * table equals the batch recompute for ANY arrival split, and the
+    * rank is taken AT READ over the merged cells (rank is not
+    * mergeable — ranking inside a batch would bake arrival order into
+    * state; the cells are, which is why this shape stores counts and
+    * derives top-3). The bounded-state alternative (a SpaceSaving
+    * summary per batch — [[topkFreq]]'s aggregator) caps state at
+    * O(capacity) but its merged CONTENTS are arrival-order-dependent,
+    * so the exact cell form is the hash-replayable one; at true scale
+    * the cell store is |key × active entities| per batch and a
+    * pre-cap (drop n = 1 cells before persist, re-admit on re-arrival)
+    * bounds it without changing any top-3 that matters. Completes the
+    * streaming metrics triple: distinct (`stream_distinct`),
+    * percentiles (`stream_quantile`), leaders (this).
+    */
+  def streamTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.raw(s, dir, "events").schema
+    val stage = stageEventsTimeSplit(s, dir, n = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_topkstore").toString
+    val stream = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val persistBatch: (DataFrame, Long) => Unit = (batch, id) => {
+      val cells = batch.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n")).persist()
+      try {
+        if (cells.count() > 0) batches.incrementAndGet()
+        graft.ops.Manifest.writeBatchCells(cells, store, id)
+      } finally cells.unpersist()
+    }
+    val q = stream.writeStream.foreachBatch(persistBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    require(batches.get() >= 2,
+      s"stream_topk expected >=2 non-empty micro-batches, got " +
+        batches.get())
+    val merged = s.read.parquet(store)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("n")).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("user_id"))
+    // pin before deleting the temp cell store (the stream_manifest
+    // store-lifetime rule)
+    val out = graft.ops.Dedup.materialize(merged
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("event_type"), col("rnk"), col("user_id"), col("n"))
+      .orderBy(col("event_type"), col("rnk")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    out
+  }
+
   def movingSum7d(s: SparkSession, dir: String): DataFrame = {
     val sevenDaysUs = 7L * 86400L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
@@ -671,6 +731,57 @@ object AdvancedQueries {
         (col("b50") * 16384).as("p50_bin_cents"),
         (col("b90") * 16384).as("p90_bin_cents"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** Robust outlier detection by median / MAD (Hampel's rule,
+    * |v − med| > 3·MAD) — the monitoring family's robust member:
+    * mean/stddev anomaly gates ([[emaAnomaly]], `anomaly_events`)
+    * move with the outliers they hunt, while the median absolute
+    * deviation has a 50% breakdown point. Both medians (value, then
+    * deviation) come from the bounded-domain counting pattern
+    * ([[graft.queries.TextQueries.medianExact]]'s discipline): count
+    * per (event_type, cents) CELL, cumulate cells, pick the lower
+    * median by the explicit (n+1) DIV 2 rank rule — then the
+    * deviation pass re-bins the SAME cell table around the median
+    * (|cents − med| collides symmetric pairs, so cells re-aggregate
+    * before cumulating) and the outlier count weighs cells, never
+    * rows. One corpus scan total; every shuffle after it carries
+    * |value domain| cells per group. All-integer (cents), so the
+    * flag threshold 3·MAD compares exactly on both engines.
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val cells = graft.ops.Dedup.materialize(
+      t(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("c")))
+    def lowerMedian(cs: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cs.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c"))
+          .over(Window.partitionBy(col("event_type"))))
+        .filter(col("cum") >= expr("(n + 1) DIV 2"))
+        .groupBy(col("event_type"))
+        .agg(min(col(v)).as(out), max(col("n")).as("n"))
+    }
+    val med = lowerMedian(cells, "cents", "med_cents")
+    val dev = cells.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"),
+        abs(col("cents") - col("med_cents")).as("dev"), col("c"))
+      .groupBy(col("event_type"), col("dev"))
+      .agg(sum(col("c")).as("c"))
+    val mad = lowerMedian(dev, "dev", "mad_cents")
+      .drop("n")
+    dev.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("med_cents")).as("med_cents"),
+        max(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > col("mad_cents") * 3, col("c"))
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
   }
 
   /** Balanced RANGE output sharding with boundaries from the
@@ -3183,6 +3294,52 @@ object AdvancedQueries {
       .orderBy(col("event_type"))
   }
 
+  /** k-anonymity audit over the quasi-identifier lattice — the
+    * pre-export governance check that decides SUPPRESS vs GENERALIZE
+    * (Sweeney 2002, k-anonymity; the `forget_user`/`pii_scrub`
+    * family's third member): customers grouped by the full QI
+    * (nation, segment, account-balance band) and, from the SAME cell
+    * table, by the generalized QI (nation, segment — the band
+    * generalized away), reporting per nation how many rows sit in
+    * groups smaller than k=8 at each level. The lattice walk is one
+    * corpus scan: level 0 is a hash aggregate to |QI-combination|
+    * cells, level 1 re-aggregates those CELLS (never rows), so the
+    * generalization tradeoff — risky rows that suppression would drop
+    * vs what coarsening the band rescues — costs |cells|, not a
+    * second scan. Balance bands are exact power-of-two cents
+    * divisions (floor(cents/2¹⁸) — the quantile_hist floor-division
+    * discipline, sign-safe for negative balances), so both engines
+    * bin bit-identically. At 100 TB the cell table is bounded by the
+    * QI domain (|nations|×|segments|×|bands|), not the row count.
+    */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    // pinned: both lattice levels read the cell table — without the
+    // pin the l0 and l1 branches each re-scan the corpus
+    val cells = graft.ops.Dedup.materialize(t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(floor(col("c_acctbal") * 100 + 0.5) / lit(262144.0))
+          .cast("long").as("band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+      .agg(count(lit(1)).as("n")))
+    val l0 = cells.groupBy(col("c_nationkey"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("l0_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("l0_risky_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L))
+          .as("l0_risky_rows"))
+    val l1 = cells.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("n")).as("m"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(when(col("m") < k, col("m")).otherwise(0L))
+        .as("l1_risky_rows"))
+    l0.join(l1, Seq("c_nationkey"))
+      .select(col("c_nationkey"), col("n_rows"), col("l0_groups"),
+        col("l0_risky_groups"), col("l0_risky_rows"),
+        col("l1_risky_rows"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** GDPR/right-to-be-forgotten cascade audit: given a deletion set
     * of customer keys (here `c_custkey % 97 = 0`), delete the
     * customers, their orders, the lineitems of those orders (the
@@ -3375,6 +3532,7 @@ object AdvancedQueries {
     "profile_table" -> (profileTable _),
     "profile_sketch" -> (profileSketch _),
     "forget_user" -> (forgetUser _),
+    "k_anonymity" -> (kAnonymity _),
     "attribution" -> (attribution _),
     "topk_per_group" -> (topkPerGroup _),
     "table_diff" -> (tableDiff _),
@@ -3445,10 +3603,12 @@ object AdvancedQueries {
     "stream_seasonal" -> (streamSeasonal _),
     "stream_distinct" -> (streamDistinct _),
     "stream_quantile" -> (streamQuantile _),
+    "stream_topk" -> (streamTopk _),
     "moving_sum_7d" -> (movingSum7d _),
     "interval_union" -> (intervalUnion _),
     "percentile_bound" -> (percentileBound _),
     "quantile_hist" -> (quantileHist _),
+    "mad_outliers" -> (madOutliers _),
     "range_shard" -> (rangeShard _),
     "range_shard_delta" -> (rangeShardDelta _),
     "zorder_key" -> (zorderKey _),
@@ -4312,6 +4472,34 @@ object AdvancedQueries {
     // before/deleted/after recomputed independently per table
     // (two-hop cascade via the dead-order set); the orphan column
     // states the INVARIANT (0), so a skipped cascade step hash-fails
+    // the same lattice: level-0 cells from the full QI, level 1 a
+    // re-aggregation of those cells; floor(cents/2^18) replays the
+    // power-of-two band exactly (quantile_hist discipline)
+    "k_anonymity" ->
+      """WITH cells AS (
+           SELECT c_nationkey, c_mktsegment,
+                  CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                             / 262144.0) AS BIGINT) AS band,
+                  count(*) AS n
+           FROM customer GROUP BY 1, 2, 3),
+         l0 AS (SELECT c_nationkey,
+                  CAST(sum(n) AS BIGINT) AS n_rows,
+                  count(*) AS l0_groups,
+                  CAST(sum(CASE WHEN n < 8 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS l0_risky_groups,
+                  CAST(sum(CASE WHEN n < 8 THEN n ELSE 0 END) AS BIGINT)
+                    AS l0_risky_rows
+                FROM cells GROUP BY 1),
+         g AS (SELECT c_nationkey, c_mktsegment, sum(n) AS m
+               FROM cells GROUP BY 1, 2),
+         l1 AS (SELECT c_nationkey,
+                  CAST(sum(CASE WHEN m < 8 THEN m ELSE 0 END) AS BIGINT)
+                    AS l1_risky_rows
+                FROM g GROUP BY 1)
+         SELECT l0.c_nationkey, n_rows, l0_groups, l0_risky_groups,
+                l0_risky_rows, l1_risky_rows
+         FROM l0 JOIN l1 ON l0.c_nationkey = l1.c_nationkey
+         ORDER BY l0.c_nationkey""",
     "forget_user" ->
       """WITH del AS (SELECT c_custkey AS k FROM customer
                       WHERE c_custkey % 97 = 0),
@@ -4873,6 +5061,17 @@ object AdvancedQueries {
          FROM events""",
     // the streamed histogram merges by addition, so the batch
     // recompute over events IS its oracle (the stream_ema discipline)
+    // count cells merge by addition, so the plain batch recompute IS
+    // the merged-store result; the rank runs at read on both sides
+    "stream_topk" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n
+                FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, user_id, CAST(n AS BIGINT) AS n,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY n DESC, user_id) AS rnk
+               FROM c)
+         SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id, n
+         FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""",
     "stream_quantile" ->
       """WITH c AS (SELECT event_type,
                   CAST(floor(CAST(floor(value * 100 + 0.5) AS BIGINT)
@@ -4898,6 +5097,49 @@ object AdvancedQueries {
     // division on both engines (DuckDB's integer `//` truncates
     // toward zero like Spark's DIV — fine on these non-negative
     // domains, but the floor form is sign-robust)
+    // both medians replayed by the explicit (n+1)//2 rank rule over
+    // the same cell tables; the deviation re-bin and the 3*MAD count
+    // weigh cells exactly as the engine does
+    "mad_outliers" ->
+      """WITH cells AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                  count(*) AS c
+                FROM events GROUP BY 1, 2),
+         q AS (SELECT event_type, cents, c,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+               FROM cells),
+         med AS (SELECT event_type,
+                   min(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+                     AS med_cents,
+                   CAST(max(n) AS BIGINT) AS n
+                 FROM q GROUP BY 1),
+         dev AS (SELECT c2.event_type,
+                   abs(c2.cents - m.med_cents) AS dev,
+                   CAST(sum(c2.c) AS BIGINT) AS c
+                 FROM cells c2
+                 JOIN med m ON c2.event_type = m.event_type
+                 GROUP BY 1, 2),
+         dq AS (SELECT event_type, dev, c,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY dev
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum,
+                  sum(c) OVER (PARTITION BY event_type) AS n
+                FROM dev),
+         mad AS (SELECT event_type,
+                   min(CASE WHEN cum >= (n + 1) // 2 THEN dev END)
+                     AS mad_cents
+                 FROM dq GROUP BY 1)
+         SELECT m.event_type, m.n, m.med_cents, mad.mad_cents,
+                CAST(sum(CASE WHEN d.dev > 3 * mad.mad_cents
+                         THEN d.c ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM dev d
+         JOIN med m ON d.event_type = m.event_type
+         JOIN mad ON d.event_type = mad.event_type
+         GROUP BY 1, 2, 3, 4
+         ORDER BY m.event_type""",
     "quantile_hist" ->
       """WITH c AS (SELECT o_orderpriority AS g,
                   CAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)

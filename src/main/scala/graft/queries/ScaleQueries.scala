@@ -439,6 +439,49 @@ object ScaleQueries {
     recallGate(annIvf(s, dir), exactGroundTruth(s, dir, k = 3),
       k = 3, floorPct = 60)
 
+  /** The recall-vs-nprobe TUNING CURVE — the sweep an index operator
+    * actually runs before fixing a probe budget, priced as ONE search:
+    * [[graft.ops.Similarity.ivfProbeCandidates]] searches once at the
+    * curve's maximum (nprobe 8) retaining each candidate's
+    * first-probe rank, and every curve point (nprobe ∈ {1,2,4,8})
+    * ranks the `first_probe <= nprobe` SUBSET of that candidate
+    * table — a window over queries×candidates rows, no second corpus
+    * pass. Recall@3 counts hits against the memoized exact ground
+    * truth (`exactGroundTruth`, shared with both recall gates), in
+    * exact-integer recall_e6. The curve is monotone nondecreasing in
+    * nprobe BY CONSTRUCTION (candidate sets nest) — pinned in the
+    * spec; the oracle replays assignment, first-probe retention,
+    * per-point ranking, and the recall arithmetic end to end.
+    */
+  def annRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val codebook = graft.ops.Similarity.sampledCodebook(
+      emb, "vec_id", "embedding", stride = 149, maxCentroids = 1 << 14)
+    // pinned: all four curve points rank the same candidate table
+    val cand = graft.ops.Dedup.materialize(
+      graft.ops.Similarity.ivfProbeCandidates(emb, "vec_id", "embedding",
+        col("vec_id") % 20 === 0, nprobeMax = 8, codebook))
+    val exact = exactGroundTruth(s, dir, k = 3)
+    val points = Seq(1, 2, 4, 8).toDF("nprobe")
+    val ranked = cand.crossJoin(broadcast(points))
+      .filter(col("first_probe") <= col("nprobe"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("nprobe"), col("qid"))
+          .orderBy(col("sim_r").desc, col("cid"))))
+      .filter(col("rnk") <= 3)
+    val hits = ranked
+      .join(exact.select(col("qid"), col("cid")), Seq("qid", "cid"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    points.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("nprobe"), col("n_exact"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_e6", expr("hits * 1000000 DIV n_exact"))
+      .orderBy(col("nprobe"))
+  }
+
   /** The exact brute-force scan is the most expensive join in the
     * suite and BOTH ANN recall gates need the same k=3 ground truth,
     * so it is computed once per (session, dataset) and pinned via
@@ -1949,6 +1992,7 @@ object ScaleQueries {
     "ann_ivf_indexed" -> (annIvfIndexed _),
     "ann_ivf_delta" -> (annIvfDelta _),
     "ann_ivf_recall" -> (annIvfRecall _),
+    "ann_recall_curve" -> (annRecallCurve _),
     "ann_ivf_trained" -> (annIvfTrained _),
     "ann_ivf_trained_recall" -> (annIvfTrainedRecall _),
     "ann_ivfpq" -> (annIvfpq _),
@@ -2100,6 +2144,66 @@ object ScaleQueries {
     * on exact cosine. The NaN guard mirrors the kernel's isNaN skip
     * (DuckDB would otherwise sort NaN FIRST under DESC).
     */
+  /** Full curve replay: the stride-149 assignment and probe chains
+    * (annIvf's shape) with the probe RANK retained, first-probe
+    * retention via min over duplicate probed lists, per-curve-point
+    * ranking of the nested candidate subsets, the exact top-3 chain
+    * (ann_topk's shape at k=3), and the integer recall arithmetic.
+    */
+  private def annRecallCurveOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+              WHERE vec_id % 149 = 0
+              ORDER BY centroid_id LIMIT 16384),
+       sim AS (SELECT e.vec_id, cb.centroid_id,
+                 list_dot_product(e.v, cb.cv)
+                 / sqrt(list_dot_product(e.v, e.v)
+                        * list_dot_product(cb.cv, cb.cv)) AS s
+               FROM e CROSS JOIN cb),
+       rk AS (SELECT vec_id, centroid_id, s,
+                row_number() OVER (PARTITION BY vec_id
+                     ORDER BY s DESC, centroid_id) AS rn
+              FROM sim WHERE NOT isnan(s)),
+       asg AS (SELECT vec_id AS cid, centroid_id FROM rk WHERE rn = 1),
+       pb AS (SELECT vec_id AS qid, centroid_id, rn FROM rk
+              WHERE rn <= 8 AND vec_id % 20 = 0),
+       cand AS (SELECT pb.qid, asg.cid,
+                  CAST(min(pb.rn) AS INTEGER) AS first_probe
+                FROM pb JOIN asg USING (centroid_id)
+                WHERE pb.qid <> asg.cid GROUP BY 1, 2),
+       s2 AS (SELECT cand.qid, cand.cid, cand.first_probe,
+                round(list_dot_product(q.v, c.v)
+                      / sqrt(list_dot_product(q.v, q.v)
+                             * list_dot_product(c.v, c.v)), 4) AS sim_r
+              FROM cand JOIN e q ON cand.qid = q.vec_id
+                        JOIN e c ON cand.cid = c.vec_id),
+       pts AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+       rkd AS (SELECT pts.nprobe, s2.qid, s2.cid,
+                 row_number() OVER (PARTITION BY pts.nprobe, s2.qid
+                      ORDER BY s2.sim_r DESC, s2.cid) AS rnk
+               FROM s2 JOIN pts ON s2.first_probe <= pts.nprobe),
+       ex AS (SELECT qid, cid FROM (
+                SELECT q.vec_id AS qid, c.vec_id AS cid,
+                  row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.v, c.v)
+                                / sqrt(list_dot_product(q.v, q.v)
+                                       * list_dot_product(c.v, c.v)), 4)
+                         DESC, c.vec_id) AS rnk
+                FROM (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0) q
+                JOIN e c ON q.vec_id <> c.vec_id)
+              WHERE rnk <= 3),
+       tot AS (SELECT count(*) AS n_exact FROM ex),
+       h AS (SELECT rkd.nprobe, count(*) AS hits
+             FROM rkd JOIN ex ON rkd.qid = ex.qid AND rkd.cid = ex.cid
+             WHERE rkd.rnk <= 3 GROUP BY 1)
+       SELECT pts.nprobe, CAST(tot.n_exact AS BIGINT) AS n_exact,
+              CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+              CAST((coalesce(h.hits, 0) * 1000000) // tot.n_exact
+                   AS BIGINT) AS recall_e6
+       FROM pts CROSS JOIN tot LEFT JOIN h ON pts.nprobe = h.nprobe
+       ORDER BY pts.nprobe"""
+
   private def annIvfOracleSql: String = annIvfOracleSqlFor("TRUE")
 
   /** [[annIvfOracleSql]] restricted to queries matching `qidWhere` —
@@ -3585,6 +3689,9 @@ object ScaleQueries {
                 CAST(60 AS INTEGER) AS recall_floor_pct,
                 CAST(1 AS INTEGER) AS floor_met
          FROM embeddings WHERE vec_id % 20 = 0""",
+    // the one-search tuning sweep replayed end to end (no gate row:
+    // the curve VALUES hash-compare)
+    "ann_recall_curve" -> annRecallCurveOracleSql,
     "ann_ivf_trained_recall" ->
       """SELECT count(*) AS n_queries,
                 CAST(75 AS INTEGER) AS recall_floor_pct,

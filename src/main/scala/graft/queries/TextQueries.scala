@@ -808,6 +808,52 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Collocation extraction by pointwise mutual information (Church &
+    * Hanks 1990) — the top 20 adjacent-token pairs whose observed
+    * bigram count most exceeds the independence expectation
+    * c_x·c_y/N. PMI itself is a log, so the RANKING statistic is the
+    * exact-integer LIFT (c_xy·N·10⁶ div c_x·c_y — monotone in PMI,
+    * the `assoc_rules` arithmetic on the token domain; no libm log
+    * enters the oracle compare). Plan shape: bigram cells and unigram
+    * cells are two SCAN-STAGE hash aggregates over the corpus (both
+    * collapse to |vocab²| / |vocab| cells with map-side combine —
+    * cheaper than pinning the tokenized corpus for one-scan reuse);
+    * the lift join then runs entirely on cells, with the unigram side
+    * broadcast. The c_xy ≥ 5 support floor kills the hapax pairs
+    * whose lift is maximal but meaningless (the assoc_rules decimal
+    * caveat applies: c_xy·N·10⁶ needs decimal(38) once N approaches
+    * 3·10⁶ bigrams·10⁶-lift — loud under ANSI, not silent).
+    */
+  def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    // 0-based index over the size-1 prefix slice keeps toks[i+1] in
+    // bounds (the inverted_index HOF guard)
+    val pairsExpr = expr(
+      """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+        |          (x, i) -> struct(x AS x, toks[i + 1] AS y))""".stripMargin)
+    val docs = t(s, dir, "documents")
+      .select(graft.ops.Dedup.tokens(col("text")).as("toks"))
+    val bg = docs.select(explode(pairsExpr).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+    // pinned: the unigram cell table feeds BOTH broadcast sides (x
+    // and y) — without the pin each side re-explodes the corpus
+    val uni = graft.ops.Dedup.materialize(
+      docs.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c_w")))
+    val nb = docs.select(
+      sum(greatest(size(col("toks")) - 1, lit(0)).cast("long")).as("nb"))
+    bg.join(broadcast(uni.select(col("w").as("x"), col("c_w").as("c_x"))),
+        Seq("x"))
+      .join(broadcast(uni.select(col("w").as("y"), col("c_w").as("c_y"))),
+        Seq("y"))
+      .crossJoin(broadcast(nb))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("c_xy * nb * 1000000 div (c_x * c_y)").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("x"), col("y"))
+      .limit(20)
+  }
+
   /** Rare-phrase inverted index: full posting lists (sorted doc ids,
     * comma-joined — the comparator takes no array columns) for every
     * word BIGRAM with document frequency ≤ 20 (phrase-query support —
@@ -2220,6 +2266,55 @@ object TextQueries {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Token-budget corpus fill — the mixing step that assembles a
+    * training set to a TOKEN budget, not a document count (epochs are
+    * priced in tokens; `mixture_sample`/`mixture_temperature` set
+    * per-group quotas in documents, this operator fills 40% of each
+    * source's token mass): per source, documents are taken in the
+    * deterministic shuffle order (mix64 hash priority — the
+    * reservoir_sample/epoch_shuffle key, so the "random" prefix is
+    * reproducible on any executor and any retry) and the running
+    * token sum admits a document while it stays within budget.
+    * Plan shape: token counts are a scan-stage projection (no token
+    * explode — `size(tokens)` only), the cumulative sum is one
+    * per-source window sort over (skey, doc_id), and the per-source
+    * budgets are a broadcast |sources|-row dimension; reporting joins
+    * LEFT from the budget table so a source whose first draw already
+    * overflows still reports its zero fill. All-integer fill ratio
+    * (·10⁶ div) — no float drift in the compare.
+    */
+  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.dsl.shuffle_key
+    import org.apache.spark.sql.expressions.Window
+    // pinned: the budget aggregate and the window branch both read
+    // the (source, doc_id, ntok, skey) projection — without the pin
+    // the tokenize kernel runs twice over the corpus
+    val d = graft.ops.Dedup.materialize(t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(graft.ops.Dedup.tokens(col("text"))).cast("long").as("ntok"),
+        shuffle_key(col("doc_id"), 911L).as("skey")))
+    val tot = d.groupBy(col("source"))
+      .agg(sum(col("ntok")).as("tot_tokens"))
+      .withColumn("budget_tokens", expr("tot_tokens * 2 DIV 5"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("skey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = d.withColumn("cum", sum(col("ntok")).over(w))
+      .join(broadcast(tot), Seq("source"))
+      .filter(col("cum") <= col("budget_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sel_tokens"))
+    tot.join(sel, Seq("source"), "left")
+      .select(col("source"), col("tot_tokens"), col("budget_tokens"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"))
+      .withColumn("fill_e6",
+        when(col("budget_tokens") > 0,
+          expr("sel_tokens * 1000000 DIV budget_tokens"))
+          .otherwise(lit(0L)))
+      .orderBy(col("source"))
+  }
+
   /** Model evaluation V — the whole precision/recall CURVE from one
     * pass ([[graft.ops.Eval.prCurve]]): decile thresholds over the
     * lang-ID 'en'-detector score. Every threshold's confusion comes
@@ -2286,6 +2381,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "reservoir_sample" -> (reservoirSample _),
+    "token_budget_mix" -> (tokenBudgetMix _),
     "langid_pr_curve" -> (langidPrCurve _),
     "stream_eval" -> (streamEval _),
     "langid_eval" -> (langidEval _),
@@ -2323,6 +2419,7 @@ object TextQueries {
     "chunk_tokens" -> (chunkTokensQ _),
     "corpus_vocab" -> (corpusVocab _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
+    "pmi_bigrams" -> (pmiBigrams _),
     "inverted_index" -> (invertedIndex _),
     "inverted_delta" -> (invertedDelta _),
     "stratified_sample" -> (stratifiedSample _),
@@ -2851,10 +2948,70 @@ object TextQueries {
        FROM r WHERE rn <= 4 ORDER BY lang, rank"""
   }
 
+  /** The budget fill replayed end to end: the same SplitMix64 chain
+    * (salt mix64(911)) orders each source, the same windowed running
+    * token sum admits documents, and the budget/fill arithmetic runs
+    * in the identical truncation order.
+    */
+  private def tokenBudgetMixOracleSql: String = {
+    val salt = java.lang.Long.toUnsignedString(
+      graft.functions.Kernels.mix64(911L))
+    s"""WITH sc AS (SELECT source, doc_id,
+                  CAST(len(list_filter(
+                    regexp_split_to_array(lower(text), '\\W+'),
+                    t -> len(t) > 0)) AS BIGINT) AS ntok,
+                  xor(CAST(doc_id AS UBIGINT), $salt::UBIGINT) AS u
+                FROM documents),
+       m1 AS (SELECT source, doc_id, ntok,
+                CAST((CAST(u AS HUGEINT) + 11400714819323198485)
+                     % 18446744073709551616 AS UBIGINT) AS z1 FROM sc),
+       m2 AS (SELECT source, doc_id, ntok,
+                CAST(((CAST(xor(z1, z1 >> 30) % 4294967296 AS HUGEINT)
+                       * 13787848793156543929)
+                      + (((CAST(xor(z1, z1 >> 30) // 4294967296 AS HUGEINT)
+                           * 484763065) % 4294967296) * 4294967296))
+                     % 18446744073709551616 AS UBIGINT) AS z2 FROM m1),
+       m3 AS (SELECT source, doc_id, ntok,
+                CAST(((CAST(xor(z2, z2 >> 27) % 4294967296 AS HUGEINT)
+                       * 10723151780598845931)
+                      + (((CAST(xor(z2, z2 >> 27) // 4294967296 AS HUGEINT)
+                           * 321982955) % 4294967296) * 4294967296))
+                     % 18446744073709551616 AS UBIGINT) AS z3 FROM m2),
+       h AS (SELECT source, doc_id, ntok, xor(z3, z3 >> 31) AS hv FROM m3),
+       sk AS (SELECT source, doc_id, ntok,
+                CAST(CAST(hv AS HUGEINT)
+                  - (CASE WHEN hv >= 9223372036854775808::UBIGINT
+                     THEN 18446744073709551616::HUGEINT
+                     ELSE 0::HUGEINT END) AS BIGINT) AS skey FROM h),
+       cu AS (SELECT source, doc_id, ntok,
+                sum(ntok) OVER (PARTITION BY source
+                  ORDER BY skey, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum FROM sk),
+       tt AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS tot_tokens,
+                CAST(sum(ntok) * 2 // 5 AS BIGINT) AS budget
+              FROM sc GROUP BY 1),
+       ag AS (SELECT cu.source, count(*) AS n_docs,
+                CAST(sum(cu.ntok) AS BIGINT) AS sel_tokens
+              FROM cu JOIN tt ON cu.source = tt.source
+              WHERE cu.cum <= tt.budget GROUP BY 1)
+       SELECT tt.source, tt.tot_tokens, tt.budget AS budget_tokens,
+              CAST(coalesce(ag.n_docs, 0) AS BIGINT) AS n_docs,
+              CAST(coalesce(ag.sel_tokens, 0) AS BIGINT) AS sel_tokens,
+              CAST(CASE WHEN tt.budget > 0
+                   THEN (coalesce(ag.sel_tokens, 0) * 1000000) // tt.budget
+                   ELSE 0 END AS BIGINT) AS fill_e6
+       FROM tt LEFT JOIN ag ON tt.source = ag.source
+       ORDER BY tt.source"""
+  }
+
   val oracle: Map[String, String] = Map(
     // the bounded-aggregator k-per-group sample vs the ranking-window
     // DEFINITION over the replayed hash priorities
     "reservoir_sample" -> reservoirSampleOracleSql,
+    // the same hash-priority order, running token sum, and budget
+    // truncation chain
+    "token_budget_mix" -> tokenBudgetMixOracleSql,
     // the one-pass PR curve: every threshold's confusion recomputed
     // as conditional sums over the replayed scores
     "langid_pr_curve" -> langidPrCurveOracleSql,
@@ -3383,6 +3540,33 @@ object TextQueries {
                 CAST(row_number() OVER (ORDER BY n DESC, token)
                      AS INTEGER) AS rank
          FROM top ORDER BY n DESC, token""",
+    // the same tokenization replay; bigram cells via the BPE-style
+    // adjacent-pair comprehension; lift in HUGEINT `//`, cast BIGINT
+    "pmi_bigrams" ->
+      """WITH tk AS (
+           SELECT list_filter(regexp_split_to_array(lower(text), '\W+'),
+                              t -> len(t) > 0) AS ts
+           FROM documents),
+         bgp AS (SELECT p[1] AS x, p[2] AS y FROM
+                   (SELECT unnest([[ts[j], ts[j + 1]]
+                                   for j in range(1, len(ts))]) AS p
+                    FROM tk WHERE len(ts) >= 2)),
+         bg AS (SELECT x, y, count(*) AS c_xy FROM bgp
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+         uc AS (SELECT w, count(*) AS c_w
+                FROM (SELECT unnest(ts) AS w FROM tk) GROUP BY 1),
+         nb AS (SELECT sum(CASE WHEN len(ts) >= 1 THEN len(ts) - 1
+                           ELSE 0 END) AS nb FROM tk)
+         SELECT bg.x, bg.y, CAST(bg.c_xy AS BIGINT) AS c_xy,
+                CAST(ux.c_w AS BIGINT) AS c_x,
+                CAST(uy.c_w AS BIGINT) AS c_y,
+                CAST((bg.c_xy * nb.nb * 1000000)
+                     // (ux.c_w * uy.c_w) AS BIGINT) AS lift_e6
+         FROM bg
+         CROSS JOIN nb
+         JOIN uc ux ON bg.x = ux.w
+         JOIN uc uy ON bg.y = uy.w
+         ORDER BY lift_e6 DESC, bg.x, bg.y LIMIT 20""",
     "tfidf_top_terms" ->
       """WITH tok AS (
            SELECT doc_id,

@@ -344,7 +344,33 @@ object ScaleProbe {
       // r11 batch 6: end-to-end ER (warm — deletion-neighborhood
       // equi-join + CC + two aggregates over the customer table)
       ("entity_resolution",
-        graft.queries.AdvancedQueries.queries("entity_resolution"), false))
+        graft.queries.AdvancedQueries.queries("entity_resolution"), false),
+      // r11 batch 7: the governance lattice (warm — one customer scan
+      // → |QI| cells; past the scan the rollups are cell-bounded),
+      // median/MAD (warm — one events scan → |value domain| cells per
+      // type, two cell cumulations), PMI collocations (warm — two
+      // scan-stage hash aggregates to |vocab²|/|vocab| cells), the
+      // token-budget fill (warm — scan-stage token counts + one
+      // per-source window sort, the only row-bearing shuffle), and
+      // the stream-maintained top-k (warm — per-batch count cells;
+      // the stage split is session-cached, so best-of-2 times the
+      // streaming execution)
+      ("k_anonymity",
+        graft.queries.AdvancedQueries.queries("k_anonymity"), false),
+      ("mad_outliers",
+        graft.queries.AdvancedQueries.queries("mad_outliers"), false),
+      ("pmi_bigrams",
+        graft.queries.TextQueries.queries("pmi_bigrams"), false),
+      ("token_budget_mix",
+        graft.queries.TextQueries.queries("token_budget_mix"), false),
+      ("stream_topk",
+        graft.queries.AdvancedQueries.queries("stream_topk"), false),
+      // r11 batch 7 closer: the one-search tuning curve (warm — the
+      // exact ground truth memoizes per (session, dir), so best-of-2
+      // times the single max-probe search + the four cell-table
+      // rankings; the exact baseline is ann_topk's priced join)
+      ("ann_recall_curve",
+        graft.queries.ScaleQueries.queries("ann_recall_curve"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped
