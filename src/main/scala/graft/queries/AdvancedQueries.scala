@@ -3496,6 +3496,47 @@ object AdvancedQueries {
       .orderBy(col("col_name"))
   }
 
+  /** Referential-integrity audit over every foreign-key edge of the
+    * warehouse — the conformance sweep a load job runs after commit
+    * (the `dq_expectations` family's cross-TABLE member; single-table
+    * rules can't see a dangling key): per edge, child rows and orphan
+    * rows (child keys with no parent), with the ok flag stating the
+    * zero-orphan INVARIANT the same way `forget_user` pins its
+    * cascade. Plan: each edge is one keyed LEFT join against the
+    * DISTINCT parent-key projection (column-pruned to the key;
+    * Catalyst broadcasts the dim-sized ones) folded into a 1-row
+    * conditional aggregate — at 100 TB this is one key-shuffle per
+    * edge, the price of the check, with no row ever leaving its
+    * aggregate. Seven edges cover the full FK graph incl. the
+    * events→customer bridge.
+    */
+  def riAudit(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck).cast("long").as("k"))
+        .join(parent.select(col(pk).cast("long").as("k")).distinct()
+          .withColumn("hit", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_child"),
+          coalesce(col("n_orphans"), lit(0L)).as("n_orphans"))
+        .withColumn("ok", (col("n_orphans") === 0).cast("int"))
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+    val su = t(s, dir, "supplier"); val p = t(s, dir, "part")
+    val ev = t(s, dir, "events")
+    Seq(
+      edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+      edge("events.user_id->customer", ev, "user_id", c, "c_custkey"),
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+      edge("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+      edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+      edge("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey"))
+      .reduce(_.union(_))
+      .orderBy(col("relationship"))
+  }
+
   def dqExpectations(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Expectations._
     val orders = t(s, dir, "orders")
@@ -3526,6 +3567,7 @@ object AdvancedQueries {
     "hll_sliding" -> (hllSliding _),
     "hll_intersect" -> (hllIntersect _),
     "dq_expectations" -> (dqExpectations _),
+    "ri_audit" -> (riAudit _),
     "event_transitions" -> (eventTransitions _),
     "skew_stats" -> (skewStats _),
     "length_deciles" -> (lengthDeciles _),
@@ -4301,6 +4343,52 @@ object AdvancedQueries {
                   SELECT e.dst, d.dist + e.w
                   FROM d2 d JOIN e ON d.id = e.src) u GROUP BY id)
          SELECT id, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY id""",
+    // every edge recomputed as an independent NOT-IN count; the ok
+    // column states the zero-orphan invariant (forget_user pattern)
+    "ri_audit" ->
+      """SELECT 'customer.c_nationkey->nation' AS relationship,
+           (SELECT count(*) FROM customer)::BIGINT AS n_child,
+           (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+             (SELECT n_nationkey FROM nation))::BIGINT AS n_orphans,
+           CAST((SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+             (SELECT n_nationkey FROM nation)) = 0 AS INTEGER) AS ok
+         UNION ALL SELECT 'events.user_id->customer',
+           (SELECT count(*) FROM events)::BIGINT,
+           (SELECT count(*) FROM events WHERE user_id NOT IN
+             (SELECT c_custkey FROM customer))::BIGINT,
+           CAST((SELECT count(*) FROM events WHERE user_id NOT IN
+             (SELECT c_custkey FROM customer)) = 0 AS INTEGER)
+         UNION ALL SELECT 'lineitem.l_orderkey->orders',
+           (SELECT count(*) FROM lineitem)::BIGINT,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+             (SELECT o_orderkey FROM orders))::BIGINT,
+           CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+             (SELECT o_orderkey FROM orders)) = 0 AS INTEGER)
+         UNION ALL SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem)::BIGINT,
+           (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+             (SELECT p_partkey FROM part))::BIGINT,
+           CAST((SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+             (SELECT p_partkey FROM part)) = 0 AS INTEGER)
+         UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem)::BIGINT,
+           (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier))::BIGINT,
+           CAST((SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier)) = 0 AS INTEGER)
+         UNION ALL SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders)::BIGINT,
+           (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM customer))::BIGINT,
+           CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM customer)) = 0 AS INTEGER)
+         UNION ALL SELECT 'supplier.s_nationkey->nation',
+           (SELECT count(*) FROM supplier)::BIGINT,
+           (SELECT count(*) FROM supplier WHERE s_nationkey NOT IN
+             (SELECT n_nationkey FROM nation))::BIGINT,
+           CAST((SELECT count(*) FROM supplier WHERE s_nationkey NOT IN
+             (SELECT n_nationkey FROM nation)) = 0 AS INTEGER)
+         ORDER BY relationship""",
     "dq_expectations" ->
       """WITH rep AS (
            SELECT 'orders' AS tbl, 'o_custkey' AS col,

@@ -1911,6 +1911,43 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Dedup IMPACT accounting — the report a dedup stage ships with
+    * its output: per source, documents and TOKENS before vs after
+    * dropping every non-canonical near-dup ([[dedupCanonical]]'s
+    * keep rule over the same exact-Jaccard components), plus the
+    * exact-integer kept-token ratio. Token mass is what the training
+    * budget is priced in, so "how much corpus did dedup cost, and
+    * from WHERE" is a token-level question — doc counts alone hide a
+    * near-dup-heavy source of long documents. Plan: the pinned
+    * (doc_id, source, ntok) projection is scanned once (tokenize
+    * kernel runs once); the drop set is the compact (id ≠ cluster_id)
+    * label subset driving one LEFT ANTI join; both rollups are
+    * |sources| cells, reported LEFT from the before side so a
+    * fully-duplicated source still shows its zero.
+    */
+  def dedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dropped = exactPairLabels(docs)
+      .filter(col("id") =!= col("cluster_id")).select(col("id"))
+    val toks = graft.ops.Dedup.materialize(docs
+      .select(col("doc_id"), col("source"),
+        size(graft.ops.Dedup.tokens(col("text"))).cast("long").as("ntok")))
+    val before = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val kept = toks.join(dropped, toks("doc_id") === dropped("id"),
+        "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("ntok")).as("kept_tokens"))
+    before.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .withColumn("kept_e6",
+        when(col("n_tokens") > 0,
+          expr("kept_tokens * 1000000 DIV n_tokens")).otherwise(lit(0L)))
+      .orderBy(col("source"))
+  }
+
   /** Rendezvous (HRW) shard assignment + the elastic-resharding
     * guarantee, per row ([[graft.functions.Kernels.hrwShard]]):
     * each document's shard under n=8 and n=9, the moved flag, and
@@ -1971,6 +2008,7 @@ object ScaleQueries {
     "shard_assign" -> (shardAssign _),
     "epoch_shuffle" -> (epochShuffle _),
     "dedup_canonical" -> (dedupCanonical _),
+    "dedup_impact" -> (dedupImpact _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_salted" -> (dedupSalted _),
@@ -3384,6 +3422,33 @@ object ScaleQueries {
          FROM documents d
          WHERE d.doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster_id)
          ORDER BY d.doc_id""",
+    // the same CC closure drives the drop set; token counts and both
+    // per-source rollups replayed, kept ratio in the identical
+    // truncation order
+    "dedup_impact" ->
+      s"""WITH RECURSIVE $ccLabelsSql,
+         tk AS (SELECT doc_id, source,
+                  CAST(len(list_filter(
+                    regexp_split_to_array(lower(text), '\\W+'),
+                    t -> len(t) > 0)) AS BIGINT) AS ntok
+                FROM documents),
+         dr AS (SELECT id FROM lab WHERE id <> cluster_id),
+         b AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(ntok) AS BIGINT) AS n_tokens
+               FROM tk GROUP BY 1),
+         k AS (SELECT source, count(*) AS kept_docs,
+                 CAST(sum(ntok) AS BIGINT) AS kept_tokens
+               FROM tk WHERE doc_id NOT IN (SELECT id FROM dr)
+               GROUP BY 1)
+         SELECT b.source, b.n_docs, b.n_tokens,
+                CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+                CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+                CAST(CASE WHEN b.n_tokens > 0
+                     THEN (coalesce(k.kept_tokens, 0) * 1000000)
+                          // b.n_tokens
+                     ELSE 0 END AS BIGINT) AS kept_e6
+         FROM b LEFT JOIN k ON b.source = k.source
+         ORDER BY b.source""",
     "dedup_exact" ->
       """SELECT md5(substring(text, 1, 40)) AS key_hash,
          min(doc_id) AS keep_id, count(*) AS n_copies

@@ -35,6 +35,38 @@ object TextQueries {
       TextOps.qualityScoreE4(col("text")).as("quality_e4"))
       .orderBy(col("doc_id"))
 
+  /** Quality-threshold PLANNING CURVE — the question a filtering
+    * stage is tuned by: "if the gate keeps quality ≥ q, how much
+    * token MASS survives?" Documents land in quality deciles
+    * (bucket = quality_e4 DIV 1000, top clamp) and each bucket row
+    * carries its token count plus the CUMULATIVE tokens at-or-above
+    * it (a window over ≤10 cells ordered bucket DESC) and the
+    * exact-integer corpus share. One scan computes both per-doc
+    * numbers (quality kernel + token count); everything after is
+    * cell arithmetic — at 100 TB the curve costs the scan, and the
+    * threshold decision reads one 10-row table instead of rerunning
+    * the filter per candidate cutoff.
+    */
+  def qualityTokenCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = t(s, dir, "documents").select(
+        TextOps.qualityScoreE4(col("text")).cast("long").as("quality_e4"),
+        size(graft.ops.Dedup.tokens(col("text"))).cast("long").as("ntok"))
+      .withColumn("bucket", expr("least(quality_e4 DIV 1000, 9)"))
+    val cells = per.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_tokens_ge", sum(col("n_tokens")).over(w))
+      .withColumn("total",
+        sum(col("n_tokens")).over(Window.partitionBy(lit(1))))
+      .withColumn("share_ge_e6", expr("cum_tokens_ge * 1000000 DIV total"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("cum_tokens_ge"), col("share_ge_e6"))
+      .orderBy(col("bucket"))
+  }
+
   /** Heuristic language ID vs the labeled `lang` column. */
   def langId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -2399,6 +2431,7 @@ object TextQueries {
     "bpe_roundtrip" -> (bpeRoundtrip _),
     "text_stats" -> (textStats _),
     "quality_score" -> (qualityScore _),
+    "quality_token_curve" -> (qualityTokenCurve _),
     "lang_id" -> (langId _),
     "fingerprint" -> (fingerprint _),
     "fingerprint_gate" -> (fingerprintGate _),
@@ -3201,6 +3234,52 @@ object TextQueries {
          SELECT doc_id,
            CAST(floor((n10 * 10000)::DOUBLE / d10::DOUBLE) AS BIGINT) AS quality_e4
          FROM n ORDER BY doc_id""",
+    // the quality kernel chain replayed per doc, then decile cells,
+    // the DESC cumulative window, and the integer share arithmetic
+    "quality_token_curve" ->
+      """WITH s AS (
+           SELECT doc_id,
+             greatest(length(text), 1)::BIGINT AS len,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> len(x) > 0))::BIGINT AS tc,
+             greatest(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> len(x) > 0)), 1)::BIGINT AS nt,
+             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS p,
+             len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                         x -> len(x) > 0),
+                             x -> x IN ('the','a','of','and','to','in','is','it')))::BIGINT AS sw
+           FROM documents),
+         n AS (SELECT doc_id,
+                 4 * least(tc, 100) * len * nt
+                   + 300 * (len - p) * nt
+                   + 300 * least(sw * 5, nt) * len AS n10,
+                 1000 * len * nt AS d10
+               FROM s),
+         q AS (SELECT doc_id,
+                 CAST(floor((n10 * 10000)::DOUBLE / d10::DOUBLE) AS BIGINT)
+                   AS quality_e4
+               FROM n),
+         tkc AS (SELECT doc_id,
+                   CAST(len(list_filter(
+                     regexp_split_to_array(lower(text), '\W+'),
+                     t -> len(t) > 0)) AS BIGINT) AS ntok
+                 FROM documents),
+         per AS (SELECT least(q.quality_e4 // 1000, 9) AS bucket,
+                        tkc.ntok
+                 FROM q JOIN tkc USING (doc_id)),
+         cells AS (SELECT bucket, count(*) AS n_docs,
+                     CAST(sum(ntok) AS BIGINT) AS n_tokens
+                   FROM per GROUP BY 1),
+         cum AS (SELECT bucket, n_docs, n_tokens,
+                   CAST(sum(n_tokens) OVER (ORDER BY bucket DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_tokens_ge,
+                   CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+                 FROM cells)
+         SELECT bucket, n_docs, n_tokens, cum_tokens_ge,
+                CAST((cum_tokens_ge * 1000000) // total AS BIGINT)
+                  AS share_ge_e6
+         FROM cum ORDER BY bucket""",
     // both legs replayed — the bm25_rank CTE chain for lexical, the
     // ann_topk float convention (round 4, id tie-break) for dense —
     // then the RRF fusion in exact e9 integers over the two top-50s

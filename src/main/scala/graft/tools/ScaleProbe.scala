@@ -176,6 +176,33 @@ object ScaleProbe {
       .parquet(s"$outDir/events.parquet")
   }
 
+  /** Dimension tables for the FK-graph probes (r11 backfill): nation
+    * and part copy verbatim (their keys are NOT shifted in the fact
+    * replication — l_partkey/n_nationkey ranges are reused by every
+    * copy), supplier replicates with the SAME +k·10⁶ s_suppkey shift
+    * lineitem's l_suppkey gets, so the supplier edge stays
+    * orphan-free at 10×. (The events→customer edge is knowingly
+    * orphaned in the slice — user_id shifts by 10⁷ vs customer's
+    * 10⁶ — which only changes ri_audit's reported counts there, not
+    * its cost shape.)
+    */
+  def generateDims(spark: SparkSession, outDir: String,
+                   factor: Int): Unit = {
+    val srcSf = "/root/testdata/sf0.1"
+    val copies = spark.range(0, factor).select(col("id").as("__k"))
+    spark.read.parquet(s"$srcSf/nation.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/nation.parquet")
+    spark.read.parquet(s"$srcSf/part.parquet")
+      .repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/part.parquet")
+    spark.read.parquet(s"$srcSf/supplier.parquet")
+      .crossJoin(broadcast(copies))
+      .withColumn("s_suppkey", col("s_suppkey") + col("__k") * 1000000L)
+      .drop("__k")
+      .repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/supplier.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale_sf1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
@@ -204,6 +231,12 @@ object ScaleProbe {
       // probe reads
       System.err.println(s"[scale-probe] backfilling ${factor}x customer")
       generateCustomer(spark, outDir, factor)
+    }
+    if (new java.io.File(s"$outDir/documents.parquet").exists() &&
+        !new java.io.File(s"$outDir/nation.parquet").exists()) {
+      // r11 backfill II: the FK-graph dims the ri_audit probe reads
+      System.err.println(s"[scale-probe] backfilling ${factor}x dims")
+      generateDims(spark, outDir, factor)
     }
     // third field: time COLD (single run) instead of best-of-2 — the
     // trained-family queries memoize their training per (dir, version)
@@ -370,7 +403,24 @@ object ScaleProbe {
       // times the single max-probe search + the four cell-table
       // rankings; the exact baseline is ann_topk's priced join)
       ("ann_recall_curve",
-        graft.queries.ScaleQueries.queries("ann_recall_curve"), false))
+        graft.queries.ScaleQueries.queries("ann_recall_curve"), false),
+      // r11 batch 8: dedup accounting (warm — the CC closure over the
+      // banded pair set + two |sources| rollups off one pinned
+      // projection; exponent should track the pair volume like
+      // cc_exact's), the quality planning curve (warm — one scan →
+      // ≤10 cells), and the FK conformance sweep (warm — seven keyed
+      // left joins folded to 1-row aggregates; exponent tracks the
+      // largest child table's shuffle)
+      ("dedup_impact",
+        graft.queries.ScaleQueries.queries("dedup_impact"), false),
+      // the CC-closure harness dedup_impact rides, probed alone so the
+      // impact accounting's own cost (cells) is attributable
+      ("dedup_canonical",
+        graft.queries.ScaleQueries.queries("dedup_canonical"), false),
+      ("quality_token_curve",
+        graft.queries.TextQueries.queries("quality_token_curve"), false),
+      ("ri_audit",
+        graft.queries.AdvancedQueries.queries("ri_audit"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

@@ -123,6 +123,57 @@ class Round11OpsSpec extends AnyFunSuite {
       s"recall@3 at nprobe=8 below the 60% family floor: ${recalls.last}")
   }
 
+  test("dedup_impact: reconciles with dedup_canonical and never " +
+      "keeps more than it saw") {
+    val rows = queries.ScaleQueries.dedupImpact(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("kept_e6") <= 1000000L)
+    }
+    val keptTotal = rows.map(_.getAs[Long]("kept_docs")).sum
+    val canonical = queries.ScaleQueries.dedupCanonical(spark, dir).count()
+    assert(keptTotal == canonical,
+      s"impact keeps $keptTotal docs, canonical corpus has $canonical")
+    val beforeTotal = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(beforeTotal == Tables(spark, dir, "documents").count())
+  }
+
+  test("quality_token_curve: cumulative curve closes on the corpus " +
+      "token total and decreases with the threshold") {
+    val rows = queries.TextQueries.qualityTokenCurve(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    // lowest bucket row carries the whole corpus at-or-above it
+    assert(rows.head.getAs[Long]("cum_tokens_ge") == total)
+    assert(rows.head.getAs[Long]("share_ge_e6") == 1000000L)
+    // raising the threshold never increases surviving mass
+    rows.map(_.getAs[Long]("cum_tokens_ge")).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a)
+      case _ =>
+    }
+    // highest bucket's cumulative is exactly its own mass
+    assert(rows.last.getAs[Long]("cum_tokens_ge") ==
+      rows.last.getAs[Long]("n_tokens"))
+  }
+
+  test("ri_audit: every FK edge is orphan-free and child counts " +
+      "match the tables") {
+    val rows = queries.AdvancedQueries.riAudit(spark, dir).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphans") == 0L, s"${r.getString(0)}")
+      assert(r.getAs[Int]("ok") == 1)
+    }
+    val byRel = rows.map(r => r.getString(0) -> r.getAs[Long]("n_child"))
+      .toMap
+    assert(byRel("orders.o_custkey->customer") ==
+      Tables(spark, dir, "orders").count())
+    assert(byRel("lineitem.l_orderkey->orders") ==
+      Tables(spark, dir, "lineitem").count())
+  }
+
   test("stream_topk (merged across >=2 batches) equals the batch " +
       "recompute") {
     val got = queries.AdvancedQueries.streamTopk(spark, dir).collect()
