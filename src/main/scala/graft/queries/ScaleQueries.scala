@@ -1382,6 +1382,40 @@ object ScaleQueries {
       .orderBy(col("id"))
   }
 
+  /** CC maintenance on the PRODUCTION delta-pair source — the
+    * composition SCALE.md's cc_delta adjudication names as the
+    * at-scale path: stored state (old labels over the base corpus's
+    * LSH pair set) and the banded-index probe come from the memoized
+    * [[minhashIncremental]] leg split, so what this query EXECUTES
+    * per delta batch is exactly the MAINTENANCE stage — star edges +
+    * delta-probe pairs → one CC pass, cost ∝ |star| + |touched
+    * pairs|, no corpus rescan. (`cc_delta` regenerates its stored
+    * state in-query with the exact windowed kernel — honest about
+    * semantics, but its 10× probe times that harness, 0.97; this
+    * query's warm probe times the maintained stage itself.) The
+    * maintained labels equal the FULL-corpus rebuild — the oracle IS
+    * `dedup_clusters`' recursive closure, the cc_delta ≡-rebuild
+    * discipline on the LSH pair graph.
+    */
+  def ccDeltaLsh(s: SparkSession, dir: String): DataFrame = {
+    val incr = graft.SessionMemo.getOrCompute(s,
+      s"cclsh:${graft.Tables.versioned(dir)}",
+      Dedup.minhashPairsIncremental(t(s, dir, "documents"),
+        "doc_id", "text", deltaOf = c => pmod(c, lit(10)) === 9,
+        shingleN = 3, bands = 16, rowsPerBand = 8, threshold = 0.7))
+    val oldLabels = graft.SessionMemo.getOrCompute(s,
+      s"cclsh-labels:${graft.Tables.versioned(dir)}",
+      Dedup.materialize(Dedup.connectedComponents(
+        incr.filter(col("src") === "base")
+          .select(col("id_a"), col("id_b")))))
+    val star = oldLabels.filter(col("id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("id_a"), col("id").as("id_b"))
+    val deltaEdges = incr.filter(col("src") === "delta")
+      .select(col("id_a"), col("id_b"))
+    Dedup.connectedComponents(star.unionByName(deltaEdges))
+      .orderBy(col("id"))
+  }
+
   /** Triangle count over the exact windowed-Jaccard similarity graph
     * (same edge set as `cc_exact`): a triangle is any id_a < id_b <
     * id_c with all three edges present. Standard ordered-wedge plan —
@@ -2047,6 +2081,7 @@ object ScaleQueries {
     "dedup_clusters" -> (dedupClusters _),
     "cc_exact" -> (ccExact _),
     "cc_delta" -> (ccDelta _),
+    "cc_delta_lsh" -> (ccDeltaLsh _),
     "triangle_count" -> (triangleCount _),
     "triangle_count_degree" -> (triangleCountDegree _),
     "fingerprint_pairs" -> (fingerprintPairs _),
@@ -2241,6 +2276,38 @@ object ScaleQueries {
                    AS BIGINT) AS recall_e6
        FROM pts CROSS JOIN tot LEFT JOIN h ON pts.nprobe = h.nprobe
        ORDER BY pts.nprobe"""
+
+  /** The ≥0.7 word-3-shingle all-pairs set closed recursively into
+    * min-id labels — shared by `dedup_clusters` (direct build) and
+    * `cc_delta_lsh` (incremental maintenance), which must land on the
+    * SAME labels (maintenance ≡ rebuild).
+    */
+  private val lshClusterLabelsOracleSql: String =
+    """WITH RECURSIVE tk AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id AS id,
+                  CASE WHEN len(t) >= 3
+                       THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                           for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, ' ')] END AS gs
+           FROM tk),
+         p AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM g a JOIN g b ON b.id > a.id
+           WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+                 / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT w.id, e2.dst FROM reach w JOIN e e2 ON w.r = e2.src),
+         lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT id, cluster_id FROM lab ORDER BY id"""
 
   private def annIvfOracleSql: String = annIvfOracleSqlFor("TRUE")
 
@@ -3390,32 +3457,10 @@ object ScaleQueries {
     // components — equals the engine's verified-LSH pair set on this
     // corpus (see dedupClusters scaladoc for the recall argument; the
     // tokenizer twin is Kernels.tokenHashes' ASCII-alnum-run split)
-    "dedup_clusters" ->
-      """WITH RECURSIVE tk AS (
-           SELECT doc_id,
-                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                              x -> len(x) > 0) AS t
-           FROM documents),
-         g AS (
-           SELECT doc_id AS id,
-                  CASE WHEN len(t) >= 3
-                       THEN list_distinct([array_to_string(t[i:i+2], ' ')
-                                           for i in range(1, len(t) - 1)])
-                       ELSE [array_to_string(t, ' ')] END AS gs
-           FROM tk),
-         p AS (
-           SELECT a.id AS id_a, b.id AS id_b
-           FROM g a JOIN g b ON b.id > a.id
-           WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
-                 / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7),
-         e AS (SELECT id_a AS src, id_b AS dst FROM p
-               UNION SELECT id_b, id_a FROM p),
-         reach(id, r) AS (
-           SELECT src, src FROM e
-           UNION
-           SELECT w.id, e2.dst FROM reach w JOIN e e2 ON w.r = e2.src),
-         lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-         SELECT id, cluster_id FROM lab ORDER BY id""",
+    "dedup_clusters" -> lshClusterLabelsOracleSql,
+    // maintenance ≡ rebuild: the maintained labels must equal the
+    // full-corpus closure — the cc_delta discipline on the LSH graph
+    "cc_delta_lsh" -> lshClusterLabelsOracleSql,
     "dedup_canonical" ->
       s"""WITH RECURSIVE $ccLabelsSql
          SELECT d.doc_id, d.lang, d.n_chars

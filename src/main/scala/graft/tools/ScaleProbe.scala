@@ -420,7 +420,14 @@ object ScaleProbe {
       ("quality_token_curve",
         graft.queries.TextQueries.queries("quality_token_curve"), false),
       ("ri_audit",
-        graft.queries.AdvancedQueries.queries("ri_audit"), false))
+        graft.queries.AdvancedQueries.queries("ri_audit"), false),
+      // r11 batch 9: CC maintenance on the PRODUCTION delta-pair
+      // source (warm — stored state and the index probe memoize per
+      // (session, dir), so best-of-2 times the maintained stage
+      // itself: star edges + touched pairs -> one CC pass; this is
+      // the measured answer to cc_delta's 0.97 harness-cost row)
+      ("cc_delta_lsh",
+        graft.queries.ScaleQueries.queries("cc_delta_lsh"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

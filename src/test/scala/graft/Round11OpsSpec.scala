@@ -174,6 +174,15 @@ class Round11OpsSpec extends AnyFunSuite {
       Tables(spark, dir, "lineitem").count())
   }
 
+  test("cc_delta_lsh: LSH-sourced maintenance lands on the full " +
+      "rebuild's labels") {
+    val maintained = queries.ScaleQueries.ccDeltaLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rebuild = queries.ScaleQueries.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(maintained == rebuild)
+  }
+
   test("stream_topk (merged across >=2 batches) equals the batch " +
       "recompute") {
     val got = queries.AdvancedQueries.streamTopk(spark, dir).collect()
