@@ -2522,6 +2522,117 @@ object AdvancedQueries {
     try f finally s.conf.set(key, old)
   }
 
+  /** Late-replay staging for [[streamLate]]: four files whose arrival
+    * ORDER deliberately violates event-time order, so the watermark
+    * policy has real work to do — (0) the first 20 days' on-time rows
+    * (event_id % 4 ≠ 0), (1) days 21–25 on-time (this batch advances
+    * the watermark past the early windows AND evicts them), (2) the
+    * held-back rows of days 1–25 (the late replay feed, arriving one
+    * batch AFTER the eviction — Spark's late filter uses the PREVIOUS
+    * batch's watermark, so a replay landing in the same batch as the
+    * watermark advance would still be merged), (3) days 26–30. The
+    * cuts are date-truncated-min(ts)+20d / +25d — SQL-expressible, so
+    * the oracle recomputes the exact file membership.
+    */
+  private def stageEventsLateSplit(s: SparkSession,
+                                   dir: String): java.nio.file.Path =
+    stageCache.getOrElseUpdate((graft.Tables.versioned(dir) + ":late", 4), {
+      import java.nio.file.Files
+      val stage = Files.createTempDirectory("graft_stream_late")
+      val ev = Tables.raw(s, dir, "events")
+      val withUs = ev.withColumn("__us", Tables.microsOf(ev, "ts"))
+      val dayUs = 86400000000L
+      val minUs = withUs.agg(min(col("__us"))).head().getLong(0)
+      // UTC day truncation in epoch micros (events are post-1970)
+      val cut = minUs / dayUs * dayUs + 20 * dayUs
+      val mid = cut + 5 * dayUs
+      val parts = Seq(
+        col("__us") < cut && col("event_id") % 4 =!= 0,
+        col("__us") >= cut && col("__us") < mid && col("event_id") % 4 =!= 0,
+        col("__us") < mid && col("event_id") % 4 === 0,
+        col("__us") >= mid)
+      val base = System.currentTimeMillis() - parts.size * 60000L
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val tmp = stage.resolve(s"__tmp_$i")
+        withUs.filter(p).drop("__us")
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = Files.list(tmp).filter(f =>
+          f.getFileName.toString.startsWith("part-")).findFirst().get()
+        val dest = stage.resolve(f"ev_$i%04d.parquet")
+        Files.move(part, dest)
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+      }
+      stage
+    })
+
+  /** The NINETEENTH driver-visible stream shape — WATERMARK LATE-DATA
+    * ACCOUNTING, the policy every production ingest must pick and
+    * then be able to audit: a 36-hour-watermark daily count in APPEND
+    * mode over a stage whose THIRD file replays held-back rows from
+    * the first 25 days, one batch after the watermark advance that
+    * finalized the early windows ([[stageEventsLateSplit]] — the
+    * one-batch lag matters: Spark filters late events with the
+    * PREVIOUS batch's watermark and evicts with the current one,
+    * which is exactly what makes append-mode emission exactly-once;
+    * measured here, not assumed). Three regimes land in one output:
+    * replayed rows whose window the watermark had already passed are
+    * DROPPED; replayed rows within the horizon are ACCEPTED late and
+    * counted; windows are emitted exactly once. The output joins each
+    * emitted window against the batch recount — (day_us, event_type,
+    * n_stream, n_all, late_dropped) — so the drop policy's cost is a
+    * per-window VALUE the oracle hash-checks, not a log line: early
+    * windows show late_dropped = the held-back row count, horizon
+    * windows show 0, and the last days (never finalized before
+    * end-of-stream in append mode) are absent.
+    *
+    * Scale shape: state is one count cell per open (window, type) —
+    * bounded by the watermark horizon, never stream length; the drop
+    * decision is a scan-stage comparison against the broadcast
+    * watermark. The oracle replays the whole policy in batch SQL:
+    * file membership, the late-filter watermark (max event time minus
+    * delay over the FIRST file — the value operative in the batch
+    * before the replay arrives), the drop rule, and the finalization
+    * rule (max event time overall minus delay).
+    */
+  def streamLate(s: SparkSession, dir: String): DataFrame =
+      withStreamStatePartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.raw(s, dir, "events").schema
+    val name =
+      s"stream_late_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stage = stageEventsLateSplit(s, dir)
+    val src = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
+      .withColumn("ts", Tables.eventTimeOf(schema, "ts"))
+    val counts = graft.streaming.IncrementalStream
+      .dailyCounts(src, "ts", "event_type", watermark = "36 hours")
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    requireMultiBatch(q, "stream_late")
+    val emitted = s.table(name)
+      .withColumnRenamed("n", "n_stream")
+      .localCheckpoint(true) // pin: the memory table dies with the query
+    q.stop()
+    s.catalog.dropTempView(name)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val ev = Tables.raw(s, dir, "events")
+    val statics = ev
+      .select(Tables.eventTimeOf(schema, "ts").as("ts"), col("event_type"))
+      .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_all"))
+    emitted.join(statics, Seq("day", "event_type"))
+      .select(unix_micros(col("day")).as("day_us"), col("event_type"),
+        col("n_stream"), col("n_all"),
+        (col("n_all") - col("n_stream")).as("late_dropped"))
+      .orderBy(col("day_us"), col("event_type"))
+  }
+
   /** Driver-visible Structured Streaming gate: the events table
     * replayed through a REAL streaming query (file source →
     * AvailableNow trigger → complete-mode memory sink), daily counts
@@ -3579,6 +3690,7 @@ object AdvancedQueries {
     "topk_per_group" -> (topkPerGroup _),
     "table_diff" -> (tableDiff _),
     "stream_daily" -> (streamDailyCounts _),
+    "stream_late" -> (streamLate _),
     "stream_enrich" -> (streamEnrich _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_ema" -> (streamEma _),
@@ -4690,6 +4802,38 @@ object AdvancedQueries {
       """SELECT epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS day_us,
                 event_type, count(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""",
+    // the whole watermark policy replayed in batch SQL: the staged
+    // file membership (date-truncated min+20d/+25d cuts, event_id % 4
+    // held back), the late-filter watermark (max event time of the
+    // FIRST file minus 36 h — the value operative one batch before
+    // the replay arrives), the drop rule (window end <= that
+    // watermark), and the append-mode finalization rule (window end
+    // <= max-overall minus 36 h)
+    "stream_late" ->
+      """WITH cut AS (SELECT date_trunc('day', min(ts))
+                        + INTERVAL 20 DAY AS c20,
+                      date_trunc('day', min(ts))
+                        + INTERVAL 25 DAY AS c25 FROM events),
+         wm1 AS (SELECT max(ts) - INTERVAL 36 HOUR AS w
+                 FROM events, cut
+                 WHERE ts < cut.c20 AND event_id % 4 <> 0),
+         wmf AS (SELECT max(ts) - INTERVAL 36 HOUR AS w FROM events),
+         base AS (SELECT date_trunc('day', ts) AS day, event_type,
+                    (event_id % 4 = 0 AND ts < (SELECT c25 FROM cut))
+                      AS is_late
+                  FROM events),
+         acc AS (SELECT day, event_type, count(*) AS n_stream
+                 FROM base, wm1
+                 WHERE NOT (is_late AND day + INTERVAL 1 DAY <= wm1.w)
+                 GROUP BY 1, 2),
+         alln AS (SELECT day, event_type, count(*) AS n_all
+                  FROM base GROUP BY 1, 2)
+         SELECT epoch_us(acc.day) AS day_us, acc.event_type,
+                acc.n_stream, alln.n_all,
+                alln.n_all - acc.n_stream AS late_dropped
+         FROM acc JOIN alln USING (day, event_type), wmf
+         WHERE acc.day + INTERVAL 1 DAY <= wmf.w
+         ORDER BY day_us, event_type""",
     "stream_enrich" ->
       """SELECT c.c_mktsegment, e.event_type, count(*) AS n
          FROM events e JOIN customer c ON e.user_id = c.c_custkey

@@ -482,6 +482,113 @@ object ScaleQueries {
       .orderBy(col("nprobe"))
   }
 
+  /** Matryoshka truncation-recall curve (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022): rank with only the
+    * FIRST `d` dimensions of each embedding (d ∈ {16, 32, 64}) and
+    * measure top-3 recall against the full-dimension exact ranking —
+    * the measurement a serving tier runs before switching its
+    * first-stage retrieval to a truncated (4×-cheaper) prefix of the
+    * same vectors. Emits (dims, n_exact, hits, recall_e6); the d=64
+    * row is the 1.0 anchor by construction.
+    *
+    * Scale shape: ONE candidate join computes all three prefix
+    * similarities per pair (one corpus×queries pass instead of one
+    * per curve point — the [[annRecallCurve]] one-search discipline),
+    * the candidate table is pinned, and each curve point is a window
+    * rank over it. The brute-force join is the ground-truth harness;
+    * the 100 TB first stage is the IVF family at the truncated dims
+    * (assignment cost scales with d, which is the point of MRL).
+    * Fully oracle-replayable: prefix slices are the same float values
+    * widened to double on both engines, sims 4-dp-rounded with id
+    * tie-breaks, recall in exact-integer arithmetic.
+    */
+  def embedMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val dims = Seq(16, 32, 64)
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = graft.ops.Dedup.spread(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("cv")))
+    val joined = graft.ops.Hints.chunkedBroadcastThetaJoin(corpus, queries,
+      chunkKey = col("qid"), cond = col("qid") =!= col("cid"))
+    // pinned: every curve point ranks the same candidate table
+    val cand = graft.ops.Dedup.materialize(
+      dims.foldLeft(joined) { (df, d) =>
+        df.withColumn(s"sim_$d",
+          round(cosine_sim(slice(col("qv"), 1, d), slice(col("cv"), 1, d)), 4))
+      }.select(col("qid") +: col("cid") +: dims.map(d => col(s"sim_$d")): _*))
+    def top3(d: Int): DataFrame =
+      cand.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col(s"sim_$d").desc, col("cid"))))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("cid"))
+    val exact = graft.ops.Dedup.materialize(top3(dims.max))
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    dims.map { d =>
+      top3(d).join(exact, Seq("qid", "cid"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(total))
+        .select(lit(d).as("dims"), col("n_exact"), col("hits"))
+    }.reduce(_ unionByName _)
+      .withColumn("recall_e6", expr("hits * 1000000 DIV n_exact"))
+      .orderBy(col("dims"))
+  }
+
+  /** Simplified-silhouette cluster-quality gate (Vendramin, Campello,
+    * Hruschka, "Relative clustering validity criteria", 2010 —
+    * the centroid-based silhouette): per point, a = cosine distance
+    * to its OWN (nearest) centroid and b = distance to the
+    * second-nearest, s = (b − a)/max(a, b) ∈ [−1, 1]; emitted as
+    * per-cluster (n, Σs, min, max) in e6 fixed point. The classical
+    * silhouette is O(n²) (all-pairs distances); the simplified form
+    * is the standard linear-cost proxy — ONE scan-stage argmax over
+    * the literal codebook (the IVF assignment shape: zero shuffle
+    * corpus → cluster), then a (cluster)-keyed aggregate of integer
+    * cells with map-side combine.
+    *
+    * Deterministic end to end: the codebook stride is derived from a
+    * corpus COUNT (⌊√n⌋ → k ≈ √n clusters, the standard clustering
+    * heuristic — distinct from the IVF family's ⌊√n/4⌋ LIST sizing
+    * because here the centroid count IS the cluster count, and a
+    * fixed stride would make k ∝ n), so the sampled codebook is
+    * SQL-expressible at any SF; `nearest_centroids` ties break by
+    * centroid id, and both engines evaluate the identical double
+    * expression before the e6 floor — so the oracle
+    * full-hash-replays assignment, second-nearest lookup, and the
+    * silhouette arithmetic. Zero-norm vectors (NaN cosine) are
+    * excluded, mirroring the kernel's NaN skip.
+    */
+  def silhouetteGate(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val stride = math.max(1L,
+      math.floor(math.sqrt(emb.count().toDouble)).toLong).toInt
+    val codebook = Similarity.sampledCodebook(
+      emb, "vec_id", "embedding", stride = stride, maxCentroids = 1 << 14)
+    val centsLit = typedLit(codebook.map(_._2).toSeq)
+    val idsLit = typedLit(codebook.map(_._1).toSeq)
+    def centVec(cid: org.apache.spark.sql.Column) =
+      try_element_at(centsLit, array_position(idsLit, cid).cast("int"))
+    val assigned = graft.ops.Dedup.spread(
+        emb.select(col("vec_id").as("id"),
+          col("embedding").cast("array<float>").as("v")))
+      .withColumn("nn", nearest_centroids(col("v"), centsLit, idsLit, 2))
+      .withColumn("cluster_id", try_element_at(col("nn"), lit(1)))
+      .withColumn("second_id", try_element_at(col("nn"), lit(2)))
+      .filter(col("cluster_id").isNotNull && col("second_id").isNotNull)
+    val s1 = cosine_sim(col("v"), centVec(col("cluster_id")))
+    val s2 = cosine_sim(col("v"), centVec(col("second_id")))
+    // a = 1−s1, b = 1−s2 (s1 ≥ s2 by the argmax order), written as
+    // the textbook (b−a)/max(a,b) so the oracle mirrors it verbatim
+    val den = greatest(lit(1.0) - s1, lit(1.0) - s2)
+    val sil = when(den > 0, (s1 - s2) / den).otherwise(lit(0.0))
+    assigned.withColumn("s_e6", floor(sil * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"), sum(col("s_e6")).as("sum_s_e6"),
+        min(col("s_e6")).as("min_s_e6"), max(col("s_e6")).as("max_s_e6"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** The exact brute-force scan is the most expensive join in the
     * suite and BOTH ANN recall gates need the same k=3 ground truth,
     * so it is computed once per (session, dataset) and pinned via
@@ -1349,6 +1456,66 @@ object ScaleQueries {
   def ccExact(s: SparkSession, dir: String): DataFrame =
     exactPairLabels(t(s, dir, "documents")).orderBy(col("id"))
 
+  /** LEAKAGE-SAFE train/val/test split — the split a training pipeline
+    * must use when the corpus has near-duplicates: a naive
+    * hash-of-doc-id split puts members of the same near-dup cluster
+    * on BOTH sides of the train/eval boundary, leaking training text
+    * into evaluation (the contamination mode n-gram decontamination
+    * cannot see, because the duplicate IS the eval document). The fix
+    * is to split by CLUSTER: every document inherits its connected
+    * near-dup component's label (singletons are their own cluster)
+    * and the whole cluster lands in one split, so cross-split leakage
+    * is ZERO by construction.
+    *
+    * Emits one row per strategy — (strategy, n_train, n_val, n_test,
+    * leaky_clusters) — for `cluster_safe` (split on cluster_id % 10:
+    * 0–7 train, 8 val, 9 test) and `naive_docid` (same rule on
+    * doc_id), so the row pair QUANTIFIES the leakage the safe split
+    * removes: naive's leaky_clusters counts components straddling
+    * splits; cluster_safe's is 0 (driver-checked, not just asserted).
+    *
+    * Scale shape: the pair graph + CC closure is [[ccExact]]'s
+    * (shared [[exactPairLabels]], exact windowed-Jaccard pairs for
+    * oracle-ability — the 100 TB pair source is the LSH index, as in
+    * `cc_delta_lsh`); downstream of the labels everything is
+    * (cluster)-keyed integer cells with map-side combine. The split
+    * itself adds one small left join — labels are |non-singleton
+    * nodes| rows, NOT corpus-sized.
+    */
+  def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lab = exactPairLabels(docs)
+    val assigned = graft.ops.Dedup.materialize(
+      docs.select(col("doc_id"))
+        .join(lab, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("nv", col("doc_id") % 10)
+        .withColumn("sv", col("cluster_id") % 10))
+    def bucket(v: org.apache.spark.sql.Column) =
+      when(v < 8, lit("train")).when(v === 8, lit("val"))
+        .otherwise(lit("test"))
+    def strategyRow(name: String, vName: String): DataFrame = {
+      val withB = assigned.withColumn("bucket", bucket(col(vName)))
+      val counts = withB.agg(
+        sum(when(col("bucket") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("bucket") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("bucket") === "test", 1L).otherwise(0L)).as("n_test"))
+      val leaky = withB.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("bucket")).as("nb"))
+        .agg(sum(when(col("nb") > 1, 1L).otherwise(0L))
+          .as("leaky_clusters"))
+      counts.crossJoin(leaky).select(lit(name).as("strategy"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_val"), lit(0L)).as("n_val"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        coalesce(col("leaky_clusters"), lit(0L)).as("leaky_clusters"))
+    }
+    strategyRow("cluster_safe", "sv")
+      .unionByName(strategyRow("naive_docid", "nv"))
+      .orderBy(col("strategy"))
+  }
+
   /** INCREMENTAL connected-components maintenance — the cluster-label
     * member of the maintenance family: when a delta batch of
     * documents arrives, the old labels are NOT thrown away; each
@@ -2055,6 +2222,9 @@ object ScaleQueries {
     "ngram_jaccard" -> (ngramJaccard _),
     "ppjoin_pairs" -> (ppjoinPairs _),
     "ann_topk" -> (annTopk _),
+    "embed_matryoshka" -> (embedMatryoshka _),
+    "silhouette_gate" -> (silhouetteGate _),
+    "split_leakage_safe" -> (splitLeakageSafe _),
     "mmr_rerank" -> (mmrRerank _),
     "mine_pairs" -> (minePairs _),
     "ann_lsh" -> (annLsh _),
@@ -3579,6 +3749,122 @@ object ScaleQueries {
     // maxing sim against it — every quantity the same sim_e4 integer
     // the engine collects
     "mmr_rerank" -> mmrOracleSql,
+    // the matryoshka curve replayed end to end: prefix-slice sims at
+    // 4 dp with id tie-breaks, per-point top-3 windows, exact-integer
+    // recall — same arithmetic as ann_recall_curve
+    "embed_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id % 20 = 0),
+         c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         s AS (SELECT qid, cid,
+                 round(list_dot_product(qv[1:16], cv[1:16])
+                       / sqrt(list_dot_product(qv[1:16], qv[1:16])
+                              * list_dot_product(cv[1:16], cv[1:16])), 4)
+                   AS sim_16,
+                 round(list_dot_product(qv[1:32], cv[1:32])
+                       / sqrt(list_dot_product(qv[1:32], qv[1:32])
+                              * list_dot_product(cv[1:32], cv[1:32])), 4)
+                   AS sim_32,
+                 round(list_dot_product(qv, cv)
+                       / sqrt(list_dot_product(qv, qv)
+                              * list_dot_product(cv, cv)), 4) AS sim_64
+               FROM q JOIN c ON qid <> cid),
+         ex AS (SELECT qid, cid FROM (
+                  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                       ORDER BY sim_64 DESC, cid) AS rnk FROM s) z
+                WHERE rnk <= 3),
+         d16 AS (SELECT qid, cid FROM (
+                  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                       ORDER BY sim_16 DESC, cid) AS rnk FROM s) z
+                WHERE rnk <= 3),
+         d32 AS (SELECT qid, cid FROM (
+                  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                       ORDER BY sim_32 DESC, cid) AS rnk FROM s) z
+                WHERE rnk <= 3),
+         tot AS (SELECT count(*) AS n_exact FROM ex),
+         h AS (SELECT 16 AS dims, count(*) AS hits
+                 FROM d16 JOIN ex USING (qid, cid)
+               UNION ALL
+               SELECT 32, count(*) FROM d32 JOIN ex USING (qid, cid)
+               UNION ALL
+               SELECT 64, count(*) FROM ex)
+         SELECT CAST(h.dims AS INTEGER) AS dims,
+                CAST(tot.n_exact AS BIGINT) AS n_exact,
+                CAST(h.hits AS BIGINT) AS hits,
+                CAST((h.hits * 1000000) // tot.n_exact AS BIGINT)
+                  AS recall_e6
+         FROM h CROSS JOIN tot ORDER BY dims""",
+    // the simplified silhouette replayed: count-derived ⌊√n⌋ stride
+    // (identical IEEE sqrt/floor), argmax assignment with the NaN
+    // guard, second-nearest lookup, and the (b-a)/max(a,b) arithmetic
+    // floored at e6 — identical doubles on both engines before the
+    // floor
+    "silhouette_gate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+                WHERE vec_id % (SELECT GREATEST(1,
+                    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))
+                  FROM embeddings) = 0
+                ORDER BY centroid_id LIMIT 16384),
+         sim AS (SELECT e.vec_id, cb.centroid_id,
+                   list_dot_product(e.v, cb.cv)
+                   / sqrt(list_dot_product(e.v, e.v)
+                          * list_dot_product(cb.cv, cb.cv)) AS s
+                 FROM e CROSS JOIN cb),
+         rk AS (SELECT vec_id, centroid_id, s,
+                  row_number() OVER (PARTITION BY vec_id
+                       ORDER BY s DESC, centroid_id) AS rn
+                FROM sim WHERE NOT isnan(s)),
+         t2 AS (SELECT a.vec_id, a.centroid_id AS cluster_id,
+                  a.s AS s1, b.s AS s2
+                FROM (SELECT * FROM rk WHERE rn = 1) a
+                JOIN (SELECT * FROM rk WHERE rn = 2) b USING (vec_id)),
+         sil AS (SELECT vec_id, cluster_id,
+                   CAST(floor((CASE WHEN greatest(1 - s1, 1 - s2) > 0
+                          THEN (s1 - s2) / greatest(1 - s1, 1 - s2)
+                          ELSE 0 END) * 1000000 + 0.5) AS BIGINT) AS s_e6
+                 FROM t2)
+         SELECT cluster_id, count(*) AS n,
+                CAST(sum(s_e6) AS BIGINT) AS sum_s_e6,
+                min(s_e6) AS min_s_e6, max(s_e6) AS max_s_e6
+         FROM sil GROUP BY 1 ORDER BY 1""",
+    // both split strategies replayed over the shared CC closure:
+    // bucket rule, per-strategy counts, and the straddling-cluster
+    // count (0 for cluster_safe by construction — value-checked here)
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE $ccLabelsSql,
+         fl AS (SELECT d.doc_id,
+                  coalesce(l.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+         asg AS (SELECT doc_id, cluster_id, doc_id % 10 AS nv,
+                   cluster_id % 10 AS sv FROM fl),
+         per AS (
+           SELECT 'cluster_safe' AS strategy, doc_id, cluster_id,
+             CASE WHEN sv < 8 THEN 'train' WHEN sv = 8 THEN 'val'
+                  ELSE 'test' END AS bucket FROM asg
+           UNION ALL
+           SELECT 'naive_docid', doc_id, cluster_id,
+             CASE WHEN nv < 8 THEN 'train' WHEN nv = 8 THEN 'val'
+                  ELSE 'test' END FROM asg),
+         counts AS (SELECT strategy,
+             CAST(sum(CASE WHEN bucket = 'train' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN bucket = 'val' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_val,
+             CAST(sum(CASE WHEN bucket = 'test' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_test
+           FROM per GROUP BY 1),
+         lk AS (SELECT strategy,
+                  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS leaky_clusters
+                FROM (SELECT strategy, cluster_id,
+                        count(DISTINCT bucket) AS nb
+                      FROM per GROUP BY 1, 2) z
+                GROUP BY 1)
+         SELECT counts.strategy, n_train, n_val, n_test, leaky_clusters
+         FROM counts JOIN lk USING (strategy) ORDER BY strategy""",
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id % 20 = 0),

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 closers: matryoshka truncation recall, the simplified-
+  * silhouette cluster gate, and the leakage-safe split. Each test
+  * brute-forces the small corpus independently or states the
+  * operator's invariant — never a copied expected value.
+  */
+class Round11CloserSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("embed_matryoshka: monotone in dims, full-dim anchor exact, " +
+      "n_exact = 3 per query") {
+    val rows = queries.ScaleQueries.embedMatryoshka(spark, dir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(16, 32, 64))
+    val recalls = rows.map(_.getAs[Long]("recall_e6"))
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1)),
+      s"recall not monotone in dims: ${recalls.toSeq}")
+    val anchor = rows.find(_.getInt(0) == 64).get
+    assert(anchor.getAs[Long]("recall_e6") == 1000000L)
+    assert(anchor.getAs[Long]("hits") == anchor.getAs[Long]("n_exact"))
+    val nQ = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % 20 === 0).count()
+    rows.foreach(r => assert(r.getAs[Long]("n_exact") == 3 * nQ))
+  }
+
+  test("embed_matryoshka 32-dim hits match a brute-force prefix ranking") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      for (i <- 0 until d) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i) }
+      math.round(ab / math.sqrt(aa * bb) * 1e4) / 1e4
+    }
+    def top3(qid: Long, d: Int): Set[Long] =
+      vecs.keys.filter(_ != qid).toSeq
+        .map(cid => (cid, cos(vecs(qid), vecs(cid), d)))
+        .sortBy { case (cid, s) => (-s, cid) }.take(3).map(_._1).toSet
+    val qids = vecs.keys.filter(_ % 20 == 0).toSeq
+    val exact = qids.map(q => q -> top3(q, 64)).toMap
+    val bruteHits32 = qids.map(q => (top3(q, 32) & exact(q)).size).sum
+    val got32 = queries.ScaleQueries.embedMatryoshka(spark, dir).collect()
+      .find(_.getInt(0) == 32).get.getAs[Long]("hits")
+    assert(got32 == bruteHits32, s"32-dim hits $got32 != brute $bruteHits32")
+  }
+
+  test("silhouette_gate matches a brute-force simplified silhouette") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val stride = math.max(1L, math.floor(math.sqrt(vecs.size.toDouble)).toLong)
+    val cents = vecs.keys.filter(_ % stride == 0).toSeq.sorted
+    assert(cents.size >= 2, "degenerate corpus: need >=2 centroids")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      for (i <- a.indices) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i) }
+      ab / math.sqrt(aa * bb)
+    }
+    val brute = vecs.keys.toSeq.flatMap { id =>
+      val sims = cents.map(c => (c, cos(vecs(id), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }
+      val (own, s1) = sims.head
+      val (_, s2) = sims(1)
+      val den = math.max(1 - s1, 1 - s2)
+      val sil = if (den > 0) (s1 - s2) / den else 0.0
+      if (sil.isNaN) None
+      else Some(own -> math.floor(sil * 1e6 + 0.5).toLong)
+    }.groupBy(_._1).map { case (c, xs) =>
+      c -> (xs.size.toLong, xs.map(_._2).sum)
+    }
+    val got = queries.ScaleQueries.silhouetteGate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n"), r.getAs[Long]("sum_s_e6")))
+      .toMap
+    assert(got == brute, s"got $got\nbrute $brute")
+    // s in [-1, 1] up to the fp-epsilon the self-centroid rows carry
+    queries.ScaleQueries.silhouetteGate(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Long]("min_s_e6") >= -1000001L)
+      assert(r.getAs[Long]("max_s_e6") <= 1000001L)
+    }
+  }
+
+  test("split_leakage_safe: safe split has zero leaky clusters, " +
+      "totals reconcile, naive counts match doc_id % 10") {
+    val rows = queries.ScaleQueries.splitLeakageSafe(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("cluster_safe", "naive_docid"))
+    val total = Tables(spark, dir, "documents").count()
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_val") +
+        r.getAs[Long]("n_test") == total)
+    }
+    assert(rows("cluster_safe").getAs[Long]("leaky_clusters") == 0L,
+      "cluster-keyed split must never straddle a near-dup component")
+    // naive counts are pure doc_id % 10 arithmetic — brute-force them
+    val ids = Tables(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val naive = rows("naive_docid")
+    assert(naive.getAs[Long]("n_train") == ids.count(_ % 10 < 8))
+    assert(naive.getAs[Long]("n_val") == ids.count(_ % 10 == 8))
+    assert(naive.getAs[Long]("n_test") == ids.count(_ % 10 == 9))
+  }
+
+  test("stream_late: three watermark regimes visible and reconciled") {
+    val rows = queries.AdvancedQueries.streamLate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val dayUs = 86400000000L
+    // independent replay of the policy from the raw table
+    val ev = Tables(spark, dir, "events")
+    val raw = ev.select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val minDay = raw.map(_._2).min / dayUs * dayUs
+    val c20 = minDay + 20 * dayUs
+    val c25 = minDay + 25 * dayUs
+    val wm1 = raw.filter(r => r._2 < c20 && r._1 % 4 != 0).map(_._2).max -
+      36L * 3600000000L
+    val wmf = raw.map(_._2).max - 36L * 3600000000L
+    def day(us: Long): Long = us / dayUs * dayUs
+    val expected = raw.groupBy(r => (day(r._2), r._3))
+      .filter { case ((d, _), _) => d + dayUs <= wmf } // finalized only
+      .map { case ((d, et), rs) =>
+        val late = rs.count(r => r._1 % 4 == 0 && r._2 < c25)
+        val dropped = if (d + dayUs <= wm1) late else 0
+        (d, et) -> (rs.size.toLong - dropped, rs.size.toLong, dropped.toLong)
+      }
+    val got = rows.map(r => (r.getLong(0), r.getString(1)) ->
+      (r.getAs[Long]("n_stream"), r.getAs[Long]("n_all"),
+        r.getAs[Long]("late_dropped"))).toMap
+    assert(got == expected, s"stream_late mismatch: got ${got.size} " +
+      s"cells, expected ${expected.size}")
+    // the three regimes all occur on this corpus: some windows
+    // dropped late rows, some accepted them, and the tail is absent
+    assert(rows.exists(_.getAs[Long]("late_dropped") > 0),
+      "no window shows dropped late rows")
+    assert(expected.exists { case ((d, _), (_, _, dr)) =>
+      dr == 0 && d + dayUs > wm1 }, "no window accepted late rows")
+    val allDays = raw.map(r => day(r._2)).distinct
+    assert(allDays.exists(d => d + dayUs > wmf),
+      "no unfinalized tail window exists")
+  }
+
+  test("split_leakage_safe: every near-dup pair lands in one split " +
+      "under cluster_safe") {
+    // independent re-derivation: for every exact windowed-Jaccard
+    // pair, both endpoints' cluster-safe buckets must agree
+    val docs = Tables(spark, dir, "documents")
+    val pairs = ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, window = 20, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).collect()
+    val lab = ops.Dedup.connectedComponents(
+        ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, window = 20, threshold = 0.5)
+          .select(col("id_a"), col("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bucket(id: Long): Long = lab.getOrElse(id, id) % 10
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(bucket(a) == bucket(b),
+        s"near-dup pair ($a, $b) straddles buckets " +
+          s"(${bucket(a)}, ${bucket(b)})")
+    }
+  }
+}
