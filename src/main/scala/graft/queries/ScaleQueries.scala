@@ -535,6 +535,88 @@ object ScaleQueries {
       .orderBy(col("dims"))
   }
 
+  /** Late-interaction (MaxSim) ranking — the ColBERT scoring rule
+    * (Khattab & Zaharia, SIGIR 2020): a query is a BAG of vectors and
+    * score(q, d) = Σ_i max_j cos(q_i, d_j), so a document must match
+    * every facet of the query somewhere rather than on one pooled
+    * average. Here each 64-d embedding is read as four 16-d
+    * sub-vectors (the multi-vector layout PQ's subspaces already use)
+    * and every-20th vector queries the corpus for its MaxSim top-3.
+    *
+    * Scale shape: ONE |Q|·n candidate join computes all 16 sub-pair
+    * cosines in the scan stage (the ground-truth harness, exactly
+    * [[annTopk]]'s priced join); the 100 TB first stage is per-
+    * sub-vector ANN candidate generation (the PLAID decomposition:
+    * probe the IVF index once per query sub-vector, union candidates,
+    * exact-MaxSim re-rank only the shortlist — the `ann_ivf` +
+    * `ivfpqIndexedBatchSearch` machinery composes directly). Fully
+    * oracle-replayable: sub-slices are the same floats widened to
+    * double, the 4 maxima and their left-assoc sum are identical IEEE
+    * on both engines, ranked at 4 dp with id tie-breaks.
+    */
+  def maxsimRank(s: SparkSession, dir: String): DataFrame = {
+    val sub = 16
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = graft.ops.Dedup.spread(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("cv")))
+    def sv(c: org.apache.spark.sql.Column, i: Int) =
+      slice(c, i * sub + 1, sub)
+    val score = (0 until 4).map { i =>
+      greatest((0 until 4).map(j =>
+        cosine_sim(sv(col("qv"), i), sv(col("cv"), j))): _*)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("maxsim_r").desc, col("cid"))
+    graft.ops.Hints.chunkedBroadcastThetaJoin(corpus, queries,
+        chunkKey = col("qid"), cond = col("qid") =!= col("cid"))
+      .withColumn("maxsim_r", round(score, 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("cid"), col("maxsim_r"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Dedup-threshold TUNING CURVE — the sweep run before fixing a
+    * near-dup threshold, priced as ONE pair computation (the
+    * [[annRecallCurve]] one-search discipline applied to dedup): the
+    * exact windowed char-3-gram Jaccard pairs are computed once at
+    * the curve's LOWEST point (0.3) and pinned; every curve point
+    * t ∈ {0.3 … 0.8} is then a filter + two cell aggregates over that
+    * table — (thr_e2, n_pairs, n_docs) where n_docs counts documents
+    * involved in ≥1 pair at that threshold. Monotone nonincreasing in
+    * t BY CONSTRUCTION (pair sets nest) — pinned in the spec. The
+    * naive sweep would recompute the pair join |curve| times.
+    *
+    * The windowed-exact kernel is the oracle-checkable harness (same
+    * contract as [[ngramJaccard]]); the 100 TB candidate source is
+    * the LSH index (`dedup_minhash`), whose banding would be re-tuned
+    * per threshold — exactly why the curve is measured on the exact
+    * pair set first.
+    */
+  def dedupThresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = graft.ops.Dedup.materialize(
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, window = 20, threshold = 0.3))
+    val thrs = Seq(30, 40, 50, 60, 70, 80).toDF("thr_e2")
+    val hit = pairs.crossJoin(broadcast(thrs))
+      .filter(col("jaccard") >= col("thr_e2").cast("double") / 100.0)
+    val nPairs = hit.groupBy(col("thr_e2")).agg(count(lit(1)).as("n_pairs"))
+    val nDocs = hit
+      .select(col("thr_e2"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .groupBy(col("thr_e2")).agg(count(lit(1)).as("n_docs"))
+    thrs.join(nPairs, Seq("thr_e2"), "left")
+      .join(nDocs, Seq("thr_e2"), "left")
+      .select(col("thr_e2"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("thr_e2"))
+  }
+
   /** Simplified-silhouette cluster-quality gate (Vendramin, Campello,
     * Hruschka, "Relative clustering validity criteria", 2010 —
     * the centroid-based silhouette): per point, a = cosine distance
@@ -2222,6 +2304,8 @@ object ScaleQueries {
     "ngram_jaccard" -> (ngramJaccard _),
     "ppjoin_pairs" -> (ppjoinPairs _),
     "ann_topk" -> (annTopk _),
+    "maxsim_rank" -> (maxsimRank _),
+    "dedup_threshold_curve" -> (dedupThresholdCurve _),
     "embed_matryoshka" -> (embedMatryoshka _),
     "silhouette_gate" -> (silhouetteGate _),
     "split_leakage_safe" -> (splitLeakageSafe _),
@@ -2531,6 +2615,36 @@ object ScaleQueries {
                CAST(row_number() OVER (PARTITION BY qid
                     ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
              FROM s2)"""
+
+  /** Full [[maxsimRank]] replay: the 16 sub-pair cosines over double
+    * list slices, per-facet greatest, the left-assoc facet sum, 4-dp
+    * round, and the (score DESC, cid) top-3 window — generated so the
+    * slice bounds come from ONE place.
+    */
+  private def maxsimOracleSql: String = {
+    def cos(i: Int, j: Int): String = {
+      val (a, b) = (i * 16 + 1, (i + 1) * 16)
+      val (c, d) = (j * 16 + 1, (j + 1) * 16)
+      s"(list_dot_product(qv[$a:$b], cv[$c:$d]) " +
+        s"/ sqrt(list_dot_product(qv[$a:$b], qv[$a:$b]) " +
+        s"* list_dot_product(cv[$c:$d], cv[$c:$d])))"
+    }
+    val score = (0 until 4).map { i =>
+      s"greatest(${(0 until 4).map(j => cos(i, j)).mkString(", ")})"
+    }.mkString(" + ")
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id % 20 = 0),
+       c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings),
+       s AS (SELECT qid, cid, round($score, 4) AS maxsim_r
+             FROM q JOIN c ON qid <> cid),
+       r AS (SELECT qid, cid, maxsim_r,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY maxsim_r DESC, cid) AS INTEGER) AS rnk
+             FROM s)
+       SELECT qid, cid, maxsim_r, rnk FROM r WHERE rnk <= 3
+       ORDER BY qid, rnk"""
+  }
 
   /** [[graft.ops.Similarity.sqrtStride]] replayed in SQL: stride =
     * max(1, ⌊√n / 4⌋) from the corpus count — identical IEEE
@@ -3749,6 +3863,37 @@ object ScaleQueries {
     // maxing sim against it — every quantity the same sim_e4 integer
     // the engine collects
     "mmr_rerank" -> mmrOracleSql,
+    // the full MaxSim replay: all 16 sub-pair cosines over double
+    // slices, the four maxima and their left-assoc sum (identical
+    // IEEE on both engines), 4-dp round, id tie-breaks
+    "maxsim_rank" -> maxsimOracleSql,
+    // the one-pass threshold sweep replayed: the windowed char-3-gram
+    // Jaccard pair set once, each curve point a filter + two
+    // aggregates, zeros preserved via the left joins
+    "dedup_threshold_curve" ->
+      """WITH g AS (
+           SELECT doc_id AS id,
+                  list_distinct([substring(text, i, 3)
+                                 for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS gs
+           FROM documents),
+         p AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+                  len(list_intersect(a.gs, b.gs))::DOUBLE
+                  / len(list_distinct(list_concat(a.gs, b.gs))) AS jac
+           FROM g a JOIN g b ON b.id > a.id AND b.id <= a.id + 20),
+         thr AS (SELECT unnest([30, 40, 50, 60, 70, 80]) AS thr_e2),
+         hit AS (SELECT thr.thr_e2, p.id_a, p.id_b
+                 FROM p JOIN thr ON p.jac >= CAST(thr.thr_e2 AS DOUBLE) / 100.0),
+         np AS (SELECT thr_e2, count(*) AS n_pairs FROM hit GROUP BY 1),
+         nd AS (SELECT thr_e2, count(*) AS n_docs FROM (
+                  SELECT DISTINCT thr_e2, unnest([id_a, id_b]) AS id
+                  FROM hit) z GROUP BY 1)
+         SELECT thr.thr_e2,
+                CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+                CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+         FROM thr LEFT JOIN np USING (thr_e2)
+                  LEFT JOIN nd USING (thr_e2)
+         ORDER BY thr_e2""",
     // the matryoshka curve replayed end to end: prefix-slice sims at
     // 4 dp with id tie-breaks, per-point top-3 windows, exact-integer
     // recall — same arithmetic as ann_recall_curve

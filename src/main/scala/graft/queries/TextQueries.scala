@@ -2411,7 +2411,60 @@ object TextQueries {
       .orderBy(col("batch"))
   }
 
+  /** Deterministic CURRICULUM ordering — the training-order contract
+    * a curriculum-learning pipeline feeds the loader (Bengio et al.,
+    * ICML 2009): documents advance easiest-first (token-count decile
+    * as the difficulty proxy) while each decile INTERLEAVES sources
+    * round-robin (position-within-source), so no contiguous training
+    * window is single-source — the mixing property `mixture_sample`
+    * guarantees in expectation, enforced here as a deterministic
+    * order. Emits the SORT KEY (decile, pos, source, doc_id), not a
+    * global row number — the `zorder_key` key-not-rank discipline: a
+    * global row_number window is a single-partition sort, while
+    * writing range-partitioned on this key realizes the same order at
+    * any scale.
+    *
+    * The decile is the distributed exact-ntile: per-value counts →
+    * running offsets over |distinct ntok| cells → per-value
+    * row_number, the `length_deciles` idiom, so no corpus-sized
+    * global window anywhere. Fully oracle-replayable (ntile + window
+    * functions in DuckDB).
+    */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.ops.Dedup.materialize(
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(graft.ops.Dedup.tokens(col("text"))).cast("long").as("ntok")))
+    val vc = d.groupBy(col("ntok")).agg(count(lit(1)).as("c"))
+    val off = vc.withColumn("off",
+        sum(col("c")).over(Window.orderBy(col("ntok"))) - col("c"))
+      .select(col("ntok"), col("off"))
+    val ranked = d.withColumn("rw",
+        row_number().over(
+          Window.partitionBy(col("ntok")).orderBy(col("doc_id")))
+          .cast("long") - 1)
+      .join(broadcast(off), "ntok")
+      .withColumn("r0", col("off") + col("rw"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("decile", expr(
+        """CAST(CASE
+             WHEN r0 < (n_total % 10) * (n_total DIV 10 + 1)
+             THEN r0 DIV (n_total DIV 10 + 1)
+             ELSE (n_total % 10)
+                  + (r0 - (n_total % 10) * (n_total DIV 10 + 1))
+                    DIV (n_total DIV 10)
+           END + 1 AS BIGINT)"""))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("decile"), col("source"))
+          .orderBy(col("doc_id"))))
+      .select(col("decile"), col("pos"), col("source"), col("doc_id"),
+        col("ntok"))
+      .orderBy(col("decile"), col("pos"), col("source"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curriculum_order" -> (curriculumOrder _),
     "reservoir_sample" -> (reservoirSample _),
     "token_budget_mix" -> (tokenBudgetMix _),
     "langid_pr_curve" -> (langidPrCurve _),
@@ -3039,6 +3092,24 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // the distributed exact-ntile decile replayed as plain ntile, the
+    // per-(decile, source) interleave position, and the total key
+    // order (the length_deciles ntile-pairing precedent)
+    "curriculum_order" ->
+      """WITH d AS (SELECT doc_id, source,
+               CAST(len(list_filter(
+                 regexp_split_to_array(lower(text), '\W+'),
+                 t -> len(t) > 0)) AS BIGINT) AS ntok
+             FROM documents),
+         r AS (SELECT doc_id, source, ntok,
+                 CAST(ntile(10) OVER (ORDER BY ntok, doc_id) AS BIGINT)
+                   AS decile
+               FROM d)
+         SELECT decile,
+                CAST(row_number() OVER (PARTITION BY decile, source
+                     ORDER BY doc_id) AS INTEGER) AS pos,
+                source, doc_id, ntok
+         FROM r ORDER BY decile, pos, source, doc_id""",
     // the bounded-aggregator k-per-group sample vs the ranking-window
     // DEFINITION over the replayed hash priorities
     "reservoir_sample" -> reservoirSampleOracleSql,

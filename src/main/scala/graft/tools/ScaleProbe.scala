@@ -427,7 +427,36 @@ object ScaleProbe {
       // itself: star edges + touched pairs -> one CC pass; this is
       // the measured answer to cc_delta's 0.97 harness-cost row)
       ("cc_delta_lsh",
-        graft.queries.ScaleQueries.queries("cc_delta_lsh"), false))
+        graft.queries.ScaleQueries.queries("cc_delta_lsh"), false),
+      // r11 batch 10: the closers. embed_matryoshka is the exact
+      // ground-truth harness (brute |Q|·n join, quadratic BY DESIGN —
+      // the production first stage is the IVF family at truncated
+      // dims; probed to document the harness cost honestly, like
+      // ann_topk's). silhouette_gate: one n·√n argmax scan → cluster
+      // cells. split_leakage_safe: the cc_exact closure + one label
+      // join → strategy cells. stream_late: per-batch count cells
+      // over the 4-file stage (session-cached split, so best-of-2
+      // times the streaming run itself).
+      ("embed_matryoshka",
+        graft.queries.ScaleQueries.queries("embed_matryoshka"), false),
+      ("silhouette_gate",
+        graft.queries.ScaleQueries.queries("silhouette_gate"), false),
+      ("split_leakage_safe",
+        graft.queries.ScaleQueries.queries("split_leakage_safe"), false),
+      ("stream_late",
+        graft.queries.AdvancedQueries.queries("stream_late"), false),
+      // r11 batch 11: MaxSim (warm — the exact late-interaction
+      // harness, same priced |Q|·n join as embed_matryoshka with 16
+      // sub-cosines per pair), the one-pass dedup threshold sweep
+      // (warm — pair volume is the story, the cc_exact family), and
+      // the curriculum key (warm — value-count offsets + keyed
+      // windows; no corpus-sized global window by construction)
+      ("maxsim_rank",
+        graft.queries.ScaleQueries.queries("maxsim_rank"), false),
+      ("dedup_threshold_curve",
+        graft.queries.ScaleQueries.queries("dedup_threshold_curve"), false),
+      ("curriculum_order",
+        graft.queries.TextQueries.queries("curriculum_order"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

@@ -106,6 +106,77 @@ class Round11CloserSpec extends AnyFunSuite {
     assert(naive.getAs[Long]("n_test") == ids.count(_ % 10 == 9))
   }
 
+  test("maxsim_rank matches a brute-force late-interaction ranking") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double], o1: Int, o2: Int): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      for (i <- 0 until 16) {
+        ab += a(o1 + i) * b(o2 + i); aa += a(o1 + i) * a(o1 + i)
+        bb += b(o2 + i) * b(o2 + i)
+      }
+      ab / math.sqrt(aa * bb)
+    }
+    def maxsim(q: Array[Double], c: Array[Double]): Double =
+      math.round((0 until 4).map { i =>
+        (0 until 4).map(j => cos(q, c, i * 16, j * 16)).max
+      }.sum * 1e4) / 1e4
+    val qids = vecs.keys.filter(_ % 20 == 0).toSeq
+    val brute = qids.flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(cid => (cid, maxsim(vecs(q), vecs(cid))))
+        .sortBy { case (cid, s) => (-s, cid) }.take(3).zipWithIndex
+        .map { case ((cid, s), i) => (q, cid, s, i + 1) }
+    }.toSet
+    val got = queries.ScaleQueries.maxsimRank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got == brute,
+      s"maxsim mismatch: only-got ${(got -- brute).take(3)}, " +
+        s"only-brute ${(brute -- got).take(3)}")
+  }
+
+  test("dedup_threshold_curve: monotone, and the 0.5 point equals " +
+      "the ngram_jaccard pair count") {
+    val rows = queries.ScaleQueries.dedupThresholdCurve(spark, dir)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(30, 40, 50, 60, 70, 80))
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    assert(pairs.sliding(2).forall(p => p(0) >= p(1)),
+      s"n_pairs not nonincreasing: ${pairs.toSeq}")
+    assert(docs.sliding(2).forall(p => p(0) >= p(1)),
+      s"n_docs not nonincreasing: ${docs.toSeq}")
+    val at50 = rows.find(_.getInt(0) == 50).get.getAs[Long]("n_pairs")
+    val direct = queries.ScaleQueries.ngramJaccard(spark, dir).count()
+    assert(at50 == direct,
+      s"curve@0.5 $at50 != ngram_jaccard pair count $direct")
+  }
+
+  test("curriculum_order: balanced deciles, difficulty-ordered " +
+      "boundaries, contiguous interleave positions") {
+    val rows = queries.TextQueries.curriculumOrder(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == Tables(spark, dir, "documents").count())
+    val byDecile = rows.groupBy(_._1)
+    assert(byDecile.keySet == (1L to 10L).toSet)
+    val sizes = byDecile.values.map(_.length)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced deciles: $sizes")
+    // easiest-first: decile d's hardest doc is no harder than d+1's easiest
+    (1L to 9L).foreach { d =>
+      assert(byDecile(d).map(_._5).max <= byDecile(d + 1).map(_._5).min,
+        s"decile $d ntok boundary crosses decile ${d + 1}")
+    }
+    // round-robin positions are contiguous 1..k per (decile, source)
+    rows.groupBy(r => (r._1, r._3)).foreach { case (k, rs) =>
+      val ps = rs.map(_._2).sorted
+      assert(ps.toSeq == (1 to rs.length).toSeq, s"gap in positions at $k")
+    }
+  }
+
   test("stream_late: three watermark regimes visible and reconciled") {
     val rows = queries.AdvancedQueries.streamLate(spark, dir).collect()
     assert(rows.nonEmpty)
