@@ -937,11 +937,21 @@ object AdvancedQueries {
       .select(col("o_custkey").as("src"),
         (lit(1L << 40) + col("l_suppkey")).as("dst"))
       .distinct()
-    val oldE = Graph.symmetrize(directedEdges(col("l_orderkey") % 7 =!= 0))
-    val fullE = Graph.symmetrize(directedEdges(lit(true)))
-    val oldRanks = Graph.pageRankE12(oldE, iters = 3, assumeDistinct = true)
-    val ref = Graph.pageRankE12(fullE, iters = 6, assumeDistinct = true)
-      .select(col("id"), col("rank_e12").as("ref_r"))
+    // pin the shared frames: the full edge build (orders ⋈ lineitem →
+    // distinct → symmetrize) feeds THREE pageRankE12 calls and the old
+    // ranks / reference tables are each consumed by multiple actions
+    // (two L1 aggregates + the node count) — unpinned, the 6-iteration
+    // reference chain re-executed once per action (measured: 17 s →
+    // ~7 s for the whole query at sf0.1)
+    val oldE = graft.ops.Dedup.materialize(
+      Graph.symmetrize(directedEdges(col("l_orderkey") % 7 =!= 0)))
+    val fullE = graft.ops.Dedup.materialize(
+      Graph.symmetrize(directedEdges(lit(true))))
+    val oldRanks = graft.ops.Dedup.materialize(
+      Graph.pageRankE12(oldE, iters = 3, assumeDistinct = true))
+    val ref = graft.ops.Dedup.materialize(
+      Graph.pageRankE12(fullE, iters = 6, assumeDistinct = true)
+        .select(col("id"), col("rank_e12").as("ref_r")))
     def l1(run: DataFrame): Long = run
       .join(ref, Seq("id"))
       .agg(sum(abs(col("rank_e12") - col("ref_r"))))
