@@ -993,10 +993,17 @@ object ScaleQueries {
     * indistinguishable from rebuild, the `hll_incremental` /
     * `minhash_incremental` contract at the storage layer.
     */
-  def annIvfDelta(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val (fullPath, codebook) = fullIvfIndex(s, dir)
-    val deltaPath = memoCodebook(s"ivf-delta:${graft.Tables.versioned(dir)}") {
+  /** The incrementally-MAINTAINED persisted IVF index (base = 6/7 of
+    * the corpus under the shared codebook, then the remaining 1/7
+    * appended via the crash-consistent staging loop) — memoized per
+    * dir; shared by `ann_ivf_delta` (serves a search over it) and
+    * `ann_index_manifest` (value-checks its per-list occupancy).
+    */
+  private def maintainedIvfIndex(s: SparkSession, dir: String,
+                                 codebook: Array[(Long, Seq[Float])])
+      : String =
+    memoCodebook(s"ivf-delta:${graft.Tables.versioned(dir)}") {
+      val emb = t(s, dir, "embeddings")
       val p = java.nio.file.Files
         .createTempDirectory("graft_ivf_delta").toString
       Similarity.ivfIndexWriteWithCodebook(
@@ -1006,6 +1013,11 @@ object ScaleQueries {
         emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
       p
     }
+
+  def annIvfDelta(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (fullPath, codebook) = fullIvfIndex(s, dir)
+    val deltaPath = maintainedIvfIndex(s, dir, codebook)
     val qv = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<float>"))
       .head().getSeq[Float](0)
@@ -1020,6 +1032,34 @@ object ScaleQueries {
     served.withColumn("delta_consistent",
         lit(if (consistent) 1 else 0))
       .orderBy(col("rnk"))
+  }
+
+  /** Index-layer reconciliation MANIFEST — the `partition_manifest`
+    * family applied to the persisted ANN index: per-list row counts
+    * read from the incrementally-MAINTAINED index
+    * ([[maintainedIvfIndex]] — base build + crash-consistent delta
+    * append), value-checked by the oracle against a from-scratch
+    * assignment recompute of the whole corpus. One green row set
+    * proves the stored physical layout holds EXACTLY the corpus
+    * assignment through the build → delta lifecycle (content
+    * reconciliation, not just a served search's top-k); the
+    * occupancy distribution is also the operator a maintenance loop
+    * reads to trigger the hot-list salting escalation
+    * ([[Similarity.ivfIndexWriteWithCodebook]]'s documented knob) —
+    * list skew is invisible in search results until it is a straggler.
+    *
+    * Scale shape: one scan of the index's (partition-pruned-capable)
+    * parquet → |lists| count cells with map-side combine; the scan
+    * reads ONLY the list-id column (column pruning — no vectors
+    * deserialized).
+    */
+  def annIndexManifest(s: SparkSession, dir: String): DataFrame = {
+    val (_, codebook) = fullIvfIndex(s, dir)
+    val path = maintainedIvfIndex(s, dir, codebook)
+    s.read.parquet(path)
+      .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("centroid_id"))
   }
 
   /** The persisted IVF-PQ index + the two codebooks its searches
@@ -2304,6 +2344,7 @@ object ScaleQueries {
     "ngram_jaccard" -> (ngramJaccard _),
     "ppjoin_pairs" -> (ppjoinPairs _),
     "ann_topk" -> (annTopk _),
+    "ann_index_manifest" -> (annIndexManifest _),
     "maxsim_rank" -> (maxsimRank _),
     "dedup_threshold_curve" -> (dedupThresholdCurve _),
     "embed_matryoshka" -> (embedMatryoshka _),
@@ -3863,6 +3904,27 @@ object ScaleQueries {
     // maxing sim against it — every quantity the same sim_e4 integer
     // the engine collects
     "mmr_rerank" -> mmrOracleSql,
+    // the stored index's per-list occupancy vs a from-scratch
+    // assignment recompute (√n stride + argmax chain) — content
+    // reconciliation through the build → delta lifecycle
+    "ann_index_manifest" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+                WHERE vec_id % $sqrtStrideSql = 0
+                ORDER BY centroid_id LIMIT 16384),
+         sim AS (SELECT e.vec_id, cb.centroid_id,
+                   list_dot_product(e.v, cb.cv)
+                   / sqrt(list_dot_product(e.v, e.v)
+                          * list_dot_product(cb.cv, cb.cv)) AS s
+                 FROM e CROSS JOIN cb),
+         rk AS (SELECT vec_id, centroid_id, s,
+                  row_number() OVER (PARTITION BY vec_id
+                       ORDER BY s DESC, centroid_id) AS rn
+                FROM sim WHERE NOT isnan(s)),
+         asg AS (SELECT vec_id AS cid, centroid_id FROM rk WHERE rn = 1)
+         SELECT centroid_id, count(*) AS n_rows
+         FROM asg GROUP BY 1 ORDER BY 1""",
     // the full MaxSim replay: all 16 sub-pair cosines over double
     // slices, the four maxima and their left-assoc sum (identical
     // IEEE on both engines), 4-dp round, id tie-breaks

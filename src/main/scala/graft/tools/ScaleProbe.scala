@@ -456,7 +456,13 @@ object ScaleProbe {
       ("dedup_threshold_curve",
         graft.queries.ScaleQueries.queries("dedup_threshold_curve"), false),
       ("curriculum_order",
-        graft.queries.TextQueries.queries("curriculum_order"), false))
+        graft.queries.TextQueries.queries("curriculum_order"), false),
+      // r11 batch 12: the index-layer manifest (warm — the maintained
+      // index memoizes per dir and its BUILD is ann_ivf_delta's probe
+      // row; best-of-2 times the manifest's own cost: one list-id
+      // column scan → |lists| cells)
+      ("ann_index_manifest",
+        graft.queries.ScaleQueries.queries("ann_index_manifest"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

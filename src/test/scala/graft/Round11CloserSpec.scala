@@ -177,6 +177,31 @@ class Round11CloserSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_index_manifest reconciles with a brute-force assignment " +
+      "of the whole corpus") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val stride = ops.Similarity.sqrtStride(vecs.size.toLong)
+    val cents = vecs.keys.filter(_ % stride == 0).toSeq.sorted
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      for (i <- a.indices) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i) }
+      ab / math.sqrt(aa * bb)
+    }
+    val brute = vecs.keys.toSeq.flatMap { id =>
+      val best = cents.map(c => (c, cos(vecs(id), vecs(c))))
+        .filterNot(_._2.isNaN)
+        .sortBy { case (c, s) => (-s, c) }.headOption
+      best.map(b => b._1)
+    }.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val got = queries.ScaleQueries.annIndexManifest(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_rows")).toMap
+    assert(got == brute, s"index occupancy != assignment recompute")
+    assert(got.values.sum == vecs.size.toLong)
+  }
+
   test("stream_late: three watermark regimes visible and reconciled") {
     val rows = queries.AdvancedQueries.streamLate(spark, dir).collect()
     assert(rows.nonEmpty)
