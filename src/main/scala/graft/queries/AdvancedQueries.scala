@@ -2643,6 +2643,73 @@ object AdvancedQueries {
       .orderBy(col("day_us"), col("event_type"))
   }
 
+  /** The TWENTIETH driver-visible stream shape — streaming DATA
+    * QUALITY monitoring, the gate `dq_expectations` runs in batch
+    * made continuous: every micro-batch reduces to per-RULE
+    * (n_rows, n_fail) cells persisted to the batch-id-keyed store
+    * (the manifest/HLL durability discipline), and the live report is
+    * a sum-merge over the cell table — counts merge by ADDITION, so
+    * any arrival split lands on the same totals, which is exactly
+    * what lets the check run on the ingest path instead of as a
+    * nightly batch scan of history. Three rule kinds cover the
+    * expectation surface: null check, numeric range, domain
+    * membership; fail RATIO in exact-integer e6 (non-negative, so DIV
+    * replays).
+    *
+    * Scale shape: state per batch is |rules| cells — never rows; the
+    * merged report reads |rules × batches| cells. The oracle is the
+    * batch recompute over the full table (stream ≡ batch, the
+    * `stream_daily` contract applied to governance).
+    */
+  def streamDq(s: SparkSession, dir: String): DataFrame =
+      withStreamStatePartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.raw(s, dir, "events").schema
+    val stage = stageEventsTimeSplit(s, dir, n = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_dqstore").toString
+    val stream = graft.streaming.IncrementalStream
+      .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def ruleCells(batch: DataFrame, rule: String,
+                  fail: org.apache.spark.sql.Column): DataFrame =
+      batch.agg(count(lit(1)).as("n_rows"),
+          sum(when(fail, 1L).otherwise(0L)).as("n_fail"))
+        .select(lit(rule).as("rule"),
+          col("n_rows"), coalesce(col("n_fail"), lit(0L)).as("n_fail"))
+    val persistBatch: (DataFrame, Long) => Unit = (batch, id) => {
+      val cells = ruleCells(batch, "event_type_in_domain",
+          !col("event_type").isin("click", "view", "purchase",
+            "signup", "error"))
+        .unionByName(ruleCells(batch, "user_id_not_null",
+          col("user_id").isNull))
+        .unionByName(ruleCells(batch, "value_in_0_50",
+          col("value") < 0 || col("value") > 50))
+        .persist()
+      try {
+        if (cells.agg(sum(col("n_rows"))).head().getLong(0) > 0)
+          batches.incrementAndGet()
+        graft.ops.Manifest.writeBatchCells(cells, store, id)
+      } finally cells.unpersist()
+    }
+    val q = stream.writeStream.foreachBatch(persistBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    require(batches.get() >= 2,
+      s"stream_dq expected >=2 non-empty micro-batches, got ${batches.get()}")
+    val out = graft.ops.Dedup.materialize(
+      s.read.parquet(store)
+        .groupBy(col("rule"))
+        .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_fail")).as("n_fail"))
+        .withColumn("fail_e6", expr("n_fail * 1000000 DIV n_rows"))
+        .orderBy(col("rule")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    out
+  }
+
   /** Driver-visible Structured Streaming gate: the events table
     * replayed through a REAL streaming query (file source →
     * AvailableNow trigger → complete-mode memory sink), daily counts
@@ -3701,6 +3768,7 @@ object AdvancedQueries {
     "table_diff" -> (tableDiff _),
     "stream_daily" -> (streamDailyCounts _),
     "stream_late" -> (streamLate _),
+    "stream_dq" -> (streamDq _),
     "stream_enrich" -> (streamEnrich _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_ema" -> (streamEma _),
@@ -4812,6 +4880,27 @@ object AdvancedQueries {
       """SELECT epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS day_us,
                 event_type, count(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""",
+    // stream ≡ batch for the governance cells: each rule's totals and
+    // the e6 fail ratio recomputed over the full table
+    "stream_dq" ->
+      """WITH r AS (
+           SELECT 'event_type_in_domain' AS rule, count(*) AS n_rows,
+             sum(CASE WHEN event_type NOT IN
+                 ('click', 'view', 'purchase', 'signup', 'error')
+               THEN 1 ELSE 0 END) AS n_fail
+           FROM events
+           UNION ALL
+           SELECT 'user_id_not_null', count(*),
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+           FROM events
+           UNION ALL
+           SELECT 'value_in_0_50', count(*),
+             sum(CASE WHEN value < 0 OR value > 50 THEN 1 ELSE 0 END)
+           FROM events)
+         SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(n_fail AS BIGINT) AS n_fail,
+                CAST((n_fail * 1000000) // n_rows AS BIGINT) AS fail_e6
+         FROM r ORDER BY rule""",
     // the whole watermark policy replayed in batch SQL: the staged
     // file membership (date-truncated min+20d/+25d cuts, event_id % 4
     // held back), the late-filter watermark (max event time of the

@@ -453,18 +453,33 @@ object ScaleQueries {
     * spec; the oracle replays assignment, first-probe retention,
     * per-point ranking, and the recall arithmetic end to end.
     */
-  def annRecallCurve(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def annRecallCurve(s: SparkSession, dir: String): DataFrame =
+    recallCurveFrom(s, autotuneCandidates(s, dir),
+      exactGroundTruth(s, dir, k = 3), Seq(1, 2, 4, 8))
+
+  /** The ONE max-probe candidate table (nprobeMax = 8, first-probe
+    * rank retained) both [[annRecallCurve]] and [[annAutotune]] rank —
+    * pinned so every curve point / the served subset reads the same
+    * rows.
+    */
+  private def autotuneCandidates(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val codebook = graft.ops.Similarity.sampledCodebook(
       emb, "vec_id", "embedding", stride = 149, maxCentroids = 1 << 14)
-    // pinned: all four curve points rank the same candidate table
-    val cand = graft.ops.Dedup.materialize(
+    graft.ops.Dedup.materialize(
       graft.ops.Similarity.ivfProbeCandidates(emb, "vec_id", "embedding",
         col("vec_id") % 20 === 0, nprobeMax = 8, codebook))
-    val exact = exactGroundTruth(s, dir, k = 3)
-    val points = Seq(1, 2, 4, 8).toDF("nprobe")
-    val ranked = cand.crossJoin(broadcast(points))
+  }
+
+  /** recall@3 per probe budget over a pinned candidate table — the
+    * shared curve core of [[annRecallCurve]] and [[annAutotune]].
+    */
+  private def recallCurveFrom(s: SparkSession, cand: DataFrame,
+                              exact: DataFrame,
+                              points: Seq[Int]): DataFrame = {
+    import s.implicits._
+    val pts = points.toDF("nprobe")
+    val ranked = cand.crossJoin(broadcast(pts))
       .filter(col("first_probe") <= col("nprobe"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("nprobe"), col("qid"))
@@ -474,12 +489,42 @@ object ScaleQueries {
       .join(exact.select(col("qid"), col("cid")), Seq("qid", "cid"))
       .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
     val total = exact.agg(count(lit(1)).as("n_exact"))
-    points.join(hits, Seq("nprobe"), "left")
+    pts.join(hits, Seq("nprobe"), "left")
       .crossJoin(broadcast(total))
       .select(col("nprobe"), col("n_exact"),
         coalesce(col("hits"), lit(0L)).as("hits"))
       .withColumn("recall_e6", expr("hits * 1000000 DIV n_exact"))
       .orderBy(col("nprobe"))
+  }
+
+  /** CLOSED-LOOP probe-budget auto-tuning — the step after the curve:
+    * measure recall per budget ON THE SAME single search, PICK the
+    * smallest nprobe meeting the 80% recall target (falling back to
+    * the max budget when no point reaches it), and SERVE every query
+    * at the chosen budget — curve, pick, and serving all priced at
+    * ONE corpus assignment + one probe join, because the candidate
+    * table retains each candidate's first-probe rank and serving at
+    * nprobe = p is the `first_probe <= p` subset. This is the tuning
+    * loop an index operator otherwise runs by hand (sweep → read →
+    * redeploy); the driver row pins both the choice and the results
+    * served under it. The pick is a bounded 4-row driver read; the
+    * oracle recomputes curve, pick rule, and served ranking end to
+    * end.
+    */
+  def annAutotune(s: SparkSession, dir: String): DataFrame = {
+    val cand = autotuneCandidates(s, dir)
+    val exact = exactGroundTruth(s, dir, k = 3)
+    val curve = recallCurveFrom(s, cand, exact, Seq(1, 2, 4, 8)).collect()
+    val chosen = curve.filter(_.getAs[Long]("recall_e6") >= 800000L)
+      .map(_.getAs[Int]("nprobe")).sorted.headOption.getOrElse(8)
+    cand.filter(col("first_probe") <= chosen)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sim_r").desc, col("cid"))))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
+      .withColumn("nprobe_used", lit(chosen))
+      .orderBy(col("qid"), col("rnk"))
   }
 
   /** Matryoshka truncation-recall curve (Kusupati et al., "Matryoshka
@@ -2345,6 +2390,7 @@ object ScaleQueries {
     "ppjoin_pairs" -> (ppjoinPairs _),
     "ann_topk" -> (annTopk _),
     "ann_index_manifest" -> (annIndexManifest _),
+    "ann_autotune" -> (annAutotune _),
     "maxsim_rank" -> (maxsimRank _),
     "dedup_threshold_curve" -> (dedupThresholdCurve _),
     "embed_matryoshka" -> (embedMatryoshka _),
@@ -2519,6 +2565,40 @@ object ScaleQueries {
     * (ann_topk's shape at k=3), and the integer recall arithmetic.
     */
   private def annRecallCurveOracleSql: String =
+    annRecallCurveChainSql + """
+       SELECT pts.nprobe, CAST(tot.n_exact AS BIGINT) AS n_exact,
+              CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+              CAST((coalesce(h.hits, 0) * 1000000) // tot.n_exact
+                   AS BIGINT) AS recall_e6
+       FROM pts CROSS JOIN tot LEFT JOIN h ON pts.nprobe = h.nprobe
+       ORDER BY pts.nprobe"""
+
+  /** The curve chain + the pick rule (smallest budget reaching 80%
+    * recall, fallback max) + the served ranking at the chosen budget
+    * — [[annAutotune]]'s full replay.
+    */
+  private def annAutotuneOracleSql: String =
+    annRecallCurveChainSql + """,
+       pick AS (SELECT CAST(coalesce(min(CASE
+                    WHEN (coalesce(h.hits, 0) * 1000000) // tot.n_exact
+                         >= 800000 THEN pts.nprobe END), 8) AS INTEGER)
+                  AS np
+                FROM pts CROSS JOIN tot
+                LEFT JOIN h ON pts.nprobe = h.nprobe)
+       SELECT s2.qid, s2.cid, s2.sim_r,
+              CAST(row_number() OVER (PARTITION BY s2.qid
+                   ORDER BY s2.sim_r DESC, s2.cid) AS INTEGER) AS rnk,
+              pick.np AS nprobe_used
+       FROM s2 CROSS JOIN pick
+       WHERE s2.first_probe <= pick.np
+       QUALIFY rnk <= 3
+       ORDER BY qid, rnk"""
+
+  /** Shared CTE chain of the curve replay (through `h`): assignment,
+    * first-probe retention, per-point nested ranking, exact top-3,
+    * per-point hit counts.
+    */
+  private def annRecallCurveChainSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings),
        cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
@@ -2564,13 +2644,7 @@ object ScaleQueries {
        tot AS (SELECT count(*) AS n_exact FROM ex),
        h AS (SELECT rkd.nprobe, count(*) AS hits
              FROM rkd JOIN ex ON rkd.qid = ex.qid AND rkd.cid = ex.cid
-             WHERE rkd.rnk <= 3 GROUP BY 1)
-       SELECT pts.nprobe, CAST(tot.n_exact AS BIGINT) AS n_exact,
-              CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
-              CAST((coalesce(h.hits, 0) * 1000000) // tot.n_exact
-                   AS BIGINT) AS recall_e6
-       FROM pts CROSS JOIN tot LEFT JOIN h ON pts.nprobe = h.nprobe
-       ORDER BY pts.nprobe"""
+             WHERE rkd.rnk <= 3 GROUP BY 1)"""
 
   /** The ≥0.7 word-3-shingle all-pairs set closed recursively into
     * min-id labels — shared by `dedup_clusters` (direct build) and
@@ -4295,6 +4369,9 @@ object ScaleQueries {
     // the one-search tuning sweep replayed end to end (no gate row:
     // the curve VALUES hash-compare)
     "ann_recall_curve" -> annRecallCurveOracleSql,
+    // the curve chain + the 80%-target pick rule + the ranking served
+    // at the chosen budget — the closed tuning loop replayed
+    "ann_autotune" -> annAutotuneOracleSql,
     "ann_ivf_trained_recall" ->
       """SELECT count(*) AS n_queries,
                 CAST(75 AS INTEGER) AS recall_floor_pct,

@@ -2463,8 +2463,43 @@ object TextQueries {
       .orderBy(col("decile"), col("pos"), col("source"), col("doc_id"))
   }
 
+  /** SOURCE-FAIR quality calibration — per-source quantile
+    * normalization of the quality score before a global cut: a raw
+    * global threshold is dominated by whichever source's score
+    * distribution sits higher (a clean-but-formulaic source would
+    * crowd out a noisier-but-valuable one), so each document gets its
+    * PERCENTILE RANK WITHIN ITS SOURCE (pr_e6, exact integers) and
+    * the gate cuts on that — "top 10% of every source" instead of
+    * "top 10% of wherever the scale happens to be". Singleton
+    * sources pin to 1.0 (no distribution to rank against).
+    *
+    * Scale shape: the rank window is PARTITIONED by source —
+    * distributed by construction (per-source shuffles, never a global
+    * sort), scan-stage quality kernel, one projection out. Fully
+    * oracle-replayable (the quality chain + keyed windows + integer
+    * percentile arithmetic).
+    */
+  def qualityQuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSrc = Window.partitionBy(col("source"))
+    val base = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      TextOps.qualityScoreE4(col("text")).as("q_e4"))
+    base
+      .withColumn("rk", row_number()
+        .over(wSrc.orderBy(col("q_e4"), col("doc_id"))).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(wSrc))
+      .withColumn("pr_e6", when(col("n_src") > 1,
+        expr("((rk - 1) * 1000000) DIV (n_src - 1)"))
+        .otherwise(lit(1000000L)))
+      .withColumn("kept", (col("pr_e6") >= 900000L).cast("int"))
+      .select(col("doc_id"), col("source"), col("q_e4"), col("pr_e6"),
+        col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curriculum_order" -> (curriculumOrder _),
+    "quality_quantile_norm" -> (qualityQuantileNorm _),
     "reservoir_sample" -> (reservoirSample _),
     "token_budget_mix" -> (tokenBudgetMix _),
     "langid_pr_curve" -> (langidPrCurve _),
@@ -3092,6 +3127,44 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // the quality kernel chain + per-source rank window + the exact
+    // integer percentile and the 90% cut — the calibration replayed
+    "quality_quantile_norm" ->
+      """WITH s AS (
+           SELECT doc_id, source,
+             greatest(length(text), 1)::BIGINT AS len,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> len(x) > 0))::BIGINT AS tc,
+             greatest(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> len(x) > 0)), 1)::BIGINT AS nt,
+             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS p,
+             len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                         x -> len(x) > 0),
+                             x -> x IN ('the','a','of','and','to','in','is','it')))::BIGINT AS sw
+           FROM documents),
+         n AS (SELECT doc_id, source,
+                 4 * least(tc, 100) * len * nt
+                   + 300 * (len - p) * nt
+                   + 300 * least(sw * 5, nt) * len AS n10,
+                 1000 * len * nt AS d10
+               FROM s),
+         q AS (SELECT doc_id, source,
+                 CAST(floor((n10 * 10000)::DOUBLE / d10::DOUBLE) AS BIGINT)
+                   AS q_e4
+               FROM n),
+         r AS (SELECT doc_id, source, q_e4,
+                 CAST(row_number() OVER (PARTITION BY source
+                      ORDER BY q_e4, doc_id) AS BIGINT) AS rk,
+                 count(*) OVER (PARTITION BY source) AS n_src
+               FROM q),
+         pr AS (SELECT doc_id, source, q_e4,
+                  CAST(CASE WHEN n_src > 1
+                       THEN ((rk - 1) * 1000000) // (n_src - 1)
+                       ELSE 1000000 END AS BIGINT) AS pr_e6
+                FROM r)
+         SELECT doc_id, source, q_e4, pr_e6,
+                CAST(pr_e6 >= 900000 AS INTEGER) AS kept
+         FROM pr ORDER BY doc_id""",
     // the distributed exact-ntile decile replayed as plain ntile, the
     // per-(decile, source) interleave position, and the total key
     // order (the length_deciles ntile-pairing precedent)

@@ -462,7 +462,20 @@ object ScaleProbe {
       // row; best-of-2 times the manifest's own cost: one list-id
       // column scan → |lists| cells)
       ("ann_index_manifest",
-        graft.queries.ScaleQueries.queries("ann_index_manifest"), false))
+        graft.queries.ScaleQueries.queries("ann_index_manifest"), false),
+      // r11 batch 13: the closed tuning loop (warm — the exact ground
+      // truth memoizes per (session, dir); best-of-2 times the single
+      // max-probe search + the curve/pick/serve arithmetic over its
+      // pinned candidate table), the streamed governance cells (warm —
+      // stage split session-cached, |rules| cells per batch), and the
+      // per-source percentile calibration (warm — keyed windows, never
+      // a global sort)
+      ("ann_autotune",
+        graft.queries.ScaleQueries.queries("ann_autotune"), false),
+      ("stream_dq",
+        graft.queries.AdvancedQueries.queries("stream_dq"), false),
+      ("quality_quantile_norm",
+        graft.queries.TextQueries.queries("quality_quantile_norm"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

@@ -242,6 +242,72 @@ class Round11CloserSpec extends AnyFunSuite {
       "no unfinalized tail window exists")
   }
 
+  test("stream_dq: streamed cells equal the batch recompute") {
+    val got = queries.AdvancedQueries.streamDq(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value")).collect()
+    val n = ev.length.toLong
+    val dom = Set("click", "view", "purchase", "signup", "error")
+    val brute = Map(
+      "event_type_in_domain" ->
+        ev.count(r => !dom.contains(r.getString(2))).toLong,
+      "user_id_not_null" -> ev.count(_.isNullAt(1)).toLong,
+      "value_in_0_50" ->
+        ev.count(r => r.getDouble(3) < 0 || r.getDouble(3) > 50).toLong)
+      .map { case (k, f) => k -> (n, f, f * 1000000L / n) }
+    assert(got == brute, s"got $got\nbrute $brute")
+  }
+
+  test("ann_autotune: picks the smallest budget meeting the target " +
+      "and serves exactly that subset's ranking") {
+    val curve = queries.ScaleQueries.annRecallCurve(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getAs[Long]("recall_e6")).toMap
+    val expectChosen = Seq(1, 2, 4, 8)
+      .filter(p => curve(p) >= 800000L).headOption.getOrElse(8)
+    val served = queries.ScaleQueries.annAutotune(spark, dir).collect()
+    assert(served.nonEmpty)
+    served.foreach(r =>
+      assert(r.getAs[Int]("nprobe_used") == expectChosen,
+        s"served at ${r.getAs[Int]("nprobe_used")}, curve says " +
+          s"$expectChosen (curve $curve)"))
+    // the contract: the chosen budget meets the target unless none does
+    assert(curve(expectChosen) >= 800000L || expectChosen == 8)
+    // top-3 per query, ranks contiguous
+    served.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq ==
+        (1 to rs.length).toSeq, s"rank gap for query $q")
+      assert(rs.length <= 3)
+    }
+  }
+
+  test("quality_quantile_norm matches a brute-force per-source " +
+      "percentile rank") {
+    val rows = queries.TextQueries.qualityQuantileNorm(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    val bySrc = rows.groupBy(_._2)
+    bySrc.foreach { case (_, rs) =>
+      val n = rs.length.toLong
+      val ordered = rs.sortBy(r => (r._3, r._1)) // (q_e4, doc_id)
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val expect =
+          if (n > 1) i.toLong * 1000000L / (n - 1) else 1000000L
+        assert(r._4 == expect, s"doc ${r._1}: pr ${r._4} != $expect")
+        assert((r._5 == 1) == (expect >= 900000L))
+      }
+    }
+    // the gate is source-fair: every multi-doc source keeps some but
+    // not all of its documents
+    bySrc.filter(_._2.length > 1).foreach { case (src, rs) =>
+      val k = rs.count(_._5 == 1)
+      assert(k > 0 && k < rs.length, s"source $src keeps $k/${rs.length}")
+    }
+  }
+
   test("split_leakage_safe: every near-dup pair lands in one split " +
       "under cluster_safe") {
     // independent re-derivation: for every exact windowed-Jaccard
