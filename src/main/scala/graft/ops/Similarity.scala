@@ -308,6 +308,79 @@ object Similarity {
     touched
   }
 
+  /** FORGET rows from a persisted [[ivfIndexWrite]] index — the
+    * right-to-be-forgotten path at the index layer (the table-layer
+    * twin is the forget-user operator): the ids to delete are
+    * assigned under the SHARED codebook (scan-stage argmax — WHERE a
+    * row lives depends only on (vector, codebook), so the touched
+    * lists are knowable without scanning the index), each touched
+    * list is rewritten as existing-rows ANTI-JOIN forget-ids through
+    * the same durable-staging → idempotent-publish crash contract as
+    * [[ivfIndexAppendDelta]], and lists left EMPTY by the deletion —
+    * which dynamic partition overwrite cannot express (no staged rows
+    * ⇒ the partition is never rewritten) — have their directories
+    * deleted explicitly AFTER the publish. Cost O(|forget| + rows in
+    * touched lists); untouched lists' files never read or rewritten.
+    *
+    * Recovery: re-run until success — staging is durable, publish is
+    * idempotent, and the empty-list deletes are idempotent (deleting
+    * a missing dir is a no-op). The coarse quantizer itself retains
+    * any sampled vector VALUES it was fit on; refreshing the
+    * quantizer is a rebuild-time decision (re-keying every list), not
+    * a per-delete one — documented so the privacy boundary is
+    * explicit.
+    */
+  def ivfIndexForget(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String,
+                     codebook: Array[(Long, Seq[Float])],
+                     forget: DataFrame, idCol: String, vecCol: String,
+                     stagingDirOpt: Option[String] = None): Unit = {
+    val centsLit = typedLit(codebook.map(_._2).toSeq)
+    val idsLit = typedLit(codebook.map(_._1).toSeq)
+    val assigned = forget
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<float>").as("cv"))
+      .withColumn("centroid_id", try_element_at(
+        nearest_centroids(col("cv"), centsLit, idsLit, 1), lit(1)))
+    // bounded collects: one id per touched list (≤ |codebook|) and the
+    // forget ids themselves (|forget| is a deletion batch, small by
+    // contract — the table-layer forget op has the same shape)
+    val touched = assigned.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val forgetIds = assigned.select(col("cid")).distinct()
+      .collect().map(_.getLong(0))
+    val staging = stagingDirOpt.getOrElse(
+      indexDir.stripSuffix("/") + ".staging")
+    val survivors = spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(touched: _*))
+      .filter(!col("cid").isin(forgetIds: _*))
+    if (survivors.isEmpty) {
+      // every touched list emptied: nothing to stage or publish —
+      // the deletion IS the directory removal
+      touched.foreach { listId =>
+        deleteDir(spark,
+          indexDir.stripSuffix("/") + s"/centroid_id=$listId")
+      }
+      return
+    }
+    survivors
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(staging)
+    // lists the deletion emptied: present in `touched`, absent from
+    // the staged survivors — their partition dirs must go explicitly
+    val survivedLists = spark.read.parquet(staging)
+      .select(col("centroid_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    ivfIndexPublishStaged(spark, indexDir, staging)
+    touched.filterNot(survivedLists).foreach { listId =>
+      deleteDir(spark,
+        indexDir.stripSuffix("/") + s"/centroid_id=$listId")
+    }
+    deleteDir(spark, staging) // only after a successful publish
+  }
+
   /** Publish half of the maintenance loop: dynamic partition
     * overwrite of the staged lists into the index, reading ONLY the
     * staging dir (the index is never both read and overwritten in

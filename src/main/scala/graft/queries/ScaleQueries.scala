@@ -1079,6 +1079,42 @@ object ScaleQueries {
       .orderBy(col("rnk"))
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN propagated to the persisted ANN index
+    * ([[graft.ops.Similarity.ivfIndexForget]]) — the lifecycle stage
+    * `forget_user` covers at the table layer, completing the index's
+    * maintenance family: build (`ann_ivf_indexed`) → delta append
+    * (`ann_ivf_delta`) → FORGET → manifest (`ann_index_manifest`).
+    * A full-corpus index is built under the shared codebook, every
+    * vec_id ≡ 5 mod 13 is deleted through the durable-staging →
+    * idempotent-publish loop (touched lists rewritten as survivors,
+    * emptied lists' directories removed), and the served search must
+    * equal the IVF replay over the SURVIVING corpus — the forgotten
+    * vectors are not merely unreturned, they are gone from the
+    * stored lists (IvfIndexSpec pins content equality against a
+    * rebuild-from-survivors, including the emptied-list case on a
+    * synthetic index).
+    */
+  def annIndexForget(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (_, codebook) = fullIvfIndex(s, dir)
+    val path = memoCodebook(s"ivf-forget:${graft.Tables.versioned(dir)}") {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivf_forget").toString
+      Similarity.ivfIndexWriteWithCodebook(emb, "vec_id", "embedding",
+        p, codebook)
+      Similarity.ivfIndexForget(s, p, codebook,
+        emb.filter(col("vec_id") % 13 === 5), "vec_id", "embedding")
+      p
+    }
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<float>"))
+      .head().getSeq[Float](0)
+    Similarity.ivfIndexedSearch(s, path, codebook,
+        qid = 0L, qv = qv,
+        nprobe = Similarity.derivedNprobe(codebook.length), k = 3)
+      .orderBy(col("rnk"))
+  }
+
   /** Index-layer reconciliation MANIFEST — the `partition_manifest`
     * family applied to the persisted ANN index: per-list row counts
     * read from the incrementally-MAINTAINED index
@@ -2390,6 +2426,7 @@ object ScaleQueries {
     "ppjoin_pairs" -> (ppjoinPairs _),
     "ann_topk" -> (annTopk _),
     "ann_index_manifest" -> (annIndexManifest _),
+    "ann_index_forget" -> (annIndexForget _),
     "ann_autotune" -> (annAutotune _),
     "maxsim_rank" -> (maxsimRank _),
     "dedup_threshold_curve" -> (dedupThresholdCurve _),
@@ -4372,6 +4409,45 @@ object ScaleQueries {
     // the curve chain + the 80%-target pick rule + the ranking served
     // at the chosen budget — the closed tuning loop replayed
     "ann_autotune" -> annAutotuneOracleSql,
+    // the IVF replay with the fit-once codebook from the FULL corpus
+    // (stride from the full count — the quantizer is not refit per
+    // delete) but lists and re-rank over SURVIVORS only: the served
+    // search over the forgotten index must equal a rebuild from the
+    // surviving rows
+    "ann_index_forget" ->
+      s"""WITH eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+         e AS (SELECT * FROM eall WHERE vec_id % 13 <> 5),
+         cb AS (SELECT vec_id AS centroid_id, v AS cv FROM eall
+                WHERE vec_id % $sqrtStrideSql = 0
+                ORDER BY centroid_id LIMIT 16384),
+         sim AS (SELECT e.vec_id, cb.centroid_id,
+                   list_dot_product(e.v, cb.cv)
+                   / sqrt(list_dot_product(e.v, e.v)
+                          * list_dot_product(cb.cv, cb.cv)) AS s
+                 FROM e CROSS JOIN cb),
+         rk AS (SELECT vec_id, centroid_id, s,
+                  row_number() OVER (PARTITION BY vec_id
+                       ORDER BY s DESC, centroid_id) AS rn
+                FROM sim WHERE NOT isnan(s)),
+         asg AS (SELECT vec_id AS cid, centroid_id FROM rk WHERE rn = 1),
+         pb AS (SELECT vec_id AS qid, centroid_id FROM rk
+                WHERE rn <= $derivedNprobeSql AND vec_id = 0),
+         cand AS (SELECT pb.qid, asg.cid
+                  FROM pb JOIN asg USING (centroid_id)
+                  WHERE pb.qid <> asg.cid),
+         s2 AS (SELECT cand.qid, cand.cid,
+                  round(list_dot_product(q.v, c.v)
+                        / sqrt(list_dot_product(q.v, q.v)
+                               * list_dot_product(c.v, c.v)), 4) AS sim_r
+                FROM cand JOIN e q ON cand.qid = q.vec_id
+                          JOIN e c ON cand.cid = c.vec_id),
+         r AS (SELECT qid, cid, sim_r,
+                 CAST(row_number() OVER (PARTITION BY qid
+                      ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
+               FROM s2)
+         SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 3
+         ORDER BY qid, rnk""",
     "ann_ivf_trained_recall" ->
       """SELECT count(*) AS n_queries,
                 CAST(75 AS INTEGER) AS recall_floor_pct,

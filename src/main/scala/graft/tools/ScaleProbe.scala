@@ -475,7 +475,13 @@ object ScaleProbe {
       ("stream_dq",
         graft.queries.AdvancedQueries.queries("stream_dq"), false),
       ("quality_quantile_norm",
-        graft.queries.TextQueries.queries("quality_quantile_norm"), false))
+        graft.queries.TextQueries.queries("quality_quantile_norm"), false),
+      // r11 batch 14: index-layer forget (cold — the memo builds the
+      // full index AND runs the deletion; the forget loop's own cost
+      // — assign forget ids, rewrite touched lists, remove emptied
+      // dirs — is the story, O(|forget| + touched rows))
+      ("ann_index_forget",
+        graft.queries.ScaleQueries.queries("ann_index_forget"), true))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

@@ -272,4 +272,54 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(files(base) == preEmpty,
       "empty delta must not rewrite any SQ list")
   }
+
+  test("forget: content equals rebuild-from-survivors; untouched " +
+      "lists' files not rewritten; an emptied list's directory is " +
+      "removed; re-run is idempotent") {
+    val base = Files.createTempDirectory("ivf_fbase").toString
+    val rebuilt = Files.createTempDirectory("ivf_frebuilt").toString
+    val all = (0L until 40L)
+    val codebook = Array(0L, 1L, 2L, 3L)
+      .map(i => (i, vec((i % 4).toInt, 0.01f * (i % 3))))
+    Similarity.ivfIndexWriteWithCodebook(
+      emb(all), "vec_id", "embedding", base, codebook)
+    def files(dir: String): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    val before = files(base)
+    // forget ALL of list 2 plus half of list 1: list 2's directory
+    // must vanish, list 1 is rewritten, lists 0 and 3 untouched
+    val forgetIds = all.filter(i => i % 4 == 2 || (i % 4 == 1 && i < 20))
+    Similarity.ivfIndexForget(spark, base, codebook,
+      emb(forgetIds), "vec_id", "embedding")
+    Similarity.ivfIndexWriteWithCodebook(
+      emb(all.filterNot(forgetIds.contains)), "vec_id", "embedding",
+      rebuilt, codebook)
+    val after = files(base)
+    assert(!after.contains("centroid_id=2"),
+      "fully-forgotten list's directory must be removed")
+    for (part <- Seq("centroid_id=0", "centroid_id=3"))
+      assert(after(part) == before(part),
+        s"untouched list $part was rewritten")
+    assert(after("centroid_id=1") != before("centroid_id=1"),
+      "touched list must have been rewritten")
+    assert(content(base) == content(rebuilt),
+      "forgotten index content must equal a rebuild from survivors")
+    // no forgotten id is served, survivors still are
+    val got = Similarity.ivfIndexedSearch(spark, base, codebook,
+        qid = -1L, qv = vec(1, 0f), nprobe = 4, k = 20)
+      .select(col("cid")).collect().map(_.getLong(0)).toSet
+    assert(got.intersect(forgetIds.toSet).isEmpty,
+      s"forgotten ids served: ${got.intersect(forgetIds.toSet)}")
+    assert(got.nonEmpty)
+    // recovery contract: re-running the same forget converges (the
+    // touched lists are re-staged from already-clean survivors)
+    val once = content(base)
+    Similarity.ivfIndexForget(spark, base, codebook,
+      emb(forgetIds), "vec_id", "embedding")
+    assert(content(base) == once, "forget must be idempotent")
+    assert(!new java.io.File(base.stripSuffix("/") + ".staging").exists(),
+      "staging dir must be deleted after a successful publish")
+  }
 }
