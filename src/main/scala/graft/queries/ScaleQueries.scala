@@ -1685,6 +1685,88 @@ object ScaleQueries {
     * itself adds one small left join — labels are |non-singleton
     * nodes| rows, NOT corpus-sized.
     */
+  /** Quality-aware canonical selection — `dedup_canonical` with the
+    * survivor chosen by QUALITY instead of min-id: per near-dup
+    * component, keep the member with the highest quality score (ties
+    * by min doc_id), which is what a production dedup stage actually
+    * does — the min-id rule is an arbitrary representative; the
+    * quality rule keeps the best COPY of each duplicated text (a
+    * cleaner extraction, a less-truncated variant). Singletons keep
+    * themselves. Emits (cluster_id, keep_id, q_e4, n_members).
+    *
+    * Scale shape: the CC closure is [[exactPairLabels]] (shared with
+    * the canonical family; LSH pair source at 100 TB), the quality
+    * kernel is scan-stage, and the argmax is ONE keyed window over
+    * (cluster)-partitioned rows — no global sort.
+    */
+  def dedupCanonicalQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lab = exactPairLabels(docs)
+    val full = docs.select(col("doc_id"),
+        graft.ops.TextOps.qualityScoreE4(col("text")).as("q_e4"))
+      .join(lab, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), col("q_e4"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("q_e4").desc, col("doc_id"))
+    full
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("q_e4"), col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** SPLIT STABILITY under corpus growth — the follow-on question
+    * [[splitLeakageSafe]] raises: cluster-keyed splits are
+    * leakage-safe but the cluster LABEL (component min-id) is not
+    * stable under merges — when a delta batch bridges two components,
+    * every member of the higher-labeled one changes cluster_id, and
+    * possibly split. This operator MEASURES that churn exactly: base
+    * labels over the 6/7 corpus (the cc_delta base view), full labels
+    * over everything, and one row of accounting — how many base
+    * documents kept their bucket, how many moved, and how many moved
+    * specifically across the train/eval boundary (the churn that
+    * invalidates cached eval results). Production implication,
+    * documented not hidden: an eval set frozen against round N's
+    * splits must be re-validated after round N+1's dedup refresh —
+    * the alternative (content-hash cluster keys) trades churn for
+    * leakage when merges happen.
+    *
+    * Scale shape: two CC closures (the maintained path at scale is
+    * `cc_delta`'s star-contraction — labels are never recomputed from
+    * scratch) + one join on doc_id + 1-row cells.
+    */
+  def splitStability(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 7 =!= 0)
+    def buckets(src: DataFrame, labelOf: DataFrame): DataFrame =
+      src.select(col("doc_id"))
+        .join(labelOf, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("cluster_id"), col("doc_id")) % 10).as("sv"))
+        .withColumn("bucket", when(col("sv") < 8, lit("train"))
+          .when(col("sv") === 8, lit("val")).otherwise(lit("test")))
+        .select(col("doc_id"), col("bucket"))
+    val baseB = buckets(base, exactPairLabels(base))
+      .withColumnRenamed("bucket", "bucket_base")
+    val fullB = buckets(docs, exactPairLabels(docs))
+      .withColumnRenamed("bucket", "bucket_full")
+    baseB.join(fullB, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_base"),
+        sum(when(col("bucket_base") =!= col("bucket_full"), 1L)
+          .otherwise(0L)).as("n_moved"),
+        sum(when(col("bucket_base") === "train" &&
+            col("bucket_full") =!= "train", 1L)
+          .otherwise(0L)).as("n_train_to_eval"),
+        sum(when(col("bucket_base") =!= "train" &&
+            col("bucket_full") === "train", 1L)
+          .otherwise(0L)).as("n_eval_to_train"))
+      .withColumn("moved_e6", expr("n_moved * 1000000 DIV n_base"))
+  }
+
   def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val lab = exactPairLabels(docs)
@@ -2433,6 +2515,8 @@ object ScaleQueries {
     "embed_matryoshka" -> (embedMatryoshka _),
     "silhouette_gate" -> (silhouetteGate _),
     "split_leakage_safe" -> (splitLeakageSafe _),
+    "dedup_canonical_quality" -> (dedupCanonicalQuality _),
+    "split_stability" -> (splitStability _),
     "mmr_rerank" -> (mmrRerank _),
     "mine_pairs" -> (minePairs _),
     "ann_lsh" -> (annLsh _),
@@ -4148,6 +4232,94 @@ object ScaleQueries {
                 CAST(sum(s_e6) AS BIGINT) AS sum_s_e6,
                 min(s_e6) AS min_s_e6, max(s_e6) AS max_s_e6
          FROM sil GROUP BY 1 ORDER BY 1""",
+    // the CC closure + the quality kernel chain + the per-cluster
+    // quality argmax (ties by min id) — survivor selection replayed
+    "dedup_canonical_quality" ->
+      s"""WITH RECURSIVE $ccLabelsSql,
+         qs AS (
+           SELECT doc_id,
+             greatest(length(text), 1)::BIGINT AS len,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> len(x) > 0))::BIGINT AS tc,
+             greatest(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> len(x) > 0)), 1)::BIGINT AS nt,
+             (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS p2,
+             len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                         x -> len(x) > 0),
+                             x -> x IN ('the','a','of','and','to','in','is','it')))::BIGINT AS sw
+           FROM documents),
+         qn AS (SELECT doc_id,
+                  4 * least(tc, 100) * len * nt
+                    + 300 * (len - p2) * nt
+                    + 300 * least(sw * 5, nt) * len AS n10,
+                  1000 * len * nt AS d10
+                FROM qs),
+         q AS (SELECT doc_id,
+                 CAST(floor((n10 * 10000)::DOUBLE / d10::DOUBLE) AS BIGINT)
+                   AS q_e4
+               FROM qn),
+         fl AS (SELECT q.doc_id, q.q_e4,
+                  coalesce(l.cluster_id, q.doc_id) AS cluster_id
+                FROM q LEFT JOIN lab l ON q.doc_id = l.id),
+         rw AS (SELECT cluster_id, doc_id, q_e4,
+                  row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY q_e4 DESC, doc_id) AS rk,
+                  count(*) OVER (PARTITION BY cluster_id) AS n_members
+                FROM fl)
+         SELECT cluster_id, doc_id AS keep_id, q_e4,
+                CAST(n_members AS BIGINT) AS n_members
+         FROM rw WHERE rk = 1 ORDER BY cluster_id""",
+    // BOTH closures replayed (base view and full corpus), the bucket
+    // rule on each, and the churn accounting — split stability under
+    // the delta measured exactly
+    "split_stability" ->
+      s"""WITH RECURSIVE
+         gb AS (
+           SELECT doc_id AS id,
+                  list_distinct([substring(text, i, 3)
+                                 for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS gs
+           FROM documents WHERE doc_id % 7 <> 0),
+         pb AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM gb a JOIN gb b ON b.id > a.id AND b.id <= a.id + 20
+           WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+                 / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5),
+         eb AS (SELECT id_a AS src, id_b AS dst FROM pb
+                UNION SELECT id_b, id_a FROM pb),
+         reachb(id, r) AS (
+           SELECT src, src FROM eb
+           UNION
+           SELECT w.id, e2.dst FROM reachb w JOIN eb e2 ON w.r = e2.src),
+         labb AS (SELECT id, min(r) AS cluster_id FROM reachb GROUP BY id),
+         $ccLabelsSql,
+         bb AS (SELECT d.doc_id,
+                  CASE WHEN coalesce(lb.cluster_id, d.doc_id) % 10 < 8
+                         THEN 'train'
+                       WHEN coalesce(lb.cluster_id, d.doc_id) % 10 = 8
+                         THEN 'val' ELSE 'test' END AS bucket_base
+                FROM documents d LEFT JOIN labb lb ON d.doc_id = lb.id
+                WHERE d.doc_id % 7 <> 0),
+         bf AS (SELECT d.doc_id,
+                  CASE WHEN coalesce(l.cluster_id, d.doc_id) % 10 < 8
+                         THEN 'train'
+                       WHEN coalesce(l.cluster_id, d.doc_id) % 10 = 8
+                         THEN 'val' ELSE 'test' END AS bucket_full
+                FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+         j AS (SELECT bb.doc_id, bucket_base, bucket_full
+               FROM bb JOIN bf ON bb.doc_id = bf.doc_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_base,
+                CAST(sum(CASE WHEN bucket_base <> bucket_full
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+                CAST(sum(CASE WHEN bucket_base = 'train'
+                         AND bucket_full <> 'train'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_train_to_eval,
+                CAST(sum(CASE WHEN bucket_base <> 'train'
+                         AND bucket_full = 'train'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_to_train,
+                CAST((sum(CASE WHEN bucket_base <> bucket_full
+                      THEN 1 ELSE 0 END) * 1000000) // count(*)
+                     AS BIGINT) AS moved_e6
+         FROM j""",
     // both split strategies replayed over the shared CC closure:
     // bucket rule, per-strategy counts, and the straddling-cluster
     // count (0 for cluster_safe by construction — value-checked here)

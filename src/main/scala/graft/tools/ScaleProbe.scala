@@ -481,7 +481,17 @@ object ScaleProbe {
       // — assign forget ids, rewrite touched lists, remove emptied
       // dirs — is the story, O(|forget| + touched rows))
       ("ann_index_forget",
-        graft.queries.ScaleQueries.queries("ann_index_forget"), true))
+        graft.queries.ScaleQueries.queries("ann_index_forget"), true),
+      // r11 batch 15: quality-aware canonical selection (warm — the
+      // cc_exact closure + scan-stage quality + one keyed argmax
+      // window; should track dedup_canonical's pair-volume exponent)
+      // and split stability (warm — TWO closures + a doc_id join →
+      // 1-row cells; ~2x the single-closure cost by construction)
+      ("dedup_canonical_quality",
+        graft.queries.ScaleQueries.queries("dedup_canonical_quality"),
+        false),
+      ("split_stability",
+        graft.queries.ScaleQueries.queries("split_stability"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

@@ -308,6 +308,59 @@ class Round11CloserSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_canonical_quality: every survivor is its cluster's " +
+      "quality argmax; members total the corpus") {
+    val docs = Tables(spark, dir, "documents")
+    val lab = ops.Dedup.connectedComponents(
+        ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, window = 20, threshold = 0.5)
+          .select(col("id_a"), col("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q = queries.TextQueries.qualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = q.keys.groupBy(id => lab.getOrElse(id, id))
+    val brute = byCluster.map { case (c, ids) =>
+      val keep = ids.toSeq.sortBy(id => (-q(id), id)).head
+      c -> (keep, q(keep), ids.size.toLong)
+    }
+    val got = queries.ScaleQueries.dedupCanonicalQuality(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == brute)
+    assert(got.values.map(_._3).sum == q.size.toLong)
+  }
+
+  test("split_stability matches a brute-force double-closure replay") {
+    val docs = Tables(spark, dir, "documents")
+    def labels(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      ops.Dedup.connectedComponents(
+          ops.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+            n = 3, window = 20, threshold = 0.5)
+            .select(col("id_a"), col("id_b")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = docs.filter(col("doc_id") % 7 =!= 0)
+    val labB = labels(base)
+    val labF = labels(docs)
+    def bucket(lab: Map[Long, Long], id: Long): String = {
+      val sv = lab.getOrElse(id, id) % 10
+      if (sv < 8) "train" else if (sv == 8) "val" else "test"
+    }
+    val baseIds = base.select(col("doc_id")).collect().map(_.getLong(0))
+    val moved = baseIds.count(id => bucket(labB, id) != bucket(labF, id))
+    val t2e = baseIds.count(id =>
+      bucket(labB, id) == "train" && bucket(labF, id) != "train")
+    val e2t = baseIds.count(id =>
+      bucket(labB, id) != "train" && bucket(labF, id) == "train")
+    val r = queries.ScaleQueries.splitStability(spark, dir).head()
+    assert(r.getAs[Long]("n_base") == baseIds.length.toLong)
+    assert(r.getAs[Long]("n_moved") == moved.toLong)
+    assert(r.getAs[Long]("n_train_to_eval") == t2e.toLong)
+    assert(r.getAs[Long]("n_eval_to_train") == e2t.toLong)
+    assert(r.getAs[Long]("moved_e6") ==
+      moved.toLong * 1000000L / baseIds.length)
+  }
+
   test("split_leakage_safe: every near-dup pair lands in one split " +
       "under cluster_safe") {
     // independent re-derivation: for every exact windowed-Jaccard
