@@ -491,7 +491,14 @@ object ScaleProbe {
         graft.queries.ScaleQueries.queries("dedup_canonical_quality"),
         false),
       ("split_stability",
-        graft.queries.ScaleQueries.queries("split_stability"), false))
+        graft.queries.ScaleQueries.queries("split_stability"), false),
+      // r11 batch 16: the PLAID-style MaxSim path (warm — per-facet
+      // codebook collects + m scan-stage argmaxes on one corpus scan,
+      // equi candidate join, candidate-bounded 16-cosine re-rank,
+      // PLUS the exact maxsim_rank harness it gates against — the
+      // harness join dominates, so the exponent tracks maxsim_rank's)
+      ("maxsim_ivf",
+        graft.queries.ScaleQueries.queries("maxsim_ivf"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

@@ -138,6 +138,26 @@ class Round11CloserSpec extends AnyFunSuite {
         s"only-brute ${(brute -- got).take(3)}")
   }
 
+  test("maxsim_ivf: full coverage, floor met, and the per-facet " +
+      "candidate route finds every exact neighbor on this corpus") {
+    val exact = queries.ScaleQueries.maxsimRank(spark, dir)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = queries.ScaleQueries.maxsimIvfApprox(spark, dir)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall below the gate floor")
+    val gate = queries.ScaleQueries.maxsimIvf(spark, dir).head()
+    val nQ = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % 20 === 0).count()
+    assert(gate.getLong(0) == nQ, "gate must cover every query")
+    assert(gate.getInt(2) == 1, "floor_met must be 1")
+    // every approx hit ranks <= 3 per query (candidate-bounded re-rank
+    // preserved the top-3 contract)
+    approx.groupBy(_._1).foreach { case (_, xs) => assert(xs.size <= 3) }
+  }
+
   test("dedup_threshold_curve: monotone, and the 0.5 point equals " +
       "the ngram_jaccard pair count") {
     val rows = queries.ScaleQueries.dedupThresholdCurve(spark, dir)
