@@ -12,6 +12,10 @@ Usage:
     python3 scripts/regen_counts.py --check --allow-ahead
         # mid-round mode: tolerate docs AHEAD of the artifact (queries
         # added since the last driver round); stale counts still fail
+    python3 scripts/regen_counts.py --check --tests 330:291:27
+        # also validate README's sbt-test claim ("N checks (M ScalaTest
+        # tests ...), K suites") against the numbers from the actual
+        # run — the r10 ADVICE drift class the query check can't see
 
 The canonical numbers come from one place — the driver's correctness
 artifact — and --check greps the three count-bearing docs for
@@ -99,6 +103,41 @@ def main():
     if ahead and "--allow-ahead" not in sys.argv:
         print("\nAHEAD claims fail without --allow-ahead")
         sys.exit(1)
+    # --tests checks:tests:suites — validate the sbt-test count claim
+    # (README) against the actual run's numbers; hand-synced test
+    # counts drifted twice (r10 ADVICE), and the query check above
+    # cannot see them
+    if "--tests" in sys.argv:
+        want = sys.argv[sys.argv.index("--tests") + 1]
+        checks, tests, suites = (int(x) for x in want.split(":"))
+        tpat = re.compile(
+            r"(\d+) checks \((\d+) ScalaTest tests")
+        spat = re.compile(r"(\d+) suites")
+        bad = []
+        p = os.path.join(REPO, "README.md")
+        for i, line in enumerate(open(p), 1):
+            m = tpat.search(line)
+            if m and (int(m.group(1)), int(m.group(2))) != (checks, tests):
+                bad.append(f"README.md:{i}: claims {m.group(1)} checks / "
+                           f"{m.group(2)} tests, run says {checks}/{tests}")
+            ms = spat.search(line)
+            if ms and tpat.search(line) is None and "suites" in line \
+                    and "incl." in line and int(ms.group(1)) != suites:
+                bad.append(f"README.md:{i}: claims {ms.group(1)} suites, "
+                           f"run says {suites}")
+        # the suites count rides the line after the checks line — scan
+        # a window instead of relying on same-line placement
+        text = open(p).read()
+        for m in re.finditer(r"checks \(\d+ ScalaTest tests[^.]*?(\d+) suites",
+                             text, re.S):
+            if int(m.group(1)) != suites:
+                bad.append(f"README.md: claims {m.group(1)} suites, "
+                           f"run says {suites}")
+        if bad:
+            print("\nSTALE TEST-COUNT CLAIMS:")
+            print("\n".join(bad))
+            sys.exit(1)
+        print("test-count claims agree with the run")
     if not ahead:
         print("\ndocs agree with the artifact")
 
