@@ -525,6 +525,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map("click" -> 3L, "view" -> 2L), s"got: $got")
   }
 
+  test("checkpoint recovery: the WATERMARK reloads across an " +
+      "incarnation rebuild — a late row arriving after restart is " +
+      "dropped against the reloaded value, not a reset one") {
+    val tmp = Files.createTempDirectory("graft-ckpt-wm").toFile
+    val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+    val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+    val out = new java.io.File(tmp, "out").getAbsolutePath
+    def ts(dayMin: Long) =
+      new java.sql.Timestamp(86400000L + dayMin * 60000L)
+    import spark.implicits._
+    def writeFile(rows: Seq[(String, java.sql.Timestamp)]): Unit = {
+      rows.toDF("event_type", "ts").coalesce(1).write.mode("append")
+        .parquet(inDir.getAbsolutePath)
+      Thread.sleep(20) // distinct mtimes for the per-file trigger order
+    }
+    def buildQuery() = {
+      val schema = spark.read.parquet(inDir.getAbsolutePath).schema
+      IncrementalStream
+        .dailyCounts(IncrementalStream.readAppendStream(
+          spark, inDir.getAbsolutePath, schema,
+          maxFilesPerTrigger = Some(1)), "ts", "event_type",
+          watermark = "1 hour")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    // incarnation 1, two real micro-batches: day-1 clicks, then a
+    // day-5 row that advances the committed watermark to day5 − 1h —
+    // day 1 is NOT yet evicted (eviction in batch 2 used batch 2's
+    // watermark, computed from batch 1's max = mid-day-1)
+    writeFile(Seq(("click", ts(0)), ("click", ts(3))))
+    writeFile(Seq(("driver", ts(4 * 1440L))))
+    val q1 = buildQuery(); q1.processAllAvailable(); q1.stop()
+    // incarnation 2: ONE late day-1 click arrives. The late filter in
+    // the restart's first batch must use the RELOADED day5−1h
+    // watermark (drop the row), and eviction then emits day 1 with
+    // the pre-crash count 2. A watermark reset to epoch would either
+    // merge the late row (click=3) or evict nothing (no rows at all).
+    writeFile(Seq(("click", ts(7))))
+    val q2 = buildQuery(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out)
+      .select("event_type", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("click" -> 2L),
+      s"expected the late row dropped against the reloaded watermark " +
+        s"and day 1 emitted at its pre-crash count; got $got")
+  }
+
   test("checkpoint recovery: the EMA's NUMERIC state (rn, ema) reloads " +
       "across an incarnation rebuild — the post-restart step continues " +
       "the recurrence instead of restarting it") {
