@@ -1452,6 +1452,45 @@ object ScaleQueries {
       .orderBy(col("rnk"))
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN on the persisted IVF-SQ CODE index —
+    * [[annIndexForget]]'s twin on the code-table layout, and the one
+    * whose forgotten lifecycle replays FULLY (no trained state):
+    * [[graft.ops.Similarity.ivfIndexForget]] is layout-agnostic (it
+    * assigns the forget VECTORS under the shared quantizer and
+    * anti-joins the touched lists by cid, carrying whatever columns
+    * the list rows hold — here the SQ8 codes), so the same
+    * durable-staging → idempotent-publish → emptied-dir-removal loop
+    * deletes code rows. The served ADC + re-rank search must equal
+    * the full SQ replay over SURVIVORS under fit-once stats and
+    * quantizer (stats are NOT refit per delete — re-coding every
+    * stored row per deletion would be the rebuild this op exists to
+    * avoid; the privacy boundary note on [[annIndexForget]] applies).
+    */
+  def annIvfsqForget(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (_, coarse, (mns, mxs)) = fullIvfsqIndex(s, dir)
+    val path =
+      memoCodebook(s"ivfsq-forget:${graft.Tables.versioned(dir)}") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_ivfsq_forget").toString
+        Similarity.ivfsqIndexWrite(emb, "vec_id", "embedding",
+          p, coarse, mns, mxs)
+        Similarity.ivfIndexForget(s, p, coarse,
+          emb.filter(col("vec_id") % 13 === 5), "vec_id", "embedding")
+        p
+      }
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<float>"))
+      .head().getSeq[Float](0)
+    Similarity.ivfsqIndexedSearch(s, path, coarse, mns, mxs,
+        emb.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<float>").as("cv")),
+        qid = 0L, qv = qv,
+        nprobe = Similarity.derivedNprobe(coarse.length), k = 3,
+        rerank = 32)
+      .orderBy(col("rnk"))
+  }
+
   /** BATCH (query-fleet) search over the persisted IVF-SQ code index
     * ([[Similarity.ivfsqIndexedBatchSearch]]): every 20th vector
     * served in ONE plan against the stored (cid, SQ8 code) lists —
@@ -2625,6 +2664,7 @@ object ScaleQueries {
     "ann_ivfpq_batch" -> (annIvfpqBatch _),
     "ann_sq_topk" -> (annSqTopk _),
     "ann_ivfsq_indexed" -> (annIvfsqIndexed _),
+    "ann_ivfsq_forget" -> (annIvfsqForget _),
     "ann_ivfsq_delta" -> (annIvfsqDelta _),
     "ann_ivfsq_batch" -> (annIvfsqBatch _),
     "ann_sq_recall" -> (annSqRecall _),
@@ -3320,7 +3360,8 @@ object ScaleQueries {
     * top-3 for the one served query.
     */
   private def annIvfsqIndexedOracleSql(extraCols: String = "",
-                                       queryPred: String = "vec_id = 0")
+                                       queryPred: String = "vec_id = 0",
+                                       corpusWhere: String = "TRUE")
       : String = {
     val dim = 64
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -3347,7 +3388,8 @@ object ScaleQueries {
                 row_number() OVER (PARTITION BY vec_id
                      ORDER BY s DESC, centroid_id) AS rn
               FROM sim WHERE NOT isnan(s)),
-       asg AS (SELECT vec_id AS cid, centroid_id FROM rk WHERE rn = 1),
+       asg AS (SELECT vec_id AS cid, centroid_id FROM rk
+               WHERE rn = 1 AND ($corpusWhere)),
        pb AS (SELECT vec_id AS qid, centroid_id FROM rk
               WHERE rn <= $derivedNprobeSql AND ($queryPred)),
        cand AS (SELECT pb.qid, asg.cid
@@ -3851,6 +3893,11 @@ object ScaleQueries {
     // the fully-replayable persisted index: stats, codes, √n list
     // assignment, ADC, and re-rank ALL recomputed — no trained state
     "ann_ivfsq_indexed" -> annIvfsqIndexedOracleSql(),
+    // the full SQ lifecycle replay over SURVIVORS under fit-once
+    // stats/quantizer — the forgotten code index must serve exactly
+    // the rebuild-from-survivors answer
+    "ann_ivfsq_forget" -> annIvfsqIndexedOracleSql(
+      corpusWhere = "vec_id % 13 <> 5"),
     "ann_ivfsq_delta" -> annIvfsqIndexedOracleSql(
       extraCols = ", CAST(1 AS INTEGER) AS delta_consistent"),
     // the batch fleet mode on the fully-replayable index: the whole

@@ -498,7 +498,12 @@ object ScaleProbe {
       // PLUS the exact maxsim_rank harness it gates against — the
       // harness join dominates, so the exponent tracks maxsim_rank's)
       ("maxsim_ivf",
-        graft.queries.ScaleQueries.queries("maxsim_ivf"), false))
+        graft.queries.ScaleQueries.queries("maxsim_ivf"), false),
+      // r11 batch 17: forget on the SQ code index (cold — the memo
+      // builds the full code index and runs the deletion; the loop is
+      // ann_index_forget's, on code rows)
+      ("ann_ivfsq_forget",
+        graft.queries.ScaleQueries.queries("ann_ivfsq_forget"), true))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

@@ -197,6 +197,18 @@ class Round11CloserSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_ivfsq_forget: the forgotten code index serves no " +
+      "forgotten id and still answers") {
+    val rows = queries.ScaleQueries.annIvfsqForget(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) % 13 != 5,
+        s"forgotten id ${r.getLong(1)} served from the code index")
+    }
+    assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq ==
+      (1 to rows.length).toSeq)
+  }
+
   test("ann_index_manifest reconciles with a brute-force assignment " +
       "of the whole corpus") {
     val vecs = Tables(spark, dir, "embeddings")
