@@ -1716,6 +1716,41 @@ object TextQueries {
         col("right").as("r"), col("n"))
   }
 
+  /** TOKENIZER STABILITY across a corpus refresh — the question a
+    * data-refresh cycle must answer before shipping: do the learned
+    * merges move when the corpus grows? A tokenizer retrained on the
+    * refreshed corpus that diverges at merge rank k re-tokenizes
+    * every document differently from rank k on — embeddings, packed
+    * sequences, and token budgets computed under the old tokenizer
+    * are silently invalidated (the vocabulary twin of
+    * `split_stability`'s label-churn problem). Trains on the BASE
+    * view (6/7 of documents, the cc_delta convention) and the full
+    * corpus, aligns the merge tables rank by rank, and emits the
+    * per-rank agreement — the first `agree = 0` row is the
+    * invalidation horizon. Both trainings are the fit-once memoized
+    * [[graft.ops.Bpe.train]] (word-dict collapse, one pair-count
+    * aggregate + 1-row argmax per merge); the oracle unrolls BOTH
+    * chains in one WITH under distinct CTE prefixes.
+    */
+  def bpeDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = bpeMergeCache.computeIfAbsent(
+      (graft.Tables.versioned(dir) + ":base", BpeMerges), _ =>
+        Bpe.train(Bpe.wordDict(
+          t(s, dir, "documents").filter(col("doc_id") % 7 =!= 0),
+          "text"), BpeMerges))
+    val full = trainedMerges(s, dir)
+    (1 to BpeMerges).map { i =>
+      val b = base.lift(i - 1)
+      val f = full.lift(i - 1)
+      (i, b.map(_.left).getOrElse(""), b.map(_.right).getOrElse(""),
+        f.map(_.left).getOrElse(""), f.map(_.right).getOrElse(""),
+        if (b.map(m => (m.left, m.right)) == f.map(m => (m.left, m.right)))
+          1 else 0)
+    }.toDF("merge_rank", "base_l", "base_r", "full_l", "full_r", "agree")
+      .orderBy(col("merge_rank"))
+  }
+
   /** BPE tokenizer application (Bpe.encodeTokenCounts): train the
     * same [[BpeMerges]] merges, then encode every document with them —
     * per-doc word and token counts, all scan-stage (the merge list is
@@ -1806,25 +1841,54 @@ object TextQueries {
     * `m_i` and (via the cross join) every later level, exactly
     * mirroring the engine's early stop.
     */
-  private def bpeTrainCtes(nMerges: Int): String = {
+  /** `docWhere` restricts the training corpus (the drift oracle
+    * trains on the base view); `cp` prefixes every CTE name so two
+    * chains can coexist in one WITH (the `bpe_drift` replay).
+    */
+  private def bpeTrainCtes(nMerges: Int, docWhere: String = "TRUE",
+                           cp: String = ""): String = {
     val levels = (1 to nMerges).map { i =>
-      s"""p$i AS (
+      s"""${cp}p$i AS (
            SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT) AS n
            FROM (SELECT freq,
                         unnest([[s[j], s[j + 1]] for j in range(1, len(s))]) AS p
-                 FROM (SELECT string_split(sym, ' ') AS s, freq FROM d${i - 1}))
+                 FROM (SELECT string_split(sym, ' ') AS s, freq FROM ${cp}d${i - 1}))
            GROUP BY 1, 2),
-         m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-         d$i AS (SELECT $bpeApplied AS sym, freq FROM d${i - 1}, m$i AS m)"""
+         ${cp}m$i AS (SELECT l, r, n FROM ${cp}p$i ORDER BY n DESC, l, r LIMIT 1),
+         ${cp}d$i AS (SELECT $bpeApplied AS sym, freq FROM ${cp}d${i - 1}, ${cp}m$i AS m)"""
     }.mkString(",\n")
-    s"""w0 AS (
+    s"""${cp}w0 AS (
          SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
-         FROM documents),
-       d0 AS (
+         FROM documents WHERE ($docWhere)),
+       ${cp}d0 AS (
          SELECT array_to_string(string_split(w, ''), ' ') AS sym,
                 CAST(count(*) AS BIGINT) AS freq
-         FROM w0 WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+         FROM ${cp}w0 WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
        $levels"""
+  }
+
+  /** Drift replay: BOTH training chains (base view, full corpus)
+    * unrolled in one WITH under distinct CTE prefixes, ranks aligned
+    * with early-stop-tolerant left joins, the agree flag recomputed.
+    */
+  private def bpeDriftOracle(nMerges: Int): String = {
+    val bRanks = (1 to nMerges)
+      .map(i => s"SELECT $i AS i, l, r FROM bm$i").mkString(" UNION ALL ")
+    val fRanks = (1 to nMerges)
+      .map(i => s"SELECT $i AS i, l, r FROM fm$i").mkString(" UNION ALL ")
+    s"""WITH ${bpeTrainCtes(nMerges, "doc_id % 7 <> 0", "b")},
+       ${bpeTrainCtes(nMerges, "TRUE", "f")},
+       br AS ($bRanks), fr AS ($fRanks),
+       rk AS (SELECT unnest(range(1, ${nMerges + 1})) AS i)
+       SELECT CAST(rk.i AS INTEGER) AS merge_rank,
+              coalesce(br.l, '') AS base_l, coalesce(br.r, '') AS base_r,
+              coalesce(fr.l, '') AS full_l, coalesce(fr.r, '') AS full_r,
+              CAST(CASE WHEN coalesce(br.l, '') = coalesce(fr.l, '')
+                         AND coalesce(br.r, '') = coalesce(fr.r, '')
+                   THEN 1 ELSE 0 END AS INTEGER) AS agree
+       FROM rk LEFT JOIN br ON rk.i = br.i
+               LEFT JOIN fr ON rk.i = fr.i
+       ORDER BY merge_rank"""
   }
 
   /** DuckDB replay of Bpe.train as one unrolled CTE chain (see
@@ -2515,6 +2579,7 @@ object TextQueries {
     "quality_classify" -> (qualityClassify _),
     "stream_classify" -> (streamClassify _),
     "bpe_merges" -> (bpeMerges _),
+    "bpe_drift" -> (bpeDrift _),
     "bpe_encode" -> (bpeEncode _),
     "bpe_roundtrip" -> (bpeRoundtrip _),
     "text_stats" -> (textStats _),
@@ -3266,6 +3331,8 @@ object TextQueries {
            WHERE i <= CASE WHEN nk >= 4 THEN nk - 3 ELSE 1 END)
          SELECT id, fp FROM fps ORDER BY id, fp""",
     "bpe_merges" -> bpeOracle(BpeMerges),
+    // both chains unrolled; per-rank agreement is the value checked
+    "bpe_drift" -> bpeDriftOracle(BpeMerges),
     "bpe_encode" -> bpeEncodeOracle(BpeMerges),
     "bpe_fertility" -> bpeFertilityOracle(BpeMerges),
     // what losslessness REQUIRES: every word decodes back, with the

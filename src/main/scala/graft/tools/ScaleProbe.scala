@@ -503,7 +503,12 @@ object ScaleProbe {
       // builds the full code index and runs the deletion; the loop is
       // ann_index_forget's, on code rows)
       ("ann_ivfsq_forget",
-        graft.queries.ScaleQueries.queries("ann_ivfsq_forget"), true))
+        graft.queries.ScaleQueries.queries("ann_ivfsq_forget"), true),
+      // r11 batch 18: tokenizer drift (cold — BOTH trainings memoize
+      // per dir; the word-dict collapse + per-merge pair aggregates
+      // ARE the cost story, 2× bpe_merges' by construction)
+      ("bpe_drift",
+        graft.queries.TextQueries.queries("bpe_drift"), true))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

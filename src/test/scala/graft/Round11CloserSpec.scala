@@ -340,6 +340,43 @@ class Round11CloserSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_drift: agree flags match the emitted pairs; each side's " +
+      "rank-1 merge is the brute-force most-frequent char pair") {
+    val rows = queries.TextQueries.bpeDrift(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getInt(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to rows.length).toSeq)
+    rows.foreach { case (rk, bl, br, fl, fr, agree) =>
+      assert((agree == 1) == (bl == fl && br == fr),
+        s"rank $rk: agree flag inconsistent with the emitted pairs")
+    }
+    def topPair(pred: Long => Boolean): (String, String) = {
+      val words = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .filter(r => pred(r.getLong(0)))
+        .flatMap(_.getString(1).toLowerCase.split("\\s+"))
+        .filter(_.matches("^[a-z]+$"))
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      words.foreach { w =>
+        w.sliding(2).foreach { p =>
+          if (p.length == 2) {
+            val k = (p(0).toString, p(1).toString)
+            counts(k) = counts.getOrElse(k, 0L) + 1
+          }
+        }
+      }
+      counts.toSeq.sortBy { case ((l, r), n) => (-n, l, r) }.head._1
+    }
+    val (bl1, br1) = topPair(_ % 7 != 0)
+    val (fl1, fr1) = topPair(_ => true)
+    assert((rows.head._2, rows.head._3) == ((bl1, br1)),
+      s"base rank-1 ${(rows.head._2, rows.head._3)} != brute ${(bl1, br1)}")
+    assert((rows.head._4, rows.head._5) == ((fl1, fr1)),
+      s"full rank-1 ${(rows.head._4, rows.head._5)} != brute ${(fl1, fr1)}")
+  }
+
   test("dedup_canonical_quality: every survivor is its cluster's " +
       "quality argmax; members total the corpus") {
     val docs = Tables(spark, dir, "documents")
