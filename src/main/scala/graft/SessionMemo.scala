@@ -32,6 +32,17 @@ object SessionMemo {
       }
       m
     }
-    inner.computeIfAbsent(key, _ => f)
+    // NOT computeIfAbsent: memo blocks nest (the maintained-label memo
+    // computes the base-label memo, which computes the pair memo), and
+    // a nested computeIfAbsent whose key hashes to the same bin throws
+    // "Recursive update" — the codebookCache lesson. The two-step is
+    // reentrant; a concurrent duplicate compute is benign because every
+    // memoized frame is deterministic (and pinned via localCheckpoint
+    // by its producer where identity matters).
+    val cached = inner.get(key)
+    if (cached != null) return cached
+    val v = f
+    val prev = inner.putIfAbsent(key, v)
+    if (prev != null) prev else v
   }
 }

@@ -100,6 +100,21 @@ object Similarity {
     */
   def derivedNprobe(nlist: Int): Int = math.max(7, nlist / 8)
 
+  /** Probe budget for a corpus with NO usable cluster structure —
+    * the honest knob the recall measurements force on the synthetic
+    * test embeddings (uniform-on-sphere gaussians, TESTDATA.md):
+    * measured top-3 recall at sf0.1 under the √n-stride quantizer
+    * tracks raw list-COVERAGE almost linearly (nlist/8 → 0.64,
+    * nlist/4 → 0.81, nlist/3 → 0.88, nlist/2 → 0.96 on the MaxSim
+    * facet route), because unclustered neighbors spread uniformly
+    * across lists — no budget below a large constant fraction can
+    * recall them. Half the lists is the smallest measured budget
+    * clearing a 0.9 target. On a REAL clustered corpus (the case IVF
+    * exists for) [[derivedNprobe]]'s constant-eighth is the budget;
+    * callers pick by what their recall gate measures.
+    */
+  def halfNprobe(nlist: Int): Int = math.max(7, (nlist + 1) / 2)
+
   /** [[ivfTopK]] with the coarse quantizer supplied by the caller —
     * the production shape, where the codebook comes from a TRAINED
     * k-means (Faiss-style IVF) rather than a data sample. Same
@@ -226,6 +241,29 @@ object Similarity {
       .parquet(indexDir)
   }
 
+  /** DERIVE a persisted index from an EXISTING one by restricting its
+    * stored rows — the cheap way to stand up a second index instance
+    * over the same corpus (a forget/delta test bed, a tenant subset,
+    * a staging copy): list membership depends only on (vector,
+    * codebook), so filtering the stored rows of an index produces
+    * bit-identical content to re-encoding + re-assigning the same
+    * subset from raw vectors, WITHOUT paying the assignment argmax
+    * (O(n·nlist·d)) or any encode again. One pass over the stored
+    * rows (codes or vectors — layout-agnostic: whatever columns the
+    * list rows hold are carried), repartitioned by list id so the
+    * derived index keeps the one-file-per-list layout. At 100 TB this
+    * is the difference between a parquet filter-copy and a full
+    * index rebuild.
+    */
+  def ivfIndexDerive(spark: org.apache.spark.sql.SparkSession,
+                     srcDir: String, dstDir: String,
+                     keep: Column): Unit =
+    spark.read.parquet(srcDir)
+      .filter(keep)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(dstDir)
+
   /** APPEND a delta batch to a persisted [[ivfIndexWrite]] index and
     * COMPACT the touched lists in one motion — the maintenance loop a
     * serving tier runs nightly instead of rebuilding from history
@@ -342,19 +380,23 @@ object Similarity {
         col(vecCol).cast("array<float>").as("cv"))
       .withColumn("centroid_id", try_element_at(
         nearest_centroids(col("cv"), centsLit, idsLit, 1), lit(1)))
-    // bounded collects: one id per touched list (≤ |codebook|) and the
-    // forget ids themselves (|forget| is a deletion batch, small by
-    // contract — the table-layer forget op has the same shape)
+      // a zero-norm forget vector yields NaN cosines everywhere →
+      // null centroid_id; such a vector was never written to any list
+      // (the write path applies the same skip), so it touches nothing
+      .filter(col("centroid_id").isNotNull && col("cid").isNotNull)
+    // the ONLY driver collect: one id per touched list, ≤ |codebook|
+    // by design. The forget ids themselves stay distributed — the
+    // batch is corpus-proportional in the worst case, so an inlined
+    // In-list would be a driver-memory / expression-size hazard.
     val touched = assigned.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0))
     if (touched.isEmpty) return
-    val forgetIds = assigned.select(col("cid")).distinct()
-      .collect().map(_.getLong(0))
     val staging = stagingDirOpt.getOrElse(
       indexDir.stripSuffix("/") + ".staging")
     val survivors = spark.read.parquet(indexDir)
       .filter(col("centroid_id").isin(touched: _*))
-      .filter(!col("cid").isin(forgetIds: _*))
+      .join(broadcast(assigned.select(col("cid"))),
+        Seq("cid"), "left_anti")
     if (survivors.isEmpty) {
       // every touched list emptied: nothing to stage or publish —
       // the deletion IS the directory removal

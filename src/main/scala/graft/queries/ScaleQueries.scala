@@ -179,6 +179,30 @@ object ScaleQueries {
         gram = Dedup.shingleStrings(_, 5))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** The PRODUCTION rung of the set-similarity ladder — MinHash-LSH
+    * candidate generation in front of exact verification, on the SAME
+    * contract as [[ppjoinPairs]] (word-5-shingle Jaccard ≥ 1/2 over
+    * the whole corpus): banding tuned for the 0.5 operating point
+    * (64 bands × 2 rows — P[candidate | J=0.5] = 1 − (1 − 0.25)⁶⁴ ≈
+    * 1 − 10⁻⁸, the s-curve placement PPJoin's prefix lemma never
+    * needs but an LSH index must get right), candidates verified by
+    * the exact sorted-set merge. This is the "MinHash when wide
+    * shingles fail" escalation `ppjoin_pairs`' adjudication names:
+    * prefix filtering prunes by df-rank and degenerates when the
+    * element space saturates (measured exponent 1.94 at shingle
+    * width 3); banded LSH prunes by signature collision and is
+    * immune to element-df skew — bucket caps + salting are its
+    * escalations instead. The oracle is the EXACT all-pairs ≥ 1/2
+    * replay, so the LSH route's completeness at the operating point
+    * is value-checked, not assumed (the dedup_minhash discipline at
+    * threshold 1/2).
+    */
+  def ppjoinLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 5, bands = 64, rowsPerBand = 2, threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Brute-force cosine top-5 per query vector (every 20th vector is a
     * query). The corpus is scanned with the query side broadcast in
     * BOUNDED chunks ([[graft.ops.Hints.chunkedBroadcastThetaJoin]]):
@@ -548,36 +572,97 @@ object ScaleQueries {
     * tie-breaks, recall in exact-integer arithmetic.
     */
   def embedMatryoshka(s: SparkSession, dir: String): DataFrame = {
-    val dims = Seq(16, 32, 64)
-    val emb = t(s, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val corpus = graft.ops.Dedup.spread(
-      emb.select(col("vec_id").as("cid"), col("embedding").as("cv")))
-    val joined = graft.ops.Hints.chunkedBroadcastThetaJoin(corpus, queries,
-      chunkKey = col("qid"), cond = col("qid") =!= col("cid"))
-    // pinned: every curve point ranks the same candidate table
-    val cand = graft.ops.Dedup.materialize(
-      dims.foldLeft(joined) { (df, d) =>
-        df.withColumn(s"sim_$d",
-          round(cosine_sim(slice(col("qv"), 1, d), slice(col("cv"), 1, d)), 4))
-      }.select(col("qid") +: col("cid") +: dims.map(d => col(s"sim_$d")): _*))
-    def top3(d: Int): DataFrame =
-      cand.withColumn("rnk", row_number().over(
-          Window.partitionBy(col("qid"))
-            .orderBy(col(s"sim_$d").desc, col("cid"))))
-        .filter(col("rnk") <= 3)
-        .select(col("qid"), col("cid"))
-    val exact = graft.ops.Dedup.materialize(top3(dims.max))
+    val dims = mrlDims
+    val cand = matryoshkaCand(s, dir)
+    val exact = graft.ops.Dedup.materialize(
+      matryoshkaTop3(cand, dims.max))
     val total = exact.agg(count(lit(1)).as("n_exact"))
     dims.map { d =>
-      top3(d).join(exact, Seq("qid", "cid"))
+      matryoshkaTop3(cand, d).join(exact, Seq("qid", "cid"))
         .agg(count(lit(1)).as("hits"))
         .crossJoin(broadcast(total))
         .select(lit(d).as("dims"), col("n_exact"), col("hits"))
     }.reduce(_ unionByName _)
       .withColumn("recall_e6", expr("hits * 1000000 DIV n_exact"))
       .orderBy(col("dims"))
+  }
+
+  private val mrlDims = Seq(16, 32, 64)
+
+  /** The pinned matryoshka candidate table — ONE |Q|·n brute join
+    * computing every curve point's prefix similarity per pair —
+    * memoized per (session, dir) because it is BOTH the curve's data
+    * ([[embedMatryoshka]]) and the exact-prefix ground truth the
+    * truncated-dims IVF serving path gates against ([[annIvfMrl]]):
+    * the exact harness is priced once, not once per consumer.
+    */
+  private def matryoshkaCand(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.getOrCompute(s,
+      s"mrl-cand:${graft.Tables.versioned(dir)}", {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val corpus = graft.ops.Dedup.spread(
+          emb.select(col("vec_id").as("cid"), col("embedding").as("cv")))
+        val joined = graft.ops.Hints.chunkedBroadcastThetaJoin(
+          corpus, queries,
+          chunkKey = col("qid"), cond = col("qid") =!= col("cid"))
+        graft.ops.Dedup.materialize(
+          mrlDims.foldLeft(joined) { (df, d) =>
+            df.withColumn(s"sim_$d",
+              round(cosine_sim(slice(col("qv"), 1, d),
+                slice(col("cv"), 1, d)), 4))
+          }.select(col("qid") +: col("cid") +:
+            mrlDims.map(d => col(s"sim_$d")): _*))
+      })
+
+  /** Exact prefix-similarity top-3 at truncation `d` over the pinned
+    * candidate table — the per-curve-point ranking shared by the
+    * curve and the [[annIvfMrl]] gate.
+    */
+  private def matryoshkaTop3(cand: DataFrame, d: Int): DataFrame =
+    cand.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col(s"sim_$d").desc, col("cid"))))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("cid"))
+
+  /** The matryoshka SERVING path made real — first-stage retrieval
+    * over the TRUNCATED prefix (Kusupati et al., MRL, NeurIPS 2022:
+    * the entire point of nested representations is that retrieval at
+    * d ≪ D costs d/D of the assignment and scan arithmetic on the
+    * same stored vectors): the full IVF family — √n-stride coarse
+    * quantizer ([[Similarity.sqrtStride]]), count-tracking probe
+    * budget ([[Similarity.halfNprobe]] — the unclustered-corpus
+    * fraction, curve in its doc), scan-stage assignment, equi-join
+    * candidates, candidate-bounded re-rank — run over
+    * `slice(embedding, 1, d)` for d ∈ {16, 32}, recall-gated per
+    * truncation against the EXACT prefix ranking from the pinned
+    * matryoshka candidate table ([[matryoshkaCand]] — the
+    * `maxsim_ivf`-over-`maxsim_rank` template). Measured recall at
+    * sf0.001/0.01/0.1: 1.0 / 1.0 / 0.997 at d=16 and 0.97 / 0.97 /
+    * 0.98 at d=32 (80% floor leaves regen margin). This certifies
+    * the scale-safe sibling `embed_matryoshka`'s docstring promises:
+    * the curve is the measurement, THIS is what serves at 100 TB.
+    */
+  def annIvfMrl(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cand = matryoshkaCand(s, dir)
+    val stride = graft.ops.Similarity.sqrtStride(emb.count())
+    Seq(16, 32).map { d =>
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding").cast("array<float>"), 1, d).as("pv"))
+      val cb = graft.ops.Similarity.sampledCodebook(
+        sliced, "vec_id", "pv", stride)
+      val approx = graft.ops.Similarity.ivfTopKWithCodebook(
+        sliced, "vec_id", "pv",
+        queryPred = col("vec_id") % 20 === 0, k = 3,
+        nprobe = graft.ops.Similarity.halfNprobe(cb.length),
+        codebook = cb)
+      recallGate(approx, matryoshkaTop3(cand, d), k = 3, floorPct = 80)
+        .select(lit(d).as("dims"), col("n_queries"),
+          col("recall_floor_pct"), col("floor_met"))
+    }.reduce(_ unionByName _).orderBy(col("dims"))
   }
 
   /** Late-interaction (MaxSim) ranking — the ColBERT scoring rule
@@ -631,8 +716,11 @@ object ScaleQueries {
     * per-facet indexes, a pooled single-vector probe would miss
     * documents that match one facet strongly), and the exact
     * 16-cosine MaxSim runs only on the candidate union. Emits the
-    * [[recallGate]] row vs the exact [[maxsimRank]] top-3 (80% floor;
-    * measured 1.0 / 0.99 / 0.96 at sf0.001/0.01/0.1).
+    * [[recallGate]] row vs the exact [[maxsimRank]] top-3 (80%
+    * floor; measured 0.99 / 0.99 / 0.96 at sf0.001/0.01/0.1 under
+    * the √n-stride + half-coverage probe config — the r12 fix for
+    * the fixed-149-stride nlist ∝ n hazard and the 1.0→0.83 recall
+    * decay the fixed nprobe=4 caused).
     *
     * Scale shape: sub-space codebooks are bounded literal collects
     * (the IVF rule, m of them); corpus sub-assignments are m
@@ -644,7 +732,7 @@ object ScaleQueries {
     */
   def maxsimIvf(s: SparkSession, dir: String): DataFrame =
     recallGate(maxsimIvfApprox(s, dir), maxsimRank(s, dir),
-      k = 3, floorPct = 70)
+      k = 3, floorPct = 80)
 
   /** The candidate-generation + candidate-bounded re-rank half of
     * [[maxsimIvf]] — exposed so the spec can measure the recall VALUE
@@ -654,17 +742,25 @@ object ScaleQueries {
       : DataFrame = {
     val sub = 16
     val m = 4
-    val nprobe = 4
     val emb = t(s, dir, "embeddings")
     def sv(c: org.apache.spark.sql.Column, j: Int) =
       slice(c.cast("array<float>"), j * sub + 1, sub)
+    // ONE bounded sample collect (the sampledCodebook contract),
+    // sliced into the m per-facet sub-space codebooks driver-side;
+    // stride is the count-derived √n rule so nlist tracks 4·√n
+    // instead of n (the fixed-stride hazard `fullIvfIndex` retired),
+    // and the probe budget tracks the list count — a constant HALF
+    // fraction ([[Similarity.halfNprobe]]): a FIXED nprobe is why
+    // recall decayed 1.0→0.83 across the SFs under the old 149/4
+    // config, and on this unclustered synthetic corpus any budget
+    // below ~nlist/2 measurably under-recalls (curve in halfNprobe's
+    // doc).
+    val full = graft.ops.Similarity.sampledCodebook(emb, "vec_id",
+      "embedding", graft.ops.Similarity.sqrtStride(emb.count()))
     val cbs = (0 until m).map { j =>
-      emb.filter(col("vec_id") % 149 === 0)
-        .select(col("vec_id").cast("long").as("centroid_id"),
-          sv(col("embedding"), j).as("centroid_v"))
-        .orderBy(col("centroid_id")).limit(1 << 14)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      full.map { case (id, v) => (id, v.slice(j * sub, j * sub + sub)) }
     }
+    val nprobe = graft.ops.Similarity.halfNprobe(full.length)
     val centsLits = cbs.map(cb => typedLit(cb.map(_._2).toSeq))
     val idsLits = cbs.map(cb => typedLit(cb.map(_._1).toSeq))
     val corpus = graft.ops.Dedup.spread(
@@ -1113,7 +1209,9 @@ object ScaleQueries {
 
   /** INCREMENTAL IVF index maintenance driven end to end
     * ([[graft.ops.Similarity.ivfIndexAppendDelta]]): the base index
-    * is built from 6/7 of the corpus, the remaining 1/7 — including
+    * holds 6/7 of the corpus (derived by restriction from the
+    * memoized full index — content-identical to a from-raw build),
+    * the remaining 1/7 — including
     * the query vector itself (vec_id 0 ≡ 0 mod 7) — arrives as a
     * delta batch appended under the SHARED codebook with the touched
     * lists compacted via dynamic partition overwrite. The served
@@ -1131,17 +1229,23 @@ object ScaleQueries {
     * appended via the crash-consistent staging loop) — memoized per
     * dir; shared by `ann_ivf_delta` (serves a search over it) and
     * `ann_index_manifest` (value-checks its per-list occupancy).
+    * The base is DERIVED from the memoized full index by restriction
+    * ([[Similarity.ivfIndexDerive]] — assignment depends only on
+    * (vector, codebook), so the filter-copy is bit-identical to a
+    * 6/7 re-build without paying the assignment argmax twice; the
+    * from-raw build path itself is crash-window-tested in
+    * IvfIndexSpec). Only the delta APPEND — the loop under test —
+    * runs against raw vectors.
     */
   private def maintainedIvfIndex(s: SparkSession, dir: String,
+                                 fullPath: String,
                                  codebook: Array[(Long, Seq[Float])])
       : String =
     memoCodebook(s"ivf-delta:${graft.Tables.versioned(dir)}") {
       val emb = t(s, dir, "embeddings")
       val p = java.nio.file.Files
         .createTempDirectory("graft_ivf_delta").toString
-      Similarity.ivfIndexWriteWithCodebook(
-        emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
-        p, codebook)
+      Similarity.ivfIndexDerive(s, fullPath, p, col("cid") % 7 =!= 0)
       Similarity.ivfIndexAppendDelta(s, p, codebook,
         emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
       p
@@ -1150,7 +1254,7 @@ object ScaleQueries {
   def annIvfDelta(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val (fullPath, codebook) = fullIvfIndex(s, dir)
-    val deltaPath = maintainedIvfIndex(s, dir, codebook)
+    val deltaPath = maintainedIvfIndex(s, dir, fullPath, codebook)
     val qv = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<float>"))
       .head().getSeq[Float](0)
@@ -1172,8 +1276,11 @@ object ScaleQueries {
     * `forget_user` covers at the table layer, completing the index's
     * maintenance family: build (`ann_ivf_indexed`) → delta append
     * (`ann_ivf_delta`) → FORGET → manifest (`ann_index_manifest`).
-    * A full-corpus index is built under the shared codebook, every
-    * vec_id ≡ 5 mod 13 is deleted through the durable-staging →
+    * A full-corpus index instance is DERIVED from the memoized base
+    * index (a filter-copy — [[Similarity.ivfIndexDerive]]; building a
+    * second identical index from raw vectors would pay the
+    * O(n·nlist·d) assignment argmax twice for bit-identical content),
+    * then every vec_id ≡ 5 mod 13 is deleted through the durable-staging →
     * idempotent-publish loop (touched lists rewritten as survivors,
     * emptied lists' directories removed), and the served search must
     * equal the IVF replay over the SURVIVING corpus — the forgotten
@@ -1184,12 +1291,11 @@ object ScaleQueries {
     */
   def annIndexForget(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val (_, codebook) = fullIvfIndex(s, dir)
+    val (fullPath, codebook) = fullIvfIndex(s, dir)
     val path = memoCodebook(s"ivf-forget:${graft.Tables.versioned(dir)}") {
       val p = java.nio.file.Files
         .createTempDirectory("graft_ivf_forget").toString
-      Similarity.ivfIndexWriteWithCodebook(emb, "vec_id", "embedding",
-        p, codebook)
+      Similarity.ivfIndexDerive(s, fullPath, p, lit(true))
       Similarity.ivfIndexForget(s, p, codebook,
         emb.filter(col("vec_id") % 13 === 5), "vec_id", "embedding")
       p
@@ -1223,8 +1329,8 @@ object ScaleQueries {
     * deserialized).
     */
   def annIndexManifest(s: SparkSession, dir: String): DataFrame = {
-    val (_, codebook) = fullIvfIndex(s, dir)
-    val path = maintainedIvfIndex(s, dir, codebook)
+    val (fullPath, codebook) = fullIvfIndex(s, dir)
+    val path = maintainedIvfIndex(s, dir, fullPath, codebook)
     s.read.parquet(path)
       .groupBy(col("centroid_id").cast("long").as("centroid_id"))
       .agg(count(lit(1)).as("n_rows"))
@@ -1283,7 +1389,9 @@ object ScaleQueries {
 
   /** INCREMENTAL IVF-PQ index maintenance driven end to end — the PQ
     * twin of [[annIvfDelta]] ([[Similarity.ivfpqIndexAppendDelta]]):
-    * the base CODE index is built from 6/7 of the corpus, the
+    * the base CODE index holds 6/7 of the corpus (derived by
+    * restriction from the memoized full index — content-identical
+    * to a from-raw build), the
     * remaining 1/7 — including the query vector — arrives as a delta
     * encoded and assigned under the SHARED codebooks (fit-once
     * state; retraining on arrival would re-key the index), touched
@@ -1300,9 +1408,10 @@ object ScaleQueries {
       memoCodebook(s"ivfpq-delta:${graft.Tables.versioned(dir)}") {
         val p = java.nio.file.Files
           .createTempDirectory("graft_ivfpq_delta").toString
-        Similarity.ivfpqIndexWrite(
-          emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
-          p, coarse, cbs)
+        // base = filter-copy of the memoized full code index (codes
+        // depend only on (vector, codebooks) — re-encoding 6/7 of the
+        // corpus would reproduce these rows bit-identically)
+        Similarity.ivfIndexDerive(s, fullPath, p, col("cid") % 7 =!= 0)
         Similarity.ivfpqIndexAppendDelta(s, p, coarse, cbs,
           emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
         p
@@ -1407,7 +1516,9 @@ object ScaleQueries {
     * third member of the maintenance family, and the one whose
     * maintained lifecycle replays FULLY
     * ([[Similarity.ivfsqIndexAppendDelta]]): the base SQ-code index
-    * is built from 6/7 of the corpus, the remaining 1/7 — including
+    * holds 6/7 of the corpus (derived by restriction from the
+    * memoized full index — content-identical to a from-raw build),
+    * the remaining 1/7 — including
     * the query vector — arrives as a delta encoded under the SHARED
     * per-dim stats and assigned under the SHARED √n coarse quantizer
     * (both fit-once state; re-deriving stats on arrival would re-code
@@ -1426,9 +1537,10 @@ object ScaleQueries {
       memoCodebook(s"ivfsq-delta:${graft.Tables.versioned(dir)}") {
         val p = java.nio.file.Files
           .createTempDirectory("graft_ivfsq_delta").toString
-        Similarity.ivfsqIndexWrite(
-          emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
-          p, coarse, mns, mxs)
+        // base = filter-copy of the memoized full SQ code index
+        // (codes are fit-once affine arithmetic — a 6/7 re-encode
+        // reproduces these rows bit-identically)
+        Similarity.ivfIndexDerive(s, fullPath, p, col("cid") % 7 =!= 0)
         Similarity.ivfsqIndexAppendDelta(s, p, coarse, mns, mxs,
           emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
         p
@@ -1468,13 +1580,14 @@ object ScaleQueries {
     */
   def annIvfsqForget(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val (_, coarse, (mns, mxs)) = fullIvfsqIndex(s, dir)
+    val (fullPath, coarse, (mns, mxs)) = fullIvfsqIndex(s, dir)
     val path =
       memoCodebook(s"ivfsq-forget:${graft.Tables.versioned(dir)}") {
         val p = java.nio.file.Files
           .createTempDirectory("graft_ivfsq_forget").toString
-        Similarity.ivfsqIndexWrite(emb, "vec_id", "embedding",
-          p, coarse, mns, mxs)
+        // filter-copy of the memoized full code index — see
+        // annIndexForget; the forget loop under test is unchanged
+        Similarity.ivfIndexDerive(s, fullPath, p, lit(true))
         Similarity.ivfIndexForget(s, p, coarse,
           emb.filter(col("vec_id") % 13 === 5), "vec_id", "embedding")
         p
@@ -1804,13 +1917,15 @@ object ScaleQueries {
     * removes: naive's leaky_clusters counts components straddling
     * splits; cluster_safe's is 0 (driver-checked, not just asserted).
     *
-    * Scale shape: the pair graph + CC closure is [[ccExact]]'s
-    * (shared [[exactPairLabels]], exact windowed-Jaccard pairs for
-    * oracle-ability — the 100 TB pair source is the LSH index, as in
-    * `cc_delta_lsh`); downstream of the labels everything is
-    * (cluster)-keyed integer cells with map-side combine. The split
-    * itself adds one small left join — labels are |non-singleton
-    * nodes| rows, NOT corpus-sized.
+    * Scale shape (r12 rebase): the label source IS the production
+    * path — [[lshMaintainedLabels]], the banded-LSH pair graph closed
+    * once and then star-contraction-maintained (`cc_delta_lsh`'s
+    * certified machinery) — so the query executes one small left
+    * join + (cluster)-keyed integer cells with map-side combine;
+    * labels are |non-singleton nodes| rows, NOT corpus-sized, and no
+    * closure is recomputed in-query. The DuckDB oracle recomputes
+    * the exact all-pairs ≥0.7 closure from raw text, value-checking
+    * the maintained bucketing end to end.
     */
   /** Quality-aware canonical selection — `dedup_canonical` with the
     * survivor chosen by QUALITY instead of min-id: per near-dup
@@ -1821,14 +1936,18 @@ object ScaleQueries {
     * cleaner extraction, a less-truncated variant). Singletons keep
     * themselves. Emits (cluster_id, keep_id, q_e4, n_members).
     *
-    * Scale shape: the CC closure is [[exactPairLabels]] (shared with
-    * the canonical family; LSH pair source at 100 TB), the quality
-    * kernel is scan-stage, and the argmax is ONE keyed window over
-    * (cluster)-partitioned rows — no global sort.
+    * Scale shape (r12 rebase): labels come from the MAINTAINED LSH
+    * route ([[lshMaintainedLabels]] — banded candidates, star-
+    * contraction maintenance, hash-equal a rebuild), so the query's
+    * own cost is the scan-stage quality kernel + one label join +
+    * ONE keyed argmax window over (cluster)-partitioned rows — no
+    * closure recomputation, no global sort. The DuckDB oracle
+    * replays the exact all-pairs ≥0.7 closure + the quality chain
+    * from scratch, value-checking the maintained survivors.
     */
   def dedupCanonicalQuality(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val lab = exactPairLabels(docs)
+    val lab = lshMaintainedLabels(s, dir)
     val full = docs.select(col("doc_id"),
         graft.ops.TextOps.qualityScoreE4(col("text")).as("q_e4"))
       .join(lab, col("doc_id") === col("id"), "left")
@@ -1852,8 +1971,8 @@ object ScaleQueries {
     * stable under merges — when a delta batch bridges two components,
     * every member of the higher-labeled one changes cluster_id, and
     * possibly split. This operator MEASURES that churn exactly: base
-    * labels over the 6/7 corpus (the cc_delta base view), full labels
-    * over everything, and one row of accounting — how many base
+    * labels over the 9/10 corpus (the cc_delta_lsh base view), full
+    * labels over everything, and one row of accounting — how many base
     * documents kept their bucket, how many moved, and how many moved
     * specifically across the train/eval boundary (the churn that
     * invalidates cached eval results). Production implication,
@@ -1862,13 +1981,20 @@ object ScaleQueries {
     * the alternative (content-hash cluster keys) trades churn for
     * leakage when merges happen.
     *
-    * Scale shape: two CC closures (the maintained path at scale is
-    * `cc_delta`'s star-contraction — labels are never recomputed from
-    * scratch) + one join on doc_id + 1-row cells.
+    * Scale shape (r12 rebase): the churn accounting RIDES the
+    * maintained-label family — base labels are the stored
+    * [[lshBaseLabels]] (the round-N state), full labels are the
+    * star-contraction-maintained [[lshMaintainedLabels]] (the
+    * round-N+1 state, hash-equal a rebuild per `cc_delta_lsh`), so
+    * the query itself executes one doc_id join + 1-row cells over
+    * memoized label tables — no full closure is ever recomputed
+    * in-query. The DuckDB oracle remains the DOUBLE exact closure
+    * (base view + full corpus), so the maintained accounting is
+    * value-checked against the from-scratch semantics end to end.
     */
   def splitStability(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val base = docs.filter(col("doc_id") % 7 =!= 0)
+    val base = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
     def buckets(src: DataFrame, labelOf: DataFrame): DataFrame =
       src.select(col("doc_id"))
         .join(labelOf, col("doc_id") === col("id"), "left")
@@ -1877,9 +2003,9 @@ object ScaleQueries {
         .withColumn("bucket", when(col("sv") < 8, lit("train"))
           .when(col("sv") === 8, lit("val")).otherwise(lit("test")))
         .select(col("doc_id"), col("bucket"))
-    val baseB = buckets(base, exactPairLabels(base))
+    val baseB = buckets(base, lshBaseLabels(s, dir))
       .withColumnRenamed("bucket", "bucket_base")
-    val fullB = buckets(docs, exactPairLabels(docs))
+    val fullB = buckets(docs, lshMaintainedLabels(s, dir))
       .withColumnRenamed("bucket", "bucket_full")
     baseB.join(fullB, Seq("doc_id"))
       .agg(count(lit(1)).as("n_base"),
@@ -1896,7 +2022,7 @@ object ScaleQueries {
 
   def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val lab = exactPairLabels(docs)
+    val lab = lshMaintainedLabels(s, dir)
     val assigned = graft.ops.Dedup.materialize(
       docs.select(col("doc_id"))
         .join(lab, col("doc_id") === col("id"), "left")
@@ -1976,24 +2102,52 @@ object ScaleQueries {
     * `dedup_clusters`' recursive closure, the cc_delta ≡-rebuild
     * discipline on the LSH pair graph.
     */
-  def ccDeltaLsh(s: SparkSession, dir: String): DataFrame = {
-    val incr = graft.SessionMemo.getOrCompute(s,
+  def ccDeltaLsh(s: SparkSession, dir: String): DataFrame =
+    lshMaintainedLabels(s, dir).orderBy(col("id"))
+
+  /** The memoized LSH-index leg split ([[Dedup.minhashPairsIncremental]]
+    * — base pairs = the stored index, delta pairs = the probe) shared
+    * by the whole maintained-label family.
+    */
+  private def lshIncrPairs(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.getOrCompute(s,
       s"cclsh:${graft.Tables.versioned(dir)}",
       Dedup.minhashPairsIncremental(t(s, dir, "documents"),
         "doc_id", "text", deltaOf = c => pmod(c, lit(10)) === 9,
         shingleN = 3, bands = 16, rowsPerBand = 8, threshold = 0.7))
-    val oldLabels = graft.SessionMemo.getOrCompute(s,
+
+  /** Stored cluster labels over the BASE view (doc_id % 10 ≠ 9) of the
+    * LSH pair graph — the state the maintenance pass contracts to star
+    * edges, and the "round N" labels `split_stability` measures churn
+    * against.
+    */
+  private def lshBaseLabels(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.getOrCompute(s,
       s"cclsh-labels:${graft.Tables.versioned(dir)}",
       Dedup.materialize(Dedup.connectedComponents(
-        incr.filter(col("src") === "base")
+        lshIncrPairs(s, dir).filter(col("src") === "base")
           .select(col("id_a"), col("id_b")))))
-    val star = oldLabels.filter(col("id") =!= col("cluster_id"))
-      .select(col("cluster_id").as("id_a"), col("id").as("id_b"))
-    val deltaEdges = incr.filter(col("src") === "delta")
-      .select(col("id_a"), col("id_b"))
-    Dedup.connectedComponents(star.unionByName(deltaEdges))
-      .orderBy(col("id"))
-  }
+
+  /** The MAINTAINED full-corpus cluster labels — star contraction of
+    * the stored base labels ∪ the delta-probe pairs, one CC pass over
+    * that much smaller graph (hash-equal the full rebuild; `cc_delta
+    * _lsh`'s green row IS that proof). Memoized because the label
+    * table is the shared input of the downstream split/canonical
+    * family — at 100 TB labels are maintained state read by many
+    * consumers, not recomputed per query.
+    */
+  private def lshMaintainedLabels(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.getOrCompute(s,
+      s"cclsh-full:${graft.Tables.versioned(dir)}", {
+        val oldLabels = lshBaseLabels(s, dir)
+        val star = oldLabels.filter(col("id") =!= col("cluster_id"))
+          .select(col("cluster_id").as("id_a"), col("id").as("id_b"))
+        val deltaEdges = lshIncrPairs(s, dir)
+          .filter(col("src") === "delta")
+          .select(col("id_a"), col("id_b"))
+        Dedup.materialize(
+          Dedup.connectedComponents(star.unionByName(deltaEdges)))
+      })
 
   /** Triangle count over the exact windowed-Jaccard similarity graph
     * (same edge set as `cc_exact`): a triangle is any id_a < id_b <
@@ -2633,6 +2787,7 @@ object ScaleQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
     "ppjoin_pairs" -> (ppjoinPairs _),
+    "ppjoin_lsh" -> (ppjoinLsh _),
     "ann_topk" -> (annTopk _),
     "ann_index_manifest" -> (annIndexManifest _),
     "ann_index_forget" -> (annIndexForget _),
@@ -2641,6 +2796,7 @@ object ScaleQueries {
     "maxsim_ivf" -> (maxsimIvf _),
     "dedup_threshold_curve" -> (dedupThresholdCurve _),
     "embed_matryoshka" -> (embedMatryoshka _),
+    "ann_ivf_mrl" -> (annIvfMrl _),
     "silhouette_gate" -> (silhouetteGate _),
     "split_leakage_safe" -> (splitLeakageSafe _),
     "dedup_canonical_quality" -> (dedupCanonicalQuality _),
@@ -2902,31 +3058,40 @@ object ScaleQueries {
     * SAME labels (maintenance ≡ rebuild).
     */
   private val lshClusterLabelsOracleSql: String =
-    """WITH RECURSIVE tk AS (
+    "WITH RECURSIVE " + lshLabelsChainSql("", "TRUE") +
+      "\n         SELECT id, cluster_id FROM lab ORDER BY id"
+
+  /** The ≥0.7 closure as a SUFFIXED, doc-filterable CTE chain (ending
+    * in `lab<sfx>`) — lets an oracle close TWO views of the corpus in
+    * one statement (`split_stability`'s base + full double closure).
+    */
+  private def lshLabelsChainSql(sfx: String, where: String): String =
+    s"""tk$sfx AS (
            SELECT doc_id,
                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                               x -> len(x) > 0) AS t
-           FROM documents),
-         g AS (
+           FROM documents WHERE $where),
+         g$sfx AS (
            SELECT doc_id AS id,
                   CASE WHEN len(t) >= 3
                        THEN list_distinct([array_to_string(t[i:i+2], ' ')
                                            for i in range(1, len(t) - 1)])
                        ELSE [array_to_string(t, ' ')] END AS gs
-           FROM tk),
-         p AS (
+           FROM tk$sfx),
+         p$sfx AS (
            SELECT a.id AS id_a, b.id AS id_b
-           FROM g a JOIN g b ON b.id > a.id
+           FROM g$sfx a JOIN g$sfx b ON b.id > a.id
            WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
                  / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7),
-         e AS (SELECT id_a AS src, id_b AS dst FROM p
-               UNION SELECT id_b, id_a FROM p),
-         reach(id, r) AS (
-           SELECT src, src FROM e
+         e$sfx AS (SELECT id_a AS src, id_b AS dst FROM p$sfx
+               UNION SELECT id_b, id_a FROM p$sfx),
+         reach$sfx(id, r) AS (
+           SELECT src, src FROM e$sfx
            UNION
-           SELECT w.id, e2.dst FROM reach w JOIN e e2 ON w.r = e2.src),
-         lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-         SELECT id, cluster_id FROM lab ORDER BY id"""
+           SELECT w.id, e2.dst
+           FROM reach$sfx w JOIN e$sfx e2 ON w.r = e2.src),
+         lab$sfx AS (SELECT id, min(r) AS cluster_id
+                     FROM reach$sfx GROUP BY id)"""
 
   private def annIvfOracleSql: String = annIvfOracleSqlFor("TRUE")
 
@@ -4189,6 +4354,29 @@ object ScaleQueries {
          WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
                / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5
          ORDER BY id_a, id_b""",
+    // the exact all-pairs ≥1/2 word-5-shingle replay — the LSH route
+    // must reproduce the exact pair set value-for-value (candidate
+    // completeness at the banding's operating point is the claim
+    // under check; the parity bet on hashed-vs-string shingles is
+    // dedup_minhash's)
+    "ppjoin_lsh" ->
+      """WITH tk AS (
+           SELECT doc_id AS id,
+                  list_filter(regexp_split_to_array(lower(text), '\W+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         g AS (
+           SELECT id,
+                  list_distinct([array_to_string(t[i:i+4], ' ')
+                                 for i in range(1, len(t) - 3)]) AS gs
+           FROM tk WHERE len(t) >= 5),
+         p AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+                  len(list_intersect(a.gs, b.gs))::DOUBLE
+                  / len(list_distinct(list_concat(a.gs, b.gs))) AS jac
+           FROM g a JOIN g b ON b.id > a.id)
+         SELECT id_a, id_b, round(jac, 4) AS jaccard
+         FROM p WHERE jac >= 0.5 ORDER BY id_a, id_b""",
     // the full AllPairs/PPJoin replay: distinct word-3-shingle sets,
     // global (df, shingle) ranks, s − ⌈s/2⌉ + 1 prefixes, the length-filtered
     // candidate join, and the exact-integer verification — candidate
@@ -4261,11 +4449,11 @@ object ScaleQueries {
     // IEEE on both engines), 4-dp round, id tie-breaks
     "maxsim_rank" -> maxsimOracleSql,
     // the recall-gate pin (the ann_ivf_recall pattern): full query
-    // coverage + the 70% floor met — both sides deterministic (fixed
-    // sub-space codebooks, id tie-breaks)
+    // coverage + the 80% floor met — both sides deterministic (√n
+    // sub-space codebooks, half-coverage probes, id tie-breaks)
     "maxsim_ivf" ->
       """SELECT count(*) AS n_queries,
-                CAST(70 AS INTEGER) AS recall_floor_pct,
+                CAST(80 AS INTEGER) AS recall_floor_pct,
                 CAST(1 AS INTEGER) AS floor_met
          FROM embeddings WHERE vec_id % 20 = 0""",
     // the one-pass threshold sweep replayed: the windowed char-3-gram
@@ -4341,6 +4529,19 @@ object ScaleQueries {
                 CAST((h.hits * 1000000) // tot.n_exact AS BIGINT)
                   AS recall_e6
          FROM h CROSS JOIN tot ORDER BY dims""",
+    // the recall-gate pin for the truncated-dims IVF serving path
+    // (the maxsim_ivf convention): full query coverage per curve
+    // point + the 80% floor met — both sides deterministic (√n-stride
+    // sampled codebooks over prefix slices, id tie-breaks)
+    "ann_ivf_mrl" ->
+      """WITH q AS (SELECT count(*) AS n FROM embeddings
+                    WHERE vec_id % 20 = 0)
+         SELECT CAST(d.dims AS INTEGER) AS dims,
+                CAST(q.n AS BIGINT) AS n_queries,
+                CAST(80 AS INTEGER) AS recall_floor_pct,
+                CAST(1 AS INTEGER) AS floor_met
+         FROM (SELECT unnest([16, 32]) AS dims) d CROSS JOIN q
+         ORDER BY dims""",
     // the simplified silhouette replayed: count-derived ⌊√n⌋ stride
     // (identical IEEE sqrt/floor), argmax assignment with the NaN
     // guard, second-nearest lookup, and the (b-a)/max(a,b) arithmetic
@@ -4379,7 +4580,7 @@ object ScaleQueries {
     // the CC closure + the quality kernel chain + the per-cluster
     // quality argmax (ties by min id) — survivor selection replayed
     "dedup_canonical_quality" ->
-      s"""WITH RECURSIVE $ccLabelsSql,
+      s"""WITH RECURSIVE ${lshLabelsChainSql("", "TRUE")},
          qs AS (
            SELECT doc_id,
              greatest(length(text), 1)::BIGINT AS len,
@@ -4413,36 +4614,21 @@ object ScaleQueries {
          SELECT cluster_id, doc_id AS keep_id, q_e4,
                 CAST(n_members AS BIGINT) AS n_members
          FROM rw WHERE rk = 1 ORDER BY cluster_id""",
-    // BOTH closures replayed (base view and full corpus), the bucket
-    // rule on each, and the churn accounting — split stability under
-    // the delta measured exactly
+    // BOTH closures replayed from raw text (base view and full
+    // corpus — the exact ≥0.7 shingle closure the maintained labels
+    // must equal), the bucket rule on each, and the churn accounting
+    // — split stability under the delta measured exactly
     "split_stability" ->
       s"""WITH RECURSIVE
-         gb AS (
-           SELECT doc_id AS id,
-                  list_distinct([substring(text, i, 3)
-                                 for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS gs
-           FROM documents WHERE doc_id % 7 <> 0),
-         pb AS (
-           SELECT a.id AS id_a, b.id AS id_b
-           FROM gb a JOIN gb b ON b.id > a.id AND b.id <= a.id + 20
-           WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
-                 / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5),
-         eb AS (SELECT id_a AS src, id_b AS dst FROM pb
-                UNION SELECT id_b, id_a FROM pb),
-         reachb(id, r) AS (
-           SELECT src, src FROM eb
-           UNION
-           SELECT w.id, e2.dst FROM reachb w JOIN eb e2 ON w.r = e2.src),
-         labb AS (SELECT id, min(r) AS cluster_id FROM reachb GROUP BY id),
-         $ccLabelsSql,
+         ${lshLabelsChainSql("b", "doc_id % 10 <> 9")},
+         ${lshLabelsChainSql("", "TRUE")},
          bb AS (SELECT d.doc_id,
                   CASE WHEN coalesce(lb.cluster_id, d.doc_id) % 10 < 8
                          THEN 'train'
                        WHEN coalesce(lb.cluster_id, d.doc_id) % 10 = 8
                          THEN 'val' ELSE 'test' END AS bucket_base
                 FROM documents d LEFT JOIN labb lb ON d.doc_id = lb.id
-                WHERE d.doc_id % 7 <> 0),
+                WHERE d.doc_id % 10 <> 9),
          bf AS (SELECT d.doc_id,
                   CASE WHEN coalesce(l.cluster_id, d.doc_id) % 10 < 8
                          THEN 'train'
@@ -4468,7 +4654,7 @@ object ScaleQueries {
     // bucket rule, per-strategy counts, and the straddling-cluster
     // count (0 for cluster_safe by construction — value-checked here)
     "split_leakage_safe" ->
-      s"""WITH RECURSIVE $ccLabelsSql,
+      s"""WITH RECURSIVE ${lshLabelsChainSql("", "TRUE")},
          fl AS (SELECT d.doc_id,
                   coalesce(l.cluster_id, d.doc_id) AS cluster_id
                 FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),

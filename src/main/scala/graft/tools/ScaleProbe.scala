@@ -508,7 +508,42 @@ object ScaleProbe {
       // per dir; the word-dict collapse + per-merge pair aggregates
       // ARE the cost story, 2× bpe_merges' by construction)
       ("bpe_drift",
-        graft.queries.TextQueries.queries("bpe_drift"), true))
+        graft.queries.TextQueries.queries("bpe_drift"), true),
+      // r12 batch 1: the maintained-label rebase (all warm — the LSH
+      // pair/label memos are built by the first sample; the second
+      // times what the query now EXECUTES: bucket joins / the quality
+      // argmax over memoized labels, never a closure)
+      ("split_stability_v2",
+        graft.queries.ScaleQueries.queries("split_stability"), false),
+      ("split_leakage_safe_v2",
+        graft.queries.ScaleQueries.queries("split_leakage_safe"), false),
+      ("dedup_canonical_quality_v2",
+        graft.queries.ScaleQueries.queries("dedup_canonical_quality"),
+        false),
+      // r12 batch 2: the truncated-dims IVF serving gate (warm — the
+      // matryoshka exact-prefix harness memoizes per session and is
+      // embed_matryoshka's priced cost; the second sample times the
+      // two IVF serving passes + the gate joins) and the LSH-
+      // prefiltered set-similarity rung (warm, nothing memoized —
+      // banding + exact verification IS the cost story)
+      ("ann_ivf_mrl",
+        graft.queries.ScaleQueries.queries("ann_ivf_mrl"), false),
+      ("ppjoin_lsh",
+        graft.queries.ScaleQueries.queries("ppjoin_lsh"), false),
+      // r12 batch 3: the per-source calibration map (warm — keyed
+      // quantile windows, never a global sort; the one family VERDICT
+      // r11 named probe-less) and the re-probed maintenance family
+      // (cold — the memo now DERIVES its index instance from the
+      // shared base via filter-copy instead of a second from-raw
+      // build; the deletion/append loop is unchanged)
+      ("quality_calibration",
+        graft.queries.TextQueries.queries("quality_calibration"), false),
+      ("ann_index_forget_v2",
+        graft.queries.ScaleQueries.queries("ann_index_forget"), true),
+      ("ann_ivfsq_delta_v2",
+        graft.queries.ScaleQueries.queries("ann_ivfsq_delta"), true),
+      ("maxsim_ivf_v2",
+        graft.queries.ScaleQueries.queries("maxsim_ivf"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

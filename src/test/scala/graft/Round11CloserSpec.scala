@@ -12,6 +12,40 @@ class Round11CloserSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  /** Brute-force min-id labels of the ≥0.7 word-3-shingle Jaccard
+    * closure (the definition the LSH-maintained label family targets
+    * and the DuckDB oracles replay), over the docs passing `only` —
+    * driver-side union-find, independent of every Spark code path.
+    */
+  private def lshBruteLabels(docText: Map[Long, String],
+                             only: Long => Boolean): Map[Long, Long] = {
+    def shingles(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val keep = docText.keys.filter(only).toSeq.sorted
+    val sh = keep.map(id => id -> shingles(docText(id))).toMap
+    val parent = scala.collection.mutable.Map(keep.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    for (a <- keep; b <- keep if b > a) {
+      val inter = (sh(a) & sh(b)).size
+      val uni = (sh(a) | sh(b)).size
+      if (uni > 0 && inter.toDouble / uni >= 0.7) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    keep.map(i => i -> find(i)).toMap
+  }
+
+  private def docTexts(): Map[Long, String] =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
   test("embed_matryoshka: monotone in dims, full-dim anchor exact, " +
       "n_exact = 3 per query") {
     val rows = queries.ScaleQueries.embedMatryoshka(spark, dir).collect()
@@ -379,12 +413,7 @@ class Round11CloserSpec extends AnyFunSuite {
 
   test("dedup_canonical_quality: every survivor is its cluster's " +
       "quality argmax; members total the corpus") {
-    val docs = Tables(spark, dir, "documents")
-    val lab = ops.Dedup.connectedComponents(
-        ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          n = 3, window = 20, threshold = 0.5)
-          .select(col("id_a"), col("id_b")))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lab = lshBruteLabels(docTexts(), _ => true)
     val q = queries.TextQueries.qualityScore(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val byCluster = q.keys.groupBy(id => lab.getOrElse(id, id))
@@ -401,21 +430,14 @@ class Round11CloserSpec extends AnyFunSuite {
   }
 
   test("split_stability matches a brute-force double-closure replay") {
-    val docs = Tables(spark, dir, "documents")
-    def labels(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
-      ops.Dedup.connectedComponents(
-          ops.Dedup.ngramJaccardPairs(d, "doc_id", "text",
-            n = 3, window = 20, threshold = 0.5)
-            .select(col("id_a"), col("id_b")))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val base = docs.filter(col("doc_id") % 7 =!= 0)
-    val labB = labels(base)
-    val labF = labels(docs)
+    val texts = docTexts()
+    val labB = lshBruteLabels(texts, _ % 10 != 9)
+    val labF = lshBruteLabels(texts, _ => true)
     def bucket(lab: Map[Long, Long], id: Long): String = {
       val sv = lab.getOrElse(id, id) % 10
       if (sv < 8) "train" else if (sv == 8) "val" else "test"
     }
-    val baseIds = base.select(col("doc_id")).collect().map(_.getLong(0))
+    val baseIds = texts.keys.filter(_ % 10 != 9).toArray.sorted
     val moved = baseIds.count(id => bucket(labB, id) != bucket(labF, id))
     val t2e = baseIds.count(id =>
       bucket(labB, id) == "train" && bucket(labF, id) != "train")
@@ -432,20 +454,19 @@ class Round11CloserSpec extends AnyFunSuite {
 
   test("split_leakage_safe: every near-dup pair lands in one split " +
       "under cluster_safe") {
-    // independent re-derivation: for every exact windowed-Jaccard
-    // pair, both endpoints' cluster-safe buckets must agree
-    val docs = Tables(spark, dir, "documents")
-    val pairs = ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 3, window = 20, threshold = 0.5)
-      .select(col("id_a"), col("id_b")).collect()
-    val lab = ops.Dedup.connectedComponents(
-        ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          n = 3, window = 20, threshold = 0.5)
-          .select(col("id_a"), col("id_b")))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent re-derivation: for every brute-forced ≥0.7
+    // shingle-Jaccard pair, the ENGINE's maintained labels (the
+    // cc_delta_lsh output the split rides) must put both endpoints in
+    // one cluster — hence one cluster-safe bucket
+    val texts = docTexts()
+    val brute = lshBruteLabels(texts, _ => true)
+    val lab = queries.ScaleQueries.ccDeltaLsh(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     def bucket(id: Long): Long = lab.getOrElse(id, id) % 10
-    pairs.foreach { r =>
-      val (a, b) = (r.getLong(0), r.getLong(1))
+    val ids = texts.keys.toSeq.sorted
+    for (a <- ids; b <- ids if b > a && brute(a) == brute(b)) {
+      assert(lab.getOrElse(a, a) == lab.getOrElse(b, b),
+        s"near-dup pair ($a, $b) split across maintained clusters")
       assert(bucket(a) == bucket(b),
         s"near-dup pair ($a, $b) straddles buckets " +
           s"(${bucket(a)}, ${bucket(b)})")
