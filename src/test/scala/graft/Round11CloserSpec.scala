@@ -181,7 +181,7 @@ class Round11CloserSpec extends AnyFunSuite {
       .select(col("qid"), col("cid")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (approx & exact).size.toDouble / exact.size
-    assert(recall >= 0.7, s"recall $recall below the gate floor")
+    assert(recall >= 0.8, s"recall $recall below the gate floor")
     val gate = queries.ScaleQueries.maxsimIvf(spark, dir).head()
     val nQ = Tables(spark, dir, "embeddings")
       .filter(col("vec_id") % 20 === 0).count()
