@@ -601,7 +601,10 @@ object AdvancedQueries {
   def streamTopk(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.raw(s, dir, "events").schema
-    val stage = stageEventsTimeSplit(s, dir, n = 2)
+    // 3-batch contract (r12): the cell-merge algebra is batch-count
+    // invariant, so a third real micro-batch strengthens the proof at
+    // one spin-up's cost
+    val stage = stageEventsTimeSplit(s, dir, n = 3)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val store = java.nio.file.Files
       .createTempDirectory("graft_topkstore").toString
@@ -621,8 +624,8 @@ object AdvancedQueries {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-    require(batches.get() >= 2,
-      s"stream_topk expected >=2 non-empty micro-batches, got " +
+    require(batches.get() >= 3,
+      s"stream_topk expected >=3 non-empty micro-batches, got " +
         batches.get())
     val merged = s.read.parquet(store)
       .groupBy(col("event_type"), col("user_id"))
@@ -2665,7 +2668,8 @@ object AdvancedQueries {
       withStreamStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.raw(s, dir, "events").schema
-    val stage = stageEventsTimeSplit(s, dir, n = 2)
+    // 3-batch contract (r12) — see streamTopk
+    val stage = stageEventsTimeSplit(s, dir, n = 3)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val store = java.nio.file.Files
       .createTempDirectory("graft_dqstore").toString
@@ -2698,8 +2702,8 @@ object AdvancedQueries {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-    require(batches.get() >= 2,
-      s"stream_dq expected >=2 non-empty micro-batches, got ${batches.get()}")
+    require(batches.get() >= 3,
+      s"stream_dq expected >=3 non-empty micro-batches, got ${batches.get()}")
     val out = graft.ops.Dedup.materialize(
       s.read.parquet(store)
         .groupBy(col("rule"))

@@ -665,6 +665,70 @@ object ScaleQueries {
     }.reduce(_ unionByName _).orderBy(col("dims"))
   }
 
+  /** The full MRL ADAPTIVE-RETRIEVAL funnel (Kusupati et al. §4.3 —
+    * "retrieve with the short vector, re-rank with the long one"):
+    * stage 1 serves a top-32 SHORTLIST from the 16-d prefix through
+    * the IVF machinery (`ann_ivf_mrl`'s first stage at funnel width —
+    * a quarter of the assignment/scan arithmetic of full-dim
+    * retrieval), stage 2 re-ranks ONLY the shortlist with the exact
+    * full-64-d cosine, and the row MEASURES end-to-end recall against
+    * the exact FULL-DIM top-3 (the `ann_topk` ground truth). Emitted
+    * as a measurement, not a gate, deliberately: the synthetic
+    * embeddings are independent gaussians with NO nested-
+    * representation structure, so the 16-d prefix ranks almost
+    * independently of the full ranking (the `embed_matryoshka` curve
+    * says the same — prefix@16 top-3 recall ≈ 0.05) and the funnel
+    * measures ~0.2–0.5 here; on actual MRL-trained embeddings the
+    * prefix IS a trained approximation of the full vector and this
+    * same machinery serves at the paper's near-1.0 recall. The row
+    * is the measurement an operator reads to decide whether their
+    * embedding space has funnel structure — exactly like the curve,
+    * but priced at serving cost instead of a brute |Q|·n join.
+    *
+    * Scale shape: stage 1 is the √n-stride/half-coverage IVF serve at
+    * d = 16; stage 2 touches |Q| × 32 vector rows via one equi-join —
+    * the full-dim corpus scan never runs. Every stage is
+    * deterministic fixed-order arithmetic, so the whole funnel —
+    * prefix codebook, assignment, probes, prefix shortlist, full-dim
+    * re-rank, exact baseline, integer recall — replays in the oracle
+    * value-for-value.
+    */
+  def annMrlFunnel(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val d = 16
+    val shortK = 32
+    val sliced = emb.select(col("vec_id"),
+      slice(col("embedding").cast("array<float>"), 1, d).as("pv"))
+    val cb = graft.ops.Similarity.sampledCodebook(
+      sliced, "vec_id", "pv", graft.ops.Similarity.sqrtStride(emb.count()))
+    val shortlist = graft.ops.Similarity.ivfTopKWithCodebook(
+        sliced, "vec_id", "pv",
+        queryPred = col("vec_id") % 20 === 0, k = shortK,
+        nprobe = graft.ops.Similarity.halfNprobe(cb.length),
+        codebook = cb)
+      .select(col("qid"), col("cid"))
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<float>").as("v"))
+    val reranked = shortlist
+      .join(graft.ops.Hints.maybeBroadcast(
+        vecs.select(col("vec_id").as("qid"), col("v").as("qv"))), Seq("qid"))
+      .join(vecs.select(col("vec_id").as("cid"), col("v").as("cv")),
+        Seq("cid"))
+      .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sim_r").desc, col("cid"))))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("cid"))
+    val exact = exactGroundTruth(s, dir, k = 3)
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    reranked.join(exact.select(col("qid"), col("cid")), Seq("qid", "cid"))
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(broadcast(total))
+      .select(lit(shortK).as("short_k"), col("n_exact"), col("hits"))
+      .withColumn("recall_e6", expr("hits * 1000000 DIV n_exact"))
+  }
+
   /** Late-interaction (MaxSim) ranking — the ColBERT scoring rule
     * (Khattab & Zaharia, SIGIR 2020): a query is a BAG of vectors and
     * score(q, d) = Σ_i max_j cos(q_i, d_j), so a document must match
@@ -2797,6 +2861,7 @@ object ScaleQueries {
     "dedup_threshold_curve" -> (dedupThresholdCurve _),
     "embed_matryoshka" -> (embedMatryoshka _),
     "ann_ivf_mrl" -> (annIvfMrl _),
+    "ann_mrl_funnel" -> (annMrlFunnel _),
     "silhouette_gate" -> (silhouetteGate _),
     "split_leakage_safe" -> (splitLeakageSafe _),
     "dedup_canonical_quality" -> (dedupCanonicalQuality _),
@@ -4529,6 +4594,73 @@ object ScaleQueries {
                 CAST((h.hits * 1000000) // tot.n_exact AS BIGINT)
                   AS recall_e6
          FROM h CROSS JOIN tot ORDER BY dims""",
+    // the WHOLE funnel replayed value-for-value: prefix codebook at
+    // the sqrt-n stride, 16-d assignment + half-coverage probes, the
+    // prefix top-32 shortlist, the full-dim exact re-rank of ONLY the
+    // shortlist, the exact full-dim top-3 baseline, and the integer
+    // recall arithmetic
+    "ann_mrl_funnel" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         ep AS (SELECT vec_id, v[1:16] AS p FROM e),
+         cb AS (SELECT vec_id AS centroid_id, p AS cv FROM ep
+                WHERE vec_id % $sqrtStrideSql = 0
+                ORDER BY centroid_id LIMIT 16384),
+         sim AS (SELECT ep.vec_id, cb.centroid_id,
+                   list_dot_product(ep.p, cb.cv)
+                   / sqrt(list_dot_product(ep.p, ep.p)
+                          * list_dot_product(cb.cv, cb.cv)) AS s
+                 FROM ep CROSS JOIN cb),
+         rk AS (SELECT vec_id, centroid_id, s,
+                  row_number() OVER (PARTITION BY vec_id
+                       ORDER BY s DESC, centroid_id) AS rn
+                FROM sim WHERE NOT isnan(s)),
+         asg AS (SELECT vec_id AS cid, centroid_id FROM rk WHERE rn = 1),
+         np AS (SELECT GREATEST(7, (count(*) + 1) // 2) AS v FROM cb),
+         pb AS (SELECT vec_id AS qid, centroid_id FROM rk
+                WHERE rn <= (SELECT v FROM np) AND vec_id % 20 = 0),
+         cand AS (SELECT pb.qid, asg.cid
+                  FROM pb JOIN asg USING (centroid_id)
+                  WHERE pb.qid <> asg.cid),
+         s1 AS (SELECT cand.qid, cand.cid,
+                  round(list_dot_product(qp.p, cp.p)
+                        / sqrt(list_dot_product(qp.p, qp.p)
+                               * list_dot_product(cp.p, cp.p)), 4)
+                    AS psim
+                FROM cand JOIN ep qp ON cand.qid = qp.vec_id
+                          JOIN ep cp ON cand.cid = cp.vec_id),
+         sl AS (SELECT qid, cid FROM (
+                  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                       ORDER BY psim DESC, cid) AS rnk FROM s1) z
+                WHERE rnk <= 32),
+         rr AS (SELECT sl.qid, sl.cid,
+                  round(list_dot_product(q.v, c.v)
+                        / sqrt(list_dot_product(q.v, q.v)
+                               * list_dot_product(c.v, c.v)), 4) AS sim_r
+                FROM sl JOIN e q ON sl.qid = q.vec_id
+                        JOIN e c ON sl.cid = c.vec_id),
+         top AS (SELECT qid, cid FROM (
+                   SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                        ORDER BY sim_r DESC, cid) AS rnk FROM rr) z
+                 WHERE rnk <= 3),
+         ex AS (SELECT qid, cid FROM (
+                  SELECT q.vec_id AS qid, c.vec_id AS cid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY round(list_dot_product(q.v, c.v)
+                                  / sqrt(list_dot_product(q.v, q.v)
+                                         * list_dot_product(c.v, c.v)), 4)
+                           DESC, c.vec_id) AS rnk
+                  FROM (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0) q
+                  JOIN e c ON q.vec_id <> c.vec_id) z
+                WHERE rnk <= 3),
+         tot AS (SELECT count(*) AS n_exact FROM ex),
+         h AS (SELECT count(*) AS hits FROM top JOIN ex USING (qid, cid))
+         SELECT CAST(32 AS INTEGER) AS short_k,
+                CAST(tot.n_exact AS BIGINT) AS n_exact,
+                CAST(h.hits AS BIGINT) AS hits,
+                CAST((h.hits * 1000000) // tot.n_exact AS BIGINT)
+                  AS recall_e6
+         FROM tot CROSS JOIN h""",
     // the recall-gate pin for the truncated-dims IVF serving path
     // (the maxsim_ivf convention): full query coverage per curve
     // point + the 80% floor met — both sides deterministic (√n-stride

@@ -543,7 +543,20 @@ object ScaleProbe {
       ("ann_ivfsq_delta_v2",
         graft.queries.ScaleQueries.queries("ann_ivfsq_delta"), true),
       ("maxsim_ivf_v2",
-        graft.queries.ScaleQueries.queries("maxsim_ivf"), false))
+        graft.queries.ScaleQueries.queries("maxsim_ivf"), false),
+      // r12 batch 4: the MRL adaptive-retrieval funnel (warm — the
+      // exact full-dim baseline memoizes per session; the second
+      // sample times stage 1's 16-d IVF serve + the |Q|×32 re-rank
+      // join + the recall cells) and the two stream shapes re-probed
+      // at their new 3-batch contract (warm — the split stage is
+      // session-cached; per-batch state is cells, so the third batch
+      // should cost one spin-up, not a scan)
+      ("ann_mrl_funnel",
+        graft.queries.ScaleQueries.queries("ann_mrl_funnel"), false),
+      ("stream_topk_3b",
+        graft.queries.AdvancedQueries.queries("stream_topk"), false),
+      ("stream_dq_3b",
+        graft.queries.AdvancedQueries.queries("stream_dq"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

@@ -104,6 +104,60 @@ class Round12Spec extends AnyFunSuite {
       assert(math.abs(lsh(k) - v) < 1e-9, s"jaccard differs at $k")
   }
 
+  test("ann_mrl_funnel: measurement row is internally consistent and " +
+      "matches a brute-force funnel replay") {
+    val row = queries.ScaleQueries.queries("ann_mrl_funnel")(spark, dir)
+      .head()
+    val nQ = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % 20 === 0).count()
+    assert(row.getAs[Int]("short_k") == 32)
+    assert(row.getAs[Long]("n_exact") == 3 * nQ)
+    val hits = row.getAs[Long]("hits")
+    assert(hits >= 0 && hits <= row.getAs[Long]("n_exact"))
+    assert(row.getAs[Long]("recall_e6") ==
+      hits * 1000000L / row.getAs[Long]("n_exact"))
+    // brute replay: exact full-dim top-3 per query, then the count of
+    // those that the funnel's top-3 (prefix-IVF shortlist @32,
+    // full-dim re-rank) recovers — mirrors the DuckDB oracle in Scala
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      for (i <- 0 until d) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i) }
+      math.round(ab / math.sqrt(aa * bb) * 1e4) / 1e4
+    }
+    def top(qid: Long, pool: Iterable[Long], d: Int, k: Int): Seq[Long] =
+      pool.filter(_ != qid).toSeq
+        .map(c => (c, cos(vecs(qid), vecs(c), d)))
+        .sortBy { case (c, s) => (-s, c) }.take(k).map(_._1)
+    // stage 1 brute twin: prefix codebook + assignment + half probes
+    val n = vecs.size.toLong
+    val stride = graft.ops.Similarity.sqrtStride(n)
+    val cents = vecs.keys.filter(_ % stride == 0).toSeq.sorted.take(1 << 14)
+    def rawCos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      for (i <- 0 until 16) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i) }
+      ab / math.sqrt(aa * bb)
+    }
+    def ranked(v: Array[Double]): Seq[Long] =
+      cents.map(c => (c, rawCos(v, vecs(c))))
+        .filterNot(_._2.isNaN)
+        .sortBy { case (c, s) => (-s, c) }.map(_._1)
+    val assign = vecs.keys.map(id => id -> ranked(vecs(id)).head).toMap
+    val nprobe = graft.ops.Similarity.halfNprobe(cents.size)
+    val qids = vecs.keys.filter(_ % 20 == 0).toSeq
+    val bruteHits = qids.map { q =>
+      val probed = ranked(vecs(q)).take(nprobe).toSet
+      val candPool = vecs.keys.filter(c => c != q && probed(assign(c)))
+      val short = top(q, candPool, 16, 32)
+      val funnel3 = top(q, short, 64, 3).toSet
+      (funnel3 & top(q, vecs.keys, 64, 3).toSet).size
+    }.sum
+    assert(hits == bruteHits, s"funnel hits $hits != brute $bruteHits")
+  }
+
   test("ann_ivf_mrl: full per-point coverage, floor met, and the " +
       "approx recall really clears the 80% floor vs a brute prefix " +
       "ranking") {
