@@ -1499,6 +1499,46 @@ object ScaleQueries {
       .orderBy(col("rnk"))
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN on the persisted IVF-PQ CODE index — the
+    * third layout under [[graft.ops.Similarity.ivfIndexForget]]'s
+    * layout-agnostic loop (raw vectors: `ann_index_forget`; SQ codes:
+    * `ann_ivfsq_forget`; PQ codes: this), completing forget across
+    * every persisted index family. The forget VECTORS are assigned
+    * under the shared coarse quantizer (their PQ codes are never
+    * needed — where a row lives depends only on (vector, coarse
+    * codebook)), touched code lists are rewritten as survivors
+    * through the same durable-staging → idempotent-publish loop, and
+    * the served ADC + pushed-shortlist re-rank must equal the full
+    * IVFADC+R replay over SURVIVORS under fit-once codebooks (PQ
+    * sub-codebooks and quantizer are NOT refit per delete — the
+    * privacy-boundary note on [[annIndexForget]] applies).
+    */
+  def annIvfpqForget(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (fullPath, coarse, cbs) = fullIvfpqIndex(s, dir)
+    val path =
+      memoCodebook(s"ivfpq-forget:${graft.Tables.versioned(dir)}") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_forget").toString
+        // filter-copy of the memoized full code index — see
+        // annIndexForget; the forget loop under test is unchanged
+        Similarity.ivfIndexDerive(s, fullPath, p, lit(true))
+        Similarity.ivfIndexForget(s, p, coarse,
+          emb.filter(col("vec_id") % 13 === 5), "vec_id", "embedding")
+        p
+      }
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<float>"))
+      .head().getSeq[Float](0)
+    Similarity.ivfpqIndexedSearch(s, path, coarse, cbs,
+        emb.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<float>").as("cv")),
+        qid = 0L, qv = qv,
+        nprobe = Similarity.derivedNprobe(coarse.length), k = 3,
+        rerank = 128)
+      .orderBy(col("rnk"))
+  }
+
   /** BATCH (query-fleet) search over the persisted IVF-PQ code index
     * ([[Similarity.ivfpqIndexedBatchSearch]]): every 20th vector
     * served in ONE plan against the stored (cid, code) lists — the
@@ -2886,6 +2926,7 @@ object ScaleQueries {
     "ann_sq_topk" -> (annSqTopk _),
     "ann_ivfsq_indexed" -> (annIvfsqIndexed _),
     "ann_ivfsq_forget" -> (annIvfsqForget _),
+    "ann_ivfpq_forget" -> (annIvfpqForget _),
     "ann_ivfsq_delta" -> (annIvfsqDelta _),
     "ann_ivfsq_batch" -> (annIvfsqBatch _),
     "ann_sq_recall" -> (annSqRecall _),
@@ -3473,7 +3514,8 @@ object ScaleQueries {
     */
   private def annIvfpqOracleSqlFor(qidWhere: String, strideSql: String,
                                    nprobeSql: String,
-                                   extraCols: String = ""): String = {
+                                   extraCols: String = "",
+                                   survivorWhere: String = "TRUE"): String = {
     val m = 16; val sub = 4
     val chains = (0 until m).map { j =>
       lloydCtes(s"q${j}_", 2, "16",
@@ -3498,9 +3540,10 @@ object ScaleQueries {
          SELECT b.vec_id AS cid,
                 CAST(flatten([$reconList]) AS DOUBLE[]) AS rv
          FROM embeddings b $reconJoins),
-       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),
-       cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+       e AS (SELECT * FROM e0 WHERE $survivorWhere),
+       cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e0
               WHERE vec_id % $strideSql = 0
               ORDER BY centroid_id LIMIT 16384),
        sim AS (SELECT e.vec_id, cb.centroid_id,
@@ -4107,6 +4150,12 @@ object ScaleQueries {
     // the maintained (base + encoded delta, compacted) CODE index
     // must serve the SAME rows as the full replay; the consistency
     // flag pins set-equality against the rebuilt index
+    // the IVFADC+R replay with fit-once codebooks from the FULL
+    // corpus but lists and both rank stages over SURVIVORS only —
+    // the PQ twin of ann_index_forget's oracle rule
+    "ann_ivfpq_forget" -> annIvfpqOracleSqlFor("vec_id = 0",
+      sqrtStrideSql, derivedNprobeSql,
+      survivorWhere = "vec_id % 13 <> 5"),
     "ann_ivfpq_delta" -> annIvfpqOracleSqlFor("vec_id = 0",
       sqrtStrideSql, derivedNprobeSql,
       extraCols = ", CAST(1 AS INTEGER) AS delta_consistent"),

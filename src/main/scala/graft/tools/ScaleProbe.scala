@@ -556,7 +556,12 @@ object ScaleProbe {
       ("stream_topk_3b",
         graft.queries.AdvancedQueries.queries("stream_topk"), false),
       ("stream_dq_3b",
-        graft.queries.AdvancedQueries.queries("stream_dq"), false))
+        graft.queries.AdvancedQueries.queries("stream_dq"), false),
+      // r12 batch 5: forget on the PQ code index (cold — the memo
+      // trains the PQ codebooks + builds the base code index, then
+      // derives the forget instance and runs the deletion loop)
+      ("ann_ivfpq_forget",
+        graft.queries.ScaleQueries.queries("ann_ivfpq_forget"), true))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped
