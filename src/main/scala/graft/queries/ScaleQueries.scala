@@ -871,6 +871,108 @@ object ScaleQueries {
     approx
   }
 
+  /** The MaxSim COVERAGE–RECALL tuning curve — the measured tradeoff
+    * `halfNprobe`'s scaladoc records, certified as a query (the
+    * [[annRecallCurve]] one-search discipline applied to the
+    * late-interaction route): per-facet probes run ONCE at the
+    * curve's maximum budget (nlist/2) retaining each candidate's
+    * FIRST-PROBE rank (min over facets — a doc qualifies at budget p
+    * if ANY facet probed its list within rank ≤ p), the exact
+    * 16-cosine MaxSim is computed ONCE per candidate and pinned, and
+    * every curve point (nprobe ∈ {nlist/8, nlist/4, nlist/2}, the
+    * `derivedNprobe`/quarter/`halfNprobe` operating points) is a
+    * window over the `first_probe <= p` subset. Recall@3 counts hits
+    * against the exact [[maxsimRank]] top-3 in exact-integer
+    * recall_e6. Monotone nondecreasing in nprobe BY CONSTRUCTION
+    * (candidate sets nest) — this is the row set an operator reads to
+    * place their corpus on the clustered↔unclustered spectrum and
+    * pick the budget `maxsim_ivf` serves at. The naive sweep would
+    * re-run candidate generation AND the MaxSim scoring |curve|
+    * times; this prices both once.
+    */
+  def maxsimBudgetCurve(s: SparkSession, dir: String): DataFrame = {
+    val sub = 16
+    val m = 4
+    val emb = t(s, dir, "embeddings")
+    def sv(c: org.apache.spark.sql.Column, j: Int) =
+      slice(c.cast("array<float>"), j * sub + 1, sub)
+    val full = graft.ops.Similarity.sampledCodebook(emb, "vec_id",
+      "embedding", graft.ops.Similarity.sqrtStride(emb.count()))
+    val nlist = full.length
+    val budgets = Seq(
+      graft.ops.Similarity.derivedNprobe(nlist),
+      math.max(7, nlist / 4),
+      graft.ops.Similarity.halfNprobe(nlist)).distinct.sorted
+    val npMax = budgets.max
+    val cbs = (0 until m).map { j =>
+      full.map { case (id, v) => (id, v.slice(j * sub, j * sub + sub)) }
+    }
+    val centsLits = cbs.map(cb => typedLit(cb.map(_._2).toSeq))
+    val idsLits = cbs.map(cb => typedLit(cb.map(_._1).toSeq))
+    val corpus = graft.ops.Dedup.spread(
+      emb.select(col("vec_id").as("cid"),
+        col("embedding").cast("array<float>").as("cv")))
+    val lists = corpus.select(col("cid") +: (0 until m).map(j =>
+        try_element_at(nearest_centroids(sv(col("cv"), j),
+          centsLits(j), idsLits(j), 1), lit(1)).as(s"l_$j")): _*)
+      .select(col("cid"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), col(s"l_$j").as("centroid_id"))): _*))
+        .as("x"))
+      .select(col("cid"), col("x.j").as("j"), col("x.centroid_id"))
+    val probes = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<float>").as("qv"))
+      .select(col("qid") +: (0 until m).map(j =>
+        nearest_centroids(sv(col("qv"), j), centsLits(j), idsLits(j),
+          npMax).as(s"p_$j")): _*)
+      .select(col("qid"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), col(s"p_$j").as("ps"))): _*)).as("x"))
+      .select(col("qid"), col("x.j").as("j"),
+        posexplode(col("x.ps")).as(Seq("p0", "centroid_id")))
+      .withColumn("probe_rank", (col("p0") + 1).cast("int"))
+      .drop("p0")
+    // first-probe retention across facets: min probe rank of any
+    // facet whose probed list holds the doc
+    val cand = lists.join(graft.ops.Hints.maybeBroadcast(probes),
+        Seq("j", "centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(min(col("probe_rank")).as("first_probe"))
+    val qSide = emb.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<float>").as("qv"))
+    val cSide = emb.select(col("vec_id").as("cid"),
+      col("embedding").cast("array<float>").as("cv"))
+    val score = (0 until m).map { i =>
+      greatest((0 until m).map(j =>
+        cosine_sim(sv(col("qv"), i), sv(col("cv"), j))): _*)
+    }.reduce(_ + _)
+    // the MaxSim scoring pass runs once; every curve point ranks a
+    // nested subset of this pinned table
+    val scored = graft.ops.Dedup.materialize(cand
+      .join(graft.ops.Hints.maybeBroadcast(qSide), Seq("qid"))
+      .join(cSide, Seq("cid"))
+      .withColumn("maxsim_r", round(score, 4))
+      .select(col("qid"), col("cid"), col("first_probe"),
+        col("maxsim_r")))
+    val exact = graft.ops.Dedup.materialize(
+      maxsimRank(s, dir).select(col("qid"), col("cid")))
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    budgets.map { p =>
+      scored.filter(col("first_probe") <= p)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("maxsim_r").desc, col("cid"))))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("cid"))
+        .join(exact, Seq("qid", "cid"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(total))
+        .select(lit(p).as("nprobe"), col("n_exact"), col("hits"))
+    }.reduce(_ unionByName _)
+      .withColumn("recall_e6", expr("hits * 1000000 DIV n_exact"))
+      .orderBy(col("nprobe"))
+  }
+
   /** Dedup-threshold TUNING CURVE — the sweep run before fixing a
     * near-dup threshold, priced as ONE pair computation (the
     * [[annRecallCurve]] one-search discipline applied to dedup): the
@@ -2898,6 +3000,7 @@ object ScaleQueries {
     "ann_autotune" -> (annAutotune _),
     "maxsim_rank" -> (maxsimRank _),
     "maxsim_ivf" -> (maxsimIvf _),
+    "maxsim_budget_curve" -> (maxsimBudgetCurve _),
     "dedup_threshold_curve" -> (dedupThresholdCurve _),
     "embed_matryoshka" -> (embedMatryoshka _),
     "ann_ivf_mrl" -> (annIvfMrl _),
@@ -3251,6 +3354,93 @@ object ScaleQueries {
                CAST(row_number() OVER (PARTITION BY qid
                     ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
              FROM s2)"""
+
+
+  /** Full [[maxsimBudgetCurve]] replay: per-facet √n-stride codebook
+    * assignment + probe chains WITH probe rank retained, cross-facet
+    * first-probe retention (min over the facet unions), the 16-cosine
+    * MaxSim on the pinned candidate table, the exact all-pairs MaxSim
+    * top-3, and per-budget nested ranking + exact-integer recall —
+    * every constant derived from counts, so both engines compute the
+    * identical curve.
+    */
+  private def maxsimBudgetCurveOracleSql: String = {
+    def cos(i: Int, j: Int): String = {
+      val (a, b) = (i * 16 + 1, (i + 1) * 16)
+      val (c, d) = (j * 16 + 1, (j + 1) * 16)
+      s"(list_dot_product(qv[$a:$b], cv[$c:$d]) " +
+        s"/ sqrt(list_dot_product(qv[$a:$b], qv[$a:$b]) " +
+        s"* list_dot_product(cv[$c:$d], cv[$c:$d])))"
+    }
+    val score = (0 until 4).map { i =>
+      s"greatest(${(0 until 4).map(j => cos(i, j)).mkString(", ")})"
+    }.mkString(" + ")
+    def facet(j: Int): String = {
+      val (a, b) = (j * 16 + 1, (j + 1) * 16)
+      s"""sim_$j AS (SELECT e.vec_id, cb.centroid_id,
+             list_dot_product(e.v[$a:$b], cb.cv[$a:$b])
+             / sqrt(list_dot_product(e.v[$a:$b], e.v[$a:$b])
+                    * list_dot_product(cb.cv[$a:$b], cb.cv[$a:$b])) AS s
+           FROM e CROSS JOIN cb),
+         rk_$j AS (SELECT vec_id, centroid_id, s,
+             row_number() OVER (PARTITION BY vec_id
+                  ORDER BY s DESC, centroid_id) AS rn
+           FROM sim_$j WHERE NOT isnan(s)),
+         asg_$j AS (SELECT vec_id AS cid, centroid_id
+                    FROM rk_$j WHERE rn = 1),
+         pb_$j AS (SELECT vec_id AS qid, centroid_id, rn FROM rk_$j
+                   WHERE rn <= (SELECT max(np) FROM budgets)
+                     AND vec_id % 20 = 0),
+         cd_$j AS (SELECT pb.qid, asg.cid, pb.rn
+                   FROM pb_$j pb JOIN asg_$j asg USING (centroid_id)
+                   WHERE pb.qid <> asg.cid)"""
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+              WHERE vec_id % $sqrtStrideSql = 0
+              ORDER BY centroid_id LIMIT 16384),
+       cnt AS (SELECT count(*) AS c FROM cb),
+       budgets AS (SELECT DISTINCT unnest([
+           GREATEST(7, (SELECT c FROM cnt) // 8),
+           GREATEST(7, (SELECT c FROM cnt) // 4),
+           GREATEST(7, ((SELECT c FROM cnt) + 1) // 2)]) AS np),
+       ${(0 until 4).map(facet).mkString(",\n       ")},
+       cand AS (SELECT qid, cid, CAST(min(rn) AS INTEGER) AS first_probe
+                FROM (SELECT * FROM cd_0 UNION ALL SELECT * FROM cd_1
+                      UNION ALL SELECT * FROM cd_2
+                      UNION ALL SELECT * FROM cd_3) u
+                GROUP BY 1, 2),
+       ms AS (SELECT cand.qid, cand.cid, cand.first_probe,
+                round($score, 4) AS maxsim_r
+              FROM cand JOIN (SELECT vec_id, v AS qv FROM e) q
+                          ON cand.qid = q.vec_id
+                        JOIN (SELECT vec_id, v AS cv FROM e) c
+                          ON cand.cid = c.vec_id),
+       ex AS (SELECT qid, cid FROM (
+                SELECT q.vec_id AS qid, c.vec_id AS cid,
+                  row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(${score.replace("qv", "q.v").replace("cv", "c.v")}, 4)
+                         DESC, c.vec_id) AS rnk
+                FROM (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0) q
+                JOIN e c ON q.vec_id <> c.vec_id) z
+              WHERE rnk <= 3),
+       tot AS (SELECT count(*) AS n_exact FROM ex),
+       rkd AS (SELECT b.np, ms.qid, ms.cid,
+                 row_number() OVER (PARTITION BY b.np, ms.qid
+                      ORDER BY ms.maxsim_r DESC, ms.cid) AS rnk
+               FROM ms JOIN budgets b ON ms.first_probe <= b.np),
+       h AS (SELECT np, count(*) AS hits
+             FROM rkd JOIN ex ON rkd.qid = ex.qid AND rkd.cid = ex.cid
+             WHERE rkd.rnk <= 3 GROUP BY 1)
+       SELECT CAST(b.np AS INTEGER) AS nprobe,
+              CAST(tot.n_exact AS BIGINT) AS n_exact,
+              CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+              CAST((coalesce(h.hits, 0) * 1000000) // tot.n_exact
+                   AS BIGINT) AS recall_e6
+       FROM budgets b CROSS JOIN tot LEFT JOIN h ON b.np = h.np
+       ORDER BY nprobe"""
+  }
 
   /** Full [[maxsimRank]] replay: the 16 sub-pair cosines over double
     * list slices, per-facet greatest, the left-assoc facet sum, 4-dp
@@ -4562,6 +4752,8 @@ object ScaleQueries {
     // slices, the four maxima and their left-assoc sum (identical
     // IEEE on both engines), 4-dp round, id tie-breaks
     "maxsim_rank" -> maxsimOracleSql,
+    // the coverage-recall tuning curve replayed end to end
+    "maxsim_budget_curve" -> maxsimBudgetCurveOracleSql,
     // the recall-gate pin (the ann_ivf_recall pattern): full query
     // coverage + the 80% floor met — both sides deterministic (√n
     // sub-space codebooks, half-coverage probes, id tie-breaks)

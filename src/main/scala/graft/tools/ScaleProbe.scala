@@ -561,7 +561,14 @@ object ScaleProbe {
       // trains the PQ codebooks + builds the base code index, then
       // derives the forget instance and runs the deletion loop)
       ("ann_ivfpq_forget",
-        graft.queries.ScaleQueries.queries("ann_ivfpq_forget"), true))
+        graft.queries.ScaleQueries.queries("ann_ivfpq_forget"), true),
+      // r12 batch 6: the MaxSim coverage-recall curve (warm — one
+      // max-budget candidate generation + one pinned MaxSim scoring
+      // pass; every curve point is a window over the nested subset;
+      // the exact harness is maxsim_rank's priced join)
+      ("maxsim_budget_curve",
+        graft.queries.ScaleQueries.queries("maxsim_budget_curve"),
+        false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

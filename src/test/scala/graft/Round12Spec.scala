@@ -158,6 +158,29 @@ class Round12Spec extends AnyFunSuite {
     assert(hits == bruteHits, s"funnel hits $hits != brute $bruteHits")
   }
 
+  test("maxsim_budget_curve: monotone nondecreasing, and the " +
+      "half-coverage point reproduces maxsim_ivf's serving recall") {
+    val rows = queries.ScaleQueries.queries("maxsim_budget_curve")(
+      spark, dir).collect()
+    assert(rows.length == 3)
+    val recalls = rows.map(_.getAs[Long]("recall_e6"))
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1)),
+      s"curve not monotone: ${recalls.toSeq}")
+    // the curve's max-budget point IS the serving config: its hit
+    // count must equal the recall maxsim_ivf's approx route achieves
+    val exact = queries.ScaleQueries.maxsimRank(spark, dir)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = queries.ScaleQueries.maxsimIvfApprox(spark, dir)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val servingHits = (approx & exact).size.toLong
+    assert(rows.last.getAs[Long]("hits") == servingHits,
+      s"curve@max ${rows.last.getAs[Long]("hits")} != serving $servingHits")
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_exact") == exact.size.toLong))
+  }
+
   test("ann_ivf_mrl: full per-point coverage, floor met, and the " +
       "approx recall really clears the 80% floor vs a brute prefix " +
       "ranking") {
