@@ -235,12 +235,23 @@ class PlanSpec extends AnyFunSuite {
     // or cartesian product (the one sanctioned BNLJ is ann_topk's
     // bounded-chunk broadcast theta join, exercised separately)
     for (name <- Seq("dedup_minhash", "dedup_simhash", "ngram_jaccard",
-        "embed_neardup", "fuzzy_join", "range_join", "fingerprint_pairs")) {
+        "embed_neardup", "fuzzy_join", "range_join", "fingerprint_pairs",
+        // r12: the LSH-PPJoin rung and the truncated-dims IVF serve —
+        // candidates/shortlists must stay equi-join bounded
+        "ppjoin_lsh", "ann_ivf_mrl")) {
       val plan = formatted(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n" + plan.take(1500))
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested loop join:\n" + plan.take(1500))
+    }
+    // the funnel and the budget curve end in a 1-row broadcast
+    // crossJoin (the recall-cell pattern embed_matryoshka shares) —
+    // that BNLJ is sanctioned; a CartesianProduct never is
+    for (name <- Seq("ann_mrl_funnel", "maxsim_budget_curve")) {
+      val plan = formatted(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n" + plan.take(1500))
     }
   }
 
