@@ -99,6 +99,29 @@ object Classifier {
       count(lit(1)))
   }
 
+  /** The gradient cells GROUPED — the data-parallel decomposition the
+    * integer-cell design buys: G_j = Σ floor(err·x_j·10¹² + 0.5) is a
+    * plain int64 SUM, so per-shard partial gradients accumulate to
+    * the full-batch gradient EXACTLY (int addition is associative —
+    * no float reduction-order drift), which is the algebra behind
+    * gradient accumulation / data-parallel workers. Named columns so
+    * consumers can sum/compare cells without positional access.
+    */
+  def gradientCells(feat: DataFrame, w: Array[Double],
+                    by: Seq[Column]): DataFrame = {
+    val p = fastSigmoid(zExpr(w))
+    val err = p - col("y")
+    def g(x: Column): Column =
+      sum(floor(err * x * lit(1e12) + lit(0.5)).cast("long"))
+    feat.groupBy(by: _*).agg(
+      g(lit(1.0)).as("g0_e12"), g(col("x1")).as("g1_e12"),
+      g(col("x2")).as("g2_e12"), g(col("x3")).as("g3_e12"),
+      g(col("x4")).as("g4_e12"),
+      sum(floor(err * err * lit(1e12) + lit(0.5)).cast("long"))
+        .as("sse_e12"),
+      count(lit(1)).as("n"))
+  }
+
   def step(feat: DataFrame, w: Array[Double], lr: Double)
       : (Array[Double], Long, Long) = {
     val row = gradientFrame(feat, w).head()

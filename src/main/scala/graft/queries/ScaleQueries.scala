@@ -871,6 +871,96 @@ object ScaleQueries {
     approx
   }
 
+  /** FILTERED vector search — top-3 under a metadata predicate (each
+    * query retrieves only among corpus vectors sharing ITS label),
+    * the constrained-ANN problem every serving tier meets the moment
+    * vectors carry tenant/language/license attributes. The filter is
+    * applied IN the candidate join (inverted lists carry the label,
+    * the probe join conjoins `clabel = qlabel`), not as a post-filter
+    * of an unfiltered top-k — post-filtering under-fills k whenever
+    * the predicate is selective (filter 10% of the corpus and an
+    * unfiltered top-3 usually contains zero matching rows). Same
+    * √n-stride / half-coverage sizing as the serving family; fully
+    * hash-checked — assignment, probes, filter, and re-rank all
+    * replay (recall vs the exact filtered top-3 is gated by
+    * `ann_filtered_recall`).
+    *
+    * Scale shape: the label rides the existing (centroid_id) equi-join
+    * as an extra join key — no second scan, no post-hoc candidate
+    * inflation; at high selectivity the same machinery wants
+    * label-partitioned lists (a layout knob, not a plan change).
+    */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = graft.ops.Similarity.sampledCodebook(emb, "vec_id",
+      "embedding", graft.ops.Similarity.sqrtStride(emb.count()))
+    val centsLit = typedLit(cb.map(_._2).toSeq)
+    val idsLit = typedLit(cb.map(_._1).toSeq)
+    val nprobe = graft.ops.Similarity.halfNprobe(cb.length)
+    val lists = graft.ops.Dedup.spread(
+        emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
+          col("embedding").cast("array<float>").as("cv")))
+      .withColumn("centroid_id", try_element_at(
+        nearest_centroids(col("cv"), centsLit, idsLit, 1), lit(1)))
+    val probes = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").cast("array<float>").as("qv"))
+      .withColumn("centroid_id", explode(
+        nearest_centroids(col("qv"), centsLit, idsLit, nprobe)))
+    lists.join(graft.ops.Hints.maybeBroadcast(probes),
+        Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid") &&
+        col("clabel") === col("qlabel"))
+      .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sim_r").desc, col("cid"))))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Exact filtered top-3 (brute same-label ranking) — the ground
+    * truth [[annFilteredRecall]] gates against; memoized because the
+    * gate and any future filtered variants share it.
+    */
+  private def exactFilteredTop3(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.getOrCompute(s,
+      s"ann-filtered-exact:${graft.Tables.versioned(dir)}", {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").as("qv"))
+        val corpus = graft.ops.Dedup.spread(
+          emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
+            col("embedding").as("cv")))
+        graft.ops.Dedup.materialize(
+          graft.ops.Hints.chunkedBroadcastThetaJoin(corpus, queries,
+              chunkKey = col("qid"),
+              cond = col("qid") =!= col("cid") &&
+                col("clabel") === col("qlabel"))
+            .withColumn("sim_r",
+              round(cosine_sim(col("qv"), col("cv")), 4))
+            .withColumn("rnk", row_number().over(
+              Window.partitionBy(col("qid"))
+                .orderBy(col("sim_r").desc, col("cid"))))
+            .filter(col("rnk") <= 3)
+            .select(col("qid"), col("cid")))
+      })
+
+  /** Driver-visible recall gate for [[annFiltered]] — the
+    * `ann_ivf_recall` contract under the metadata predicate. Floor 70
+    * with measured top-3 recall 0.79 / 0.89 at sf0.001/sf0.01 (the
+    * weakest-SF-minus-margin convention): the label filter thins each
+    * probed list ~10×, so the filtered candidate pool is harder to
+    * cover than the unfiltered one at the same probe budget — exactly
+    * the effect the gate exists to surface (a selective predicate is
+    * the signal to move to label-partitioned lists).
+    */
+  def annFilteredRecall(s: SparkSession, dir: String): DataFrame =
+    recallGate(annFiltered(s, dir), exactFilteredTop3(s, dir),
+      k = 3, floorPct = 70)
+
   /** The MaxSim COVERAGE–RECALL tuning curve — the measured tradeoff
     * `halfNprobe`'s scaladoc records, certified as a query (the
     * [[annRecallCurve]] one-search discipline applied to the
@@ -2171,6 +2261,42 @@ object ScaleQueries {
       .orderBy(col("cluster_id"))
   }
 
+  /** PROVENANCE-PRESERVING canonical dedup — the governance rule a
+    * licensed-data pipeline must apply when near-dups collapse: the
+    * SURVIVOR carries the UNION of its cluster's provenance (sources,
+    * languages), because dropping a duplicate must not drop the fact
+    * that the retained text also appeared under another source's
+    * license/terms (attribution and takedown obligations attach to
+    * the content, not the copy). Per cluster: the canonical keep
+    * (min id — `dedup_canonical`'s rule), member count, the sorted
+    * distinct source list as one comma-joined string (deterministic,
+    * hashable), and distinct source/lang counts. Singletons carry
+    * their own provenance.
+    *
+    * Scale shape: labels are the MAINTAINED LSH table (the r12 rebase
+    * family — no closure in-query); the rollup is one (cluster)-keyed
+    * aggregate with map-side partial collect_set over bounded
+    * per-cluster member lists. The oracle recomputes the exact ≥0.7
+    * closure from raw text and string_aggs the same sorted provenance.
+    */
+  def dedupProvenance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lab = lshMaintainedLabels(s, dir)
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .join(lab, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), col("source"), col("lang"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        concat_ws(",", sort_array(collect_set(col("source"))))
+          .as("provenance"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** SPLIT STABILITY under corpus growth — the follow-on question
     * [[splitLeakageSafe]] raises: cluster-keyed splits are
     * leakage-safe but the cluster LABEL (component min-id) is not
@@ -3001,6 +3127,8 @@ object ScaleQueries {
     "maxsim_rank" -> (maxsimRank _),
     "maxsim_ivf" -> (maxsimIvf _),
     "maxsim_budget_curve" -> (maxsimBudgetCurve _),
+    "ann_filtered" -> (annFiltered _),
+    "ann_filtered_recall" -> (annFilteredRecall _),
     "dedup_threshold_curve" -> (dedupThresholdCurve _),
     "embed_matryoshka" -> (embedMatryoshka _),
     "ann_ivf_mrl" -> (annIvfMrl _),
@@ -3008,6 +3136,7 @@ object ScaleQueries {
     "silhouette_gate" -> (silhouetteGate _),
     "split_leakage_safe" -> (splitLeakageSafe _),
     "dedup_canonical_quality" -> (dedupCanonicalQuality _),
+    "dedup_provenance" -> (dedupProvenance _),
     "split_stability" -> (splitStability _),
     "mmr_rerank" -> (mmrRerank _),
     "mine_pairs" -> (minePairs _),
@@ -4754,6 +4883,52 @@ object ScaleQueries {
     "maxsim_rank" -> maxsimOracleSql,
     // the coverage-recall tuning curve replayed end to end
     "maxsim_budget_curve" -> maxsimBudgetCurveOracleSql,
+    // the filtered search replayed end to end: the label rides the
+    // candidate equi-join (never a post-filter of an unfiltered
+    // top-k), same sqrt-n stride / half-coverage sizing
+    "ann_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label,
+                    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+                WHERE vec_id % $sqrtStrideSql = 0
+                ORDER BY centroid_id LIMIT 16384),
+         np AS (SELECT GREATEST(7, (count(*) + 1) // 2) AS v FROM cb),
+         sim AS (SELECT e.vec_id, e.label, cb.centroid_id,
+                   list_dot_product(e.v, cb.cv)
+                   / sqrt(list_dot_product(e.v, e.v)
+                          * list_dot_product(cb.cv, cb.cv)) AS s
+                 FROM e CROSS JOIN cb),
+         rk AS (SELECT vec_id, label, centroid_id, s,
+                  row_number() OVER (PARTITION BY vec_id
+                       ORDER BY s DESC, centroid_id) AS rn
+                FROM sim WHERE NOT isnan(s)),
+         asg AS (SELECT vec_id AS cid, label AS clabel, centroid_id
+                 FROM rk WHERE rn = 1),
+         pb AS (SELECT vec_id AS qid, label AS qlabel, centroid_id
+                FROM rk
+                WHERE rn <= (SELECT v FROM np) AND vec_id % 20 = 0),
+         cand AS (SELECT pb.qid, asg.cid
+                  FROM pb JOIN asg USING (centroid_id)
+                  WHERE pb.qid <> asg.cid AND asg.clabel = pb.qlabel),
+         s2 AS (SELECT cand.qid, cand.cid,
+                  round(list_dot_product(q.v, c.v)
+                        / sqrt(list_dot_product(q.v, q.v)
+                               * list_dot_product(c.v, c.v)), 4)
+                    AS sim_r
+                FROM cand JOIN e q ON cand.qid = q.vec_id
+                          JOIN e c ON cand.cid = c.vec_id),
+         r AS (SELECT qid, cid, sim_r,
+                 CAST(row_number() OVER (PARTITION BY qid
+                      ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
+               FROM s2)
+         SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 3
+         ORDER BY qid, rnk""",
+    // the filtered-recall gate pin (full coverage + floor met)
+    "ann_filtered_recall" ->
+      """SELECT count(*) AS n_queries,
+                CAST(70 AS INTEGER) AS recall_floor_pct,
+                CAST(1 AS INTEGER) AS floor_met
+         FROM embeddings WHERE vec_id % 20 = 0""",
     // the recall-gate pin (the ann_ivf_recall pattern): full query
     // coverage + the 80% floor met — both sides deterministic (√n
     // sub-space codebooks, half-coverage probes, id tie-breaks)
@@ -4950,6 +5125,23 @@ object ScaleQueries {
                 CAST(sum(s_e6) AS BIGINT) AS sum_s_e6,
                 min(s_e6) AS min_s_e6, max(s_e6) AS max_s_e6
          FROM sil GROUP BY 1 ORDER BY 1""",
+    // the exact closure + the provenance union rollup: survivors
+    // carry the SORTED comma-joined distinct source set of their
+    // whole cluster (string_agg DISTINCT ... ORDER BY = Spark's
+    // concat_ws over sort_array(collect_set))
+    "dedup_provenance" ->
+      s"""WITH RECURSIVE ${lshLabelsChainSql("", "TRUE")},
+         fl AS (SELECT d.doc_id, d.source, d.lang,
+                  coalesce(l.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN lab l ON d.doc_id = l.id)
+         SELECT cluster_id,
+                CAST(min(doc_id) AS BIGINT) AS keep_id,
+                CAST(count(*) AS BIGINT) AS n_members,
+                string_agg(DISTINCT source, ',' ORDER BY source)
+                  AS provenance,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM fl GROUP BY cluster_id ORDER BY cluster_id""",
     // the CC closure + the quality kernel chain + the per-cluster
     // quality argmax (ties by min id) — survivor selection replayed
     "dedup_canonical_quality" ->

@@ -1997,6 +1997,44 @@ object TextQueries {
       .toDF("iter", "w0", "w1", "w2", "w3", "w4", "sse_e12", "n")
   }
 
+  /** GRADIENT-ACCUMULATION equivalence — the data-parallel training
+    * algebra certified: the e12-int64 gradient cells are plain sums,
+    * so per-shard partial gradients accumulate to the full-batch
+    * gradient EXACTLY (integer addition is associative — no
+    * float-reduction-order drift between 1 worker and N workers),
+    * which is precisely why `quality_train`'s trajectory is
+    * shuffle-order-independent and why a gradient step distributes
+    * over any row partition. Emits the per-shard cells (doc_id % 4 —
+    * four simulated workers), the full-batch row (shard = -1), and
+    * `accum_equal` = 1 iff every summed shard cell equals the
+    * full-batch cell, all evaluated at the REAL post-step-1 weights
+    * (a non-trivial gradient point). The oracle recomputes the step-1
+    * weights, both groupings, and the equality from raw text.
+    */
+  def gradAccumEquiv(s: SparkSession, dir: String): DataFrame = {
+    val feat = graft.ops.Classifier.features(
+      t(s, dir, "documents"), "doc_id", "text", "lang")
+    val (w1, _, _) =
+      graft.ops.Classifier.step(feat, Array.fill(5)(0.0), QtLr)
+    val byShard = graft.ops.Classifier.gradientCells(
+      feat.withColumn("shard", pmod(col("id"), lit(4))), w1,
+      Seq(col("shard")))
+    val total = graft.ops.Classifier.gradientCells(
+      feat.withColumn("shard", lit(-1L)), w1, Seq(col("shard")))
+    val cellCols = Seq("g0_e12", "g1_e12", "g2_e12", "g3_e12",
+      "g4_e12", "sse_e12", "n")
+    val shardSums = byShard.agg(
+      sum(col(cellCols.head)).as(cellCols.head),
+      cellCols.tail.map(c => sum(col(c)).as(c)): _*)
+    val flag = shardSums.crossJoin(broadcast(
+        total.select(cellCols.map(c => col(c).as(s"t_$c")): _*)))
+      .select(when(cellCols.map(c => col(c) === col(s"t_$c"))
+          .reduce(_ && _), 1).otherwise(0).as("accum_equal"))
+    byShard.unionByName(total)
+      .crossJoin(broadcast(flag))
+      .orderBy(col("shard"))
+  }
+
   /** ONLINE model maintenance — the incremental-family algebra
     * applied to SGD: train on the 90% base corpus (doc_id % 10 ≠ 9,
     * the established delta convention), then absorb the newest-10%
@@ -2575,6 +2613,7 @@ object TextQueries {
     "quality_stump" -> (qualityStump _),
     "quality_auc_holdout" -> (qualityAucHoldout _),
     "quality_train" -> (qualityTrain _),
+    "grad_accum_equiv" -> (gradAccumEquiv _),
     "quality_train_incremental" -> (qualityTrainIncremental _),
     "quality_classify" -> (qualityClassify _),
     "stream_classify" -> (streamClassify _),
@@ -2741,6 +2780,56 @@ object TextQueries {
          qw_0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
                          0.0 AS w3, 0.0 AS w4)"""
     feat + ",\n" + (1 to QtIters).map(qtStepCtes(_, "qf")).mkString(",\n")
+  }
+
+  /** [[gradAccumEquiv]] replayed: step-1 weights from the unrolled GD
+    * chain, the same e12 gradient cells grouped by shard and in one
+    * full-batch row, and the exact-equality flag between summed shard
+    * cells and the full batch.
+    */
+  private def gradAccumEquivOracleSql: String = {
+    def cellsSelect(shardExpr: String, groupBy: String): String =
+      s"""SELECT $shardExpr AS shard,
+              CAST(sum(CAST(floor(err * 1e12 + 0.5) AS BIGINT))
+                   AS BIGINT) AS g0_e12,
+              CAST(sum(CAST(floor(err * x1 * 1e12 + 0.5) AS BIGINT))
+                   AS BIGINT) AS g1_e12,
+              CAST(sum(CAST(floor(err * x2 * 1e12 + 0.5) AS BIGINT))
+                   AS BIGINT) AS g2_e12,
+              CAST(sum(CAST(floor(err * x3 * 1e12 + 0.5) AS BIGINT))
+                   AS BIGINT) AS g3_e12,
+              CAST(sum(CAST(floor(err * x4 * 1e12 + 0.5) AS BIGINT))
+                   AS BIGINT) AS g4_e12,
+              CAST(sum(CAST(floor(err * err * 1e12 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sse_e12,
+              count(*) AS n
+       FROM (SELECT id, x1, x2, x3, x4,
+                    (0.5 + 0.5 * z / (1.0 + abs(z))) - y AS err
+             FROM (SELECT f.*, w.w0 + w.w1 * x1 + w.w2 * x2
+                              + w.w3 * x3 + w.w4 * x4 AS z
+                   FROM qf f CROSS JOIN qw_1 w) fz) e $groupBy"""
+    s"""WITH qf AS (${qtFeatureSelect("TRUE")}),
+       qw_0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
+                       0.0 AS w3, 0.0 AS w4),
+       ${qtStepCtes(1, "qf")},
+       cells AS (${cellsSelect("id % 4", "GROUP BY 1")}),
+       tot AS (${cellsSelect("CAST(-1 AS BIGINT)", "")}),
+       allr AS (SELECT * FROM cells UNION ALL SELECT * FROM tot),
+       sums AS (SELECT sum(g0_e12) AS g0, sum(g1_e12) AS g1,
+                       sum(g2_e12) AS g2, sum(g3_e12) AS g3,
+                       sum(g4_e12) AS g4, sum(sse_e12) AS sse,
+                       sum(n) AS n FROM cells),
+       flag AS (SELECT CASE WHEN s.g0 = t.g0_e12 AND s.g1 = t.g1_e12
+                             AND s.g2 = t.g2_e12 AND s.g3 = t.g3_e12
+                             AND s.g4 = t.g4_e12 AND s.sse = t.sse_e12
+                             AND s.n = t.n
+                        THEN 1 ELSE 0 END AS accum_equal
+                FROM sums s CROSS JOIN tot t)
+       SELECT CAST(allr.shard AS BIGINT) AS shard,
+              g0_e12, g1_e12, g2_e12, g3_e12, g4_e12, sse_e12,
+              CAST(n AS BIGINT) AS n,
+              CAST(flag.accum_equal AS INTEGER) AS accum_equal
+       FROM allr CROSS JOIN flag ORDER BY shard"""
   }
 
   private def qualityTrainOracleSql: String = {
@@ -3279,6 +3368,8 @@ object TextQueries {
     // aggregates (e12 int64) — the weight trajectory hash-compares as
     // exact doubles; scoring reuses the recomputed final weights
     "quality_train" -> qualityTrainOracleSql,
+    // the data-parallel gradient algebra replayed + equality-pinned
+    "grad_accum_equiv" -> gradAccumEquivOracleSql,
     // base phase + the delta-only online step, both replayed
     "quality_train_incremental" -> qualityTrainIncrementalOracleSql,
     "quality_classify" -> qualityClassifyOracleSql,

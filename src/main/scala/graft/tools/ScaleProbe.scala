@@ -568,7 +568,20 @@ object ScaleProbe {
       // the exact harness is maxsim_rank's priced join)
       ("maxsim_budget_curve",
         graft.queries.ScaleQueries.queries("maxsim_budget_curve"),
-        false))
+        false),
+      // r12 batch 7: provenance-preserving dedup (warm — one
+      // cluster-keyed rollup over the maintained label memo),
+      // filtered vector search (warm — the label rides the candidate
+      // equi-join; the gate's exact side memoizes per session), and
+      // the data-parallel gradient certificate (warm — one full-batch
+      // step + two groupings of the same integer cells)
+      ("dedup_provenance",
+        graft.queries.ScaleQueries.queries("dedup_provenance"), false),
+      ("ann_filtered_recall",
+        graft.queries.ScaleQueries.queries("ann_filtered_recall"),
+        false),
+      ("grad_accum_equiv",
+        graft.queries.TextQueries.queries("grad_accum_equiv"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

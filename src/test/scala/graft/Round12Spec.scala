@@ -158,6 +158,113 @@ class Round12Spec extends AnyFunSuite {
     assert(hits == bruteHits, s"funnel hits $hits != brute $bruteHits")
   }
 
+  test("dedup_provenance: every survivor carries exactly its " +
+      "cluster's sorted distinct source union; members total corpus") {
+    val texts = docTexts()
+    val brute = lshBruteLabels(texts, _ => true)
+    val meta = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val byCluster = meta.keys.groupBy(id => brute.getOrElse(id, id))
+    val got = queries.ScaleQueries.queries("dedup_provenance")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got.keySet == byCluster.keySet)
+    for ((c, ids) <- byCluster) {
+      val srcs = ids.map(meta(_)._1).toSeq.distinct.sorted
+      val langs = ids.map(meta(_)._2).toSet
+      val (keep, n, prov, nSrc, nLang) = got(c)
+      assert(keep == ids.min)
+      assert(n == ids.size.toLong)
+      assert(prov == srcs.mkString(","),
+        s"cluster $c provenance $prov != ${srcs.mkString(",")}")
+      assert(nSrc == srcs.size.toLong && nLang == langs.size.toLong)
+    }
+    assert(got.values.map(_._2).sum == meta.size.toLong)
+  }
+
+  private def docTexts(): Map[Long, String] =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  /** Same brute closure as Round11CloserSpec's (duplicated because
+    * suites must stay independent).
+    */
+  private def lshBruteLabels(docText: Map[Long, String],
+                             only: Long => Boolean): Map[Long, Long] = {
+    def shingles(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val keep = docText.keys.filter(only).toSeq.sorted
+    val sh = keep.map(id => id -> shingles(docText(id))).toMap
+    val parent = scala.collection.mutable.Map(keep.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    for (a <- keep; b <- keep if b > a) {
+      val inter = (sh(a) & sh(b)).size
+      val uni = (sh(a) | sh(b)).size
+      if (uni > 0 && inter.toDouble / uni >= 0.7) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    keep.map(i => i -> find(i)).toMap
+  }
+
+  test("ann_filtered: every hit shares its query's label, and recall " +
+      "vs the brute filtered top-3 clears the gate floor") {
+    val meta = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray)).toMap
+    val got = queries.ScaleQueries.queries("ann_filtered")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (q, c) =>
+      assert(meta(q)._1 == meta(c)._1,
+        s"hit ($q, $c) crosses labels ${meta(q)._1} != ${meta(c)._1}")
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      for (i <- a.indices) {
+        ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i)
+      }
+      math.round(ab / math.sqrt(aa * bb) * 1e4) / 1e4
+    }
+    val qids = meta.keys.filter(_ % 20 == 0).toSeq
+    val exact = qids.flatMap { q =>
+      meta.keys
+        .filter(c => c != q && meta(c)._1 == meta(q)._1).toSeq
+        .map(c => (c, cos(meta(q)._2, meta(c)._2)))
+        .sortBy { case (c, sv) => (-sv, c) }.take(3).map(c => (q, c._1))
+    }.toSet
+    val recall = (got.toSet & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"filtered recall $recall below floor")
+    val gate = queries.ScaleQueries.queries("ann_filtered_recall")(
+      spark, dir).head()
+    assert(gate.getInt(2) == 1, "floor_met must be 1")
+  }
+
+  test("grad_accum_equiv: shard cells sum exactly to the full batch") {
+    val rows = queries.TextQueries.queries("grad_accum_equiv")(spark, dir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(-1L, 0L, 1L, 2L, 3L))
+    rows.foreach(r => assert(r.getAs[Int]("accum_equal") == 1))
+    val total = rows.find(_.getLong(0) == -1L).get
+    val shards = rows.filter(_.getLong(0) >= 0L)
+    for (c <- Seq("g0_e12", "g1_e12", "g2_e12", "g3_e12", "g4_e12",
+        "sse_e12", "n"))
+      assert(shards.map(_.getAs[Long](c)).sum == total.getAs[Long](c),
+        s"cell $c does not accumulate")
+    assert(total.getAs[Long]("n") ==
+      Tables(spark, dir, "documents").count())
+  }
+
   test("maxsim_budget_curve: monotone nondecreasing, and the " +
       "half-coverage point reproduces maxsim_ivf's serving recall") {
     val rows = queries.ScaleQueries.queries("maxsim_budget_curve")(
