@@ -452,6 +452,60 @@ object Similarity {
     * `PartitionFilters` in the plan, pinned by PlanSpec. Exact cosine
     * re-rank of the probed lists to top-`k`.
     */
+  /** PERSIST a LABEL-PARTITIONED IVF index — the layout knob the
+    * filtered-search scaladoc names: rows land under
+    * `label=L/centroid_id=C/` so a search constrained to label L
+    * reading `nprobe` lists prunes to exactly those `nprobe`
+    * partitions OF THAT LABEL at the storage layer (two-level
+    * partition pruning — the selective-predicate regime where
+    * sharing lists across labels would make every probed list ~90%
+    * non-matching rows). Same scan-stage assignment + one shuffle on
+    * (label, list) for the one-file-per-(label, list) layout.
+    */
+  def ivfIndexWriteLabeled(emb: DataFrame, idCol: String,
+                           labelCol: String, vecCol: String,
+                           indexDir: String,
+                           codebook: Array[(Long, Seq[Float])]): Unit = {
+    val centsLit = typedLit(codebook.map(_._2).toSeq)
+    val idsLit = typedLit(codebook.map(_._1).toSeq)
+    Dedup.spread(emb.select(col(idCol).cast("long").as("cid"),
+        col(labelCol).cast("long").as("label"),
+        col(vecCol).cast("array<float>").as("cv")))
+      .withColumn("centroid_id", try_element_at(
+        nearest_centroids(col("cv"), centsLit, idsLit, 1), lit(1)))
+      .repartition(col("label"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("label", "centroid_id")
+      .parquet(indexDir)
+  }
+
+  /** Single filtered query over a [[ivfIndexWriteLabeled]] index: the
+    * label equality AND the probed list ids are both PARTITION
+    * filters, so the scan reads only the query's label's probed
+    * lists — the storage-layer face of filtered ANN (PlanSpec pins
+    * `PartitionFilters` carries both columns).
+    */
+  def ivfIndexedSearchLabeled(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String,
+                              codebook: Array[(Long, Seq[Float])],
+                              qid: Long, qlabel: Long, qv: Seq[Float],
+                              nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centsLit = typedLit(codebook.map(_._2).toSeq)
+    val idsLit = typedLit(codebook.map(_._1).toSeq)
+    val probes = spark.range(1).select(
+        nearest_centroids(typedLit(qv), centsLit, idsLit, nprobe).as("p"))
+      .head().getSeq[Long](0)
+    val w = Window.orderBy(col("sim_r").desc, col("cid"))
+    spark.read.parquet(indexDir)
+      .filter(col("label") === qlabel &&
+        col("centroid_id").isin(probes: _*))
+      .filter(col("cid") =!= qid)
+      .withColumn("sim_r", round(cosine_sim(typedLit(qv), col("cv")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(lit(qid).as("qid"), col("cid"), col("sim_r"), col("rnk"))
+  }
+
   def ivfIndexedSearch(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String,
                        codebook: Array[(Long, Seq[Float])],

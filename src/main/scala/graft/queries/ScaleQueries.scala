@@ -920,6 +920,40 @@ object ScaleQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** The filtered search SERVED FROM STORAGE — the label-partitioned
+    * persisted index [[Similarity.ivfIndexWriteLabeled]] built once
+    * per dir (under `fullIvfIndex`'s shared √n codebook — labels
+    * never change assignment), then ONE query (vec 0, its own label)
+    * served by [[Similarity.ivfIndexedSearchLabeled]]: the scan reads
+    * ONLY the query label's probed list partitions (two-level
+    * `PartitionFilters`, PlanSpec-pinned) — the storage-layer answer
+    * to the selectivity problem `ann_filtered_recall` documents
+    * (shared lists are ~90% non-matching rows under a 10-way label;
+    * label-partitioned lists make the filter free at read time). The
+    * oracle is the in-plan filtered chain restricted to this query:
+    * layout must not change results.
+    */
+  def annFilteredIndexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (_, codebook) = fullIvfIndex(s, dir)
+    val path =
+      memoCodebook(s"ivf-labeled:${graft.Tables.versioned(dir)}") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_ivf_labeled").toString
+        Similarity.ivfIndexWriteLabeled(emb, "vec_id", "label",
+          "embedding", p, codebook)
+        p
+      }
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(col("label").cast("long"),
+        col("embedding").cast("array<float>"))
+      .head()
+    Similarity.ivfIndexedSearchLabeled(s, path, codebook,
+        qid = 0L, qlabel = q0.getLong(0), qv = q0.getSeq[Float](1),
+        nprobe = Similarity.halfNprobe(codebook.length), k = 3)
+      .orderBy(col("rnk"))
+  }
+
   /** Exact filtered top-3 (brute same-label ranking) — the ground
     * truth [[annFilteredRecall]] gates against; memoized because the
     * gate and any future filtered variants share it.
@@ -3129,6 +3163,7 @@ object ScaleQueries {
     "maxsim_budget_curve" -> (maxsimBudgetCurve _),
     "ann_filtered" -> (annFiltered _),
     "ann_filtered_recall" -> (annFilteredRecall _),
+    "ann_filtered_indexed" -> (annFilteredIndexed _),
     "dedup_threshold_curve" -> (dedupThresholdCurve _),
     "embed_matryoshka" -> (embedMatryoshka _),
     "ann_ivf_mrl" -> (annIvfMrl _),
@@ -3430,6 +3465,52 @@ object ScaleQueries {
            FROM reach$sfx w JOIN e$sfx e2 ON w.r = e2.src),
          lab$sfx AS (SELECT id, min(r) AS cluster_id
                      FROM reach$sfx GROUP BY id)"""
+
+  /** Full [[annFiltered]] replay — the label-carrying IVF chain
+    * (√n stride, half-coverage probes, the label conjoined into the
+    * candidate join) restricted to queries matching `qidWhere`;
+    * shared by `ann_filtered` (all queries) and
+    * `ann_filtered_indexed` (the one storage-served query — the
+    * label-partitioned layout must serve identical results).
+    */
+  private def annFilteredOracleFor(qidWhere: String): String =
+    s"""WITH e AS (SELECT vec_id, label,
+                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+              WHERE vec_id % $sqrtStrideSql = 0
+              ORDER BY centroid_id LIMIT 16384),
+       np AS (SELECT GREATEST(7, (count(*) + 1) // 2) AS v FROM cb),
+       sim AS (SELECT e.vec_id, e.label, cb.centroid_id,
+                 list_dot_product(e.v, cb.cv)
+                 / sqrt(list_dot_product(e.v, e.v)
+                        * list_dot_product(cb.cv, cb.cv)) AS s
+               FROM e CROSS JOIN cb),
+       rk AS (SELECT vec_id, label, centroid_id, s,
+                row_number() OVER (PARTITION BY vec_id
+                     ORDER BY s DESC, centroid_id) AS rn
+              FROM sim WHERE NOT isnan(s)),
+       asg AS (SELECT vec_id AS cid, label AS clabel, centroid_id
+               FROM rk WHERE rn = 1),
+       pb AS (SELECT vec_id AS qid, label AS qlabel, centroid_id
+              FROM rk
+              WHERE rn <= (SELECT v FROM np) AND vec_id % 20 = 0
+                AND ($qidWhere)),
+       cand AS (SELECT pb.qid, asg.cid
+                FROM pb JOIN asg USING (centroid_id)
+                WHERE pb.qid <> asg.cid AND asg.clabel = pb.qlabel),
+       s2 AS (SELECT cand.qid, cand.cid,
+                round(list_dot_product(q.v, c.v)
+                      / sqrt(list_dot_product(q.v, q.v)
+                             * list_dot_product(c.v, c.v)), 4)
+                  AS sim_r
+              FROM cand JOIN e q ON cand.qid = q.vec_id
+                        JOIN e c ON cand.cid = c.vec_id),
+       r AS (SELECT qid, cid, sim_r,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
+             FROM s2)
+       SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 3
+       ORDER BY qid, rnk"""
 
   private def annIvfOracleSql: String = annIvfOracleSqlFor("TRUE")
 
@@ -4886,43 +4967,10 @@ object ScaleQueries {
     // the filtered search replayed end to end: the label rides the
     // candidate equi-join (never a post-filter of an unfiltered
     // top-k), same sqrt-n stride / half-coverage sizing
-    "ann_filtered" ->
-      s"""WITH e AS (SELECT vec_id, label,
-                    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-                WHERE vec_id % $sqrtStrideSql = 0
-                ORDER BY centroid_id LIMIT 16384),
-         np AS (SELECT GREATEST(7, (count(*) + 1) // 2) AS v FROM cb),
-         sim AS (SELECT e.vec_id, e.label, cb.centroid_id,
-                   list_dot_product(e.v, cb.cv)
-                   / sqrt(list_dot_product(e.v, e.v)
-                          * list_dot_product(cb.cv, cb.cv)) AS s
-                 FROM e CROSS JOIN cb),
-         rk AS (SELECT vec_id, label, centroid_id, s,
-                  row_number() OVER (PARTITION BY vec_id
-                       ORDER BY s DESC, centroid_id) AS rn
-                FROM sim WHERE NOT isnan(s)),
-         asg AS (SELECT vec_id AS cid, label AS clabel, centroid_id
-                 FROM rk WHERE rn = 1),
-         pb AS (SELECT vec_id AS qid, label AS qlabel, centroid_id
-                FROM rk
-                WHERE rn <= (SELECT v FROM np) AND vec_id % 20 = 0),
-         cand AS (SELECT pb.qid, asg.cid
-                  FROM pb JOIN asg USING (centroid_id)
-                  WHERE pb.qid <> asg.cid AND asg.clabel = pb.qlabel),
-         s2 AS (SELECT cand.qid, cand.cid,
-                  round(list_dot_product(q.v, c.v)
-                        / sqrt(list_dot_product(q.v, q.v)
-                               * list_dot_product(c.v, c.v)), 4)
-                    AS sim_r
-                FROM cand JOIN e q ON cand.qid = q.vec_id
-                          JOIN e c ON cand.cid = c.vec_id),
-         r AS (SELECT qid, cid, sim_r,
-                 CAST(row_number() OVER (PARTITION BY qid
-                      ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
-               FROM s2)
-         SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 3
-         ORDER BY qid, rnk""",
+    "ann_filtered" -> annFilteredOracleFor("TRUE"),
+    // same chain restricted to the one storage-served query — the
+    // label-partitioned layout must serve identical results
+    "ann_filtered_indexed" -> annFilteredOracleFor("vec_id = 0"),
     // the filtered-recall gate pin (full coverage + floor met)
     "ann_filtered_recall" ->
       """SELECT count(*) AS n_queries,

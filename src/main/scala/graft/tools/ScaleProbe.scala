@@ -581,7 +581,13 @@ object ScaleProbe {
         graft.queries.ScaleQueries.queries("ann_filtered_recall"),
         false),
       ("grad_accum_equiv",
-        graft.queries.TextQueries.queries("grad_accum_equiv"), false))
+        graft.queries.TextQueries.queries("grad_accum_equiv"), false),
+      // r12 batch 8: the label-partitioned filtered index (cold — the
+      // memo builds the labeled layout; the served search reads only
+      // the query label's probed partitions)
+      ("ann_filtered_indexed",
+        graft.queries.ScaleQueries.queries("ann_filtered_indexed"),
+        true))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

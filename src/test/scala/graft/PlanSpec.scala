@@ -137,6 +137,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("ann_filtered_indexed: the labeled-index scan is partition-" +
+      "pruned on BOTH the query label and the probed lists") {
+    val plan = formatted("ann_filtered_indexed")
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    // two-level storage pruning: only the query label's probed list
+    // directories are read — the layout knob that makes a selective
+    // metadata predicate free at read time
+    assert(scanLine.contains("label"),
+      s"label not in PartitionFilters:\n${plan.take(2000)}")
+    assert(scanLine.contains("centroid_id"),
+      s"probed lists not in PartitionFilters:\n$scanLine")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("ann_ivfpq_indexed: the exact re-rank reads raw vectors " +
       "through the PUSHED shortlist filter — one scan, never a " +
       "corpus-wide vector read") {
