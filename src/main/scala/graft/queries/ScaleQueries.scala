@@ -2515,6 +2515,61 @@ object ScaleQueries {
           Dedup.connectedComponents(star.unionByName(deltaEdges)))
       })
 
+  /** CC label maintenance under DELETION — the direction star
+    * contraction alone cannot absorb: forgetting a document can SPLIT
+    * its component (the removed node may be the only bridge — and if
+    * it was the min-id ROOT, every star edge through it breaks), so
+    * the maintenance rule is: keep every UNAFFECTED component's
+    * labels verbatim (removing nodes elsewhere cannot change a closed
+    * component), and RE-CLOSE only the affected components' survivors
+    * on their internal pair set (cost ∝ affected members + their
+    * pairs, never the corpus). Completes the maintained-label
+    * family's lifecycle: build (`dedup_clusters`) → delta append
+    * (`cc_delta_lsh`) → FORGET (this) — the index family's
+    * build/delta/forget triad at the LABEL layer, and the dedup-state
+    * half of the right-to-be-forgotten story (`forget_user` removes
+    * rows; THIS repairs the cluster labels those rows anchored,
+    * including re-electing roots when the min-id member was the one
+    * forgotten). The oracle is the full exact closure over SURVIVING
+    * documents — maintenance must be hash-indistinguishable from a
+    * rebuild, splits included.
+    */
+  def ccForget(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lab = lshMaintainedLabels(s, dir)
+    val forgottenIds = docs.filter(pmod(col("doc_id"), lit(13)) === 5)
+      .select(col("doc_id").as("fid"))
+    // affected components: ≤ |forgotten| cluster ids
+    val affected = lab
+      .join(graft.ops.Hints.maybeBroadcast(forgottenIds),
+        col("id") === col("fid"))
+      .select(col("cluster_id")).distinct()
+    val unaffected = lab
+      .join(graft.ops.Hints.maybeBroadcast(affected),
+        Seq("cluster_id"), "left_anti")
+    // survivors of affected components + their INTERNAL pair set
+    // (components are pair-closed, so no pair leaves the set)
+    val affectedSurvivors = lab
+      .join(graft.ops.Hints.maybeBroadcast(affected), Seq("cluster_id"))
+      .join(graft.ops.Hints.maybeBroadcast(forgottenIds),
+        col("id") === col("fid"), "left_anti")
+      .select(col("id"))
+    val pairs = lshIncrPairs(s, dir).select(col("id_a"), col("id_b"))
+    val subPairs = pairs
+      .join(graft.ops.Hints.maybeBroadcast(
+        affectedSurvivors.select(col("id").as("id_a"))), Seq("id_a"),
+        "left_semi")
+      .join(graft.ops.Hints.maybeBroadcast(
+        affectedSurvivors.select(col("id").as("id_b"))), Seq("id_b"),
+        "left_semi")
+    // re-closure of the small affected subgraph; members that lost
+    // every pair become singletons and drop out — the rebuild's
+    // convention (labels exist only for paired nodes)
+    Dedup.connectedComponents(subPairs)
+      .unionByName(unaffected.select(col("id"), col("cluster_id")))
+      .orderBy(col("id"))
+  }
+
   /** Triangle count over the exact windowed-Jaccard similarity graph
     * (same edge set as `cc_exact`): a triangle is any id_a < id_b <
     * id_c with all three edges present. Standard ordered-wedge plan —
@@ -3202,6 +3257,7 @@ object ScaleQueries {
     "cc_exact" -> (ccExact _),
     "cc_delta" -> (ccDelta _),
     "cc_delta_lsh" -> (ccDeltaLsh _),
+    "cc_forget" -> (ccForget _),
     "triangle_count" -> (triangleCount _),
     "triangle_count_degree" -> (triangleCountDegree _),
     "fingerprint_pairs" -> (fingerprintPairs _),
@@ -4796,6 +4852,12 @@ object ScaleQueries {
     // maintenance ≡ rebuild: the maintained labels must equal the
     // full-corpus closure — the cc_delta discipline on the LSH graph
     "cc_delta_lsh" -> lshClusterLabelsOracleSql,
+    // the full exact closure over SURVIVORS — label maintenance under
+    // deletion must be hash-indistinguishable from a rebuild, splits
+    // and root re-elections included
+    "cc_forget" ->
+      ("WITH RECURSIVE " + lshLabelsChainSql("", "doc_id % 13 <> 5") +
+        "\n         SELECT id, cluster_id FROM lab ORDER BY id"),
     "dedup_canonical" ->
       s"""WITH RECURSIVE $ccLabelsSql
          SELECT d.doc_id, d.lang, d.n_chars

@@ -587,7 +587,12 @@ object ScaleProbe {
       // the query label's probed partitions)
       ("ann_filtered_indexed",
         graft.queries.ScaleQueries.queries("ann_filtered_indexed"),
-        true))
+        true),
+      // r12 batch 9: label maintenance under deletion (warm — the
+      // pair/label memos are stored state; the probe times the
+      // affected-component re-closure itself)
+      ("cc_forget",
+        graft.queries.ScaleQueries.queries("cc_forget"), false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

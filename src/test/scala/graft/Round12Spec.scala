@@ -217,6 +217,29 @@ class Round12Spec extends AnyFunSuite {
     keep.map(i => i -> find(i)).toMap
   }
 
+  test("cc_forget: maintained labels under deletion equal a brute " +
+      "rebuild over survivors, and the maintenance path engages") {
+    val texts = docTexts()
+    val survivors = texts.filter { case (id, _) => id % 13 != 5 }
+    val brute = lshBruteLabels(survivors, _ => true)
+    // rebuild convention: labels only for nodes in >= 1 pair
+    val paired = brute.filter { case (id, root) =>
+      brute.exists { case (o, r) => o != id && r == root }
+    }
+    val got = queries.ScaleQueries.queries("cc_forget")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == paired,
+      s"only-got ${(got.toSet -- paired.toSet).take(3)}, " +
+        s"only-brute ${(paired.toSet -- got.toSet).take(3)}")
+    // the maintenance path must actually have had work: at least one
+    // pre-deletion cluster contained a forgotten doc
+    val full = lshBruteLabels(texts, _ => true)
+    assert(texts.keys.exists(id => id % 13 == 5 &&
+        texts.keys.exists(o => o != id && full(o) == full(id))),
+      "corpus regen removed every forgotten-in-cluster case — the " +
+        "maintenance path went unexercised")
+  }
+
   test("ann_filtered: every hit shares its query's label, and recall " +
       "vs the brute filtered top-3 clears the gate floor") {
     val meta = Tables(spark, dir, "embeddings")
