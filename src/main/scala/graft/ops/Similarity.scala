@@ -506,6 +506,42 @@ object Similarity {
       .select(lit(qid).as("qid"), col("cid"), col("sim_r"), col("rnk"))
   }
 
+  /** BATCH (query-fleet) filtered search over a
+    * [[ivfIndexWriteLabeled]] index: every query probes under ITS OWN
+    * label in one plan — probe rows are (qid, qlabel, probed list)
+    * keys and the stored lists join on (label, centroid_id), so the
+    * label predicate rides the equi-join exactly as in the in-plan
+    * operator. A fleet spanning every label reads every label's
+    * partitions (pruning is the POINT-query win — [[
+    * ivfIndexedSearchLabeled]]); what the batch mode buys is one scan
+    * + one join for the whole fleet instead of |Q| pruned jobs, the
+    * same trade the PQ/SQ batch searches make.
+    */
+  def ivfIndexedBatchSearchLabeled(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, codebook: Array[(Long, Seq[Float])],
+      queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centsLit = typedLit(codebook.map(_._2).toSeq)
+    val idsLit = typedLit(codebook.map(_._1).toSeq)
+    val probes = queries
+      .select(col("qid"), col("qlabel").cast("long").as("label"),
+        col("qv"))
+      .withColumn("centroid_id",
+        explode(nearest_centroids(col("qv"), centsLit, idsLit, nprobe)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_r").desc, col("cid"))
+    spark.read.parquet(indexDir)
+      .select(col("cid"), col("cv"), col("label").cast("long"),
+        col("centroid_id").cast("long"))
+      .join(Hints.maybeBroadcast(probes), Seq("label", "centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
+  }
+
   def ivfIndexedSearch(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String,
                        codebook: Array[(Long, Seq[Float])],

@@ -954,6 +954,34 @@ object ScaleQueries {
       .orderBy(col("rnk"))
   }
 
+  /** The whole query fleet served FILTERED from the labeled index in
+    * ONE plan ([[Similarity.ivfIndexedBatchSearchLabeled]]): every
+    * 20th vector probes under its own label against the stored
+    * (label, list)-partitioned rows — the serving mode a fleet uses
+    * where the point query uses two-level pruning. The oracle is the
+    * SAME chain as `ann_filtered` (assignment depends only on
+    * (vector, codebook) and the label rides the join), so storage
+    * serving must be row-identical to the in-plan operator.
+    */
+  def annFilteredBatch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (_, codebook) = fullIvfIndex(s, dir)
+    val path =
+      memoCodebook(s"ivf-labeled:${graft.Tables.versioned(dir)}") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_ivf_labeled").toString
+        Similarity.ivfIndexWriteLabeled(emb, "vec_id", "label",
+          "embedding", p, codebook)
+        p
+      }
+    Similarity.ivfIndexedBatchSearchLabeled(s, path, codebook,
+        queries = emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").cast("array<float>").as("qv")),
+        nprobe = Similarity.halfNprobe(codebook.length), k = 3)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Exact filtered top-3 (brute same-label ranking) — the ground
     * truth [[annFilteredRecall]] gates against; memoized because the
     * gate and any future filtered variants share it.
@@ -3219,6 +3247,7 @@ object ScaleQueries {
     "ann_filtered" -> (annFiltered _),
     "ann_filtered_recall" -> (annFilteredRecall _),
     "ann_filtered_indexed" -> (annFilteredIndexed _),
+    "ann_filtered_batch" -> (annFilteredBatch _),
     "dedup_threshold_curve" -> (dedupThresholdCurve _),
     "embed_matryoshka" -> (embedMatryoshka _),
     "ann_ivf_mrl" -> (annIvfMrl _),
@@ -5033,6 +5062,8 @@ object ScaleQueries {
     // same chain restricted to the one storage-served query — the
     // label-partitioned layout must serve identical results
     "ann_filtered_indexed" -> annFilteredOracleFor("vec_id = 0"),
+    // fleet storage serving ≡ the in-plan operator, row for row
+    "ann_filtered_batch" -> annFilteredOracleFor("TRUE"),
     // the filtered-recall gate pin (full coverage + floor met)
     "ann_filtered_recall" ->
       """SELECT count(*) AS n_queries,

@@ -592,7 +592,13 @@ object ScaleProbe {
       // pair/label memos are stored state; the probe times the
       // affected-component re-closure itself)
       ("cc_forget",
-        graft.queries.ScaleQueries.queries("cc_forget"), false))
+        graft.queries.ScaleQueries.queries("cc_forget"), false),
+      // r12 batch 10: fleet filtered serving over the labeled index
+      // (warm — the labeled layout memoizes; the probe times the one
+      // scan + (label, list) join + re-rank for the whole fleet)
+      ("ann_filtered_batch",
+        graft.queries.ScaleQueries.queries("ann_filtered_batch"),
+        false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped
