@@ -260,10 +260,12 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested loop join:\n" + plan.take(1500))
     }
-    // the funnel and the budget curve end in a 1-row broadcast
-    // crossJoin (the recall-cell pattern embed_matryoshka shares) —
-    // that BNLJ is sanctioned; a CartesianProduct never is
-    for (name <- Seq("ann_mrl_funnel", "maxsim_budget_curve")) {
+    // these end in 1-row broadcast crossJoins (the recall-cell /
+    // accumulate-flag pattern embed_matryoshka shares) — that BNLJ is
+    // sanctioned; a CartesianProduct never is
+    for (name <- Seq("ann_mrl_funnel", "maxsim_budget_curve",
+        "ann_filtered", "ann_filtered_batch", "cc_forget",
+        "dedup_provenance", "grad_accum_equiv")) {
       val plan = formatted(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n" + plan.take(1500))
