@@ -16,6 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * while cached — the map bounds STALENESS (no cross-session reuse),
   * not memory. Per-session content is one small pinned frame per
   * (query-family, dir) by construction.
+  *
+  * CONCURRENCY CONTRACT: memo consumers are single-threaded per
+  * session — Verify/Bench/ScaleProbe all run queries sequentially, so
+  * the get/putIfAbsent two-step's duplicate-compute window never
+  * opens. If concurrent query execution is ever enabled, the losing
+  * first-caller of a localCheckpoint-ing block would leak its
+  * checkpoint's executor blocks until driver GC (the bench-distorting
+  * residue ScaleProbe's hygiene note flags); guard each key with a
+  * putIfAbsent-ed lazy holder (so `f` runs at most once) before
+  * turning that on.
   */
 object SessionMemo {
   private val memo = new java.util.WeakHashMap[

@@ -115,6 +115,28 @@ object Similarity {
     */
   def halfNprobe(nlist: Int): Int = math.max(7, (nlist + 1) / 2)
 
+  /** Probe budget for a FILTERED search on the unclustered corpus —
+    * the occupancy-aware escalation of [[halfNprobe]]: a selective
+    * label filter thins every probed list by the selectivity (10-way
+    * labels ⇒ post-filter occupancy |matching|/nlist ≈ 0.5–1 rows per
+    * list at the test SFs, vs 5–11 unfiltered), and once a list holds
+    * ≲1 matching row the probe-rank ordering decouples from where the
+    * filtered true neighbors sit — coverage must rise to compensate.
+    * Measured filtered top-3 recall under the √n-stride quantizer at
+    * sf0.001/0.01/0.1: nlist/2 → 0.79/0.89/0.88, 5·nlist/8 →
+    * 0.85/0.91/0.91, 3·nlist/4 → 0.95/0.95/0.95 (r13 curve) — three
+    * quarters is the smallest measured budget clearing 0.9 at every
+    * SF, the same smallest-budget-over-the-target discipline that
+    * fixed halfNprobe. Ceil division on a non-negative count, so
+    * DuckDB's `(count(*) * 3 + 3) // 4` replays it. On a clustered
+    * corpus the filtered budget collapses with the unfiltered one
+    * toward [[derivedNprobe]] (ann_ivf_clustered's certification);
+    * at high selectivity the layout answer is label-partitioned
+    * lists (`ann_filtered_indexed`), which make the filter free at
+    * read time — this knob prices the in-plan operator honestly.
+    */
+  def filteredNprobe(nlist: Int): Int = math.max(7, (3 * nlist + 3) / 4)
+
   /** [[ivfTopK]] with the coarse quantizer supplied by the caller —
     * the production shape, where the codebook comes from a TRAINED
     * k-means (Faiss-style IVF) rather than a data sample. Same
@@ -236,6 +258,12 @@ object Similarity {
         col(vecCol).cast("array<float>").as("cv")))
       .withColumn("centroid_id", try_element_at(
         nearest_centroids(col("cv"), centsLit, idsLit, 1), lit(1)))
+      // a zero-norm vector has NaN cosine to every centroid → null
+      // assignment; without this filter it would persist under the
+      // default-partition dir where [[ivfIndexForget]]'s same-skip
+      // could never delete it (a silent right-to-be-forgotten gap) —
+      // un-assignable vectors are not index residents, by contract
+      .filter(col("centroid_id").isNotNull)
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(indexDir)
@@ -382,12 +410,16 @@ object Similarity {
         nearest_centroids(col("cv"), centsLit, idsLit, 1), lit(1)))
       // a zero-norm forget vector yields NaN cosines everywhere →
       // null centroid_id; such a vector was never written to any list
-      // (the write path applies the same skip), so it touches nothing
+      // (every index write path filters null assignments), so it
+      // touches nothing
       .filter(col("centroid_id").isNotNull && col("cid").isNotNull)
     // the ONLY driver collect: one id per touched list, ≤ |codebook|
     // by design. The forget ids themselves stay distributed — the
     // batch is corpus-proportional in the worst case, so an inlined
-    // In-list would be a driver-memory / expression-size hazard.
+    // In-list would be a driver-memory / expression-size hazard, and
+    // the anti-join below broadcasts the id set only while its
+    // ESTIMATE fits the bound (maybeBroadcast) — a corpus-sized
+    // forget batch falls back to a shuffled left_anti join.
     val touched = assigned.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0))
     if (touched.isEmpty) return
@@ -395,7 +427,7 @@ object Similarity {
       indexDir.stripSuffix("/") + ".staging")
     val survivors = spark.read.parquet(indexDir)
       .filter(col("centroid_id").isin(touched: _*))
-      .join(broadcast(assigned.select(col("cid"))),
+      .join(Hints.maybeBroadcast(assigned.select(col("cid"))),
         Seq("cid"), "left_anti")
     if (survivors.isEmpty) {
       // every touched list emptied: nothing to stage or publish —
@@ -452,15 +484,48 @@ object Similarity {
     * `PartitionFilters` in the plan, pinned by PlanSpec. Exact cosine
     * re-rank of the probed lists to top-`k`.
     */
+  /** Files per label in the labeled index layout: ⌈√nlist⌉ list
+    * GROUPS, each holding ~√nlist consecutive-rank lists in one file —
+    * the r13 compaction of the one-dir-per-(label, list) layout whose
+    * |labels| × |lists| tiny files were the fleet's warm-time
+    * constant (SCALE.md batch-10) and, at 10× labels, the small-files
+    * cliff. √nlist balances the two costs that scale oppositely: a
+    * point query opens ≤ min(nprobe, √nlist) files per label instead
+    * of nprobe, while each file still covers only √nlist lists, so
+    * group-level partition pruning plus the row-group sort on
+    * centroid_id keeps read amplification bounded at ~√nlist/nprobe.
+    */
+  def listGroupCount(nlist: Int): Int =
+    math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+
+  /** The group a centroid's list lands in: its RANK in the sorted
+    * codebook modulo [[listGroupCount]] — rank, not the raw id,
+    * because sampled centroid ids are stride-multiples and
+    * `id % groups` would alias entire strides into a few groups
+    * (gcd(stride, groups) collapse); ranks are dense 0..nlist−1, so
+    * round-robin over them is exactly balanced. Pure function of
+    * (codebook, centroid id) — the write path and every search
+    * derive it independently and must agree.
+    */
+  def listGroupOf(codebook: Array[(Long, Seq[Float])],
+                  centroidId: Long): Long = {
+    val rank = codebook.indexWhere(_._1 == centroidId)
+    require(rank >= 0, s"centroid $centroidId not in codebook")
+    (rank % listGroupCount(codebook.length)).toLong
+  }
+
   /** PERSIST a LABEL-PARTITIONED IVF index — the layout knob the
     * filtered-search scaladoc names: rows land under
-    * `label=L/centroid_id=C/` so a search constrained to label L
-    * reading `nprobe` lists prunes to exactly those `nprobe`
-    * partitions OF THAT LABEL at the storage layer (two-level
-    * partition pruning — the selective-predicate regime where
-    * sharing lists across labels would make every probed list ~90%
-    * non-matching rows). Same scan-stage assignment + one shuffle on
-    * (label, list) for the one-file-per-(label, list) layout.
+    * `label=L/list_grp=G/` (G = [[listGroupOf]] the assigned list) so
+    * a search constrained to label L probing `nprobe` lists prunes to
+    * that label's probed GROUPS at the directory layer and to the
+    * probed lists inside each file via the parquet row-group sort on
+    * `centroid_id` (pushed data filter) — two-level pruning with the
+    * file count capped at |labels| × ⌈√nlist⌉ instead of
+    * |labels| × nlist (the r13 compaction; `centroid_id` rides as a
+    * DATA column now, partition-pruned by group, row-group-pruned by
+    * the sort). Same scan-stage assignment + one shuffle on
+    * (label, group) for the one-file-per-(label, group) layout.
     */
   def ivfIndexWriteLabeled(emb: DataFrame, idCol: String,
                            labelCol: String, vecCol: String,
@@ -468,21 +533,51 @@ object Similarity {
                            codebook: Array[(Long, Seq[Float])]): Unit = {
     val centsLit = typedLit(codebook.map(_._2).toSeq)
     val idsLit = typedLit(codebook.map(_._1).toSeq)
+    val groups = listGroupCount(codebook.length)
     Dedup.spread(emb.select(col(idCol).cast("long").as("cid"),
         col(labelCol).cast("long").as("label"),
         col(vecCol).cast("array<float>").as("cv")))
       .withColumn("centroid_id", try_element_at(
         nearest_centroids(col("cv"), centsLit, idsLit, 1), lit(1)))
-      .repartition(col("label"), col("centroid_id"))
-      .write.mode("overwrite").partitionBy("label", "centroid_id")
+      // null (zero-norm) assignments never become index residents —
+      // the forget loop's same-skip contract (see ivfIndexWriteWithCodebook)
+      .filter(col("centroid_id").isNotNull)
+      // rank-derived group: array_position over the codebook id
+      // literal IS listGroupOf as a scan-stage expression (1-based,
+      // hence the −1)
+      .withColumn("list_grp", pmod(
+        array_position(idsLit, col("centroid_id")) - 1,
+        lit(groups.toLong)))
+      .repartition(col("label"), col("list_grp"))
+      // row-group stats on centroid_id make the pushed probe filter
+      // skip non-probed lists WITHIN each group file
+      .sortWithinPartitions(col("centroid_id"), col("cid"))
+      .write.mode("overwrite").partitionBy("label", "list_grp")
       .parquet(indexDir)
   }
 
+  /** DERIVE a labeled index instance by restricting an existing one —
+    * [[ivfIndexDerive]] for the (label, list_grp) layout: one
+    * filter-copy pass, never a re-assignment.
+    */
+  def ivfIndexDeriveLabeled(spark: org.apache.spark.sql.SparkSession,
+                            srcDir: String, dstDir: String,
+                            keep: Column): Unit =
+    spark.read.parquet(srcDir)
+      .filter(keep)
+      .repartition(col("label"), col("list_grp"))
+      .sortWithinPartitions(col("centroid_id"), col("cid"))
+      .write.mode("overwrite").partitionBy("label", "list_grp")
+      .parquet(dstDir)
+
   /** Single filtered query over a [[ivfIndexWriteLabeled]] index: the
-    * label equality AND the probed list ids are both PARTITION
-    * filters, so the scan reads only the query's label's probed
-    * lists — the storage-layer face of filtered ANN (PlanSpec pins
-    * `PartitionFilters` carries both columns).
+    * label equality AND the probed lists' GROUPS are partition
+    * filters (the scan reads only the query label's probed group
+    * files — ≤ min(nprobe, √nlist) of them), while the probed list
+    * ids ride as a PUSHED data filter that the row-group sort on
+    * `centroid_id` turns into parquet page skipping — the
+    * storage-layer face of filtered ANN under the compacted layout
+    * (PlanSpec pins both levels).
     */
   def ivfIndexedSearchLabeled(spark: org.apache.spark.sql.SparkSession,
                               indexDir: String,
@@ -495,9 +590,11 @@ object Similarity {
     val probes = spark.range(1).select(
         nearest_centroids(typedLit(qv), centsLit, idsLit, nprobe).as("p"))
       .head().getSeq[Long](0)
+    val grps = probes.map(listGroupOf(codebook, _)).distinct
     val w = Window.orderBy(col("sim_r").desc, col("cid"))
     spark.read.parquet(indexDir)
       .filter(col("label") === qlabel &&
+        col("list_grp").isin(grps: _*) &&
         col("centroid_id").isin(probes: _*))
       .filter(col("cid") =!= qid)
       .withColumn("sim_r", round(cosine_sim(typedLit(qv), col("cv")), 4))
@@ -540,6 +637,94 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
+  }
+
+  /** FORGET rows from a persisted [[ivfIndexWriteLabeled]] index —
+    * [[ivfIndexForget]]'s loop on the (label, list_grp) layout,
+    * completing the labeled instance's maintenance story: forget
+    * vectors are assigned under the SHARED codebook and their
+    * (label, group) partitions — knowable without scanning the
+    * index — are the only ones read, anti-joined on `cid`, staged
+    * durably, and republished via the same idempotent dynamic
+    * partition overwrite; partitions left EMPTY by the deletion have
+    * their directories removed explicitly after publish. Cost
+    * O(|forget| + rows in touched (label, group) files); untouched
+    * partitions never read or rewritten. Same crash contract as the
+    * unlabeled triad: staging is durable, publish re-runnable,
+    * empty-dir deletes idempotent.
+    */
+  def ivfIndexForgetLabeled(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String,
+                            codebook: Array[(Long, Seq[Float])],
+                            forget: DataFrame, idCol: String,
+                            labelCol: String, vecCol: String,
+                            stagingDirOpt: Option[String] = None): Unit = {
+    val centsLit = typedLit(codebook.map(_._2).toSeq)
+    val idsLit = typedLit(codebook.map(_._1).toSeq)
+    val groups = listGroupCount(codebook.length)
+    val assigned = forget
+      .select(col(idCol).cast("long").as("cid"),
+        col(labelCol).cast("long").as("label"),
+        col(vecCol).cast("array<float>").as("cv"))
+      .withColumn("centroid_id", try_element_at(
+        nearest_centroids(col("cv"), centsLit, idsLit, 1), lit(1)))
+      .filter(col("centroid_id").isNotNull && col("cid").isNotNull)
+      .withColumn("list_grp", pmod(
+        array_position(idsLit, col("centroid_id")) - 1,
+        lit(groups.toLong)))
+    // bounded collect: one row per touched (label, group) partition —
+    // ≤ |labels| × ⌈√nlist⌉ by the layout's construction
+    val touched = assigned.select(col("label"), col("list_grp"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (touched.isEmpty) return
+    def touchedPred: Column = touched.map { case (l, g) =>
+      col("label") === l && col("list_grp") === g
+    }.reduce(_ || _)
+    val staging = stagingDirOpt.getOrElse(
+      indexDir.stripSuffix("/") + ".staging")
+    val survivors = spark.read.parquet(indexDir)
+      .filter(touchedPred)
+      .join(Hints.maybeBroadcast(assigned.select(col("cid"))),
+        Seq("cid"), "left_anti")
+    def partDir(l: Long, g: Long): String =
+      indexDir.stripSuffix("/") + s"/label=$l/list_grp=$g"
+    // a label whose every group was deleted leaves an empty label=L
+    // parent dir — remove it so the partition discovery never lists a
+    // label with no data (idempotent: deleting a missing dir is a
+    // no-op)
+    def cleanEmptyLabels(labels: Seq[Long]): Unit = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      labels.distinct.foreach { l =>
+        val p = new org.apache.hadoop.fs.Path(
+          indexDir.stripSuffix("/") + s"/label=$l")
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true)
+      }
+    }
+    if (survivors.isEmpty) {
+      touched.foreach { case (l, g) => deleteDir(spark, partDir(l, g)) }
+      cleanEmptyLabels(touched.map(_._1).toSeq)
+      return
+    }
+    survivors
+      .repartition(col("label"), col("list_grp"))
+      .sortWithinPartitions(col("centroid_id"), col("cid"))
+      .write.mode("overwrite")
+      .partitionBy("label", "list_grp").parquet(staging)
+    val survivedParts = spark.read.parquet(staging)
+      .select(col("label").cast("long"), col("list_grp").cast("long"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.read.parquet(staging)
+      .repartition(col("label"), col("list_grp"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("label", "list_grp").parquet(indexDir)
+    val emptied = touched.filterNot(survivedParts)
+    emptied.foreach { case (l, g) => deleteDir(spark, partDir(l, g)) }
+    cleanEmptyLabels(emptied.map(_._1).toSeq)
+    deleteDir(spark, staging) // only after a successful publish
   }
 
   def ivfIndexedSearch(spark: org.apache.spark.sql.SparkSession,
@@ -588,6 +773,9 @@ object Similarity {
     encoded
       .withColumn("centroid_id", try_element_at(
         nearest_centroids(col("v"), centsLit, idsLit, 1), lit(1)))
+      // null (zero-norm) assignments never become index residents —
+      // the forget loop's same-skip contract (see ivfIndexWriteWithCodebook)
+      .filter(col("centroid_id").isNotNull)
       .select(col("id").as("cid"), col("code"), col("centroid_id"))
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
@@ -1283,6 +1471,9 @@ object Similarity {
       .withColumn("centroid_id", try_element_at(
         nearest_centroids(col("v").cast("array<float>"), centsLit,
           idsLit, 1), lit(1)))
+      // null (zero-norm) assignments never become index residents —
+      // the forget loop's same-skip contract (see ivfIndexWriteWithCodebook)
+      .filter(col("centroid_id").isNotNull)
       .select(col("id").as("cid"), col("code"), col("centroid_id"))
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")

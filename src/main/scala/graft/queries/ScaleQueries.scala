@@ -748,9 +748,16 @@ object ScaleQueries {
     * double, the 4 maxima and their left-assoc sum are identical IEEE
     * on both engines, ranked at 4 dp with id tie-breaks.
     */
-  def maxsimRank(s: SparkSession, dir: String): DataFrame = {
+  def maxsimRank(s: SparkSession, dir: String): DataFrame =
+    maxsimRankOver(t(s, dir, "embeddings"))
+
+  /** [[maxsimRank]]'s exact harness over ANY (vec_id, embedding)
+    * corpus — shared by the uniform-corpus query and the
+    * planted-cluster certification ([[maxsimIvfClustered]]), which
+    * must rank under identical arithmetic.
+    */
+  private def maxsimRankOver(emb: DataFrame): DataFrame = {
     val sub = 16
-    val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val corpus = graft.ops.Dedup.spread(
@@ -803,28 +810,41 @@ object ScaleQueries {
     * (the gate row only pins the floor).
     */
   private[graft] def maxsimIvfApprox(s: SparkSession, dir: String)
-      : DataFrame = {
+      : DataFrame =
+    maxsimIvfApproxOver(t(s, dir, "embeddings"),
+      graft.ops.Similarity.halfNprobe)
+
+  /** The PLAID-style candidate-gen + re-rank over ANY (vec_id,
+    * embedding) corpus with a caller-chosen probe-budget rule —
+    * `maxsim_ivf` serves the uniform corpus at [[Similarity
+    * .halfNprobe]] (the honest budget its recall curve forces);
+    * [[maxsimIvfClustered]] serves the planted-cluster corpus at
+    * [[Similarity.derivedNprobe]] (the nlist/8 small-fraction regime
+    * the 100 TB story relies on). One body, so the two regimes differ
+    * ONLY in data geometry and budget.
+    */
+  private def maxsimIvfApproxOver(emb: DataFrame,
+                                  nprobeOf: Int => Int): DataFrame = {
     val sub = 16
     val m = 4
-    val emb = t(s, dir, "embeddings")
     def sv(c: org.apache.spark.sql.Column, j: Int) =
       slice(c.cast("array<float>"), j * sub + 1, sub)
     // ONE bounded sample collect (the sampledCodebook contract),
     // sliced into the m per-facet sub-space codebooks driver-side;
     // stride is the count-derived √n rule so nlist tracks 4·√n
     // instead of n (the fixed-stride hazard `fullIvfIndex` retired),
-    // and the probe budget tracks the list count — a constant HALF
-    // fraction ([[Similarity.halfNprobe]]): a FIXED nprobe is why
-    // recall decayed 1.0→0.83 across the SFs under the old 149/4
-    // config, and on this unclustered synthetic corpus any budget
-    // below ~nlist/2 measurably under-recalls (curve in halfNprobe's
-    // doc).
+    // and the probe budget tracks the list count via the caller's
+    // `nprobeOf` rule: a FIXED nprobe is why recall decayed 1.0→0.83
+    // across the SFs under the old 149/4 config. On the unclustered
+    // synthetic corpus any budget below ~nlist/2 measurably
+    // under-recalls (curve in halfNprobe's doc); on the
+    // planted-cluster corpus nlist/8 recalls 1.0 (maxsim_ivf_clustered).
     val full = graft.ops.Similarity.sampledCodebook(emb, "vec_id",
       "embedding", graft.ops.Similarity.sqrtStride(emb.count()))
     val cbs = (0 until m).map { j =>
       full.map { case (id, v) => (id, v.slice(j * sub, j * sub + sub)) }
     }
-    val nprobe = graft.ops.Similarity.halfNprobe(full.length)
+    val nprobe = nprobeOf(full.length)
     val centsLits = cbs.map(cb => typedLit(cb.map(_._2).toSeq))
     val idsLits = cbs.map(cb => typedLit(cb.map(_._1).toSeq))
     val corpus = graft.ops.Dedup.spread(
@@ -879,8 +899,10 @@ object ScaleQueries {
     * the probe join conjoins `clabel = qlabel`), not as a post-filter
     * of an unfiltered top-k — post-filtering under-fills k whenever
     * the predicate is selective (filter 10% of the corpus and an
-    * unfiltered top-3 usually contains zero matching rows). Same
-    * √n-stride / half-coverage sizing as the serving family; fully
+    * unfiltered top-3 usually contains zero matching rows). √n-stride
+    * sizing with the occupancy-aware [[Similarity.filteredNprobe]]
+    * budget (r13 — the filter thins probed lists, so the filtered
+    * fraction escalates past the unfiltered halfNprobe); fully
     * hash-checked — assignment, probes, filter, and re-rank all
     * replay (recall vs the exact filtered top-3 is gated by
     * `ann_filtered_recall`).
@@ -896,7 +918,11 @@ object ScaleQueries {
       "embedding", graft.ops.Similarity.sqrtStride(emb.count()))
     val centsLit = typedLit(cb.map(_._2).toSeq)
     val idsLit = typedLit(cb.map(_._1).toSeq)
-    val nprobe = graft.ops.Similarity.halfNprobe(cb.length)
+    // occupancy-aware budget (r13): the label filter thins probed
+    // lists ~10×, so the filtered budget escalates past halfNprobe —
+    // the derivation and measured curve live on
+    // [[Similarity.filteredNprobe]]
+    val nprobe = graft.ops.Similarity.filteredNprobe(cb.length)
     val lists = graft.ops.Dedup.spread(
         emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
           col("embedding").cast("array<float>").as("cv")))
@@ -925,32 +951,45 @@ object ScaleQueries {
     * per dir (under `fullIvfIndex`'s shared √n codebook — labels
     * never change assignment), then ONE query (vec 0, its own label)
     * served by [[Similarity.ivfIndexedSearchLabeled]]: the scan reads
-    * ONLY the query label's probed list partitions (two-level
-    * `PartitionFilters`, PlanSpec-pinned) — the storage-layer answer
+    * ONLY the query label's probed list GROUPS (label + list_grp in
+    * `PartitionFilters`, the probed list ids as a pushed data filter
+    * over the row-group sort — PlanSpec-pinned; the r13 compacted
+    * layout) — the storage-layer answer
     * to the selectivity problem `ann_filtered_recall` documents
     * (shared lists are ~90% non-matching rows under a 10-way label;
     * label-partitioned lists make the filter free at read time). The
     * oracle is the in-plan filtered chain restricted to this query:
     * layout must not change results.
     */
+  /** The label-partitioned persisted index, built ONCE per dir under
+    * `fullIvfIndex`'s shared √n codebook — the shared base instance
+    * `ann_filtered_indexed` (point query), `ann_filtered_batch`
+    * (fleet), and `ann_filtered_forget` (maintenance, via a
+    * filter-copy derive) all read.
+    */
+  private def labeledIvfIndex(s: SparkSession, dir: String): String = {
+    val emb = t(s, dir, "embeddings")
+    val (_, codebook) = fullIvfIndex(s, dir)
+    memoCodebook(s"ivf-labeled:${graft.Tables.versioned(dir)}") {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivf_labeled").toString
+      Similarity.ivfIndexWriteLabeled(emb, "vec_id", "label",
+        "embedding", p, codebook)
+      p
+    }
+  }
+
   def annFilteredIndexed(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val (_, codebook) = fullIvfIndex(s, dir)
-    val path =
-      memoCodebook(s"ivf-labeled:${graft.Tables.versioned(dir)}") {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_ivf_labeled").toString
-        Similarity.ivfIndexWriteLabeled(emb, "vec_id", "label",
-          "embedding", p, codebook)
-        p
-      }
+    val path = labeledIvfIndex(s, dir)
     val q0 = emb.filter(col("vec_id") === 0)
       .select(col("label").cast("long"),
         col("embedding").cast("array<float>"))
       .head()
     Similarity.ivfIndexedSearchLabeled(s, path, codebook,
         qid = 0L, qlabel = q0.getLong(0), qv = q0.getSeq[Float](1),
-        nprobe = Similarity.halfNprobe(codebook.length), k = 3)
+        nprobe = Similarity.filteredNprobe(codebook.length), k = 3)
       .orderBy(col("rnk"))
   }
 
@@ -966,19 +1005,49 @@ object ScaleQueries {
   def annFilteredBatch(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val (_, codebook) = fullIvfIndex(s, dir)
+    val path = labeledIvfIndex(s, dir)
+    Similarity.ivfIndexedBatchSearchLabeled(s, path, codebook,
+        queries = emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").cast("array<float>").as("qv")),
+        nprobe = Similarity.filteredNprobe(codebook.length), k = 3)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN on the LABELED filtered index
+    * ([[Similarity.ivfIndexForgetLabeled]]) — the maintenance stage
+    * the labeled instance was missing (the unlabeled triad has
+    * build → delta → forget; `ann_filtered_indexed` had build only):
+    * a full instance is DERIVED from the shared labeled index (a
+    * filter-copy — [[Similarity.ivfIndexDeriveLabeled]], never a
+    * second assignment argmax), every vec_id ≡ 5 mod 13 is deleted
+    * through the (label, group)-scoped staging → idempotent-publish
+    * loop, and the whole query fleet is served FILTERED from the
+    * maintained index. The oracle is the in-plan filtered chain with
+    * the CORPUS side restricted to survivors (queries keep their
+    * vectors — they come from the embeddings table, not the index):
+    * the forgotten vectors must be gone from the stored lists, not
+    * merely unreturned.
+    */
+  def annFilteredForget(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (_, codebook) = fullIvfIndex(s, dir)
+    val basePath = labeledIvfIndex(s, dir)
     val path =
-      memoCodebook(s"ivf-labeled:${graft.Tables.versioned(dir)}") {
+      memoCodebook(s"ivf-labeled-forget:${graft.Tables.versioned(dir)}") {
         val p = java.nio.file.Files
-          .createTempDirectory("graft_ivf_labeled").toString
-        Similarity.ivfIndexWriteLabeled(emb, "vec_id", "label",
-          "embedding", p, codebook)
+          .createTempDirectory("graft_ivf_labeled_forget").toString
+        Similarity.ivfIndexDeriveLabeled(s, basePath, p, lit(true))
+        Similarity.ivfIndexForgetLabeled(s, p, codebook,
+          emb.filter(col("vec_id") % 13 === 5),
+          "vec_id", "label", "embedding")
         p
       }
     Similarity.ivfIndexedBatchSearchLabeled(s, path, codebook,
         queries = emb.filter(col("vec_id") % 20 === 0)
           .select(col("vec_id").as("qid"), col("label").as("qlabel"),
             col("embedding").cast("array<float>").as("qv")),
-        nprobe = Similarity.halfNprobe(codebook.length), k = 3)
+        nprobe = Similarity.filteredNprobe(codebook.length), k = 3)
       .orderBy(col("qid"), col("rnk"))
   }
 
@@ -1011,17 +1080,20 @@ object ScaleQueries {
       })
 
   /** Driver-visible recall gate for [[annFiltered]] — the
-    * `ann_ivf_recall` contract under the metadata predicate. Floor 70
-    * with measured top-3 recall 0.79 / 0.89 at sf0.001/sf0.01 (the
-    * weakest-SF-minus-margin convention): the label filter thins each
-    * probed list ~10×, so the filtered candidate pool is harder to
-    * cover than the unfiltered one at the same probe budget — exactly
-    * the effect the gate exists to surface (a selective predicate is
-    * the signal to move to label-partitioned lists).
+    * `ann_ivf_recall` contract under the metadata predicate. Floor 80
+    * (raised from 70 in r13) with measured top-3 recall 0.95 / 0.95 /
+    * 0.95 at sf0.001/0.01/0.1 under the occupancy-aware
+    * [[Similarity.filteredNprobe]] budget — the r12 gap (0.79 at
+    * sf0.1, floor 70) was the budget staying occupancy-blind while
+    * the label filter thinned probed lists ~10×; the derivation and
+    * the measured fraction curve live on filteredNprobe's doc. The
+    * gate still exists to surface the layout signal: a selective
+    * predicate at scale wants label-partitioned lists
+    * (`ann_filtered_indexed`), not ever-larger in-plan budgets.
     */
   def annFilteredRecall(s: SparkSession, dir: String): DataFrame =
     recallGate(annFiltered(s, dir), exactFilteredTop3(s, dir),
-      k = 3, floorPct = 70)
+      k = 3, floorPct = 80)
 
   /** The MaxSim COVERAGE–RECALL tuning curve — the measured tradeoff
     * `halfNprobe`'s scaladoc records, certified as a query (the
@@ -1123,6 +1195,159 @@ object ScaleQueries {
     }.reduce(_ unionByName _)
       .withColumn("recall_e6", expr("hits * 1000000 DIV n_exact"))
       .orderBy(col("nprobe"))
+  }
+
+  /** Deterministic PLANTED-CLUSTER embedding corpus — the data regime
+    * IVF exists for, derived in-query so the small-fraction serving
+    * claim is CERTIFIABLE instead of prose: the synthetic test
+    * embeddings are uniform-on-sphere (no cluster structure), which
+    * forces half-coverage probing ([[Similarity.halfNprobe]]'s
+    * measured curve) — recall at nlist/8 on THAT corpus says nothing
+    * about the clustered corpora 100 TB serving actually sees. Here
+    * every vec_id keeps its row but its vector becomes
+    * center(vec_id % 32) + bounded noise: center components are
+    * integer-hashed from the cluster id into ±1.019 (center norm
+    * ≈ 4.7), per-(id, dim) noise into ±0.12 (norm ≈ 0.55), so
+    * intra-cluster cosines sit near 0.99 while inter-cluster cosines
+    * are near-orthogonal 64-d noise — 32 well-separated planted
+    * clusters, each holding its members' true neighbors.
+    *
+    * Every term is pure int64 arithmetic (products bounded ≪ 2⁶³)
+    * divided by 1000.0 and rounded to float, so the SAME doubles
+    * materialize in DuckDB's list comprehension ([[clusteredEmbSql]])
+    * and the whole serving chain — codebook, assignment, probes,
+    * re-rank, recall — hash-replays end to end. Memoized +
+    * materialized: the clustered corpus is the shared input of the
+    * certification pair and their exact ground truths.
+    */
+  private def clusteredEmb(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.getOrCompute(s,
+      s"clustered-emb:${graft.Tables.versioned(dir)}",
+      graft.ops.Dedup.materialize(
+        t(s, dir, "embeddings").select(col("vec_id"),
+          transform(sequence(lit(0), lit(63)), d => {
+            val c = col("vec_id") % 32L
+            val center =
+              (c * 524287L + d.cast("long") * 8191L + 1L) * 73856093L %
+                2039L - 1019L
+            val noise =
+              (col("vec_id") * 64L + d.cast("long")) * 19349663L %
+                241L - 120L
+            ((center + noise) / lit(1000.0)).cast("float")
+          }).as("embedding"))))
+
+  /** Exact cosine top-3 over the planted-cluster corpus — the ground
+    * truth both clustered certifications gate against; memoized like
+    * [[exactGroundTruth]].
+    */
+  private def clusteredExactTop3(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.getOrCompute(s,
+      s"clustered-exact:${graft.Tables.versioned(dir)}", {
+        val emb = clusteredEmb(s, dir)
+        val queries = emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val corpus = graft.ops.Dedup.spread(
+          emb.select(col("vec_id").as("cid"), col("embedding").as("cv")))
+        graft.ops.Dedup.materialize(
+          graft.ops.Hints.chunkedBroadcastThetaJoin(corpus, queries,
+              chunkKey = col("qid"), cond = col("qid") =!= col("cid"))
+            .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
+            .withColumn("rnk", row_number().over(
+              Window.partitionBy(col("qid"))
+                .orderBy(col("sim_r").desc, col("cid"))))
+            .filter(col("rnk") <= 3)
+            .select(col("qid"), col("cid")))
+      })
+
+  /** Shared recall-accounting row for the clustered certifications:
+    * (nlist, nprobe, n_exact, hits, recall_e6, floor_met) — the
+    * budget is ON the row (the whole point is certifying WHICH
+    * nprobe served), recall is exact-integer, and the floor is a
+    * value check because the entire chain replays in the oracle.
+    */
+  private def clusteredRecallRow(approx: DataFrame, exact: DataFrame,
+                                 nlist: Int, nprobe: Int,
+                                 floorPct: Int): DataFrame = {
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    approx.select(col("qid"), col("cid"))
+      .join(exact.select(col("qid"), col("cid")), Seq("qid", "cid"))
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(broadcast(total))
+      .select(lit(nlist).cast("int").as("nlist"),
+        lit(nprobe).cast("int").as("nprobe"),
+        col("n_exact"), col("hits"))
+      .withColumn("recall_e6", expr("hits * 1000000 DIV n_exact"))
+      .withColumn("floor_met",
+        (col("recall_e6") >= lit(floorPct * 10000L)).cast("int"))
+  }
+
+  /** The CLUSTERED-corpus ANN serving certification — the suite's
+    * central 100 TB small-fraction claim as a green row instead of an
+    * adjudication: the full IVF serving machinery (√n-stride sampled
+    * codebook, scan-stage assignment, equi-join candidates,
+    * candidate-bounded exact re-rank — [[Similarity
+    * .ivfTopKWithCodebook]], byte-identical to what serves
+    * `ann_ivf`) runs over the planted-cluster corpus at
+    * [[Similarity.derivedNprobe]] — nlist/8, a CONSTANT EIGHTH of the
+    * lists — and must clear a 90% recall floor against the exact
+    * top-3. Measured recall: 1.0 at all three SFs (sampled centroids
+    * are cluster members, so each cluster's ~nlist/32 lists rank
+    * first in its queries' probe order and nlist/8 covers them with
+    * margin) — vs 0.64 at the same budget on the uniform corpus
+    * (halfNprobe's curve): the pair of rows IS the
+    * clustered↔unclustered spectrum, measured. Fully hash-replayed:
+    * generation, codebook, assignment, probes, re-rank, and the
+    * recall arithmetic all recompute in DuckDB.
+    */
+  def annIvfClustered(s: SparkSession, dir: String): DataFrame = {
+    val emb = clusteredEmb(s, dir)
+    val cb = graft.ops.Similarity.sampledCodebook(emb, "vec_id",
+      "embedding", graft.ops.Similarity.sqrtStride(emb.count()))
+    val nprobe = graft.ops.Similarity.derivedNprobe(cb.length)
+    val approx = graft.ops.Similarity.ivfTopKWithCodebook(
+      emb, "vec_id", "embedding",
+      queryPred = col("vec_id") % 20 === 0, k = 3,
+      nprobe = nprobe, codebook = cb)
+    clusteredRecallRow(approx, clusteredExactTop3(s, dir),
+      nlist = cb.length, nprobe = nprobe, floorPct = 90)
+  }
+
+  /** Exact MaxSim top-3 over the planted-cluster corpus
+    * ([[maxsimRankOver]] — identical arithmetic to `maxsim_rank`),
+    * memoized as [[maxsimIvfClustered]]'s ground truth.
+    */
+  private def clusteredExactMaxsim3(s: SparkSession, dir: String)
+      : DataFrame =
+    graft.SessionMemo.getOrCompute(s,
+      s"clustered-maxsim:${graft.Tables.versioned(dir)}",
+      graft.ops.Dedup.materialize(
+        maxsimRankOver(clusteredEmb(s, dir))
+          .select(col("qid"), col("cid"))))
+
+  /** The CLUSTERED-corpus MaxSim serving certification — the PLAID
+    * small-fraction regime on the late-interaction route: the SAME
+    * per-facet candidate generation + candidate-bounded 16-cosine
+    * re-rank that serves `maxsim_ivf` ([[maxsimIvfApproxOver]] — one
+    * body, two budgets) runs over the planted-cluster corpus at
+    * [[Similarity.derivedNprobe]] per facet (nlist/8 — `maxsim_ivf`
+    * on the uniform corpus is forced to nlist/2) and must clear a 90%
+    * recall floor against the exact MaxSim top-3. Measured recall:
+    * 1.0 at all three SFs — cluster structure exists in every 16-d
+    * facet (centers differ per dim), so each facet's probe order
+    * front-loads its own cluster's lists. This converts the MaxSim
+    * family's 100 TB serving claim (exponents 0.66–0.76 were
+    * uniform-corpus-forced, not machinery-limited) into a certified
+    * row. Fully hash-replayed end to end.
+    */
+  def maxsimIvfClustered(s: SparkSession, dir: String): DataFrame = {
+    val emb = clusteredEmb(s, dir)
+    val nlist = graft.ops.Similarity.sampledCodebook(emb, "vec_id",
+      "embedding", graft.ops.Similarity.sqrtStride(emb.count())).length
+    val approx = maxsimIvfApproxOver(emb,
+      graft.ops.Similarity.derivedNprobe)
+    clusteredRecallRow(approx, clusteredExactMaxsim3(s, dir),
+      nlist = nlist, nprobe = graft.ops.Similarity.derivedNprobe(nlist),
+      floorPct = 90)
   }
 
   /** Dedup-threshold TUNING CURVE — the sweep run before fixing a
@@ -2243,19 +2468,43 @@ object ScaleQueries {
     * pair set the same way — see [[dedupClusters]] for why that is
     * now also fully oracle-checked.)
     */
-  /** Shared exact-pair CC label pipeline — the ONE place the windowed
-    * Jaccard tuning constants live for both `cc_exact` and
-    * `dedup_canonical` (their oracles share [[ccLabelsSql]] the same
-    * way, so a retune edits exactly two definitions).
+  /** The exact windowed-Jaccard pair set (char-3-gram, window 20,
+    * ≥ 0.5) over the full corpus — the ONE place those tuning
+    * constants live (the oracle twin is [[ccLabelsSql]]). Memoized +
+    * materialized (r13): this pair set is the STORED state of the
+    * exact-harness maintenance family — `cc_exact` closes it,
+    * `cc_delta` contracts its base view to stars and re-closes — and
+    * at 100 TB a pair graph is maintained state read by many
+    * consumers, not regenerated per query (the [[lshIncrPairs]]
+    * discipline applied to the exact kernel).
     */
-  private def exactPairLabels(docs: DataFrame): DataFrame =
-    Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, window = 20, threshold = 0.5)
-        .select(col("id_a"), col("id_b")))
+  private def exactWindowPairs(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.getOrCompute(s,
+      s"ccexact-pairs:${graft.Tables.versioned(dir)}",
+      Dedup.materialize(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, window = 20, threshold = 0.5)
+          .select(col("id_a"), col("id_b"))))
+
+  /** Stored cluster labels over the 6/7 BASE view (doc_id % 7 ≠ 0) of
+    * the exact pair graph — the "round N" state [[ccDelta]]'s
+    * maintenance pass contracts to star edges. A pair between two
+    * base documents depends only on those two documents, so filtering
+    * the full-corpus pair set to base-only endpoints IS the base
+    * corpus's pair set (no delta doc can create or destroy a
+    * base–base pair) — the filter-copy discipline of
+    * [[Similarity.ivfIndexDerive]] at the pair-graph layer.
+    */
+  private def exactBaseLabels7(s: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.getOrCompute(s,
+      s"ccexact-base7:${graft.Tables.versioned(dir)}",
+      Dedup.materialize(Dedup.connectedComponents(
+        exactWindowPairs(s, dir)
+          .filter(col("id_a") % 7 =!= 0 && col("id_b") % 7 =!= 0))))
 
   def ccExact(s: SparkSession, dir: String): DataFrame =
-    exactPairLabels(t(s, dir, "documents")).orderBy(col("id"))
+    Dedup.connectedComponents(exactWindowPairs(s, dir))
+      .orderBy(col("id"))
 
   /** LEAKAGE-SAFE train/val/test split — the split a training pipeline
     * must use when the corpus has near-duplicates: a naive
@@ -2465,15 +2714,16 @@ object ScaleQueries {
     * `minhash_incremental` — whose cost is ∝ |Δ| × bucket occupancy.)
     */
   def ccDelta(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val basePairs = Dedup.ngramJaccardPairs(
-        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0), "doc_id", "text",
-        n = 3, window = 20, threshold = 0.5)
-      .select(col("id_a"), col("id_b"))
-    val oldLabels = Dedup.connectedComponents(basePairs)
-    val deltaEdges = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, window = 20, threshold = 0.5)
-      .select(col("id_a"), col("id_b"))
+    // STORED state (r13): the base labels and the pair set are the
+    // memoized tables ([[exactBaseLabels7]] / [[exactWindowPairs]]) —
+    // what this query EXECUTES per delta batch is the maintenance
+    // stage itself (star contraction ∪ delta-touched pairs → one CC
+    // pass over that much smaller graph), not a regeneration of the
+    // dense-delta harness it maintains (the cc_delta_lsh discipline
+    // applied to the exact kernel; SCALE.md's r12 adjudication of the
+    // 0.97 exponent named exactly this regeneration as the cost).
+    val oldLabels = exactBaseLabels7(s, dir)
+    val deltaEdges = exactWindowPairs(s, dir)
       .filter(col("id_a") % 7 === 0 || col("id_b") % 7 === 0)
     val star = oldLabels.filter(col("id") =!= col("cluster_id"))
       .select(col("cluster_id").as("id_a"), col("id").as("id_b"))
@@ -3111,16 +3361,26 @@ object ScaleQueries {
   }
 
   /** End-to-end near-dup removal: the surviving corpus after dropping
-    * every non-canonical member (id ≠ cluster min) of the exact
-    * windowed-Jaccard connected components — the final step a dedup
-    * pipeline actually ships. Plan: the cc_exact label set (compact,
-    * ids only) drives a LEFT ANTI join against `documents`; singleton
-    * docs never enter the label set and survive by absence. Shuffles
-    * after pair-gen carry only (id, cluster_id).
+    * every non-canonical member (id ≠ cluster min) of the near-dup
+    * connected components — the final step a dedup pipeline actually
+    * ships.
+    *
+    * Scale shape (r13 rebase): the drop set comes from the MAINTAINED
+    * LSH label table ([[lshMaintainedLabels]] — banded candidates,
+    * star-contraction maintenance, hash-equal a rebuild per
+    * `cc_delta_lsh`), so the query's own cost is ONE left-anti join
+    * of a compact id set against `documents` — no closure is
+    * recomputed in-query. This is the `dedup_canonical_quality` move
+    * applied to the shipping query itself: at 100× the from-scratch
+    * closure is the scale-killer, and the maintained labels are
+    * hash-proven ≡ rebuild. The DuckDB oracle recomputes the exact
+    * all-pairs ≥ 0.7 closure from raw text, value-checking the
+    * maintained survivors end to end. (The exact WINDOWED harness
+    * remains certified separately via `cc_exact`.)
     */
   def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val labels = exactPairLabels(docs)
+    val labels = lshMaintainedLabels(s, dir)
     docs.join(labels.filter(col("id") =!= col("cluster_id")).select(col("id")),
         docs("doc_id") === col("id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -3140,10 +3400,16 @@ object ScaleQueries {
     * label subset driving one LEFT ANTI join; both rollups are
     * |sources| cells, reported LEFT from the before side so a
     * fully-duplicated source still shows its zero.
+    *
+    * Scale shape (r13 rebase): the drop set rides the MAINTAINED LSH
+    * label memo ([[lshMaintainedLabels]]) exactly as
+    * [[dedupCanonical]] — token accounting over maintained state, no
+    * in-query closure; the oracle replays the exact all-pairs ≥ 0.7
+    * closure plus the token rollups from raw text.
     */
   def dedupImpact(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val dropped = exactPairLabels(docs)
+    val dropped = lshMaintainedLabels(s, dir)
       .filter(col("id") =!= col("cluster_id")).select(col("id"))
     val toks = graft.ops.Dedup.materialize(docs
       .select(col("doc_id"), col("source"),
@@ -3243,8 +3509,11 @@ object ScaleQueries {
     "ann_autotune" -> (annAutotune _),
     "maxsim_rank" -> (maxsimRank _),
     "maxsim_ivf" -> (maxsimIvf _),
+    "ann_ivf_clustered" -> (annIvfClustered _),
+    "maxsim_ivf_clustered" -> (maxsimIvfClustered _),
     "maxsim_budget_curve" -> (maxsimBudgetCurve _),
     "ann_filtered" -> (annFiltered _),
+    "ann_filtered_forget" -> (annFilteredForget _),
     "ann_filtered_recall" -> (annFilteredRecall _),
     "ann_filtered_indexed" -> (annFilteredIndexed _),
     "ann_filtered_batch" -> (annFilteredBatch _),
@@ -3316,9 +3585,10 @@ object ScaleQueries {
 
   /** Shared DuckDB CTE chain closing the exact windowed-Jaccard pair
     * set into min-label components — the oracle twin of
-    * [[exactPairLabels]]; `cc_exact` and `dedup_canonical` both
-    * prepend `WITH RECURSIVE` to this and differ only in the final
-    * SELECT.
+    * [[exactWindowPairs]]; `cc_exact` and `cc_delta` both prepend
+    * `WITH RECURSIVE` to this and differ only in the final SELECT
+    * (`dedup_canonical`/`dedup_impact` moved to the maintained-LSH
+    * labels in r13 and now use [[lshLabelsChainSql]]).
     */
   private val ccLabelsSql: String =
     """g AS (
@@ -3552,19 +3822,25 @@ object ScaleQueries {
                      FROM reach$sfx GROUP BY id)"""
 
   /** Full [[annFiltered]] replay — the label-carrying IVF chain
-    * (√n stride, half-coverage probes, the label conjoined into the
-    * candidate join) restricted to queries matching `qidWhere`;
-    * shared by `ann_filtered` (all queries) and
-    * `ann_filtered_indexed` (the one storage-served query — the
-    * label-partitioned layout must serve identical results).
+    * (√n stride, the occupancy-aware 3/4-coverage probes, the label
+    * conjoined into the candidate join) restricted to queries
+    * matching `qidWhere` and (for the forget oracle) to a corpus of
+    * SURVIVORS matching `corpusWhere` — queries keep their vectors
+    * regardless (they come from the embeddings table, not the
+    * index). Shared by `ann_filtered` (all queries),
+    * `ann_filtered_indexed` (the one storage-served query),
+    * `ann_filtered_batch` (the fleet), and `ann_filtered_forget`
+    * (the fleet over the forgotten corpus): every layout and
+    * maintenance state must serve the in-plan chain's results.
     */
-  private def annFilteredOracleFor(qidWhere: String): String =
+  private def annFilteredOracleFor(qidWhere: String,
+                                   corpusWhere: String = "TRUE"): String =
     s"""WITH e AS (SELECT vec_id, label,
                   CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
               WHERE vec_id % $sqrtStrideSql = 0
               ORDER BY centroid_id LIMIT 16384),
-       np AS (SELECT GREATEST(7, (count(*) + 1) // 2) AS v FROM cb),
+       np AS (SELECT GREATEST(7, (count(*) * 3 + 3) // 4) AS v FROM cb),
        sim AS (SELECT e.vec_id, e.label, cb.centroid_id,
                  list_dot_product(e.v, cb.cv)
                  / sqrt(list_dot_product(e.v, e.v)
@@ -3575,7 +3851,7 @@ object ScaleQueries {
                      ORDER BY s DESC, centroid_id) AS rn
               FROM sim WHERE NOT isnan(s)),
        asg AS (SELECT vec_id AS cid, label AS clabel, centroid_id
-               FROM rk WHERE rn = 1),
+               FROM rk WHERE rn = 1 AND ($corpusWhere)),
        pb AS (SELECT vec_id AS qid, label AS qlabel, centroid_id
               FROM rk
               WHERE rn <= (SELECT v FROM np) AND vec_id % 20 = 0
@@ -3735,6 +4011,156 @@ object ScaleQueries {
                    AS BIGINT) AS recall_e6
        FROM budgets b CROSS JOIN tot LEFT JOIN h ON b.np = h.np
        ORDER BY nprobe"""
+  }
+
+  /** [[clusteredEmb]]'s generator replayed as a DuckDB CTE: the same
+    * int64 center/noise arithmetic (operands positive before each
+    * subtraction, so `%` agrees between engines), the same /1000.0
+    * double division, the same float rounding — CAST per element to
+    * FLOAT then the list to DOUBLE[], exactly how every other oracle
+    * reads the float parquet column.
+    */
+  private val clusteredEmbSql: String =
+    """ce AS (SELECT vec_id,
+         CAST([CAST((((vec_id % 32) * 524287 + d * 8191 + 1)
+                     * 73856093 % 2039 - 1019
+               + ((vec_id * 64 + d) * 19349663 % 241 - 120)) / 1000.0
+               AS FLOAT) for d in range(0, 64)] AS DOUBLE[]) AS v
+       FROM embeddings)"""
+
+  /** Full [[annIvfClustered]] replay — generation ([[clusteredEmbSql]]),
+    * √n-stride codebook, assignment, nlist/8 probes, candidate
+    * equi-join, 4-dp exact re-rank, the brute exact top-3, and the
+    * integer recall/floor arithmetic, all value-checked.
+    */
+  private def annIvfClusteredOracleSql: String =
+    s"""WITH $clusteredEmbSql,
+       cb AS (SELECT vec_id AS centroid_id, v AS cv FROM ce
+              WHERE vec_id % $sqrtStrideSql = 0
+              ORDER BY centroid_id LIMIT 16384),
+       np AS (SELECT GREATEST(7, count(*) // 8) AS v FROM cb),
+       sim AS (SELECT ce.vec_id, cb.centroid_id,
+                 list_dot_product(ce.v, cb.cv)
+                 / sqrt(list_dot_product(ce.v, ce.v)
+                        * list_dot_product(cb.cv, cb.cv)) AS s
+               FROM ce CROSS JOIN cb),
+       rk AS (SELECT vec_id, centroid_id, s,
+                row_number() OVER (PARTITION BY vec_id
+                     ORDER BY s DESC, centroid_id) AS rn
+              FROM sim WHERE NOT isnan(s)),
+       asg AS (SELECT vec_id AS cid, centroid_id FROM rk WHERE rn = 1),
+       pb AS (SELECT vec_id AS qid, centroid_id FROM rk
+              WHERE rn <= (SELECT v FROM np) AND vec_id % 20 = 0),
+       cand AS (SELECT pb.qid, asg.cid
+                FROM pb JOIN asg USING (centroid_id)
+                WHERE pb.qid <> asg.cid),
+       s2 AS (SELECT cand.qid, cand.cid,
+                round(list_dot_product(q.v, c.v)
+                      / sqrt(list_dot_product(q.v, q.v)
+                             * list_dot_product(c.v, c.v)), 4) AS sim_r
+              FROM cand JOIN ce q ON cand.qid = q.vec_id
+                        JOIN ce c ON cand.cid = c.vec_id),
+       ap AS (SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                     ORDER BY sim_r DESC, cid) AS rnk FROM s2) z
+              WHERE rnk <= 3),
+       ex AS (SELECT qid, cid FROM (
+                SELECT q.vec_id AS qid, c.vec_id AS cid,
+                  row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.v, c.v)
+                                / sqrt(list_dot_product(q.v, q.v)
+                                       * list_dot_product(c.v, c.v)), 4)
+                         DESC, c.vec_id) AS rnk
+                FROM (SELECT vec_id, v FROM ce WHERE vec_id % 20 = 0) q
+                JOIN ce c ON q.vec_id <> c.vec_id) z
+              WHERE rnk <= 3),
+       tot AS (SELECT count(*) AS n_exact FROM ex),
+       h AS (SELECT count(*) AS hits FROM ap JOIN ex USING (qid, cid))
+       SELECT CAST((SELECT count(*) FROM cb) AS INTEGER) AS nlist,
+              CAST((SELECT v FROM np) AS INTEGER) AS nprobe,
+              CAST(tot.n_exact AS BIGINT) AS n_exact,
+              CAST(h.hits AS BIGINT) AS hits,
+              CAST((h.hits * 1000000) // tot.n_exact AS BIGINT)
+                AS recall_e6,
+              CAST(CASE WHEN (h.hits * 1000000) // tot.n_exact >= 900000
+                   THEN 1 ELSE 0 END AS INTEGER) AS floor_met
+       FROM tot CROSS JOIN h"""
+
+  /** Full [[maxsimIvfClustered]] replay — generation, the four
+    * per-facet codebook/assignment/probe chains at nlist/8, the
+    * cross-facet candidate union, the 16-cosine MaxSim re-rank, the
+    * exact all-pairs MaxSim top-3, and the recall/floor arithmetic
+    * ([[maxsimBudgetCurveOracleSql]]'s facet machinery pointed at the
+    * generated corpus).
+    */
+  private def maxsimIvfClusteredOracleSql: String = {
+    def cos(i: Int, j: Int): String = {
+      val (a, b) = (i * 16 + 1, (i + 1) * 16)
+      val (c, d) = (j * 16 + 1, (j + 1) * 16)
+      s"(list_dot_product(qv[$a:$b], cv[$c:$d]) " +
+        s"/ sqrt(list_dot_product(qv[$a:$b], qv[$a:$b]) " +
+        s"* list_dot_product(cv[$c:$d], cv[$c:$d])))"
+    }
+    val score = (0 until 4).map { i =>
+      s"greatest(${(0 until 4).map(j => cos(i, j)).mkString(", ")})"
+    }.mkString(" + ")
+    def facet(j: Int): String = {
+      val (a, b) = (j * 16 + 1, (j + 1) * 16)
+      s"""sim_$j AS (SELECT ce.vec_id, cb.centroid_id,
+             list_dot_product(ce.v[$a:$b], cb.cv[$a:$b])
+             / sqrt(list_dot_product(ce.v[$a:$b], ce.v[$a:$b])
+                    * list_dot_product(cb.cv[$a:$b], cb.cv[$a:$b])) AS s
+           FROM ce CROSS JOIN cb),
+         rk_$j AS (SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                  ORDER BY s DESC, centroid_id) AS rn
+           FROM sim_$j WHERE NOT isnan(s)),
+         asg_$j AS (SELECT vec_id AS cid, centroid_id
+                    FROM rk_$j WHERE rn = 1),
+         pb_$j AS (SELECT vec_id AS qid, centroid_id FROM rk_$j
+                   WHERE rn <= (SELECT v FROM np) AND vec_id % 20 = 0),
+         cd_$j AS (SELECT pb.qid, asg.cid
+                   FROM pb_$j pb JOIN asg_$j asg USING (centroid_id)
+                   WHERE pb.qid <> asg.cid)"""
+    }
+    s"""WITH $clusteredEmbSql,
+       cb AS (SELECT vec_id AS centroid_id, v AS cv FROM ce
+              WHERE vec_id % $sqrtStrideSql = 0
+              ORDER BY centroid_id LIMIT 16384),
+       np AS (SELECT GREATEST(7, count(*) // 8) AS v FROM cb),
+       ${(0 until 4).map(facet).mkString(",\n       ")},
+       cand AS (SELECT DISTINCT qid, cid
+                FROM (SELECT * FROM cd_0 UNION ALL SELECT * FROM cd_1
+                      UNION ALL SELECT * FROM cd_2
+                      UNION ALL SELECT * FROM cd_3) u),
+       ms AS (SELECT cand.qid, cand.cid, round($score, 4) AS maxsim_r
+              FROM cand JOIN (SELECT vec_id, v AS qv FROM ce) q
+                          ON cand.qid = q.vec_id
+                        JOIN (SELECT vec_id, v AS cv FROM ce) c
+                          ON cand.cid = c.vec_id),
+       ap AS (SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                     ORDER BY maxsim_r DESC, cid) AS rnk FROM ms) z
+              WHERE rnk <= 3),
+       ex AS (SELECT qid, cid FROM (
+                SELECT q.vec_id AS qid, c.vec_id AS cid,
+                  row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(${score.replace("qv", "q.v")
+      .replace("cv", "c.v")}, 4) DESC, c.vec_id) AS rnk
+                FROM (SELECT vec_id, v FROM ce WHERE vec_id % 20 = 0) q
+                JOIN ce c ON q.vec_id <> c.vec_id) z
+              WHERE rnk <= 3),
+       tot AS (SELECT count(*) AS n_exact FROM ex),
+       h AS (SELECT count(*) AS hits FROM ap JOIN ex USING (qid, cid))
+       SELECT CAST((SELECT count(*) FROM cb) AS INTEGER) AS nlist,
+              CAST((SELECT v FROM np) AS INTEGER) AS nprobe,
+              CAST(tot.n_exact AS BIGINT) AS n_exact,
+              CAST(h.hits AS BIGINT) AS hits,
+              CAST((h.hits * 1000000) // tot.n_exact AS BIGINT)
+                AS recall_e6,
+              CAST(CASE WHEN (h.hits * 1000000) // tot.n_exact >= 900000
+                   THEN 1 ELSE 0 END AS INTEGER) AS floor_met
+       FROM tot CROSS JOIN h"""
   }
 
   /** Full [[maxsimRank]] replay: the 16 sub-pair cosines over double
@@ -4887,18 +5313,22 @@ object ScaleQueries {
     "cc_forget" ->
       ("WITH RECURSIVE " + lshLabelsChainSql("", "doc_id % 13 <> 5") +
         "\n         SELECT id, cluster_id FROM lab ORDER BY id"),
+    // r13 rebase: the drop set is the maintained-LSH label family, so
+    // the oracle is the exact all-pairs >=0.7 closure from raw text
+    // (the dedup_canonical_quality discipline) — the maintained
+    // survivors must equal the from-scratch semantics
     "dedup_canonical" ->
-      s"""WITH RECURSIVE $ccLabelsSql
+      ("WITH RECURSIVE " + lshLabelsChainSql("", "TRUE") + """
          SELECT d.doc_id, d.lang, d.n_chars
          FROM documents d
          WHERE d.doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster_id)
-         ORDER BY d.doc_id""",
-    // the same CC closure drives the drop set; token counts and both
-    // per-source rollups replayed, kept ratio in the identical
+         ORDER BY d.doc_id"""),
+    // the same >=0.7 closure drives the drop set; token counts and
+    // both per-source rollups replayed, kept ratio in the identical
     // truncation order
     "dedup_impact" ->
-      s"""WITH RECURSIVE $ccLabelsSql,
-         tk AS (SELECT doc_id, source,
+      (s"""WITH RECURSIVE ${lshLabelsChainSql("", "TRUE")},
+         tok AS (SELECT doc_id, source,
                   CAST(len(list_filter(
                     regexp_split_to_array(lower(text), '\\W+'),
                     t -> len(t) > 0)) AS BIGINT) AS ntok
@@ -4906,10 +5336,10 @@ object ScaleQueries {
          dr AS (SELECT id FROM lab WHERE id <> cluster_id),
          b AS (SELECT source, count(*) AS n_docs,
                  CAST(sum(ntok) AS BIGINT) AS n_tokens
-               FROM tk GROUP BY 1),
+               FROM tok GROUP BY 1),
          k AS (SELECT source, count(*) AS kept_docs,
                  CAST(sum(ntok) AS BIGINT) AS kept_tokens
-               FROM tk WHERE doc_id NOT IN (SELECT id FROM dr)
+               FROM tok WHERE doc_id NOT IN (SELECT id FROM dr)
                GROUP BY 1)
          SELECT b.source, b.n_docs, b.n_tokens,
                 CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
@@ -4919,7 +5349,7 @@ object ScaleQueries {
                           // b.n_tokens
                      ELSE 0 END AS BIGINT) AS kept_e6
          FROM b LEFT JOIN k ON b.source = k.source
-         ORDER BY b.source""",
+         ORDER BY b.source"""),
     "dedup_exact" ->
       """SELECT md5(substring(text, 1, 40)) AS key_hash,
          min(doc_id) AS keep_id, count(*) AS n_copies
@@ -5064,10 +5494,15 @@ object ScaleQueries {
     "ann_filtered_indexed" -> annFilteredOracleFor("vec_id = 0"),
     // fleet storage serving ≡ the in-plan operator, row for row
     "ann_filtered_batch" -> annFilteredOracleFor("TRUE"),
-    // the filtered-recall gate pin (full coverage + floor met)
+    // the maintained (forgotten) labeled index must serve the in-plan
+    // chain over SURVIVORS — deletion is physical, not a result filter
+    "ann_filtered_forget" ->
+      annFilteredOracleFor("TRUE", corpusWhere = "vec_id % 13 <> 5"),
+    // the filtered-recall gate pin (full coverage + floor met) at the
+    // r13 occupancy-aware budget's raised floor
     "ann_filtered_recall" ->
       """SELECT count(*) AS n_queries,
-                CAST(70 AS INTEGER) AS recall_floor_pct,
+                CAST(80 AS INTEGER) AS recall_floor_pct,
                 CAST(1 AS INTEGER) AS floor_met
          FROM embeddings WHERE vec_id % 20 = 0""",
     // the recall-gate pin (the ann_ivf_recall pattern): full query
@@ -5078,6 +5513,12 @@ object ScaleQueries {
                 CAST(80 AS INTEGER) AS recall_floor_pct,
                 CAST(1 AS INTEGER) AS floor_met
          FROM embeddings WHERE vec_id % 20 = 0""",
+    // the clustered-corpus certifications replayed END TO END —
+    // corpus generation, codebook, assignment, nlist/8 probes,
+    // re-rank, exact baseline, and the integer recall/floor
+    // arithmetic are all value-checked (not a gate-row pin)
+    "ann_ivf_clustered" -> annIvfClusteredOracleSql,
+    "maxsim_ivf_clustered" -> maxsimIvfClusteredOracleSql,
     // the one-pass threshold sweep replayed: the windowed char-3-gram
     // Jaccard pair set once, each curve point a filter + two
     // aggregates, zeros preserved via the left joins

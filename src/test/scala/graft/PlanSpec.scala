@@ -138,17 +138,26 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ann_filtered_indexed: the labeled-index scan is partition-" +
-      "pruned on BOTH the query label and the probed lists") {
+      "pruned on the query label and its probed list GROUPS, with " +
+      "the probed list ids pushed into the row-group sort") {
     val plan = formatted("ann_filtered_indexed")
     val scanLine = plan.linesIterator
       .find(_.contains("PartitionFilters")).getOrElse("")
-    // two-level storage pruning: only the query label's probed list
-    // directories are read — the layout knob that makes a selective
-    // metadata predicate free at read time
+    // two-level storage pruning under the r13 compacted layout: only
+    // the query label's probed GROUP files are opened (directory
+    // pruning), and inside each file the probed list ids skip
+    // row groups via the centroid_id sort (pushed data filter) — the
+    // layout knob that makes a selective metadata predicate free at
+    // read time without the |labels| × |lists| small-files cliff
     assert(scanLine.contains("label"),
       s"label not in PartitionFilters:\n${plan.take(2000)}")
-    assert(scanLine.contains("centroid_id"),
-      s"probed lists not in PartitionFilters:\n$scanLine")
+    assert(scanLine.contains("list_grp"),
+      s"probed groups not in PartitionFilters:\n$scanLine")
+    val pushedLine = plan.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushedLine.contains("In(centroid_id") ||
+        pushedLine.contains("centroid_id"),
+      s"probed lists not pushed into the group files:\n$pushedLine")
     assert(!plan.contains("CartesianProduct"))
   }
 
@@ -265,7 +274,11 @@ class PlanSpec extends AnyFunSuite {
     // sanctioned; a CartesianProduct never is
     for (name <- Seq("ann_mrl_funnel", "maxsim_budget_curve",
         "ann_filtered", "ann_filtered_batch", "cc_forget",
-        "dedup_provenance", "grad_accum_equiv")) {
+        "dedup_provenance", "grad_accum_equiv",
+        // r13: the clustered certifications and the labeled forget
+        // fleet — same equi-join-bounded candidate discipline
+        "ann_ivf_clustered", "maxsim_ivf_clustered",
+        "ann_filtered_forget")) {
       val plan = formatted(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n" + plan.take(1500))

@@ -267,7 +267,9 @@ class Round12Spec extends AnyFunSuite {
         .sortBy { case (c, sv) => (-sv, c) }.take(3).map(c => (q, c._1))
     }.toSet
     val recall = (got.toSet & exact).size.toDouble / exact.size
-    assert(recall >= 0.7, s"filtered recall $recall below floor")
+    // r13: the occupancy-aware filteredNprobe budget raised the gate
+    // floor 70 → 80 (measured 0.95 at all SFs)
+    assert(recall >= 0.8, s"filtered recall $recall below floor")
     val gate = queries.ScaleQueries.queries("ann_filtered_recall")(
       spark, dir).head()
     assert(gate.getInt(2) == 1, "floor_met must be 1")

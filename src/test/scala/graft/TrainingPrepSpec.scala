@@ -66,10 +66,15 @@ class TrainingPrepSpec extends AnyFunSuite {
   }
 
   test("dedup_canonical: keeps exactly cluster minima plus singletons") {
+    // r13 rebase: the shipping query rides the maintained LSH labels
+    // (word-3-shingle Jaccard >= 0.7 — the dedup_clusters family), so
+    // the expectation recomputes THAT closure from the operator layer;
+    // Round13Spec additionally pins it against a brute driver-side
+    // closure, and the DuckDB oracle replays it from raw text
     val docs = Tables(spark, sf, "documents")
     val labels = ops.Dedup.connectedComponents(
-      ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, window = 20, threshold = 0.5)
+      ops.Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 8, threshold = 0.7)
         .select(col("id_a"), col("id_b")))
     val surv = queries.ScaleQueries.dedupCanonical(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
