@@ -5,6 +5,13 @@ tables and compares against the parquet written by graft.Verify.
 
 Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
     python3 scripts/check.py <sfDir> <outDir>
+    python3 scripts/check.py --lint <sfDir> <outDir>
+        # type-lint only: DESCRIBE every oracle SQL and fail on any
+        # output column DuckDB types as HUGEINT (bare sum() over an
+        # integer column) or other Spark-unrepresentable widths — the
+        # grad_accum_equiv trap: the driver's hash is TYPE-sensitive,
+        # so such a column hash-fails even when values match. Needs
+        # only oracle_sql.json, not the Spark result parquet.
 """
 import json, sys, math
 
@@ -12,6 +19,34 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+# DuckDB output types Spark cannot emit → guaranteed driver hash-fail.
+# HUGEINT/UHUGEINT: bare sum()/product() over integer columns (fix:
+# CAST(... AS BIGINT)); UBIGINT: e.g. bit_count. DECIMAL beyond (38,18)
+# cannot round-trip either, but DuckDB caps at 38 so width alone is
+# representable — only the integer-overflow family is flagged.
+BANNED_TYPES = ("HUGEINT", "UHUGEINT", "UBIGINT")
+
+
+def lint_types(con, oracle):
+    """DESCRIBE every oracle and flag Spark-unrepresentable columns.
+    Returns the number of violations (0 = suite clean)."""
+    n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            rel = con.sql(sql)
+            bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                   if any(str(t).startswith(b) for b in BANNED_TYPES)]
+        except Exception as ex:
+            print(f"ERR  {name}: {ex}")
+            n_bad += 1
+            continue
+        if bad:
+            n_bad += 1
+            print(f"LINT {name}: Spark-unrepresentable oracle column "
+                  f"types {bad} — wrap in CAST(... AS BIGINT)")
+    print(f"lint: {n_bad} violation(s) in {len(oracle)} oracles")
+    return n_bad
 
 
 def canon(v):
@@ -22,11 +57,13 @@ def canon(v):
     return repr(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, lint_only=False):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if lint_only:
+        sys.exit(1 if lint_types(con, oracle) else 0)
     n_ok = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -71,4 +108,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    args = [a for a in sys.argv[1:] if a != "--lint"]
+    main(args[0], args[1], lint_only="--lint" in sys.argv)
