@@ -639,6 +639,64 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
   }
 
+  /** APPEND a delta batch to a persisted [[ivfIndexWriteLabeled]]
+    * index — the labeled twin of [[ivfIndexAppendDelta]], completing
+    * the labeled instance's build → DELTA → forget triad: delta
+    * vectors are assigned under the SHARED codebook (labels never
+    * change assignment), grouped by the SAME rank rule, and only the
+    * touched (label, list_grp) partitions are merged
+    * (existing rows ∪ delta) through the durable-staging →
+    * idempotent-publish crash contract. Cost O(|delta| + rows in
+    * touched partitions); untouched partition files never read or
+    * rewritten.
+    */
+  def ivfIndexAppendDeltaLabeled(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, codebook: Array[(Long, Seq[Float])],
+      delta: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, stagingDirOpt: Option[String] = None): Unit = {
+    val centsLit = typedLit(codebook.map(_._2).toSeq)
+    val idsLit = typedLit(codebook.map(_._1).toSeq)
+    val groups = listGroupCount(codebook.length)
+    val assigned = delta
+      .select(col(idCol).cast("long").as("cid"),
+        col(labelCol).cast("long").as("label"),
+        col(vecCol).cast("array<float>").as("cv"))
+      .withColumn("centroid_id", try_element_at(
+        nearest_centroids(col("cv"), centsLit, idsLit, 1), lit(1)))
+      .filter(col("centroid_id").isNotNull)
+      .withColumn("list_grp", pmod(
+        array_position(idsLit, col("centroid_id")) - 1,
+        lit(groups.toLong)))
+    // bounded collect: ≤ |labels| × ⌈√nlist⌉ touched partitions
+    val touched = assigned.select(col("label"), col("list_grp"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (touched.isEmpty) return
+    val touchedPred: Column = touched.map { case (l, g) =>
+      col("label") === l && col("list_grp") === g
+    }.reduce(_ || _)
+    val staging = stagingDirOpt.getOrElse(
+      indexDir.stripSuffix("/") + ".staging")
+    spark.read.parquet(indexDir)
+      .filter(touchedPred)
+      .select(col("cid"), col("cv"), col("label").cast("long"),
+        col("centroid_id").cast("long"), col("list_grp").cast("long"))
+      .unionByName(assigned
+        .select(col("cid"), col("cv"), col("label"),
+          col("centroid_id"), col("list_grp")))
+      .repartition(col("label"), col("list_grp"))
+      .sortWithinPartitions(col("centroid_id"), col("cid"))
+      .write.mode("overwrite")
+      .partitionBy("label", "list_grp").parquet(staging)
+    spark.read.parquet(staging)
+      .repartition(col("label"), col("list_grp"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("label", "list_grp").parquet(indexDir)
+    deleteDir(spark, staging) // only after a successful publish
+  }
+
   /** FORGET rows from a persisted [[ivfIndexWriteLabeled]] index —
     * [[ivfIndexForget]]'s loop on the (label, list_grp) layout,
     * completing the labeled instance's maintenance story: forget

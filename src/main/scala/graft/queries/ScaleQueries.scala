@@ -912,17 +912,33 @@ object ScaleQueries {
     * inflation; at high selectivity the same machinery wants
     * label-partitioned lists (a layout knob, not a plan change).
     */
-  def annFiltered(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val cb = graft.ops.Similarity.sampledCodebook(emb, "vec_id",
-      "embedding", graft.ops.Similarity.sqrtStride(emb.count()))
-    val centsLit = typedLit(cb.map(_._2).toSeq)
-    val idsLit = typedLit(cb.map(_._1).toSeq)
+  def annFiltered(s: SparkSession, dir: String): DataFrame =
     // occupancy-aware budget (r13): the label filter thins probed
     // lists ~10×, so the filtered budget escalates past halfNprobe —
     // the derivation and measured curve live on
     // [[Similarity.filteredNprobe]]
-    val nprobe = graft.ops.Similarity.filteredNprobe(cb.length)
+    annFilteredTop3Over(t(s, dir, "embeddings"),
+        graft.ops.Similarity.filteredNprobe)
+      .orderBy(col("qid"), col("rnk"))
+
+  /** The in-plan filtered chain over ANY (vec_id, label, embedding)
+    * corpus with a caller-chosen probe-budget rule — `ann_filtered`
+    * serves the uniform corpus at [[Similarity.filteredNprobe]] (the
+    * occupancy-escalated fraction its recall curve forces);
+    * [[annFilteredClustered]] serves the planted-cluster corpus at
+    * [[Similarity.derivedNprobe]] — certifying that on clustered data
+    * the filtered budget COLLAPSES back to the unfiltered
+    * small-fraction regime (true neighbors share the query's cluster,
+    * so the label filter no longer decouples probe rank from where
+    * they live).
+    */
+  private def annFilteredTop3Over(emb: DataFrame,
+                                  nprobeOf: Int => Int): DataFrame = {
+    val cb = graft.ops.Similarity.sampledCodebook(emb, "vec_id",
+      "embedding", graft.ops.Similarity.sqrtStride(emb.count()))
+    val centsLit = typedLit(cb.map(_._2).toSeq)
+    val idsLit = typedLit(cb.map(_._1).toSeq)
+    val nprobe = nprobeOf(cb.length)
     val lists = graft.ops.Dedup.spread(
         emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
           col("embedding").cast("array<float>").as("cv")))
@@ -943,7 +959,6 @@ object ScaleQueries {
           .orderBy(col("sim_r").desc, col("cid"))))
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("cid"), col("sim_r"), col("rnk"))
-      .orderBy(col("qid"), col("rnk"))
   }
 
   /** The filtered search SERVED FROM STORAGE — the label-partitioned
@@ -1048,6 +1063,52 @@ object ScaleQueries {
           .select(col("vec_id").as("qid"), col("label").as("qlabel"),
             col("embedding").cast("array<float>").as("qv")),
         nprobe = Similarity.filteredNprobe(codebook.length), k = 3)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** INCREMENTAL maintenance of the LABELED filtered index
+    * ([[Similarity.ivfIndexAppendDeltaLabeled]]) — the missing middle
+    * of the labeled triad (build `ann_filtered_indexed` → DELTA →
+    * forget `ann_filtered_forget`): the base instance holds 6/7 of
+    * the corpus (a filter-copy derive from the shared labeled index),
+    * the remaining 1/7 arrives as a delta batch assigned under the
+    * SHARED codebook with only the touched (label, group) partitions
+    * merged and republished, and the whole fleet is served FILTERED
+    * from the maintained index. `delta_consistent` pins in-engine
+    * set-equality against the same fleet served from the
+    * rebuilt-from-everything base index (labels never change
+    * assignment, so arrival order cannot move a row); the oracle is
+    * the full-corpus in-plan filtered chain with the flag pinned —
+    * maintenance must be indistinguishable from rebuild.
+    */
+  def annFilteredDelta(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (_, codebook) = fullIvfIndex(s, dir)
+    val basePath = labeledIvfIndex(s, dir)
+    val path =
+      memoCodebook(s"ivf-labeled-delta:${graft.Tables.versioned(dir)}") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_ivf_labeled_delta").toString
+        Similarity.ivfIndexDeriveLabeled(s, basePath, p,
+          col("cid") % 7 =!= 0)
+        Similarity.ivfIndexAppendDeltaLabeled(s, p, codebook,
+          emb.filter(col("vec_id") % 7 === 0),
+          "vec_id", "label", "embedding")
+        p
+      }
+    val fleet = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").cast("array<float>").as("qv"))
+    def serve(dir0: String) =
+      Similarity.ivfIndexedBatchSearchLabeled(s, dir0, codebook,
+        queries = fleet,
+        nprobe = Similarity.filteredNprobe(codebook.length), k = 3)
+    val served = serve(path)
+    val rebuilt = serve(basePath)
+    val consistent = served.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(served).isEmpty
+    served.withColumn("delta_consistent",
+        lit(if (consistent) 1 else 0))
       .orderBy(col("qid"), col("rnk"))
   }
 
@@ -1346,6 +1407,69 @@ object ScaleQueries {
     val approx = maxsimIvfApproxOver(emb,
       graft.ops.Similarity.derivedNprobe)
     clusteredRecallRow(approx, clusteredExactMaxsim3(s, dir),
+      nlist = nlist, nprobe = graft.ops.Similarity.derivedNprobe(nlist),
+      floorPct = 90)
+  }
+
+  /** The planted-cluster corpus with a metadata label INDEPENDENT of
+    * cluster membership: label = (vec_id DIV 32) % 10 — consecutive
+    * vec_ids cycle clusters (vec_id % 32), so each label block spans
+    * many clusters and each cluster spans labels (a raw `vec_id % 10`
+    * would correlate with the cluster id through the shared modulus).
+    * Pure integer arithmetic, replayed verbatim in the oracle.
+    */
+  private def clusteredEmbLabeled(s: SparkSession, dir: String): DataFrame =
+    clusteredEmb(s, dir).withColumn("label",
+      pmod(expr("vec_id DIV 32"), lit(10L)))
+
+  /** Exact FILTERED top-3 over the planted-cluster corpus — the
+    * ground truth [[annFilteredClustered]] gates against; memoized
+    * like [[exactFilteredTop3]].
+    */
+  private def clusteredExactFiltered3(s: SparkSession, dir: String)
+      : DataFrame =
+    graft.SessionMemo.getOrCompute(s,
+      s"clustered-filtered-exact:${graft.Tables.versioned(dir)}", {
+        val emb = clusteredEmbLabeled(s, dir)
+        val queries = emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").as("qv"))
+        val corpus = graft.ops.Dedup.spread(
+          emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
+            col("embedding").as("cv")))
+        graft.ops.Dedup.materialize(
+          graft.ops.Hints.chunkedBroadcastThetaJoin(corpus, queries,
+              chunkKey = col("qid"),
+              cond = col("qid") =!= col("cid") &&
+                col("clabel") === col("qlabel"))
+            .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
+            .withColumn("rnk", row_number().over(
+              Window.partitionBy(col("qid"))
+                .orderBy(col("sim_r").desc, col("cid"))))
+            .filter(col("rnk") <= 3)
+            .select(col("qid"), col("cid")))
+      })
+
+  /** The FILTERED-search budget collapse on clustered data, certified
+    * — [[Similarity.filteredNprobe]]'s scaladoc claims the filtered
+    * budget collapses toward [[Similarity.derivedNprobe]] on a
+    * clustered corpus (a filtered query's true neighbors share its
+    * cluster, so the label filter no longer decouples probe rank from
+    * where they live — the thinning that forces 3/4 coverage on
+    * uniform data); this row proves it: the SAME in-plan filtered
+    * chain ([[annFilteredTop3Over]] — one body, two budgets) over the
+    * planted corpus with a cluster-independent label, served at
+    * nlist/8, 90% recall floor (measured 1.0 at all SFs). Together
+    * with `ann_filtered_recall` (uniform, 3/4 coverage) the pair
+    * prices filtered serving across the data-geometry spectrum.
+    */
+  def annFilteredClustered(s: SparkSession, dir: String): DataFrame = {
+    val emb = clusteredEmbLabeled(s, dir)
+    val nlist = graft.ops.Similarity.sampledCodebook(emb, "vec_id",
+      "embedding", graft.ops.Similarity.sqrtStride(emb.count())).length
+    val approx = annFilteredTop3Over(emb,
+      graft.ops.Similarity.derivedNprobe)
+    clusteredRecallRow(approx, clusteredExactFiltered3(s, dir),
       nlist = nlist, nprobe = graft.ops.Similarity.derivedNprobe(nlist),
       floorPct = 90)
   }
@@ -3511,6 +3635,8 @@ object ScaleQueries {
     "maxsim_ivf" -> (maxsimIvf _),
     "ann_ivf_clustered" -> (annIvfClustered _),
     "maxsim_ivf_clustered" -> (maxsimIvfClustered _),
+    "ann_filtered_clustered" -> (annFilteredClustered _),
+    "ann_filtered_delta" -> (annFilteredDelta _),
     "maxsim_budget_curve" -> (maxsimBudgetCurve _),
     "ann_filtered" -> (annFiltered _),
     "ann_filtered_forget" -> (annFilteredForget _),
@@ -3834,7 +3960,8 @@ object ScaleQueries {
     * maintenance state must serve the in-plan chain's results.
     */
   private def annFilteredOracleFor(qidWhere: String,
-                                   corpusWhere: String = "TRUE"): String =
+                                   corpusWhere: String = "TRUE",
+                                   extraCols: String = ""): String =
     s"""WITH e AS (SELECT vec_id, label,
                   CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        cb AS (SELECT vec_id AS centroid_id, v AS cv FROM e
@@ -3870,7 +3997,7 @@ object ScaleQueries {
                CAST(row_number() OVER (PARTITION BY qid
                     ORDER BY sim_r DESC, cid) AS INTEGER) AS rnk
              FROM s2)
-       SELECT qid, cid, sim_r, rnk FROM r WHERE rnk <= 3
+       SELECT qid, cid, sim_r, rnk$extraCols FROM r WHERE rnk <= 3
        ORDER BY qid, rnk"""
 
   private def annIvfOracleSql: String = annIvfOracleSqlFor("TRUE")
@@ -4073,6 +4200,69 @@ object ScaleQueries {
                          DESC, c.vec_id) AS rnk
                 FROM (SELECT vec_id, v FROM ce WHERE vec_id % 20 = 0) q
                 JOIN ce c ON q.vec_id <> c.vec_id) z
+              WHERE rnk <= 3),
+       tot AS (SELECT count(*) AS n_exact FROM ex),
+       h AS (SELECT count(*) AS hits FROM ap JOIN ex USING (qid, cid))
+       SELECT CAST((SELECT count(*) FROM cb) AS INTEGER) AS nlist,
+              CAST((SELECT v FROM np) AS INTEGER) AS nprobe,
+              CAST(tot.n_exact AS BIGINT) AS n_exact,
+              CAST(h.hits AS BIGINT) AS hits,
+              CAST((h.hits * 1000000) // tot.n_exact AS BIGINT)
+                AS recall_e6,
+              CAST(CASE WHEN (h.hits * 1000000) // tot.n_exact >= 900000
+                   THEN 1 ELSE 0 END AS INTEGER) AS floor_met
+       FROM tot CROSS JOIN h"""
+
+  /** Full [[annFilteredClustered]] replay — generation, the
+    * cluster-independent label, codebook, assignment, nlist/8 probes,
+    * the label-conjoined candidate join, exact re-rank, the brute
+    * exact FILTERED top-3, and the recall/floor arithmetic.
+    */
+  private def annFilteredClusteredOracleSql: String =
+    s"""WITH $clusteredEmbSql,
+       cel AS (SELECT vec_id, (vec_id // 32) % 10 AS label, v FROM ce),
+       cb AS (SELECT vec_id AS centroid_id, v AS cv FROM cel
+              WHERE vec_id % $sqrtStrideSql = 0
+              ORDER BY centroid_id LIMIT 16384),
+       np AS (SELECT GREATEST(7, count(*) // 8) AS v FROM cb),
+       sim AS (SELECT cel.vec_id, cel.label, cb.centroid_id,
+                 list_dot_product(cel.v, cb.cv)
+                 / sqrt(list_dot_product(cel.v, cel.v)
+                        * list_dot_product(cb.cv, cb.cv)) AS s
+               FROM cel CROSS JOIN cb),
+       rk AS (SELECT vec_id, label, centroid_id, s,
+                row_number() OVER (PARTITION BY vec_id
+                     ORDER BY s DESC, centroid_id) AS rn
+              FROM sim WHERE NOT isnan(s)),
+       asg AS (SELECT vec_id AS cid, label AS clabel, centroid_id
+               FROM rk WHERE rn = 1),
+       pb AS (SELECT vec_id AS qid, label AS qlabel, centroid_id
+              FROM rk
+              WHERE rn <= (SELECT v FROM np) AND vec_id % 20 = 0),
+       cand AS (SELECT pb.qid, asg.cid
+                FROM pb JOIN asg USING (centroid_id)
+                WHERE pb.qid <> asg.cid AND asg.clabel = pb.qlabel),
+       s2 AS (SELECT cand.qid, cand.cid,
+                round(list_dot_product(q.v, c.v)
+                      / sqrt(list_dot_product(q.v, q.v)
+                             * list_dot_product(c.v, c.v)), 4) AS sim_r
+              FROM cand JOIN cel q ON cand.qid = q.vec_id
+                        JOIN cel c ON cand.cid = c.vec_id),
+       ap AS (SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                     ORDER BY sim_r DESC, cid) AS rnk FROM s2) z
+              WHERE rnk <= 3),
+       ex AS (SELECT qid, cid FROM (
+                SELECT q.vec_id AS qid, c.vec_id AS cid,
+                  row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.v, c.v)
+                                / sqrt(list_dot_product(q.v, q.v)
+                                       * list_dot_product(c.v, c.v)), 4)
+                         DESC, c.vec_id) AS rnk
+                FROM (SELECT vec_id, label, v FROM cel
+                      WHERE vec_id % 20 = 0) q
+                JOIN cel c ON q.vec_id <> c.vec_id
+                          AND q.label = c.label) z
               WHERE rnk <= 3),
        tot AS (SELECT count(*) AS n_exact FROM ex),
        h AS (SELECT count(*) AS hits FROM ap JOIN ex USING (qid, cid))
@@ -5519,6 +5709,11 @@ object ScaleQueries {
     // arithmetic are all value-checked (not a gate-row pin)
     "ann_ivf_clustered" -> annIvfClusteredOracleSql,
     "maxsim_ivf_clustered" -> maxsimIvfClusteredOracleSql,
+    "ann_filtered_clustered" -> annFilteredClusteredOracleSql,
+    // labeled-index maintenance ≡ rebuild: the maintained instance's
+    // fleet must equal the full-corpus in-plan chain, flag pinned
+    "ann_filtered_delta" -> annFilteredOracleFor("TRUE",
+      extraCols = ", CAST(1 AS INTEGER) AS delta_consistent"),
     // the one-pass threshold sweep replayed: the windowed char-3-gram
     // Jaccard pair set once, each curve point a filter + two
     // aggregates, zeros preserved via the left joins

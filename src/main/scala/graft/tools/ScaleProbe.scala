@@ -638,7 +638,26 @@ object ScaleProbe {
         false),
       ("ann_filtered_forget",
         graft.queries.ScaleQueries.queries("ann_filtered_forget"),
-        true))
+        true),
+      // r13 batch 4: the labeled delta append (cold — the memo
+      // derives the 6/7 base by filter-copy and appends the 1/7 under
+      // the shared codebook; the touched-(label, group) merge loop is
+      // the cost story), the filtered budget-collapse certification
+      // (warm — planted corpus + exact memoize; the second sample
+      // times the nlist/8 filtered serve), and warm-start PR
+      // maintenance re-probed after its stored-state rebase (warm —
+      // old ranks and the 6-round reference memoize; the probe times
+      // warm+cold single iterations + two L1 cells, retiring the 11
+      // regenerated rounds)
+      ("ann_filtered_delta",
+        graft.queries.ScaleQueries.queries("ann_filtered_delta"),
+        true),
+      ("ann_filtered_clustered",
+        graft.queries.ScaleQueries.queries("ann_filtered_clustered"),
+        false),
+      ("pagerank_delta_v2",
+        graft.queries.AdvancedQueries.queries("pagerank_delta"),
+        false))
     // Session-residue hygiene: `Dedup.materialize` is an eager
     // localCheckpoint, and its executor blocks are reclaimed by
     // ContextCleaner only after a DRIVER GC notices the dropped

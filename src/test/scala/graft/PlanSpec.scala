@@ -275,10 +275,12 @@ class PlanSpec extends AnyFunSuite {
     for (name <- Seq("ann_mrl_funnel", "maxsim_budget_curve",
         "ann_filtered", "ann_filtered_batch", "cc_forget",
         "dedup_provenance", "grad_accum_equiv",
-        // r13: the clustered certifications and the labeled forget
-        // fleet — same equi-join-bounded candidate discipline
+        // r13: the clustered certifications and the labeled
+        // maintenance fleets — same equi-join-bounded candidate
+        // discipline
         "ann_ivf_clustered", "maxsim_ivf_clustered",
-        "ann_filtered_forget")) {
+        "ann_filtered_forget", "ann_filtered_clustered",
+        "ann_filtered_delta")) {
       val plan = formatted(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n" + plan.take(1500))

@@ -241,6 +241,35 @@ class Round13Spec extends AnyFunSuite {
     assert(pre.keySet == lfiles(base).keySet)
   }
 
+  test("labeled delta append: merged content equals a rebuild; " +
+      "untouched (label, group) files unrewritten; staging cleaned") {
+    val all = (0L until 40L)
+    // delta = ids ≡ 1 mod 8 → only partition (label 1, group 1) is
+    // touched (list 1, rank 1 % 2 groups)
+    val deltaIds = all.filter(_ % 8 == 1)
+    val base = Files.createTempDirectory("lab_delta_base").toString
+    Similarity.ivfIndexWriteLabeled(lemb(all.filterNot(_ % 8 == 1)),
+      "vec_id", "label", "embedding", base, lcodebook)
+    val before = lfiles(base)
+    Similarity.ivfIndexAppendDeltaLabeled(spark, base, lcodebook,
+      lemb(deltaIds), "vec_id", "label", "embedding")
+    val after = lfiles(base)
+    for ((part, fs) <- before if !part.contains("label=1/list_grp=1"))
+      assert(after(part) == fs, s"untouched partition $part rewritten")
+    val full = Files.createTempDirectory("lab_delta_full").toString
+    Similarity.ivfIndexWriteLabeled(lemb(all), "vec_id", "label",
+      "embedding", full, lcodebook)
+    assert(lcontent(base) == lcontent(full),
+      "maintained labeled index content must equal the rebuild")
+    assert(!new java.io.File(base + ".staging").exists(),
+      "staging dir must be deleted after a successful publish")
+    // empty delta: bit-level no-op
+    val pre = lfiles(base)
+    Similarity.ivfIndexAppendDeltaLabeled(spark, base, lcodebook,
+      lemb(Seq.empty), "vec_id", "label", "embedding")
+    assert(lfiles(base) == pre, "empty delta must not rewrite files")
+  }
+
   test("labeled derive: a filter-copy equals a forget of the " +
       "complement and keeps the (label, list_grp) layout") {
     val all = (0L until 40L)
@@ -364,6 +393,14 @@ class Round13Spec extends AnyFunSuite {
     assert(mrow.getAs[Int]("floor_met") == 1)
     assert(mrow.getAs[Int]("nprobe") ==
       Similarity.derivedNprobe(mrow.getAs[Int]("nlist")))
+    // the filtered budget collapse: the SAME small-fraction budget
+    // serves the filtered chain on clustered data (on uniform data
+    // the filtered family needs 3/4 coverage — filteredNprobe's curve)
+    val frow = queries.ScaleQueries.queries("ann_filtered_clustered")(
+      spark, sf).head()
+    assert(frow.getAs[Int]("floor_met") == 1)
+    assert(frow.getAs[Int]("nprobe") ==
+      Similarity.derivedNprobe(frow.getAs[Int]("nlist")))
   }
 
   // ------------------------------------------------------------------
