@@ -550,8 +550,14 @@ object Similarity {
         lit(groups.toLong)))
       .repartition(col("label"), col("list_grp"))
       // row-group stats on centroid_id make the pushed probe filter
-      // skip non-probed lists WITHIN each group file
-      .sortWithinPartitions(col("centroid_id"), col("cid"))
+      // skip non-probed lists WITHIN each group file. The partition
+      // columns MUST prefix the sort: the partitioned writer requires
+      // rows grouped by partition values and inserts its OWN local
+      // sort on just (label, list_grp) when the incoming order
+      // doesn't — silently discarding the centroid_id order
+      // (Round13Spec's per-file order check caught exactly this)
+      .sortWithinPartitions(col("label"), col("list_grp"),
+        col("centroid_id"), col("cid"))
       .write.mode("overwrite").partitionBy("label", "list_grp")
       .parquet(indexDir)
   }
@@ -566,7 +572,8 @@ object Similarity {
     spark.read.parquet(srcDir)
       .filter(keep)
       .repartition(col("label"), col("list_grp"))
-      .sortWithinPartitions(col("centroid_id"), col("cid"))
+      .sortWithinPartitions(col("label"), col("list_grp"),
+        col("centroid_id"), col("cid"))
       .write.mode("overwrite").partitionBy("label", "list_grp")
       .parquet(dstDir)
 
@@ -686,11 +693,17 @@ object Similarity {
         .select(col("cid"), col("cv"), col("label"),
           col("centroid_id"), col("list_grp")))
       .repartition(col("label"), col("list_grp"))
-      .sortWithinPartitions(col("centroid_id"), col("cid"))
+      .sortWithinPartitions(col("label"), col("list_grp"),
+        col("centroid_id"), col("cid"))
       .write.mode("overwrite")
       .partitionBy("label", "list_grp").parquet(staging)
     spark.read.parquet(staging)
       .repartition(col("label"), col("list_grp"))
+      // re-sort after the publish shuffle: the pushed probe-id filter
+      // prunes ROW GROUPS via the centroid_id sort, and a maintenance
+      // pass must not silently strip the layout's second pruning level
+      .sortWithinPartitions(col("label"), col("list_grp"),
+        col("centroid_id"), col("cid"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("label", "list_grp").parquet(indexDir)
@@ -767,7 +780,8 @@ object Similarity {
     }
     survivors
       .repartition(col("label"), col("list_grp"))
-      .sortWithinPartitions(col("centroid_id"), col("cid"))
+      .sortWithinPartitions(col("label"), col("list_grp"),
+        col("centroid_id"), col("cid"))
       .write.mode("overwrite")
       .partitionBy("label", "list_grp").parquet(staging)
     val survivedParts = spark.read.parquet(staging)
@@ -776,6 +790,10 @@ object Similarity {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     spark.read.parquet(staging)
       .repartition(col("label"), col("list_grp"))
+      // re-sort after the publish shuffle (see the delta twin): the
+      // row-group sort IS the layout's second pruning level
+      .sortWithinPartitions(col("label"), col("list_grp"),
+        col("centroid_id"), col("cid"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("label", "list_grp").parquet(indexDir)

@@ -155,8 +155,10 @@ class PlanSpec extends AnyFunSuite {
       s"probed groups not in PartitionFilters:\n$scanLine")
     val pushedLine = plan.linesIterator
       .find(_.contains("PushedFilters")).getOrElse("")
-    assert(pushedLine.contains("In(centroid_id") ||
-        pushedLine.contains("centroid_id"),
+    // the In membership filter specifically — a bare
+    // IsNotNull(centroid_id) must NOT satisfy this pin (the probe-id
+    // pushdown is the layout's second pruning level)
+    assert(pushedLine.contains("In(centroid_id"),
       s"probed lists not pushed into the group files:\n$pushedLine")
     assert(!plan.contains("CartesianProduct"))
   }

@@ -215,6 +215,7 @@ class Round13Spec extends AnyFunSuite {
       "embedding", rebuilt1, lcodebook)
     assert(lcontent(base) == lcontent(rebuilt1),
       "forget content must equal a rebuild from survivors")
+    assertRowGroupSorted(base)
     assert(!new java.io.File(base + ".staging").exists(),
       "staging dir must be deleted after a successful publish")
     // total forget of every odd id empties BOTH label-1 partitions:
@@ -241,6 +242,24 @@ class Round13Spec extends AnyFunSuite {
     assert(pre.keySet == lfiles(base).keySet)
   }
 
+  /** Every leaf file of a labeled index must keep its centroid_id
+    * sort — the row-group pruning the compacted layout's pushed probe
+    * filter depends on; a maintenance publish that re-shuffles
+    * without re-sorting silently strips the layout's second pruning
+    * level (content stays equal, so only an order check catches it).
+    */
+  private def assertRowGroupSorted(dir: String): Unit = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    walk(new java.io.File(dir)).foreach { f =>
+      val cids = spark.read.parquet(f.getAbsolutePath)
+        .select(col("centroid_id")).collect().map(_.getLong(0))
+      assert(cids.sameElements(cids.sorted),
+        s"${f.getName}: centroid_id unsorted — row-group pruning lost")
+    }
+  }
+
   test("labeled delta append: merged content equals a rebuild; " +
       "untouched (label, group) files unrewritten; staging cleaned") {
     val all = (0L until 40L)
@@ -261,6 +280,7 @@ class Round13Spec extends AnyFunSuite {
       "embedding", full, lcodebook)
     assert(lcontent(base) == lcontent(full),
       "maintained labeled index content must equal the rebuild")
+    assertRowGroupSorted(base)
     assert(!new java.io.File(base + ".staging").exists(),
       "staging dir must be deleted after a successful publish")
     // empty delta: bit-level no-op
