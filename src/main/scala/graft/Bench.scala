@@ -23,6 +23,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r14: let AQE size post-shuffle partitions INSIDE cached-plan
+      // builds too (off by default) — the iterative graph/dedup loops
+      // pin |E|-row caches whose 32/64-task fixed layouts were pure
+      // per-task overhead at bench scale; AQE derives the count from
+      // the data instead (guide §2.2), at any SF
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // same session shape as Verify: functions + optimizer rules
       .withExtensions(new GraftExtensions)
       .getOrCreate()

@@ -18,6 +18,9 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // r14: adaptive partition sizing applies to cached-plan builds
+      // too (see Bench.scala)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions) // SQL fns + broadcast safety net
     Tables.requiredConf.foldLeft(

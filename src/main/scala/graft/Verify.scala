@@ -50,6 +50,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r14: same adaptive cached-plan partitioning as Bench — one
+      // session shape everywhere (see Bench.scala for the rationale)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // the engine's production session shape: SQL functions + the
       // optimizer rules (broadcast demotion, contains-OR → Aho-
       // Corasick collapse) are active in the driver-checked path, so

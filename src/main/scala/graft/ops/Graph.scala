@@ -28,6 +28,32 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Broadcast gate for the per-round NODE tables the iterative loops
+    * join into their pinned edge set — r14 optimization (guide §3.1).
+    * Catalyst's estimate cannot make this call: the node tables
+    * descend from the caller's edge build (typically a join), whose
+    * size estimate is the input-size PRODUCT (measured 1.1e12 "bytes"
+    * for a 15k-row materialized degree table at sf0.1), and
+    * `localCheckpoint` keeps the origin plan's stats — so
+    * `autoBroadcastJoinThreshold` / [[Hints.maybeBroadcast]] never
+    * fire on them and every round re-shuffled the |E| edge cache. The
+    * loops instead gate on MEASURED cardinality (each already pays a
+    * count or an eager materialize): under `maxBroadcastRows` the node
+    * table broadcasts and the edge cache is never exchanged; over it,
+    * the join falls back to the shuffle path unchanged — results are
+    * identical either way (equi/semi/anti joins + order-independent
+    * aggregates). The bound is rows, not bytes, because these tables
+    * are 2-3 int64 columns wide: the 2²¹ default ≈ 50 MB framed, the
+    * same order as [[Hints.DefaultBroadcastBytes]]; production tunes
+    * it to executor memory via SPARK_GRAFT_GRAPH_BCAST_ROWS.
+    */
+  private[graft] val maxBroadcastRows: Long =
+    sys.env.getOrElse("SPARK_GRAFT_GRAPH_BCAST_ROWS",
+      (1L << 21).toString).toLong
+
+  private def bcastIfFits(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= maxBroadcastRows) broadcast(df) else df
+
   /** Make a directed edge list symmetric (every node then has
     * out-degree ≥ 1, so there are no dangling nodes and no rank-mass
     * redistribution step). Duplicates are NOT removed here —
@@ -90,14 +116,20 @@ object Graph {
     }
     for (i <- 1 to iters) {
       // disjoint column names on each side: ranks descends from e, so
-      // unqualified src/dst references would be ambiguous self-joins
-      val inflow = ranks
-        .select(col("id").as("msg_id"), expr("rank_e12 DIV deg").as("c"))
+      // unqualified src/dst references would be ambiguous self-joins.
+      // Both per-round joins gate on the measured |V| (= n, counted
+      // once above): broadcasting the rank messages means the pinned
+      // |E| cache is scanned in place (map-side partial agg) instead
+      // of being exchanged every round, and broadcasting the inflow
+      // makes the rank update exchange-free too — the only shuffle
+      // left per round is the ≤|V| aggregate output (r14, guide §3.1).
+      val inflow = bcastIfFits(ranks
+          .select(col("id").as("msg_id"), expr("rank_e12 DIV deg").as("c")), n)
         .join(e, col("msg_id") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("inflow"))
         .withColumnRenamed("dst", "id")
-      ranks = deg.join(inflow, Seq("id"), "left")
+      ranks = deg.join(bcastIfFits(inflow, n), Seq("id"), "left")
         .select(col("id"), col("deg"),
           (lit(reset) + expr("(85 * coalesce(inflow, 0L)) DIV 100"))
             .as("rank_e12"))
@@ -149,32 +181,43 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     require(!e.isEmpty, "hitsE6 over an empty edge set")
-    var h = e.select(col("src").as("id")).distinct()
-      .withColumn("s", lit(1000000L))
+    // the hub seed is materialized so its cardinality (= #hubs, the
+    // broadcast gate for every subsequent half-step join) is measured,
+    // not estimated — see bcastIfFits on why estimates are useless here
+    var h = Dedup.materialize(e.select(col("src").as("id")).distinct()
+      .withColumn("s", lit(1000000L)))
+    var nH = h.count()
     var a: DataFrame = null
-    def normalized(raw: DataFrame): DataFrame = {
+    var nA = 0L
+    def normalized(raw: DataFrame): (DataFrame, Long) = {
       val m = Dedup.materialize(raw)
       // explicit all-zero-vector guard: relying on ANSI divide-by-zero
       // alone would turn into silent NULLs if a session ever ran with
       // spark.sql.ansi.enabled=false; assert_true keys on the column
       // (not a literal), so it cannot be constant-folded away
-      m.crossJoin(broadcast(m.agg(max(col("raw")).as("mx"))))
+      (m.crossJoin(broadcast(m.agg(max(col("raw")).as("mx"))))
         .select(col("id"), expr(
           "CASE WHEN mx <= 0 THEN CAST(assert_true(mx > 0, " +
             "'hitsE6: all-zero score vector — HITS undefined') AS BIGINT) " +
-            "ELSE (raw * 1000000) DIV mx END").as("s"))
+            "ELSE (raw * 1000000) DIV mx END").as("s")),
+        m.count())
     }
     for (_ <- 1 to iters) {
-      a = normalized(
-        e.join(h.select(col("id").as("mid"), col("s")),
+      // score side gated on its measured count: under the bound the
+      // pinned |E| cache is probed in place instead of exchanged every
+      // half-step (r14, guide §3.1); over it, the shuffle join returns
+      val (aN, cA) = normalized(
+        e.join(bcastIfFits(h.select(col("id").as("mid"), col("s")), nH),
             col("src") === col("mid"))
           .groupBy(col("dst")).agg(sum(col("s")).as("raw"))
           .withColumnRenamed("dst", "id"))
-      h = normalized(
-        e.join(a.select(col("id").as("mid"), col("s")),
+      a = aN; nA = cA
+      val (hN, cH) = normalized(
+        e.join(bcastIfFits(a.select(col("id").as("mid"), col("s")), nA),
             col("dst") === col("mid"))
           .groupBy(col("src")).agg(sum(col("s")).as("raw"))
           .withColumnRenamed("src", "id"))
+      h = hN; nH = cH
     }
     val out = Dedup.materialize(
       h.select(col("id"), lit("hub").as("side"), col("s").as("score_e6"))
@@ -194,11 +237,17 @@ object Graph {
     * duplicate-free; one row, `n_triangles`.
     */
   def triangleCountIdOriented(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("id_a"), col("id_b"))
+    // materialize once: the edge set is read three times (both wedge
+    // sides + the closing semi-join), and its measured count gates the
+    // broadcasts — the wedge table (the one genuinely large
+    // intermediate) is then never exchanged (r14, guide §3.1)
+    val e = Dedup.materialize(edges.select(col("id_a"), col("id_b")))
+    val nE = e.count()
     val wedges = e.select(col("id_a").as("a"), col("id_b").as("b"))
-      .join(e.select(col("id_a").as("b"), col("id_b").as("c")), Seq("b"))
+      .join(bcastIfFits(
+        e.select(col("id_a").as("b"), col("id_b").as("c")), nE), Seq("b"))
     wedges.join(
-        e.select(col("id_a").as("a"), col("id_b").as("c")),
+        bcastIfFits(e.select(col("id_a").as("a"), col("id_b").as("c")), nE),
         Seq("a", "c"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
   }
@@ -241,9 +290,15 @@ object Graph {
       }
       prev = n
       val ids = keep.select(col("id"))
+      // survivor set gated on its measured count (n, just read): under
+      // the bound both semi-joins broadcast and the round's only
+      // shuffle is the map-side-combined degree aggregate — the edge
+      // cache is never exchanged (r14, guide §3.1)
       val next = edges
-        .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .join(bcastIfFits(ids.select(col("id").as("src")), n),
+          Seq("src"), "left_semi")
+        .join(bcastIfFits(ids.select(col("id").as("dst")), n),
+          Seq("dst"), "left_semi")
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before releasing the parent
       pinned.unpersist()
@@ -283,14 +338,24 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var visited = Dedup.materialize(
       seeds.select(col("id")).distinct().withColumn("hop", lit(0)))
+    // frontier/visited counts are read off the just-materialized
+    // checkpoints (cheap local jobs) and gate the per-round broadcasts:
+    // under the bound the |E| cache is probed in place by the semi-join
+    // and the anti-join builds on the visited set — no edge exchange
+    // per hop (r14, guide §3.1); over it, the shuffle joins return
+    var nVisited = visited.count()
     var frontier = visited.select(col("id"))
+    var nFrontier = nVisited
     for (h <- 1 to maxHops) {
       val next = Dedup.materialize(
-        e.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
+        e.join(bcastIfFits(frontier.select(col("id").as("src")), nFrontier),
+            Seq("src"), "left_semi")
           .select(col("dst").as("id")).distinct()
-          .join(visited, Seq("id"), "left_anti")
+          .join(bcastIfFits(visited, nVisited), Seq("id"), "left_anti")
           .withColumn("hop", lit(h)))
+      nFrontier = next.count()
       visited = Dedup.materialize(visited.union(next))
+      nVisited += nFrontier
       frontier = next.select(col("id"))
     }
     e.unpersist()
@@ -310,13 +375,22 @@ object Graph {
     * commutative, so map-side partial aggregation makes the shuffle
     * carry at most one (id, dist) pair per node per partition, and
     * the result is exact int64, independent of partitioning and
-    * merge order (no float accumulation anywhere). A fixed round
-    * count keeps the loop lazily chained (the pageRankE12 shape — no
-    * mid-loop action); the edge table is read every round, so it
-    * alone is pinned. Unlike bfsHops, the full distance table joins
-    * each round rather than a shrinking frontier: a weighted relaxed
-    * distance can improve on a PRIOR round's label, so settled nodes
-    * can't be excluded without a priority queue — the classic
+    * merge order (no float accumulation anywhere). The distance table
+    * is MATERIALIZED each round (r14): the recurrence references
+    * `dist` twice per round (once in the relax join, once in the
+    * union), so lazy chaining — the pageRankE12 shape, which is linear
+    * because ranks appears once per round — duplicates the whole
+    * upstream subtree 2^rounds times (measured: sssp_weighted 5.64 s
+    * lazy vs 2.63 s with per-round materialization + the broadcast
+    * gate, sf0.1 best-of-2; the duplicated leaves were the seed
+    * derivation's orders⋈lineitem aggregate). The
+    * materialized table's measured count also gates a broadcast of the
+    * distance side into the pinned edge cache (see [[bcastIfFits]]),
+    * so under the bound a round's only exchange is the ≤|reached|
+    * min-aggregate output. Unlike bfsHops, the full distance table
+    * joins each round rather than a shrinking frontier: a weighted
+    * relaxed distance can improve on a PRIOR round's label, so settled
+    * nodes can't be excluded without a priority queue — the classic
     * Bellman-Ford/Δ-stepping trade. The min-agg keeps each round's
     * output at |reached| rows, so rounds cost |reached ∪ frontier
     * incidence|, still never |V|·rounds.
@@ -326,19 +400,20 @@ object Graph {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val e = edges.select(col("src"), col("dst"), col("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var dist = seeds.select(col("id")).distinct()
-      .withColumn("dist", lit(0L))
+    var dist = Dedup.materialize(seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0L)))
+    var nDist = dist.count()
     for (_ <- 1 to rounds) {
-      val relaxed = dist
-        .select(col("id").as("src"), col("dist").as("d0"))
+      val relaxed = bcastIfFits(dist
+          .select(col("id").as("src"), col("dist").as("d0")), nDist)
         .join(e, Seq("src"))
         .select(col("dst").as("id"), (col("d0") + col("w")).as("dist"))
-      dist = dist.union(relaxed)
-        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+      dist = Dedup.materialize(dist.union(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist")))
+      nDist = dist.count()
     }
-    val out = Dedup.materialize(dist)
     e.unpersist()
-    out
+    dist
   }
 
   /** Synchronous label propagation (Raghavan et al., Phys. Rev. E
@@ -362,10 +437,16 @@ object Graph {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = e.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lab"))
+    // |V| measured once off the materialized seed labels (the label
+    // table keeps exactly |V| rows every round) gates the per-round
+    // broadcast: under the bound the pinned |E| cache is probed in
+    // place instead of exchanged each round (r14, guide §3.1)
+    var labels = Dedup.materialize(e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab")))
+    val nV = labels.count()
     for (_ <- 1 to rounds) {
-      labels = e.join(labels.withColumnRenamed("id", "nid"),
+      labels = e.join(bcastIfFits(
+          labels.withColumnRenamed("id", "nid"), nV),
           col("dst") === col("nid"))
         .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("cnt"))
         // argmax by (count, then smallest label): labels are node ids
@@ -391,16 +472,24 @@ object Graph {
     * global sort). This is the variant to ship on power-law graphs.
     */
   def triangleCountDegreeOriented(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("id_a"), col("id_b"))
-    val deg = und.select(col("id_a").as("id"))
+    val und = Dedup.materialize(edges.select(col("id_a"), col("id_b")))
+    val nE = und.count()
+    // degree table is |V| rows — materialized so its measured count
+    // gates broadcasting it into BOTH orientation joins, which then
+    // probe the edge set in place; the closing semi-join's right side
+    // is the |E| oriented set, gated on nE (r14, guide §3.1)
+    val deg = Dedup.materialize(und.select(col("id_a").as("id"))
       .union(und.select(col("id_b").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg")))
+    val nV = deg.count()
     val lowFirst = col("deg_a") < col("deg_b") ||
       (col("deg_a") === col("deg_b") && col("id_a") < col("id_b"))
     val oriented = Dedup.materialize(und
-      .join(deg.select(col("id").as("id_a"), col("deg").as("deg_a")),
+      .join(bcastIfFits(
+        deg.select(col("id").as("id_a"), col("deg").as("deg_a")), nV),
         Seq("id_a"))
-      .join(deg.select(col("id").as("id_b"), col("deg").as("deg_b")),
+      .join(bcastIfFits(
+        deg.select(col("id").as("id_b"), col("deg").as("deg_b")), nV),
         Seq("id_b"))
       .select(
         when(lowFirst, col("id_a")).otherwise(col("id_b")).as("src"),
@@ -411,12 +500,14 @@ object Graph {
     val wedges = oriented
       .select(col("src").as("u"), col("dst").as("v"),
         col("dst_deg").as("v_deg"))
-      .join(oriented.select(col("src").as("u"), col("dst").as("w"),
-        col("dst_deg").as("w_deg")), Seq("u"))
+      .join(bcastIfFits(
+        oriented.select(col("src").as("u"), col("dst").as("w"),
+          col("dst_deg").as("w_deg")), nE), Seq("u"))
       .filter(col("v_deg") < col("w_deg") ||
         (col("v_deg") === col("w_deg") && col("v") < col("w")))
     wedges.join(
-        oriented.select(col("src").as("v"), col("dst").as("w")),
+        bcastIfFits(
+          oriented.select(col("src").as("v"), col("dst").as("w")), nE),
         Seq("v", "w"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
   }

@@ -27,6 +27,7 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // same session shape as Verify/Bench: the printed plans include
       // the injected optimizer rules' effects
       .withExtensions(new graft.GraftExtensions)
