@@ -52,7 +52,20 @@ object Graph {
       (1L << 21).toString).toLong
 
   private def bcastIfFits(df: DataFrame, rows: Long): DataFrame =
-    if (rows <= maxBroadcastRows) broadcast(df) else df
+    if (rows <= maxBroadcastRows) {
+      // Route the hinted side through an RDD-rooted frame: the node
+      // tables inherit join-PRODUCT size estimates, which the
+      // [[graft.plans.DemoteOversizedBroadcasts]] safety net reads as
+      // known-oversized and strips the hint right back off. An
+      // RDD-rooted plan has UNKNOWN stats, which that rule (by
+      // documented design) skips — correct here because the measured
+      // row count just gated the decision, and the count is ground
+      // truth where the estimate is an artifact. Conversion cost is
+      // one external-row round-trip over ≤ maxBroadcastRows rows of
+      // 2-3 int64 columns, paid only on the broadcast build.
+      val s = df.sparkSession
+      broadcast(s.createDataFrame(df.rdd, df.schema))
+    } else df
 
   /** Make a directed edge list symmetric (every node then has
     * out-degree ≥ 1, so there are no dangling nodes and no rank-mass
