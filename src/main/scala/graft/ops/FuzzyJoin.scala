@@ -32,7 +32,15 @@ object FuzzyJoin {
     * carrying identical strings are reported).
     */
   def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    // spread BEFORE the explode: the corpus arrives as a single-file
+    // parquet scan (one row group = one task), so without this the
+    // variant generation — the op's CPU body, L+1 string slices per
+    // row — and the broadcast hash build it feeds run on ONE core
+    // (measured 2.7-3.1 s single-task at sf0.1; ~0.4 s spread across
+    // the session's partitions). One tiny exchange of (id, s) rows
+    // buys a fully parallel scan stage — guide §2.5 "input skew:
+    // one unsplittable file → repartition immediately after the read".
+    val base = Dedup.spread(df.select(col(idCol).as("id"), col(strCol).as("s")))
     // {self} ∪ single-character deletions; array_union dedups the
     // repeated variants a run of identical chars produces
     val variants = base.withColumn("variant", explode(array_union(
