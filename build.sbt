@@ -27,4 +27,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ // dev knob: relocate temp dirs (stream checkpoints, staging,
+  // shuffle local dirs) for I/O experiments; unset = JVM default
+  sys.env.get("GRAFT_JAVA_TMPDIR").map(d => s"-Djava.io.tmpdir=$d").toSeq

@@ -420,7 +420,7 @@ object AdvancedQueries {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.raw(s, dir, "events").schema
     val stage = stageEventsTimeSplit(s, dir, n = 2)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val store = java.nio.file.Files
       .createTempDirectory("graft_seasonal").toString
     val stream = graft.streaming.IncrementalStream
@@ -475,7 +475,7 @@ object AdvancedQueries {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.raw(s, dir, "events").schema
     val stage = stageEventsTimeSplit(s, dir, n = 2)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val store = java.nio.file.Files
       .createTempDirectory("graft_hllstore").toString
     val stream = graft.streaming.IncrementalStream
@@ -529,7 +529,7 @@ object AdvancedQueries {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.raw(s, dir, "events").schema
     val stage = stageEventsTimeSplit(s, dir, n = 2)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val store = java.nio.file.Files
       .createTempDirectory("graft_qhist").toString
     val stream = graft.streaming.IncrementalStream
@@ -605,7 +605,7 @@ object AdvancedQueries {
     // invariant, so a third real micro-batch strengthens the proof at
     // one spin-up's cost
     val stage = stageEventsTimeSplit(s, dir, n = 3)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val store = java.nio.file.Files
       .createTempDirectory("graft_topkstore").toString
     val stream = graft.streaming.IncrementalStream
@@ -2211,7 +2211,7 @@ object AdvancedQueries {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.raw(s, dir, "events").schema
     val stage = stageEventsTimeSplit(s, dir, n = 2)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val store = java.nio.file.Files
       .createTempDirectory("graft_manifest").toString
     val stream = graft.streaming.IncrementalStream
@@ -2634,7 +2634,7 @@ object AdvancedQueries {
     val schema = Tables.raw(s, dir, "events").schema
     val name =
       s"stream_late_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val stage = stageEventsLateSplit(s, dir)
     val src = graft.streaming.IncrementalStream
       .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
@@ -2689,7 +2689,7 @@ object AdvancedQueries {
     val schema = Tables.raw(s, dir, "events").schema
     // 3-batch contract (r12) — see streamTopk
     val stage = stageEventsTimeSplit(s, dir, n = 3)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val store = java.nio.file.Files
       .createTempDirectory("graft_dqstore").toString
     val stream = graft.streaming.IncrementalStream
@@ -2747,7 +2747,7 @@ object AdvancedQueries {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.raw(s, dir, "events").schema
     val name = s"stream_daily_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     // the file source streams a DIRECTORY: stage the table as three
     // time-contiguous files so this runs as two real micro-batches
     val stage = stageEventsTimeSplit(s, dir, n = 2)
@@ -2787,7 +2787,7 @@ object AdvancedQueries {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.raw(s, dir, "events").schema
     val name = s"stream_enrich_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val stage = stageEventsTimeSplit(s, dir, n = 2)
     val dim = broadcast(t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment")))
@@ -2833,7 +2833,7 @@ object AdvancedQueries {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.raw(s, dir, "events").schema
     val name = s"stream_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val stage = stageEventsTimeSplit(s, dir, n = 2)
     val src = graft.streaming.IncrementalStream
       .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
@@ -2885,7 +2885,7 @@ object AdvancedQueries {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.raw(s, dir, "events").schema
     val name = s"stream_ema_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val stage = stageEventsTimeSplit(s, dir, n = 2)
     val src = graft.streaming.IncrementalStream
       .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
@@ -2929,7 +2929,7 @@ object AdvancedQueries {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.raw(s, dir, "events").schema
     val name = s"stream_anomaly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val stage = stageEventsTimeSplit(s, dir, n = 2)
     val src = graft.streaming.IncrementalStream
       .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
@@ -2961,7 +2961,7 @@ object AdvancedQueries {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.raw(s, dir, "events").schema
     val name = s"stream_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val stage = stageEventsTimeSplit(s, dir, n = 2)
     // two independent sources (not a self-join of one frame), the
     // shape real pipelines have: clicks and purchases arrive as
@@ -3019,7 +3019,7 @@ object AdvancedQueries {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.raw(s, dir, "events").schema
     val name = s"stream_ojoin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val stage = stageEventsTimeSplit(s, dir, n = 2)
     def side(evType: String): DataFrame = graft.streaming.IncrementalStream
       .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
@@ -3075,7 +3075,7 @@ object AdvancedQueries {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.raw(s, dir, "events").schema
     val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val stage = stageEventsTimeSplit(s, dir, n = 2)
     val src = graft.streaming.IncrementalStream
       .readAppendStream(s, stage.toString, schema, maxFilesPerTrigger = Some(1))
@@ -3124,7 +3124,7 @@ object AdvancedQueries {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.Row
     val schema = Tables.raw(s, dir, "events").schema
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val snapRoot = java.nio.file.Files.createTempDirectory("graft_cdc")
     val stage = stageEventsTimeSplit(s, dir, n = 2)
     val targetSchema = org.apache.spark.sql.types.StructType(Seq(

@@ -3340,7 +3340,7 @@ object ScaleQueries {
     import org.apache.spark.sql.streaming.Trigger
     val stage = embStage(s, dir)
     val schema = s.read.parquet(stage).schema
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val stream = graft.streaming.IncrementalStream
       .readAppendStream(s, stage, schema, maxFilesPerTrigger = Some(1))
     var acc: (Long, Array[BigInt], Array[Array[BigInt]]) =

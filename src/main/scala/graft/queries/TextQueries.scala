@@ -2132,7 +2132,7 @@ object TextQueries {
     val schema = s.read.parquet(stage).schema
     val name =
       s"stream_classify_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val stream = graft.streaming.IncrementalStream
       .readAppendStream(s, stage, schema, maxFilesPerTrigger = Some(1))
     val scored = graft.ops.Classifier.score(
@@ -2178,7 +2178,7 @@ object TextQueries {
     val schema = s.read.parquet(stage).schema
     val name =
       s"stream_dhash_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val stream = graft.streaming.IncrementalStream
       .readAppendStream(s, stage, schema, maxFilesPerTrigger = Some(1))
     val media = stream.select(col("doc_id").cast("long").as("media_id"),
@@ -2480,7 +2480,7 @@ object TextQueries {
     import org.apache.spark.sql.streaming.Trigger
     val stage = docStage(s, dir)
     val schema = s.read.parquet(stage).schema
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.streaming.IncrementalStream.localCkptDir(s)
     val stream = graft.streaming.IncrementalStream
       .readAppendStream(s, stage, schema, maxFilesPerTrigger = Some(1))
     val buf = scala.collection.mutable.ArrayBuffer

@@ -19,6 +19,32 @@ import org.apache.spark.sql.types.StructType
   */
 object IncrementalStream {
 
+  /** Fresh throwaway LOCAL checkpoint directory for a driver-visible
+    * stream query, with the session's checkpoint file manager switched
+    * to the FileSystem-based implementation. Motivation (measured,
+    * r14): the default FileContext-based manager's rename path on a
+    * local filesystem goes through Hadoop's
+    * `RawLocalFileSystem.getFileLinkStatus`, which FORKS A SHELL
+    * (`readlink`) per renamed checkpoint file — and a micro-batch of a
+    * stream-stream join renames dozens of files (offset log, commit
+    * log, 4 state stores × state partitions). Thread dumps showed the
+    * stream execution thread and every state-store task parked in
+    * `Shell.runCommand`; switching managers cut stream_join from
+    * ~4.2-5.1 s to ~2.7-3.6 s steady-state. Both managers write
+    * temp-file + rename and local-FS rename is atomic at the OS level,
+    * so recovery semantics for these throwaway local checkpoints are
+    * unchanged. DURABLE production checkpoints on HDFS/S3 should keep
+    * Spark's default manager (set the conf back, or never route their
+    * sessions through this helper) — the FileContext manager's
+    * stricter rename-with-options semantics matter there.
+    */
+  def localCkptDir(spark: SparkSession): String = {
+    spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      "org.apache.spark.sql.execution.streaming.checkpointing." +
+        "FileSystemBasedCheckpointFileManager")
+    java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+  }
+
   /** File-based streaming read of an append-only directory (each
     * micro-batch = newly arrived files; the reference's "new pages
     * since last cron run"). `maxFilesPerTrigger` bounds files per
