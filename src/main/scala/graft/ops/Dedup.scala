@@ -33,6 +33,26 @@ object Dedup {
     if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
   }
 
+  /** [[spread]] for CPU-dense intermediates that sit BEHIND a shuffle:
+    * an unconditional round-robin repartition to the session's shuffle
+    * parallelism. Rationale: AQE coalesces post-shuffle partitions by
+    * BYTES (floor `coalescePartitions.minPartitionSize`, 1 MB), which
+    * is the right proxy for shuffle-bound stages but serializes stages
+    * whose per-byte CPU cost is extreme — a few hundred KB of
+    * candidate pairs here fans out into 16 vector-kernel evaluations
+    * per row, so AQE's "one task is enough for this little data" runs
+    * ~1 s of kernel CPU on one core (measured: maxsim_ivf's re-rank
+    * stage, 1 task, cpu ≈ wall ≈ 0.93 s). The static [[spread]] check
+    * can't help: pre-AQE the plan already claims the full shuffle
+    * partition count. The exchange this inserts carries only the tiny
+    * candidate rows; at real scale the same tables are large enough
+    * that repartitioning to the session's (cluster-sized) shuffle
+    * parallelism is what you'd do anyway.
+    */
+  def spreadEager(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
+
   /** Eagerly compute `df` into executor-local storage and truncate its
     * lineage (`localCheckpoint`). Used to pin the SMALL output of a
     * pipeline stage (candidate pairs, cluster labels) so the LARGE

@@ -870,10 +870,15 @@ object ScaleQueries {
         struct(lit(j).as("j"), col(s"p_$j").as("ps"))): _*)).as("x"))
       .select(col("qid"), col("x.j").as("j"),
         explode(col("x.ps")).as("centroid_id"))
-    val cand = lists.join(graft.ops.Hints.maybeBroadcast(probes),
+    // spreadEager: the re-rank below runs 16 cosine kernels per
+    // candidate row — without it AQE byte-coalesces this tiny table's
+    // exchange to 1 task and the whole MaxSim pass runs single-core
+    // (measured 0.93 s cpu≈wall, 1 task)
+    val cand = graft.ops.Dedup.spreadEager(
+      lists.join(graft.ops.Hints.maybeBroadcast(probes),
         Seq("j", "centroid_id"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid")).distinct()
+      .select(col("qid"), col("cid")).distinct())
     val qSide = emb.select(col("vec_id").as("qid"),
       col("embedding").cast("array<float>").as("qv"))
     val cSide = emb.select(col("vec_id").as("cid"),
@@ -1229,11 +1234,15 @@ object ScaleQueries {
       .drop("p0")
     // first-probe retention across facets: min probe rank of any
     // facet whose probed list holds the doc
-    val cand = lists.join(graft.ops.Hints.maybeBroadcast(probes),
+    // spreadEager: same CPU-dense re-rank shape as maxsimIvfApproxOver
+    // — the MaxSim scoring pass below must not run on the 1-2 tasks
+    // AQE's byte-based coalescing leaves this tiny table with
+    val cand = graft.ops.Dedup.spreadEager(
+      lists.join(graft.ops.Hints.maybeBroadcast(probes),
         Seq("j", "centroid_id"))
       .filter(col("qid") =!= col("cid"))
       .groupBy(col("qid"), col("cid"))
-      .agg(min(col("probe_rank")).as("first_probe"))
+      .agg(min(col("probe_rank")).as("first_probe")))
     val qSide = emb.select(col("vec_id").as("qid"),
       col("embedding").cast("array<float>").as("qv"))
     val cSide = emb.select(col("vec_id").as("cid"),

@@ -18,6 +18,11 @@ object Scratch {
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // generic conf overrides for A/B runs: SCRATCH_CONF="k=v;k=v"
+    sys.env.get("SCRATCH_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     val dir = "/root/testdata/sf0.1"
 
     val jobStart = scala.collection.mutable.Map.empty[Int, (Long, String)]
@@ -27,7 +32,8 @@ object Scratch {
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val (t0, desc) = jobStart.getOrElse(je.jobId, (je.time, "?"))
         val ms = je.time - t0
-        if (ms > 150) println(f"[scratch]   job ${je.jobId}%3d ${ms}%6d ms  $desc")
+        if (ms > sys.env.getOrElse("SCRATCH_JOB_MS", "150").toInt)
+          println(f"[scratch]   job ${je.jobId}%3d ${ms}%6d ms  $desc")
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
