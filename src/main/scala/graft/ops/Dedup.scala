@@ -801,9 +801,13 @@ object Dedup {
     */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     k: Int, minDocs: Int = 2): DataFrame = {
-    val wins = spread(df.select(col(idCol).as("id"),
+    // spread BEFORE the chunk_tokens posexplode — wrapping the exploded
+    // frame (the pre-r14 shape) still ran the windowing kernel in the
+    // single-task scan stage and only shuffled its OUTPUT
+    val wins = spread(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"),
         posexplode(graft.functions.dsl.chunk_tokens(col(textCol), k, 1))
-          .as(Seq("pos", "win"))))
+          .as(Seq("pos", "win")))
       // chunk_tokens emits trailing partial windows; spans are FULL
       // k-token windows only
       .filter(size(split(col("win"), " ")) === k)

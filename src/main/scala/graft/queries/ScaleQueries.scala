@@ -2558,7 +2558,10 @@ object ScaleQueries {
     */
   def embedQuantizeGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = t(s, dir, "embeddings")
+    // spread: the SQ encode→decode→half-step check is one scan-stage
+    // kernel pass over every vector; the single-file scan ran it on
+    // one core (measured 1.7-1.9 s single-task) — guide §2.5
+    val emb = graft.ops.Dedup.spread(t(s, dir, "embeddings"))
     val (mns, mxs) = Similarity.sqStats(emb, "embedding")
     val dec = Similarity.sqDecode(
       Similarity.sqEncode(emb, "vec_id", "embedding", mns, mxs), mns, mxs)

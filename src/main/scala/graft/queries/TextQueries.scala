@@ -748,7 +748,11 @@ object TextQueries {
     * bound is 20²/2 rows per gram.
     */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val grams = t(s, dir, "documents")
+    // spread BEFORE the gram explode: the single-file scan is one task,
+    // and the char-3-gram transform+explode is the query's CPU body
+    // (measured 2.6-3.1 s single-core without it) — guide §2.5
+    val grams = graft.ops.Dedup.spread(
+        t(s, dir, "documents").select(col("source"), col("text")))
       .select(col("source"), explode(expr(
         "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
         .as("g"))
@@ -987,7 +991,11 @@ object TextQueries {
       """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
         |          (x, i) -> concat(x, ' ', toks[i + 1]))""".stripMargin)
     def pairs(pred: org.apache.spark.sql.Column) =
-      t(s, dir, "documents").filter(pred)
+      // spread: tokenize + bigram explode is the CPU body; the
+      // single-file scan would serialize it (guide §2.5)
+      graft.ops.Dedup.spread(
+        t(s, dir, "documents").filter(pred)
+          .select(col("doc_id"), col("text")))
       .select(col("doc_id"), graft.ops.Dedup.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(grams).as("gram"))
       .distinct()
@@ -1213,7 +1221,10 @@ object TextQueries {
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
-    val tf = docs
+    // spread: the tokenize+explode is the expensive pass and the
+    // single-file scan would run it on one core (guide §2.5)
+    val tf = graft.ops.Dedup.spread(
+        docs.select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("lang"),
         explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("lang"), col("token"))
