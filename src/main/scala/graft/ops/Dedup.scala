@@ -53,6 +53,18 @@ object Dedup {
     df.repartition(df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt)
 
+  /** [[spreadEager]] keyed: hash-repartition on `cols` at the
+    * session's shuffle parallelism. Placed before a window/aggregate
+    * partitioned by the same keys it SATISFIES that operator's
+    * required distribution — no second exchange — while the explicit
+    * partition count (REPARTITION_BY_NUM) keeps AQE from
+    * byte-coalescing the CPU-dense ranking stage down to 1-2 tasks
+    * (the [[spreadEager]] rationale, for keyed stages).
+    */
+  def spreadBy(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt, cols: _*)
+
   /** Eagerly compute `df` into executor-local storage and truncate its
     * lineage (`localCheckpoint`). Used to pin the SMALL output of a
     * pipeline stage (candidate pairs, cluster labels) so the LARGE

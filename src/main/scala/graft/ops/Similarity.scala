@@ -161,8 +161,14 @@ object Similarity {
 
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim_r").desc, col("cid"))
-    lists.join(Hints.maybeBroadcast(probes), Seq("centroid_id"))
-      .filter(col("qid") =!= col("cid"))
+    // spreadBy(qid): satisfies the ranking window's distribution with
+    // a non-AQE-coalescible exchange — the candidate scoring+ranking
+    // stage otherwise lands on the 1-2 tasks byte-based coalescing
+    // allots the small candidate rows (measured 0.6 s / 2 tasks,
+    // cpu-bound, in ann_autotune)
+    Dedup.spreadBy(
+        lists.join(Hints.maybeBroadcast(probes), Seq("centroid_id"))
+          .filter(col("qid") =!= col("cid")), col("qid"))
       .withColumn("sim_r", round(cosine_sim(col("qv"), col("cv")), 4))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
