@@ -2072,11 +2072,7 @@ object AdvancedQueries {
     */
   def syncChecksum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // spread: the digest kernel + the load write both ran inside the
-    // single-task scan of the one-file input (guide §2.5); the digest
-    // is order-independent and overwriteLoad's layout contract is
-    // directory-level, so results are identical
-    val li = graft.ops.Dedup.spread(t(s, dir, "lineitem"))
+    val li = t(s, dir, "lineitem")
     val (nSrc, ckSrc) = graft.ops.Sink.tableChecksum(li)
     val out = java.nio.file.Files
       .createTempDirectory("graft_sync_gate").toString
@@ -2364,8 +2360,7 @@ object AdvancedQueries {
     val base = java.nio.file.Files
       .createTempDirectory("graft_compact").toString
     val staged = s"$base/events_small"
-    // spread: the source digest pass ran single-task (guide §2.5)
-    val src = graft.ops.Dedup.spread(t(s, dir, "events"))
+    val src = t(s, dir, "events")
     src.repartition(64).write.parquet(staged)
     val hPath = new Path(staged)
     val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2435,10 +2430,7 @@ object AdvancedQueries {
     */
   def formatRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // spread: three text/columnar serializations + four digest passes
-    // all ran in single-task scan stages of the one-file input
-    // (guide §2.5); digests are order-independent
-    val src = graft.ops.Dedup.spread(t(s, dir, "orders"))
+    val src = t(s, dir, "orders")
     val (nSrc, ckSrc) = graft.ops.Sink.tableChecksum(src)
     val out = java.nio.file.Files
       .createTempDirectory("graft_fmt_gate").toString
